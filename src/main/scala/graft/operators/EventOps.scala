@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables._
+
+/** Time-series / event-log operators over the `events` table
+  * (event_id, ts, user_id, event_type, value, props-json).
+  *
+  * Scale notes: hourly rollup is a single shuffle on (hour, event_type)
+  * with partial aggregation; sessionization shuffles once on user_id and
+  * sorts within partitions (Spark's window exec) — at 100 TB the user_id
+  * hash partitioning distributes evenly because user cardinality is high.
+  * Sums over the double `value` column are avoided in oracle-checked
+  * queries (FP sums are order-dependent); min/max/count are exact.
+  */
+object EventOps {
+
+  /** Tumbling-window rollup: events per hour × type. The batch analog of the
+    * streaming aggregation in [[graft.streaming.StreamOps]]. */
+  def hourlyRollup(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val hourlyRollupOracle: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Sessionization: a session breaks after 30 min of user inactivity.
+    * lag + cumulative sum over a per-user window; all-integer arithmetic so
+    * the oracle hash-matches. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapMs = 30L * 60 * 1000
+    events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (col("ts").cast("timestamp").cast("long") -
+            col("prev_ts").cast("timestamp").cast("long")) * 1000L > gapMs,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_seq", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val sessionizeOracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |           OR date_diff('second', LAG(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) * 1000 > 1800000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM sess
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** Semi-structured extraction: pull `k` out of the JSON props column and
+    * histogram it per event type. */
+  def propsHistogram(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k_bucket", floor(col("k") / 10).cast("int"))
+      .groupBy(col("event_type"), col("k_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"), col("k_bucket"))
+
+  val propsHistogramOracle: String =
+    """SELECT event_type,
+      |  CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER) AS k_bucket,
+      |  COUNT(*) AS n,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** AS-OF join (custom operator the reference family lacks natively):
+    * for each purchase event, the most recent prior signup of the same user.
+    * Implemented as a union-tag + window backfill — one shuffle on user_id,
+    * no pairwise product, scales linearly (the classic distributed as-of
+    * pattern; per-key sort is local to each partition). */
+  def asofPurchaseSignup(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_p"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_p"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    purchases.union(signups)
+      .withColumn("last_signup_ts",
+        last(when(col("is_p") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("last_signup_ts"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  val asofOracle: String =
+    """SELECT p.user_id, p.event_id AS purchase_id,
+      |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |  (SELECT MAX(CAST(s.ts AS TIMESTAMP)) FROM events s
+      |   WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+      |     AND s.ts < p.ts) AS last_signup_ts
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p.user_id, purchase_id""".stripMargin
+}

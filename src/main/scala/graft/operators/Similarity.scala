@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+
+/** Similarity search over the `embeddings` table
+  * (vec_id: long, embedding: array<float>, label: int).
+  *
+  * Two paths, same API:
+  *  - '''brute force''': exact cosine top-k. The (small) query set is
+  *    broadcast; each partition of the corpus computes dot products locally
+  *    and emits only its per-partition top-k via the rank window — at
+  *    100 TB the corpus is never shuffled, only (k × queries) rows move.
+  *  - '''LSH-bucketed''' (random hyperplanes): sign-bit sketch computed with
+  *    a deterministic seeded hash (no stored model); candidates are pairs
+  *    agreeing on a 16-bit prefix bucket, so the self-join is per-bucket.
+  *    This is the scale path for all-pairs near-dup detection.
+  *
+  * Dot products use `zip_with` + `aggregate` (fold in element order) in
+  * double precision — deterministic, codegen-friendly, no UDFs.
+  */
+object Similarity {
+
+  /** Deterministic in-order dot product of two float arrays (as double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k: for each of the first `nQueries` vectors (by
+    * vec_id), the k nearest other vectors. */
+  def bruteForceTopK(s: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 10): DataFrame = {
+    val emb = embeddings(s, dir)
+    val queries = emb.orderBy(col("vec_id")).limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("cos"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Random-hyperplane sign sketch: bit i = sign of <v, h_i> where
+    * h_i[d] is a deterministic pseudo-random ±1 derived from xxhash64(i, d).
+    * Pure expressions; no model state to distribute. */
+  def signSketch(vec: Column, bits: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), i => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, d) => x.cast("double") *
+              when(xxhash64(i, d).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** Within-bucket candidate pairs under a `bits`-wide hyperplane sketch,
+    * with exact cosine verification. Cost is Σ bucket² (never N²). */
+  def lshPairs(s: SparkSession, dir: String, bits: Int = 8): DataFrame = {
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        signSketch(col("embedding"), bits).as("bucket"))
+    val l = emb.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("a_vec"))
+    val r = emb.select(col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("b_vec"))
+    l.join(r, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("a_vec"), col("b_vec")))
+      .select(col("bucket"), col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** Approximate near-neighbor per vector: the best in-bucket neighbor
+    * (null when its LSH bucket is a singleton). One row per vector — stable
+    * output shape regardless of corpus similarity structure. */
+  def lshNearNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairs(s, dir)
+    val directed = pairs.select(col("a_id").as("vec_id"),
+        col("b_id").as("nbr_id"), col("cos"))
+      .union(pairs.select(col("b_id").as("vec_id"),
+        col("a_id").as("nbr_id"), col("cos")))
+    val best = directed
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), col("nbr_id"))).as("best"))
+      .select(col("vec_id"), col("best.nbr_id").as("nn_id"),
+        col("best.cos").as("nn_cos"))
+    embeddings(s, dir).select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .orderBy(col("vec_id"))
+  }
+
+  /** Label-centroid assignment check: exact per-label statistics that are
+    * integer/count-based (oracle-comparable): per label, vector count and
+    * id range. */
+  def labelStats(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"),
+        min(size(col("embedding"))).as("dim_min"),
+        max(size(col("embedding"))).as("dim_max"))
+      .orderBy(col("label"))
+
+  val labelStatsOracle: String =
+    """SELECT label, COUNT(*) AS n_vecs,
+      |  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id,
+      |  CAST(MIN(LEN(embedding)) AS INTEGER) AS dim_min,
+      |  CAST(MAX(LEN(embedding)) AS INTEGER) AS dim_max
+      |FROM embeddings
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
+  /** Embedding-cosine near-dup dedup decision (the 5th dedup family of
+    * [[Dedup]]): keep a vector unless an LSH-verified neighbor with
+    * cos ≥ 0.95 has a smaller id. */
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairs(s, dir).filter(col("cos") >= 0.95)
+    val better = pairs.groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("dup_of"))
+    embeddings(s, dir).select(col("vec_id"))
+      .join(better, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("dup_of"), col("vec_id")).as("cluster_rep"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (split/filter/transform/aggregate on arrays) — no Scala UDFs — so at
+  * 100 TB each operator is a single narrow scan-projection stage: no
+  * shuffle at all until the (tiny) aggregate outputs.
+  */
+object TextOps {
+
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** A small multilingual stopword table (public lists). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "du", "que"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "que"))
+
+  /** Per-document token statistics: counts via whitespace tokenization plus a
+    * BPE-ish sub-token estimate (runs of letters / digits / other). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      // BPE-ish: count letter runs, digit runs, and punctuation marks (a
+      // cheap proxy for sub-word token count used for budget estimation).
+      size(regexp_extract_all(col("text"),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+        .as("n_subtokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenStatsOracle: String =
+    """SELECT doc_id,
+      |  CAST(LENGTH(text) AS INTEGER) AS n_chars_m,
+      |  CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS n_tokens,
+      |  CAST(LEN(list_distinct(regexp_split_to_array(TRIM(text), '\s+'))) AS INTEGER) AS n_distinct_tokens,
+      |  CAST(LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_subtokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length, lexical diversity, stopword ratio, mean token
+    * length. Ratios are single IEEE divisions of exact integers, so they
+    * hash-match the oracle. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val en = stopwords("en")
+    documents(s, dir).select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      (size(array_distinct(t)).cast("double") / size(t))
+        .as("type_token_ratio"),
+      (size(filter(t, x => x.isin(en.map(lit(_)): _*))).cast("double") / size(t))
+        .as("stopword_ratio"),
+      ((length(col("text")) - size(t) + 1).cast("double") / size(t))
+        .as("mean_token_len"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 10 && col("type_token_ratio") > 0.2 &&
+          col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0)
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreOracle: String = {
+    val en = stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, regexp_split_to_array(TRIM(text), '\\s+') AS toks
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(toks) AS INTEGER) AS n_tokens,
+       |    CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks) AS type_token_ratio,
+       |    CAST(LEN(list_filter(toks, x -> x IN ($en))) AS DOUBLE) / LEN(toks) AS stopword_ratio,
+       |    CAST(LENGTH(text) - LEN(toks) + 1 AS DOUBLE) / LEN(toks) AS mean_token_len
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens, type_token_ratio, stopword_ratio, mean_token_len,
+       |  (n_tokens >= 10 AND type_token_ratio > 0.2
+       |   AND mean_token_len >= 2.0 AND mean_token_len <= 12.0) AS quality_ok
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language identification: CJK-character detection plus per-language
+    * stopword voting with a fixed precedence (en > de > fr > es). A
+    * frequency-profile n-gram classifier would use the same single-pass
+    * shape; scoring is pure projection → embarrassingly parallel. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(lower(col("text")))
+    def score(lang: String): Column =
+      size(filter(t, x => x.isin(stopwords(lang).map(lit(_)): _*)))
+    documents(s, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      score("en").as("s_en"), score("de").as("s_de"),
+      score("fr").as("s_fr"), score("es").as("s_es"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[\\x{4E00}-\\x{9FFF}]", "")))
+        .as("n_cjk"))
+      .withColumn("predicted_lang",
+        when(col("n_cjk") > 0, "zh")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .select(col("doc_id"), col("labeled_lang"), col("predicted_lang"),
+        col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdOracle: String = {
+    def inList(lang: String) =
+      stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text,
+       |    regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+       |  FROM documents
+       |), sc AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    CAST(LEN(list_filter(toks, x -> x IN (${inList("en")}))) AS INTEGER) AS s_en,
+       |    CAST(LEN(list_filter(toks, x -> x IN (${inList("de")}))) AS INTEGER) AS s_de,
+       |    CAST(LEN(list_filter(toks, x -> x IN (${inList("fr")}))) AS INTEGER) AS s_fr,
+       |    CAST(LEN(list_filter(toks, x -> x IN (${inList("es")}))) AS INTEGER) AS s_es,
+       |    LENGTH(text) - LENGTH(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS n_cjk
+       |  FROM t
+       |)
+       |SELECT doc_id, labeled_lang,
+       |  CASE WHEN n_cjk > 0 THEN 'zh'
+       |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |       WHEN s_fr >= s_es THEN 'fr'
+       |       ELSE 'es' END AS predicted_lang,
+       |  s_en, s_de, s_fr, s_es
+       |FROM sc
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: md5 content hash of normalized text plus a
+    * 64-bit xxhash for cheap equality bucketing. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    documents(s, dir).select(
+      col("doc_id"),
+      md5(norm).as("content_md5"),
+      xxhash64(norm).as("content_xx64"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle covers the md5 fingerprint (xxhash64 is Spark-specific, checked
+    * by the unit tests instead). */
+  val fingerprintOracle: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS content_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** fingerprint variant restricted to oracle-comparable columns. */
+  def fingerprintMd5(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    documents(s, dir).select(
+      col("doc_id"), md5(norm).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+}

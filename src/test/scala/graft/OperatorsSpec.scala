@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Smoke + semantics tests for every SparkEntry query at sf0.001. */
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has distinct results and every oracle key exists") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    SparkEntry.oracleSql.keys.foreach(k =>
+      assert(qs.contains(k), s"oracle '$k' has no query"))
+  }
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"query $name runs and returns rows at sf0.001") {
+      val df = fn(spark, dir)
+      val n = df.count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q1 aggregates match a direct SQL computation") {
+    graft.sources.Tables.registerAll(spark, dir)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS c
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect()
+    val viaDf = operators.Relational.q1PricingSummary(spark, dir)
+      .select("l_returnflag", "l_linestatus", "count_order").collect()
+    assert(viaSql.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sameElements(viaDf.map(r => (r.getString(0), r.getString(1), r.getLong(2)))))
+  }
+
+  test("dedup_exact keeps every distinct document") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val kept = operators.Dedup.exact(spark, dir)
+    assert(kept.count() ==
+      docs.select("text").distinct().count())
+  }
+
+  test("minhash signature is 64-wide and deterministic") {
+    import org.apache.spark.sql.functions._
+    val sigs = graft.sources.Tables.documents(spark, dir)
+      .select(operators.Dedup.minhashSignature(col("text")).as("sig"))
+      .limit(5).collect()
+    sigs.foreach(r => assert(r.getSeq[Long](0).length == 64))
+    val sigs2 = graft.sources.Tables.documents(spark, dir)
+      .select(operators.Dedup.minhashSignature(col("text")).as("sig"))
+      .limit(5).collect()
+    assert(sigs.map(_.getSeq[Long](0)).toSeq == sigs2.map(_.getSeq[Long](0)).toSeq)
+  }
+
+  test("identical texts collide on minhash + simhash, distinct texts do not all") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark federation engines")
+    ).toDF("doc_id", "text")
+    val sig = df.select($"doc_id",
+      operators.Dedup.minhashSignature($"text").as("sig"),
+      operators.Dedup.simhash64($"text").as("sim")).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(sig(1L)._1 == sig(2L)._1, "identical docs must share minhash")
+    assert(sig(1L)._2 == sig(2L)._2, "identical docs must share simhash")
+    assert(sig(1L)._1 != sig(3L)._1, "distinct docs must differ")
+  }
+
+  test("cosine similarity of a vector with itself is 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val c = df.select(operators.Similarity.cosine($"a", $"b")).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("sessionize splits on 30min gaps") {
+    val sess = operators.EventOps.sessionize(spark, dir)
+    // session count >= user count; no session longer than the data range
+    val users = graft.sources.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(sess.count() >= users)
+  }
+
+  test("asof join never reports a signup after the purchase") {
+    import org.apache.spark.sql.functions._
+    val bad = operators.EventOps.asofPurchaseSignup(spark, dir)
+      .filter(col("last_signup_ts") >= col("purchase_ts")).count()
+    assert(bad == 0)
+  }
+}
