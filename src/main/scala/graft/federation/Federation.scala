@@ -1,0 +1,56 @@
+package graft.federation
+
+import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession, SparkSessionExtensions}
+
+import graft.federation.plans.RemoteRelation
+import graft.federation.sql.{RemoteTableRef, SqlExecutor}
+
+/** Session wiring — the analog of the reference's `default_session_state`
+  * (src/lib.rs:25-54) and `SQLSchemaProvider` catalog bootstrap
+  * (src/sql/schema.rs:16-75).
+  */
+object Federation {
+
+  /** Install rule + strategy into a live session (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(FederationStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ FederationStrategy
+    if (!exp.extraOptimizations.contains(FederationRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ FederationRule
+  }
+
+  /** Register one remote table under a local name. Schema is inferred
+    * eagerly through the executor (once). */
+  def registerRemoteTable(spark: SparkSession, localName: String,
+      remoteRef: String, executor: SqlExecutor): Unit =
+    remoteDataFrame(spark, remoteRef, executor)
+      .createOrReplaceTempView(localName)
+
+  /** A DataFrame rooted at a [[RemoteRelation]] — usable with the full
+    * DataFrame API, not just SQL. */
+  def remoteDataFrame(spark: SparkSession, remoteRef: String,
+      executor: SqlExecutor): DataFrame =
+    GraftShims.ofRows(spark,
+      RemoteRelation(RemoteTableRef.parse(remoteRef), executor))
+
+  /** Register every table the executor's catalog lists, under its remote
+    * name prefixed with `prefix` (reference SQLSchemaProvider::new,
+    * src/sql/schema.rs:16-46). */
+  def registerAll(spark: SparkSession, executor: SqlExecutor,
+      prefix: String = ""): Unit =
+    executor.tableNames.foreach { t =>
+      registerRemoteTable(spark, prefix + t, t, executor)
+    }
+}
+
+/** `SparkSessionExtensions` installer for
+  * `spark.sql.extensions=graft.federation.GraftExtensions` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => FederationRule)
+    e.injectPlannerStrategy(_ => FederationStrategy)
+  }
+}

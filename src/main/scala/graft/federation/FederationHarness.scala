@@ -1,0 +1,53 @@
+package graft.federation
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.federation.sql.SparkSqlExecutor
+
+/** Test/driver harness: remote engines simulated by isolated-catalog
+  * sibling SparkSessions over the same parquet testdata — the Spark
+  * equivalent of the reference's mock SQLite/Postgres executors running an
+  * inner DataFusion context over CSV (examples/shared/mod.rs:30-146).
+  *
+  * `fed_*` tables are registered in the caller's session as
+  * [[graft.federation.plans.RemoteRelation]]s pointing at executor "alpha";
+  * `fedb_*` tables at executor "beta" (a second, distinct provider, for
+  * cross-provider plans).
+  */
+object FederationHarness {
+
+  private val tpch = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "documents", "embeddings")
+
+  private val executors = TrieMap.empty[(Int, String, String), SparkSqlExecutor]
+
+  def executor(spark: SparkSession, dir: String,
+      name: String): SparkSqlExecutor =
+    executors.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, name), {
+        val inner = spark.newSession()
+        new SparkSqlExecutor(name, inner,
+          tpch.map(t => t -> s"$dir/$t.parquet").toMap,
+          context = s"$name@$dir")
+      })
+
+  /** Install federation into `spark` and register the fed_* / fedb_*
+    * remote views for `dir` (idempotent). */
+  def setup(spark: SparkSession, dir: String): Unit = {
+    Federation.install(spark)
+    val alpha = executor(spark, dir, "alpha")
+    val beta = executor(spark, dir, "beta")
+    tpch.foreach { t =>
+      Federation.registerRemoteTable(spark, s"fed_$t", t, alpha)
+      Federation.registerRemoteTable(spark, s"fedb_$t", t, beta)
+    }
+  }
+
+  /** Run a SQL query against the federated views. */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    setup(spark, dir)
+    spark.sql(query)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.federation.plans
+
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Statistics}
+import org.apache.spark.sql.types.StructType
+
+import graft.federation.FederationProvider
+import graft.federation.sql.{RemoteTableRef, SqlExecutor}
+
+/** Leaf logical node for a table that lives on a remote engine.
+  *
+  * The Spark analog of the reference's `FederatedTableProviderAdaptor` +
+  * `SQLTableSource` (src/table_provider.rs:20-158, src/sql/table.rs:118-176):
+  * it carries the remote name, the eagerly-inferred schema, and the
+  * executor, so the unparser emits remote names directly — no post-hoc
+  * string rewriting of table names is needed (SURVEY §2c,
+  * RewriteTableScanAnalyzer note).
+  */
+final case class RemoteRelation(
+    ref: RemoteTableRef,
+    executor: SqlExecutor,
+    output: Seq[AttributeReference])
+  extends LeafNode with MultiInstanceRelation {
+
+  override def newInstance(): RemoteRelation =
+    copy(output = output.map(_.newInstance()))
+
+  override def computeStats(): Statistics =
+    executor.statistics(ref).getOrElse(
+      Statistics(sizeInBytes = conf.defaultSizeInBytes))
+
+  def schema2: StructType = org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(output)
+
+  override def simpleString(maxFields: Int): String =
+    s"RemoteRelation [${executor.name}] $ref"
+}
+
+object RemoteRelation {
+  def apply(ref: RemoteTableRef, executor: SqlExecutor): RemoteRelation = {
+    val schema = executor.tableSchema(ref)
+    RemoteRelation(ref, executor,
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema))
+  }
+}
+
+/** Opaque logical node wrapping a sub-plan that will run remotely.
+  *
+  * A LeafNode on purpose: exposing no children/expressions freezes the
+  * fragment against later optimizer batches, the same trick as the
+  * reference's `FederatedPlanNode` (`UserDefinedLogicalNode` with no
+  * inputs/exprs, src/plan_node.rs:18-73).
+  */
+final case class FederatedPlan(
+    inner: LogicalPlan,
+    provider: FederationProvider)
+  extends LeafNode {
+
+  override def output: Seq[Attribute] = inner.output
+
+  /** Propagate the fragment's estimated stats so Spark can still pick
+    * broadcast joins over small federated fragments (reference statistics
+    * hook, src/sql/executor.rs:61-63). */
+  override def computeStats(): Statistics = inner.stats
+
+  override def simpleString(maxFields: Int): String =
+    s"Federated [${provider.name}]"
+}

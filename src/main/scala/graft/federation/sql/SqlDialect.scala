@@ -1,0 +1,99 @@
+package graft.federation.sql
+
+import org.apache.spark.sql.types._
+
+/** Per-engine SQL dialect: identifier quoting, literal rendering, type
+  * names, and feature toggles. Isolates exactly the drift the reference
+  * handles via per-dialect `Unparser` configuration (SURVEY §7.4 risk 3).
+  */
+trait SqlDialect {
+  def name: String
+
+  def quote(ident: String): String
+
+  /** Quote only when needed (keeps golden SQL readable, like the
+    * reference's quote_style handling). */
+  def quoteIfNeeded(ident: String): String =
+    if (ident.matches("[a-z_][a-z0-9_]*")) ident else quote(ident)
+
+  def escapeString(s: String): String = s.replace("'", "''")
+
+  def literal(value: Any, dataType: DataType): String = (value, dataType) match {
+    case (null, _) => "NULL"
+    case (v, StringType) => s"'${escapeString(v.toString)}'"
+    case (v, BooleanType) => if (v.asInstanceOf[Boolean]) "TRUE" else "FALSE"
+    case (v, DateType) =>
+      // catalyst stores days-since-epoch
+      s"DATE '${java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)}'"
+    case (v, TimestampType) =>
+      s"TIMESTAMP '${formatMicros(v.asInstanceOf[Long])}'"
+    case (v, TimestampNTZType) =>
+      s"TIMESTAMP '${formatMicros(v.asInstanceOf[Long])}'"
+    case (v, _: DecimalType) => v.toString
+    case (v, DoubleType | FloatType) => v.toString
+    case (v, ByteType | ShortType | IntegerType | LongType) => v.toString
+    case (v, dt) =>
+      throw new UnsupportedOperationException(
+        s"[$name] cannot render literal of type $dt: $v")
+  }
+
+  private def formatMicros(us: Long): String = {
+    val instant = java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS)
+    java.time.LocalDateTime.ofInstant(instant, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+  }
+
+  def typeName(dt: DataType): String = dt match {
+    case ByteType => "TINYINT"
+    case ShortType => "SMALLINT"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case StringType => "VARCHAR"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other =>
+      throw new UnsupportedOperationException(s"[$name] no type name for $other")
+  }
+
+  /** Whether `agg(...) FILTER (WHERE p)` is supported. */
+  def supportsFilterClause: Boolean = true
+
+  def limitClause(limit: Option[Long], offset: Option[Long]): String =
+    (limit, offset) match {
+      case (Some(l), Some(o)) => s" LIMIT $l OFFSET $o"
+      case (Some(l), None) => s" LIMIT $l"
+      case (None, Some(o)) => s" OFFSET $o"
+      case (None, None) => ""
+    }
+
+  /** Dialect-specific scalar function name mapping (Spark name → remote). */
+  def functionName(sparkName: String): String = sparkName
+}
+
+/** ANSI-ish default used for golden tests. */
+object AnsiDialect extends SqlDialect {
+  override val name = "ansi"
+  override def quote(ident: String): String =
+    "\"" + ident.replace("\"", "\"\"") + "\""
+}
+
+/** Spark SQL itself as the remote dialect — what the in-process mock
+  * executor (a second SparkSession) speaks. */
+object SparkDialect extends SqlDialect {
+  override val name = "spark"
+  override def quote(ident: String): String =
+    "`" + ident.replace("`", "``") + "`"
+  override def typeName(dt: DataType): String = dt.sql
+}
+
+/** DuckDB dialect (JDBC executor target). */
+object DuckDbDialect extends SqlDialect {
+  override val name = "duckdb"
+  override def quote(ident: String): String =
+    "\"" + ident.replace("\"", "\"\"") + "\""
+}

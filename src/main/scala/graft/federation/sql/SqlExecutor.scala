@@ -1,0 +1,84 @@
+package graft.federation.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.plans.logical.Statistics
+import org.apache.spark.sql.types.StructType
+
+/** The remote-engine driver interface — Spark analog of the reference's
+  * `SQLExecutor` trait (src/sql/executor.rs:18-75): identity + dialect +
+  * query execution + catalog introspection + optional hooks.
+  *
+  * `execute` returns an `RDD[InternalRow]` (not an iterator) so each
+  * implementation chooses where the remote I/O happens: the JDBC executor
+  * opens connections inside `RDD.compute` on executor tasks (N partitions =
+  * N parallel remote cursors); the in-process mock returns the inner
+  * session's RDD directly.
+  */
+trait SqlExecutor {
+  def name: String
+
+  /** Instance discriminator (URL + user for JDBC). See
+    * [[graft.federation.FederationProvider.computeContext]]. */
+  def computeContext: Option[String]
+
+  def dialect: SqlDialect
+
+  /** Run `sql` remotely; rows must match `schema` positionally. */
+  def execute(sql: String, schema: StructType): RDD[InternalRow]
+
+  /** Remote catalog listing. */
+  def tableNames: Seq[String]
+
+  /** Eager one-shot schema inference at registration time (reference
+    * `get_table_schema`, src/sql/table.rs:126-133). */
+  def tableSchema(ref: RemoteTableRef): StructType
+
+  /** Optional per-table statistics so Spark can plan broadcasts. */
+  def statistics(ref: RemoteTableRef): Option[Statistics] = None
+
+  /** Optional hook: rewrite the generated SQL string just before execution
+    * (reference `sql_query_rewriter`, src/sql/table.rs:33-45). */
+  def sqlRewriter: String => String = identity
+}
+
+/** Mock executor backed by a second (isolated-catalog) SparkSession over
+  * parquet files — mirrors the reference's `MockSqliteExecutor` /
+  * `MockPostgresExecutor` over an inner DataFusion context
+  * (examples/shared/mod.rs:30-146). Used by tests and the `fed_*` driver
+  * queries; the "network boundary" is a session boundary.
+  */
+final class SparkSqlExecutor(
+    override val name: String,
+    val inner: SparkSession,
+    tables: Map[String, String], // remote table name -> parquet path
+    context: String)
+  extends SqlExecutor {
+
+  // register the remote catalog eagerly (schema inferred once per table)
+  tables.foreach { case (tbl, path) =>
+    inner.read.parquet(path).createOrReplaceTempView(tbl)
+  }
+
+  override def computeContext: Option[String] = Some(context)
+  override def dialect: SqlDialect = SparkDialect
+
+  override def execute(sql: String, schema: StructType): RDD[InternalRow] = {
+    val df = inner.sql(sqlRewriter(sql))
+    val coerced = graft.federation.sql.SchemaCoercion.coerce(df, schema)
+    coerced.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.toRdd
+  }
+
+  override def tableNames: Seq[String] = tables.keys.toSeq.sorted
+
+  override def tableSchema(ref: RemoteTableRef): StructType =
+    inner.table(ref.parts.map(p => s"`$p`").mkString(".")).schema
+
+  override def statistics(ref: RemoteTableRef): Option[Statistics] = {
+    val plan = inner.table(ref.parts.map(p => s"`$p`").mkString("."))
+      .queryExecution.optimizedPlan
+    Some(plan.stats)
+  }
+}

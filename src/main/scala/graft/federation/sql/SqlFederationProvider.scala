@@ -1,0 +1,40 @@
+package graft.federation.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+import graft.federation.FederationProvider
+import graft.federation.plans.FederatedPlan
+
+/** Provider for SQL-speaking remote engines — the analog of the
+  * reference's `SQLFederationProvider` + `SQLFederationOptimizerRule`
+  * (src/sql/mod.rs:46-130): accepting a sub-plan means freezing it inside
+  * an opaque [[FederatedPlan]] node. The unparse is probed eagerly so a
+  * fragment the dialect cannot express is simply left local.
+  */
+final class SqlFederationProvider(val executor: SqlExecutor)
+  extends FederationProvider {
+
+  override def name: String = executor.name
+  override def computeContext: Option[String] = executor.computeContext
+
+  override def optimize(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+    case f: FederatedPlan => Some(f) // double-federation guard
+    case p =>
+      SqlUnparser.tryUnparse(p, executor.dialect)
+        .map(_ => FederatedPlan(p, this))
+  }
+
+  /** Generate the final SQL for a frozen fragment (strategy-time). */
+  def unparse(plan: LogicalPlan): String =
+    executor.sqlRewriter(new SqlUnparser(executor.dialect).unparse(plan))
+}
+
+object SqlFederationProvider {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[SqlExecutor, SqlFederationProvider]()
+
+  /** Providers are compared by (name, computeContext); cache per executor
+    * instance so the lattice's equality checks are cheap and stable. */
+  def forExecutor(e: SqlExecutor): SqlFederationProvider =
+    cache.computeIfAbsent(e, ex => new SqlFederationProvider(ex))
+}

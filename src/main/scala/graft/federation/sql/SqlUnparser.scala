@@ -1,0 +1,488 @@
+package graft.federation.sql
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.types._
+
+import graft.federation.plans.RemoteRelation
+
+/** Catalyst `LogicalPlan` → dialect SQL text.
+  *
+  * The Spark replacement for the reference's use of DataFusion's `Unparser`
+  * plus `RewriteTableScanAnalyzer` (src/sql/mod.rs:229-232,
+  * src/sql/analyzer.rs:25-111): because [[RemoteRelation]] carries the
+  * remote table name, unparsing emits remote names directly and no
+  * post-hoc table/column string rewriting is needed; attribute identity is
+  * exprId-based, so local aliases can never collide with remote names
+  * (the reference's `aapp_table` edge cases, analyzer.rs:116-178).
+  *
+  * Unsupported constructs throw [[UnparseUnsupported]]; the federation rule
+  * probes with [[SqlUnparser.tryUnparse]] and simply leaves such subtrees
+  * local — unparsability degrades performance, never correctness.
+  */
+final class UnparseUnsupported(msg: String) extends RuntimeException(msg)
+
+class SqlUnparser(dialect: SqlDialect) {
+
+  private var aliasCounter = 0
+  private def freshAlias(): String = { aliasCounter += 1; s"t$aliasCounter" }
+
+  private def fail(msg: String): Nothing = throw new UnparseUnsupported(msg)
+
+  private def q(ident: String): String = dialect.quoteIfNeeded(ident)
+
+  /** A rendered FROM item with the attribute scope it exposes. */
+  private case class From(text: String, scope: Map[ExprId, String])
+
+  /** A rendered full SELECT with its output column names (aligned to the
+    * source plan's output). */
+  case class Sel(sql: String, names: Seq[String])
+
+  def unparse(plan: LogicalPlan): String = select(plan).sql
+
+  // ------------------------------------------------------------- FROM items
+
+  private def from(plan: LogicalPlan): From = plan match {
+    case r: RemoteRelation =>
+      val alias = freshAlias()
+      val base = r.ref.args match {
+        case Some(_) => r.ref.sql(dialect) // carries its own alias
+        case None => s"${r.ref.sql(dialect)} AS $alias"
+      }
+      val names = r.ref.args match {
+        case Some(_) => r.ref.parts.last
+        case None => alias
+      }
+      From(base, r.output.map(a =>
+        a.exprId -> s"${q(names)}.${q(a.name)}").toMap)
+
+    case SubqueryAlias(_, child) => from(child)
+
+    case Join(left, right, joinType, cond, _) =>
+      joinType match {
+        case Inner | Cross | LeftOuter | RightOuter | FullOuter =>
+          val fl = from(left)
+          val fr = from(right)
+          val scope = fl.scope ++ fr.scope
+          val kw = joinType match {
+            case Inner => "JOIN"
+            case Cross => "CROSS JOIN"
+            case LeftOuter => "LEFT JOIN"
+            case RightOuter => "RIGHT JOIN"
+            case FullOuter => "FULL JOIN"
+            case _ => fail("unreachable")
+          }
+          val on = cond.map(c => s" ON ${render(c, scope)}").getOrElse {
+            if (joinType == Inner && cond.isEmpty) "" else ""
+          }
+          val text = (joinType, cond) match {
+            case (Inner, None) => s"${fl.text} CROSS JOIN ${fr.text}"
+            case _ => s"${fl.text} $kw ${fr.text}$on"
+          }
+          From(text, scope)
+
+        case LeftSemi | LeftAnti =>
+          // EXISTS / NOT EXISTS form
+          val fl = from(left)
+          val fr = from(right)
+          val scope = fl.scope ++ fr.scope
+          val condSql = cond.map(c => render(c, scope)).getOrElse("TRUE")
+          val existsKw = if (joinType == LeftSemi) "EXISTS" else "NOT EXISTS"
+          val names = dedupNames(left.output.map(_.name))
+          val items = left.output.zip(names)
+            .map { case (a, n) => s"${fl.scope(a.exprId)} AS ${q(n)}" }
+          val alias = freshAlias()
+          val sql = s"(SELECT ${items.mkString(", ")} FROM ${fl.text} " +
+            s"WHERE $existsKw (SELECT 1 FROM ${fr.text} WHERE $condSql)) AS $alias"
+          From(sql, left.output.zip(names).map { case (a, n) =>
+            a.exprId -> s"$alias.${q(n)}" }.toMap)
+
+        case other => fail(s"join type $other")
+      }
+
+    case _: OneRowRelation => From("", Map.empty)
+
+    case other if isSelectable(other) =>
+      val sel = select(other)
+      val alias = freshAlias()
+      From(s"(${sel.sql}) AS $alias",
+        other.output.zip(sel.names).map { case (a, n) =>
+          a.exprId -> s"$alias.${q(n)}" }.toMap)
+
+    case other => fail(s"plan node ${other.getClass.getSimpleName}")
+  }
+
+  /** Nodes `select` knows how to render (whitelist — anything else aborts
+    * the fragment instead of recursing forever). */
+  private def isSelectable(p: LogicalPlan): Boolean = p match {
+    case _: Project | _: Aggregate | _: Window | _: Union | _: Distinct |
+         _: Filter | _: Sort | _: GlobalLimit | _: LocalLimit | _: Offset =>
+      true
+    case _ => false
+  }
+
+  // ---------------------------------------------------------------- SELECT
+
+  private object IntLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case _ => None
+    }
+  }
+
+  def select(plan: LogicalPlan): Sel = {
+    var limit: Option[Long] = None
+    var offset: Option[Long] = None
+    var order: Seq[SortOrder] = Nil
+    var p = plan
+    var peeling = true
+    while (peeling) {
+      p match {
+        case GlobalLimit(IntLit(n), LocalLimit(_, child)) if limit.isEmpty =>
+          limit = Some(n); p = child
+        case GlobalLimit(IntLit(n), child) if limit.isEmpty =>
+          limit = Some(n); p = child
+        case LocalLimit(IntLit(n), child) if limit.isEmpty =>
+          limit = Some(n); p = child
+        case Offset(IntLit(n), child) if offset.isEmpty && order.isEmpty =>
+          offset = Some(n); p = child
+        case Sort(ord, true, child, _) if order.isEmpty =>
+          order = ord; p = child
+        case _ => peeling = false
+      }
+    }
+
+    val (core, scope) = buildCore(p)
+    val orderSql =
+      if (order.isEmpty) ""
+      else " ORDER BY " + order.map(renderSortOrder(_, scope)).mkString(", ")
+    Sel(core.sql + orderSql + dialect.limitClause(limit, offset), core.names)
+  }
+
+  /** Renders the projection/aggregation core of a block. Returns the Sel
+    * plus the scope usable for trailing ORDER BY (select-list aliases +
+    * input columns). */
+  private def buildCore(p: LogicalPlan): (Sel, Map[ExprId, String]) = p match {
+    case Project(list, child) =>
+      val (f, where) = fromWithFilters(child)
+      val (items, names) = renderItems(list, f.scope)
+      val sql = s"SELECT ${items.mkString(", ")} FROM ${f.text}" + whereSql(where)
+      (Sel(sql, names), f.scope ++ aliasScope(list, names))
+
+    case Aggregate(groupExprs, aggExprs, child, _) =>
+      if (groupExprs.exists(hasGroupingSet))
+        fail("grouping sets/rollup/cube")
+      val (f, where) = fromWithFilters(child)
+      val (items, names) = renderItems(aggExprs, f.scope)
+      val groupSql =
+        if (groupExprs.isEmpty) ""
+        else " GROUP BY " + groupExprs.map(render(_, f.scope)).mkString(", ")
+      val sql = s"SELECT ${items.mkString(", ")} FROM ${f.text}" +
+        whereSql(where) + groupSql
+      (Sel(sql, names), f.scope ++ aliasScope(aggExprs, names))
+
+    case w: Window =>
+      val (f, where) = fromWithFilters(w.child)
+      val passthrough = w.child.output.map(a => a: NamedExpression)
+      val all = passthrough ++ w.windowExpressions
+      val (items, names) = renderItems(all, f.scope)
+      val sql = s"SELECT ${items.mkString(", ")} FROM ${f.text}" + whereSql(where)
+      (Sel(sql, names), f.scope ++ aliasScope(all, names))
+
+    case Union(children, byName, allowMissing) =>
+      if (byName || allowMissing) fail("union by name")
+      val parts = children.map(c => s"${select(c).sql}")
+      (Sel(parts.mkString(" UNION ALL "),
+        dedupNames(children.head.output.map(_.name))),
+        Map.empty)
+
+    case Distinct(child) =>
+      val inner = buildCore(child)
+      val sql = inner._1.sql match {
+        case s if s.startsWith("SELECT ") =>
+          "SELECT DISTINCT " + s.stripPrefix("SELECT ")
+        case _ => fail("distinct over non-select")
+      }
+      (Sel(sql, inner._1.names), inner._2)
+
+    case Filter(cond, child) =>
+      // Filter with no Project above (e.g. HAVING shape or bare filter):
+      // SELECT child-cols FROM <child> WHERE cond
+      val f = from(child)
+      val names = dedupNames(child.output.map(_.name))
+      val items = child.output.zip(names)
+        .map { case (a, n) => s"${f.scope(a.exprId)} AS ${q(n)}" }
+      val sql = s"SELECT ${items.mkString(", ")} FROM ${f.text}" +
+        s" WHERE ${render(cond, f.scope)}"
+      (Sel(sql, names), f.scope)
+
+    case other @ (_: RemoteRelation | _: Join | _: SubqueryAlias) =>
+      val f = from(other)
+      val names = dedupNames(other.output.map(_.name))
+      val items = other.output.zip(names)
+        .map { case (a, n) => s"${f.scope(a.exprId)} AS ${q(n)}" }
+      (Sel(s"SELECT ${items.mkString(", ")} FROM ${f.text}", names), f.scope)
+
+    case other => fail(s"plan node ${other.getClass.getSimpleName}")
+  }
+
+  /** Peel a chain of Filters above a from-able child into WHERE conjuncts. */
+  private def fromWithFilters(plan: LogicalPlan): (From, Seq[String]) =
+    plan match {
+      case Filter(cond, child) =>
+        val (f, where) = fromWithFilters(child)
+        (f, where :+ render(cond, f.scope))
+      case other => (from(other), Nil)
+    }
+
+  private def whereSql(conjuncts: Seq[String]): String =
+    if (conjuncts.isEmpty) "" else " WHERE " + conjuncts.reverse.mkString(" AND ")
+
+  private def hasGroupingSet(e: Expression): Boolean = e.exists {
+    case _: GroupingSets | _: Cube | _: Rollup => true
+    case _ => false
+  }
+
+  private def dedupNames(names: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    names.map { n =>
+      val k = n.toLowerCase
+      val c = seen.getOrElse(k, 0)
+      seen(k) = c + 1
+      if (c == 0) n else s"${n}_$c"
+    }
+  }
+
+  private def renderItems(list: Seq[NamedExpression],
+      scope: Map[ExprId, String]): (Seq[String], Seq[String]) = {
+    val names = dedupNames(list.map(_.name))
+    val items = list.zip(names).map {
+      case (ne, n) =>
+        val rendered = ne match {
+          case Alias(child, _) => render(child, scope)
+          case a: AttributeReference => render(a, scope)
+          case other => render(other, scope)
+        }
+        s"$rendered AS ${q(n)}"
+    }
+    (items, names)
+  }
+
+  private def aliasScope(list: Seq[NamedExpression],
+      names: Seq[String]): Map[ExprId, String] =
+    list.zip(names).map { case (ne, n) => ne.exprId -> q(n) }.toMap
+
+  // ----------------------------------------------------------- expressions
+
+  private def renderSortOrder(so: SortOrder, scope: Map[ExprId, String]): String = {
+    val dir = so.direction match {
+      case Ascending => "ASC"
+      case Descending => "DESC"
+    }
+    val nulls = (so.direction, so.nullOrdering) match {
+      case (Ascending, NullsFirst) => "" // default
+      case (Descending, NullsLast) => ""
+      case (_, NullsFirst) => " NULLS FIRST"
+      case (_, NullsLast) => " NULLS LAST"
+    }
+    s"${render(so.child, scope)} $dir$nulls"
+  }
+
+  def render(e: Expression, scope: Map[ExprId, String]): String = {
+    currentScope = scope // for the fn1/fnN helpers
+    def r(x: Expression): String = render(x, scope)
+    def bin(l: Expression, op: String, rr: Expression): String =
+      s"(${r(l)} $op ${r(rr)})"
+
+    e match {
+      case a: AttributeReference =>
+        scope.getOrElse(a.exprId,
+          fail(s"unresolved attribute ${a.name}#${a.exprId.id} in scope"))
+      case Alias(child, _) => r(child)
+      case Literal(v, dt) => dialect.literal(v, dt)
+
+      // arithmetic
+      case Add(l, rr, _) => bin(l, "+", rr)
+      case Subtract(l, rr, _) => bin(l, "-", rr)
+      case Multiply(l, rr, _) => bin(l, "*", rr)
+      case Divide(l, rr, _) => bin(l, "/", rr)
+      case IntegralDivide(l, rr, _) => bin(l, "/", rr)
+      case Remainder(l, rr, _) => bin(l, "%", rr)
+      case UnaryMinus(c, _) => s"(- ${r(c)})"
+
+      // comparison / boolean
+      case EqualTo(l, rr) => bin(l, "=", rr)
+      case EqualNullSafe(l, rr) => s"(${r(l)} IS NOT DISTINCT FROM ${r(rr)})"
+      case LessThan(l, rr) => bin(l, "<", rr)
+      case LessThanOrEqual(l, rr) => bin(l, "<=", rr)
+      case GreaterThan(l, rr) => bin(l, ">", rr)
+      case GreaterThanOrEqual(l, rr) => bin(l, ">=", rr)
+      case And(l, rr) => bin(l, "AND", rr)
+      case Or(l, rr) => bin(l, "OR", rr)
+      case Not(In(v, list)) =>
+        s"${r(v)} NOT IN (${list.map(r).mkString(", ")})"
+      case Not(c) => s"(NOT ${r(c)})"
+      case IsNull(c) => s"${r(c)} IS NULL"
+      case IsNotNull(c) => s"${r(c)} IS NOT NULL"
+      case In(v, list) => s"${r(v)} IN (${list.map(r).mkString(", ")})"
+      case ins: InSet =>
+        val lits = ins.hset.toSeq.map(v =>
+          dialect.literal(v, ins.child.dataType)).sorted
+        s"${r(ins.child)} IN (${lits.mkString(", ")})"
+
+      // string matching (Catalyst rewrites simple LIKEs to these)
+      case Like(l, Literal(pat, StringType), escape) =>
+        val esc = if (escape == '\\') "" else s" ESCAPE '$escape'"
+        s"${r(l)} LIKE '${dialect.escapeString(pat.toString)}'$esc"
+      case Like(l, p, _) => s"${r(l)} LIKE ${r(p)}"
+      case StartsWith(l, Literal(s, StringType)) =>
+        s"${r(l)} LIKE '${likeEscape(s.toString)}%'"
+      case EndsWith(l, Literal(s, StringType)) =>
+        s"${r(l)} LIKE '%${likeEscape(s.toString)}'"
+      case Contains(l, Literal(s, StringType)) =>
+        s"${r(l)} LIKE '%${likeEscape(s.toString)}%'"
+
+      // conditional
+      case CaseWhen(branches, elseV) =>
+        val parts = branches.map { case (c, v) => s"WHEN ${r(c)} THEN ${r(v)}" }
+        val els = elseV.map(v => s" ELSE ${r(v)}").getOrElse("")
+        s"CASE ${parts.mkString(" ")}$els END"
+      case If(p, t, f) =>
+        s"CASE WHEN ${r(p)} THEN ${r(t)} ELSE ${r(f)} END"
+
+      // casts & decimal bookkeeping
+      case Cast(c, dt, _, _) => s"CAST(${r(c)} AS ${dialect.typeName(dt)})"
+      case e if e.getClass.getSimpleName == "CheckOverflow" =>
+        // decimal-bound bookkeeping; re-emit as an explicit cast
+        val co = e.asInstanceOf[UnaryExpression]
+        s"CAST(${r(co.child)} AS ${dialect.typeName(e.dataType)})"
+      case e if e.getClass.getSimpleName == "KnownFloatingPointNormalized" ||
+        e.getClass.getSimpleName == "NormalizeNaNAndZero" =>
+        r(e.asInstanceOf[UnaryExpression].child)
+
+      // aggregates
+      case ae: AggregateExpression => renderAgg(ae, scope)
+
+      // window
+      case WindowExpression(fn, spec) => renderWindow(fn, spec, scope)
+
+      // common scalar functions
+      case Upper(c) => fn1("upper", c)
+      case Lower(c) => fn1("lower", c)
+      case Length(c) => fn1("length", c)
+      case Abs(c, _) => fn1("abs", c)
+      case Sqrt(c) => fn1("sqrt", c)
+      case Floor(c) => fn1("floor", c)
+      case Ceil(c) => fn1("ceiling", c)
+      case Exp(c) => fn1("exp", c)
+      case Log(c) => fn1("ln", c)
+      case Year(c) => fn1("year", c)
+      case Month(c) => fn1("month", c)
+      case DayOfMonth(c) => fn1("day", c)
+      case Hour(c, _) => fn1("hour", c)
+      case Minute(c, _) => fn1("minute", c)
+      case Second(c, _) => fn1("second", c)
+      case Round(c, s, _) => fnN("round", Seq(c, s))
+      case Concat(cs) => fnN("concat", cs)
+      case Coalesce(cs) => fnN("coalesce", cs)
+      case Greatest(cs) => fnN("greatest", cs)
+      case Least(cs) => fnN("least", cs)
+      case Substring(str, pos, len) => fnN("substring", Seq(str, pos, len))
+      case StringTrim(c, None) => fn1("trim", c)
+      case TruncTimestamp(Literal(fmt, StringType), ts, _) =>
+        s"${dialect.functionName("date_trunc")}('${fmt.toString.toLowerCase}', ${r(ts)})"
+
+      case other =>
+        fail(s"expression ${other.getClass.getSimpleName}: ${other.sql}")
+    }
+  }
+
+  private def likeEscape(s: String): String =
+    dialect.escapeString(s).replace("%", "\\%").replace("_", "\\_")
+
+  private def fn1(name: String, c: Expression): String =
+    s"${dialect.functionName(name)}(${render(c, currentScope)})"
+  private def fnN(name: String, cs: Seq[Expression]): String =
+    s"${dialect.functionName(name)}(${cs.map(render(_, currentScope)).mkString(", ")})"
+
+  // scope threading for the fn helpers (set by render's entry)
+  private var currentScope: Map[ExprId, String] = Map.empty
+
+  private def renderAgg(ae: AggregateExpression,
+      scope: Map[ExprId, String]): String = {
+    def r(x: Expression): String = render(x, scope)
+    val core = ae.aggregateFunction match {
+      case Count(Seq(Literal(1, _))) | Count(Nil) => "count(*)"
+      case Count(args) =>
+        val d = if (ae.isDistinct) "DISTINCT " else ""
+        s"count($d${args.map(r).mkString(", ")})"
+      case Sum(c, _) => s"sum(${distinctPrefix(ae)}${r(c)})"
+      case Min(c) => s"min(${r(c)})"
+      case Max(c) => s"max(${r(c)})"
+      case Average(c, _) => s"avg(${distinctPrefix(ae)}${r(c)})"
+      case First(c, _) => fail("first() is not portable SQL")
+      case other => fail(s"aggregate ${other.getClass.getSimpleName}")
+    }
+    ae.filter match {
+      case Some(p) if dialect.supportsFilterClause =>
+        s"$core FILTER (WHERE ${r(p)})"
+      case Some(_) => fail("FILTER clause unsupported by dialect")
+      case None => core
+    }
+  }
+
+  private def distinctPrefix(ae: AggregateExpression): String =
+    if (ae.isDistinct) "DISTINCT " else ""
+
+  private def renderWindow(fn: Expression, spec: WindowSpecDefinition,
+      scope: Map[ExprId, String]): String = {
+    def r(x: Expression): String = render(x, scope)
+    val fnSql = fn match {
+      case _: RowNumber => "row_number()"
+      case _: Rank => "rank()"
+      case _: DenseRank => "dense_rank()"
+      case ntile: NTile => s"ntile(${r(ntile.buckets)})"
+      case Lag(c, o, d, _) => s"lag(${r(c)}, ${r(o)}, ${r(d)})"
+      case Lead(c, o, d, _) => s"lead(${r(c)}, ${r(o)}, ${r(d)})"
+      case ae: AggregateExpression => renderAgg(ae, scope)
+      case other => fail(s"window function ${other.getClass.getSimpleName}")
+    }
+    val parts = Seq(
+      if (spec.partitionSpec.isEmpty) ""
+      else "PARTITION BY " + spec.partitionSpec.map(r).mkString(", "),
+      if (spec.orderSpec.isEmpty) ""
+      else "ORDER BY " + spec.orderSpec.map(renderSortOrder(_, scope)).mkString(", "),
+      spec.frameSpecification match {
+        case UnspecifiedFrame => ""
+        case f: SpecifiedWindowFrame => renderFrame(f, scope)
+      }).filter(_.nonEmpty)
+    s"$fnSql OVER (${parts.mkString(" ")})"
+  }
+
+  private def renderFrame(f: SpecifiedWindowFrame,
+      scope: Map[ExprId, String]): String = {
+    def bound(b: Expression): String = b match {
+      case UnboundedPreceding => "UNBOUNDED PRECEDING"
+      case UnboundedFollowing => "UNBOUNDED FOLLOWING"
+      case CurrentRow => "CURRENT ROW"
+      case IntLit(n) if n < 0 => s"${-n} PRECEDING"
+      case IntLit(n) => s"$n FOLLOWING"
+      case other => fail(s"frame bound $other")
+    }
+    val t = f.frameType match {
+      case RowFrame => "ROWS"
+      case RangeFrame => "RANGE"
+    }
+    s"$t BETWEEN ${bound(f.lower)} AND ${bound(f.upper)}"
+  }
+}
+
+object SqlUnparser {
+  /** Probe whether a fragment unparses in the given dialect. */
+  def tryUnparse(plan: LogicalPlan, dialect: SqlDialect): Option[String] =
+    try Some(new SqlUnparser(dialect).unparse(plan))
+    catch { case _: UnparseUnsupported => None }
+}

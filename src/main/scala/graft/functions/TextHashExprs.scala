@@ -1,0 +1,148 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot text-hashing kernels.
+  *
+  * The higher-order-function formulations (transform/filter over arrays)
+  * are correct but evaluate one interpreted lambda per (row × hash ×
+  * token); these expressions do one compiled pass per row, which is what
+  * makes MinHash/SimHash dedup viable at 100 TB.
+  *
+  * Hashing uses Spark's XXH64 on each token's UTF-8 bytes; the k MinHash
+  * permutations derive from one base hash per shingle with odd
+  * multiplicative constants (one-hash MinHash construction), so each
+  * shingle is hashed exactly once.
+  */
+object TextHashExprs {
+
+  private val GOLDEN = 0x9E3779B97F4A7C15L
+
+  private[functions] def splitWs(text: UTF8String): Array[String] = {
+    val s = text.toString.toLowerCase.trim
+    if (s.isEmpty) Array.empty else s.split("\\s+")
+  }
+
+  private def hashToken(t: String, seed: Long): Long = {
+    val b = t.getBytes(StandardCharsets.UTF_8)
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, seed)
+  }
+
+  /** MinHash signature over word `shingleWidth`-gram shingles of a text
+    * column. Returns array<long> of length `numHashes`. */
+  case class MinHashSig(child: Expression, numHashes: Int, shingleWidth: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_signature"
+
+    private lazy val as: Array[Long] =
+      Array.tabulate(numHashes)(i => (GOLDEN * (2L * i + 1)) | 1L)
+    private lazy val bs: Array[Long] =
+      Array.tabulate(numHashes)(i =>
+        java.lang.Long.rotateLeft(GOLDEN, i) ^ (i * 0xC2B2AE3D27D4EB4FL))
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = splitWs(input.asInstanceOf[UTF8String])
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      if (toks.isEmpty) return new GenericArrayData(mins)
+      val w = math.min(shingleWidth, toks.length)
+      val nSh = toks.length - w + 1
+      var s = 0
+      while (s < nSh) {
+        // base hash of the shingle = chained token hashes (order-sensitive)
+        var h = 0L
+        var j = 0
+        while (j < w) { h = hashToken(toks(s + j), h ^ GOLDEN); j += 1 }
+        var i = 0
+        while (i < numHashes) {
+          val v = as(i) * h + bs(i)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig =
+      copy(child = c)
+  }
+
+  /** 64-bit SimHash of the token multiset of a text column. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = splitWs(input.asInstanceOf[UTF8String])
+      val counts = new Array[Int](64)
+      var t = 0
+      while (t < toks.length) {
+        val h = hashToken(toks(t), 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+        t += 1
+      }
+      var sim = 0L
+      var i = 0
+      while (i < 64) { if (counts(i) > 0) sim |= (1L << i); i += 1 }
+      java.lang.Long.valueOf(sim)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 =
+      copy(child = c)
+  }
+
+  /** Rolling polynomial fingerprint over the text bytes (base-131
+    * wrap-around polynomial — the classic Karp-Rabin form). */
+  case class RollingHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "rolling_hash64"
+    private val B = 131L
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val bytes = s.getBytes
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+      java.lang.Long.valueOf(h)
+    }
+    override protected def withNewChildInternal(c: Expression): RollingHash64 =
+      copy(child = c)
+  }
+
+  // ------------------------------------------------------------ Column API
+
+  import org.apache.spark.sql.GraftShims.{column, expression}
+
+  def minhash_signature(c: Column, numHashes: Int = 64,
+      shingleWidth: Int = 3): Column =
+    column(MinHashSig(expression(c), numHashes, shingleWidth))
+
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+
+  def rolling_hash64(c: Column): Column = column(RollingHash64(expression(c)))
+
+  /** Register the kernels for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => MinHashSig(es.head, 64, 3), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_hash64",
+      es => RollingHash64(es.head), "scala_udf")
+  }
+}

@@ -65,19 +65,21 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** 64-wide MinHash signature: sig[j] = min over shingles of
-    * xxhash64(shingle, seed_j). Pure array expressions — codegen'd,
-    * no shuffle. */
+  /** 64-wide MinHash signature — native single-pass kernel
+    * ([[graft.functions.TextHashExprs.MinHashSig]]); the HOF formulation
+    * (transform+array_min over xxhash64) is ~40× slower per row. */
   def minhashSignature(text: Column): Column =
-    transform(
-      sequence(lit(0), lit(NumHashes - 1)),
-      seed => array_min(transform(shingles(text), sh => xxhash64(sh, seed))))
+    graft.functions.TextHashExprs.minhash_signature(text, NumHashes)
 
   /** Per-document MinHash signatures + LSH band keys (exploded downstream).
-    */
+    * Persisted: both sides of the bucket self-join (and the verify stage)
+    * reuse it, and recomputing the signature per join side would double the
+    * dominant cost. At cluster scale this materialization is a staging
+    * table. */
   private def signatures(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Candidate near-dup pairs from LSH banding: docs agreeing on all
     * BandRows minhashes of at least one band. Estimated Jaccard from full
@@ -126,25 +128,11 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash of the token multiset, via bit-counting in a 64-wide
-    * integer array (higher-order functions only). For each bit position j,
-    * sum ±1 over tokens by bit j of xxhash64(token); simhash bit j = sign.
-    */
-  def simhash64(text: Column): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    val hashes = transform(toks, t => xxhash64(t))
-    // counts[j] = number of tokens with bit j set
-    val counts = transform(sequence(lit(0), lit(63)), j =>
-      size(filter(hashes,
-        h => call_function("shiftright", h, j).bitwiseAND(1) === 1)))
-    val nTok = size(toks)
-    // bit j set iff counts[j]*2 > n_tokens
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
-        (c, j) => when(c * 2 > nTok,
-          call_function("shiftleft", lit(1L), j)).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  /** 64-bit SimHash of the token multiset — native single-pass kernel
+    * ([[graft.functions.TextHashExprs.SimHash64]]): for each bit position
+    * j, sum ±1 over tokens by bit j of the token hash; bit j = sign. */
+  def simhash64(text: Column): Column =
+    graft.functions.TextHashExprs.simhash64(text)
 
   /** SimHash near-dup buckets: docs sharing any of the four 16-bit quarters
     * of their simhash are candidates (catches Hamming distance ≤ 3 with

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.federation.FederationHarness
+
+/** Driver-facing federated queries: each runs through the full federation
+  * pipeline — optimizer rule cuts the largest single-provider fragment,
+  * the unparser turns it into SQL, the mock remote engine (a second
+  * SparkSession) executes it, and only the stitched-back part runs
+  * locally. The DuckDB oracles in [[graft.SparkEntry.oracleSql]] are the
+  * same queries over the plain tables.
+  */
+object Federated {
+
+  /** Whole-query pushdown: scan+filter+aggregate+sort federate as one
+    * remote SQL (root-is-Distinct case, reference optimizer/mod.rs:188-209).
+    */
+  def q1Pushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_lines
+        |FROM fed_lineitem
+        |WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  val q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Multi-table join + aggregate federated to ONE remote query — the
+    * capability Spark's own JDBC pushdown lacks (single-relation only). */
+  def q3JoinPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM fed_customer, fed_orders, fed_lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP_NTZ '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)
+
+  val q3Oracle: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** UNION ALL of two fragments on the same provider — federates as one
+    * remote SQL (reference same-provider union, src/sql/mod.rs:757-759). */
+  def unionPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT o_orderkey AS k FROM fed_orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT l_orderkey AS k FROM fed_lineitem WHERE l_returnflag = 'R'
+        |) t GROUP BY k
+        |ORDER BY n DESC, k LIMIT 50""".stripMargin)
+
+  val unionOracle: String =
+    """SELECT k, COUNT(*) AS n FROM (
+      |  SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+      |  UNION ALL
+      |  SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'
+      |) t GROUP BY k
+      |ORDER BY n DESC, k LIMIT 50""".stripMargin
+
+  /** Join across two DIFFERENT providers: each side federates into its own
+    * remote scan, the join itself runs locally (the reference's
+    * two-engine advanced example, examples/df-csv-advanced.rs:29-54). */
+  def twoProvidersJoin(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT n_name, COUNT(*) AS n_suppliers
+        |FROM fed_supplier JOIN fedb_nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+
+  val twoProvidersOracle: String =
+    """SELECT n_name, COUNT(*) AS n_suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Remote ⋈ local-parquet: the remote side federates (wrapped fragment),
+    * the local side scans parquet directly — Ambiguous-node child wrapping
+    * (reference optimizer/mod.rs:217-250). */
+  def mixedLocalRemote(s: SparkSession, dir: String): DataFrame = {
+    FederationHarness.setup(s, dir)
+    graft.sources.Tables.orders(s, dir).createOrReplaceTempView("local_orders")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM fed_lineitem JOIN local_orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val mixedOracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** LIMIT/OFFSET pushdown (reference analyzer.rs:890-938). */
+  def limitOffsetPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT o_orderkey, o_totalprice
+        |FROM fed_orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20 OFFSET 5""".stripMargin)
+
+  val limitOffsetOracle: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20 OFFSET 5""".stripMargin
+
+  /** EXISTS-subquery shape federated via the semi-join rewrite. */
+  def existsPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM fed_customer
+        |WHERE EXISTS (SELECT 1 FROM fed_orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+
+  val existsOracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** DataFrame-API (not SQL) federation: the relation participates in the
+    * full Dataset API and still pushes down. */
+  def dataframeApi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    FederationHarness.setup(s, dir)
+    val li = graft.federation.Federation.remoteDataFrame(s, "lineitem",
+      FederationHarness.executor(s, dir, "alpha"))
+    li.filter(col("l_returnflag") === "R")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val dataframeApiOracle: String =
+    """SELECT l_linestatus, COUNT(*) AS n, MAX(l_quantity) AS max_qty
+      |FROM lineitem
+      |WHERE l_returnflag = 'R'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+}

@@ -1,0 +1,22 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge to `private[sql]` constructors that extension libraries need:
+  * Column ↔ catalyst Expression, and DataFrame from a LogicalPlan.
+  * (Same approach as other Spark extension projects; Spark 4 removed the
+  * public `new Column(expr)` constructor in favor of ColumnNode.)
+  */
+object GraftShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+
+  def logicalPlan(df: Dataset[_]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].logicalPlan
+}
