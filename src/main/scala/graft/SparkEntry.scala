@@ -56,13 +56,29 @@ object SparkEntry {
     // --- multimodal plumbing ---
     "mm_media_stats" -> (Multimodal.mediaStats _),
     "mm_decode_features" -> ((s: SparkSession, d: String) =>
-      Multimodal.decodeAndFeaturize(s, d).toDF().orderBy(col("doc_id"))),
+      // feature vector rendered as CSV text: the driver's compare sorts
+      // result columns, and raw array columns aren't sortable there
+      Multimodal.decodeAndFeaturize(s, d).toDF()
+        .withColumn("feature_csv",
+          array_join(transform(col("feature"),
+            x => round(x.cast("double"), 3).cast("string")), ","))
+        .drop("feature")
+        .orderBy(col("doc_id"))),
     "mm_sample_frames" -> ((s: SparkSession, d: String) =>
       Multimodal.sampleFrames(s, d).orderBy(col("doc_id"), col("frame_idx"))),
     // --- streaming ---
     "stream_hourly" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runToMemory(s, d)
         .orderBy(col("hour"), col("event_type"))),
+    // --- federation engine (the reference's core capability) ---
+    "fed_q1_pushdown" -> (Federated.q1Pushdown _),
+    "fed_q3_join" -> (Federated.q3JoinPushdown _),
+    "fed_union" -> (Federated.unionPushdown _),
+    "fed_two_providers" -> (Federated.twoProvidersJoin _),
+    "fed_mixed_local" -> (Federated.mixedLocalRemote _),
+    "fed_limit_offset" -> (Federated.limitOffsetPushdown _),
+    "fed_exists" -> (Federated.existsPushdown _),
+    "fed_dataframe_api" -> (Federated.dataframeApi _),
   )
 
   /** DuckDB oracles — keys must match [[queries]]; aliases match exactly. */
@@ -95,5 +111,13 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "fed_q1_pushdown" -> Federated.q1Oracle,
+    "fed_q3_join" -> Federated.q3Oracle,
+    "fed_union" -> Federated.unionOracle,
+    "fed_two_providers" -> Federated.twoProvidersOracle,
+    "fed_mixed_local" -> Federated.mixedOracle,
+    "fed_limit_offset" -> Federated.limitOffsetOracle,
+    "fed_exists" -> Federated.existsOracle,
+    "fed_dataframe_api" -> Federated.dataframeApiOracle,
   )
 }

@@ -95,13 +95,18 @@ object FederationRule extends Rule[LogicalPlan] {
     }
 
   /** Hand a single-provider fragment to its provider; `None` keeps it
-    * local. A non-Project root is wrapped in an identity Projection first
-    * so the fragment unparses to a well-formed SELECT (reference
-    * wrap_projection, optimizer/mod.rs:341-358). */
+    * local. A root the unparser cannot render as a top-level SELECT block
+    * is wrapped in an identity Projection first (reference wrap_projection,
+    * optimizer/mod.rs:341-358). Sort/Limit/Offset roots are deliberately
+    * NOT wrapped: the unparser peels them into trailing ORDER BY/LIMIT
+    * clauses, whereas a Projection wrap would bury the ORDER BY inside a
+    * derived table where the remote engine is free to drop it. */
   private def federate(fragment: LogicalPlan,
       provider: FederationProvider): Option[LogicalPlan] = {
     val wrapped = fragment match {
-      case _: Project | _: Aggregate => fragment
+      case _: Project | _: Aggregate | _: Sort | _: GlobalLimit |
+           _: LocalLimit | _: Offset | _: Distinct | _: Union | _: Window |
+           _: Filter => fragment
       case other => Project(other.output, other)
     }
     provider.optimize(wrapped)

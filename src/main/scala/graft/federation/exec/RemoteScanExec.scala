@@ -22,8 +22,11 @@ import graft.federation.sql.SqlExecutor
 final case class RemoteScanExec(
     override val output: Seq[Attribute],
     sql: String,
-    executor: SqlExecutor)
+    @transient executor: SqlExecutor)
   extends LeafExecNode {
+  // @transient: physical plans are captured in task closures (whole-stage
+  // codegen, broadcast); the executor is only dereferenced driver-side in
+  // doExecute, and remote engines aren't java-serializable.
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))

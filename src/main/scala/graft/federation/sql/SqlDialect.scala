@@ -1,5 +1,6 @@
 package graft.federation.sql
 
+import org.apache.spark.sql.catalyst.expressions.{Ascending, NullOrdering, NullsFirst, NullsLast, SortDirection}
 import org.apache.spark.sql.types._
 
 /** Per-engine SQL dialect: identifier quoting, literal rendering, type
@@ -63,6 +64,17 @@ trait SqlDialect {
   /** Whether `agg(...) FILTER (WHERE p)` is supported. */
   def supportsFilterClause: Boolean = true
 
+  /** The null ordering the engine assumes when none is written. ANSI-ish
+    * engines (Postgres, DuckDB) treat NULLs as largest: ASC → NULLS LAST.
+    * Spark treats NULLs as smallest: ASC → NULLS FIRST. Making this
+    * per-dialect keeps a federated ORDER BY on a nullable key identical to
+    * local execution. */
+  def defaultNullOrdering(direction: SortDirection): NullOrdering =
+    if (direction == Ascending) NullsLast else NullsFirst
+
+  /** Whether the engine accepts an explicit NULLS FIRST/LAST clause. */
+  def supportsNullsOrdering: Boolean = true
+
   def limitClause(limit: Option[Long], offset: Option[Long]): String =
     (limit, offset) match {
       case (Some(l), Some(o)) => s" LIMIT $l OFFSET $o"
@@ -89,6 +101,9 @@ object SparkDialect extends SqlDialect {
   override def quote(ident: String): String =
     "`" + ident.replace("`", "``") + "`"
   override def typeName(dt: DataType): String = dt.sql
+  // Spark sorts NULLs smallest by default
+  override def defaultNullOrdering(direction: SortDirection): NullOrdering =
+    if (direction == Ascending) NullsFirst else NullsLast
 }
 
 /** DuckDB dialect (JDBC executor target). */

@@ -65,7 +65,13 @@ final class SparkSqlExecutor(
   override def dialect: SqlDialect = SparkDialect
 
   override def execute(sql: String, schema: StructType): RDD[InternalRow] = {
-    val df = inner.sql(sqlRewriter(sql))
+    val finalSql = sqlRewriter(sql)
+    val df =
+      try inner.sql(finalSql)
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"remote [$name] rejected generated SQL: $finalSql", e)
+      }
     val coerced = graft.federation.sql.SchemaCoercion.coerce(df, schema)
     coerced.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.toRdd

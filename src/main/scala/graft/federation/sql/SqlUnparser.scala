@@ -40,6 +40,12 @@ class SqlUnparser(dialect: SqlDialect) {
     * source plan's output). */
   case class Sel(sql: String, names: Seq[String])
 
+  /** Catalyst prunes unused columns aggressively; under `df.count()` a
+    * subtree's output can be empty. SQL has no zero-column SELECT, so emit
+    * a constant — row multiplicity is all the parent consumes. */
+  private def itemsSql(items: Seq[String]): String =
+    if (items.isEmpty) "1" else items.mkString(", ")
+
   def unparse(plan: LogicalPlan): String = select(plan).sql
 
   // ------------------------------------------------------------- FROM items
@@ -94,7 +100,7 @@ class SqlUnparser(dialect: SqlDialect) {
           val items = left.output.zip(names)
             .map { case (a, n) => s"${fl.scope(a.exprId)} AS ${q(n)}" }
           val alias = freshAlias()
-          val sql = s"(SELECT ${items.mkString(", ")} FROM ${fl.text} " +
+          val sql = s"(SELECT ${itemsSql(items)} FROM ${fl.text} " +
             s"WHERE $existsKw (SELECT 1 FROM ${fr.text} WHERE $condSql)) AS $alias"
           From(sql, left.output.zip(names).map { case (a, n) =>
             a.exprId -> s"$alias.${q(n)}" }.toMap)
@@ -134,6 +140,13 @@ class SqlUnparser(dialect: SqlDialect) {
   }
 
   def select(plan: LogicalPlan): Sel = {
+    // Peel the trailing LIMIT/OFFSET/ORDER BY clauses off the top of the
+    // plan. SQL clause execution order (bottom-up) is: core → ORDER BY →
+    // OFFSET skip → LIMIT take, so walking the plan top-down we may accept
+    // at most: Limit, then Offset, then Sort, then core. Any other nesting
+    // (e.g. Sort above Limit — "sort the first n rows") must NOT be
+    // flattened into one block: peeling stops and the inner plan renders as
+    // a subquery via from(), preserving semantics.
     var limit: Option[Long] = None
     var offset: Option[Long] = None
     var order: Seq[SortOrder] = Nil
@@ -141,11 +154,14 @@ class SqlUnparser(dialect: SqlDialect) {
     var peeling = true
     while (peeling) {
       p match {
-        case GlobalLimit(IntLit(n), LocalLimit(_, child)) if limit.isEmpty =>
+        case GlobalLimit(IntLit(n), LocalLimit(_, child))
+            if limit.isEmpty && offset.isEmpty && order.isEmpty =>
           limit = Some(n); p = child
-        case GlobalLimit(IntLit(n), child) if limit.isEmpty =>
+        case GlobalLimit(IntLit(n), child)
+            if limit.isEmpty && offset.isEmpty && order.isEmpty =>
           limit = Some(n); p = child
-        case LocalLimit(IntLit(n), child) if limit.isEmpty =>
+        case LocalLimit(IntLit(n), child)
+            if limit.isEmpty && offset.isEmpty && order.isEmpty =>
           limit = Some(n); p = child
         case Offset(IntLit(n), child) if offset.isEmpty && order.isEmpty =>
           offset = Some(n); p = child
@@ -169,7 +185,7 @@ class SqlUnparser(dialect: SqlDialect) {
     case Project(list, child) =>
       val (f, where) = fromWithFilters(child)
       val (items, names) = renderItems(list, f.scope)
-      val sql = s"SELECT ${items.mkString(", ")} FROM ${f.text}" + whereSql(where)
+      val sql = s"SELECT ${itemsSql(items)} FROM ${f.text}" + whereSql(where)
       (Sel(sql, names), f.scope ++ aliasScope(list, names))
 
     case Aggregate(groupExprs, aggExprs, child, _) =>
@@ -180,7 +196,7 @@ class SqlUnparser(dialect: SqlDialect) {
       val groupSql =
         if (groupExprs.isEmpty) ""
         else " GROUP BY " + groupExprs.map(render(_, f.scope)).mkString(", ")
-      val sql = s"SELECT ${items.mkString(", ")} FROM ${f.text}" +
+      val sql = s"SELECT ${itemsSql(items)} FROM ${f.text}" +
         whereSql(where) + groupSql
       (Sel(sql, names), f.scope ++ aliasScope(aggExprs, names))
 
@@ -189,7 +205,7 @@ class SqlUnparser(dialect: SqlDialect) {
       val passthrough = w.child.output.map(a => a: NamedExpression)
       val all = passthrough ++ w.windowExpressions
       val (items, names) = renderItems(all, f.scope)
-      val sql = s"SELECT ${items.mkString(", ")} FROM ${f.text}" + whereSql(where)
+      val sql = s"SELECT ${itemsSql(items)} FROM ${f.text}" + whereSql(where)
       (Sel(sql, names), f.scope ++ aliasScope(all, names))
 
     case Union(children, byName, allowMissing) =>
@@ -215,18 +231,37 @@ class SqlUnparser(dialect: SqlDialect) {
       val names = dedupNames(child.output.map(_.name))
       val items = child.output.zip(names)
         .map { case (a, n) => s"${f.scope(a.exprId)} AS ${q(n)}" }
-      val sql = s"SELECT ${items.mkString(", ")} FROM ${f.text}" +
+      val sql = s"SELECT ${itemsSql(items)} FROM ${f.text}" +
         s" WHERE ${render(cond, f.scope)}"
       (Sel(sql, names), f.scope)
 
-    case other @ (_: RemoteRelation | _: Join | _: SubqueryAlias) =>
+    // A Sort/Limit/Offset a fresh select() could not peel either (non-global
+    // sort, non-literal bound) must fail here — recursing into from() would
+    // bounce back through select() without progress, forever.
+    case other @ (_: Sort | _: GlobalLimit | _: LocalLimit | _: Offset)
+        if !peelableFresh(other) =>
+      fail(s"unpeelable ${other.getClass.getSimpleName}")
+
+    // RemoteRelation/Join/SubqueryAlias render directly; a Sort/Limit/Offset
+    // left over because select()'s peel guards stopped (e.g. Sort above
+    // Limit) renders as a derived-table subquery — from() recurses into
+    // select() with fresh peel state, preserving clause order.
+    case other =>
       val f = from(other)
       val names = dedupNames(other.output.map(_.name))
       val items = other.output.zip(names)
         .map { case (a, n) => s"${f.scope(a.exprId)} AS ${q(n)}" }
-      (Sel(s"SELECT ${items.mkString(", ")} FROM ${f.text}", names), f.scope)
+      (Sel(s"SELECT ${itemsSql(items)} FROM ${f.text}", names), f.scope)
+  }
 
-    case other => fail(s"plan node ${other.getClass.getSimpleName}")
+  /** Would a fresh select() peel this node? (Guards buildCore against a
+    * no-progress from→select→buildCore cycle.) */
+  private def peelableFresh(p: LogicalPlan): Boolean = p match {
+    case GlobalLimit(IntLit(_), _) => true
+    case LocalLimit(IntLit(_), _) => true
+    case Offset(IntLit(_), _) => true
+    case Sort(_, true, _, _) => true
+    case _ => false
   }
 
   /** Peel a chain of Filters above a from-able child into WHERE conjuncts. */
@@ -282,12 +317,15 @@ class SqlUnparser(dialect: SqlDialect) {
       case Ascending => "ASC"
       case Descending => "DESC"
     }
-    val nulls = (so.direction, so.nullOrdering) match {
-      case (Ascending, NullsFirst) => "" // default
-      case (Descending, NullsLast) => ""
-      case (_, NullsFirst) => " NULLS FIRST"
-      case (_, NullsLast) => " NULLS LAST"
-    }
+    // implicit only when the remote engine's default already matches the
+    // plan's null ordering; otherwise spell it out (or bail if the dialect
+    // can't express it)
+    val nulls =
+      if (so.nullOrdering == dialect.defaultNullOrdering(so.direction)) ""
+      else if (!dialect.supportsNullsOrdering)
+        fail(s"null ordering ${so.nullOrdering} not expressible in ${dialect.name}")
+      else if (so.nullOrdering == NullsFirst) " NULLS FIRST"
+      else " NULLS LAST"
     s"${render(so.child, scope)} $dir$nulls"
   }
 

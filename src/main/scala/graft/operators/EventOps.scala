@@ -116,8 +116,11 @@ object EventOps {
       .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_p"))
     val signups = e.filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_p"))
+    // At equal ts, purchases sort BEFORE signups (is_p desc) so a signup at
+    // exactly the purchase timestamp is excluded from the purchase's
+    // preceding window — matching the oracle's strict s.ts < p.ts.
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("is_p"), col("event_id"))
+      .orderBy(col("ts"), col("is_p").desc, col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     purchases.union(signups)
       .withColumn("last_signup_ts",

@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.federation.FederationHarness
+import graft.federation.plans.FederatedPlan
+import graft.operators.Federated
+
+/** Federation engine tests: every federated query must (a) actually cut a
+  * [[FederatedPlan]] fragment, and (b) return exactly the rows the same
+  * query over the plain parquet tables returns — the Spark analog of the
+  * reference's end-to-end mock-executor tests (src/sql/mod.rs:578-767).
+  * Plus golden-shape regressions for the unparser's LIMIT/ORDER BY peel.
+  */
+class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-federation-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def setup(): Unit = {
+    FederationHarness.setup(spark, dir)
+    graft.sources.Tables.registerAll(spark, dir)
+  }
+
+  private def fedFragments(df: DataFrame): Seq[FederatedPlan] =
+    df.queryExecution.optimizedPlan.collect { case f: FederatedPlan => f }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  /** The plain-table equivalent of a fed_ / fedb_ query text. */
+  private def localized(fedSql: String): String =
+    fedSql.replaceAll("\\bfedb?_", "").replace("TIMESTAMP_NTZ", "TIMESTAMP")
+
+  private def checkFederates(name: String, fedDf: => DataFrame,
+      localSql: String, minFragments: Int = 1): Unit = test(name) {
+    setup()
+    val df = fedDf
+    val frags = fedFragments(df)
+    assert(frags.size >= minFragments,
+      s"expected >= $minFragments federated fragment(s), got ${frags.size}:\n" +
+        df.queryExecution.optimizedPlan)
+    assert(rows(df) == rows(spark.sql(localSql)),
+      "federated result differs from local execution")
+  }
+
+  checkFederates("fed q1 whole-query pushdown matches local",
+    Federated.q1Pushdown(spark, dir),
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  checkFederates("fed q3 multi-table join pushdown matches local",
+    Federated.q3JoinPushdown(spark, dir),
+    localized(
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM fed_customer, fed_orders, fed_lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP_NTZ '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin))
+
+  checkFederates("fed union-all pushdown matches local",
+    Federated.unionPushdown(spark, dir),
+    localized(
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT o_orderkey AS k FROM fed_orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT l_orderkey AS k FROM fed_lineitem WHERE l_returnflag = 'R'
+        |) t GROUP BY k
+        |ORDER BY n DESC, k LIMIT 50""".stripMargin))
+
+  checkFederates("fed two-provider join: two fragments, local join",
+    Federated.twoProvidersJoin(spark, dir),
+    localized(
+      """SELECT n_name, COUNT(*) AS n_suppliers
+        |FROM fed_supplier JOIN fedb_nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin),
+    minFragments = 2)
+
+  checkFederates("fed mixed remote-local join matches local",
+    Federated.mixedLocalRemote(spark, dir),
+    localized(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM fed_lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin))
+
+  checkFederates("fed limit/offset pushdown matches local",
+    Federated.limitOffsetPushdown(spark, dir),
+    localized(
+      """SELECT o_orderkey, o_totalprice
+        |FROM fed_orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20 OFFSET 5""".stripMargin))
+
+  checkFederates("fed EXISTS pushdown matches local",
+    Federated.existsPushdown(spark, dir),
+    localized(
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM fed_customer
+        |WHERE EXISTS (SELECT 1 FROM fed_orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin))
+
+  checkFederates("fed DataFrame API pushdown matches local",
+    Federated.dataframeApi(spark, dir),
+    """SELECT l_linestatus, COUNT(*) AS n, MAX(l_quantity) AS max_qty
+      |FROM lineitem
+      |WHERE l_returnflag = 'R'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin)
+
+  // ---- LIMIT/ORDER BY clause-order regressions (ADVICE r1, high) ----
+
+  test("sort above limit does NOT flatten into ORDER BY ... LIMIT") {
+    setup()
+    // inner block: deterministic first 7 orders by key; outer: re-sort by
+    // price. Flattening to 'ORDER BY price LIMIT 7' would pick a different
+    // row set (the old peel bug).
+    val fedSql =
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice FROM fed_orders
+        |  ORDER BY o_orderkey LIMIT 7
+        |) t ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
+    val df = spark.sql(fedSql)
+    assert(fedFragments(df).nonEmpty, "plan did not federate")
+    assert(rows(df) == rows(spark.sql(localized(fedSql))),
+      "sort-above-limit rows differ from local execution")
+    // and the generated SQL keeps the limit inside a derived table
+    val sql = df.queryExecution.executedPlan.toString()
+    val scan = sql.linesIterator.find(_.contains("RemoteScan")).getOrElse("")
+    assert(scan.contains("LIMIT 7"), s"limit lost: $scan")
+    assert(scan.indexOf("LIMIT 7") < scan.lastIndexOf("ORDER BY"),
+      s"limit must stay inside the subquery, before the outer ORDER BY: $scan")
+  }
+
+  test("order by + limit federates as trailing clauses in order") {
+    setup()
+    val df = spark.sql(
+      "SELECT o_orderkey FROM fed_orders ORDER BY o_orderkey LIMIT 5")
+    assert(fedFragments(df).nonEmpty)
+    val scan = df.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("RemoteScan")).getOrElse("")
+    assert(scan.contains("ORDER BY") && scan.contains("LIMIT 5"))
+    assert(scan.indexOf("ORDER BY") < scan.indexOf("LIMIT 5"))
+    assert(rows(df) ==
+      rows(spark.sql("SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5")))
+  }
+
+  test("nullable sort key ordering matches local execution") {
+    setup()
+    val fedSql =
+      """SELECT CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_custkey END AS k,
+        |  o_orderkey
+        |FROM fed_orders ORDER BY k ASC, o_orderkey LIMIT 50""".stripMargin
+    val df = spark.sql(fedSql)
+    assert(fedFragments(df).nonEmpty)
+    assert(rows(df) == rows(spark.sql(localized(fedSql))))
+  }
+
+  test("AnsiDialect emits explicit NULLS FIRST when Spark default differs") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.dsl.plans._
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst, SortOrder}
+    setup()
+    val rel = graft.federation.Federation
+      .remoteDataFrame(spark, "orders", FederationHarness.executor(spark, dir, "alpha"))
+      .queryExecution.analyzed
+    val key = rel.output.find(_.name == "o_custkey").get
+    val plan = rel.orderBy(SortOrder(key, Ascending, NullsFirst, Nil))
+    val sql = graft.federation.sql.SqlUnparser
+      .tryUnparse(plan, graft.federation.sql.AnsiDialect)
+    assert(sql.isDefined)
+    assert(sql.get.contains("NULLS FIRST"), sql.get)
+    // the Spark dialect's default already is ASC→NULLS FIRST: no clause
+    val sparkSql = graft.federation.sql.SqlUnparser
+      .tryUnparse(plan, graft.federation.sql.SparkDialect)
+    assert(sparkSql.isDefined && !sparkSql.get.contains("NULLS"), sparkSql.get)
+  }
+}
