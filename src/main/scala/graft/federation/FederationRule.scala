@@ -1,6 +1,6 @@
 package graft.federation
 
-import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+import org.apache.spark.sql.catalyst.expressions.{Exists, ListQuery, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -41,13 +41,39 @@ import graft.federation.sql.SqlFederationProvider
 object FederationRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val (rewritten, result) = optimizeRecursively(plan)
+    // The rule lives in a fixpoint batch, so it can run on intermediate
+    // plan shapes. Re-derive the grouping from scratch each invocation —
+    // unwrap previously-cut fragments first — so an early, conservative cut
+    // (e.g. made before other rules finished collapsing the plan) heals
+    // into the larger fragment on the final iteration. Rewrap of an
+    // unchanged plan is structurally identical, so the batch converges.
+    val unwrapped = plan.transformUpWithSubqueries {
+      case f: FederatedPlan => f.inner
+    }
+    val (rewritten, result) = optimizeRecursively(unwrapped)
     result.providerOpt match {
       case Some(p) if p != NopFederationProvider =>
-        federate(rewritten, p).getOrElse(rewritten)
+        federateOrDescend(rewritten, p)
       case _ => rewritten
     }
   }
+
+  /** Federate the whole single-provider fragment; when the unparser cannot
+    * express its root (e.g. an Expand whose grouping id is consumed), push
+    * federation down to the largest expressible subtrees instead of giving
+    * up — the unsupported operator then runs locally over federated
+    * children. Uncorrelated subquery plans hanging off unparsable nodes
+    * are federated as independent roots on the way down. */
+  private def federateOrDescend(fragment: LogicalPlan,
+      p: FederationProvider): LogicalPlan =
+    federate(fragment, p).getOrElse {
+      fragment
+        .withNewChildren(fragment.children.map(federateOrDescend(_, p)))
+        .transformExpressions {
+          case s: SubqueryExpression if !s.isCorrelated =>
+            s.withNewPlan(apply(s.plan))
+        }
+    }
 
   /** Returns the (possibly rewritten) plan and the subtree's ScanResult. */
   private def optimizeRecursively(plan: LogicalPlan): (LogicalPlan, ScanResult) =
@@ -69,30 +95,65 @@ object FederationRule extends Rule[LogicalPlan] {
 
       case node =>
         val childResults = node.children.map(optimizeRecursively)
-        // subqueries in expressions block federation at this node (the
-        // reference forces Ambiguous for correlated refs and errors on
-        // InSubquery at the cut point, optimizer/mod.rs:113-120; Catalyst
-        // has decorrelated most by now, so this is rare)
-        val exprBlocks = node.expressions.exists(_.exists(
-          _.isInstanceOf[SubqueryExpression]))
-        val merged0 = ScanResult.merge(childResults.map(_._2))
-        val merged =
-          if (exprBlocks) ScanResult.Ambiguous else merged0
+        // Subquery expressions participate in the lattice (reference
+        // scan_plan_exprs, optimizer/mod.rs:84-126): an uncorrelated
+        // subquery contributes its own plan's ScanResult, so e.g.
+        // `WHERE x > (SELECT avg(..) FROM same_provider)` keeps the
+        // fragment growing and the whole predicate ships remotely.
+        // Correlated subqueries force Ambiguous (optimizer/mod.rs:114-120).
+        val exprResults = subqueriesOf(node).map(subqueryScan)
+        val merged = ScanResult.merge(childResults.map(_._2) ++ exprResults)
 
         if (!merged.isAmbiguous) {
           (node.withNewChildren(childResults.map(_._1)), merged)
         } else {
           // federate each maximal Distinct child fragment individually
-          // (reference optimizer/mod.rs:217-250)
+          // (reference optimizer/mod.rs:217-250), and each uncorrelated
+          // subquery plan as an independent federation root (reference
+          // optimizer/mod.rs:285-305)
           val newChildren = childResults.map {
             case (child, ScanResult.Distinct(p))
                 if p != NopFederationProvider =>
-              federate(child, p).getOrElse(child)
+              federateOrDescend(child, p)
             case (child, _) => child
           }
-          (node.withNewChildren(newChildren), ScanResult.Ambiguous)
+          val rewritten = node.withNewChildren(newChildren)
+            .transformExpressions {
+              case s: ScalarSubquery if !s.isCorrelated =>
+                s.withNewPlan(apply(s.plan))
+              case e: Exists if !e.isCorrelated =>
+                e.withNewPlan(apply(e.plan))
+              case l: ListQuery if !l.isCorrelated =>
+                l.withNewPlan(apply(l.plan))
+            }
+          (rewritten, ScanResult.Ambiguous)
         }
     }
+
+  /** Lattice contribution of one subquery expression: uncorrelated
+    * scalar/EXISTS/IN subqueries contribute their plan's ScanResult; any
+    * other subquery form (correlated, dynamic pruning) blocks. */
+  private def subqueryScan(s: SubqueryExpression): ScanResult = s match {
+    case s if s.isCorrelated => ScanResult.Ambiguous
+    case _: ScalarSubquery | _: Exists | _: ListQuery => scanResultOf(s.plan)
+    case _ => ScanResult.Ambiguous
+  }
+
+  private def subqueriesOf(node: LogicalPlan): Seq[SubqueryExpression] =
+    node.expressions.flatMap(_.collect { case s: SubqueryExpression => s })
+
+  /** Pure (non-rewriting) ScanResult of a plan — used for subquery plans,
+    * which are unparsed in place when the fragment federates. */
+  private def scanResultOf(plan: LogicalPlan): ScanResult = plan match {
+    case _: FederatedPlan => ScanResult.Ambiguous
+    case r: RemoteRelation =>
+      ScanResult.Distinct(SqlFederationProvider.forExecutor(r.executor))
+    case leaf: LeafNode => ScanResult.Distinct(NopFederationProvider)
+    case _: Command => ScanResult.Ambiguous
+    case node =>
+      val exprResults = subqueriesOf(node).map(subqueryScan)
+      ScanResult.merge(node.children.map(scanResultOf) ++ exprResults)
+  }
 
   /** Hand a single-provider fragment to its provider; `None` keeps it
     * local. A root the unparser cannot render as a top-level SELECT block

@@ -188,6 +188,14 @@ class SqlUnparser(dialect: SqlDialect) {
       val sql = s"SELECT ${itemsSql(items)} FROM ${f.text}" + whereSql(where)
       (Sel(sql, names), f.scope ++ aliasScope(list, names))
 
+    // ROLLUP/CUBE/GROUPING SETS: Catalyst lowers them to Aggregate over
+    // Expand before our rule runs (ResolveGroupingAnalytics); recover the
+    // grouping sets from the Expand projections and emit the SQL form
+    // (reference analyzer.rs:523-550 passes these through to the unparser).
+    case Aggregate(groupExprs, aggExprs, e: Expand, _)
+        if isGroupingSetExpand(e) =>
+      unparseGroupingSets(groupExprs, aggExprs, e)
+
     case Aggregate(groupExprs, aggExprs, child, _) =>
       if (groupExprs.exists(hasGroupingSet))
         fail("grouping sets/rollup/cube")
@@ -252,6 +260,67 @@ class SqlUnparser(dialect: SqlDialect) {
       val items = other.output.zip(names)
         .map { case (a, n) => s"${f.scope(a.exprId)} AS ${q(n)}" }
       (Sel(s"SELECT ${itemsSql(items)} FROM ${f.text}", names), f.scope)
+  }
+
+  /** Is this Expand the grouping-analytics shape (last output column =
+    * synthetic grouping id, every projection ends in its literal value)? */
+  private def isGroupingSetExpand(e: Expand): Boolean =
+    e.output.nonEmpty && e.output.last.name == "spark_grouping_id" &&
+      e.projections.nonEmpty &&
+      e.projections.forall(p => p.size == e.output.size &&
+        p.last.isInstanceOf[Literal])
+
+  /** `Aggregate(groupAttrs :+ gid, aggs, Expand(projections, out, child))`
+    * → `SELECT ... FROM child GROUP BY GROUPING SETS ((...), ...)`.
+    *
+    * Each Expand projection is one grouping set: a grouping column whose
+    * entry is `Literal(null)` is absent from that set. SQL GROUPING SETS
+    * computes each set independently (like the Expand duplication), so row
+    * multiplicity and rollup-null semantics match exactly. Queries that
+    * *consume* the grouping id (grouping()/grouping_id() in output) are
+    * left local — the bit order is Spark-specific. */
+  private def unparseGroupingSets(groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], e: Expand): (Sel, Map[ExprId, String]) = {
+    val gid = e.output.last
+    if (aggExprs.exists(_.exists {
+      case a: AttributeReference => a.exprId == gid.exprId
+      case _ => false
+    })) fail("grouping()/grouping_id() consumes the grouping id")
+
+    val groupAttrs = groupExprs.collect {
+      case a: AttributeReference if a.exprId != gid.exprId => a
+    }
+    if (groupAttrs.size + 1 != groupExprs.size)
+      fail("non-attribute grouping expression over Expand")
+
+    val (f, where) = fromWithFilters(e.child)
+    val pos = e.output.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
+
+    // source SQL for each expand-output column: the first projection entry
+    // that isn't the set-exclusion null
+    def sourceOf(a: Attribute): String = {
+      val i = pos(a.exprId)
+      e.projections.map(_(i)).collectFirst {
+        case expr if !isNullLit(expr) => render(expr, f.scope)
+      }.getOrElse(fail(s"grouping column ${a.name} is null in every set"))
+    }
+    val scope2 = e.output.dropRight(1).map(a => a.exprId -> sourceOf(a)).toMap
+
+    val sets = e.projections.map { p =>
+      groupAttrs.filter(ga => !isNullLit(p(pos(ga.exprId))))
+        .map(ga => scope2(ga.exprId))
+    }
+    val setsSql = sets.map(s => s.mkString("(", ", ", ")")).mkString(", ")
+
+    val (items, names) = renderItems(aggExprs, f.scope ++ scope2)
+    val sql = s"SELECT ${itemsSql(items)} FROM ${f.text}" + whereSql(where) +
+      s" GROUP BY GROUPING SETS ($setsSql)"
+    (Sel(sql, names), f.scope ++ scope2 ++ aliasScope(aggExprs, names))
+  }
+
+  private def isNullLit(e: Expression): Boolean = e match {
+    case Literal(null, _) => true
+    case _ => false
   }
 
   /** Would a fresh select() peel this node? (Guards buildCore against a
@@ -400,6 +469,18 @@ class SqlUnparser(dialect: SqlDialect) {
       case e if e.getClass.getSimpleName == "KnownFloatingPointNormalized" ||
         e.getClass.getSimpleName == "NormalizeNaNAndZero" =>
         r(e.asInstanceOf[UnaryExpression].child)
+
+      // uncorrelated subqueries in expressions (correlated ones never reach
+      // the unparser — the federation rule marks them Ambiguous; reference
+      // analyzer.rs:185-197,457-491)
+      case s: ScalarSubquery if !s.isCorrelated =>
+        s"(${select(s.plan).sql})"
+      case ex: Exists if !ex.isCorrelated =>
+        s"EXISTS (${select(ex.plan).sql})"
+      case Not(InSubquery(Seq(v), l: ListQuery)) if !l.isCorrelated =>
+        s"${r(v)} NOT IN (${select(l.plan).sql})"
+      case InSubquery(Seq(v), l: ListQuery) if !l.isCorrelated =>
+        s"${r(v)} IN (${select(l.plan).sql})"
 
       // aggregates
       case ae: AggregateExpression => renderAgg(ae, scope)

@@ -181,6 +181,93 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(df) == rows(spark.sql(localized(fedSql))))
   }
 
+  // ---- grouping sets / subquery federation (SURVEY §2e) ----
+
+  test("ROLLUP federates as GROUP BY GROUPING SETS and matches local") {
+    setup()
+    val fedSql =
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  MAX(o_totalprice) AS max_price
+        |FROM fed_orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+    val df = spark.sql(fedSql)
+    assert(fedFragments(df).nonEmpty, "rollup did not federate:\n" +
+      df.queryExecution.optimizedPlan)
+    val scan = df.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("RemoteScan")).getOrElse("")
+    assert(scan.contains("GROUPING SETS"), scan)
+    assert(rows(df) == rows(spark.sql(localized(fedSql))))
+  }
+
+  test("CUBE federates and matches local") {
+    setup()
+    val fedSql =
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM fed_orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, n""".stripMargin
+    val df = spark.sql(fedSql)
+    assert(fedFragments(df).nonEmpty)
+    assert(rows(df) == rows(spark.sql(localized(fedSql))))
+  }
+
+  test("GROUPING() consumer keeps aggregate local but federates the scan") {
+    setup()
+    val fedSql =
+      """SELECT o_orderstatus, GROUPING(o_orderstatus) AS g, COUNT(*) AS n
+        |FROM fed_orders GROUP BY CUBE (o_orderstatus)
+        |ORDER BY g, o_orderstatus""".stripMargin
+    val df = spark.sql(fedSql)
+    assert(fedFragments(df).nonEmpty, "scan under Expand should federate")
+    assert(rows(df) == rows(spark.sql(localized(fedSql))))
+  }
+
+  test("uncorrelated scalar subquery federates inside the fragment") {
+    setup()
+    val fedSql =
+      """SELECT o_orderkey FROM fed_orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM fed_orders)
+        |ORDER BY o_orderkey LIMIT 20""".stripMargin
+    val df = spark.sql(fedSql)
+    val frags = fedFragments(df)
+    assert(frags.size == 1,
+      s"expected ONE fragment containing the subquery, got:\n" +
+        df.queryExecution.optimizedPlan)
+    val scan = df.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("RemoteScan")).getOrElse("")
+    assert(scan.toLowerCase.contains("avg"), s"subquery not in remote SQL: $scan")
+    assert(rows(df) == rows(spark.sql(localized(fedSql))))
+  }
+
+  test("IN subquery federates as one fragment (semi-join rewrite)") {
+    setup()
+    val fedSql =
+      """SELECT c_custkey FROM fed_customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM fed_orders
+        |                    WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey LIMIT 20""".stripMargin
+    val df = spark.sql(fedSql)
+    assert(fedFragments(df).size == 1,
+      "IN-subquery should federate as one fragment:\n" +
+        df.queryExecution.optimizedPlan)
+    assert(rows(df) == rows(spark.sql(localized(fedSql))))
+  }
+
+  test("correlated scalar subquery stays local, scans federate") {
+    setup()
+    // per-customer max order price — correlation survives decorrelation in
+    // some shapes; whatever Catalyst produces must still match local
+    val fedSql =
+      """SELECT c_custkey,
+        |  (SELECT MAX(o_totalprice) FROM fed_orders WHERE o_custkey = c_custkey) AS max_price
+        |FROM fed_customer
+        |ORDER BY c_custkey LIMIT 20""".stripMargin
+    val df = spark.sql(fedSql)
+    assert(fedFragments(df).nonEmpty)
+    assert(rows(df) == rows(spark.sql(localized(fedSql))))
+  }
+
   test("AnsiDialect emits explicit NULLS FIRST when Spark default differs") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.dsl.plans._
