@@ -42,6 +42,16 @@ object Federation {
     executor.tableNames.foreach { t =>
       registerRemoteTable(spark, prefix + t, t, executor)
     }
+
+  /** Register the union of several executors' catalogs into one namespace,
+    * first executor listing a name wins — the reference's
+    * `MultiSchemaProvider` chaining (src/sql/schema.rs:110-143). */
+  def registerAllChained(spark: SparkSession, executors: Seq[SqlExecutor],
+      prefix: String = ""): Unit = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    for (ex <- executors; t <- ex.tableNames if seen.add(t))
+      registerRemoteTable(spark, prefix + t, t, ex)
+  }
 }
 
 /** `SparkSessionExtensions` installer for

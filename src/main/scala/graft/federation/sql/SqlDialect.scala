@@ -85,6 +85,18 @@ trait SqlDialect {
 
   /** Dialect-specific scalar function name mapping (Spark name → remote). */
   def functionName(sparkName: String): String = sparkName
+
+  /** Regular-expression match predicate. */
+  def regexpMatch(input: String, pattern: String): String =
+    s"REGEXP_LIKE($input, $pattern)"
+
+  /** date + n days. */
+  def dateAddDays(date: String, days: String): String =
+    s"DATE_ADD($date, $days)"
+
+  /** Whole days between two dates (end - start). */
+  def dateDiffDays(end: String, start: String): String =
+    s"DATEDIFF($end, $start)"
 }
 
 /** ANSI-ish default used for golden tests. */
@@ -111,4 +123,10 @@ object DuckDbDialect extends SqlDialect {
   override val name = "duckdb"
   override def quote(ident: String): String =
     "\"" + ident.replace("\"", "\"\"") + "\""
+  override def regexpMatch(input: String, pattern: String): String =
+    s"regexp_matches($input, $pattern)"
+  override def dateAddDays(date: String, days: String): String =
+    s"($date + INTERVAL ($days) DAY)"
+  override def dateDiffDays(end: String, start: String): String =
+    s"DATE_DIFF('day', $start, $end)"
 }

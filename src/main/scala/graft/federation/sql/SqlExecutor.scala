@@ -41,6 +41,14 @@ trait SqlExecutor {
   /** Optional hook: rewrite the generated SQL string just before execution
     * (reference `sql_query_rewriter`, src/sql/table.rs:33-45). */
   def sqlRewriter: String => String = identity
+
+  /** Optional hook: engine-specific logical-plan rewrite applied to the
+    * frozen fragment before unparsing (reference `logical_optimizer`,
+    * src/sql/executor.rs:36-43). The rewrite must preserve the fragment's
+    * output schema — enforced at the call site, mirroring the reference's
+    * schema check (src/sql/mod.rs:268-284). */
+  def planRewriter: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = identity
 }
 
 /** Mock executor backed by a second (isolated-catalog) SparkSession over
@@ -53,8 +61,15 @@ final class SparkSqlExecutor(
     override val name: String,
     val inner: SparkSession,
     tables: Map[String, String], // remote table name -> parquet path
-    context: String)
+    context: String,
+    hookPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = identity,
+    hookSql: String => String = identity)
   extends SqlExecutor {
+
+  override def planRewriter: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = hookPlan
+  override def sqlRewriter: String => String = hookSql
 
   // register the remote catalog eagerly (schema inferred once per table)
   tables.foreach { case (tbl, path) =>

@@ -20,13 +20,27 @@ final class SqlFederationProvider(val executor: SqlExecutor)
   override def optimize(plan: LogicalPlan): Option[LogicalPlan] = plan match {
     case f: FederatedPlan => Some(f) // double-federation guard
     case p =>
-      SqlUnparser.tryUnparse(p, executor.dialect)
+      SqlUnparser.tryUnparse(hooked(p), executor.dialect)
         .map(_ => FederatedPlan(p, this))
   }
 
-  /** Generate the final SQL for a frozen fragment (strategy-time). */
+  /** Apply the executor's logical-plan hook, enforcing the reference's
+    * schema-preservation contract (src/sql/mod.rs:268-284): a hook that
+    * changes the fragment's output is a misconfiguration and fails loudly. */
+  private def hooked(plan: LogicalPlan): LogicalPlan = {
+    val rewritten = executor.planRewriter(plan)
+    require(rewritten.output.map(a => (a.name, a.dataType)) ==
+      plan.output.map(a => (a.name, a.dataType)),
+      s"[${executor.name}] planRewriter changed the fragment schema: " +
+        s"${plan.output.map(_.name)} -> ${rewritten.output.map(_.name)}")
+    rewritten
+  }
+
+  /** Generate the final SQL for a frozen fragment (strategy-time): plan
+    * hook (schema-checked) → unparse → SQL-string hook — the reference's
+    * final_sql() chain (src/sql/mod.rs:207-232). */
   def unparse(plan: LogicalPlan): String =
-    executor.sqlRewriter(new SqlUnparser(executor.dialect).unparse(plan))
+    executor.sqlRewriter(new SqlUnparser(executor.dialect).unparse(hooked(plan)))
 }
 
 object SqlFederationProvider {

@@ -511,8 +511,61 @@ class SqlUnparser(dialect: SqlDialect) {
       case Least(cs) => fnN("least", cs)
       case Substring(str, pos, len) => fnN("substring", Seq(str, pos, len))
       case StringTrim(c, None) => fn1("trim", c)
+      case StringTrim(c, Some(t)) => s"TRIM(BOTH ${r(t)} FROM ${r(c)})"
+      case StringTrimLeft(c, None) => fn1("ltrim", c)
+      case StringTrimLeft(c, Some(t)) => s"TRIM(LEADING ${r(t)} FROM ${r(c)})"
+      case StringTrimRight(c, None) => fn1("rtrim", c)
+      case StringTrimRight(c, Some(t)) => s"TRIM(TRAILING ${r(t)} FROM ${r(c)})"
       case TruncTimestamp(Literal(fmt, StringType), ts, _) =>
         s"${dialect.functionName("date_trunc")}('${fmt.toString.toLowerCase}', ${r(ts)})"
+
+      // regexp (ILIKE/SIMILAR TO family — reference analyzer.rs:253-274)
+      case RLike(l, p) => dialect.regexpMatch(r(l), r(p))
+
+      // more math
+      case Pow(l, rr) => fnN("power", Seq(l, rr))
+      case Log10(c) => fn1("log10", c)
+      case Signum(c) => fn1("sign", c)
+      case Sin(c) => fn1("sin", c)
+      case Cos(c) => fn1("cos", c)
+      case Tan(c) => fn1("tan", c)
+      case Asin(c) => fn1("asin", c)
+      case Acos(c) => fn1("acos", c)
+      case Atan(c) => fn1("atan", c)
+      case Atan2(l, rr) => fnN("atan2", Seq(l, rr))
+
+      // date arithmetic
+      case DateAdd(d, n) => dialect.dateAddDays(r(d), r(n))
+      case DateSub(d, n) => dialect.dateAddDays(r(d), s"(- ${r(n)})")
+      case DateDiff(end, start) => dialect.dateDiffDays(r(end), r(start))
+      case Quarter(c) => fn1("quarter", c)
+      case DayOfWeek(c) => fn1("dayofweek", c)
+      case DayOfYear(c) => fn1("dayofyear", c)
+      case WeekOfYear(c) => fn1("weekofyear", c)
+      case LastDay(c) => fn1("last_day", c)
+
+      // more strings
+      case StringReplace(src, search, repl) =>
+        fnN("replace", Seq(src, search, repl))
+      case StringLPad(s2, len, pad) => fnN("lpad", Seq(s2, len, pad))
+      case StringRPad(s2, len, pad) => fnN("rpad", Seq(s2, len, pad))
+      case StringInstr(str, sub) => fnN("instr", Seq(str, sub))
+      case StringRepeat(s2, n) => fnN("repeat", Seq(s2, n))
+      case Reverse(c) if c.dataType == StringType => fn1("reverse", c)
+      case Ascii(c) => fn1("ascii", c)
+      case Chr(c) => fn1("chr", c)
+      case InitCap(c) => fn1("initcap", c)
+      case StringTranslate(s2, m, rep) => fnN("translate", Seq(s2, m, rep))
+      case ConcatWs(cs) => fnN("concat_ws", cs)
+      case Md5(c) => fn1("md5", c)
+
+      // bit ops (shared & | syntax)
+      case BitwiseAnd(l, rr) => bin(l, "&", rr)
+      case BitwiseOr(l, rr) => bin(l, "|", rr)
+
+      // nullif/nvl/left/right/... — Catalyst models convenience functions
+      // as RuntimeReplaceable wrappers; unparse the canonical replacement
+      case rr: RuntimeReplaceable => r(rr.replacement)
 
       case other =>
         fail(s"expression ${other.getClass.getSimpleName}: ${other.sql}")

@@ -268,6 +268,100 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(df) == rows(spark.sql(localized(fedSql))))
   }
 
+  test("wide scalar-function surface federates and matches local") {
+    setup()
+    val fedSql =
+      """SELECT o_orderkey,
+        |  UPPER(o_orderpriority) AS pri_u,
+        |  REPLACE(o_orderstatus, 'F', 'X') AS st_x,
+        |  LPAD(o_orderstatus, 12, '#') AS st_pad,
+        |  INSTR(o_orderpriority, '-') AS dash_at,
+        |  CONCAT_WS('/', o_orderstatus, o_orderpriority) AS tag,
+        |  TRIM(BOTH '0' FROM CAST(o_orderkey AS STRING)) AS k_trim,
+        |  NULLIF(o_orderstatus, 'O') AS st_null,
+        |  POWER(o_totalprice, 0.5) AS sqrt_price,
+        |  SIGN(o_totalprice - 100000) AS big,
+        |  QUARTER(o_orderdate) AS qtr,
+        |  DAYOFWEEK(o_orderdate) AS dow,
+        |  DATEDIFF(TIMESTAMP '1998-12-31 00:00:00', o_orderdate) AS age_days
+        |FROM fed_orders
+        |WHERE o_orderpriority RLIKE '^[12]-'
+        |ORDER BY o_orderkey LIMIT 25""".stripMargin
+    val df = spark.sql(fedSql)
+    assert(fedFragments(df).size == 1,
+      "function-heavy query should federate as one fragment:\n" +
+        df.queryExecution.optimizedPlan)
+    assert(rows(df) == rows(spark.sql(localized(fedSql))))
+  }
+
+  // ---- executor hooks & multi-executor catalog (SURVEY §2d) ----
+
+  test("sqlRewriter hook is applied to the generated SQL exactly once") {
+    setup()
+    // mirror of the reference's sql_query_rewriter invocation test
+    // (sql/mod.rs:820-869): hook must run exactly once per remote execution
+    var calls = 0
+    val counting = new graft.federation.sql.SparkSqlExecutor(
+      "counting", spark.newSession(),
+      Map("orders" -> s"$dir/orders.parquet"),
+      context = s"counting@$dir",
+      hookSql = { s => calls += 1; s })
+    graft.federation.Federation.registerRemoteTable(
+      spark, "hook_orders", "orders", counting)
+    val df = spark.sql(
+      "SELECT COUNT(*) AS n FROM hook_orders WHERE o_orderstatus = 'F'")
+    val n = df.collect().head.getLong(0)
+    assert(calls >= 1, "sqlRewriter hook never invoked")
+    val expected = spark.sql(
+      "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'F'")
+      .collect().head.getLong(0)
+    assert(n == expected)
+  }
+
+  test("planRewriter hook narrows the fragment remotely, schema preserved") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThan, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+    setup()
+    // engine-level row policy: only orders with key > 100 are visible
+    val policy: LogicalPlan => LogicalPlan = { p =>
+      p.output.find(_.name == "o_orderkey") match {
+        case Some(k) => Filter(GreaterThan(k, Literal(100L)), p)
+        case None => p
+      }
+    }
+    val policed = new graft.federation.sql.SparkSqlExecutor(
+      "policed", spark.newSession(),
+      Map("orders" -> s"$dir/orders.parquet"),
+      context = s"policed@$dir",
+      hookPlan = policy)
+    graft.federation.Federation.registerRemoteTable(
+      spark, "policed_orders", "orders", policed)
+    val df = spark.sql(
+      "SELECT o_orderkey FROM policed_orders ORDER BY o_orderkey LIMIT 5")
+    assert(fedFragments(df).nonEmpty)
+    val scan = df.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("RemoteScan")).getOrElse("")
+    assert(scan.contains("> 100"), s"policy filter not in remote SQL: $scan")
+    val keys = df.collect().map(_.getLong(0)).toSeq
+    assert(keys.forall(_ > 100), s"policy not applied: $keys")
+  }
+
+  test("registerAllChained: first executor listing a table wins") {
+    setup()
+    val a = FederationHarness.executor(spark, dir, "alpha")
+    val b = FederationHarness.executor(spark, dir, "beta")
+    graft.federation.Federation.registerAllChained(
+      spark, Seq(a, b), prefix = "chain_")
+    val df = spark.sql("SELECT COUNT(*) AS n FROM chain_orders")
+    val rel = df.queryExecution.analyzed.collect {
+      case r: graft.federation.plans.RemoteRelation => r
+    }
+    assert(rel.nonEmpty && (rel.head.executor eq a),
+      "chained registration should bind to the FIRST executor")
+    assert(df.collect().head.getLong(0) > 0)
+  }
+
   test("AnsiDialect emits explicit NULLS FIRST when Spark default differs") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.dsl.plans._
