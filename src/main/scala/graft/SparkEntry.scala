@@ -60,8 +60,7 @@ object SparkEntry {
       // result columns, and raw array columns aren't sortable there
       Multimodal.decodeAndFeaturize(s, d).toDF()
         .withColumn("feature_csv",
-          array_join(transform(col("feature"),
-            x => round(x.cast("double"), 3).cast("string")), ","))
+          array_join(transform(col("feature"), _.cast("string")), ","))
         .drop("feature")
         .orderBy(col("doc_id"))),
     "mm_sample_frames" -> ((s: SparkSession, d: String) =>
@@ -104,7 +103,10 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.fingerprintOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "sim_label_stats" -> Similarity.labelStatsOracle,
+    "sim_bruteforce_topk" -> Similarity.bruteForceTopKOracle,
     "mm_media_stats" -> Multimodal.mediaStatsOracle,
+    "mm_decode_features" -> Multimodal.decodeFeaturesOracle,
+    "mm_sample_frames" -> Multimodal.sampleFramesOracle,
     "stream_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         |  COUNT(*) AS n_events, MAX(value) AS max_value

@@ -9,11 +9,15 @@ import graft.sources.Tables._
   * metadata, plus decode / feature-extract / resize / frame-sample stages.
   *
   * The container has no image/audio codecs, so the decode kernels are
-  * STUBBED with a deterministic fake (byte-statistics standing in for
-  * pixel decoding — clearly marked below). Everything Spark-side is real:
-  * the binary schema, the typed metadata struct, partition-preserving
+  * STUBBED with a deterministic fake (integer byte-statistics standing in
+  * for pixel decoding — clearly marked below). Everything Spark-side is
+  * real: the binary schema, the typed metadata struct, partition-preserving
   * `mapPartitions` batching (the Scala analog of `mapInPandas` — one
   * iterator per partition, constant memory), and the feature schema.
+  *
+  * The fakes are deliberately integer-exact arithmetic over the raw bytes,
+  * so the whole pipeline (including the stubbed kernels) is verified
+  * against a DuckDB oracle — byte-for-byte, not just row counts.
   *
   * At 100 TB: media bytes never shuffle — every stage below is a narrow
   * map over the scan; only extracted (small) features flow onward.
@@ -27,7 +31,7 @@ object Multimodal {
 
   case class MediaFeature(doc_id: Long, n_bytes: Long, width: Int,
       height: Int, channels: Int, format: String, mean_byte: Double,
-      feature: Array[Float])
+      feature: Array[Long])
 
   /** Build an opaque binary "media" column from the documents table (the
     * testdata carries no real media; utf-8 bytes stand in — the plumbing is
@@ -40,24 +44,34 @@ object Multimodal {
         .when(col("doc_id") % 3 === 1, "audio/wav")
         .otherwise("video/mp4")).as("media_type"))
 
+  /** Position-weighted checksum of the byte stream:
+    * `(Σ byte_i · i) mod 1000003`, i 1-based. The deterministic seed for
+    * the fake decode below; pure integer math. */
+  private def checksum(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var j = 0
+    while (j < bytes.length) { h += (bytes(j) & 0xff).toLong * (j + 1); j += 1 }
+    h % 1000003L
+  }
+
   /** STUB decode kernel: a real build would call an image/audio codec here
-    * (???). Deterministic fake: metadata derived from the byte stream. */
+    * (???). Deterministic fake: dimensions derived from the byte checksum. */
   private def decodeStub(bytes: Array[Byte], mediaType: String): MediaMeta = {
     // ??? — codec unavailable in this container; deterministic fake below.
-    val h = java.util.Arrays.hashCode(bytes)
+    val h = checksum(bytes)
     MediaMeta(
-      width = 64 + math.abs(h % 1024),
-      height = 64 + math.abs((h / 1024) % 1024),
+      width = (64 + h % 512).toInt,
+      height = (64 + (h / 512) % 512).toInt,
       channels = if (mediaType.startsWith("image")) 3 else 1,
       format = mediaType.substring(mediaType.indexOf('/') + 1))
   }
 
   /** STUB feature extractor (resize + embed in a real pipeline): fixed-width
-    * float vector from strided byte statistics. */
-  private def featureStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
-    val out = new Array[Float](dim)
+    * vector of strided byte sums — integer-exact. */
+  private def featureStub(bytes: Array[Byte], dim: Int = 8): Array[Long] = {
+    val out = new Array[Long](dim)
     var i = 0
-    while (i < bytes.length) { out(i % dim) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+    while (i < bytes.length) { out(i % dim) += (bytes(i) & 0xff); i += 1 }
     out
   }
 
@@ -79,9 +93,44 @@ object Multimodal {
     }
   }
 
+  /** DuckDB mirror of `decodeAndFeaturize` + the feature_csv rendering in
+    * SparkEntry: bytes recovered from the utf-8 blob via hex expansion,
+    * then the same integer formulas. */
+  val decodeFeaturesOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |         ELSE 'video/mp4' END AS media_type,
+      |    octet_length(encode(text)) AS n,
+      |    list_transform(range(1, octet_length(encode(text))+1),
+      |      i -> (strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i-1, 1))*16
+      |          + strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)))) AS bytes
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, media_type, n, bytes,
+      |    COALESCE(list_sum(list_transform(bytes, (x,i) -> x*i)), 0) % 1000003 AS h
+      |  FROM b
+      |)
+      |SELECT doc_id,
+      |  CAST(n AS BIGINT) AS n_bytes,
+      |  CAST(64 + h % 512 AS INTEGER) AS width,
+      |  CAST(64 + (h // 512) % 512 AS INTEGER) AS height,
+      |  CAST(CASE WHEN media_type LIKE 'image%' THEN 3 ELSE 1 END AS INTEGER) AS channels,
+      |  str_split(media_type, '/')[2] AS format,
+      |  CASE WHEN n = 0 THEN 0.0
+      |       ELSE CAST(COALESCE(list_sum(bytes), 0) AS DOUBLE) / n END AS mean_byte,
+      |  array_to_string(list_transform(range(0,8),
+      |    k -> COALESCE(list_sum(list_transform(bytes,
+      |           (x,i) -> CASE WHEN (i-1)%8=k THEN x ELSE 0 END)), 0)), ',') AS feature_csv
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
   /** Frame sampling for video-typed rows: emit every `stride`-th "frame"
     * (fixed-size byte windows of the blob — the real kernel would demux).
-    * One row in, few rows out: `flatMap`, still narrow. */
+    * One row in, few rows out: `flatMap`, still narrow. Frame hash is a
+    * `(h·31 + byte) mod 2147483647` rolling hash seeded with 1 — integer
+    * math shared with the oracle. */
   def sampleFrames(s: SparkSession, dir: String, frameBytes: Int = 64,
       stride: Int = 4): DataFrame = {
     import s.implicits._
@@ -90,13 +139,30 @@ object Multimodal {
       .flatMap { r =>
         val nFrames = r.media.length / frameBytes
         (0 until nFrames by stride).map { f =>
-          val frame = java.util.Arrays.copyOfRange(
-            r.media, f * frameBytes, (f + 1) * frameBytes)
-          (r.doc_id, f, frame.length, java.util.Arrays.hashCode(frame))
+          var h = 1L
+          var j = f * frameBytes
+          val end = (f + 1) * frameBytes
+          while (j < end) { h = (h * 31 + (r.media(j) & 0xff)) % 2147483647L; j += 1 }
+          (r.doc_id, f, frameBytes, h)
         }
       }
       .toDF("doc_id", "frame_idx", "frame_bytes", "frame_hash")
   }
+
+  val sampleFramesOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n,
+      |    list_transform(range(1, octet_length(encode(text))+1),
+      |      i -> (strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i-1, 1))*16
+      |          + strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)))) AS bytes
+      |  FROM documents WHERE doc_id % 3 = 2
+      |)
+      |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+      |  CAST(64 AS INTEGER) AS frame_bytes,
+      |  CAST(list_reduce(list_prepend(1, bytes[f*64+1 : (f+1)*64]),
+      |    (a, x) -> (a*31 + x) % 2147483647) AS BIGINT) AS frame_hash
+      |FROM b, UNNEST(range(0, n//64, 4)) AS t(f)
+      |ORDER BY doc_id, frame_idx""".stripMargin
 
   /** Oracle-comparable slice of the media pipeline: byte length and
     * media-type routing are exact (the fake decode stays out of the oracle).

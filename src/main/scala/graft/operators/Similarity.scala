@@ -52,6 +52,26 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** DuckDB mirror of [[bruteForceTopK]]. `list_cosine_similarity` over
+    * DOUBLE[] reproduces the Spark-side in-order double fold bitwise
+    * (verified at sf0.01); ranking tiebreak (cos DESC, vec_id) matches. */
+  val bruteForceTopKOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+      |  FROM embeddings ORDER BY vec_id LIMIT 8
+      |), scored AS (
+      |  SELECT q.q_id, e.vec_id,
+      |    list_cosine_similarity(q.q_vec, CAST(e.embedding AS DOUBLE[])) AS cos
+      |  FROM q, embeddings e WHERE e.vec_id <> q.q_id
+      |), ranked AS (
+      |  SELECT q_id, vec_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      |  FROM scored
+      |)
+      |SELECT q_id, rank, vec_id, cos FROM ranked
+      |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** Random-hyperplane sign sketch: bit i = sign of <v, h_i> where
     * h_i[d] is a deterministic pseudo-random ±1 derived from xxhash64(i, d).
     * Pure expressions; no model state to distribute. */
