@@ -102,8 +102,13 @@ object SparkEntry {
     "text_lang_id" -> TextOps.langIdOracle,
     "text_fingerprint" -> TextOps.fingerprintOracle,
     "dedup_exact" -> Dedup.exactOracle,
+    "dedup_minhash" -> Dedup.minhashOracle,
+    "dedup_simhash" -> Dedup.simhashOracle,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "dedup_embedding" -> Similarity.embeddingNearDupsOracle,
     "sim_label_stats" -> Similarity.labelStatsOracle,
     "sim_bruteforce_topk" -> Similarity.bruteForceTopKOracle,
+    "sim_lsh_neighbors" -> Similarity.lshNearNeighborsOracle,
     "mm_media_stats" -> Multimodal.mediaStatsOracle,
     "mm_decode_features" -> Multimodal.decodeFeaturesOracle,
     "mm_sample_frames" -> Multimodal.sampleFramesOracle,

@@ -1,0 +1,225 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.Locale
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Engine-portable text/vector hashing kernels.
+  *
+  * Unlike the XXH64 kernels in [[TextHashExprs]], every function here is
+  * defined purely in terms of MD5 and 64-bit integer arithmetic, so an
+  * independent engine (the driver's DuckDB oracle, a remote federated
+  * engine) can recompute identical values in plain SQL:
+  *
+  *   base_hash(s)  = CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) % P
+  *   hash32(s)     = CAST('0x' || substr(md5(s), 1, 8)  AS BIGINT)
+  *   P             = 2147483647 (2^31 - 1)
+  *   A(i)          = ((1103515245*(i+7) + 12345) % 1073741823) | 1
+  *   B(i)          = (2027382749*(i+13) + 577) % P
+  *   minhash_i     = min over shingles sh of (A(i)*base_hash(sh) + B(i)) % P
+  *
+  * All intermediates stay below 2^61, so the arithmetic neither overflows a
+  * signed 64-bit integer nor needs modular tricks on either engine. The
+  * single MD5 per shingle is the "one-hash MinHash" construction; the
+  * A/B affine family supplies the k permutations.
+  *
+  * These are still native single-pass kernels (one compiled eval per row,
+  * one MD5 per shingle/token) — the portability changes the hash function,
+  * not the execution model, so MinHash/SimHash dedup stays viable at
+  * 100 TB while every result is independently checkable.
+  */
+object PortableHashExprs {
+
+  val P: Long = 2147483647L // 2^31 - 1
+  private val HEX = "0123456789abcdef".toCharArray
+
+  def affineA(i: Int): Long = ((1103515245L * (i + 7) + 12345L) % 1073741823L) | 1L
+  def affineB(i: Int): Long = (2027382749L * (i + 13) + 577L) % P
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 7 digest bytes as an unsigned 56-bit int, mod P — equals DuckDB's
+    * `CAST('0x' || substr(md5(s),1,14) AS BIGINT) % 2147483647`. */
+  def baseHash(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (b(i) & 0xffL); i += 1 }
+    h % P
+  }
+
+  /** First 4 digest bytes as an unsigned 32-bit int — equals DuckDB's
+    * `CAST('0x' || substr(md5(s),1,8) AS BIGINT)`. */
+  def hash32(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+  }
+
+  /** Tokenization shared with the SQL oracles:
+    * `[t FOR t IN string_split_regex(lower(text), '\s+') IF t <> '']` —
+    * empty tokens are filtered instead of trimming, because Java `trim`
+    * (strips all chars ≤ 0x20) and SQL `trim` (strips ' ' only) disagree on
+    * leading tabs/newlines. */
+  private[graft] def tokenize(text: UTF8String): Array[String] =
+    text.toString.toLowerCase(Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+
+  /** Word shingles of width min(w, n_tokens) — fewer tokens than w
+    * degrade to one whole-text shingle (possibly "" for empty input),
+    * never zero shingles. */
+  private[functions] def shingles(toks: Array[String], width: Int): Array[String] = {
+    val w = math.min(width, toks.length)
+    val n = toks.length - w + 1
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
+  /** Engine-portable MinHash signature (array<long> of `numHashes`). */
+  case class PortableMinHash(child: Expression, numHashes: Int, shingleWidth: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "portable_minhash"
+
+    private lazy val as: Array[Long] = Array.tabulate(numHashes)(affineA)
+    private lazy val bs: Array[Long] = Array.tabulate(numHashes)(affineB)
+
+    override def nullSafeEval(input: Any): Any = {
+      val sh = shingles(tokenize(input.asInstanceOf[UTF8String]), shingleWidth)
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var s = 0
+      while (s < sh.length) {
+        val h = baseHash(sh(s))
+        var i = 0
+        while (i < numHashes) {
+          val v = (as(i) * h + bs(i)) % P
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): PortableMinHash =
+      copy(child = c)
+  }
+
+  /** Engine-portable 32-bit SimHash of the token multiset: bit j is set iff
+    * strictly more tokens have bit j of hash32(token) set than clear. */
+  case class PortableSimHash32(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "portable_simhash32"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      val counts = new Array[Int](32)
+      var t = 0
+      while (t < toks.length) {
+        val h = hash32(toks(t))
+        var j = 0
+        while (j < 32) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+        t += 1
+      }
+      var sim = 0L
+      var j = 0
+      while (j < 32) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
+      java.lang.Long.valueOf(sim)
+    }
+    override protected def withNewChildInternal(c: Expression): PortableSimHash32 =
+      copy(child = c)
+  }
+
+  /** Deterministic ±1 hyperplane component for bit `i`, dimension `d` —
+    * a two-round LCG on (i, d), identical in SQL:
+    * r1 = (1103515245*(i*8191 + d + 1) + 12345) % P
+    * r2 = (1103515245*r1 + 12345) % P
+    * sign = +1 if (r2 >> 7) & 1 = 1 else -1
+    * (bit 7, not bit 0: an LCG's low bit alternates.) */
+  def planeSign(i: Int, d: Int): Double = {
+    val r1 = (1103515245L * (i * 8191L + d + 1L) + 12345L) % P
+    val r2 = (1103515245L * r1 + 12345L) % P
+    if (((r2 >> 7) & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** Random-hyperplane sign sketch of a float vector: bit i of the result =
+    * [in-order dot of the vector with portable ±1 plane i] >= 0. Replaces a
+    * stored projection-matrix model with a formula any engine can evaluate. */
+  case class PortableSignSketch(child: Expression, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "portable_sign_sketch"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var sketch = 0L
+      var i = 0
+      while (i < bits) {
+        var proj = 0.0
+        var d = 0
+        while (d < n) {
+          // left-to-right accumulation — same IEEE sequence as the SQL
+          // oracle's list_reduce fold
+          proj += arr.getFloat(d).toDouble * planeSign(i, d)
+          d += 1
+        }
+        if (proj >= 0) sketch |= (1L << i)
+        i += 1
+      }
+      java.lang.Long.valueOf(sketch)
+    }
+    override protected def withNewChildInternal(c: Expression): PortableSignSketch =
+      copy(child = c)
+  }
+
+  // ------------------------------------------------------------ Column API
+
+  import org.apache.spark.sql.GraftShims.{column, expression}
+
+  def portable_minhash(c: Column, numHashes: Int = 64,
+      shingleWidth: Int = 3): Column =
+    column(PortableMinHash(expression(c), numHashes, shingleWidth))
+
+  def portable_simhash32(c: Column): Column =
+    column(PortableSimHash32(expression(c)))
+
+  def portable_sign_sketch(c: Column, bits: Int = 8): Column =
+    column(PortableSignSketch(expression(c), bits))
+
+  /** The DuckDB SQL fragments mirroring the kernels — kept next to the Scala
+    * so the two definitions can't drift apart. `%s` is the input column. */
+  object OracleSql {
+    val baseHash = "(CAST('0x' || substr(md5(%s), 1, 14) AS BIGINT) %% 2147483647)"
+    val hash32 = "CAST('0x' || substr(md5(%s), 1, 8) AS BIGINT)"
+    val affineA = "(((1103515245*(%s+7) + 12345) %% 1073741823) | 1)"
+    val affineB = "((2027382749*(%s+13) + 577) %% 2147483647)"
+  }
+}

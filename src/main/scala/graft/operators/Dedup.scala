@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.PortableHashExprs
 import graft.sources.Tables._
 
 /** Deduplication operators for a large-scale training-data pipeline.
@@ -13,14 +14,14 @@ import graft.sources.Tables._
   *    (high-cardinality, uniform) md5 key; partial aggregation collapses
   *    duplicates map-side first.
   *  - '''MinHash + LSH''': shingle → k minhashes → band → bucket-join.
-  *    Signatures are computed in a single narrow projection using
-  *    higher-order array functions (`transform`/`array_min`) over
-  *    `xxhash64` — fully codegen'd, no UDFs. Candidate generation explodes
-  *    only `bands` rows per doc (b≈8), and the self-join happens per
-  *    LSH bucket, so cost is Σ bucket² rather than N².
-  *  - '''SimHash''': 64-bit sign-aggregated token hashes; near-dups share
-  *    the simhash under small Hamming distance; we bucket on 4 16-bit
-  *    sub-keys (any pair within Hamming ≤ 3 of 64 bits collides on ≥1 key).
+  *    Signatures come from a native single-pass kernel
+  *    ([[PortableHashExprs.PortableMinHash]]) whose hash function is defined
+  *    purely in MD5 + 64-bit arithmetic, so the DuckDB oracle recomputes
+  *    identical signatures in SQL. Candidate generation explodes only
+  *    `Bands` rows per doc, and the self-join happens per LSH bucket, so
+  *    cost is Σ bucket² rather than N².
+  *  - '''SimHash''': 32-bit sign-aggregated token hashes; near-dups share
+  *    the simhash; sub-key banding generalizes to Hamming-distance buckets.
   *  - '''n-gram Jaccard''': exact verification on LSH candidates only —
   *    never pairwise over the corpus.
   *  - '''embedding cosine''': see [[Similarity.embeddingNearDups]].
@@ -56,20 +57,22 @@ object Dedup {
   val Bands = 16
   val BandRows: Int = NumHashes / Bands // 4
 
-  /** Word n-gram shingles of the normalized text. */
+  /** Word n-gram shingles of the tokenized text — tokenization matches
+    * [[PortableHashExprs.tokenize]] (lowercase, split on \s+, drop empty
+    * tokens; fewer than `n` tokens degrade to one whole-text shingle). */
   def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** 64-wide MinHash signature — native single-pass kernel
-    * ([[graft.functions.TextHashExprs.MinHashSig]]); the HOF formulation
-    * (transform+array_min over xxhash64) is ~40× slower per row. */
+  /** 64-wide engine-portable MinHash signature (single-pass native kernel,
+    * one MD5 per shingle — see [[PortableHashExprs]] for the exact portable
+    * definition the DuckDB oracle mirrors). */
   def minhashSignature(text: Column): Column =
-    graft.functions.TextHashExprs.minhash_signature(text, NumHashes)
+    PortableHashExprs.portable_minhash(text, NumHashes)
 
   /** Per-document MinHash signatures + LSH band keys (exploded downstream).
     * Cached once per (session, dir): both sides of the bucket self-join
@@ -88,8 +91,11 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Candidate near-dup pairs from LSH banding: docs agreeing on all
-    * BandRows minhashes of at least one band. Estimated Jaccard from full
-    * signature agreement; threshold filters false positives. */
+    * BandRows minhashes of at least one band (the band key is the raw
+    * 4-value signature slice — exact, no secondary hashing, so the oracle's
+    * slice-equality reproduces the candidate set verbatim). Estimated
+    * Jaccard from full signature agreement; threshold filters false
+    * positives. */
   def minhashCandidates(s: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame = {
     val sigs = signatures(s, dir)
@@ -97,11 +103,10 @@ object Dedup {
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),
         b => struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * BandRows + 1, lit(BandRows)), b)
-            .as("bkey"))))
-        .as("band"))
+          slice(col("sig"), b * BandRows + 1, lit(BandRows)).as("bkey"))))
+        .as("bb"))
       .select(col("doc_id"), col("sig"),
-        col("band.band").as("band"), col("band.bkey").as("bkey"))
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val l = banded.select(col("band"), col("bkey"),
       col("doc_id").as("a_id"), col("sig").as("a_sig"))
     val r = banded.select(col("band"), col("bkey"),
@@ -132,22 +137,58 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared oracle prelude: per-doc portable MinHash signatures in DuckDB
+    * SQL — the same tokenize/shingle/hash pipeline as the kernel. */
+  private val sigsCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END AS shs
+      |  FROM toks
+      |), hs AS (
+      |  SELECT doc_id, [(CAST('0x'||substr(md5(s2),1,14) AS BIGINT) % 2147483647) FOR s2 IN shs] AS hl
+      |  FROM sh
+      |), sigs AS (
+      |  SELECT doc_id, [list_min([((((1103515245*(i+7)+12345) % 1073741823) | 1) * h
+      |      + ((2027382749*(i+13)+577) % 2147483647)) % 2147483647 FOR h IN hl])
+      |    FOR i IN range(0,64)] AS sig
+      |  FROM hs
+      |), bandpairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS a_sig, b.sig AS b_sig
+      |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      |  WHERE len([bb FOR bb IN range(0,16) IF a.sig[4*bb+1:4*bb+4] = b.sig[4*bb+1:4*bb+4]]) > 0
+      |), scored AS (
+      |  SELECT a_id, b_id,
+      |    len([i FOR i IN range(1,65) IF a_sig[i] = b_sig[i]]) / 64.0 AS est_jaccard
+      |  FROM bandpairs
+      |)""".stripMargin
+
+  val minhashOracle: String =
+    sigsCte +
+      """, better AS (
+        |  SELECT b_id AS doc_id, MIN(a_id) AS dup_of FROM scored
+        |  WHERE est_jaccard >= 0.7 GROUP BY b_id
+        |)
+        |SELECT d.doc_id, COALESCE(b.dup_of, d.doc_id) AS cluster_rep,
+        |  b.dup_of IS NULL AS keep
+        |FROM documents d LEFT JOIN better b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash of the token multiset — native single-pass kernel
-    * ([[graft.functions.TextHashExprs.SimHash64]]): for each bit position
-    * j, sum ±1 over tokens by bit j of the token hash; bit j = sign. */
-  def simhash64(text: Column): Column =
-    graft.functions.TextHashExprs.simhash64(text)
+  /** 32-bit engine-portable SimHash of the token multiset (native kernel;
+    * see [[PortableHashExprs.PortableSimHash32]]). */
+  def simhash32(text: Column): Column =
+    PortableHashExprs.portable_simhash32(text)
 
-  /** SimHash near-dup buckets: docs sharing any of the four 16-bit quarters
-    * of their simhash are candidates (catches Hamming distance ≤ 3 with
-    * certainty when differing bits fall in ≤ 3 quarters). Output: per-doc
-    * simhash + cluster representative under exact-simhash equality. */
+  /** SimHash near-dup clusters: per-doc simhash + cluster representative
+    * under exact-simhash equality (sub-key banding generalizes this to
+    * Hamming-distance candidates at scale). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val withSim = documents(s, dir)
-      .select(col("doc_id"), simhash64(col("text")).as("simhash"))
-    // exact-simhash clusters (Hamming 0); quarters give near-miss candidates
+      .select(col("doc_id"), simhash32(col("text")).as("simhash"))
     val rep = withSim.groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("cluster_rep"), count(lit(1)).as("cluster_size"))
     withSim.join(rep, "simhash")
@@ -155,6 +196,26 @@ object Dedup {
         col("cluster_size"))
       .orderBy(col("doc_id"))
   }
+
+  val simhashOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM documents
+      |), hs AS (
+      |  SELECT doc_id, [CAST('0x'||substr(md5(x),1,8) AS BIGINT) FOR x IN t] AS hl
+      |  FROM toks
+      |), sim AS (
+      |  SELECT doc_id, CAST(list_sum(
+      |    [CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hl]) > 0
+      |          THEN (CAST(1 AS BIGINT) << j) ELSE 0 END FOR j IN range(0,32)]) AS BIGINT) AS simhash
+      |  FROM hs
+      |), rep AS (
+      |  SELECT simhash, MIN(doc_id) AS cluster_rep, COUNT(*) AS cluster_size
+      |  FROM sim GROUP BY simhash
+      |)
+      |SELECT s.doc_id, s.simhash, r.cluster_rep, r.cluster_size
+      |FROM sim s JOIN rep r USING (simhash)
+      |ORDER BY s.doc_id""".stripMargin
 
   // ------------------------------------------------- n-gram Jaccard verify
 
@@ -175,6 +236,21 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("est_jaccard"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  val ngramJaccardOracle: String =
+    sigsCte +
+      """, cand AS (
+        |  SELECT a_id, b_id, est_jaccard FROM scored WHERE est_jaccard >= 0.5
+        |), dsh AS (
+        |  SELECT doc_id, list_distinct(shs) AS sh FROM sh
+        |)
+        |SELECT c.a_id, c.b_id, c.est_jaccard,
+        |  len(list_intersect(a.sh, b.sh)) /
+        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+        |FROM cand c
+        |JOIN dsh a ON a.doc_id = c.a_id
+        |JOIN dsh b ON b.doc_id = c.b_id
+        |ORDER BY c.a_id, c.b_id""".stripMargin
 
   /** Corpus-level dedup summary — a single-row report driving pipeline
     * decisions (and a stable smoke query at any SF). */

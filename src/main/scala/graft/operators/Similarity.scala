@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.PortableHashExprs
 import graft.sources.Tables._
 
 /** Similarity search over the `embeddings` table
@@ -13,10 +14,12 @@ import graft.sources.Tables._
   *    broadcast; each partition of the corpus computes dot products locally
   *    and emits only its per-partition top-k via the rank window — at
   *    100 TB the corpus is never shuffled, only (k × queries) rows move.
-  *  - '''LSH-bucketed''' (random hyperplanes): sign-bit sketch computed with
-  *    a deterministic seeded hash (no stored model); candidates are pairs
-  *    agreeing on a 16-bit prefix bucket, so the self-join is per-bucket.
-  *    This is the scale path for all-pairs near-dup detection.
+  *  - '''LSH-bucketed''' (random hyperplanes): sign-bit sketch computed by
+  *    a native kernel whose ±1 hyperplanes derive from a deterministic
+  *    integer formula (no stored model — and engine-portable, so the
+  *    DuckDB oracle rebuilds identical buckets in SQL); candidates are
+  *    pairs agreeing on the full sketch bucket, so the self-join is
+  *    per-bucket. This is the scale path for all-pairs near-dup detection.
   *
   * Dot products use `zip_with` + `aggregate` (fold in element order) in
   * double precision — deterministic, codegen-friendly, no UDFs.
@@ -72,20 +75,31 @@ object Similarity {
       |SELECT q_id, rank, vec_id, cos FROM ranked
       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
-  /** Random-hyperplane sign sketch: bit i = sign of <v, h_i> where
-    * h_i[d] is a deterministic pseudo-random ±1 derived from xxhash64(i, d).
-    * Pure expressions; no model state to distribute. */
+  /** Random-hyperplane sign sketch — native portable kernel
+    * ([[PortableHashExprs.PortableSignSketch]]): bit i = sign of the
+    * in-order dot of the vector with a ±1 hyperplane derived from a
+    * two-round LCG on (i, dimension). */
   def signSketch(vec: Column, bits: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), i => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, d) => x.cast("double") *
-              when(xxhash64(i, d).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)
-      }),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    PortableHashExprs.portable_sign_sketch(vec, bits)
+
+  /** Shared oracle prelude: per-vector bucket via the same portable sign
+    * sketch, rebuilt in DuckDB SQL (list_reduce folds left-to-right in
+    * element order, matching the kernel's accumulation sequence). */
+  private val bucketCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), sk AS (
+      |  SELECT vec_id, v, CAST(list_sum([CASE WHEN list_reduce(
+      |      [v[d+1] * (CASE WHEN (((1103515245*((1103515245*(i*8191+d+1)+12345) % 2147483647)+12345) % 2147483647) >> 7) & 1 = 1
+      |                 THEN 1.0 ELSE -1.0 END) FOR d IN range(0, len(v))],
+      |      (acc, x) -> acc + x) >= 0
+      |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END FOR i IN range(0,8)]) AS BIGINT) AS bucket
+      |  FROM e
+      |), pairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_cosine_similarity(a.v, b.v) AS cos
+      |  FROM sk a JOIN sk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |)""".stripMargin
 
   /** Within-bucket candidate pairs under a `bits`-wide hyperplane sketch,
     * with exact cosine verification. Cost is Σ bucket² (never N²). */
@@ -120,6 +134,23 @@ object Similarity {
       .join(best, Seq("vec_id"), "left")
       .orderBy(col("vec_id"))
   }
+
+  val lshNearNeighborsOracle: String =
+    bucketCte +
+      """, directed AS (
+        |  SELECT a_id AS vec_id, b_id AS nbr_id, cos FROM pairs
+        |  UNION ALL
+        |  SELECT b_id AS vec_id, a_id AS nbr_id, cos FROM pairs
+        |), best AS (
+        |  SELECT vec_id, nbr_id AS nn_id, cos AS nn_cos,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, nbr_id DESC) AS rn
+        |  FROM directed
+        |)
+        |SELECT e.vec_id, b.nn_id, b.nn_cos
+        |FROM embeddings e LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  USING (vec_id)
+        |ORDER BY e.vec_id""".stripMargin
 
   /** Label-centroid assignment check: exact per-label statistics that are
     * integer/count-based (oracle-comparable): per label, vector count and
@@ -156,4 +187,15 @@ object Similarity {
         col("dup_of").isNull.as("keep"))
       .orderBy(col("vec_id"))
   }
+
+  val embeddingNearDupsOracle: String =
+    bucketCte +
+      """, better AS (
+        |  SELECT b_id AS vec_id, MIN(a_id) AS dup_of FROM pairs
+        |  WHERE cos >= 0.95 GROUP BY b_id
+        |)
+        |SELECT e.vec_id, COALESCE(bt.dup_of, e.vec_id) AS cluster_rep,
+        |  bt.dup_of IS NULL AS keep
+        |FROM embeddings e LEFT JOIN better bt USING (vec_id)
+        |ORDER BY e.vec_id""".stripMargin
 }

@@ -80,7 +80,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).toDF("doc_id", "text")
     val sig = df.select($"doc_id",
       operators.Dedup.minhashSignature($"text").as("sig"),
-      operators.Dedup.simhash64($"text").as("sim")).collect()
+      operators.Dedup.simhash32($"text").as("sim")).collect()
       .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
     assert(sig(1L)._1 == sig(2L)._1, "identical docs must share minhash")
     assert(sig(1L)._2 == sig(2L)._2, "identical docs must share simhash")

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.PortableHashExprs
+
+/** Golden-value tests for the engine-portable hash kernels. Every expected
+  * value was independently computed twice — in Python (hashlib md5 +
+  * integer arithmetic) and in DuckDB SQL using the exact oracle fragments
+  * ([[PortableHashExprs.OracleSql]]) — so a pass here means Spark, Python,
+  * and DuckDB agree on the definition. */
+class PortableHashSpec extends AnyFunSuite {
+
+  private val text = "The quick  Brown fox jumps over the lazy dog"
+
+  private def minhashK(t: String, k: Int): Seq[Long] = {
+    val e = PortableHashExprs.PortableMinHash(
+      org.apache.spark.sql.catalyst.expressions.Literal(t), k, 3)
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+  }
+
+  private def simhash(t: String): Long = {
+    val e = PortableHashExprs.PortableSimHash32(
+      org.apache.spark.sql.catalyst.expressions.Literal(t))
+    e.eval(null).asInstanceOf[Long]
+  }
+
+  test("baseHash matches DuckDB CAST('0x'||substr(md5,1,14)) % P") {
+    assert(PortableHashExprs.baseHash("hello world") == 1016957797L)
+  }
+
+  test("hash32 matches DuckDB CAST('0x'||substr(md5,1,8))") {
+    assert(PortableHashExprs.hash32("hello") == 1564557354L)
+  }
+
+  test("affine constants match the SQL formulas") {
+    assert(Seq(0, 1, 2, 3).map(PortableHashExprs.affineA) ==
+      Seq(208426299L, 238199721L, 267973143L, 297746565L))
+    assert(Seq(0, 1, 2, 3).map(PortableHashExprs.affineB) ==
+      Seq(586172550L, 466071652L, 345970754L, 225869856L))
+  }
+
+  test("minhash signature matches Python/DuckDB goldens") {
+    assert(minhashK(text, 8) == Seq(264711929L, 156696338L, 289337183L,
+      301649810L, 34965097L, 110572897L, 338587691L, 179334472L))
+    // fewer tokens than the shingle width → one whole-text shingle
+    assert(minhashK("one two", 8) == Seq(327623370L, 247751046L, 167878722L,
+      88006398L, 8134074L, 2075745397L, 1995873073L, 1916000749L))
+  }
+
+  test("simhash32 matches Python/DuckDB goldens") {
+    assert(simhash(text) == 265567480L)
+    assert(simhash("") == 0L)
+  }
+
+  test("tokenize drops empty tokens and lowercases") {
+    assert(PortableHashExprs.tokenize(
+      UTF8String.fromString("  Hello \t World\nFoo ")).toSeq ==
+      Seq("hello", "world", "foo"))
+    assert(PortableHashExprs.tokenize(UTF8String.fromString("")).isEmpty)
+  }
+
+  test("planeSign is ±1 and balanced-ish over dims") {
+    val signs = (0 until 8).flatMap(i => (0 until 64).map(d =>
+      PortableHashExprs.planeSign(i, d)))
+    assert(signs.forall(s => s == 1.0 || s == -1.0))
+    val pos = signs.count(_ == 1.0)
+    assert(pos > signs.size / 4 && pos < 3 * signs.size / 4)
+  }
+}
