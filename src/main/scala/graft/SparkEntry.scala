@@ -78,6 +78,13 @@ object SparkEntry {
     "fed_limit_offset" -> (Federated.limitOffsetPushdown _),
     "fed_exists" -> (Federated.existsPushdown _),
     "fed_dataframe_api" -> (Federated.dataframeApi _),
+    "fed_window" -> (Federated.windowPushdown _),
+    "fed_rollup" -> (Federated.rollupPushdown _),
+    "fed_distinct_filter_agg" -> (Federated.distinctFilterAgg _),
+    "fed_scalar_subquery" -> (Federated.scalarSubqueryPushdown _),
+    "fed_not_in" -> (Federated.notInPushdown _),
+    "fed_sort_over_limit" -> (Federated.sortOverLimitSubquery _),
+    "fed_expr_surface" -> (Federated.exprSurface _),
   )
 
   /** DuckDB oracles — keys must match [[queries]]; aliases match exactly. */
@@ -126,5 +133,12 @@ object SparkEntry {
     "fed_limit_offset" -> Federated.limitOffsetOracle,
     "fed_exists" -> Federated.existsOracle,
     "fed_dataframe_api" -> Federated.dataframeApiOracle,
+    "fed_window" -> Federated.windowOracle,
+    "fed_rollup" -> Federated.rollupOracle,
+    "fed_distinct_filter_agg" -> Federated.distinctFilterAggOracle,
+    "fed_scalar_subquery" -> Federated.scalarSubqueryOracle,
+    "fed_not_in" -> Federated.notInOracle,
+    "fed_sort_over_limit" -> Federated.sortOverLimitOracle,
+    "fed_expr_surface" -> Federated.exprSurfaceOracle,
   )
 }

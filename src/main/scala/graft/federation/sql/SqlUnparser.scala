@@ -66,6 +66,12 @@ class SqlUnparser(dialect: SqlDialect) {
 
     case SubqueryAlias(_, child) => from(child)
 
+    // Spark's top-k optimization (InferWindowGroupLimit) inserts a
+    // WindowGroupLimit under the Window as a per-partition pre-filter; the
+    // semantic rank Filter above the Window is preserved, so for SQL
+    // generation the node is a transparent pass-through.
+    case p if p.nodeName == "WindowGroupLimit" => from(p.children.head)
+
     case Join(left, right, joinType, cond, _) =>
       joinType match {
         case Inner | Cross | LeftOuter | RightOuter | FullOuter =>

@@ -170,4 +170,153 @@ object Federated {
       |WHERE l_returnflag = 'R'
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
+
+  /** Window functions federate: rank + windowed count inside the fragment
+    * (reference analyzer.rs:410-447 window coverage). */
+  def windowPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn, cnt_pri FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt_pri
+        |  FROM fed_orders
+        |) t WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin)
+
+  val windowOracle: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rn, cnt_pri FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt_pri
+      |  FROM orders
+      |) t WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** ROLLUP federates as GROUP BY GROUPING SETS (reference
+    * analyzer.rs:523-550). */
+  def rollupPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  MAX(o_totalprice) AS max_price
+        |FROM fed_orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+
+  val rollupOracle: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  MAX(o_totalprice) AS max_price
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST,
+      |  o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** DISTINCT and FILTER aggregate modifiers survive federation (reference
+    * analyzer.rs:374-409). */
+  def distinctFilterAgg(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        |  MAX(l_quantity) AS max_qty
+        |FROM fed_lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+
+  val distinctFilterAggOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+      |  CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+      |  MAX(l_quantity) AS max_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Uncorrelated scalar subquery ships inside the fragment (reference
+    * optimizer/mod.rs:285-301). The 0.5*MAX threshold is FP-exact on both
+    * engines (MAX is order-independent, unlike AVG/SUM of doubles). */
+  def scalarSubqueryPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT o_orderkey, o_totalprice
+        |FROM fed_orders
+        |WHERE o_totalprice > (SELECT 0.5 * MAX(o_totalprice) FROM fed_orders)
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25""".stripMargin)
+
+  val scalarSubqueryOracle: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > (SELECT 0.5 * MAX(o_totalprice) FROM orders)
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 25""".stripMargin
+
+  /** NOT IN subquery: Catalyst's null-aware anti join federates via the
+    * NOT EXISTS rendering. */
+  def notInPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT c_custkey, c_mktsegment
+        |FROM fed_customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM fed_orders
+        |                        WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey
+        |LIMIT 30""".stripMargin)
+
+  val notInOracle: String =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey
+      |LIMIT 30""".stripMargin
+
+  /** Sort above an inner LIMIT must keep the limit inside a derived table —
+    * the clause-order regression shape (flattening to 'ORDER BY … LIMIT n'
+    * would pick a different row set). */
+  def sortOverLimitSubquery(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice FROM fed_orders
+        |  ORDER BY o_orderkey LIMIT 100
+        |) t
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin)
+
+  val sortOverLimitOracle: String =
+    """SELECT o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  ORDER BY o_orderkey LIMIT 100
+      |) t
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Expression-surface sweep: CASE/BETWEEN/LIKE/IN/NULLIF/COALESCE/ROUND
+    * through one federated SELECT (reference §2e expression matrix). */
+  def exprSurface(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity BETWEEN 10 AND 20 THEN 'mid'
+        |       WHEN l_quantity < 10 THEN 'low' ELSE 'high' END AS qty_band,
+        |  UPPER(l_returnflag) AS rf,
+        |  COALESCE(NULLIF(l_linestatus, 'O'), 'none') AS ls2,
+        |  ROUND(l_discount * 100, 1) AS disc_pct
+        |FROM fed_lineitem
+        |WHERE l_returnflag IN ('R', 'A')
+        |  AND CAST(l_orderkey AS STRING) LIKE '%7%'
+        |ORDER BY l_orderkey, l_linenumber, rf, disc_pct, qty_band, ls2
+        |LIMIT 40""".stripMargin)
+
+  val exprSurfaceOracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_quantity BETWEEN 10 AND 20 THEN 'mid'
+      |       WHEN l_quantity < 10 THEN 'low' ELSE 'high' END AS qty_band,
+      |  UPPER(l_returnflag) AS rf,
+      |  COALESCE(NULLIF(l_linestatus, 'O'), 'none') AS ls2,
+      |  ROUND(l_discount * 100, 1) AS disc_pct
+      |FROM lineitem
+      |WHERE l_returnflag IN ('R', 'A')
+      |  AND CAST(l_orderkey AS VARCHAR) LIKE '%7%'
+      |ORDER BY l_orderkey, l_linenumber, rf, disc_pct, qty_band, ls2
+      |LIMIT 40""".stripMargin
 }

@@ -294,6 +294,40 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(df) == rows(spark.sql(localized(fedSql))))
   }
 
+  test("window functions federate with PARTITION BY/ORDER BY intact") {
+    setup()
+    val df = Federated.windowPushdown(spark, dir)
+    assert(fedFragments(df).nonEmpty, "window query did not federate:\n" +
+      df.queryExecution.optimizedPlan)
+    val scan = df.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("RemoteScan")).getOrElse("")
+    assert(scan.contains("OVER (PARTITION BY"),
+      s"window not in remote SQL: $scan")
+    val localSql =
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn, cnt_pri FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt_pri
+        |  FROM orders
+        |) t WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin
+    assert(rows(df) == rows(spark.sql(localSql)))
+  }
+
+  test("NOT IN subquery federates as null-aware anti join") {
+    setup()
+    val df = Federated.notInPushdown(spark, dir)
+    assert(fedFragments(df).nonEmpty)
+    assert(rows(df) == rows(spark.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey
+        |LIMIT 30""".stripMargin)))
+  }
+
   // ---- executor hooks & multi-executor catalog (SURVEY §2d) ----
 
   test("sqlRewriter hook is applied to the generated SQL exactly once") {
