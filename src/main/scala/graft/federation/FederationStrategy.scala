@@ -28,7 +28,8 @@ object FederationStrategy extends SparkStrategy {
           throw new IllegalStateException(
             s"cannot plan federation for provider ${other.name}")
       }
-      RemoteScanExec(f.output, provider.unparse(f.inner), provider.executor) :: Nil
+      RemoteScanExec(f.output, provider.unparseSplits(f.inner),
+        provider.executor) :: Nil
 
     case r: RemoteRelation =>
       val sql = new SqlUnparser(r.executor.dialect)

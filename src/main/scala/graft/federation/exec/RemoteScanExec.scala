@@ -9,34 +9,53 @@ import org.apache.spark.sql.types.StructType
 
 import graft.federation.sql.SqlExecutor
 
-/** Physical leaf that ships `sql` to a remote engine and streams rows back
+/** Physical leaf that ships SQL to a remote engine and streams rows back
   * — the Spark analog of the reference's `VirtualExecutionPlan` (+ its
   * `SchemaCastScanExec` wrapper; coercion happens inside the executor's
   * `execute`, see [[graft.federation.sql.SchemaCoercion]]).
   *
+  * `sqls` holds one query per remote cursor: a single fragment SQL in the
+  * common case, or n disjoint split queries for a splittable fragment on a
+  * split-capable executor ([[graft.federation.sql.SplitScan]]) — the
+  * resulting RDD is the union, so downstream operators consume n-way
+  * parallel input (n tasks each holding one remote cursor on a cluster).
+  *
   * The generated SQL appears in EXPLAIN (the reference displays it the
-  * same way, src/sql/mod.rs:348-369). Partitioning is delegated to the
-  * executor: JDBC-style executors may parallelize via split predicates; the
-  * in-process mock inherits the inner plan's partitions.
+  * same way, src/sql/mod.rs:348-369).
   */
 final case class RemoteScanExec(
     override val output: Seq[Attribute],
-    sql: String,
+    sqls: Seq[String],
     @transient executor: SqlExecutor)
   extends LeafExecNode {
   // @transient: physical plans are captured in task closures (whole-stage
   // codegen, broadcast); the executor is only dereferenced driver-side in
   // doExecute, and remote engines aren't java-serializable.
 
+  require(sqls.nonEmpty, "RemoteScanExec needs at least one query")
+
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val rows = metrics("numOutputRows")
-    executor.execute(sql, org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(output))
-      .mapPartitions { it => it.map { r => rows += 1; r } }
+    val schema =
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(output)
+    val rdd = sqls match {
+      case Seq(one) => executor.execute(one, schema)
+      case many => sparkContext.union(many.map(executor.execute(_, schema)))
+    }
+    rdd.mapPartitions { it => it.map { r => rows += 1; r } }
   }
 
-  override def simpleString(maxFields: Int): String =
-    s"RemoteScan [${executor.name}] sql=$sql"
+  override def simpleString(maxFields: Int): String = {
+    val split = if (sqls.size > 1) s" splits=${sqls.size}" else ""
+    s"RemoteScan [${executor.name}]$split sql=${sqls.head}"
+  }
+}
+
+object RemoteScanExec {
+  def apply(output: Seq[Attribute], sql: String,
+      executor: SqlExecutor): RemoteScanExec =
+    RemoteScanExec(output, Seq(sql), executor)
 }

@@ -38,6 +38,12 @@ trait SqlExecutor {
   /** Optional per-table statistics so Spark can plan broadcasts. */
   def statistics(ref: RemoteTableRef): Option[Statistics] = None
 
+  /** Number of parallel remote cursors to open for a splittable fragment
+    * (see [[SplitScan]]). 1 = a single remote query. A JDBC executor would
+    * size this from the remote table's row count and the cluster's task
+    * slots, like Spark JDBC's `numPartitions`. */
+  def splitCount: Int = 1
+
   /** Optional hook: rewrite the generated SQL string just before execution
     * (reference `sql_query_rewriter`, src/sql/table.rs:33-45). */
   def sqlRewriter: String => String = identity
@@ -64,8 +70,11 @@ final class SparkSqlExecutor(
     context: String,
     hookPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = identity,
-    hookSql: String => String = identity)
+    hookSql: String => String = identity,
+    numSplits: Int = 1)
   extends SqlExecutor {
+
+  override def splitCount: Int = numSplits
 
   override def planRewriter: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = hookPlan

@@ -41,6 +41,23 @@ final class SqlFederationProvider(val executor: SqlExecutor)
     * final_sql() chain (src/sql/mod.rs:207-232). */
   def unparse(plan: LogicalPlan): String =
     executor.sqlRewriter(new SqlUnparser(executor.dialect).unparse(hooked(plan)))
+
+  /** The fragment's final SQL texts, one per remote cursor: a splittable
+    * fragment on an executor with `splitCount` n > 1 yields n disjoint
+    * split queries ([[SplitScan]]); anything else yields the single SQL. */
+  def unparseSplits(plan: LogicalPlan): Seq[String] = {
+    val p = hooked(plan)
+    val n = executor.splitCount
+    val col = if (n > 1) SplitScan.splitColumn(p) else None
+    col match {
+      case Some(c) =>
+        (0 until n).map { i =>
+          executor.sqlRewriter(new SqlUnparser(executor.dialect)
+            .unparse(SplitScan.withSplitFilter(p, c, n, i)))
+        }
+      case None => Seq(unparse(plan))
+    }
+  }
 }
 
 object SqlFederationProvider {

@@ -396,6 +396,68 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().head.getLong(0) > 0)
   }
 
+  // ---- scale: split reads & stats-driven planning (SURVEY §7.4 risk 7) ----
+
+  test("splittable fragment fans out into n disjoint remote cursors") {
+    setup()
+    val split3 = new graft.federation.sql.SparkSqlExecutor(
+      "split3", spark.newSession(),
+      Map("orders" -> s"$dir/orders.parquet"),
+      context = s"split3@$dir", numSplits = 3)
+    graft.federation.Federation.registerRemoteTable(
+      spark, "split_orders", "orders", split3)
+    val df = spark.sql(
+      "SELECT o_orderkey, o_totalprice FROM split_orders WHERE o_totalprice > 1000")
+    assert(fedFragments(df).nonEmpty)
+    val scans = df.queryExecution.executedPlan.collect {
+      case r: graft.federation.exec.RemoteScanExec => r
+    }
+    assert(scans.nonEmpty && scans.head.sqls.size == 3,
+      s"expected 3 split queries: ${scans.map(_.sqls)}")
+    assert(scans.head.sqls.forall(_.contains("% 3")),
+      s"split predicate missing: ${scans.head.sqls}")
+    // union of the splits == the unsplit result
+    val expected = spark.sql(
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 1000")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      expected.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("order-sensitive fragments are never split") {
+    setup()
+    val split3 = new graft.federation.sql.SparkSqlExecutor(
+      "split3b", spark.newSession(),
+      Map("orders" -> s"$dir/orders.parquet"),
+      context = s"split3b@$dir", numSplits = 3)
+    graft.federation.Federation.registerRemoteTable(
+      spark, "split_orders_b", "orders", split3)
+    val df = spark.sql(
+      "SELECT o_orderkey FROM split_orders_b ORDER BY o_totalprice DESC LIMIT 5")
+    val scans = df.queryExecution.executedPlan.collect {
+      case r: graft.federation.exec.RemoteScanExec => r
+    }
+    assert(scans.nonEmpty && scans.head.sqls.size == 1,
+      s"limit/sort fragment must stay a single cursor: ${scans.map(_.sqls)}")
+    assert(rows(df) == rows(spark.sql(
+      "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC LIMIT 5")))
+  }
+
+  test("remote statistics drive broadcast-join selection") {
+    setup()
+    // fed_nation is tiny; its stats flow RemoteRelation.computeStats →
+    // FederatedPlan.computeStats → join planning, so the local join side
+    // should broadcast the federated fragment
+    val df = spark.sql(
+      """SELECT n.n_name, COUNT(*) AS n_orders
+        |FROM orders o JOIN fed_customer c ON o.o_custkey = c.c_custkey
+        |JOIN fed_nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+    val planStr = df.queryExecution.executedPlan.toString()
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"small federated fragment should broadcast:\n$planStr")
+    assert(df.collect().nonEmpty)
+  }
+
   test("AnsiDialect emits explicit NULLS FIRST when Spark default differs") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.dsl.plans._
