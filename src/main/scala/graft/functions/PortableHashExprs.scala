@@ -157,6 +157,24 @@ object PortableHashExprs {
       copy(child = c)
   }
 
+  /** Word shingles as a native single-pass kernel (array<string>) — the
+    * exact shingle construction [[PortableMinHash]] hashes, exposed for the
+    * verify stage's exact-Jaccard joins. The higher-order-function
+    * formulation (transform over slices with concat_ws) evaluates an
+    * interpreted lambda per (row × shingle); this is one compiled pass. */
+  case class PortableShingles(child: Expression, shingleWidth: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "portable_shingles"
+
+    override def nullSafeEval(input: Any): Any = {
+      val sh = shingles(tokenize(input.asInstanceOf[UTF8String]), shingleWidth)
+      new GenericArrayData(sh.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+    }
+    override protected def withNewChildInternal(c: Expression): PortableShingles =
+      copy(child = c)
+  }
+
   /** Deterministic ±1 hyperplane component for bit `i`, dimension `d` —
     * a two-round LCG on (i, d), identical in SQL:
     * r1 = (1103515245*(i*8191 + d + 1) + 12345) % P
@@ -210,6 +228,9 @@ object PortableHashExprs {
 
   def portable_simhash32(c: Column): Column =
     column(PortableSimHash32(expression(c)))
+
+  def portable_shingles(c: Column, shingleWidth: Int = 3): Column =
+    column(PortableShingles(expression(c), shingleWidth))
 
   def portable_sign_sketch(c: Column, bits: Int = 8): Column =
     column(PortableSignSketch(expression(c), bits))

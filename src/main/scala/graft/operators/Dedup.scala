@@ -57,16 +57,12 @@ object Dedup {
   val Bands = 16
   val BandRows: Int = NumHashes / Bands // 4
 
-  /** Word n-gram shingles of the tokenized text — tokenization matches
-    * [[PortableHashExprs.tokenize]] (lowercase, split on \s+, drop empty
-    * tokens; fewer than `n` tokens degrade to one whole-text shingle). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles of the tokenized text — the exact construction
+    * [[PortableHashExprs.PortableMinHash]] hashes (lowercase, split on
+    * \s+, drop empty tokens; fewer than `n` tokens degrade to one
+    * whole-text shingle), as a native single-pass kernel. */
+  def shingles(text: Column, n: Int = 3): Column =
+    PortableHashExprs.portable_shingles(text, n)
 
   /** 64-wide engine-portable MinHash signature (single-pass native kernel,
     * one MD5 per shingle — see [[PortableHashExprs]] for the exact portable

@@ -41,13 +41,21 @@ object StreamOps {
     * tests and the `stream_hourly` query entry. */
   def runToMemory(spark: SparkSession, dir: String,
       name: String = "stream_out"): DataFrame = {
-    val q: StreamingQuery = hourlyRollupStream(spark, dir).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // The stateful aggregation keys (hour × event_type) number in the low
+    // thousands; 32 state partitions would mean 32 state-store checkpoints
+    // per batch for no parallelism benefit. Shuffle-partition count is
+    // captured at stream start, so narrow it just for this query.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q: StreamingQuery = hourlyRollupStream(spark, dir).writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }
