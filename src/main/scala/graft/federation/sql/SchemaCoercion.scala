@@ -40,6 +40,11 @@ object SchemaCoercion {
       case (StringType, at: ArrayType) => from_json(c, at)
       case (StringType, st: StructType) => from_json(c, st)
       case (StringType, mt: MapType) => from_json(c, mt)
+      // strict interval narrowing (reference intervals_cast.rs:11-75)
+      case (CalendarIntervalType, _: YearMonthIntervalType) =>
+        IntervalCast.toYearMonth(c)
+      case (CalendarIntervalType, _: DayTimeIntervalType) =>
+        IntervalCast.toDayTime(c)
       case _ => c.cast(dst)
     }
 }
