@@ -1,54 +1,57 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
+/** Ad-hoc profiling main (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    graft.federation.FederationHarness.setup(spark, dir)
+    spark.sparkContext.setLogLevel("WARN")
 
-    val df = spark.sql(
-      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-        |FROM fed_orders
-        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)
-    println("=== ROLLUP optimized ===")
-    println(df.queryExecution.optimizedPlan.treeString)
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
 
-    val df2 = spark.sql(
-      """SELECT o_orderstatus, COUNT(*) AS n
-        |FROM fed_orders
-        |GROUP BY GROUPING SETS ((o_orderstatus), ())""".stripMargin)
-    println("=== GROUPING SETS optimized ===")
-    println(df2.queryExecution.optimizedPlan.treeString)
+    // warmup
+    spark.range(1000000).selectExpr("sum(id % 7)").collect()
+    graft.sources.Tables.documents(spark, dir).count()
 
-    val df3 = spark.sql(
-      """SELECT o_orderstatus, GROUPING(o_orderstatus) AS g, COUNT(*) AS n
-        |FROM fed_orders GROUP BY CUBE (o_orderstatus)""".stripMargin)
-    println("=== CUBE + GROUPING optimized ===")
-    println(df3.queryExecution.optimizedPlan.treeString)
-
-    // scalar subquery shape
-    val df4 = spark.sql(
-      """SELECT o_orderkey FROM fed_orders
-        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM fed_orders)
-        |LIMIT 5""".stripMargin)
-    println("=== scalar subquery optimized ===")
-    println(df4.queryExecution.optimizedPlan.treeString)
-
-    // IN subquery shape
-    val df5 = spark.sql(
-      """SELECT c_custkey FROM fed_customer
-        |WHERE c_custkey IN (SELECT o_custkey FROM fed_orders WHERE o_orderstatus = 'F')
-        |LIMIT 5""".stripMargin)
-    println("=== IN subquery optimized ===")
-    println(df5.queryExecution.optimizedPlan.treeString)
-
+    time("signatures only") {
+      graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          operators.Dedup.minhashSignature(col("text")).as("sig"))
+        .count()
+    }
+    time("candidates(0.5)") {
+      operators.Dedup.minhashCandidates(spark, dir, 0.5).count()
+    }
+    time("candidates again (sig cached)") {
+      operators.Dedup.minhashCandidates(spark, dir, 0.5).count()
+    }
+    time("shingle sets only") {
+      graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          array_distinct(operators.Dedup.shingles(col("text"))).as("sh"))
+        .count()
+    }
+    time("full ngramJaccard") {
+      operators.Dedup.ngramJaccard(spark, dir).count()
+    }
+    time("full ngramJaccard again") {
+      operators.Dedup.ngramJaccard(spark, dir).count()
+    }
+    println("[scratch] candidate count = " +
+      operators.Dedup.minhashCandidates(spark, dir, 0.5).count())
     spark.stop()
   }
 }

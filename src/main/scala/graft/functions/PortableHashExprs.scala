@@ -175,6 +175,32 @@ object PortableHashExprs {
       copy(child = c)
   }
 
+  /** Count of positions where two equal-length long arrays agree — the
+    * MinHash signature-agreement kernel (estimated Jaccard = agreement /
+    * numHashes). Replaces an interpreted zip_with+filter+size chain with
+    * one compiled pass per candidate pair. */
+  case class SigAgreement(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sig_agreement"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var c = 0
+      var i = 0
+      while (i < n) {
+        if (a.getLong(i) == b.getLong(i)) c += 1
+        i += 1
+      }
+      java.lang.Integer.valueOf(c)
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): SigAgreement = copy(left = l, right = r)
+  }
+
   /** Deterministic ±1 hyperplane component for bit `i`, dimension `d` —
     * a two-round LCG on (i, d), identical in SQL:
     * r1 = (1103515245*(i*8191 + d + 1) + 12345) % P
@@ -231,6 +257,9 @@ object PortableHashExprs {
 
   def portable_shingles(c: Column, shingleWidth: Int = 3): Column =
     column(PortableShingles(expression(c), shingleWidth))
+
+  def sig_agreement(a: Column, b: Column): Column =
+    column(SigAgreement(expression(a), expression(b)))
 
   def portable_sign_sketch(c: Column, bits: Int = 8): Column =
     column(PortableSignSketch(expression(c), bits))

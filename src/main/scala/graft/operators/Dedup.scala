@@ -110,8 +110,8 @@ object Dedup {
     l.join(r, Seq("band", "bkey")).filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
-          b => b)).cast("double") / NumHashes)
+        PortableHashExprs.sig_agreement(col("a_sig"), col("b_sig"))
+          .cast("double") / NumHashes)
       .filter(col("est_jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
