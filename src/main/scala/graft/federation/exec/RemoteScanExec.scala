@@ -45,7 +45,14 @@ final case class RemoteScanExec(
       case Seq(one) => executor.execute(one, schema)
       case many => sparkContext.union(many.map(executor.execute(_, schema)))
     }
-    rdd.mapPartitions { it => it.map { r => rows += 1; r } }
+    // executors may emit generic rows (e.g. JDBC conversion); downstream
+    // operators require UnsafeRow, so project per partition
+    val types = output.map(_.dataType)
+    rdd.mapPartitions { it =>
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(types.toArray)
+      it.map { r => rows += 1; proj(r) }
+    }
   }
 
   override def simpleString(maxFields: Int): String = {

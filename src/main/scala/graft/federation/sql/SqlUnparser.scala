@@ -659,8 +659,12 @@ class SqlUnparser(dialect: SqlDialect) {
 }
 
 object SqlUnparser {
-  /** Probe whether a fragment unparses in the given dialect. */
+  /** Probe whether a fragment unparses in the given dialect. Dialect
+    * hooks signal inexpressible constructs with either exception type. */
   def tryUnparse(plan: LogicalPlan, dialect: SqlDialect): Option[String] =
     try Some(new SqlUnparser(dialect).unparse(plan))
-    catch { case _: UnparseUnsupported => None }
+    catch {
+      case _: UnparseUnsupported => None
+      case _: UnsupportedOperationException => None
+    }
 }
