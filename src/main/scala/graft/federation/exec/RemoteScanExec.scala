@@ -46,12 +46,19 @@ final case class RemoteScanExec(
       case many => sparkContext.union(many.map(executor.execute(_, schema)))
     }
     // executors may emit generic rows (e.g. JDBC conversion); downstream
-    // operators require UnsafeRow, so project per partition
+    // operators require UnsafeRow. Rows that already are unsafe (the mock
+    // executor's toRdd) pass through without a copy.
     val types = output.map(_.dataType)
     rdd.mapPartitions { it =>
       val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(types.toArray)
-      it.map { r => rows += 1; proj(r) }
+      it.map { r =>
+        rows += 1
+        r match {
+          case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow => u
+          case other => proj(other)
+        }
+      }
     }
   }
 
