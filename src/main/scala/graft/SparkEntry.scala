@@ -85,6 +85,11 @@ object SparkEntry {
     "fed_not_in" -> (Federated.notInPushdown _),
     "fed_sort_over_limit" -> (Federated.sortOverLimitSubquery _),
     "fed_expr_surface" -> (Federated.exprSurface _),
+    "fed_jdbc_suppliers" -> (Federated.jdbcSuppliers _),
+    // --- sampling / exact analytics ---
+    "samp_hash_10pct" -> (Sampling.hashSample _),
+    "samp_stats" -> (Sampling.sampleStats _),
+    "ev_value_median" -> (EventOps.valueMedian _),
   )
 
   /** DuckDB oracles — keys must match [[queries]]; aliases match exactly. */
@@ -140,5 +145,9 @@ object SparkEntry {
     "fed_not_in" -> Federated.notInOracle,
     "fed_sort_over_limit" -> Federated.sortOverLimitOracle,
     "fed_expr_surface" -> Federated.exprSurfaceOracle,
+    "fed_jdbc_suppliers" -> Federated.jdbcSuppliersOracle,
+    "samp_hash_10pct" -> Sampling.hashSampleOracle,
+    "samp_stats" -> Sampling.sampleStatsOracle,
+    "ev_value_median" -> EventOps.valueMedianOracle,
   )
 }

@@ -160,6 +160,10 @@ object DerbyDialect extends SqlDialect {
   override val name = "derby"
   override def quote(ident: String): String =
     "\"" + ident.replace("\"", "\"\"") + "\""
+  // unquoted identifiers fold to upper case on lookup, so an unquoted
+  // emission of a metadata-derived name only matches by accident — quote
+  // everything
+  override def quoteIfNeeded(ident: String): String = quote(ident)
   override def supportsFilterClause: Boolean = false
   override def regexpMatch(input: String, pattern: String): String =
     throw new UnparseUnsupported("derby has no regexp predicate")

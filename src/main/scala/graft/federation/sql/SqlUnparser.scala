@@ -53,9 +53,12 @@ class SqlUnparser(dialect: SqlDialect) {
   private def from(plan: LogicalPlan): From = plan match {
     case r: RemoteRelation =>
       val alias = freshAlias()
+      // the alias is quoted identically in FROM and in column references —
+      // engines that case-fold unquoted identifiers (Derby) would otherwise
+      // see two different names
       val base = r.ref.args match {
         case Some(_) => r.ref.sql(dialect) // carries its own alias
-        case None => s"${r.ref.sql(dialect)} AS $alias"
+        case None => s"${r.ref.sql(dialect)} AS ${q(alias)}"
       }
       val names = r.ref.args match {
         case Some(_) => r.ref.parts.last
@@ -107,9 +110,9 @@ class SqlUnparser(dialect: SqlDialect) {
             .map { case (a, n) => s"${fl.scope(a.exprId)} AS ${q(n)}" }
           val alias = freshAlias()
           val sql = s"(SELECT ${itemsSql(items)} FROM ${fl.text} " +
-            s"WHERE $existsKw (SELECT 1 FROM ${fr.text} WHERE $condSql)) AS $alias"
+            s"WHERE $existsKw (SELECT 1 FROM ${fr.text} WHERE $condSql)) AS ${q(alias)}"
           From(sql, left.output.zip(names).map { case (a, n) =>
-            a.exprId -> s"$alias.${q(n)}" }.toMap)
+            a.exprId -> s"${q(alias)}.${q(n)}" }.toMap)
 
         case other => fail(s"join type $other")
       }
@@ -119,9 +122,9 @@ class SqlUnparser(dialect: SqlDialect) {
     case other if isSelectable(other) =>
       val sel = select(other)
       val alias = freshAlias()
-      From(s"(${sel.sql}) AS $alias",
+      From(s"(${sel.sql}) AS ${q(alias)}",
         other.output.zip(sel.names).map { case (a, n) =>
-          a.exprId -> s"$alias.${q(n)}" }.toMap)
+          a.exprId -> s"${q(alias)}.${q(n)}" }.toMap)
 
     case other => fail(s"plan node ${other.getClass.getSimpleName}")
   }

@@ -131,6 +131,39 @@ object EventOps {
       .orderBy(col("user_id"), col("purchase_id"))
   }
 
+  /** Exact per-group median of `value` — computed from an explicit
+    * deterministic rank (value, event_id tiebreak) instead of an
+    * engine-specific percentile function, so any SQL engine reproduces it
+    * bit-for-bit: median = mean of the one or two middle-ranked rows. */
+  def valueMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(cnt+1) div 2") ||
+        col("rn") === expr("(cnt+2) div 2"))
+      .groupBy(col("event_type"))
+      .agg(((min(col("value")) + max(col("value"))) / 2).as("median_value"),
+        min(col("cnt")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val valueMedianOracle: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM events
+      |)
+      |SELECT event_type, (MIN(value) + MAX(value)) / 2 AS median_value,
+      |  MIN(cnt) AS n_events
+      |FROM ranked
+      |WHERE rn = (cnt+1)//2 OR rn = (cnt+2)//2
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val asofOracle: String =
     """SELECT p.user_id, p.event_id AS purchase_id,
       |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,

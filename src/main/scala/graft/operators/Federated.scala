@@ -171,6 +171,23 @@ object Federated {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  /** The REAL JDBC path under the correctness gate: supplier/nation live in
+    * an embedded Derby database, and the join+aggregate federates into one
+    * Derby SQL shipped over an actual JDBC connection
+    * ([[graft.federation.jdbc.JdbcSqlExecutor]]). */
+  def jdbcSuppliers(s: SparkSession, dir: String): DataFrame =
+    graft.federation.jdbc.JdbcHarness.sql(s, dir,
+      """SELECT n_name, COUNT(*) AS n_suppliers, MAX(s_acctbal) AS top_bal
+        |FROM jdbc_supplier JOIN jdbc_nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+
+  val jdbcSuppliersOracle: String =
+    """SELECT n_name, COUNT(*) AS n_suppliers, MAX(s_acctbal) AS top_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   /** Window functions federate: rank + windowed count inside the fragment
     * (reference analyzer.rs:410-447 window coverage). */
   def windowPushdown(s: SparkSession, dir: String): DataFrame =
