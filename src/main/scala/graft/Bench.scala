@@ -31,8 +31,10 @@ object Bench {
       graft.sources.Tables.table(spark, sfDir, t).count()
     }
     // federation catalog bootstrap (remote-view registration + one-shot
-    // schema inference) is session setup, not query cost
+    // schema inference; Derby load for the JDBC path) is session setup,
+    // not query cost
     graft.federation.FederationHarness.setup(spark, sfDir)
+    graft.federation.jdbc.JdbcHarness.executor(spark, sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

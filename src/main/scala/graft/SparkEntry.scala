@@ -69,6 +69,9 @@ object SparkEntry {
     "stream_hourly" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runToMemory(s, d)
         .orderBy(col("hour"), col("event_type"))),
+    "stream_sessionize" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runSessionizeToMemory(s, d)
+        .orderBy(col("user_id"), col("session_seq"))),
     // --- federation engine (the reference's core capability) ---
     "fed_q1_pushdown" -> (Federated.q1Pushdown _),
     "fed_q3_join" -> (Federated.q3JoinPushdown _),
@@ -109,6 +112,8 @@ object SparkEntry {
     "ev_sessionize" -> EventOps.sessionizeOracle,
     "ev_props_histogram" -> EventOps.propsHistogramOracle,
     "ev_asof_signup" -> EventOps.asofOracle,
+    // single-batch streaming sessionization equals batch sessionization
+    "stream_sessionize" -> EventOps.sessionizeOracle,
     "text_token_stats" -> TextOps.tokenStatsOracle,
     "text_quality_score" -> TextOps.qualityScoreOracle,
     "text_lang_id" -> TextOps.langIdOracle,

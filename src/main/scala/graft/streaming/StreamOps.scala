@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.sources.Tables
 
@@ -39,6 +39,87 @@ object StreamOps {
   /** Run the streaming rollup to completion against the (static) test
     * directory via the in-memory sink; returns the finished table. Used by
     * tests and the `stream_hourly` query entry. */
+  /** One event as consumed by the stateful sessionizer (micros since
+    * epoch — interval math on longs, converted to timestamps on output). */
+  case class SessEvent(user_id: Long, event_id: Long, ts_us: Long)
+  /** Open-session state carried across micro-batches per user. */
+  case class SessState(seq: Long, startUs: Long, lastUs: Long, n: Long)
+  case class SessOut(user_id: Long, session_seq: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  private val GapUs = 30L * 60 * 1000 * 1000
+
+  /** Streaming sessionization with explicit carry-over state —
+    * `flatMapGroupsWithState`, the custom-state API the reference family
+    * has no analog for. Each batch merges the user's open session with the
+    * batch's (sorted) events and emits every session seen so far in final
+    * form, including the still-open trailing session; state keeps the
+    * trailing session so a subsequent batch extends it. On a static input
+    * (one micro-batch — the driver gate) the emitted set is exactly the
+    * batch sessionization. A production continuous deployment would emit
+    * the trailing session on an event-time timeout instead of eagerly —
+    * the state plumbing is identical.
+    */
+  def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = Tables.eventsRaw(spark, dir).schema
+    val evs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .as[SessEvent]
+
+    val sessions = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var cur = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+          for (e <- sorted) {
+            if (cur == null) {
+              cur = SessState(1L, e.ts_us, e.ts_us, 1L)
+            } else if (e.ts_us - cur.lastUs > GapUs) {
+              out += SessOut(uid, cur.seq, cur.n, cur.startUs, cur.lastUs)
+              cur = SessState(cur.seq + 1, e.ts_us, e.ts_us, 1L)
+            } else {
+              cur = cur.copy(lastUs = e.ts_us, n = cur.n + 1)
+            }
+          }
+          if (cur != null) {
+            state.update(cur)
+            out += SessOut(uid, cur.seq, cur.n, cur.startUs, cur.lastUs)
+          }
+          out.iterator
+      }
+    sessions.toDF()
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        timestamp_micros(col("start_us")).cast("timestamp_ntz")
+          .as("session_start"),
+        timestamp_micros(col("end_us")).cast("timestamp_ntz")
+          .as("session_end"))
+  }
+
+  /** Run the streaming sessionizer to completion; returns the finished
+    * session table (gate query `stream_sessionize`). */
+  def runSessionizeToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_sess_out"): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = sessionizeStream(spark, dir).writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
+  }
+
   def runToMemory(spark: SparkSession, dir: String,
       name: String = "stream_out"): DataFrame = {
     // The stateful aggregation keys (hour × event_type) number in the low
