@@ -49,6 +49,25 @@ object StreamOps {
 
   private val GapUs = 30L * 60 * 1000 * 1000
 
+  /** State-store checkpoints are latency-bound by fsync of many small
+    * delta files; put them on tmpfs when available (the state here is
+    * kilobytes — at production scale a durable checkpoint dir is the
+    * right call and this helper is bypassed by passing one explicitly). */
+  private def scratchCheckpoint(name: String): String = {
+    val base =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
+        System.getProperty("java.io.tmpdir")
+    s"$base/graft_ckpt_${name}_${java.util.UUID.randomUUID()}"
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+      f.delete(): Unit
+    }
+    rec(new java.io.File(path))
+  }
+
   /** Streaming sessionization with explicit carry-over state —
     * `flatMapGroupsWithState`, the custom-state API the reference family
     * has no analog for. Each batch merges the user's open session with the
@@ -108,15 +127,20 @@ object StreamOps {
       name: String = "stream_sess_out"): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val ckpt = scratchCheckpoint(name)
     try {
       val q = sessionizeStream(spark, dir).writeStream
         .outputMode("append")
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", ckpt)
         .start()
       q.processAllAvailable()
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      deleteRecursively(ckpt)
+    }
     spark.table(name)
   }
 
@@ -128,15 +152,20 @@ object StreamOps {
     // captured at stream start, so narrow it just for this query.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val ckpt = scratchCheckpoint(name)
     try {
       val q: StreamingQuery = hourlyRollupStream(spark, dir).writeStream
         .outputMode("complete")
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", ckpt)
         .start()
       q.processAllAvailable()
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      deleteRecursively(ckpt)
+    }
     spark.table(name)
   }
 }
