@@ -1,57 +1,38 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Ad-hoc profiling main (not part of the driver contract). */
+/** Ad-hoc plan-audit main (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    val audited = Seq(
+      "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
+      "q10_returned_items", "ev_sessionize", "dedup_minhash",
+      "sim_bruteforce_topk", "samp_hash_10pct")
 
-    // warmup
-    spark.range(1000000).selectExpr("sum(id % 7)").collect()
-    graft.sources.Tables.documents(spark, dir).count()
-
-    time("signatures only") {
-      graft.sources.Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          operators.Dedup.minhashSignature(col("text")).as("sig"))
-        .count()
+    for (name <- audited) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.count() // let AQE finalize
+      val plan = df.queryExecution.executedPlan.toString()
+      def count(s: String) = plan.sliding(s.length).count(_ == s)
+      println(s"=== $name ===")
+      println(s"  broadcasts=${count("BroadcastHashJoin")} " +
+        s"smj=${count("SortMergeJoin")} " +
+        s"exchanges=${count("Exchange")} " +
+        s"codegenSpans=${count("WholeStageCodegen")}")
+      plan.linesIterator
+        .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
+        .take(6).foreach(l => println("  " + l.trim.take(160)))
     }
-    time("candidates(0.5)") {
-      operators.Dedup.minhashCandidates(spark, dir, 0.5).count()
-    }
-    time("candidates again (sig cached)") {
-      operators.Dedup.minhashCandidates(spark, dir, 0.5).count()
-    }
-    time("shingle sets only") {
-      graft.sources.Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          array_distinct(operators.Dedup.shingles(col("text"))).as("sh"))
-        .count()
-    }
-    time("full ngramJaccard") {
-      operators.Dedup.ngramJaccard(spark, dir).count()
-    }
-    time("full ngramJaccard again") {
-      operators.Dedup.ngramJaccard(spark, dir).count()
-    }
-    println("[scratch] candidate count = " +
-      operators.Dedup.minhashCandidates(spark, dir, 0.5).count())
     spark.stop()
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-shape regressions: the properties that make the operators hold at
+  * 100 TB — broadcasts for dimension joins, filter pushdown reaching the
+  * parquet scans, column pruning — asserted on the executed (post-AQE)
+  * plans so a rewrite that silently degrades them fails here. */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-audit")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.count() // let AQE finalize
+    df.queryExecution.executedPlan.toString()
+  }
+
+  private def count(plan: String, needle: String): Int =
+    plan.sliding(needle.length).count(_ == needle)
+
+  test("q3: all dimension joins broadcast, no sort-merge join") {
+    val p = finalPlan("q3_shipping_priority")
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("q5: five-way star join is all-broadcast") {
+    val p = finalPlan("q5_local_supplier")
+    assert(count(p, "BroadcastHashJoin") >= 5, p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("q6: shipdate/discount/quantity filters reach the parquet scan") {
+    val p = finalPlan("q6_forecast_revenue")
+    val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("l_shipdate") && scan.contains("l_discount"), scan)
+    // column pruning: only the four needed columns are read
+    assert(!scan.contains("l_orderkey"), scan)
+  }
+
+  test("deterministic sample pushes its hash-bucket predicate into the scan") {
+    val p = finalPlan("samp_hash_10pct")
+    val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("md5"), s"bucket filter not pushed: $scan")
+    assert(!scan.contains("text"), s"text must be pruned: $scan")
+  }
+
+  test("brute-force top-k broadcasts the query side, never the corpus") {
+    val p = finalPlan("sim_bruteforce_topk")
+    assert(count(p, "BroadcastNestedLoopJoin") +
+      count(p, "BroadcastHashJoin") >= 1, p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("sessionize shuffles once on user_id before the window") {
+    val p = finalPlan("ev_sessionize")
+    // one exchange for the per-user window, one for the final ordering
+    assert(count(p, "Exchange") <= 2, p)
+  }
+}
