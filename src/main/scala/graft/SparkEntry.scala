@@ -43,6 +43,8 @@ object SparkEntry {
     "text_quality_score" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
     "text_fingerprint" -> (TextOps.fingerprintMd5 _),
+    "text_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      TextOps.heavyHitters(s, d)),
     // --- dedup family ---
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
@@ -118,6 +120,7 @@ object SparkEntry {
     "text_quality_score" -> TextOps.qualityScoreOracle,
     "text_lang_id" -> TextOps.langIdOracle,
     "text_fingerprint" -> TextOps.fingerprintOracle,
+    "text_heavy_hitters" -> TextOps.heavyHittersOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_minhash" -> Dedup.minhashOracle,
     "dedup_simhash" -> Dedup.simhashOracle,

@@ -171,4 +171,65 @@ object TextOps {
       col("doc_id"), md5(norm).as("content_md5"))
       .orderBy(col("doc_id"))
   }
+
+  /** Heavy-hitter tokens via a distributed Count-Min sketch
+    * ([[graft.functions.CountMinSketch.CountMinAgg]], a typed Aggregator:
+    * per-partition partial sketches, elementwise-sum merge). Output: the
+    * top tokens by exact count alongside the sketch's estimate — the
+    * estimate is recomputed independently by the SQL oracle from the same
+    * portable hash family, so over-count behavior is verified, not
+    * assumed. Exact counts for the report come from a groupBy (fine for a
+    * top-k report; the sketch is the scale path when the key domain does
+    * not fit an exact aggregation). */
+  def heavyHitters(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    import graft.functions.{CountMinSketch, PortableHashExprs}
+    val depth = 4
+    val width = 1024
+    val toks = documents(s, dir)
+      .select(explode(PortableHashExprs.portable_shingles(col("text"), 1))
+        .as("tok"))
+      .filter(col("tok") =!= "")
+    val sketch = toks.as[String]
+      .select(new CountMinSketch.CountMinAgg(depth, width).toColumn).head()
+    val top = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("tok"))
+      .limit(k).collect()
+    val rows = top.toSeq.map { r =>
+      val t = r.getString(0)
+      (t, r.getLong(1), CountMinSketch.estimate(sketch, t, depth, width))
+    }
+    rows.toDF("token", "true_count", "est_count")
+      .orderBy(col("true_count").desc, col("token"))
+  }
+
+  /** DuckDB rebuild of the sketch: same tokens, same bucket formula, same
+    * min-over-rows estimate. */
+  val heavyHittersOracle: String =
+    """WITH toks AS (
+      |  SELECT unnest([x FOR x IN string_split_regex(lower(text), '\s+') IF x <> '']) AS tok
+      |  FROM documents
+      |), top AS (
+      |  SELECT tok, COUNT(*) AS true_count FROM toks
+      |  GROUP BY tok ORDER BY true_count DESC, tok LIMIT 10
+      |), cells AS (
+      |  SELECT r.i,
+      |    (((((1103515245*(r.i+7)+12345) % 1073741823) | 1)
+      |       * (CAST('0x'||substr(md5(tok),1,14) AS BIGINT) % 2147483647)
+      |       + ((2027382749*(r.i+13)+577) % 2147483647)) % 2147483647) % 1024 AS b,
+      |    COUNT(*) AS c
+      |  FROM toks CROSS JOIN (SELECT unnest(range(0, 4)) AS i) r
+      |  GROUP BY 1, 2
+      |), est AS (
+      |  SELECT t.tok, MIN(c2.c) AS est_count
+      |  FROM top t JOIN cells c2
+      |    ON c2.b = (((((1103515245*(c2.i+7)+12345) % 1073741823) | 1)
+      |       * (CAST('0x'||substr(md5(t.tok),1,14) AS BIGINT) % 2147483647)
+      |       + ((2027382749*(c2.i+13)+577) % 2147483647)) % 2147483647) % 1024
+      |  GROUP BY t.tok
+      |)
+      |SELECT t.tok AS token, t.true_count, e.est_count
+      |FROM top t JOIN est e ON e.tok = t.tok
+      |ORDER BY t.true_count DESC, t.tok""".stripMargin
 }
