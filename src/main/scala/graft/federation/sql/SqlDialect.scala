@@ -130,3 +130,43 @@ object DuckDbDialect extends SqlDialect {
   override def dateDiffDays(end: String, start: String): String =
     s"DATE_DIFF('day', $start, $end)"
 }
+
+/** PostgreSQL dialect. */
+object PostgresDialect extends SqlDialect {
+  override val name = "postgres"
+  override def quote(ident: String): String =
+    "\"" + ident.replace("\"", "\"\"") + "\""
+  override def typeName(dt: DataType): String = dt match {
+    case ByteType => "SMALLINT" // no single-byte integer type
+    case FloatType => "REAL"
+    case DoubleType => "DOUBLE PRECISION"
+    case StringType => "TEXT"
+    case other => super.typeName(other)
+  }
+  override def regexpMatch(input: String, pattern: String): String =
+    s"($input ~ $pattern)"
+  override def dateAddDays(date: String, days: String): String =
+    s"($date + ($days) * INTERVAL '1 day')"
+  override def dateDiffDays(end: String, start: String): String =
+    s"(CAST($end AS date) - CAST($start AS date))"
+}
+
+/** SQLite dialect. NULLs sort smallest (like Spark); REGEXP needs a
+  * loaded extension, so regexp fragments stay local. */
+object SqliteDialect extends SqlDialect {
+  override val name = "sqlite"
+  override def quote(ident: String): String =
+    "\"" + ident.replace("\"", "\"\"") + "\""
+  override def typeName(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "INTEGER"
+    case FloatType | DoubleType => "REAL"
+    case StringType => "TEXT"
+    case other => super.typeName(other)
+  }
+  override def defaultNullOrdering(direction: SortDirection): NullOrdering =
+    if (direction == Ascending) NullsFirst else NullsLast
+  override def regexpMatch(input: String, pattern: String): String =
+    throw new UnparseUnsupported("sqlite regexp requires an extension")
+  override def dateDiffDays(end: String, start: String): String =
+    s"CAST(julianday($end) - julianday($start) AS INTEGER)"
+}

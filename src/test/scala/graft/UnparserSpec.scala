@@ -157,4 +157,30 @@ class UnparserSpec extends AnyFunSuite {
     val plan = Project(Nil, Filter(GreaterThan(a, Literal(1)), t))
     assert(sql(plan) == "SELECT 1 FROM t AS t1 WHERE (t1.a > 1)")
   }
+
+  // ---- dialect drift (SURVEY §7.4 risk 3) ----
+
+  test("dialects render casts, regexp, and null ordering per engine") {
+    val filtered = Project(Seq(a),
+      Filter(RLike(b, Literal("^x")), t))
+    assert(new SqlUnparser(PostgresDialect).unparse(filtered)
+      .contains("(t1.b ~ '^x')"))
+    assert(new SqlUnparser(DuckDbDialect).unparse(filtered)
+      .contains("regexp_matches(t1.b, '^x')"))
+    // sqlite cannot express regexp — the fragment must refuse, not mangle
+    assert(SqlUnparser.tryUnparse(filtered, SqliteDialect).isEmpty)
+
+    val casted = Project(Seq(Alias(Cast(a, DoubleType), "d")()), t)
+    assert(new SqlUnparser(PostgresDialect).unparse(casted)
+      .contains("CAST(t1.a AS DOUBLE PRECISION)"))
+    assert(new SqlUnparser(SqliteDialect).unparse(casted)
+      .contains("CAST(t1.a AS REAL)"))
+
+    val sorted = Sort(Seq(SortOrder(a, Ascending)), global = true,
+      Project(Seq(a), t))
+    // ANSI default is ASC→NULLS LAST; Spark's plan default (NULLS FIRST)
+    // must be spelled out there but not on engines that share it
+    assert(new SqlUnparser(AnsiDialect).unparse(sorted).contains("NULLS FIRST"))
+    assert(!new SqlUnparser(SqliteDialect).unparse(sorted).contains("NULLS"))
+  }
 }
