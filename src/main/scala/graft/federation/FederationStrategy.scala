@@ -32,9 +32,11 @@ object FederationStrategy extends SparkStrategy {
         provider.executor) :: Nil
 
     case r: RemoteRelation =>
-      val sql = new SqlUnparser(r.executor.dialect)
-        .unparse(Project(r.output, r))
-      RemoteScanExec(r.output, sql, r.executor) :: Nil
+      // route through the provider so plan/SQL hooks apply on the
+      // fallback path exactly as on the federated path
+      val provider = SqlFederationProvider.forExecutor(r.executor)
+      RemoteScanExec(r.output, provider.unparseSplits(Project(r.output, r)),
+        r.executor) :: Nil
 
     case _ => Nil
   }

@@ -42,7 +42,8 @@ object JdbcHarness {
             s"""INSERT INTO "$t" VALUES (${df.schema.map(_ => "?").mkString(",")})""")
           df.collect().foreach { row =>
             df.schema.fields.zipWithIndex.foreach { case (f, i) =>
-              if (row.isNullAt(i)) ps.setNull(i + 1, java.sql.Types.NULL)
+              // Derby rejects setNull(Types.NULL) — pass the column's type
+              if (row.isNullAt(i)) ps.setNull(i + 1, jdbcType(f.dataType))
               else f.dataType match {
                 case LongType => ps.setLong(i + 1, row.getLong(i))
                 case IntegerType => ps.setInt(i + 1, row.getInt(i))
@@ -60,6 +61,14 @@ object JdbcHarness {
       } finally conn.close()
       new JdbcSqlExecutor("derby", spark, s"jdbc:derby:memory:$db", DerbyDialect)
     })
+
+  private def jdbcType(dt: DataType): Int = dt match {
+    case LongType => java.sql.Types.BIGINT
+    case IntegerType => java.sql.Types.INTEGER
+    case DoubleType => java.sql.Types.DOUBLE
+    case StringType => java.sql.Types.VARCHAR
+    case other => throw new UnsupportedOperationException(s"jdbc type for $other")
+  }
 
   private def derbyType(dt: DataType): String = dt match {
     case LongType => "BIGINT"

@@ -51,11 +51,15 @@ final class JdbcSqlExecutor(
         val p = new java.util.Properties()
         props.foreach { case (k, v) => p.setProperty(k, v) }
         val conn = DriverManager.getConnection(u, p)
-        val stmt = conn.createStatement()
-        val rs = stmt.executeQuery(q)
+        // register cleanup BEFORE executing: a failing query must not leak
+        // the connection across task retries
+        val stmt =
+          try conn.createStatement()
+          catch { case e: Throwable => conn.close(); throw e }
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
-          try rs.close() finally { try stmt.close() finally conn.close() }
+          try stmt.close() finally conn.close()
         })
+        val rs = stmt.executeQuery(q)
         new Iterator[InternalRow] {
           private var ready = false
           private var done = false
@@ -140,7 +144,12 @@ object JdbcSqlExecutor {
         case DateType =>
           val d = rs.getDate(j)
           if (d == null) null else DateTimeUtils.fromJavaDate(d)
-        case TimestampNTZType | TimestampType =>
+        case TimestampNTZType =>
+          // NTZ keeps the remote wall clock — no JVM-zone reinterpretation
+          val t = rs.getTimestamp(j)
+          if (t == null) null
+          else DateTimeUtils.localDateTimeToMicros(t.toLocalDateTime)
+        case TimestampType =>
           val t = rs.getTimestamp(j)
           if (t == null) null else DateTimeUtils.fromJavaTimestamp(t)
         case other =>
@@ -167,6 +176,9 @@ object DerbyDialect extends SqlDialect {
   override def supportsFilterClause: Boolean = false
   override def regexpMatch(input: String, pattern: String): String =
     throw new UnparseUnsupported("derby has no regexp predicate")
+  // no % operator — SQL-standard MOD function only
+  override def modulo(left: String, right: String): String =
+    s"MOD($left, $right)"
   override def limitClause(limit: Option[Long], offset: Option[Long]): String =
     (limit, offset) match {
       case (Some(l), Some(o)) => s" OFFSET $o ROWS FETCH NEXT $l ROWS ONLY"

@@ -48,12 +48,17 @@ object SplitScan {
 
   /** Wrap `plan` with the i-th of n disjoint, exhaustive split filters on
     * `col`: ((col % n) + n) % n = i (double-remainder = non-negative modulo,
-    * portable SQL — no engine-specific pmod). */
+    * portable SQL — no engine-specific pmod). NULL split-column values fail
+    * every modulo predicate, so split 0 additionally takes `col IS NULL` —
+    * the same exhaustiveness repair Spark JDBC applies to its first
+    * partitionColumn stride. */
   def withSplitFilter(plan: LogicalPlan, col: Attribute, n: Int,
       i: Int): LogicalPlan = {
     val nL = Literal(n.toLong, LongType)
     val c = if (col.dataType == LongType) col else Cast(col, LongType)
     val bucket = Remainder(Add(Remainder(c, nL), nL), nL)
-    Filter(EqualTo(bucket, Literal(i.toLong, LongType)), plan)
+    val eq = EqualTo(bucket, Literal(i.toLong, LongType))
+    val pred = if (i == 0) Or(eq, IsNull(col)) else eq
+    Filter(pred, plan)
   }
 }

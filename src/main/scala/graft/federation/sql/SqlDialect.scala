@@ -90,6 +90,9 @@ trait SqlDialect {
   def regexpMatch(input: String, pattern: String): String =
     s"REGEXP_LIKE($input, $pattern)"
 
+  /** Integer remainder (Derby has no % operator). */
+  def modulo(left: String, right: String): String = s"($left % $right)"
+
   /** date + n days. */
   def dateAddDays(date: String, days: String): String =
     s"DATE_ADD($date, $days)"
@@ -167,6 +170,12 @@ object SqliteDialect extends SqlDialect {
     if (direction == Ascending) NullsFirst else NullsLast
   override def regexpMatch(input: String, pattern: String): String =
     throw new UnparseUnsupported("sqlite regexp requires an extension")
+  // OFFSET requires a preceding LIMIT clause; -1 means unbounded
+  override def limitClause(limit: Option[Long], offset: Option[Long]): String =
+    (limit, offset) match {
+      case (None, Some(o)) => s" LIMIT -1 OFFSET $o"
+      case other => super.limitClause(limit, offset)
+    }
   override def dateDiffDays(end: String, start: String): String =
     s"CAST(julianday($end) - julianday($start) AS INTEGER)"
 }

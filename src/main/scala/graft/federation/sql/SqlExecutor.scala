@@ -89,12 +89,14 @@ final class SparkSqlExecutor(
   override def dialect: SqlDialect = SparkDialect
 
   override def execute(sql: String, schema: StructType): RDD[InternalRow] = {
-    val finalSql = sqlRewriter(sql)
+    // sqlRewriter was already applied at SQL-generation time
+    // (SqlFederationProvider.unparse/unparseSplits) — applying it here too
+    // would run non-idempotent hooks twice
     val df =
-      try inner.sql(finalSql)
+      try inner.sql(sql)
       catch {
         case e: Exception => throw new IllegalStateException(
-          s"remote [$name] rejected generated SQL: $finalSql", e)
+          s"remote [$name] rejected generated SQL: $sql", e)
       }
     val coerced = graft.federation.sql.SchemaCoercion.coerce(df, schema)
     coerced.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]

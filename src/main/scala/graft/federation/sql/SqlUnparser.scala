@@ -426,7 +426,7 @@ class SqlUnparser(dialect: SqlDialect) {
       case Multiply(l, rr, _) => bin(l, "*", rr)
       case Divide(l, rr, _) => bin(l, "/", rr)
       case IntegralDivide(l, rr, _) => bin(l, "/", rr)
-      case Remainder(l, rr, _) => bin(l, "%", rr)
+      case Remainder(l, rr, _) => dialect.modulo(r(l), r(rr))
       case UnaryMinus(c, _) => s"(- ${r(c)})"
 
       // comparison / boolean

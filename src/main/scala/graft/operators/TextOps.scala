@@ -190,12 +190,14 @@ object TextOps {
       .select(explode(PortableHashExprs.portable_shingles(col("text"), 1))
         .as("tok"))
       .filter(col("tok") =!= "")
+      .persist() // the sketch pass and the exact-count pass share one scan
     val sketch = toks.as[String]
       .select(new CountMinSketch.CountMinAgg(depth, width).toColumn).head()
     val top = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("true_count"))
       .orderBy(col("true_count").desc, col("tok"))
       .limit(k).collect()
+    toks.unpersist()
     val rows = top.toSeq.map { r =>
       val t = r.getString(0)
       (t, r.getLong(1), CountMinSketch.estimate(sketch, t, depth, width))

@@ -47,7 +47,14 @@ object StreamOps {
   case class SessOut(user_id: Long, session_seq: Long, n_events: Long,
       start_us: Long, end_us: Long)
 
-  private val GapUs = 30L * 60 * 1000 * 1000
+  /** Session gap in whole seconds — the comparison truncates both
+    * timestamps to seconds first, exactly like the batch sessionize
+    * (`ts.cast("long")`) and the shared DuckDB oracle
+    * (`date_diff('second', …)`); comparing raw micros would disagree with
+    * them near the boundary for sub-second timestamps. */
+  private val GapSeconds = 30L * 60
+
+  private def seconds(us: Long): Long = Math.floorDiv(us, 1000000L)
 
   /** State-store checkpoints are latency-bound by fsync of many small
     * delta files; put them on tmpfs when available (the state here is
@@ -100,7 +107,7 @@ object StreamOps {
           for (e <- sorted) {
             if (cur == null) {
               cur = SessState(1L, e.ts_us, e.ts_us, 1L)
-            } else if (e.ts_us - cur.lastUs > GapUs) {
+            } else if (seconds(e.ts_us) - seconds(cur.lastUs) > GapSeconds) {
               out += SessOut(uid, cur.seq, cur.n, cur.startUs, cur.lastUs)
               cur = SessState(cur.seq + 1, e.ts_us, e.ts_us, 1L)
             } else {
@@ -121,22 +128,25 @@ object StreamOps {
           .as("session_end"))
   }
 
-  /** Run the streaming sessionizer to completion; returns the finished
-    * session table (gate query `stream_sessionize`). */
-  def runSessionizeToMemory(spark: SparkSession, dir: String,
-      name: String = "stream_sess_out"): DataFrame = {
+  /** Run a streaming DataFrame to completion against the (static) test
+    * directory via the in-memory sink with a scratch checkpoint, narrowed
+    * state partitioning (the stateful keys number in the low thousands —
+    * 32 state-store checkpoints per batch would be pure overhead), and
+    * guaranteed stop/cleanup even when the stream fails. */
+  private def runStream(spark: SparkSession, df: DataFrame, mode: String,
+      name: String): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val ckpt = scratchCheckpoint(name)
     try {
-      val q = sessionizeStream(spark, dir).writeStream
-        .outputMode("append")
+      val q = df.writeStream
+        .outputMode(mode)
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", ckpt)
         .start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable()
+      finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       deleteRecursively(ckpt)
@@ -144,28 +154,13 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Run the streaming sessionizer to completion; returns the finished
+    * session table (gate query `stream_sessionize`). */
+  def runSessionizeToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_sess_out"): DataFrame =
+    runStream(spark, sessionizeStream(spark, dir), "append", name)
+
   def runToMemory(spark: SparkSession, dir: String,
-      name: String = "stream_out"): DataFrame = {
-    // The stateful aggregation keys (hour × event_type) number in the low
-    // thousands; 32 state partitions would mean 32 state-store checkpoints
-    // per batch for no parallelism benefit. Shuffle-partition count is
-    // captured at stream start, so narrow it just for this query.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val ckpt = scratchCheckpoint(name)
-    try {
-      val q: StreamingQuery = hourlyRollupStream(spark, dir).writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      deleteRecursively(ckpt)
-    }
-    spark.table(name)
-  }
+      name: String = "stream_out"): DataFrame =
+    runStream(spark, hourlyRollupStream(spark, dir), "complete", name)
 }

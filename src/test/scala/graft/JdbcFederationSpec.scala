@@ -105,6 +105,20 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nulls.collect().map(_.getString(0)).toSeq == Seq("fay"))
   }
 
+  test("split reads keep NULL split-column rows (null-arm on split 0)") {
+    Federation.install(spark)
+    val splitEx = new JdbcSqlExecutor("derbysplit", spark, url, DerbyDialect,
+      splitCount = 2)
+    Federation.registerRemoteTable(spark, "split_emp_dept", "EMP", splitEx)
+    // project ONLY dept_id so the nullable column becomes the split column
+    val df = spark.sql("SELECT dept_id FROM split_emp_dept")
+    val scans = remoteScans(df)
+    assert(scans.head.contains("splits=2"), scans.head)
+    // fay's NULL dept_id must survive the split union
+    assert(df.count() == 6, df.collect().mkString(","))
+    assert(df.filter("dept_id IS NULL").count() == 1)
+  }
+
   test("aggregate FILTER degrades: remote scan, local filtered aggregate") {
     Federation.install(spark)
     Federation.registerAll(spark, executor, prefix = "db3_")

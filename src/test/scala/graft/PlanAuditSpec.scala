@@ -67,7 +67,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("sessionize shuffles once on user_id before the window") {
     val p = finalPlan("ev_sessionize")
-    // one exchange for the per-user window, one for the final ordering
-    assert(count(p, "Exchange") <= 2, p)
+    // one shuffle for the per-user window, one for the final ordering —
+    // count shuffle exchanges specifically ("Exchange" alone would also
+    // match BroadcastExchange)
+    assert(count(p, "Exchange hashpartitioning") +
+      count(p, "Exchange rangepartitioning") <= 2, p)
   }
 }

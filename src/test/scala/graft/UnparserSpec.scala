@@ -176,6 +176,11 @@ class UnparserSpec extends AnyFunSuite {
     assert(new SqlUnparser(SqliteDialect).unparse(casted)
       .contains("CAST(t1.a AS REAL)"))
 
+    // SQLite: OFFSET is only legal after a LIMIT clause
+    val offsetOnly = Offset(Literal(5), Project(Seq(a), t))
+    assert(new SqlUnparser(SqliteDialect).unparse(offsetOnly)
+      .endsWith("LIMIT -1 OFFSET 5"))
+
     val sorted = Sort(Seq(SortOrder(a, Ascending)), global = true,
       Project(Seq(a), t))
     // ANSI default is ASC→NULLS LAST; Spark's plan default (NULLS FIRST)
