@@ -74,6 +74,10 @@ object SparkEntry {
     "stream_sessionize" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runSessionizeToMemory(s, d)
         .orderBy(col("user_id"), col("session_seq"))),
+    "stream_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runDedupToMemory(s, d)
+        .orderBy(col("content_md5"))),
+    "text_distinct_estimate" -> (TextOps.distinctEstimate _),
     // --- federation engine (the reference's core capability) ---
     "fed_q1_pushdown" -> (Federated.q1Pushdown _),
     "fed_q3_join" -> (Federated.q3JoinPushdown _),
@@ -121,6 +125,10 @@ object SparkEntry {
     "text_lang_id" -> TextOps.langIdOracle,
     "text_fingerprint" -> TextOps.fingerprintOracle,
     "text_heavy_hitters" -> TextOps.heavyHittersOracle,
+    "text_distinct_estimate" -> TextOps.distinctEstimateOracle,
+    "stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS content_md5 FROM documents
+        |ORDER BY content_md5""".stripMargin,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_minhash" -> Dedup.minhashOracle,
     "dedup_simhash" -> Dedup.simhashOracle,

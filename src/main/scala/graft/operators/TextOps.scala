@@ -234,4 +234,71 @@ object TextOps {
       |SELECT t.tok AS token, t.true_count, e.est_count
       |FROM top t JOIN est e ON e.tok = t.tok
       |ORDER BY t.true_count DESC, t.tok""".stripMargin
+
+  /** HyperLogLog-style distinct-token estimate built from pure integer
+    * arithmetic so the SQL oracle reproduces it bit-for-bit: 256 registers,
+    * bucket = h mod 256, rank = leading-zero count of the remaining 48
+    * hash bits + 1, and the harmonic sum computed EXACTLY as an integer
+    * (sum of 2^(49-rank) ≤ 2^57) before a single double division — no
+    * transcendental functions, whose last-ulp behavior differs across
+    * engines. Bias corrections are deliberately omitted for verifiability;
+    * the exact distinct count is reported alongside. */
+  def distinctEstimate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHashExprs
+    val m = 256
+    val toks = documents(s, dir)
+      .select(explode(PortableHashExprs.portable_shingles(col("text"), 1))
+        .as("tok"))
+      .filter(col("tok") =!= "")
+    val hashed = toks.select(
+      conv(substring(md5(col("tok")), 1, 14), 16, 10).cast("long").as("h"))
+    val ranked = hashed.select(
+      (col("h") % m).as("bucket"),
+      expr("h div 256").as("w"))
+      .withColumn("rank",
+        when(col("w") === 0, lit(49))
+          .otherwise(lit(49) - length(conv(col("w"), 10, 2))))
+    val regs = ranked.groupBy(col("bucket")).agg(max(col("rank")).as("r"))
+    val sums = regs.agg(
+      sum(expr("cast(pow(2, 49 - r) as long)")).as("s_present"),
+      count(lit(1)).as("n_buckets"))
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    sums.select(
+      // absent buckets have rank 0 and contribute 2^49 each
+      (col("s_present") + (lit(m) - col("n_buckets")) * lit(1L << 49))
+        .as("s_total"),
+      col("n_buckets"))
+      .select(
+        (lit(alpha * m * m) * lit((1L << 49).toDouble) /
+          col("s_total").cast("double")).as("est_distinct"),
+        col("n_buckets").as("n_used_buckets"))
+      .crossJoin(toks.agg(countDistinct(col("tok")).as("true_distinct")))
+      .select(col("true_distinct"), col("est_distinct"),
+        col("n_used_buckets"))
+  }
+
+  val distinctEstimateOracle: String =
+    """WITH toks AS (
+      |  SELECT unnest([x FOR x IN string_split_regex(lower(text), '\s+') IF x <> '']) AS tok
+      |  FROM documents
+      |), hashed AS (
+      |  SELECT CAST('0x'||substr(md5(tok),1,14) AS BIGINT) AS h FROM toks
+      |), ranked AS (
+      |  SELECT h % 256 AS bucket,
+      |    CASE WHEN h // 256 = 0 THEN 49
+      |         ELSE 49 - length(bin(h // 256)) END AS rank
+      |  FROM hashed
+      |), regs AS (
+      |  SELECT bucket, MAX(rank) AS r FROM ranked GROUP BY bucket
+      |), sums AS (
+      |  SELECT CAST(SUM(CAST(pow(2, 49 - r) AS BIGINT)) AS BIGINT) AS s_present,
+      |    COUNT(*) AS n_buckets
+      |  FROM regs
+      |)
+      |SELECT
+      |  (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM toks) AS true_distinct,
+      |  (0.7213 / (1 + 1.079 / 256)) * 256 * 256 * CAST(1::BIGINT << 49 AS DOUBLE)
+      |    / CAST(s_present + (256 - n_buckets) * (1::BIGINT << 49) AS DOUBLE) AS est_distinct,
+      |  n_buckets AS n_used_buckets
+      |FROM sums""".stripMargin
 }

@@ -163,4 +163,23 @@ object StreamOps {
   def runToMemory(spark: SparkSession, dir: String,
       name: String = "stream_out"): DataFrame =
     runStream(spark, hourlyRollupStream(spark, dir), "complete", name)
+
+  /** Streaming exact dedup: `dropDuplicates` on the content fingerprint —
+    * state is one entry per distinct content hash, the streaming analog of
+    * [[graft.operators.Dedup.exact]]. Emits the distinct fingerprints
+    * (which arrival survives is racy across partitions, so doc identities
+    * are not part of the deterministic output contract). */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(md5(col("text")).as("content_md5"))
+      .dropDuplicates("content_md5")
+  }
+
+  def runDedupToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_dedup_out"): DataFrame =
+    runStream(spark, dedupStream(spark, dir), "append", name)
 }
