@@ -75,24 +75,33 @@ object RemoteTableRef {
   }
 
   private def splitParts(s: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
     val cur = new StringBuilder
     var i = 0
     var inQuote = false
+    var wasQuoted = false
     var quoteCh = ' '
     while (i < s.length) {
       val c = s.charAt(i)
       if (inQuote) {
-        if (c == quoteCh) inQuote = false else cur.append(c)
+        if (c == quoteCh) {
+          // doubled quote char = escaped literal quote
+          if (i + 1 < s.length && s.charAt(i + 1) == quoteCh) {
+            cur.append(quoteCh); i += 1
+          } else inQuote = false
+        } else cur.append(c)
       } else c match {
-        case '"' | '`' => inQuote = true; quoteCh = c
-        case '.' => out += cur.result(); cur.clear()
+        case '"' | '`' => inQuote = true; wasQuoted = true; quoteCh = c
+        case '.' => out += ((cur.result(), wasQuoted)); cur.clear(); wasQuoted = false
         case other => cur.append(other)
       }
       i += 1
     }
-    out += cur.result()
-    out.map(_.trim).filter(_.nonEmpty).toSeq
+    out += ((cur.result(), wasQuoted))
+    // whitespace around separators is noise, but inside quotes it is part
+    // of the identifier — trim unquoted segments only
+    out.map { case (p, quoted) => if (quoted) p else p.trim }
+      .filter(_.nonEmpty).toSeq
   }
 
   private def parseArgs(s: String): Seq[TableArg] =
