@@ -6,6 +6,7 @@ import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.plans.logical.Statistics
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.types._
@@ -97,6 +98,29 @@ final class JdbcSqlExecutor(
       JdbcSqlExecutor.schemaOf(rs.getMetaData)
     } finally conn.close()
   }
+
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Statistics]]
+
+  /** Remote row count (one COUNT(*) round-trip, cached per table) times an
+    * estimated row width — the reference's executor `statistics` hook
+    * (src/sql/executor.rs:61-63); without it Spark assumes every remote
+    * table is huge and never broadcasts a federated fragment. */
+  override def statistics(ref: RemoteTableRef): Option[Statistics] =
+    statsCache.getOrElseUpdate(ref.toString, {
+      try {
+        val conn = connect()
+        try {
+          val rs = conn.createStatement()
+            .executeQuery(s"SELECT COUNT(*) FROM ${ref.sql(dialect)}")
+          rs.next()
+          val rows = rs.getLong(1)
+          val width = tableSchema(ref).map(_.dataType.defaultSize).sum.max(8)
+          Some(Statistics(sizeInBytes = BigInt(rows) * width,
+            rowCount = Some(BigInt(rows))))
+        } finally conn.close()
+      } catch { case _: java.sql.SQLException => None }
+    })
 }
 
 object JdbcSqlExecutor {

@@ -105,6 +105,25 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nulls.collect().map(_.getString(0)).toSeq == Seq("fay"))
   }
 
+  test("remote COUNT(*) statistics let a Derby fragment broadcast") {
+    Federation.install(spark)
+    val ex = executor
+    val stats = ex.statistics(
+      graft.federation.sql.RemoteTableRef.parse("DEPT")).get
+    assert(stats.rowCount.contains(BigInt(3)), stats)
+    Federation.registerAll(spark, ex, prefix = "st_")
+    graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val df = spark.sql(
+      """SELECT d.dept_name, COUNT(*) AS n
+        |FROM orders o JOIN st_DEPT d ON o.o_orderkey % 3 + 1 = d.dept_id
+        |GROUP BY d.dept_name ORDER BY d.dept_name""".stripMargin)
+    df.count()
+    assert(df.queryExecution.executedPlan.toString()
+      .contains("BroadcastHashJoin"),
+      "tiny Derby fragment should broadcast:\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("split reads keep NULL split-column rows (null-arm on split 0)") {
     Federation.install(spark)
     val splitEx = new JdbcSqlExecutor("derbysplit", spark, url, DerbyDialect,
