@@ -95,6 +95,7 @@ object SparkEntry {
     "fed_sort_over_limit" -> (Federated.sortOverLimitSubquery _),
     "fed_expr_surface" -> (Federated.exprSurface _),
     "fed_jdbc_suppliers" -> (Federated.jdbcSuppliers _),
+    "fed_split_scan" -> (Federated.splitScanJoin _),
     // --- sampling / exact analytics ---
     "samp_hash_10pct" -> (Sampling.hashSample _),
     "samp_stats" -> (Sampling.sampleStats _),
@@ -162,6 +163,7 @@ object SparkEntry {
     "fed_sort_over_limit" -> Federated.sortOverLimitOracle,
     "fed_expr_surface" -> Federated.exprSurfaceOracle,
     "fed_jdbc_suppliers" -> Federated.jdbcSuppliersOracle,
+    "fed_split_scan" -> Federated.splitScanOracle,
     "samp_hash_10pct" -> Sampling.hashSampleOracle,
     "samp_stats" -> Sampling.sampleStatsOracle,
     "ev_value_median" -> EventOps.valueMedianOracle,

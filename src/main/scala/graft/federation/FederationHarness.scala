@@ -33,6 +33,18 @@ object FederationHarness {
           context = s"$name@$dir")
       })
 
+  /** A split-capable executor (n parallel remote cursors for splittable
+    * fragments — see [[graft.federation.sql.SplitScan]]). */
+  def splitExecutor(spark: SparkSession, dir: String,
+      name: String, n: Int): SparkSqlExecutor =
+    executors.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, s"$name#$n"), {
+        val inner = spark.newSession()
+        new SparkSqlExecutor(name, inner,
+          tpch.map(t => t -> s"$dir/$t.parquet").toMap,
+          context = s"$name@$dir", numSplits = n)
+      })
+
   /** Install federation into `spark` and register the fed_* / fedb_*
     * remote views for `dir` (idempotent). */
   def setup(spark: SparkSession, dir: String): Unit = {

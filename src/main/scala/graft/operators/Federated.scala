@@ -171,6 +171,34 @@ object Federated {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  /** Split-read path under the correctness gate: the remote fragment
+    * (scan+filter+project on orders) fans out into 3 disjoint modulo-split
+    * cursors ([[graft.federation.sql.SplitScan]]); the join with the local
+    * customer table and the aggregation consume the 3-way parallel union. */
+  def splitScanJoin(s: SparkSession, dir: String): DataFrame = {
+    FederationHarness.setup(s, dir)
+    val ex3 = FederationHarness.splitExecutor(s, dir, "gamma", 3)
+    graft.federation.Federation.registerRemoteTable(
+      s, "fed3_orders", "orders", ex3)
+    graft.sources.Tables.customer(s, dir)
+      .createOrReplaceTempView("local_customer")
+    s.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  MAX(o_totalprice) AS max_price
+        |FROM fed3_orders JOIN local_customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 1000
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val splitScanOracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  MAX(o_totalprice) AS max_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_totalprice > 1000
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** The REAL JDBC path under the correctness gate: supplier/nation live in
     * an embedded Derby database, and the join+aggregate federates into one
     * Derby SQL shipped over an actual JDBC connection
