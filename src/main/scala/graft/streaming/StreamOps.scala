@@ -136,7 +136,13 @@ object StreamOps {
   private def runStream(spark: SparkSession, df: DataFrame, mode: String,
       name: String): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf
+      .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // none of these sinks need the trailing watermark-advancement batch
+    // (complete mode re-emits per data batch; the append emissions here
+    // fire on data, not on timeout) — skip the extra empty microbatch
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val ckpt = scratchCheckpoint(name)
     try {
       val q = df.writeStream
@@ -149,6 +155,8 @@ object StreamOps {
       finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf
+        .set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       deleteRecursively(ckpt)
     }
     spark.table(name)
