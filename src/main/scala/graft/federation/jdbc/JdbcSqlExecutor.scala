@@ -100,27 +100,60 @@ final class JdbcSqlExecutor(
   }
 
   private val statsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Option[Statistics]]
+    scala.collection.concurrent.TrieMap.empty[String, Statistics]
 
-  /** Remote row count (one COUNT(*) round-trip, cached per table) times an
-    * estimated row width — the reference's executor `statistics` hook
+  /** Rows the stats probe is willing to scan remotely before declaring the
+    * table "not small" (unknown stats → Spark will not broadcast it). */
+  val statsRowCap: Long = 1000000L
+
+  /** Bounded statistics probe — the reference's executor `statistics` hook
     * (src/sql/executor.rs:61-63); without it Spark assumes every remote
-    * table is huge and never broadcasts a federated fragment. */
+    * table is huge and never broadcasts a federated fragment.
+    *
+    * One capped remote aggregate: row count and total string bytes over at
+    * most [[statsRowCap]] rows, so (a) planning never stalls on a
+    * full-table COUNT(*) of a 10B-row remote, and (b) string columns are
+    * measured, not guessed — Catalyst's 20-byte default would classify a
+    * wide-text table as broadcastable and pull gigabytes through the
+    * driver. Tables at the cap report no stats (only tables small enough
+    * to be broadcast candidates need them). Successful probes are cached
+    * for the executor's lifetime (a session-scoped object); failures are
+    * NOT cached, so a transient remote error does not disable broadcasts
+    * forever. */
   override def statistics(ref: RemoteTableRef): Option[Statistics] =
-    statsCache.getOrElseUpdate(ref.toString, {
+    statsCache.get(ref.toString).orElse {
       try {
+        val schema = tableSchema(ref)
+        val strCols = schema.fields.filter(_.dataType == StringType)
+        val sums = strCols.map(f =>
+          s"SUM(LENGTH(${dialect.quoteIfNeeded(f.name)}))")
+        val capped = s"(SELECT * FROM ${ref.sql(dialect)}" +
+          s"${dialect.limitClause(Some(statsRowCap), None)}) stats_probe"
+        val items = (Seq("COUNT(*)") ++ sums).mkString(", ")
         val conn = connect()
         try {
           val rs = conn.createStatement()
-            .executeQuery(s"SELECT COUNT(*) FROM ${ref.sql(dialect)}")
+            .executeQuery(s"SELECT $items FROM $capped")
           rs.next()
           val rows = rs.getLong(1)
-          val width = tableSchema(ref).map(_.dataType.defaultSize).sum.max(8)
-          Some(Statistics(sizeInBytes = BigInt(rows) * width,
-            rowCount = Some(BigInt(rows))))
+          if (rows >= statsRowCap) None
+          else {
+            val strBytes = strCols.indices.map { i =>
+              val v = rs.getLong(i + 2)
+              if (rs.wasNull()) 0L else v
+            }.sum
+            val fixed = schema.fields.filterNot(_.dataType == StringType)
+              .map(_.dataType.defaultSize).sum
+            val size = BigInt(rows) * fixed + BigInt(strBytes) +
+              BigInt(rows) * strCols.length * 8 // per-string overhead
+            val st = Statistics(sizeInBytes = size.max(1),
+              rowCount = Some(BigInt(rows)))
+            statsCache.put(ref.toString, st)
+            Some(st)
+          }
         } finally conn.close()
       } catch { case _: java.sql.SQLException => None }
-    })
+    }
 }
 
 object JdbcSqlExecutor {

@@ -250,6 +250,7 @@ object TextOps {
       .select(explode(PortableHashExprs.portable_shingles(col("text"), 1))
         .as("tok"))
       .filter(col("tok") =!= "")
+      .persist() // register pass and exact-count pass share one scan
     val hashed = toks.select(
       conv(substring(md5(col("tok")), 1, 14), 16, 10).cast("long").as("h"))
     val ranked = hashed.select(
@@ -261,20 +262,20 @@ object TextOps {
     val regs = ranked.groupBy(col("bucket")).agg(max(col("rank")).as("r"))
     val sums = regs.agg(
       sum(expr("cast(pow(2, 49 - r) as long)")).as("s_present"),
-      count(lit(1)).as("n_buckets"))
+      count(lit(1)).as("n_buckets")).head()
+    val trueDistinct =
+      toks.agg(countDistinct(col("tok")).as("d")).head().getLong(0)
+    toks.unpersist()
+    val sPresent = sums.getLong(0)
+    val nBuckets = sums.getLong(1)
+    // absent buckets have rank 0 and contribute 2^49 each; the arithmetic
+    // sequence below mirrors the oracle's expression order exactly
+    val sTotal = sPresent + (m - nBuckets) * (1L << 49)
     val alpha = 0.7213 / (1 + 1.079 / m)
-    sums.select(
-      // absent buckets have rank 0 and contribute 2^49 each
-      (col("s_present") + (lit(m) - col("n_buckets")) * lit(1L << 49))
-        .as("s_total"),
-      col("n_buckets"))
-      .select(
-        (lit(alpha * m * m) * lit((1L << 49).toDouble) /
-          col("s_total").cast("double")).as("est_distinct"),
-        col("n_buckets").as("n_used_buckets"))
-      .crossJoin(toks.agg(countDistinct(col("tok")).as("true_distinct")))
-      .select(col("true_distinct"), col("est_distinct"),
-        col("n_used_buckets"))
+    val est = alpha * m * m * (1L << 49).toDouble / sTotal.toDouble
+    import s.implicits._
+    Seq((trueDistinct, est, nBuckets))
+      .toDF("true_distinct", "est_distinct", "n_used_buckets")
   }
 
   val distinctEstimateOracle: String =

@@ -178,7 +178,7 @@ object StreamOps {
     * (which arrival survives is racy across partitions, so doc identities
     * are not part of the deterministic output contract). */
   def dedupStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val schema = Tables.documents(spark, dir).schema
     spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "documents.parquet")
