@@ -213,11 +213,45 @@ object PortableHashExprs {
     if (((r2 >> 7) & 1L) == 1L) 1.0 else -1.0
   }
 
+  /** Shared element accessor for float/double vectors: validates the child
+    * is array<float|double> and dispatches the per-element read accordingly
+    * (a silent getFloat over doubles would read garbage bytes). */
+  private[functions] trait VectorInput { self: UnaryExpression =>
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double> input, got ${other.sql}")
+    }
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    protected def elem(arr: ArrayData, d: Int): Double =
+      if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+
+    /** In-order dot of the vector with portable ±1 plane `plane`, sign test.
+      * Left-to-right accumulation — same IEEE sequence as the SQL oracle's
+      * list_reduce fold. */
+    protected def projNonNeg(arr: ArrayData, n: Int, plane: Int): Boolean = {
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        proj += elem(arr, d) * planeSign(plane, d)
+        d += 1
+      }
+      proj >= 0
+    }
+  }
+
   /** Random-hyperplane sign sketch of a float vector: bit i of the result =
     * [in-order dot of the vector with portable ±1 plane i] >= 0. Replaces a
     * stored projection-matrix model with a formula any engine can evaluate. */
   case class PortableSignSketch(child: Expression, bits: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with VectorInput {
     override def dataType: DataType = LongType
     override def prettyName: String = "portable_sign_sketch"
 
@@ -227,20 +261,64 @@ object PortableHashExprs {
       var sketch = 0L
       var i = 0
       while (i < bits) {
-        var proj = 0.0
-        var d = 0
-        while (d < n) {
-          // left-to-right accumulation — same IEEE sequence as the SQL
-          // oracle's list_reduce fold
-          proj += arr.getFloat(d).toDouble * planeSign(i, d)
-          d += 1
-        }
-        if (proj >= 0) sketch |= (1L << i)
+        if (projNonNeg(arr, n, i)) sketch |= (1L << i)
         i += 1
       }
       java.lang.Long.valueOf(sketch)
     }
     override protected def withNewChildInternal(c: Expression): PortableSignSketch =
+      copy(child = c)
+  }
+
+  /** Plane-index stride between LSH bands: band t draws its main sign bits
+    * from planes [t*64, t*64+rBits) and its overflow-refinement bits from
+    * planes [t*64+32, t*64+32+extraBits) — disjoint families per band, and
+    * stable plane identities however many bits a corpus size calls for. */
+  val PlaneStride = 64
+  val ExtraPlaneOffset = 32
+
+  /** Banded multi-table hyperplane LSH keys, one pass over the vector:
+    * returns array<long> of length 2*bands — elements [0, bands) are the
+    * per-band main keys (rBits sign bits each), elements [bands, 2*bands)
+    * the per-band refinement keys (extraBits sign bits each, used only to
+    * subdivide buckets that exceed the size cap). rBits is chosen by the
+    * caller from the corpus size, so the 2^rBits-per-band bucket space
+    * grows with N — the property that keeps the per-bucket self-join
+    * sub-quadratic at 100 TB (a fixed bucket count is Θ(N²) asymptotically).
+    */
+  case class PortableSignBands(child: Expression, bands: Int, rBits: Int,
+      extraBits: Int)
+      extends UnaryExpression with CodegenFallback with VectorInput {
+    require(rBits <= ExtraPlaneOffset && extraBits <= PlaneStride - ExtraPlaneOffset,
+      s"band bit widths exceed the plane budget: r=$rBits extra=$extraBits")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "portable_sign_bands"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Long](2 * bands)
+      var t = 0
+      while (t < bands) {
+        var key = 0L
+        var j = 0
+        while (j < rBits) {
+          if (projNonNeg(arr, n, t * PlaneStride + j)) key |= (1L << j)
+          j += 1
+        }
+        out(t) = key
+        var xkey = 0L
+        j = 0
+        while (j < extraBits) {
+          if (projNonNeg(arr, n, t * PlaneStride + ExtraPlaneOffset + j)) xkey |= (1L << j)
+          j += 1
+        }
+        out(bands + t) = xkey
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): PortableSignBands =
       copy(child = c)
   }
 
@@ -263,6 +341,10 @@ object PortableHashExprs {
 
   def portable_sign_sketch(c: Column, bits: Int = 8): Column =
     column(PortableSignSketch(expression(c), bits))
+
+  def portable_sign_bands(c: Column, bands: Int, rBits: Int,
+      extraBits: Int): Column =
+    column(PortableSignBands(expression(c), bands, rBits, extraBits))
 
   /** The DuckDB SQL fragments mirroring the kernels — kept next to the Scala
     * so the two definitions can't drift apart. `%s` is the input column. */

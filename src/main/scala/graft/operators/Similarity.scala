@@ -14,12 +14,16 @@ import graft.sources.Tables._
   *    broadcast; each partition of the corpus computes dot products locally
   *    and emits only its per-partition top-k via the rank window — at
   *    100 TB the corpus is never shuffled, only (k × queries) rows move.
-  *  - '''LSH-bucketed''' (random hyperplanes): sign-bit sketch computed by
-  *    a native kernel whose ±1 hyperplanes derive from a deterministic
-  *    integer formula (no stored model — and engine-portable, so the
-  *    DuckDB oracle rebuilds identical buckets in SQL); candidates are
-  *    pairs agreeing on the full sketch bucket, so the self-join is
-  *    per-bucket. This is the scale path for all-pairs near-dup detection.
+  *  - '''LSH-bucketed''' (banded random hyperplanes): per-band sign-bit
+  *    keys computed by a native kernel whose ±1 hyperplanes derive from a
+  *    deterministic integer formula (no stored model — and engine-portable,
+  *    so the DuckDB oracle rebuilds identical buckets in SQL). Candidates
+  *    are pairs agreeing on at least one band's full key, so the self-join
+  *    is per-(band, key) bucket. The key width grows with the corpus
+  *    ([[rBitsFor]]) and buckets over [[BucketCap]] are subdivided by a
+  *    refinement key, so Σ bucket² stays ~N·cap — sub-quadratic at any
+  *    scale, unlike a fixed bucket count (Θ(N²) asymptotically). This is
+  *    the scale path for all-pairs near-dup detection.
   *
   * Dot products use `zip_with` + `aggregate` (fold in element order) in
   * double precision — deterministic, codegen-friendly, no UDFs.
@@ -82,38 +86,109 @@ object Similarity {
   def signSketch(vec: Column, bits: Int): Column =
     PortableHashExprs.portable_sign_sketch(vec, bits)
 
-  /** Shared oracle prelude: per-vector bucket via the same portable sign
-    * sketch, rebuilt in DuckDB SQL (list_reduce folds left-to-right in
-    * element order, matching the kernel's accumulation sequence). */
+  /** LSH band count (multi-table OR over bands lifts recall; each band is
+    * an independent hyperplane family via the plane-index stride). */
+  val Bands = 4
+  /** Desired mean bucket occupancy — the knob [[rBitsFor]] solves for. */
+  val TargetBucket = 16
+  val RMin = 4
+  /** ≤ [[PortableHashExprs.ExtraPlaneOffset]]: main keys may not spill into
+    * the refinement-plane family. 28 bits = 268M buckets/band, enough for
+    * ~4.3B vectors at the target occupancy. */
+  val RMax = 28
+  /** Refinement-key width for buckets over [[BucketCap]]. */
+  val ExtraBits = 4
+  /** Bucket-size cap (3× target): larger buckets are subdivided by the
+    * refinement key so one hot bucket can't go quadratic. */
+  val BucketCap = 48
+
+  /** Per-band key width for a corpus of n vectors: the smallest r in
+    * [RMin, RMax] with TargetBucket · 2^r ≥ n, so the per-band bucket
+    * space 2^r tracks n/TargetBucket and mean occupancy stays ~constant
+    * as the corpus grows — the scale property a fixed width lacks. The
+    * DuckDB oracle derives the same r from COUNT(*). */
+  def rBitsFor(n: Long): Int = {
+    var r = RMin
+    while (r < RMax && TargetBucket.toLong * (1L << r) < n) r += 1
+    r
+  }
+
+  /** Shared oracle prelude: per-vector banded keys via the same portable
+    * hyperplane formula, rebuilt in DuckDB SQL (list_reduce folds
+    * left-to-right in element order, matching the kernel's accumulation
+    * sequence; r is derived from COUNT(*) exactly as [[rBitsFor]]). */
   private val bucketCte: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      |), sk AS (
-      |  SELECT vec_id, v, CAST(list_sum([CASE WHEN list_reduce(
-      |      [v[d+1] * (CASE WHEN (((1103515245*((1103515245*(i*8191+d+1)+12345) % 2147483647)+12345) % 2147483647) >> 7) & 1 = 1
-      |                 THEN 1.0 ELSE -1.0 END) FOR d IN range(0, len(v))],
-      |      (acc, x) -> acc + x) >= 0
-      |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END FOR i IN range(0,8)]) AS BIGINT) AS bucket
-      |  FROM e
+      |), par AS (
+      |  SELECT list_min([i FOR i IN range(4,29) IF 16 * (CAST(1 AS BIGINT) << i) >= n] || [28]) AS r
+      |  FROM (SELECT COUNT(*) AS n FROM e)
+      |), keys AS (
+      |  SELECT vec_id, v, t AS band,
+      |    CAST(list_sum([CASE WHEN list_reduce(
+      |        [v[d+1] * (CASE WHEN (((1103515245*((1103515245*((t*64+j)*8191+d+1)+12345) % 2147483647)+12345) % 2147483647) >> 7) & 1 = 1
+      |                   THEN 1.0 ELSE -1.0 END) FOR d IN range(0, len(v))],
+      |        (acc, x) -> acc + x) >= 0
+      |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END FOR j IN range(0, r)]) AS BIGINT) AS bkey,
+      |    CAST(list_sum([CASE WHEN list_reduce(
+      |        [v[d+1] * (CASE WHEN (((1103515245*((1103515245*((t*64+32+j)*8191+d+1)+12345) % 2147483647)+12345) % 2147483647) >> 7) & 1 = 1
+      |                   THEN 1.0 ELSE -1.0 END) FOR d IN range(0, len(v))],
+      |        (acc, x) -> acc + x) >= 0
+      |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END FOR j IN range(0, 4)]) AS BIGINT) AS xkey
+      |  FROM e, par, range(0,4) tt(t)
+      |), cnt AS (
+      |  SELECT band, bkey, COUNT(*) AS c FROM keys GROUP BY 1, 2
+      |), refined AS (
+      |  SELECT k.vec_id, k.v, k.band, k.bkey,
+      |    CASE WHEN c.c > 48 THEN k.xkey ELSE -1 END AS subkey
+      |  FROM keys k JOIN cnt c USING (band, bkey)
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM refined a JOIN refined b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.subkey = b.subkey
+      |   AND a.vec_id < b.vec_id
       |), pairs AS (
-      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-      |    list_cosine_similarity(a.v, b.v) AS cos
-      |  FROM sk a JOIN sk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  SELECT p.a_id, p.b_id, list_cosine_similarity(ea.v, eb.v) AS cos
+      |  FROM cand p
+      |  JOIN e ea ON ea.vec_id = p.a_id
+      |  JOIN e eb ON eb.vec_id = p.b_id
       |)""".stripMargin
 
-  /** Within-bucket candidate pairs under a `bits`-wide hyperplane sketch,
-    * with exact cosine verification. Cost is Σ bucket² (never N²). */
-  def lshPairs(s: SparkSession, dir: String, bits: Int = 8): DataFrame = {
+  /** Banded-LSH candidate pairs with exact cosine verification: pairs
+    * agreeing on at least one band's (key, refinement) bucket. Cost is
+    * Σ bucket², bounded ~N·[[BucketCap]] by construction — never N².
+    *
+    * The corpus count that sizes the key width is one cheap metadata-scale
+    * job here; on a real catalog it comes from table statistics. */
+  def lshPairs(s: SparkSession, dir: String,
+      bucketCap: Int = BucketCap): DataFrame = {
     val emb = embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"),
-        signSketch(col("embedding"), bits).as("bucket"))
-    val l = emb.select(col("bucket"), col("vec_id").as("a_id"),
-      col("embedding").as("a_vec"))
-    val r = emb.select(col("bucket"), col("vec_id").as("b_id"),
-      col("embedding").as("b_vec"))
-    l.join(r, Seq("bucket")).filter(col("a_id") < col("b_id"))
+    val r = rBitsFor(emb.count())
+    val keyed = emb.select(col("vec_id"), col("embedding"),
+      PortableHashExprs.portable_sign_bands(col("embedding"), Bands, r,
+        ExtraBits).as("keys"))
+    val banded = keyed.select(col("vec_id"), col("embedding"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)),
+        t => struct(t.as("band"),
+          element_at(col("keys"), t + 1).as("bkey"),
+          element_at(col("keys"), t + Bands + 1).as("xkey")))).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"), col("bb.xkey").as("xkey"))
+    val counts = banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val refined = banded.join(counts, Seq("band", "bkey"))
+      .withColumn("subkey",
+        when(col("cnt") > bucketCap, col("xkey")).otherwise(lit(-1L)))
+    val l = refined.select(col("band"), col("bkey"), col("subkey"),
+      col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val rr = refined.select(col("band"), col("bkey"), col("subkey"),
+      col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    l.join(rr, Seq("band", "bkey", "subkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_vec"), col("b_vec"))
+      .dropDuplicates("a_id", "b_id")
       .withColumn("cos", cosine(col("a_vec"), col("b_vec")))
-      .select(col("bucket"), col("a_id"), col("b_id"), col("cos"))
+      .select(col("a_id"), col("b_id"), col("cos"))
   }
 
   /** Approximate near-neighbor per vector: the best in-bucket neighbor

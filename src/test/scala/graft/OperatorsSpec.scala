@@ -51,6 +51,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sameElements(viaDf.map(r => (r.getString(0), r.getString(1), r.getLong(2)))))
   }
 
+  test("LSH bucket cap refines oversized buckets (candidates shrink, never grow)") {
+    val uncapped = operators.Similarity.lshPairs(spark, dir, bucketCap = Int.MaxValue)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = operators.Similarity.lshPairs(spark, dir, bucketCap = 1)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped), "refinement must only subdivide buckets")
+    assert(capped.size < uncapped.size,
+      "cap=1 must split at least one multi-occupant bucket")
+  }
+
   test("dedup_exact keeps every distinct document") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val kept = operators.Dedup.exact(spark, dir)

@@ -69,4 +69,66 @@ class PortableHashSpec extends AnyFunSuite {
     val pos = signs.count(_ == 1.0)
     assert(pos > signs.size / 4 && pos < 3 * signs.size / 4)
   }
+
+  private def signBands(vec: Array[Float], bands: Int, r: Int,
+      extra: Int): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val lit = Literal.create(vec, ArrayType(FloatType, containsNull = false))
+    PortableHashExprs.PortableSignBands(lit, bands, r, extra)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+  }
+
+  test("sign-band key 0 equals the plain sign sketch (plane family 0)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val vec = Array.tabulate(64)(d => math.sin(d * 1.7).toFloat)
+    val lit = Literal.create(vec, ArrayType(FloatType, containsNull = false))
+    val sketch = PortableHashExprs.PortableSignSketch(lit, 8)
+      .eval(null).asInstanceOf[Long]
+    // band 0 draws planes [0, r) — identical to the flat sketch's bits
+    assert(signBands(vec, bands = 1, r = 8, extra = 4).head == sketch)
+  }
+
+  test("sign bands use disjoint plane families per band") {
+    val vec = Array.tabulate(64)(d => math.cos(d * 0.9).toFloat)
+    val keys = signBands(vec, bands = 4, r = 12, extra = 4)
+    assert(keys.length == 8)
+    // 4 independent 12-bit families colliding on all pairs is ~2^-36
+    assert(keys.take(4).distinct.length > 1)
+  }
+
+  test("sign kernels accept array<double> and reject non-numeric arrays") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val f = Array.tabulate(16)(d => (d * 0.37 - 2.5).toFloat)
+    val asF = Literal.create(f, ArrayType(FloatType, containsNull = false))
+    val asD = Literal.create(f.map(_.toDouble),
+      ArrayType(DoubleType, containsNull = false))
+    // float-exact values → identical sketch through either element reader
+    assert(PortableHashExprs.PortableSignSketch(asF, 8).eval(null) ==
+      PortableHashExprs.PortableSignSketch(asD, 8).eval(null))
+    val bad = Literal.create(Array("x"), ArrayType(StringType, containsNull = false))
+    assert(PortableHashExprs.PortableSignSketch(bad, 8)
+      .checkInputDataTypes().isFailure)
+    assert(PortableHashExprs.PortableSignBands(bad, 2, 8, 4)
+      .checkInputDataTypes().isFailure)
+  }
+
+  test("LSH key width scales with corpus size (the 100 TB property)") {
+    import graft.operators.Similarity._
+    assert(rBitsFor(0) == RMin)
+    assert(rBitsFor(500) == 5)     // sf0.01: 16·2^5 = 512 ≥ 500
+    assert(rBitsFor(2000) == 7)    // sf0.1
+    assert(rBitsFor(1000000) == 16)
+    assert(rBitsFor(4L << 30) == RMax) // clamp: 4.3B vectors
+    // bucket space tracks N: mean occupancy stays within [target/2, target]
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L)) {
+      val space = 1L << rBitsFor(n)
+      val mean = n.toDouble / space
+      assert(mean <= TargetBucket, s"n=$n mean=$mean")
+      assert(mean >= TargetBucket / 2.0, s"n=$n mean=$mean")
+    }
+  }
 }
