@@ -18,6 +18,10 @@ object Federation {
       exp.extraStrategies = exp.extraStrategies :+ FederationStrategy
     if (!exp.extraOptimizations.contains(FederationRule))
       exp.extraOptimizations = exp.extraOptimizations :+ FederationRule
+    // after FederationRule in the same batch: attaches join-derived
+    // runtime filters to freshly-cut fragments
+    if (!exp.extraOptimizations.contains(RuntimeFilterRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ RuntimeFilterRule
   }
 
   /** Register one remote table under a local name. Schema is inferred
@@ -61,6 +65,7 @@ object Federation {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FederationRule)
+    e.injectOptimizerRule(_ => RuntimeFilterRule)
     e.injectPlannerStrategy(_ => FederationStrategy)
   }
 }

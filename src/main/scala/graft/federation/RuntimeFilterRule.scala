@@ -1,0 +1,130 @@
+package graft.federation
+
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+import graft.federation.plans.{FederatedPlan, RemoteRuntimeFilter}
+
+/** Runtime (dynamic) filter pushdown into remote scans — the Spark
+  * re-expression of the reference's `handle_child_pushdown_result`
+  * (src/sql/mod.rs:416-444): the remote scan node accepts filters derived
+  * from its join parents and hands them to the executor with the query.
+  *
+  * Spark's own runtime filters (DPP, bloom) only target file/DSv2 sources,
+  * so a remote fact joined to a small local dimension would stream the fact
+  * unfiltered through the join. This rule spots
+  * `Join(FederatedPlan, smallLocal)` equi-joins where filtering the remote
+  * side by the other side's key set is semantics-preserving, and attaches a
+  * [[RemoteRuntimeFilter]] to the fragment. At execution time
+  * ([[graft.federation.exec.RemoteScanExec]]) the build side is evaluated
+  * (one bounded job, same cost model as Spark's DPP subqueries) and the key
+  * set is inlined into the remote SQL as an IN-list, or a min/max range
+  * when the key set exceeds the cap — so at 100 TB only the matching slice
+  * of the remote fact ever crosses the wire.
+  *
+  * Safety: an IN-list on the build side's non-null key values is a superset
+  * of the rows the join can emit from the filtered side, so it is only
+  * attached where dropped non-matching rows cannot surface: the
+  * streamed side of Inner/LeftSemi joins, the left of RightOuter, the
+  * right of LeftOuter/LeftAnti. Null-safe equality (`<=>`) never
+  * qualifies — null keys would match.
+  *
+  * Runs after [[FederationRule]] in the same (fixpoint) batch; the
+  * attachment is deterministic from the join structure, so re-running
+  * converges.
+  */
+object RuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  val EnabledKey = "spark.graft.federation.runtimeFilter.enabled"
+  val MaxKeysKey = "spark.graft.federation.runtimeFilter.maxKeys"
+  val DefaultMaxKeys = 1024
+
+  /** Key types every dialect's `literal` can render. */
+  private def renderable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType | DateType | TimestampType |
+         TimestampNTZType | _: DecimalType => true
+    case _ => false
+  }
+
+  private def leftFilterable(jt: JoinType): Boolean = jt match {
+    case Inner | LeftSemi | RightOuter => true
+    case _ => false
+  }
+
+  private def rightFilterable(jt: JoinType): Boolean = jt match {
+    case Inner | LeftSemi | LeftAnti | LeftOuter => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
+    val threshold = conf.autoBroadcastJoinThreshold
+    if (threshold <= 0) return plan
+    plan.transformUp {
+      case j @ Join(left, right, joinType, Some(cond), _) =>
+        val pairs = equiPairs(cond, left, right)
+        if (pairs.isEmpty) j
+        else {
+          val newLeft =
+            if (leftFilterable(joinType))
+              attach(left, right, pairs, threshold)
+            else left
+          val newRight =
+            if (rightFilterable(joinType))
+              attach(right, left, pairs.map(_.swap), threshold)
+            else right
+          if ((newLeft eq left) && (newRight eq right)) j
+          else j.copy(left = newLeft, right = newRight)
+        }
+    }
+  }
+
+  /** Equi-key pairs (leftSideKey, rightSideKey) from the conjunctive
+    * condition — strict equality only (see null note above). */
+  private def equiPairs(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Seq[(Expression, Expression)] =
+    splitConjunctivePredicates(cond).collect {
+      case EqualTo(l, r)
+          if l.references.subsetOf(left.outputSet) &&
+             r.references.subsetOf(right.outputSet) => (l, r)
+      case EqualTo(l, r)
+          if r.references.subsetOf(left.outputSet) &&
+             l.references.subsetOf(right.outputSet) => (r, l)
+    }
+
+  /** Same bar as Spark's own runtime-filter injection: only a build side
+    * that prunes something (filter/limit/aggregate in its tree) promises a
+    * selective key set — an unfiltered dimension scan would push a key
+    * range covering the whole fact for nothing. */
+  private def selective(build: LogicalPlan): Boolean =
+    build.collectFirst {
+      case _: Filter | _: GlobalLimit | _: LocalLimit | _: Aggregate => ()
+    }.nonEmpty
+
+  /** Attach filters to `side` when it is a federated fragment and `build`
+    * is cheap enough to evaluate eagerly (the broadcast bar: if Spark
+    * would ship it to every executor, one driver-side scan of it is free
+    * by comparison). The fragment key must be a bare output attribute so
+    * the predicate can name a column of the generated remote SQL. */
+  private def attach(side: LogicalPlan, build: LogicalPlan,
+      pairs: Seq[(Expression, Expression)], threshold: Long): LogicalPlan =
+    side match {
+      case f: FederatedPlan
+          if build.stats.sizeInBytes <= threshold && selective(build) =>
+        val fresh = pairs.collect {
+          case (a: AttributeReference, bk)
+              if f.outputSet.contains(a) && renderable(a.dataType) &&
+                 bk.deterministic && renderable(bk.dataType) =>
+            RemoteRuntimeFilter(a, build, bk)
+        }.filterNot(rf => f.runtimeFilters.exists(old =>
+          old.column.semanticEquals(rf.column) &&
+            old.buildKey.semanticEquals(rf.buildKey)))
+        if (fresh.isEmpty) side
+        else f.copy(runtimeFilters = f.runtimeFilters ++ fresh)
+      case _ => side
+    }
+}

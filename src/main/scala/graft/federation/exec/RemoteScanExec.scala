@@ -1,12 +1,15 @@
 package graft.federation.exec
 
 import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Limit, LogicalPlan, Project}
 import org.apache.spark.sql.execution.LeafExecNode
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
-import org.apache.spark.sql.types.StructType
 
+import graft.federation.plans.RemoteRuntimeFilter
 import graft.federation.sql.SqlExecutor
 
 /** Physical leaf that ships SQL to a remote engine and streams rows back
@@ -20,13 +23,23 @@ import graft.federation.sql.SqlExecutor
   * resulting RDD is the union, so downstream operators consume n-way
   * parallel input (n tasks each holding one remote cursor on a cluster).
   *
+  * `runtimeFilters` are join-derived dynamic filters
+  * ([[graft.federation.RuntimeFilterRule]]): at execution time each build
+  * side runs as one bounded local job and its key set is appended to the
+  * remote SQL — the reference's physical filter acceptance
+  * (src/sql/mod.rs:416-444, filters handed to `executor.execute`,
+  * src/sql/executor.rs:45-56). The build side executes twice (once here,
+  * once in the join proper) — inherent to IN-list runtime filtering and
+  * bounded by the broadcast threshold.
+  *
   * The generated SQL appears in EXPLAIN (the reference displays it the
   * same way, src/sql/mod.rs:348-369).
   */
 final case class RemoteScanExec(
     override val output: Seq[Attribute],
     sqls: Seq[String],
-    @transient executor: SqlExecutor)
+    @transient executor: SqlExecutor,
+    @transient runtimeFilters: Seq[RemoteRuntimeFilter] = Nil)
   extends LeafExecNode {
   // @transient: physical plans are captured in task closures (whole-stage
   // codegen, broadcast); the executor is only dereferenced driver-side in
@@ -35,13 +48,26 @@ final case class RemoteScanExec(
   require(sqls.nonEmpty, "RemoteScanExec needs at least one query")
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numRuntimeFilters" -> SQLMetrics.createMetric(sparkContext, "runtime filters pushed"))
+
+  /** The SQLs actually sent: base split SQLs, each wrapped with the
+    * runtime-filter predicates resolved at this call. */
+  private[graft] def effectiveSqls(): Seq[String] = {
+    val preds = runtimeFilters.flatMap(renderFilter)
+    metrics.get("numRuntimeFilters").foreach(_.add(preds.size))
+    if (preds.isEmpty) sqls
+    else {
+      val where = preds.mkString(" AND ")
+      sqls.map(s => s"SELECT * FROM ($s) AS rf_sub WHERE $where")
+    }
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val rows = metrics("numOutputRows")
     val schema =
       org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(output)
-    val rdd = sqls match {
+    val rdd = effectiveSqls() match {
       case Seq(one) => executor.execute(one, schema)
       case many => sparkContext.union(many.map(executor.execute(_, schema)))
     }
@@ -62,9 +88,58 @@ final case class RemoteScanExec(
     }
   }
 
+  /** Evaluate one runtime filter's build side and render its predicate:
+    * distinct keys bounded by the cap become an IN-list; beyond the cap a
+    * min/max range; an empty (or all-null) build side short-circuits to
+    * `1=0` — the remote engine then answers without scanning. `None` only
+    * on a render failure, which degrades to the unfiltered scan. */
+  private def renderFilter(rf: RemoteRuntimeFilter): Option[String] =
+    try {
+      val session = SparkSession.active
+      val maxKeys = session.conf
+        .get(graft.federation.RuntimeFilterRule.MaxKeysKey,
+          graft.federation.RuntimeFilterRule.DefaultMaxKeys.toString).toInt
+      val d = executor.dialect
+      val colSql = d.quoteIfNeeded(rf.column.name)
+      val dt = rf.buildKey.dataType
+      val keyPlan = Limit(
+        org.apache.spark.sql.catalyst.expressions.Literal(maxKeys + 1),
+        Distinct(Project(Seq(Alias(rf.buildKey, "k")()), rf.buildPlan)))
+      val collected = internalRows(session, keyPlan)
+      val keys = collected.iterator.map(_.get(0, dt)).filter(_ != null).toArray
+      if (keys.isEmpty) Some("1=0")
+      else if (collected.length <= maxKeys)
+        Some(s"$colSql IN (${keys.map(d.literal(_, dt)).distinct.sorted.mkString(", ")})")
+      else {
+        // more distinct keys than the cap: fall back to the key range
+        val agg = org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+          Nil, Seq(
+            Alias(Min(rf.buildKey).toAggregateExpression(), "lo")(),
+            Alias(Max(rf.buildKey).toAggregateExpression(), "hi")()),
+          rf.buildPlan)
+        val row = internalRows(session, agg).head
+        val lo = row.get(0, dt)
+        val hi = row.get(1, dt)
+        if (lo == null || hi == null) Some("1=0")
+        else Some(s"$colSql >= ${d.literal(lo, dt)} AND $colSql <= ${d.literal(hi, dt)}")
+      }
+    } catch {
+      case e: Exception =>
+        logWarning(s"runtime filter on ${rf.column.name} skipped: ${e.getMessage}")
+        None
+    }
+
+  private def internalRows(session: SparkSession,
+      plan: LogicalPlan): Array[InternalRow] =
+    GraftShims.ofRows(session, plan)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.executeCollect()
+
   override def simpleString(maxFields: Int): String = {
     val split = if (sqls.size > 1) s" splits=${sqls.size}" else ""
-    s"RemoteScan [${executor.name}]$split sql=${sqls.head}"
+    val rf = if (runtimeFilters.isEmpty) ""
+      else s" rfilters=[${runtimeFilters.map(_.column.name).mkString(",")}]"
+    s"RemoteScan [${executor.name}]$split$rf sql=${sqls.head}"
   }
 }
 

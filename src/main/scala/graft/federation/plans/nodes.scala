@@ -44,6 +44,20 @@ object RemoteRelation {
   }
 }
 
+/** A runtime filter attached to a federated fragment: at execution time
+  * the small local `buildPlan` is evaluated and its distinct `buildKey`
+  * values are inlined into the remote SQL as an IN-list (or min/max range)
+  * predicate on the fragment output `column` — the Spark re-expression of
+  * the reference's physical filter-pushdown acceptance
+  * (`handle_child_pushdown_result`, src/sql/mod.rs:416-444; executor filter
+  * contract src/sql/executor.rs:45-56), with the broadcast-join build side
+  * playing the role of the parent filter. Without it, a remote fact joined
+  * against a small local dimension streams the fact unfiltered. */
+final case class RemoteRuntimeFilter(
+    column: AttributeReference,
+    buildPlan: LogicalPlan,
+    buildKey: org.apache.spark.sql.catalyst.expressions.Expression)
+
 /** Opaque logical node wrapping a sub-plan that will run remotely.
   *
   * A LeafNode on purpose: exposing no children/expressions freezes the
@@ -53,7 +67,8 @@ object RemoteRelation {
   */
 final case class FederatedPlan(
     inner: LogicalPlan,
-    provider: FederationProvider)
+    provider: FederationProvider,
+    runtimeFilters: Seq[RemoteRuntimeFilter] = Nil)
   extends LeafNode {
 
   override def output: Seq[Attribute] = inner.output
@@ -63,6 +78,9 @@ final case class FederatedPlan(
     * hook, src/sql/executor.rs:61-63). */
   override def computeStats(): Statistics = inner.stats
 
-  override def simpleString(maxFields: Int): String =
-    s"Federated [${provider.name}]"
+  override def simpleString(maxFields: Int): String = {
+    val rf = if (runtimeFilters.isEmpty) ""
+      else s" rfilters=[${runtimeFilters.map(_.column.name).mkString(",")}]"
+    s"Federated [${provider.name}]$rf"
+  }
 }

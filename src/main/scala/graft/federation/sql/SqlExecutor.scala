@@ -88,7 +88,12 @@ final class SparkSqlExecutor(
   override def computeContext: Option[String] = Some(context)
   override def dialect: SqlDialect = SparkDialect
 
+  /** Every SQL this executor has run, oldest first — lets tests assert on
+    * the exact queries a plan shipped (e.g. runtime-filter predicates). */
+  val executedSql = new scala.collection.mutable.ArrayBuffer[String]
+
   override def execute(sql: String, schema: StructType): RDD[InternalRow] = {
+    executedSql.synchronized { executedSql += sql }
     // sqlRewriter was already applied at SQL-generation time
     // (SqlFederationProvider.unparse/unparseSplits) — applying it here too
     // would run non-idempotent hooks twice

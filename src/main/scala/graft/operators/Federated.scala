@@ -116,6 +116,35 @@ object Federated {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Runtime-filtered remote fact scan: the remote lineitem is joined to a
+    * small, selectively-filtered LOCAL dimension, so the federation cut is
+    * at the join — without [[graft.federation.RuntimeFilterRule]] the
+    * remote side would stream every lineitem row. With it, the dim's
+    * order keys are evaluated first and inlined into the remote SQL as an
+    * IN-list (reference `handle_child_pushdown_result`,
+    * src/sql/mod.rs:416-444), so only matching remote rows cross the wire.
+    */
+  def runtimeFilterJoin(s: SparkSession, dir: String): DataFrame = {
+    FederationHarness.setup(s, dir)
+    graft.sources.Tables.orders(s, dir)
+      .filter("o_totalprice > 480000")
+      .createOrReplaceTempView("local_big_orders")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM fed_lineitem JOIN local_big_orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val runtimeFilterOracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN (SELECT * FROM orders WHERE o_totalprice > 480000) o
+      |  ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** LIMIT/OFFSET pushdown (reference analyzer.rs:890-938). */
   def limitOffsetPushdown(s: SparkSession, dir: String): DataFrame =
     FederationHarness.sql(s, dir,

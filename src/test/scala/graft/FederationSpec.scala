@@ -458,6 +458,100 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().nonEmpty)
   }
 
+  test("runtime filter: dim keys are inlined into the executed remote SQL") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    val df = Federated.runtimeFilterJoin(spark, dir)
+    // the fragment must carry the runtime filter in the optimized plan
+    val frags = fedFragments(df)
+    assert(frags.exists(_.runtimeFilters.nonEmpty),
+      s"no runtime filter attached:\n${df.queryExecution.optimizedPlan}")
+    val rf = frags.flatMap(_.runtimeFilters).head
+    assert(rf.column.name == "l_orderkey")
+    // results match local execution
+    assert(rows(df) == rows(spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN (SELECT * FROM orders WHERE o_totalprice > 480000) o
+        |  ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)))
+    // and the SQL that actually reached the remote engine carries the
+    // derived IN-list predicate (55 keys at sf0.001 → IN path)
+    val executed = alpha.executedSql.drop(before)
+    val filtered = executed.filter(s =>
+      s.contains("lineitem") && s.contains("l_orderkey IN ("))
+    assert(filtered.nonEmpty,
+      s"no executed remote SQL carries the runtime filter:\n${executed.mkString("\n")}")
+  }
+
+  test("runtime filter: key sets over the cap degrade to a min/max range") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    spark.conf.set(graft.federation.RuntimeFilterRule.MaxKeysKey, "10")
+    try {
+      val before = alpha.executedSql.size
+      val df = Federated.runtimeFilterJoin(spark, dir)
+      assert(rows(df) == rows(spark.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n_lines,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM lineitem JOIN (SELECT * FROM orders WHERE o_totalprice > 480000) o
+          |  ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)))
+      val executed = alpha.executedSql.drop(before)
+      assert(executed.exists(s => s.contains("lineitem") &&
+          s.contains("l_orderkey >= ") && s.contains("l_orderkey <= ")),
+        s"no range predicate reached the remote engine:\n${executed.mkString("\n")}")
+    } finally spark.conf.unset(graft.federation.RuntimeFilterRule.MaxKeysKey)
+  }
+
+  test("runtime filter: outer-preserved sides are never filtered") {
+    setup()
+    // left outer join with the fed fact on the LEFT: every lineitem row
+    // must survive, so no runtime filter may attach to the fragment
+    graft.sources.Tables.orders(spark, dir)
+      .filter("o_totalprice > 480000")
+      .createOrReplaceTempView("local_big_orders")
+    val df = spark.sql(
+      """SELECT COUNT(*) AS n
+        |FROM fed_lineitem LEFT JOIN local_big_orders ON l_orderkey = o_orderkey""".stripMargin)
+    val frags = fedFragments(df)
+    assert(frags.nonEmpty)
+    assert(frags.forall(_.runtimeFilters.isEmpty),
+      s"left-outer preserved side got filtered:\n${df.queryExecution.optimizedPlan}")
+    val localN = spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()
+    assert(rows(df) == localN.map(_.toString).toSeq)
+  }
+
+  test("runtime filter: empty build side short-circuits to 1=0") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    graft.sources.Tables.orders(spark, dir)
+      .filter("o_totalprice > 99999999")   // empty dim
+      .createOrReplaceTempView("local_none")
+    val df = spark.sql(
+      """SELECT l_orderkey FROM fed_lineitem JOIN local_none
+        |  ON l_orderkey = o_orderkey""".stripMargin)
+    assert(df.collect().isEmpty)
+    // two acceptable outcomes: AQE sees the empty broadcast side and never
+    // runs the remote scan at all, or (no AQE) the scan runs with the
+    // 1=0 short-circuit predicate — never an unfiltered fact scan
+    val executed = alpha.executedSql.drop(before).filter(_.contains("lineitem"))
+    assert(executed.isEmpty || executed.forall(_.contains("1=0")),
+      s"remote fact ran unfiltered:\n${executed.mkString("\n")}")
+
+    // non-AQE path: the exec node itself must render 1=0
+    val frag = fedFragments(df).find(_.runtimeFilters.nonEmpty)
+    assert(frag.isDefined, "runtime filter must attach to the fragment")
+    val exec = graft.federation.exec.RemoteScanExec(frag.get.output,
+      Seq("SELECT l_orderkey FROM lineitem"), alpha, frag.get.runtimeFilters)
+    val sqls = exec.effectiveSqls()
+    assert(sqls.forall(_.contains("1=0")), sqls.mkString("\n"))
+  }
+
   test("AnsiDialect emits explicit NULLS FIRST when Spark default differs") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.dsl.plans._
