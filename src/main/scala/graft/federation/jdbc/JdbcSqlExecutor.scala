@@ -30,7 +30,10 @@ final class JdbcSqlExecutor(
     url: String,
     override val dialect: SqlDialect,
     override val splitCount: Int = 1,
-    connectionProps: Map[String, String] = Map.empty)
+    connectionProps: Map[String, String] = Map.empty,
+    /** Rows a stats probe is willing to scan remotely before declaring the
+      * relation "not small" (unknown stats → Spark will not broadcast). */
+    val statsRowCap: Long = 1000000L)
   extends SqlExecutor {
 
   // URL identifies the database instance — the mandatory compute context
@@ -99,12 +102,12 @@ final class JdbcSqlExecutor(
     } finally conn.close()
   }
 
+  // Option-valued: `Some(None)` caches the at-cap "not small" outcome, so
+  // a big table/fragment (the common production case) is probed once per
+  // executor lifetime instead of on every plan. Transient SQLExceptions
+  // are never cached, so a flaky remote doesn't disable broadcasts forever.
   private val statsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Statistics]
-
-  /** Rows the stats probe is willing to scan remotely before declaring the
-    * table "not small" (unknown stats → Spark will not broadcast it). */
-  val statsRowCap: Long = 1000000L
+    scala.collection.concurrent.TrieMap.empty[String, Option[Statistics]]
 
   /** Bounded statistics probe — the reference's executor `statistics` hook
     * (src/sql/executor.rs:61-63); without it Spark assumes every remote
@@ -115,45 +118,58 @@ final class JdbcSqlExecutor(
     * full-table COUNT(*) of a 10B-row remote, and (b) string columns are
     * measured, not guessed — Catalyst's 20-byte default would classify a
     * wide-text table as broadcastable and pull gigabytes through the
-    * driver. Tables at the cap report no stats (only tables small enough
-    * to be broadcast candidates need them). Successful probes are cached
-    * for the executor's lifetime (a session-scoped object); failures are
-    * NOT cached, so a transient remote error does not disable broadcasts
-    * forever. */
+    * driver. Relations at the cap report no stats (only relations small
+    * enough to be broadcast candidates need them). */
   override def statistics(ref: RemoteTableRef): Option[Statistics] =
-    statsCache.get(ref.toString).orElse {
+    probeCached(ref.toString, ref.sql(dialect), tableSchema(ref))
+
+  /** Same bounded probe over a generated fragment SQL — the reference's
+    * statistics hook takes the plan (src/sql/executor.rs:61-63), so a
+    * filtered fragment can report fragment-level, not whole-table, size. */
+  override def fragmentStatistics(sql: String,
+      schema: StructType): Option[Statistics] =
+    probeCached(sql, s"($sql) frag_src", schema)
+
+  // schema is by-name: on a cache hit the (remote round-trip) schema
+  // introspection must not run at all
+  private def probeCached(key: String, fromSql: String,
+      schema: => StructType): Option[Statistics] =
+    statsCache.get(key).getOrElse {
       try {
-        val schema = tableSchema(ref)
-        val strCols = schema.fields.filter(_.dataType == StringType)
-        val sums = strCols.map(f =>
-          s"SUM(LENGTH(${dialect.quoteIfNeeded(f.name)}))")
-        val capped = s"(SELECT * FROM ${ref.sql(dialect)}" +
-          s"${dialect.limitClause(Some(statsRowCap), None)}) stats_probe"
-        val items = (Seq("COUNT(*)") ++ sums).mkString(", ")
-        val conn = connect()
-        try {
-          val rs = conn.createStatement()
-            .executeQuery(s"SELECT $items FROM $capped")
-          rs.next()
-          val rows = rs.getLong(1)
-          if (rows >= statsRowCap) None
-          else {
-            val strBytes = strCols.indices.map { i =>
-              val v = rs.getLong(i + 2)
-              if (rs.wasNull()) 0L else v
-            }.sum
-            val fixed = schema.fields.filterNot(_.dataType == StringType)
-              .map(_.dataType.defaultSize).sum
-            val size = BigInt(rows) * fixed + BigInt(strBytes) +
-              BigInt(rows) * strCols.length * 8 // per-string overhead
-            val st = Statistics(sizeInBytes = size.max(1),
-              rowCount = Some(BigInt(rows)))
-            statsCache.put(ref.toString, st)
-            Some(st)
-          }
-        } finally conn.close()
+        val result = probe(fromSql, schema)
+        statsCache.put(key, result)
+        result
       } catch { case _: java.sql.SQLException => None }
     }
+
+  private def probe(fromSql: String, schema: StructType): Option[Statistics] = {
+    val strCols = schema.fields.filter(_.dataType == StringType)
+    val sums = strCols.map(f =>
+      s"SUM(LENGTH(${dialect.quoteIfNeeded(f.name)}))")
+    val capped = s"(SELECT * FROM $fromSql" +
+      s"${dialect.limitClause(Some(statsRowCap), None)}) stats_probe"
+    val items = (Seq("COUNT(*)") ++ sums).mkString(", ")
+    val conn = connect()
+    try {
+      val rs = conn.createStatement()
+        .executeQuery(s"SELECT $items FROM $capped")
+      rs.next()
+      val rows = rs.getLong(1)
+      if (rows >= statsRowCap) None
+      else {
+        val strBytes = strCols.indices.map { i =>
+          val v = rs.getLong(i + 2)
+          if (rs.wasNull()) 0L else v
+        }.sum
+        val fixed = schema.fields.filterNot(_.dataType == StringType)
+          .map(_.dataType.defaultSize).sum
+        val size = BigInt(rows) * fixed + BigInt(strBytes) +
+          BigInt(rows) * strCols.length * 8 // per-string overhead
+        Some(Statistics(sizeInBytes = size.max(1),
+          rowCount = Some(BigInt(rows))))
+      }
+    } finally conn.close()
+  }
 }
 
 object JdbcSqlExecutor {

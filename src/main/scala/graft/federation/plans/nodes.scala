@@ -75,8 +75,39 @@ final case class FederatedPlan(
 
   /** Propagate the fragment's estimated stats so Spark can still pick
     * broadcast joins over small federated fragments (reference statistics
-    * hook, src/sql/executor.rs:61-63). */
-  override def computeStats(): Statistics = inner.stats
+    * hook, src/sql/executor.rs:61-63).
+    *
+    * The local estimate inherits the base table's size through Filters
+    * (Catalyst's size-only visitor doesn't reduce on selection), so a
+    * heavily filtered fragment of a big remote table would never
+    * broadcast. When that is the situation — fragment carries a filter,
+    * local estimate alone is over the broadcast bar — ask the executor
+    * for fragment-level statistics (reference `statistics(plan)`,
+    * src/sql/executor.rs:61-63: the hook takes the plan, not a name).
+    * Probing is skipped whenever it cannot flip the decision, and
+    * executors cache per fragment SQL, so planning stays cheap. */
+  override def computeStats(): Statistics = {
+    val local = inner.stats
+    val threshold = conf.autoBroadcastJoinThreshold
+    val probed = provider match {
+      case p: graft.federation.sql.SqlFederationProvider
+          if threshold > 0 && local.sizeInBytes > threshold && hasSelection =>
+        try p.executor.fragmentStatistics(p.unparse(inner), schema2)
+        catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+    probed.getOrElse(local)
+  }
+
+  private lazy val hasSelection: Boolean =
+    inner.collectFirst {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Filter => ()
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ()
+      case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => ()
+    }.nonEmpty
+
+  private def schema2: StructType =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(output)
 
   override def simpleString(maxFields: Int): String = {
     val rf = if (runtimeFilters.isEmpty) ""

@@ -38,6 +38,18 @@ trait SqlExecutor {
   /** Optional per-table statistics so Spark can plan broadcasts. */
   def statistics(ref: RemoteTableRef): Option[Statistics] = None
 
+  /** Optional fragment-level statistics: estimate the result size of a
+    * generated fragment SQL without running it to completion. The
+    * reference's `statistics` hook takes the *plan*
+    * (src/sql/executor.rs:61-63), not a table ref, precisely so a heavily
+    * filtered fragment can report far smaller stats than its base table
+    * and win a broadcast the whole-table numbers would forfeit. Called by
+    * [[graft.federation.plans.FederatedPlan.computeStats]] only when the
+    * answer could flip a broadcast decision. Implementations must cache:
+    * planning may ask repeatedly. */
+  def fragmentStatistics(sql: String, schema: StructType): Option[Statistics] =
+    None
+
   /** Number of parallel remote cursors to open for a splittable fragment
     * (see [[SplitScan]]). 1 = a single remote query. A JDBC executor would
     * size this from the remote table's row count and the cluster's task
@@ -118,4 +130,35 @@ final class SparkSqlExecutor(
       .queryExecution.optimizedPlan
     Some(plan.stats)
   }
+
+  private val fragStatsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Statistics]]
+  /** Rows the fragment probe scans remotely before giving up ("not small
+    * enough to matter for a broadcast"). */
+  val fragmentStatsRowCap: Long = 1L << 20
+
+  /** Bounded remote count over the fragment SQL. Cached per SQL text —
+    * including the at-cap "no stats" outcome, so a big fragment is probed
+    * once per executor lifetime, not once per plan. Transient failures are
+    * NOT cached. */
+  override def fragmentStatistics(sql: String,
+      schema: StructType): Option[Statistics] =
+    fragStatsCache.get(sql).getOrElse {
+      try {
+        val capped = s"SELECT * FROM ($sql) frag_probe" +
+          dialect.limitClause(Some(fragmentStatsRowCap), None)
+        val n = inner.sql(s"SELECT COUNT(*) c FROM ($capped) frag_capped")
+          .head().getLong(0)
+        val result =
+          if (n >= fragmentStatsRowCap) None
+          else {
+            val rowSize = schema.fields.map(_.dataType.defaultSize).sum.max(8)
+            Some(Statistics(
+              sizeInBytes = (BigInt(n) * rowSize).max(1),
+              rowCount = Some(BigInt(n))))
+          }
+        fragStatsCache.put(sql, result)
+        result
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 }

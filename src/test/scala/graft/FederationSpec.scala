@@ -486,6 +486,41 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no executed remote SQL carries the runtime filter:\n${executed.mkString("\n")}")
   }
 
+  test("fragment statistics: a filtered fragment wins the broadcast its base table forfeits") {
+    setup()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192") // 8 KB
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // deterministic join pick
+    try {
+      // MAX(o_orderpriority) keeps the local orders side wide (no pruning
+      // to a tiny key column), so orders itself stays over the bar and
+      // only the fed side can ever be the broadcast build.
+      // Base-table fragment: estimate is the whole remote lineitem (way
+      // over 10 KB) → sort-merge join.
+      val whole = spark.sql(
+        """SELECT COUNT(*) AS n, MAX(o.o_orderpriority) AS mx
+          |FROM fed_lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin)
+      val wholePlan = whole.queryExecution.executedPlan.toString()
+      assert(!wholePlan.contains("BroadcastHashJoin"), wholePlan)
+
+      // filtered fragment over the same table: executor-probed cardinality
+      // is tiny → fragment stats flip the decision to broadcast
+      val filtered = spark.sql(
+        """SELECT COUNT(*) AS n, MAX(o.o_orderpriority) AS mx
+          |FROM (SELECT l_orderkey FROM fed_lineitem WHERE l_orderkey < 10) l
+          |JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin)
+      val filteredPlan = filtered.queryExecution.executedPlan.toString()
+      assert(filteredPlan.contains("BroadcastHashJoin"), filteredPlan)
+      // and the answers are right
+      assert(rows(filtered) == rows(spark.sql(
+        """SELECT COUNT(*) AS n, MAX(o.o_orderpriority) AS mx
+          |FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey < 10) l
+          |JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin)))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("runtime filter: key sets over the cap degrade to a min/max range") {
     setup()
     val alpha = FederationHarness.executor(spark, dir, "alpha")

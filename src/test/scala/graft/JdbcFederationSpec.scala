@@ -124,6 +124,25 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
         df.queryExecution.executedPlan)
   }
 
+  test("fragment statistics probe fragment SQL; at-cap relations report none") {
+    val ex = executor
+    // fragment-level: the filtered fragment's cardinality, not the table's
+    val frag = ex.fragmentStatistics(
+      "SELECT emp_id FROM emp WHERE salary > 100.0",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("emp_id",
+          org.apache.spark.sql.types.IntegerType))))
+    assert(frag.exists(_.rowCount.contains(BigInt(2))), frag)
+    // a capped executor declares the 6-row emp table "not small": no stats
+    val capped = new JdbcSqlExecutor("derbycap", spark, url, DerbyDialect,
+      statsRowCap = 5L)
+    assert(capped.statistics(
+      graft.federation.sql.RemoteTableRef.parse("EMP")).isEmpty)
+    // the at-cap outcome is served from cache (same answer, no re-probe)
+    assert(capped.statistics(
+      graft.federation.sql.RemoteTableRef.parse("EMP")).isEmpty)
+  }
+
   test("split reads keep NULL split-column rows (null-arm on split 0)") {
     Federation.install(spark)
     val splitEx = new JdbcSqlExecutor("derbysplit", spark, url, DerbyDialect,
