@@ -96,6 +96,9 @@ object SparkEntry {
     "fed_sort_over_limit" -> (Federated.sortOverLimitSubquery _),
     "fed_expr_surface" -> (Federated.exprSurface _),
     "fed_jdbc_suppliers" -> (Federated.jdbcSuppliers _),
+    "fed_jdbc_q1" -> (Federated.jdbcQ1 _),
+    "fed_jdbc_q3" -> (Federated.jdbcQ3 _),
+    "fed_jdbc_split" -> (Federated.jdbcSplitScan _),
     "fed_split_scan" -> (Federated.splitScanJoin _),
     // --- sampling / exact analytics ---
     "samp_hash_10pct" -> (Sampling.hashSample _),
@@ -165,6 +168,9 @@ object SparkEntry {
     "fed_sort_over_limit" -> Federated.sortOverLimitOracle,
     "fed_expr_surface" -> Federated.exprSurfaceOracle,
     "fed_jdbc_suppliers" -> Federated.jdbcSuppliersOracle,
+    "fed_jdbc_q1" -> Federated.jdbcQ1Oracle,
+    "fed_jdbc_q3" -> Federated.jdbcQ3Oracle,
+    "fed_jdbc_split" -> Federated.jdbcSplitScanOracle,
     "fed_split_scan" -> Federated.splitScanOracle,
     "samp_hash_10pct" -> Sampling.hashSampleOracle,
     "samp_stats" -> Sampling.sampleStatsOracle,

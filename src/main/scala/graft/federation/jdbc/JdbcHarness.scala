@@ -9,38 +9,67 @@ import org.apache.spark.sql.types._
 
 import graft.federation.Federation
 
-/** Gate/test harness for the REAL JDBC path: loads small dimension tables
-  * from the driver's parquet testdata into an embedded in-memory Derby
-  * database and registers them as `jdbc_*` remote views. The federation
-  * pipeline then ships actual Derby SQL over an actual JDBC connection —
-  * the production analog of the mock [[graft.federation.sql.SparkSqlExecutor]].
+/** Gate/test harness for the REAL JDBC path: loads TPC-H tables from the
+  * driver's parquet testdata into an embedded in-memory Derby database and
+  * registers them as `jdbc_*` remote views. The federation pipeline then
+  * ships actual Derby SQL over an actual JDBC connection — the production
+  * analog of the mock [[graft.federation.sql.SparkSqlExecutor]].
+  *
+  * The executor is split-capable (`splitCount` = 4): scan-shaped fragments
+  * fan out to four parallel Derby cursors via
+  * [[graft.federation.sql.SplitScan]] modulo predicates, the shape a
+  * production executor uses against a sharded/partition-indexed remote.
   *
   * Tables are created with quoted lower-case identifiers so names
-  * round-trip Derby's unquoted-to-uppercase folding unchanged.
+  * round-trip Derby's unquoted-to-uppercase folding unchanged. VARCHAR
+  * widths are derived from the data being loaded (widest value, with
+  * headroom), not a fixed guess a longer column would overflow.
   */
 object JdbcHarness {
 
+  /** Full-schema gate set: the q1/q3 fact tables included. Loading happens
+    * once per (session, dir) and counts as catalog bootstrap, not query
+    * cost (rows transit the driver — fine for a test harness; production
+    * would bulk-load out of band). */
+  val GateTables: Seq[String] =
+    Seq("supplier", "nation", "customer", "orders", "lineitem")
+
+  val Splits = 4
+
   private val loaded = TrieMap.empty[(Int, String), JdbcSqlExecutor]
 
-  /** Load `tables` (small ones — rows transit the driver) for `dir` into a
-    * per-(session, dir) Derby database; idempotent. */
+  /** Load `tables` for `dir` into a per-(session, dir) Derby database;
+    * idempotent. */
   def executor(spark: SparkSession, dir: String,
-      tables: Seq[String] = Seq("supplier", "nation")): JdbcSqlExecutor =
+      tables: Seq[String] = GateTables): JdbcSqlExecutor =
     loaded.getOrElseUpdate((System.identityHashCode(spark), dir), {
       val db = s"graft_${Math.abs(dir.hashCode)}_${System.identityHashCode(spark)}"
       val url = s"jdbc:derby:memory:$db;create=true"
       val conn = DriverManager.getConnection(url)
       try {
+        conn.setAutoCommit(false) // one commit per batch, not per row
         tables.foreach { t =>
           val df = spark.read.parquet(s"$dir/$t.parquet")
-          val cols = df.schema.fields.map(f =>
-            s""""${f.name}" ${derbyType(f.dataType)}""").mkString(", ")
+          val rows = df.collect()
+          // measured VARCHAR widths: widest actual value + headroom
+          val widths = df.schema.fields.zipWithIndex.map {
+            case (f, i) if f.dataType == StringType =>
+              val w = rows.iterator.map(r =>
+                if (r.isNullAt(i)) 0 else r.getString(i).length)
+                .foldLeft(0)(math.max)
+              math.max(32, w * 2)
+            case _ => 0
+          }
+          val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
+            s""""${f.name}" ${derbyType(f.dataType, widths(i))}"""
+          }.mkString(", ")
           val st = conn.createStatement()
           st.executeUpdate(s"""CREATE TABLE "$t" ($cols)""")
           st.close()
           val ps = conn.prepareStatement(
             s"""INSERT INTO "$t" VALUES (${df.schema.map(_ => "?").mkString(",")})""")
-          df.collect().foreach { row =>
+          var pending = 0
+          rows.foreach { row =>
             df.schema.fields.zipWithIndex.foreach { case (f, i) =>
               // Derby rejects setNull(Types.NULL) — pass the column's type
               if (row.isNullAt(i)) ps.setNull(i + 1, jdbcType(f.dataType))
@@ -49,17 +78,39 @@ object JdbcHarness {
                 case IntegerType => ps.setInt(i + 1, row.getInt(i))
                 case DoubleType => ps.setDouble(i + 1, row.getDouble(i))
                 case StringType => ps.setString(i + 1, row.getString(i))
+                case TimestampNTZType =>
+                  // NTZ external type is LocalDateTime; Timestamp.valueOf
+                  // keeps the wall clock — no JVM-zone reinterpretation
+                  ps.setTimestamp(i + 1, java.sql.Timestamp.valueOf(
+                    row.getAs[java.time.LocalDateTime](i)))
+                case DateType =>
+                  ps.setDate(i + 1, java.sql.Date.valueOf(
+                    row.getAs[java.time.LocalDate](i)))
                 case other => throw new UnsupportedOperationException(
                   s"harness load of $other")
               }
             }
             ps.addBatch()
+            pending += 1
+            if (pending >= 5000) { ps.executeBatch(); conn.commit(); pending = 0 }
           }
-          ps.executeBatch()
+          if (pending > 0) { ps.executeBatch(); conn.commit() }
           ps.close()
+          // join-key indexes (after the bulk load — cheaper than
+          // maintaining them per insert): without them Derby nested-loop
+          // joins the full cartesian product and a 3-table q3 takes
+          // minutes at sf0.01
+          df.schema.fieldNames.filter(_.endsWith("key")).foreach { k =>
+            val ist = conn.createStatement()
+            ist.executeUpdate(
+              s"""CREATE INDEX "ix_${t}_$k" ON "$t" ("$k")""")
+            ist.close()
+          }
         }
+        conn.commit()
       } finally conn.close()
-      new JdbcSqlExecutor("derby", spark, s"jdbc:derby:memory:$db", DerbyDialect)
+      new JdbcSqlExecutor("derby", spark, s"jdbc:derby:memory:$db",
+        DerbyDialect, splitCount = Splits)
     })
 
   private def jdbcType(dt: DataType): Int = dt match {
@@ -67,14 +118,18 @@ object JdbcHarness {
     case IntegerType => java.sql.Types.INTEGER
     case DoubleType => java.sql.Types.DOUBLE
     case StringType => java.sql.Types.VARCHAR
+    case TimestampNTZType => java.sql.Types.TIMESTAMP
+    case DateType => java.sql.Types.DATE
     case other => throw new UnsupportedOperationException(s"jdbc type for $other")
   }
 
-  private def derbyType(dt: DataType): String = dt match {
+  private def derbyType(dt: DataType, width: Int): String = dt match {
     case LongType => "BIGINT"
     case IntegerType => "INTEGER"
     case DoubleType => "DOUBLE"
-    case StringType => "VARCHAR(128)"
+    case StringType => s"VARCHAR($width)"
+    case TimestampNTZType => "TIMESTAMP"
+    case DateType => "DATE"
     case other => throw new UnsupportedOperationException(s"derby type for $other")
   }
 

@@ -252,6 +252,17 @@ object DerbyDialect extends SqlDialect {
   // no % operator — SQL-standard MOD function only
   override def modulo(left: String, right: String): String =
     s"MOD($left, $right)"
+  // Derby has no ANSI keyword literals TIMESTAMP '...' / DATE '...' —
+  // only the function forms TIMESTAMP('...') / DATE('...')
+  override def literal(value: Any, dataType: DataType): String = {
+    val ansi = super.literal(value, dataType)
+    dataType match {
+      case TimestampType | TimestampNTZType =>
+        s"TIMESTAMP(${ansi.stripPrefix("TIMESTAMP ")})"
+      case DateType => s"DATE(${ansi.stripPrefix("DATE ")})"
+      case _ => ansi
+    }
+  }
   override def limitClause(limit: Option[Long], offset: Option[Long]): String =
     (limit, offset) match {
       case (Some(l), Some(o)) => s" OFFSET $o ROWS FETCH NEXT $l ROWS ONLY"

@@ -33,8 +33,18 @@ class SqlUnparser(dialect: SqlDialect) {
 
   private def q(ident: String): String = dialect.quoteIfNeeded(ident)
 
-  /** A rendered FROM item with the attribute scope it exposes. */
-  private case class From(text: String, scope: Map[ExprId, String])
+  /** A rendered FROM item with the attribute scope it exposes and any
+    * hoisted filter conjuncts not yet attached to a WHERE. Flattening
+    * Filters (and bare-attribute Projects) out of derived tables keeps
+    * join trees as flat base-table references — remote optimizers (Derby
+    * especially) materialize opaque nested subqueries and lose index
+    * access, turning an indexed 3-table join into minutes of nested
+    * loops. The pending preds land in the enclosing block's WHERE, an
+    * inner join's ON, or — where hoisting would change semantics (the
+    * null-extended side of an outer join) — a re-materialized derived
+    * table. */
+  private case class From(text: String, scope: Map[ExprId, String],
+      preds: Seq[String] = Nil)
 
   /** A rendered full SELECT with its output column names (aligned to the
     * source plan's output). */
@@ -75,11 +85,32 @@ class SqlUnparser(dialect: SqlDialect) {
     // generation the node is a transparent pass-through.
     case p if p.nodeName == "WindowGroupLimit" => from(p.children.head)
 
+    // flattening: a bare-attribute Project only prunes/reorders — SQL
+    // needs no derived table for that (references resolve through the
+    // child scope by exprId, and the remote engine prunes columns itself)
+    case Project(items, child)
+        if items.forall(_.isInstanceOf[AttributeReference]) =>
+      from(child)
+
+    // flattening: hoist the filter as a pending conjunct; the consumer
+    // decides where it lands (block WHERE / inner-join ON / derived table)
+    case Filter(cond, child) =>
+      val f = from(child)
+      f.copy(preds = f.preds :+ render(cond, f.scope))
+
     case Join(left, right, joinType, cond, _) =>
       joinType match {
         case Inner | Cross | LeftOuter | RightOuter | FullOuter =>
-          val fl = from(left)
-          val fr = from(right)
+          // hoisting a child's filter past the join is only sound where
+          // the filtered side is not null-extended: both sides of an
+          // inner/cross join, the preserved side of an outer join. The
+          // null-extended side re-materializes as a derived table.
+          val (fl, fr) = joinType match {
+            case Inner | Cross => (from(left), from(right))
+            case LeftOuter => (from(left), materialized(right))
+            case RightOuter => (materialized(left), from(right))
+            case _ => (materialized(left), materialized(right))
+          }
           val scope = fl.scope ++ fr.scope
           val kw = joinType match {
             case Inner => "JOIN"
@@ -96,21 +127,28 @@ class SqlUnparser(dialect: SqlDialect) {
             case (Inner, None) => s"${fl.text} CROSS JOIN ${fr.text}"
             case _ => s"${fl.text} $kw ${fr.text}$on"
           }
-          From(text, scope)
+          From(text, scope, fl.preds ++ fr.preds)
 
         case LeftSemi | LeftAnti =>
-          // EXISTS / NOT EXISTS form
+          // EXISTS / NOT EXISTS form. Left-side pending preds restrict the
+          // preserved rows → outer WHERE; right-side preds restrict which
+          // rows count as matches → inside the EXISTS subquery.
           val fl = from(left)
           val fr = from(right)
           val scope = fl.scope ++ fr.scope
-          val condSql = cond.map(c => render(c, scope)).getOrElse("TRUE")
+          val condSql = (fr.preds :+
+            cond.map(c => render(c, scope)).getOrElse("TRUE"))
+            .mkString(" AND ")
           val existsKw = if (joinType == LeftSemi) "EXISTS" else "NOT EXISTS"
           val names = dedupNames(left.output.map(_.name))
           val items = left.output.zip(names)
             .map { case (a, n) => s"${fl.scope(a.exprId)} AS ${q(n)}" }
           val alias = freshAlias()
+          val outerWhere = (fl.preds :+
+            s"$existsKw (SELECT 1 FROM ${fr.text} WHERE $condSql)")
+            .mkString(" AND ")
           val sql = s"(SELECT ${itemsSql(items)} FROM ${fl.text} " +
-            s"WHERE $existsKw (SELECT 1 FROM ${fr.text} WHERE $condSql)) AS ${q(alias)}"
+            s"WHERE $outerWhere) AS ${q(alias)}"
           From(sql, left.output.zip(names).map { case (a, n) =>
             a.exprId -> s"${q(alias)}.${q(n)}" }.toMap)
 
@@ -348,8 +386,30 @@ class SqlUnparser(dialect: SqlDialect) {
       case Filter(cond, child) =>
         val (f, where) = fromWithFilters(child)
         (f, where :+ render(cond, f.scope))
-      case other => (from(other), Nil)
+      case other =>
+        // lift any filter conjuncts the flattened FROM tree hoisted up
+        val f = from(other)
+        (f.copy(preds = Nil), f.preds)
     }
+
+  /** Render `plan` as a FROM item with no pending predicates: when
+    * flattening hoisted filters that must NOT cross this boundary (the
+    * null-extended side of an outer join), re-wrap them into a derived
+    * table. */
+  private def materialized(plan: LogicalPlan): From = {
+    val f = from(plan)
+    if (f.preds.isEmpty) f
+    else {
+      val names = dedupNames(plan.output.map(_.name))
+      val items = plan.output.zip(names).map { case (a, n) =>
+        s"${f.scope(a.exprId)} AS ${q(n)}" }
+      val alias = freshAlias()
+      From(s"(SELECT ${itemsSql(items)} FROM ${f.text}${whereSql(f.preds)})" +
+        s" AS ${q(alias)}",
+        plan.output.zip(names).map { case (a, n) =>
+          a.exprId -> s"${q(alias)}.${q(n)}" }.toMap)
+    }
+  }
 
   private def whereSql(conjuncts: Seq[String]): String =
     if (conjuncts.isEmpty) "" else " WHERE " + conjuncts.reverse.mkString(" AND ")

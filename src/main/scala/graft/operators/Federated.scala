@@ -245,6 +245,78 @@ object Federated {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** Full-schema q1 through the REAL JDBC path: the whole
+    * filter+aggregate+sort ships as ONE Derby SQL over the driver-loaded
+    * lineitem fact table. */
+  def jdbcQ1(s: SparkSession, dir: String): DataFrame =
+    graft.federation.jdbc.JdbcHarness.sql(s, dir,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_lines
+        |FROM jdbc_lineitem
+        |WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  val jdbcQ1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Full-schema q3 through the REAL JDBC path: a three-table join +
+    * aggregate federated into ONE Derby SQL (decimal arithmetic is exact,
+    * so Derby, Spark and DuckDB agree bitwise after the final cast). */
+  def jdbcQ3(s: SparkSession, dir: String): DataFrame =
+    graft.federation.jdbc.JdbcHarness.sql(s, dir,
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM jdbc_customer, jdbc_orders, jdbc_lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP_NTZ '1998-03-15 00:00:00'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin)
+
+  val jdbcQ3Oracle: String =
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Split remote cursors against the real DBMS: Derby has no aggregate
+    * FILTER clause, so the aggregate stays local and the scan-shaped
+    * fragment beneath it fans out to [[graft.federation.jdbc.JdbcHarness.Splits]]
+    * parallel Derby cursors via modulo split predicates
+    * ([[graft.federation.sql.SplitScan]]). */
+  def jdbcSplitScan(s: SparkSession, dir: String): DataFrame =
+    graft.federation.jdbc.JdbcHarness.sql(s, dir,
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25.0) AS big_qty,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(*) AS n
+        |FROM jdbc_lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+
+  val jdbcSplitScanOracle: String =
+    """SELECT l_returnflag,
+      |  COUNT(*) FILTER (WHERE l_quantity > 25.0) AS big_qty,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Window functions federate: rank + windowed count inside the fragment
     * (reference analyzer.rs:410-447 window coverage). */
   def windowPushdown(s: SparkSession, dir: String): DataFrame =
