@@ -85,6 +85,7 @@ object SparkEntry {
     "fed_two_providers" -> (Federated.twoProvidersJoin _),
     "fed_mixed_local" -> (Federated.mixedLocalRemote _),
     "fed_runtime_filter" -> (Federated.runtimeFilterJoin _),
+    "fed_unnest" -> (Federated.unnestPushdown _),
     "fed_limit_offset" -> (Federated.limitOffsetPushdown _),
     "fed_exists" -> (Federated.existsPushdown _),
     "fed_dataframe_api" -> (Federated.dataframeApi _),
@@ -157,6 +158,7 @@ object SparkEntry {
     "fed_two_providers" -> Federated.twoProvidersOracle,
     "fed_mixed_local" -> Federated.mixedOracle,
     "fed_runtime_filter" -> Federated.runtimeFilterOracle,
+    "fed_unnest" -> Federated.unnestOracle,
     "fed_limit_offset" -> Federated.limitOffsetOracle,
     "fed_exists" -> Federated.existsOracle,
     "fed_dataframe_api" -> Federated.dataframeApiOracle,

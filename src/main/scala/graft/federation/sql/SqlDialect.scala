@@ -93,6 +93,17 @@ trait SqlDialect {
   /** Integer remainder (Derby has no % operator). */
   def modulo(left: String, right: String): String = s"($left % $right)"
 
+  /** Array-unnest join: one output row per element of `arraySql` for each
+    * input row of `fromText` (the SQL form of Spark's Generate/Explode —
+    * reference rewrites unnest through federation, analyzer.rs:561-564).
+    * ANSI/DuckDB/Postgres form; engines without array columns throw. */
+  def unnestJoin(fromText: String, arraySql: String, alias: String,
+      elemName: String): String =
+    s"$fromText CROSS JOIN UNNEST($arraySql) AS $alias($elemName)"
+
+  /** Number of elements of an array value (ANSI/Postgres CARDINALITY). */
+  def arraySize(arraySql: String): String = s"CARDINALITY($arraySql)"
+
   /** date + n days. */
   def dateAddDays(date: String, days: String): String =
     s"DATE_ADD($date, $days)"
@@ -119,6 +130,11 @@ object SparkDialect extends SqlDialect {
   // Spark sorts NULLs smallest by default
   override def defaultNullOrdering(direction: SortDirection): NullOrdering =
     if (direction == Ascending) NullsFirst else NullsLast
+  // Spark SQL's unnest form is the Hive-inherited LATERAL VIEW
+  override def unnestJoin(fromText: String, arraySql: String, alias: String,
+      elemName: String): String =
+    s"$fromText LATERAL VIEW EXPLODE($arraySql) $alias AS $elemName"
+  override def arraySize(arraySql: String): String = s"SIZE($arraySql)"
 }
 
 /** DuckDB dialect (JDBC executor target). */
@@ -128,6 +144,7 @@ object DuckDbDialect extends SqlDialect {
     "\"" + ident.replace("\"", "\"\"") + "\""
   override def regexpMatch(input: String, pattern: String): String =
     s"regexp_matches($input, $pattern)"
+  override def arraySize(arraySql: String): String = s"LEN($arraySql)"
   override def dateAddDays(date: String, days: String): String =
     s"($date + INTERVAL ($days) DAY)"
   override def dateDiffDays(end: String, start: String): String =

@@ -92,6 +92,27 @@ class SqlUnparser(dialect: SqlDialect) {
         if items.forall(_.isInstanceOf[AttributeReference]) =>
       from(child)
 
+    // array UNNEST ships to the remote engine (reference rewrites unnest
+    // through federation, analyzer.rs:561-564): inner explode of an array
+    // becomes the dialect's unnest-join form. Map explode (two output
+    // attrs), outer explode, and posexplode stay local.
+    case g: Generate if !g.outer =>
+      g.generator match {
+        case Explode(arr) =>
+          g.generatorOutput match {
+            case Seq(elem) =>
+              val f = from(g.child)
+              val alias = freshAlias()
+              val text = dialect.unnestJoin(f.text, render(arr, f.scope),
+                q(alias), q(elem.name))
+              From(text,
+                f.scope + (elem.exprId -> s"${q(alias)}.${q(elem.name)}"),
+                f.preds)
+            case _ => fail("map explode")
+          }
+        case other => fail(s"generator ${other.prettyName}")
+      }
+
     // flattening: hoist the filter as a pending conjunct; the consumer
     // decides where it lands (block WHERE / inner-join ON / derived table)
     case Filter(cond, child) =>
@@ -559,6 +580,10 @@ class SqlUnparser(dialect: SqlDialect) {
 
       // common scalar functions
       case Upper(c) => fn1("upper", c)
+      // array length (Catalyst InferFiltersFromGenerate guards explode
+      // with size(arr) > 0; engines name this differently)
+      case Size(c, _) if c.dataType.isInstanceOf[ArrayType] =>
+        dialect.arraySize(render(c, currentScope))
       case Lower(c) => fn1("lower", c)
       case Length(c) => fn1("length", c)
       case Abs(c, _) => fn1("abs", c)

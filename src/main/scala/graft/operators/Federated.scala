@@ -245,6 +245,28 @@ object Federated {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** UNNEST pushdown: the array explode itself ships to the remote engine
+    * (reference analyzer.rs:561-564) as the dialect's unnest-join form —
+    * LATERAL VIEW EXPLODE for the Spark-speaking mock, CROSS JOIN UNNEST
+    * for DuckDB/Postgres — so per-element aggregation happens remotely and
+    * only the grouped result crosses the wire. */
+  def unnestPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT label, COUNT(*) AS n_elems,
+        |  CAST(MIN(e) AS DOUBLE) AS min_e, CAST(MAX(e) AS DOUBLE) AS max_e
+        |FROM fed_embeddings LATERAL VIEW EXPLODE(embedding) ex AS e
+        |WHERE vec_id < 200
+        |GROUP BY label
+        |ORDER BY label""".stripMargin)
+
+  val unnestOracle: String =
+    """SELECT label, COUNT(*) AS n_elems,
+      |  CAST(MIN(e) AS DOUBLE) AS min_e, CAST(MAX(e) AS DOUBLE) AS max_e
+      |FROM (SELECT label, unnest(embedding) AS e FROM embeddings
+      |      WHERE vec_id < 200) t
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   /** Full-schema q1 through the REAL JDBC path: the whole
     * filter+aggregate+sort ships as ONE Derby SQL over the driver-loaded
     * lineitem fact table. */

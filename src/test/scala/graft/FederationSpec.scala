@@ -486,6 +486,40 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no executed remote SQL carries the runtime filter:\n${executed.mkString("\n")}")
   }
 
+  test("unnest federates: explode runs inside the remote SQL") {
+    setup()
+    val df = Federated.unnestPushdown(spark, dir)
+    assert(fedFragments(df).nonEmpty, "unnest plan did not federate")
+    val scan = df.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("RemoteScan")).getOrElse("")
+    assert(scan.contains("LATERAL VIEW EXPLODE"),
+      s"explode must ship remotely: $scan")
+    // the whole aggregate went with it — one remote SQL, grouped result back
+    assert(scan.contains("GROUP BY"), scan)
+    assert(rows(df) == rows(spark.sql(
+      """SELECT label, COUNT(*) AS n_elems,
+        |  CAST(MIN(e) AS DOUBLE) AS min_e, CAST(MAX(e) AS DOUBLE) AS max_e
+        |FROM embeddings LATERAL VIEW EXPLODE(embedding) ex AS e
+        |WHERE vec_id < 200
+        |GROUP BY label
+        |ORDER BY label""".stripMargin)))
+  }
+
+  test("unnest renders as CROSS JOIN UNNEST for array-capable ANSI dialects") {
+    setup()
+    val rel = graft.federation.Federation
+      .remoteDataFrame(spark, "embeddings",
+        FederationHarness.executor(spark, dir, "alpha"))
+    val exploded = rel.select(rel("vec_id"),
+      org.apache.spark.sql.functions.explode(rel("embedding")).as("e"))
+    val plan = exploded.queryExecution.optimizedPlan
+      .transform { case f: FederatedPlan => f.inner }
+    val sql = graft.federation.sql.SqlUnparser
+      .tryUnparse(plan, graft.federation.sql.DuckDbDialect)
+    assert(sql.isDefined, plan.toString)
+    assert(sql.get.contains("CROSS JOIN UNNEST("), sql.get)
+  }
+
   test("fragment statistics: a filtered fragment wins the broadcast its base table forfeits") {
     setup()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192") // 8 KB
