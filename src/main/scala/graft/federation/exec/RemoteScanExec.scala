@@ -47,9 +47,19 @@ final case class RemoteScanExec(
 
   require(sqls.nonEmpty, "RemoteScanExec needs at least one query")
 
+  // The executor-metrics surface of the reference (src/sql/executor.rs:71-75,
+  // displayed via the scan node src/sql/mod.rs:412-414) plus the coercion
+  // counters (src/schema_cast/mod.rs:110-123): fetch time and bytes measure
+  // the remote boundary itself; coerced rows counts wire-format rows that
+  // needed conversion to Spark's internal row (JDBC path — the mock's
+  // UnsafeRows pass through uncounted).
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
-    "numRuntimeFilters" -> SQLMetrics.createMetric(sparkContext, "runtime filters pushed"))
+    "numRuntimeFilters" -> SQLMetrics.createMetric(sparkContext, "runtime filters pushed"),
+    "numSplits" -> SQLMetrics.createMetric(sparkContext, "remote cursors (splits)"),
+    "remoteFetchTime" -> SQLMetrics.createNanoTimingMetric(sparkContext, "remote fetch time"),
+    "remoteBytes" -> SQLMetrics.createSizeMetric(sparkContext, "bytes from remote"),
+    "numCoercedRows" -> SQLMetrics.createMetric(sparkContext, "rows coerced from wire format"))
 
   /** The SQLs actually sent: base split SQLs, each wrapped with the
     * runtime-filter predicates resolved at this call. */
@@ -65,9 +75,14 @@ final case class RemoteScanExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val rows = metrics("numOutputRows")
+    val fetchTime = metrics("remoteFetchTime")
+    val bytes = metrics("remoteBytes")
+    val coerced = metrics("numCoercedRows")
     val schema =
       org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(output)
-    val rdd = effectiveSqls() match {
+    val sqls2 = effectiveSqls()
+    metrics("numSplits").add(sqls2.size)
+    val rdd = sqls2 match {
       case Seq(one) => executor.execute(one, schema)
       case many => sparkContext.union(many.map(executor.execute(_, schema)))
     }
@@ -78,11 +93,26 @@ final case class RemoteScanExec(
     rdd.mapPartitions { it =>
       val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(types.toArray)
-      it.map { r =>
-        rows += 1
-        r match {
-          case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow => u
-          case other => proj(other)
+      new Iterator[InternalRow] {
+        // time only the pull from the remote iterator — downstream
+        // operator time must not pollute the boundary metric
+        override def hasNext: Boolean = {
+          val t0 = System.nanoTime()
+          val h = it.hasNext
+          fetchTime += System.nanoTime() - t0
+          h
+        }
+        override def next(): InternalRow = {
+          val t0 = System.nanoTime()
+          val r = it.next()
+          fetchTime += System.nanoTime() - t0
+          rows += 1
+          val u = r match {
+            case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow => u
+            case other => coerced += 1; proj(other)
+          }
+          bytes += u.getSizeInBytes
+          u
         }
       }
     }

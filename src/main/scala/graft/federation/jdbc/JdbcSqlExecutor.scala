@@ -142,6 +142,44 @@ final class JdbcSqlExecutor(
       } catch { case _: java.sql.SQLException => None }
     }
 
+  /** Distributed append into an existing remote table (reference
+    * `insert_into` fallback, src/table_provider.rs:110-139): each partition
+    * task opens its own connection and writes its rows as batched INSERTs —
+    * at cluster scale, N tasks append in parallel, no driver funnel. The
+    * target's introspected schema directs the binding, so `df` must align
+    * positionally (same arity, compatible types). */
+  override def insertInto(ref: RemoteTableRef,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val schema = tableSchema(ref)
+    require(df.schema.length == schema.length,
+      s"insertInto ${ref}: ${df.schema.length} columns for ${schema.length}-column table")
+    val insertSql = s"INSERT INTO ${ref.sql(dialect)} VALUES " +
+      s"(${schema.fields.map(_ => "?").mkString(", ")})"
+    val u = url
+    val props = connectionProps
+    val fields = schema.fields
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val p = new java.util.Properties()
+        props.foreach { case (k, v) => p.setProperty(k, v) }
+        val conn = DriverManager.getConnection(u, p)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(insertSql)
+          var pending = 0
+          rows.foreach { row =>
+            JdbcSqlExecutor.bindRow(ps, row, fields)
+            ps.addBatch()
+            pending += 1
+            if (pending >= 1000) { ps.executeBatch(); conn.commit(); pending = 0 }
+          }
+          if (pending > 0) { ps.executeBatch(); conn.commit() }
+          ps.close()
+        } finally conn.close()
+      }
+    }
+  }
+
   private def probe(fromSql: String, schema: StructType): Option[Statistics] = {
     val strCols = schema.fields.filter(_.dataType == StringType)
     val sums = strCols.map(f =>
@@ -196,6 +234,64 @@ object JdbcSqlExecutor {
       StructField(md.getColumnName(i), dt,
         md.isNullable(i) != ResultSetMetaData.columnNoNulls)
     })
+
+  /** Schema-directed parameter binding — the write-side mirror of
+    * [[convertRow]]. */
+  def bindRow(ps: java.sql.PreparedStatement, row: org.apache.spark.sql.Row,
+      fields: Array[StructField]): Unit = {
+    var i = 0
+    while (i < fields.length) {
+      val j = i + 1
+      if (row.isNullAt(i)) ps.setNull(j, jdbcTypeOf(fields(i).dataType))
+      else fields(i).dataType match {
+        case ByteType => ps.setByte(j, row.getAs[Byte](i))
+        case ShortType => ps.setShort(j, row.getAs[Short](i))
+        case IntegerType => ps.setInt(j, row.getAs[Int](i))
+        case LongType => ps.setLong(j, row.getAs[Long](i))
+        case FloatType => ps.setFloat(j, row.getAs[Float](i))
+        case DoubleType => ps.setDouble(j, row.getAs[Double](i))
+        case BooleanType => ps.setBoolean(j, row.getAs[Boolean](i))
+        case StringType => ps.setString(j, row.getAs[Any](i).toString)
+        case _: DecimalType =>
+          ps.setBigDecimal(j, row.getAs[java.math.BigDecimal](i))
+        // external datetime types depend on spark.sql.datetime.java8API —
+        // accept both representations
+        case DateType => row.get(i) match {
+          case d: java.time.LocalDate => ps.setDate(j, java.sql.Date.valueOf(d))
+          case d: java.sql.Date => ps.setDate(j, d)
+          case other => throw new UnsupportedOperationException(
+            s"date value ${other.getClass}")
+        }
+        case TimestampNTZType => ps.setTimestamp(j,
+          java.sql.Timestamp.valueOf(row.getAs[java.time.LocalDateTime](i)))
+        case TimestampType => row.get(i) match {
+          case t: java.time.Instant => ps.setTimestamp(j, java.sql.Timestamp.from(t))
+          case t: java.sql.Timestamp => ps.setTimestamp(j, t)
+          case other => throw new UnsupportedOperationException(
+            s"timestamp value ${other.getClass}")
+        }
+        case other =>
+          throw new UnsupportedOperationException(s"JDBC write of $other")
+      }
+      i += 1
+    }
+  }
+
+  private def jdbcTypeOf(dt: DataType): Int = dt match {
+    case ByteType => Types.TINYINT
+    case ShortType => Types.SMALLINT
+    case IntegerType => Types.INTEGER
+    case LongType => Types.BIGINT
+    case FloatType => Types.REAL
+    case DoubleType => Types.DOUBLE
+    case BooleanType => Types.BOOLEAN
+    case StringType => Types.VARCHAR
+    case _: DecimalType => Types.DECIMAL
+    case DateType => Types.DATE
+    case TimestampType | TimestampNTZType => Types.TIMESTAMP
+    case other =>
+      throw new UnsupportedOperationException(s"JDBC null type for $other")
+  }
 
   def convertRow(rs: ResultSet, fields: Array[StructField]): InternalRow = {
     val row = new GenericInternalRow(fields.length)

@@ -56,6 +56,16 @@ trait SqlExecutor {
     * slots, like Spark JDBC's `numPartitions`. */
   def splitCount: Int = 1
 
+  /** Optional write path: append `df`'s rows to an existing remote table —
+    * the reference's `insert_into` fallback delegation
+    * (src/table_provider.rs:110-139; providers without an inner write path
+    * refuse there too). The JDBC executor implements distributed appends
+    * (one connection + batched INSERT per partition task). */
+  def insertInto(ref: RemoteTableRef,
+      df: org.apache.spark.sql.DataFrame): Unit =
+    throw new UnsupportedOperationException(
+      s"remote [$name] has no write path")
+
   /** Optional hook: rewrite the generated SQL string just before execution
     * (reference `sql_query_rewriter`, src/sql/table.rs:33-45). */
   def sqlRewriter: String => String = identity

@@ -124,6 +124,55 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
         df.queryExecution.executedPlan)
   }
 
+  test("write path: insertInto a remote Derby table round-trips") {
+    Federation.install(spark)
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE hires (emp_id INT NOT NULL, emp_name VARCHAR(32), bonus DOUBLE)")
+    conn.close()
+    val ex = executor
+    import spark.implicits._
+    val df = Seq(
+      (20, Option("gil"), Option(12.5)),
+      (21, Option("hal"), None),
+      (22, None: Option[String], Option(7.25))
+    ).toDF("emp_id", "emp_name", "bonus").repartition(2) // multi-task write
+    ex.insertInto(graft.federation.sql.RemoteTableRef.parse("HIRES"), df)
+    // read back through the federation pipeline
+    Federation.registerRemoteTable(spark, "w_hires", "HIRES", ex)
+    val back = spark.sql(
+      "SELECT emp_id, emp_name, bonus FROM w_hires ORDER BY emp_id").collect()
+    assert(back.map(_.toString).toSeq ==
+      Seq("[20,gil,12.5]", "[21,hal,null]", "[22,null,7.25]"))
+    // a read-only executor refuses (reference fallback behavior)
+    val mock = new graft.federation.sql.SparkSqlExecutor(
+      "rom", spark.newSession(), Map.empty, context = "ro")
+    intercept[UnsupportedOperationException] {
+      mock.insertInto(graft.federation.sql.RemoteTableRef.parse("x"), df)
+    }
+  }
+
+  test("scan metrics: fetch time, bytes, and wire-format coercion are measured") {
+    Federation.install(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // keep the scan reachable via collect
+    try {
+      Federation.registerAll(spark, executor, prefix = "mx_")
+      val df = spark.sql("SELECT emp_name, salary FROM mx_EMP WHERE salary > 0.0")
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case r: graft.federation.exec.RemoteScanExec => r
+      }
+      assert(scans.nonEmpty, df.queryExecution.executedPlan)
+      val m = scans.head.metrics
+      assert(m("numOutputRows").value == 6L, m("numOutputRows").value)
+      // every JDBC row arrives in wire format and is coerced to UnsafeRow
+      assert(m("numCoercedRows").value == 6L, m("numCoercedRows").value)
+      assert(m("remoteBytes").value > 0L)
+      assert(m("remoteFetchTime").value > 0L)
+      assert(m("numSplits").value == 1L)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("fragment statistics probe fragment SQL; at-cap relations report none") {
     val ex = executor
     // fragment-level: the filtered fragment's cardinality, not the table's
