@@ -55,7 +55,10 @@ final class SqlFederationProvider(val executor: SqlExecutor)
           executor.sqlRewriter(new SqlUnparser(executor.dialect)
             .unparse(SplitScan.withSplitFilter(p, c, n, i)))
         }
-      case None => Seq(unparse(plan))
+      case None =>
+        // plan hook already applied above — unparse `p` directly, or a
+        // side-effecting/expensive planRewriter would run twice
+        Seq(executor.sqlRewriter(new SqlUnparser(executor.dialect).unparse(p)))
     }
   }
 }

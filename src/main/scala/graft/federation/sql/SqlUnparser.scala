@@ -489,10 +489,15 @@ class SqlUnparser(dialect: SqlDialect) {
   }
 
   def render(e: Expression, scope: Map[ExprId, String]): String = {
-    currentScope = scope // for the fn1/fnN helpers
     def r(x: Expression): String = render(x, scope)
     def bin(l: Expression, op: String, rr: Expression): String =
       s"(${r(l)} $op ${r(rr)})"
+    // local so the scope threads lexically — a shared unparser instance
+    // can never observe another call's scope
+    def fn1(name: String, c: Expression): String =
+      s"${dialect.functionName(name)}(${r(c)})"
+    def fnN(name: String, cs: Seq[Expression]): String =
+      s"${dialect.functionName(name)}(${cs.map(r).mkString(", ")})"
 
     e match {
       case a: AttributeReference =>
@@ -583,7 +588,7 @@ class SqlUnparser(dialect: SqlDialect) {
       // array length (Catalyst InferFiltersFromGenerate guards explode
       // with size(arr) > 0; engines name this differently)
       case Size(c, _) if c.dataType.isInstanceOf[ArrayType] =>
-        dialect.arraySize(render(c, currentScope))
+        dialect.arraySize(r(c))
       case Lower(c) => fn1("lower", c)
       case Length(c) => fn1("length", c)
       case Abs(c, _) => fn1("abs", c)
@@ -668,14 +673,6 @@ class SqlUnparser(dialect: SqlDialect) {
 
   private def likeEscape(s: String): String =
     dialect.escapeString(s).replace("%", "\\%").replace("_", "\\_")
-
-  private def fn1(name: String, c: Expression): String =
-    s"${dialect.functionName(name)}(${render(c, currentScope)})"
-  private def fnN(name: String, cs: Seq[Expression]): String =
-    s"${dialect.functionName(name)}(${cs.map(render(_, currentScope)).mkString(", ")})"
-
-  // scope threading for the fn helpers (set by render's entry)
-  private var currentScope: Map[ExprId, String] = Map.empty
 
   private def renderAgg(ae: AggregateExpression,
       scope: Map[ExprId, String]): String = {

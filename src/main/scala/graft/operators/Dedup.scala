@@ -86,6 +86,21 @@ object Dedup {
         .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Release the persisted signature staging table for one corpus. The
+    * keyed cache shares a single materialization across the bucket-join
+    * sides and the verify stage of one pipeline run; callers done with a
+    * corpus release it here — without an evict hook a long-lived session
+    * accumulates storage across every dir it ever deduped. The next call
+    * over the same dir transparently rebuilds. */
+  def releaseSignatures(s: SparkSession, dir: String): Unit =
+    sigCache.remove((System.identityHashCode(s), dir))
+      .foreach(_.unpersist(blocking = false))
+
+  /** Release every cached signature table (end-of-run cleanup). */
+  def releaseAllSignatures(): Unit =
+    sigCache.keys.toSeq.foreach(k =>
+      sigCache.remove(k).foreach(_.unpersist(blocking = false)))
+
   /** Candidate near-dup pairs from LSH banding: docs agreeing on all
     * BandRows minhashes of at least one band (the band key is the raw
     * 4-value signature slice — exact, no secondary hashing, so the oracle's

@@ -61,6 +61,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cap=1 must split at least one multi-occupant bucket")
   }
 
+  test("dedup signature cache releases storage on demand and rebuilds") {
+    operators.Dedup.minhash(spark, dir).count() // materializes the cache
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(before > 0, "signature staging table should be persisted")
+    operators.Dedup.releaseSignatures(spark, dir)
+    assert(spark.sparkContext.getPersistentRDDs.size < before,
+      "release must unpersist the staging table")
+    // transparent rebuild after release
+    assert(operators.Dedup.minhash(spark, dir).count() > 0)
+    operators.Dedup.releaseSignatures(spark, dir)
+  }
+
   test("dedup_exact keeps every distinct document") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val kept = operators.Dedup.exact(spark, dir)
