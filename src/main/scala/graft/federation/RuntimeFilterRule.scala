@@ -1,6 +1,6 @@
 package graft.federation
 
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, IsNotNull, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -99,11 +99,20 @@ object RuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
   /** Same bar as Spark's own runtime-filter injection: only a build side
     * that prunes something (filter/limit/aggregate in its tree) promises a
     * selective key set — an unfiltered dimension scan would push a key
-    * range covering the whole fact for nothing. */
-  private def selective(build: LogicalPlan): Boolean =
-    build.collectFirst {
-      case _: Filter | _: GlobalLimit | _: LocalLimit | _: Aggregate => ()
+    * range covering the whole fact for nothing. Catalyst infers
+    * IsNotNull(joinKey) on every equi-join build side, so null guards
+    * alone do NOT count as selection. */
+  def selective(plan: LogicalPlan): Boolean =
+    plan.collectFirst {
+      case f: Filter if hasRealPredicate(f.condition) => ()
+      case _: GlobalLimit | _: LocalLimit | _: Aggregate => ()
     }.nonEmpty
+
+  private def hasRealPredicate(cond: Expression): Boolean =
+    splitConjunctivePredicates(cond).exists {
+      case IsNotNull(_: AttributeReference) => false
+      case _ => true
+    }
 
   /** Attach filters to `side` when it is a federated fragment and `build`
     * is cheap enough to evaluate eagerly (the broadcast bar: if Spark

@@ -99,12 +99,10 @@ final case class FederatedPlan(
     probed.getOrElse(local)
   }
 
+  // same selectivity bar as the runtime-filter rule: inferred
+  // IsNotNull(joinKey) guards alone don't justify a remote probe
   private lazy val hasSelection: Boolean =
-    inner.collectFirst {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Filter => ()
-      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ()
-      case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => ()
-    }.nonEmpty
+    graft.federation.RuntimeFilterRule.selective(inner)
 
   private def schema2: StructType =
     org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(output)
