@@ -486,6 +486,66 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no executed remote SQL carries the runtime filter:\n${executed.mkString("\n")}")
   }
 
+  // ---- flattening semantics: hoisted filters must not cross an outer
+  // ---- join's null-extension boundary (results compared against local)
+
+  test("flattening: filter on the null-extended side stays inside a derived table") {
+    setup()
+    // without the materialize guard, hoisting `o_totalprice > 450000` into
+    // the outer WHERE would silently turn the LEFT JOIN into an inner join
+    val fedSql =
+      """SELECT c_custkey, o_orderkey
+        |FROM fed_customer LEFT JOIN
+        |  (SELECT * FROM fed_orders WHERE o_totalprice > 450000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin
+    val df = spark.sql(fedSql)
+    assert(fedFragments(df).nonEmpty, "plan did not federate")
+    assert(rows(df) == rows(spark.sql(localized(fedSql))),
+      "left-join null extension lost by filter hoisting")
+    // customers without qualifying orders must still appear (null-extended)
+    assert(df.filter("o_orderkey IS NULL").count() > 0,
+      "null-extended rows disappeared — filter crossed the outer join")
+  }
+
+  test("flattening: preserved-side filter hoists, right-outer mirrored") {
+    setup()
+    val fedSql =
+      """SELECT c_custkey, o_orderkey
+        |FROM (SELECT * FROM fed_customer WHERE c_acctbal > 0) c
+        |RIGHT JOIN fed_orders o ON c_custkey = o_custkey
+        |ORDER BY o_orderkey, c_custkey""".stripMargin
+    val df = spark.sql(fedSql)
+    assert(fedFragments(df).nonEmpty)
+    assert(rows(df) == rows(spark.sql(localized(fedSql))))
+  }
+
+  test("flattening: self-join with filters on both sides keeps aliases distinct") {
+    setup()
+    val fedSql =
+      """SELECT a.o_orderkey AS k1, b.o_orderkey AS k2
+        |FROM fed_orders a JOIN fed_orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |WHERE a.o_orderpriority = '1-URGENT' AND b.o_orderpriority = '5-LOW'
+        |ORDER BY k1, k2 LIMIT 50""".stripMargin
+    val df = spark.sql(fedSql)
+    assert(fedFragments(df).nonEmpty)
+    assert(rows(df) == rows(spark.sql(localized(fedSql))))
+  }
+
+  test("flattening: filter above a semi-join lands on the semi output") {
+    setup()
+    val fedSql =
+      """SELECT c_custkey, c_acctbal FROM fed_customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM fed_orders
+        |                    WHERE o_orderpriority = '1-URGENT')
+        |  AND c_acctbal > 1000
+        |ORDER BY c_custkey""".stripMargin
+    val df = spark.sql(fedSql)
+    assert(fedFragments(df).nonEmpty)
+    assert(rows(df) == rows(spark.sql(localized(fedSql))))
+  }
+
   test("unnest federates: explode runs inside the remote SQL") {
     setup()
     val df = Federated.unnestPushdown(spark, dir)
