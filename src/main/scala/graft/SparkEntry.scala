@@ -54,6 +54,7 @@ object SparkEntry {
     // --- similarity search ---
     "sim_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
     "sim_lsh_neighbors" -> (Similarity.lshNearNeighbors _),
+    "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_label_stats" -> (Similarity.labelStats _),
     // --- multimodal plumbing ---
     "mm_media_stats" -> (Multimodal.mediaStats _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "fed_mixed_local" -> (Federated.mixedLocalRemote _),
     "fed_runtime_filter" -> (Federated.runtimeFilterJoin _),
     "fed_unnest" -> (Federated.unnestPushdown _),
+    "fed_left_join" -> (Federated.leftJoinPushdown _),
     "fed_limit_offset" -> (Federated.limitOffsetPushdown _),
     "fed_exists" -> (Federated.existsPushdown _),
     "fed_dataframe_api" -> (Federated.dataframeApi _),
@@ -143,6 +145,7 @@ object SparkEntry {
     "sim_label_stats" -> Similarity.labelStatsOracle,
     "sim_bruteforce_topk" -> Similarity.bruteForceTopKOracle,
     "sim_lsh_neighbors" -> Similarity.lshNearNeighborsOracle,
+    "sim_ivf_topk" -> Similarity.ivfTopKOracle,
     "mm_media_stats" -> Multimodal.mediaStatsOracle,
     "mm_decode_features" -> Multimodal.decodeFeaturesOracle,
     "mm_sample_frames" -> Multimodal.sampleFramesOracle,
@@ -159,6 +162,7 @@ object SparkEntry {
     "fed_mixed_local" -> Federated.mixedOracle,
     "fed_runtime_filter" -> Federated.runtimeFilterOracle,
     "fed_unnest" -> Federated.unnestOracle,
+    "fed_left_join" -> Federated.leftJoinOracle,
     "fed_limit_offset" -> Federated.limitOffsetOracle,
     "fed_exists" -> Federated.existsOracle,
     "fed_dataframe_api" -> Federated.dataframeApiOracle,

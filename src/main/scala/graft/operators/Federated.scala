@@ -245,6 +245,27 @@ object Federated {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** Outer join with a filtered null-extended side federated as ONE remote
+    * SQL — exercises the unparser's flattening boundary: the preserved
+    * side's filters hoist, the null-extended side's filter must stay
+    * inside a derived table or the LEFT JOIN silently turns inner. */
+  def leftJoinPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_matched
+        |FROM fed_customer LEFT JOIN
+        |  (SELECT * FROM fed_orders WHERE o_totalprice > 450000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+
+  val leftJoinOracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_matched
+      |FROM customer LEFT JOIN
+      |  (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      |  ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** UNNEST pushdown: the array explode itself ships to the remote engine
     * (reference analyzer.rs:561-564) as the dialect's unnest-join form —
     * LATERAL VIEW EXPLODE for the Spark-speaking mock, CROSS JOIN UNNEST

@@ -227,6 +227,97 @@ object Similarity {
         |  USING (vec_id)
         |ORDER BY e.vec_id""".stripMargin
 
+  // ------------------------------------------------------------- IVF ANN
+
+  /** Coarse IVF cells. */
+  val IvfK = 16
+  /** Cells probed per query. */
+  val IvfProbes = 4
+
+  /** IVF cell assignment: every vector goes to the cell of its nearest
+    * (cosine) centroid, ties to the smaller centroid id. Centroids here
+    * are data-seeded (the embeddings of vec_id < K) so both engines derive
+    * them deterministically; production would k-means a sample, but the
+    * assign → invert → probe structure — the part that matters at 100 TB —
+    * is identical. Centroids are broadcast; assignment is one map-side
+    * pass + a top-1-per-vector window (WindowGroupLimit prunes
+    * per-partition before the shuffle). */
+  def ivfScored(s: SparkSession, dir: String, kCells: Int = IvfK): DataFrame = {
+    val emb = embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    emb.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosine(col("embedding"), col("cent_vec")).as("ccos"))
+  }
+
+  def ivfAssignments(s: SparkSession, dir: String,
+      kCells: Int = IvfK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    ivfScored(s, dir, kCells)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
+  /** IVF top-k: each query probes its `nprobe` nearest cells and searches
+    * exact cosine only within them — the scanned fraction is ~nprobe/K of
+    * the corpus instead of all of it. At scale the assignment is a staging
+    * table (the inverted file), co-partitioned on `cell` so each probe
+    * touches only its cells' partitions. */
+  def ivfTopK(s: SparkSession, dir: String, kCells: Int = IvfK,
+      nprobe: Int = IvfProbes, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = ivfAssignments(s, dir, kCells)
+    val probes = ivfScored(s, dir, kCells).filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("cent_id").as("cell"))
+    // each vector lives in exactly one cell, so a (query, vector) pair
+    // occurs at most once — no dedup needed
+    val cand = assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("cos"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val ivfTopKOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), c AS (
+      |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16
+      |), scored AS (
+      |  SELECT e.vec_id, e.v, c.cent_id,
+      |    list_cosine_similarity(e.v, c.cv) AS ccos
+      |  FROM e CROSS JOIN c
+      |), assigned AS (
+      |  SELECT vec_id, v, cent_id AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY ccos DESC, cent_id) AS rn FROM scored) WHERE rn = 1
+      |), probes AS (
+      |  SELECT vec_id AS q_id, v AS qv, cent_id AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY ccos DESC, cent_id) AS rn
+      |    FROM scored WHERE vec_id < 8) WHERE rn <= 4
+      |), cand AS (
+      |  SELECT p.q_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS cos
+      |  FROM assigned a JOIN probes p USING (cell)
+      |  WHERE a.vec_id <> p.q_id
+      |)
+      |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, cos FROM (
+      |  SELECT q_id, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY cos DESC, vec_id) AS rank FROM cand)
+      |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** Label-centroid assignment check: exact per-label statistics that are
     * integer/count-based (oracle-comparable): per label, vector count and
     * id range. */

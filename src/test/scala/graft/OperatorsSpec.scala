@@ -51,6 +51,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sameElements(viaDf.map(r => (r.getString(0), r.getString(1), r.getLong(2)))))
   }
 
+  test("IVF: one cell per vector, and probing scans only a corpus fraction") {
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    val assigned = operators.Similarity.ivfAssignments(spark, dir)
+      .select("vec_id", "cell").collect()
+    assert(assigned.length == n, "every vector must land in exactly one cell")
+    assert(assigned.map(_.getLong(0)).distinct.length == n)
+    val cellSizes = assigned.groupBy(_.getLong(1)).map(_._2.length.toLong)
+    assert(cellSizes.sum == n)
+    // the nprobe largest cells must still be a strict subset of the corpus
+    // — otherwise IVF probing scans everything and prunes nothing
+    val worstProbe = cellSizes.toSeq.sorted.reverse
+      .take(operators.Similarity.IvfProbes).sum
+    assert(worstProbe < n,
+      s"probing $worstProbe of $n rows — IVF must prune the search")
+  }
+
   test("LSH bucket cap refines oversized buckets (candidates shrink, never grow)") {
     val uncapped = operators.Similarity.lshPairs(spark, dir, bucketCap = Int.MaxValue)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
