@@ -38,6 +38,7 @@ object SparkEntry {
     "ev_sessionize" -> (EventOps.sessionize _),
     "ev_props_histogram" -> (EventOps.propsHistogram _),
     "ev_asof_signup" -> (EventOps.asofPurchaseSignup _),
+    "ev_range_join" -> ((s, d) => EventOps.rangeJoinWindowCounts(s, d)),
     // --- text analysis ---
     "text_token_stats" -> (TextOps.tokenStats _),
     "text_quality_score" -> (TextOps.qualityScore _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "ev_sessionize" -> EventOps.sessionizeOracle,
     "ev_props_histogram" -> EventOps.propsHistogramOracle,
     "ev_asof_signup" -> EventOps.asofOracle,
+    "ev_range_join" -> EventOps.rangeJoinOracle,
     // single-batch streaming sessionization equals batch sessionization
     "stream_sessionize" -> EventOps.sessionizeOracle,
     "text_token_stats" -> TextOps.tokenStatsOracle,

@@ -50,16 +50,25 @@ object JdbcHarness {
         conn.setAutoCommit(false) // one commit per batch, not per row
         tables.foreach { t =>
           val df = spark.read.parquet(s"$dir/$t.parquet")
-          val rows = df.collect()
-          // measured VARCHAR widths: widest actual value + headroom
-          val widths = df.schema.fields.zipWithIndex.map {
-            case (f, i) if f.dataType == StringType =>
-              val w = rows.iterator.map(r =>
-                if (r.isNullAt(i)) 0 else r.getString(i).length)
-                .foldLeft(0)(math.max)
-              math.max(32, w * 2)
-            case _ => 0
-          }
+          // measured VARCHAR widths (widest actual value + headroom) via a
+          // distributed aggregate — don't collect() a fact table onto the
+          // driver just to measure it
+          val strFields = df.schema.fields.filter(_.dataType == StringType)
+          val widthByName: Map[String, Int] =
+            if (strFields.isEmpty) Map.empty
+            else {
+              import org.apache.spark.sql.functions.{coalesce, length, lit, max}
+              val row = df.agg(
+                max(coalesce(length(df.col(strFields.head.name)), lit(0))),
+                strFields.tail.map(f =>
+                  max(coalesce(length(df.col(f.name)), lit(0)))): _*).head()
+              strFields.zipWithIndex.map { case (f, i) =>
+                f.name -> math.max(32, (if (row.isNullAt(i)) 0
+                  else row.getInt(i)) * 2)
+              }.toMap
+            }
+          val widths = df.schema.fields.map(f =>
+            widthByName.getOrElse(f.name, 0))
           val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
             s""""${f.name}" ${derbyType(f.dataType, widths(i))}"""
           }.mkString(", ")
@@ -69,7 +78,9 @@ object JdbcHarness {
           val ps = conn.prepareStatement(
             s"""INSERT INTO "$t" VALUES (${df.schema.map(_ => "?").mkString(",")})""")
           var pending = 0
-          rows.foreach { row =>
+          // stream partitions through the driver instead of collect():
+          // peak driver memory is one partition, not the whole fact table
+          df.toLocalIterator().forEachRemaining { row =>
             df.schema.fields.zipWithIndex.foreach { case (f, i) =>
               // Derby rejects setNull(Types.NULL) — pass the column's type
               if (row.isNullAt(i)) ps.setNull(i + 1, jdbcType(f.dataType))

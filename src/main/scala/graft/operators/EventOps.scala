@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -173,4 +173,67 @@ object EventOps {
       |FROM events p
       |WHERE p.event_type = 'purchase'
       |ORDER BY p.user_id, purchase_id""".stripMargin
+
+  /** Bucketed interval (range) join — the keyless case Spark would
+    * otherwise plan as BroadcastNestedLoopJoin, i.e. all-pairs.
+    *
+    * Each signup opens a window [ts, ts+1h); for every window, count the
+    * purchases (any user) falling inside it. There is no equi key, so the
+    * scalable plan is manufactured: time is cut into epochs of the window
+    * width, each window is replicated to the (≤ 2) epochs it overlaps, each
+    * point maps to exactly one epoch, and the join becomes an equi-join on
+    * the epoch — O(points + 2·windows) join input instead of
+    * O(points × windows), and it shuffles instead of broadcasting, so
+    * neither side needs to fit in memory. Hot epochs (time skew — load
+    * spikes are the norm in event data) are spread by an additional salt
+    * key: points salt by hash(id) % `salts`, windows replicate across all
+    * salts. A matched pair meets in exactly one (epoch, salt) bucket, so no
+    * post-join dedup is needed.
+    *
+    * A range-join operator is an explicit add-on beyond the reference
+    * federation surface (which has no join operators of its own); the
+    * pattern is the standard interval-bucketing used by Spark-native
+    * range-join implementations. */
+  def rangeJoinWindowCounts(s: SparkSession, dir: String,
+      salts: Int = 4): DataFrame = {
+    val widthMs = 3600000L // bucket width == window width ⇒ ≤ 2 epochs/window
+    val e = events(s, dir)
+    val wins = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL '1' HOUR")).as("w_end"))
+    val pts = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"), col("value"))
+    def epochOf(ts: Column): Column =
+      floor(unix_millis(ts.cast("timestamp")) / widthMs)
+    val winRep = wins
+      .withColumn("epoch",
+        explode(sequence(epochOf(col("w_start")), epochOf(col("w_end")))))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    val ptsKeyed = pts
+      .withColumn("p_epoch", epochOf(col("p_ts")))
+      .withColumn("p_salt", pmod(xxhash64(col("p_id")), lit(salts.toLong))
+        .cast("int"))
+    winRep.join(ptsKeyed,
+        col("epoch") === col("p_epoch") && col("salt") === col("p_salt") &&
+          col("p_ts") >= col("w_start") && col("p_ts") < col("w_end"),
+        "left")
+      .groupBy(col("window_id"))
+      .agg(count(col("p_id")).as("n_purchases"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("window_id"))
+  }
+
+  // ns→µs floor on both comparison sides (CAST ... AS TIMESTAMP) to match
+  // Spark's µs events view — see Tables.events.
+  val rangeJoinOracle: String =
+    """SELECT s.event_id AS window_id,
+      |  COUNT(p.event_id) AS n_purchases,
+      |  MIN(p.value) AS min_value, MAX(p.value) AS max_value
+      |FROM events s LEFT JOIN events p
+      |  ON p.event_type = 'purchase'
+      | AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+      |WHERE s.event_type = 'signup'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -148,4 +148,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("last_signup_ts") >= col("purchase_ts")).count()
     assert(bad == 0)
   }
+
+  test("bucketed range join equals the direct all-pairs inequality join") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.events(spark, dir)
+    val wins = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL '1' HOUR")).as("w_end"))
+    val pts = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"), col("value"))
+    val direct = wins.join(pts,
+        col("p_ts") >= col("w_start") && col("p_ts") < col("w_end"), "left")
+      .groupBy(col("window_id"))
+      .agg(count(col("p_id")).as("n_purchases"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .orderBy(col("window_id"))
+      .collect().toSeq
+    // salts > 1 exercises the skew-spreading path too
+    val bucketed = operators.EventOps
+      .rangeJoinWindowCounts(spark, dir, salts = 3).collect().toSeq
+    assert(bucketed == direct)
+    assert(bucketed.exists(_.getLong(1) > 0), "no window matched anything")
+  }
 }

@@ -73,4 +73,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(count(p, "Exchange hashpartitioning") +
       count(p, "Exchange rangepartitioning") <= 2, p)
   }
+
+  test("range join is an equi-join on (epoch, salt), never all-pairs") {
+    // disable broadcast so the plan shown is the large-scale shape: with
+    // broadcasting on, a small build side hides the nested-loop risk
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("ev_range_join")(spark, dir)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString()
+      assert(count(p, "BroadcastNestedLoopJoin") == 0, p)
+      assert(count(p, "CartesianProduct") == 0, p)
+      assert(count(p, "SortMergeJoin") + count(p, "ShuffledHashJoin") >= 1, p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
