@@ -149,6 +149,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0)
   }
 
+  test("IVF ANN recall vs exact brute force is high, not just self-consistent") {
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val exact = topSets(operators.Similarity.bruteForceTopK(spark, dir))
+    val approx = topSets(operators.Similarity.ivfTopK(spark, dir))
+    val recalls = exact.map { case (q, want) =>
+      want.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / want.size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    // measured 0.90 mean / 0.80 min on this data; assert with margin so a
+    // broken cell assignment or probe selection fails, noise does not
+    assert(mean >= 0.7, s"mean IVF recall $mean < 0.7 ($recalls)")
+    assert(recalls.min >= 0.5, s"worst-query IVF recall ${recalls.min} < 0.5")
+  }
+
   test("bucketed range join equals the direct all-pairs inequality join") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.events(spark, dir)
