@@ -1,6 +1,7 @@
 package graft.federation
 
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, IsNotNull, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, IsNotNull, KnownFloatingPointNormalized, PredicateHelper}
+import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -83,6 +84,17 @@ object RuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** Strip the float normalization Catalyst wraps around FP join keys
+    * (`KnownFloatingPointNormalized(NormalizeNaNAndZero(k))`). Rendering
+    * stays safe without it: -0.0 vs 0.0 is equal under SQL comparison on
+    * any engine, and non-finite build keys make the render skip the filter
+    * entirely (RemoteScanExec.renderFilter). */
+  private def unwrapNorm(e: Expression): Expression = e match {
+    case KnownFloatingPointNormalized(inner) => unwrapNorm(inner)
+    case NormalizeNaNAndZero(inner) => unwrapNorm(inner)
+    case _ => e
+  }
+
   /** Equi-key pairs (leftSideKey, rightSideKey) from the conjunctive
     * condition — strict equality only (see null note above). */
   private def equiPairs(cond: Expression, left: LogicalPlan,
@@ -90,10 +102,12 @@ object RuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     splitConjunctivePredicates(cond).collect {
       case EqualTo(l, r)
           if l.references.subsetOf(left.outputSet) &&
-             r.references.subsetOf(right.outputSet) => (l, r)
+             r.references.subsetOf(right.outputSet) =>
+        (unwrapNorm(l), unwrapNorm(r))
       case EqualTo(l, r)
           if r.references.subsetOf(left.outputSet) &&
-             l.references.subsetOf(right.outputSet) => (r, l)
+             l.references.subsetOf(right.outputSet) =>
+        (unwrapNorm(r), unwrapNorm(l))
     }
 
   /** Same bar as Spark's own runtime-filter injection: only a build side

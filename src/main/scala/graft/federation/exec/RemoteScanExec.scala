@@ -137,7 +137,17 @@ final case class RemoteScanExec(
         Distinct(Project(Seq(Alias(rf.buildKey, "k")()), rf.buildPlan)))
       val collected = internalRows(session, keyPlan)
       val keys = collected.iterator.map(_.get(0, dt)).filter(_ != null).toArray
+      // NaN/Infinity have no portable SQL literal, and Spark's join
+      // semantics treat NaN as equal to itself — dropping such keys from
+      // the IN-list would wrongly filter matching remote rows. Skip the
+      // whole filter instead (superset semantics: no filter is safe).
+      def finite(v: Any): Boolean = v match {
+        case d: java.lang.Double => !d.isNaN && !d.isInfinite
+        case f: java.lang.Float => !f.isNaN && !f.isInfinite
+        case _ => true
+      }
       if (keys.isEmpty) Some("1=0")
+      else if (!keys.forall(finite)) None
       else if (collected.length <= maxKeys)
         Some(s"$colSql IN (${keys.map(d.literal(_, dt)).distinct.sorted.mkString(", ")})")
       else {
@@ -151,6 +161,7 @@ final case class RemoteScanExec(
         val lo = row.get(0, dt)
         val hi = row.get(1, dt)
         if (lo == null || hi == null) Some("1=0")
+        else if (!finite(lo) || !finite(hi)) None
         else Some(s"$colSql >= ${d.literal(lo, dt)} AND $colSql <= ${d.literal(hi, dt)}")
       }
     } catch {

@@ -31,11 +31,34 @@ trait SqlDialect {
     case (v, TimestampNTZType) =>
       s"TIMESTAMP '${formatMicros(v.asInstanceOf[Long])}'"
     case (v, _: DecimalType) => v.toString
-    case (v, DoubleType | FloatType) => v.toString
+    case (v, DoubleType | FloatType) =>
+      val d = v match {
+        case f: java.lang.Float => f.doubleValue
+        case x: java.lang.Double => x.doubleValue
+        case other => other.toString.toDouble
+      }
+      if (d.isNaN || d.isInfinite) nonFiniteLiteral(d) else v.toString
     case (v, ByteType | ShortType | IntegerType | LongType) => v.toString
     case (v, dt) =>
       throw new UnsupportedOperationException(
         s"[$name] cannot render literal of type $dt: $v")
+  }
+
+  /** Non-finite FP literals (NaN/±Infinity) have no bare SQL spelling —
+    * `v.toString` would emit an unresolvable identifier. Dialects whose
+    * engines both parse the string-cast form AND share Spark's NaN
+    * comparison semantics (NaN = NaN is true, NaN sorts greatest:
+    * Spark/DuckDB/Postgres) override this; the default refuses, which
+    * [[SqlUnparser.tryUnparse]] turns into keeping the predicate local —
+    * a performance degradation, never a wrong answer. */
+  def nonFiniteLiteral(d: Double): String =
+    throw new UnsupportedOperationException(
+      s"[$name] no portable SQL literal for non-finite $d")
+
+  /** The string-cast spelling shared by engines that support it. */
+  protected final def castNonFinite(d: Double): String = {
+    val s = if (d.isNaN) "NaN" else if (d > 0) "Infinity" else "-Infinity"
+    s"CAST('$s' AS ${typeName(DoubleType)})"
   }
 
   private def formatMicros(us: Long): String = {
@@ -135,6 +158,7 @@ object SparkDialect extends SqlDialect {
       elemName: String): String =
     s"$fromText LATERAL VIEW EXPLODE($arraySql) $alias AS $elemName"
   override def arraySize(arraySql: String): String = s"SIZE($arraySql)"
+  override def nonFiniteLiteral(d: Double): String = castNonFinite(d)
 }
 
 /** DuckDB dialect (JDBC executor target). */
@@ -149,6 +173,7 @@ object DuckDbDialect extends SqlDialect {
     s"($date + INTERVAL ($days) DAY)"
   override def dateDiffDays(end: String, start: String): String =
     s"DATE_DIFF('day', $start, $end)"
+  override def nonFiniteLiteral(d: Double): String = castNonFinite(d)
 }
 
 /** PostgreSQL dialect. */
@@ -169,6 +194,7 @@ object PostgresDialect extends SqlDialect {
     s"($date + ($days) * INTERVAL '1 day')"
   override def dateDiffDays(end: String, start: String): String =
     s"(CAST($end AS date) - CAST($start AS date))"
+  override def nonFiniteLiteral(d: Double): String = castNonFinite(d)
 }
 
 /** SQLite dialect. NULLs sort smallest (like Spark); REGEXP needs a

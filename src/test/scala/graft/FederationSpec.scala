@@ -486,6 +486,40 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no executed remote SQL carries the runtime filter:\n${executed.mkString("\n")}")
   }
 
+  test("runtime filter: non-finite build keys skip the filter, not the rows") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    // a selective build side whose key set contains NaN: no portable SQL
+    // literal exists, and Spark joins treat NaN = NaN as a match, so the
+    // only safe rendering is no runtime filter at all
+    val dimSql =
+      """SELECT l_quantity AS k FROM lineitem WHERE l_quantity < 3
+        |UNION ALL SELECT CAST('NaN' AS DOUBLE)""".stripMargin
+    val df = spark.sql(
+      s"""SELECT COUNT(*) AS n
+        |FROM fed_lineitem JOIN ($dimSql) d ON l_quantity = d.k""".stripMargin)
+    // non-vacuous: the rule must have attached the filter (the skip
+    // happens later, at render time, once the NaN key is seen)
+    assert(fedFragments(df).exists(_.runtimeFilters.nonEmpty),
+      s"runtime filter never attached:\n${df.queryExecution.optimizedPlan}")
+    val got = df.collect().map(_.getLong(0)).head
+    val want = spark.sql(
+      s"""SELECT COUNT(*) AS n
+        |FROM lineitem JOIN ($dimSql) d ON l_quantity = d.k""".stripMargin)
+      .collect().map(_.getLong(0)).head
+    assert(got == want, s"NaN build side changed results: $got vs $want")
+    val executed = alpha.executedSql.drop(before)
+    // CAST('NaN' AS DOUBLE) is the legal spelling; a BARE NaN/Infinity
+    // token is the bug (an unresolvable identifier at the remote)
+    val bare = raw"(?<!['-])(NaN|Infinity)".r
+    assert(!executed.exists(s => bare.findFirstIn(s).isDefined),
+      s"bare non-finite literal leaked into remote SQL:\n${executed.mkString("\n")}")
+    // and the runtime filter was skipped, not rendered with dropped keys
+    assert(!executed.exists(_.contains(" IN (")),
+      s"runtime filter rendered despite NaN key:\n${executed.mkString("\n")}")
+  }
+
   // ---- flattening semantics: hoisted filters must not cross an outer
   // ---- join's null-extension boundary (results compared against local)
 

@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.federation.jdbc.DerbyDialect
 import graft.federation.plans.RemoteRelation
 import graft.federation.sql._
 
@@ -187,5 +188,21 @@ class UnparserSpec extends AnyFunSuite {
     // must be spelled out there but not on engines that share it
     assert(new SqlUnparser(AnsiDialect).unparse(sorted).contains("NULLS FIRST"))
     assert(!new SqlUnparser(SqliteDialect).unparse(sorted).contains("NULLS"))
+  }
+
+  test("non-finite FP literals: cast form where NaN semantics match, refusal elsewhere") {
+    assert(SparkDialect.literal(Double.NaN, DoubleType) == "CAST('NaN' AS DOUBLE)")
+    assert(DuckDbDialect.literal(Double.PositiveInfinity, DoubleType) ==
+      "CAST('Infinity' AS DOUBLE)")
+    assert(PostgresDialect.literal(Double.NegativeInfinity, DoubleType) ==
+      "CAST('-Infinity' AS DOUBLE PRECISION)")
+    // a fragment containing an unrenderable literal refuses cleanly —
+    // bare `NaN` (an unresolvable identifier at the remote) never ships
+    val nanPred = Project(Seq(a),
+      Filter(EqualNullSafe(Cast(a, DoubleType), Literal(Double.NaN)), t))
+    for (d <- Seq(AnsiDialect, SqliteDialect, DerbyDialect))
+      assert(SqlUnparser.tryUnparse(nanPred, d).isEmpty, d.name)
+    assert(SqlUnparser.tryUnparse(nanPred, SparkDialect)
+      .exists(_.contains("CAST('NaN' AS DOUBLE)")))
   }
 }
