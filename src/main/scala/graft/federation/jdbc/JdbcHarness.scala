@@ -144,14 +144,20 @@ object JdbcHarness {
     case other => throw new UnsupportedOperationException(s"derby type for $other")
   }
 
-  /** Register `jdbc_<table>` remote views over the Derby database and run
-    * a SQL query against them. */
-  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+  /** Register `jdbc_<table>` remote views over the Derby database
+    * (idempotent). */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
     Federation.install(spark)
     val ex = executor(spark, dir)
     ex.tableNames.foreach { t =>
       Federation.registerRemoteTable(spark, s"jdbc_$t", t, ex)
     }
+  }
+
+  /** Register `jdbc_<table>` remote views over the Derby database and run
+    * a SQL query against them. */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    registerViews(spark, dir)
     spark.sql(query)
   }
 }

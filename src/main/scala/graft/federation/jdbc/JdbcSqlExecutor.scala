@@ -348,6 +348,42 @@ object DerbyDialect extends SqlDialect {
   // no % operator — SQL-standard MOD function only
   override def modulo(left: String, right: String): String =
     s"MOD($left, $right)"
+  // probed against embedded Derby 10.16 (see UnparserSpec drift test):
+  // SUBSTR not SUBSTRING; no ROUND/POWER/GREATEST/LEAST/QUARTER at all —
+  // refusal keeps those expressions local instead of shipping SQL Derby
+  // rejects at runtime
+  override def functionName(sparkName: String): String = sparkName match {
+    case "substring" => "SUBSTR"
+    case "round" | "power" | "greatest" | "least" | "quarter" =>
+      throw new UnparseUnsupported(s"derby has no $sparkName function")
+    case other => other
+  }
+  // CONCAT is not a Derby function; only the || operator exists
+  override def concat(args: Seq[String]): String =
+    args.mkString("(", " || ", ")")
+  // Derby AVG keeps the input type: AVG(INT) is integer division,
+  // AVG(DECIMAL(p,s)) truncates the mean at scale s (probed live on
+  // embedded Derby 10.16) — Spark widens both, so only float/double
+  // averages may push down
+  override def avgSafe(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType => true
+    case _ => false
+  }
+  // SUM(INT) stays INTEGER on Derby and overflows where Spark widens
+  override def sumIntegralNeedsWidening: Boolean = true
+  // Derby CAST truncates toward zero when narrowing to a decimal scale
+  // (probed: 1.9999995→1.999999, 2.5→2); Spark rounds HALF_UP (away from
+  // zero). Emulation: truncate with ONE guard digit — the round-up
+  // decision depends only on the digit at scale s+1 of the (identical
+  // IEEE) source value — nudge by ±5·10^-(s+1), truncate to s. Matches
+  // Spark bit-for-bit for every double, both signs.
+  override def lossyDecimalCast(x: String, p: Int, s: Int): String = {
+    if (p + 2 > 31) // Derby's max decimal precision; no room for the guard
+      throw new UnparseUnsupported(s"decimal($p,$s) too wide to round-cast on derby")
+    val half = java.math.BigDecimal.valueOf(5L, s + 1).toPlainString
+    s"CAST(CAST($x AS DECIMAL(${p + 2},${s + 1})) + " +
+      s"(CASE WHEN $x >= 0 THEN $half ELSE -$half END) AS DECIMAL($p,$s))"
+  }
   // Derby has no ANSI keyword literals TIMESTAMP '...' / DATE '...' —
   // only the function forms TIMESTAMP('...') / DATE('...')
   override def literal(value: Any, dataType: DataType): String = {

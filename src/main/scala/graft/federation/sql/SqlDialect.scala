@@ -109,6 +109,28 @@ trait SqlDialect {
   /** Dialect-specific scalar function name mapping (Spark name → remote). */
   def functionName(sparkName: String): String = sparkName
 
+  /** String concatenation — a function on most engines, the `||` operator
+    * only on e.g. Derby (NULL-propagation is identical either way). */
+  def concat(args: Seq[String]): String = s"CONCAT(${args.mkString(", ")})"
+
+  /** Whether the engine's AVG over this input type matches Spark's
+    * semantics. Engines that keep the INPUT type for AVG (Derby: AVG(INT)
+    * is integer division, AVG(DECIMAL(p,s)) truncates at scale s, probed
+    * live in the drift tests) must refuse everything but floating point —
+    * Spark widens int→double and decimal scale by 4. */
+  def avgSafe(dt: DataType): Boolean = true
+
+  /** Engines whose SUM keeps the input type (Derby) overflow on integral
+    * sums where Spark widens to BIGINT; widening the input first restores
+    * Spark's semantics at no cost. */
+  def sumIntegralNeedsWidening: Boolean = false
+
+  /** CAST to DECIMAL(p,s) where the source has excess scale (double/float,
+    * or a wider-scale decimal). Spark rounds HALF_UP; engines that
+    * truncate instead (Derby, probed live) override with an emulation. */
+  def lossyDecimalCast(x: String, p: Int, s: Int): String =
+    s"CAST($x AS DECIMAL($p,$s))"
+
   /** Regular-expression match predicate. */
   def regexpMatch(input: String, pattern: String): String =
     s"REGEXP_LIKE($input, $pattern)"

@@ -302,13 +302,14 @@ class SqlUnparser(dialect: SqlDialect) {
 
     case Filter(cond, child) =>
       // Filter with no Project above (e.g. HAVING shape or bare filter):
-      // SELECT child-cols FROM <child> WHERE cond
-      val f = from(child)
+      // SELECT child-cols FROM <child> WHERE cond — via fromWithFilters so
+      // conjuncts hoisted from nested Filters are ANDed in, not dropped
+      val (f, where) = fromWithFilters(child)
       val names = dedupNames(child.output.map(_.name))
       val items = child.output.zip(names)
         .map { case (a, n) => s"${f.scope(a.exprId)} AS ${q(n)}" }
       val sql = s"SELECT ${itemsSql(items)} FROM ${f.text}" +
-        s" WHERE ${render(cond, f.scope)}"
+        whereSql(where :+ render(cond, f.scope))
       (Sel(sql, names), f.scope)
 
     // A Sort/Limit/Offset a fresh select() could not peel either (non-global
@@ -321,13 +322,16 @@ class SqlUnparser(dialect: SqlDialect) {
     // RemoteRelation/Join/SubqueryAlias render directly; a Sort/Limit/Offset
     // left over because select()'s peel guards stopped (e.g. Sort above
     // Limit) renders as a derived-table subquery — from() recurses into
-    // select() with fresh peel state, preserving clause order.
+    // select() with fresh peel state, preserving clause order. Filter
+    // conjuncts hoisted out of the FROM tree (join-child filters) land in
+    // this block's WHERE — dropping them would widen the result.
     case other =>
       val f = from(other)
       val names = dedupNames(other.output.map(_.name))
       val items = other.output.zip(names)
         .map { case (a, n) => s"${f.scope(a.exprId)} AS ${q(n)}" }
-      (Sel(s"SELECT ${itemsSql(items)} FROM ${f.text}", names), f.scope)
+      (Sel(s"SELECT ${itemsSql(items)} FROM ${f.text}" + whereSql(f.preds),
+        names), f.scope)
   }
 
   /** Is this Expand the grouping-analytics shape (last output column =
@@ -556,6 +560,14 @@ class SqlUnparser(dialect: SqlDialect) {
         s"CASE WHEN ${r(p)} THEN ${r(t)} ELSE ${r(f)} END"
 
       // casts & decimal bookkeeping
+      case Cast(c, dt: DecimalType, _, _) =>
+        val excessScale = c.dataType match {
+          case DoubleType | FloatType => true
+          case d: DecimalType => d.scale > dt.scale
+          case _ => false
+        }
+        if (excessScale) dialect.lossyDecimalCast(r(c), dt.precision, dt.scale)
+        else s"CAST(${r(c)} AS ${dialect.typeName(dt)})"
       case Cast(c, dt, _, _) => s"CAST(${r(c)} AS ${dialect.typeName(dt)})"
       case e if e.getClass.getSimpleName == "CheckOverflow" =>
         // decimal-bound bookkeeping; re-emit as an explicit cast
@@ -604,7 +616,7 @@ class SqlUnparser(dialect: SqlDialect) {
       case Minute(c, _) => fn1("minute", c)
       case Second(c, _) => fn1("second", c)
       case Round(c, s, _) => fnN("round", Seq(c, s))
-      case Concat(cs) => fnN("concat", cs)
+      case Concat(cs) => dialect.concat(cs.map(r))
       case Coalesce(cs) => fnN("coalesce", cs)
       case Greatest(cs) => fnN("greatest", cs)
       case Least(cs) => fnN("least", cs)
@@ -682,10 +694,20 @@ class SqlUnparser(dialect: SqlDialect) {
       case Count(args) =>
         val d = if (ae.isDistinct) "DISTINCT " else ""
         s"count($d${args.map(r).mkString(", ")})"
-      case Sum(c, _) => s"sum(${distinctPrefix(ae)}${r(c)})"
+      case Sum(c, _) =>
+        val arg = c.dataType match {
+          case ByteType | ShortType | IntegerType | LongType
+              if dialect.sumIntegralNeedsWidening =>
+            s"CAST(${r(c)} AS BIGINT)"
+          case _ => r(c)
+        }
+        s"sum(${distinctPrefix(ae)}$arg)"
       case Min(c) => s"min(${r(c)})"
       case Max(c) => s"max(${r(c)})"
-      case Average(c, _) => s"avg(${distinctPrefix(ae)}${r(c)})"
+      case Average(c, _) =>
+        if (!dialect.avgSafe(c.dataType))
+          fail(s"avg(${c.dataType.simpleString}) diverges on ${dialect.name}")
+        s"avg(${distinctPrefix(ae)}${r(c)})"
       case First(c, _) => fail("first() is not portable SQL")
       case other => fail(s"aggregate ${other.getClass.getSimpleName}")
     }

@@ -154,16 +154,13 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def rowsOf(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  test("200 random queries: federated == local, most federate fully") {
-    FederationHarness.setup(spark, dir)
-    graft.sources.Tables.registerAll(spark, dir)
-    val r = new Random(20260812L)
+  private def runFuzz(prefix: String, seed: Long, total: Int): Int = {
     var federated = 0
-    val total = 200
     val refused = scala.collection.mutable.ArrayBuffer.empty[String]
+    val r = new Random(seed)
     (1 to total).foreach { i =>
-      val fedSql = genQuery(r)
-      val localSql = fedSql.replace("fed_", "")
+      val fedSql = genQuery(r).replace("fed_", prefix)
+      val localSql = fedSql.replace(prefix, "")
         .replace("TIMESTAMP_NTZ", "TIMESTAMP")
       val fedDf = spark.sql(fedSql)
       val frags = fedDf.queryExecution.optimizedPlan.collect {
@@ -175,13 +172,38 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == want,
         s"query #$i differs (federated=${frags.nonEmpty})\nSQL:\n$fedSql\n" +
           s"got ${got.size} rows, want ${want.size}\n" +
-          s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+          s"first diff: ${got.zip(want).find(p => p._1 != p._2)}\n" +
+          s"plan:\n${fedDf.queryExecution.optimizedPlan}\n" +
+          s"executed plan:\n${fedDf.queryExecution.executedPlan}")
     }
+    if (refused.nonEmpty)
+      info(s"$prefix: ${refused.size}/$total stayed local, e.g.\n" +
+        refused.take(2).mkString("\n---\n"))
+    federated
+  }
+
+  test("200 random queries: federated == local, most federate fully") {
+    FederationHarness.setup(spark, dir)
+    graft.sources.Tables.registerAll(spark, dir)
+    val total = 200
+    val federated = runFuzz("fed_", 20260812L, total)
     // the grammar is built from constructs the unparser supports, so near
     // enough every query must actually federate — a drop means a refusal
     // regression, not a semantics bug
     assert(federated >= (total * 9) / 10,
-      s"only $federated/$total federated; refused examples:\n" +
-        refused.take(5).mkString("\n---\n"))
+      s"only $federated/$total federated")
+  }
+
+  test("100 random queries against the real JDBC engine (Derby) match local") {
+    // same differential oracle, but the remote is an actual second DBMS:
+    // whatever the Derby dialect renders must be TRUE on Derby, not just
+    // well-formed. Unsupported constructs refuse and run locally — still
+    // compared, so a wrong refusal can't hide a wrong answer.
+    graft.federation.jdbc.JdbcHarness.executor(spark, dir)
+    graft.federation.jdbc.JdbcHarness.registerViews(spark, dir)
+    graft.sources.Tables.registerAll(spark, dir)
+    val federated = runFuzz("jdbc_", 42L, 100)
+    assert(federated > 20, s"only $federated/100 reached Derby — dialect " +
+      "refusal regression")
   }
 }

@@ -57,6 +57,22 @@ class UnparserSpec extends AnyFunSuite {
       "SELECT t1.a AS a FROM t AS t1 WHERE t1.b IS NOT NULL AND (t1.a > 1)")
   }
 
+  test("stacked filters with NO project keep every conjunct (split-scan shape)") {
+    // the exact shape SplitScan builds: a split Filter stacked on an
+    // already-filtered fragment with no Project above. The inner conjunct
+    // was silently dropped before the Derby fuzz caught it.
+    val plan = Filter(IsNotNull(b), Filter(GreaterThan(a, Literal(1)), t))
+    val s = sql(plan)
+    assert(s.contains("t1.b IS NOT NULL") && s.contains("(t1.a > 1)"), s)
+    // and three deep, mixed with a bare-attribute projection in between
+    val deep = Filter(LessThan(a, Literal(9)),
+      Project(Seq(a, b),
+        Filter(IsNotNull(b), Filter(GreaterThan(a, Literal(1)), t))))
+    val ds = sql(deep)
+    assert(ds.contains("(t1.a < 9)") && ds.contains("t1.b IS NOT NULL") &&
+      ds.contains("(t1.a > 1)"), ds)
+  }
+
   test("aggregate with DISTINCT and FILTER modifiers") {
     val cnt = Alias(AggregateExpression(Count(Seq(a)), Complete,
       isDistinct = true), "n")()
