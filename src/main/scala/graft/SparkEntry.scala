@@ -79,6 +79,9 @@ object SparkEntry {
     "stream_dedup" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runDedupToMemory(s, d)
         .orderBy(col("content_md5"))),
+    "stream_interval_join" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runIntervalJoinToMemory(s, d)
+        .orderBy(col("p_id"), col("s_id"))),
     "text_distinct_estimate" -> (TextOps.distinctEstimate _),
     // --- federation engine (the reference's core capability) ---
     "fed_q1_pushdown" -> (Federated.q1Pushdown _),
@@ -130,6 +133,7 @@ object SparkEntry {
     "ev_range_join" -> EventOps.rangeJoinOracle,
     // single-batch streaming sessionization equals batch sessionization
     "stream_sessionize" -> EventOps.sessionizeOracle,
+    "stream_interval_join" -> graft.streaming.StreamOps.intervalJoinOracle,
     "text_token_stats" -> TextOps.tokenStatsOracle,
     "text_quality_score" -> TextOps.qualityScoreOracle,
     "text_lang_id" -> TextOps.langIdOracle,

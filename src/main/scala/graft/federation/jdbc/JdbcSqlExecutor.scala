@@ -377,6 +377,12 @@ object DerbyDialect extends SqlDialect {
   // decision depends only on the digit at scale s+1 of the (identical
   // IEEE) source value — nudge by ±5·10^-(s+1), truncate to s. Matches
   // Spark bit-for-bit for every double, both signs.
+  // no IS NOT DISTINCT FROM (probed); COALESCE form is exact in all
+  // contexts (WHERE and projection)
+  override def nullSafeEq(l: String, r: String): String =
+    s"COALESCE((($l = $r) OR ($l IS NULL AND $r IS NULL)), FALSE)"
+  // Derby only parses ROW_NUMBER() OVER () — no PARTITION BY/ORDER BY
+  override def supportsWindowFunctions: Boolean = false
   override def lossyDecimalCast(x: String, p: Int, s: Int): String = {
     if (p + 2 > 31) // Derby's max decimal precision; no room for the guard
       throw new UnparseUnsupported(s"decimal($p,$s) too wide to round-cast on derby")

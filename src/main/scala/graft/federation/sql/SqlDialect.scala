@@ -131,6 +131,18 @@ trait SqlDialect {
   def lossyDecimalCast(x: String, p: Int, s: Int): String =
     s"CAST($x AS DECIMAL($p,$s))"
 
+  /** Null-safe equality (Spark `<=>`). Engines without IS NOT DISTINCT
+    * FROM emulate with COALESCE — exact in every context, including
+    * projections, where bare OR-of-IS-NULLs would yield NULL instead of
+    * FALSE. */
+  def nullSafeEq(l: String, r: String): String =
+    s"($l IS NOT DISTINCT FROM $r)"
+
+  /** Windowed OVER(...) clauses — Derby only parses the bare
+    * `ROW_NUMBER() OVER ()` form (probed), so the whole Window node must
+    * refuse there. */
+  def supportsWindowFunctions: Boolean = true
+
   /** Regular-expression match predicate. */
   def regexpMatch(input: String, pattern: String): String =
     s"REGEXP_LIKE($input, $pattern)"

@@ -277,6 +277,8 @@ class SqlUnparser(dialect: SqlDialect) {
       (Sel(sql, names), f.scope ++ aliasScope(aggExprs, names))
 
     case w: Window =>
+      if (!dialect.supportsWindowFunctions)
+        fail(s"window functions unsupported by ${dialect.name}")
       val (f, where) = fromWithFilters(w.child)
       val passthrough = w.child.output.map(a => a: NamedExpression)
       val all = passthrough ++ w.windowExpressions
@@ -521,7 +523,7 @@ class SqlUnparser(dialect: SqlDialect) {
 
       // comparison / boolean
       case EqualTo(l, rr) => bin(l, "=", rr)
-      case EqualNullSafe(l, rr) => s"(${r(l)} IS NOT DISTINCT FROM ${r(rr)})"
+      case EqualNullSafe(l, rr) => dialect.nullSafeEq(r(l), r(rr))
       case LessThan(l, rr) => bin(l, "<", rr)
       case LessThanOrEqual(l, rr) => bin(l, "<=", rr)
       case GreaterThan(l, rr) => bin(l, ">", rr)

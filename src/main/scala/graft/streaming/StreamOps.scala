@@ -190,4 +190,50 @@ object StreamOps {
   def runDedupToMemory(spark: SparkSession, dir: String,
       name: String = "stream_dedup_out"): DataFrame =
     runStream(spark, dedupStream(spark, dir), "append", name)
+
+  /** Watermarked stream-stream interval join: each purchase joins the
+    * signups of the same user whose window [s_ts, s_ts + 1h) contains it.
+    * Both sides carry watermarks and the join condition relates the two
+    * event times with a bounded range, so Spark's symmetric hash join can
+    * evict state as the watermark advances — state is the last hour of
+    * each side, not the whole history. Inner-join matches emit eagerly
+    * (no watermark wait), so the result is complete after one pass over
+    * static input. At 100 TB/day this is the standard enrich-in-flight
+    * shape: shuffle on user_id, per-key state bounded by the interval. */
+  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.eventsRaw(spark, dir).schema
+    def side(t: String): DataFrame = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .filter(col("event_type") === t)
+    val signups = side("signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = side("purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(signups,
+        col("user_id") === col("s_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") < col("s_ts") + expr("INTERVAL '1' HOUR"))
+      .select(col("p_id"), col("s_id"), col("user_id"),
+        col("p_ts").cast("timestamp_ntz").as("purchase_ts"))
+  }
+
+  def runIntervalJoinToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_ij_out"): DataFrame =
+    runStream(spark, intervalJoinStream(spark, dir), "append", name)
+
+  val intervalJoinOracle: String =
+    """SELECT p.event_id AS p_id, s.event_id AS s_id, p.user_id,
+      |  CAST(p.ts AS TIMESTAMP) AS purchase_ts
+      |FROM events p JOIN events s
+      |  ON p.event_type = 'purchase' AND s.event_type = 'signup'
+      | AND p.user_id = s.user_id
+      | AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR""".stripMargin
 }

@@ -165,6 +165,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recalls.min >= 0.5, s"worst-query IVF recall ${recalls.min} < 0.5")
   }
 
+  test("stream-stream interval join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamOps
+      .runIntervalJoinToMemory(spark, dir, "ops_stream_ij")
+      .collect().map(_.toString).sorted.toSeq
+    val e = graft.sources.Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val s2 = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+    val batch = p.join(s2, col("user_id") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") < col("s_ts") + expr("INTERVAL '1' HOUR"))
+      .select(col("p_id"), col("s_id"), col("user_id"),
+        col("p_ts").cast("timestamp_ntz").as("purchase_ts"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("bucketed range join equals the direct all-pairs inequality join") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.events(spark, dir)

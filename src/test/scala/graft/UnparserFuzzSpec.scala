@@ -116,10 +116,17 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     case 5 => s"MAX(${strExpr(r, d)})"
   }
 
+  /** Predicate over fed_orders columns (for subquery shapes). */
+  private def predO(r: Random): String = pick(r,
+    s"o_totalprice ${pick(r, "<", ">", ">=")} ${pick(r, "50000", "200000", "400000")}",
+    s"o_orderstatus = '${pick(r, "F", "O", "P")}'",
+    s"o_orderpriority LIKE '${pick(r, "1%", "2%", "%URGENT%")}'",
+    s"o_custkey BETWEEN 1 AND ${50 + r.nextInt(500)}")
+
   /** One random query over fed_lineitem (join shape adds fed_orders). */
   private def genQuery(r: Random): String = {
     val d = 1 + r.nextInt(2)
-    r.nextInt(4) match {
+    r.nextInt(8) match {
       case 0 => // plain scan: project + filter, totally-ordered limit
         val projs = (1 to (1 + r.nextInt(3))).map(i =>
           (if (r.nextBoolean()) numExpr(r, d) else strExpr(r, d)) + s" AS c$i")
@@ -146,6 +153,36 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
            |  FROM fed_lineitem WHERE ${pred(r, d)}
            |) t WHERE c2 >= 0 OR c2 < 0 OR c2 IS NULL
            |GROUP BY c1 ORDER BY c1""".stripMargin
+      case 4 => // window functions (exact aggregates only; total order)
+        val wfn = pick(r,
+          "ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)",
+          "RANK() OVER (PARTITION BY l_linestatus ORDER BY l_quantity, l_orderkey, l_linenumber)",
+          "COUNT(*) OVER (PARTITION BY l_returnflag)",
+          "MAX(l_quantity) OVER (PARTITION BY l_linestatus)")
+        s"""SELECT l_orderkey, l_linenumber, $wfn AS w
+           |FROM fed_lineitem WHERE ${pred(r, d)}
+           |ORDER BY l_orderkey, l_linenumber LIMIT ${20 + r.nextInt(80)}"""
+          .stripMargin
+      case 5 => // UNION ALL of two filtered scans, re-aggregated
+        s"""SELECT k, COUNT(*) AS n FROM (
+           |  SELECT l_returnflag AS k FROM fed_lineitem WHERE ${pred(r, d)}
+           |  UNION ALL
+           |  SELECT l_linestatus AS k FROM fed_lineitem WHERE ${pred(r, d)}
+           |) u GROUP BY k ORDER BY k""".stripMargin
+      case 6 => // [NOT] EXISTS correlated subquery on the second table
+        val not = if (r.nextBoolean()) "NOT " else ""
+        s"""SELECT l_returnflag, COUNT(*) AS n
+           |FROM fed_lineitem WHERE ${pred(r, d)}
+           |  AND ${not}EXISTS (SELECT 1 FROM fed_orders
+           |    WHERE o_orderkey = l_orderkey AND ${predO(r)})
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      case 7 => // HAVING over grouped aggregate
+        s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           |  MIN(${numExpr(r, d)}) AS lo
+           |FROM fed_lineitem WHERE ${pred(r, d)}
+           |GROUP BY l_returnflag, l_linestatus
+           |HAVING COUNT(*) > ${r.nextInt(40)}
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin
     }
   }
 
