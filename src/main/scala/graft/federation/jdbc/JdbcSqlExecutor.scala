@@ -353,7 +353,7 @@ object DerbyDialect extends SqlDialect {
   // refusal keeps those expressions local instead of shipping SQL Derby
   // rejects at runtime
   override def functionName(sparkName: String): String = sparkName match {
-    case "substring" => "SUBSTR"
+    case "substring" => "SUBSTR" // (reached via substringSql's emulation)
     case "round" | "power" | "greatest" | "least" | "quarter" =>
       throw new UnparseUnsupported(s"derby has no $sparkName function")
     case other => other
@@ -377,6 +377,20 @@ object DerbyDialect extends SqlDialect {
   // decision depends only on the digit at scale s+1 of the (identical
   // IEEE) source value — nudge by ±5·10^-(s+1), truncate to s. Matches
   // Spark bit-for-bit for every double, both signs.
+  // Derby SUBSTR raises "out of range" where Spark clamps: start past the
+  // end (including any start on ''), or length past the remainder. The
+  // emulation only calls SUBSTR with arguments proven in range; NULL input
+  // passes through SUBSTR(x, 1), the one always-legal form on NULL.
+  override def substringStrictRange: Boolean = true
+  override def substringSql(str: String, pos: Int, len: Int): String =
+    if (len == 0)
+      s"(CASE WHEN $str IS NULL THEN SUBSTR($str, 1) ELSE '' END)"
+    else
+      s"(CASE WHEN $str IS NULL THEN SUBSTR($str, 1) " +
+        s"WHEN LENGTH($str) >= $pos THEN SUBSTR($str, $pos, " +
+        s"CASE WHEN LENGTH($str) - $pos + 1 < $len " +
+        s"THEN LENGTH($str) - $pos + 1 ELSE $len END) " +
+        s"ELSE '' END)"
   // no IS NOT DISTINCT FROM (probed); COALESCE form is exact in all
   // contexts (WHERE and projection)
   override def nullSafeEq(l: String, r: String): String =

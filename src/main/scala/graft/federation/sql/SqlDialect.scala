@@ -143,6 +143,17 @@ trait SqlDialect {
     * refuse there. */
   def supportsWindowFunctions: Boolean = true
 
+  /** SUBSTRING with constant pos ≥ 1 and len ≥ 0. Spark clamps
+    * out-of-range arguments; engines whose substring RAISES on them
+    * (Derby: start past the end, or length past the remainder, even on
+    * '' — probed live) override with a clamping emulation. */
+  def substringSql(str: String, pos: Int, len: Int): String =
+    s"${functionName("substring")}($str, $pos, $len)"
+
+  /** True when the engine's substring raises on out-of-range arguments —
+    * non-constant pos/len can't be proven safe, so they refuse. */
+  def substringStrictRange: Boolean = false
+
   /** Regular-expression match predicate. */
   def regexpMatch(input: String, pattern: String): String =
     s"REGEXP_LIKE($input, $pattern)"

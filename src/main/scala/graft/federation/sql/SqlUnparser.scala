@@ -622,7 +622,13 @@ class SqlUnparser(dialect: SqlDialect) {
       case Coalesce(cs) => fnN("coalesce", cs)
       case Greatest(cs) => fnN("greatest", cs)
       case Least(cs) => fnN("least", cs)
-      case Substring(str, pos, len) => fnN("substring", Seq(str, pos, len))
+      case Substring(str, Literal(p: Int, IntegerType),
+          Literal(l: Int, IntegerType)) if p >= 1 && l >= 0 =>
+        dialect.substringSql(r(str), p, l)
+      case Substring(str, pos, len) =>
+        if (dialect.substringStrictRange)
+          fail(s"substring range not provable for ${dialect.name}")
+        fnN("substring", Seq(str, pos, len))
       case StringTrim(c, None) => fn1("trim", c)
       case StringTrim(c, Some(t)) => s"TRIM(BOTH ${r(t)} FROM ${r(c)})"
       case StringTrimLeft(c, None) => fn1("ltrim", c)

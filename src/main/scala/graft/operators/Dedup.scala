@@ -235,12 +235,17 @@ object Dedup {
     * candidates — at scale this is the small side. */
   def ngramJaccard(s: SparkSession, dir: String,
       lshThreshold: Double = 0.5): DataFrame = {
-    val docs = documents(s, dir)
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+    // join raw TEXT first, shingle AFTER the candidate join: candidates are
+    // a vanishing fraction of the corpus at scale, so the (expensive,
+    // one-MD5-per-shingle) shingle arrays are built only for candidate
+    // rows instead of twice for every document
+    val docs = documents(s, dir).select(col("doc_id"), col("text"))
     val cands = minhashCandidates(s, dir, lshThreshold)
     cands
-      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .join(docs.select(col("doc_id").as("a_id"), col("text").as("a_text")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("text").as("b_text")), "b_id")
+      .withColumn("a_sh", array_distinct(shingles(col("a_text"))))
+      .withColumn("b_sh", array_distinct(shingles(col("b_text"))))
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_sh")) + size(col("b_sh")) - col("inter")))

@@ -127,13 +127,19 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def genQuery(r: Random): String = {
     val d = 1 + r.nextInt(2)
     r.nextInt(8) match {
-      case 0 => // plain scan: project + filter, totally-ordered limit
-        val projs = (1 to (1 + r.nextInt(3))).map(i =>
+      case 0 => // plain scan: project + filter, totally-ordered limit.
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
+        // so the ORDER BY covers every output column — boundary ties are
+        // then bitwise-identical rows and any LIMIT prefix is the same
+        // multiset on both engines.
+        val n = 1 + r.nextInt(3)
+        val projs = (1 to n).map(i =>
           (if (r.nextBoolean()) numExpr(r, d) else strExpr(r, d)) + s" AS c$i")
+        val order = ((1 to n).map(i => s"c$i") ++
+          Seq("l_orderkey", "l_linenumber")).mkString(", ")
         s"""SELECT ${projs.mkString(", ")}, l_orderkey, l_linenumber
            |FROM fed_lineitem WHERE ${pred(r, d)}
-           |ORDER BY l_orderkey, l_linenumber LIMIT ${10 + r.nextInt(90)}"""
-          .stripMargin
+           |ORDER BY $order LIMIT ${10 + r.nextInt(90)}""".stripMargin
       case 1 => // grouped aggregate over string keys
         val keys = r.shuffle(strCols).take(1 + r.nextInt(2))
         val aggs = (1 to (1 + r.nextInt(3))).map(i => s"${agg(r, d)} AS a$i")
@@ -161,7 +167,7 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           "MAX(l_quantity) OVER (PARTITION BY l_linestatus)")
         s"""SELECT l_orderkey, l_linenumber, $wfn AS w
            |FROM fed_lineitem WHERE ${pred(r, d)}
-           |ORDER BY l_orderkey, l_linenumber LIMIT ${20 + r.nextInt(80)}"""
+           |ORDER BY l_orderkey, l_linenumber, w LIMIT ${20 + r.nextInt(80)}"""
           .stripMargin
       case 5 => // UNION ALL of two filtered scans, re-aggregated
         s"""SELECT k, COUNT(*) AS n FROM (
@@ -219,11 +225,17 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     federated
   }
 
+  // CI runs are deterministic (fixed seeds); exploratory sweeps override
+  // via env, e.g. GRAFT_FUZZ_SEED=7 GRAFT_FUZZ_N=500 sbt "testOnly *Fuzz*"
+  private val seedBase: Long =
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260812L)
+  private val nOverride: Option[Int] = sys.env.get("GRAFT_FUZZ_N").map(_.toInt)
+
   test("200 random queries: federated == local, most federate fully") {
     FederationHarness.setup(spark, dir)
     graft.sources.Tables.registerAll(spark, dir)
-    val total = 200
-    val federated = runFuzz("fed_", 20260812L, total)
+    val total = nOverride.getOrElse(200)
+    val federated = runFuzz("fed_", seedBase, total)
     // the grammar is built from constructs the unparser supports, so near
     // enough every query must actually federate — a drop means a refusal
     // regression, not a semantics bug
@@ -239,8 +251,9 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.federation.jdbc.JdbcHarness.executor(spark, dir)
     graft.federation.jdbc.JdbcHarness.registerViews(spark, dir)
     graft.sources.Tables.registerAll(spark, dir)
-    val federated = runFuzz("jdbc_", 42L, 100)
-    assert(federated > 20, s"only $federated/100 reached Derby — dialect " +
-      "refusal regression")
+    val total = nOverride.getOrElse(100)
+    val federated = runFuzz("jdbc_", seedBase + 42L, total)
+    assert(federated > total / 5, s"only $federated/$total reached Derby — " +
+      "dialect refusal regression")
   }
 }

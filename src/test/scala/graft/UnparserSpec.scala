@@ -206,6 +206,20 @@ class UnparserSpec extends AnyFunSuite {
     assert(!new SqlUnparser(SqliteDialect).unparse(sorted).contains("NULLS"))
   }
 
+  test("substring: Derby clamps to Spark's lenient range, refuses unprovable args") {
+    val sub = Project(Seq(Alias(Substring(b, Literal(2), Literal(3)), "s")()), t)
+    // engines whose substring already clamps render the plain form
+    assert(sql(sub).contains("substring(t1.b, 2, 3)"))
+    // Derby SUBSTR raises on out-of-range (probed) → guarded CASE form
+    val derby = new SqlUnparser(DerbyDialect).unparse(sub)
+    assert(derby.contains("CASE WHEN") && derby.contains("SUBSTR") &&
+      derby.contains("LENGTH"), derby)
+    // non-constant args can't be proven in range → refuse on Derby only
+    val dynLen = Project(Seq(Alias(Substring(b, Literal(1), a), "s")()), t)
+    assert(SqlUnparser.tryUnparse(dynLen, DerbyDialect).isEmpty)
+    assert(SqlUnparser.tryUnparse(dynLen, AnsiDialect).nonEmpty)
+  }
+
   test("non-finite FP literals: cast form where NaN semantics match, refusal elsewhere") {
     assert(SparkDialect.literal(Double.NaN, DoubleType) == "CAST('NaN' AS DOUBLE)")
     assert(DuckDbDialect.literal(Double.PositiveInfinity, DoubleType) ==
