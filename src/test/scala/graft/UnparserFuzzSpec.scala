@@ -126,7 +126,7 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** One random query over fed_lineitem (join shape adds fed_orders). */
   private def genQuery(r: Random): String = {
     val d = 1 + r.nextInt(2)
-    r.nextInt(8) match {
+    r.nextInt(9) match {
       case 0 => // plain scan: project + filter, totally-ordered limit.
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
         // so the ORDER BY covers every output column — boundary ties are
@@ -182,6 +182,15 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
            |  AND ${not}EXISTS (SELECT 1 FROM fed_orders
            |    WHERE o_orderkey = l_orderkey AND ${predO(r)})
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      case 8 => // cross-provider join: two fragments, stitched locally.
+        // fedb_ belongs to a different provider than fed_, so the join
+        // cannot collapse into one remote SQL — each side cuts its own
+        // fragment and Spark joins them. (On the jdbc_ run the prefix
+        // substitution makes both sides one provider — also valid.)
+        s"""SELECT o_orderpriority, COUNT(*) AS n, MIN(l_quantity) AS lo
+           |FROM fed_lineitem JOIN fedb_orders ON l_orderkey = o_orderkey
+           |WHERE ${pred(r, d)} AND ${predO(r)}
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
       case 7 => // HAVING over grouped aggregate
         s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
            |  MIN(${numExpr(r, d)}) AS lo
@@ -194,16 +203,24 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- differential run --------------------------------------------------
 
+  // -0.0 and 0.0 are equal under IEEE and SQL comparison but engines may
+  // surface either from expressions like MIN(0.0 * x * -1) — compare
+  // modulo zero sign (boundary guard: must not touch "-0.01")
   private def rowsOf(df: DataFrame): Seq[String] =
-    df.collect().map(_.toString).sorted.toSeq
+    df.collect().map(_.toString.replaceAll("-0\\.0(?![0-9])", "0.0"))
+      .sorted.toSeq
 
   private def runFuzz(prefix: String, seed: Long, total: Int): Int = {
     var federated = 0
     val refused = scala.collection.mutable.ArrayBuffer.empty[String]
     val r = new Random(seed)
     (1 to total).foreach { i =>
-      val fedSql = genQuery(r).replace("fed_", prefix)
-      val localSql = fedSql.replace(prefix, "")
+      // the mock run keeps fedb_ (a second provider → two fragments);
+      // the jdbc run folds it into the one Derby provider
+      val fedSql = genQuery(r)
+        .replace("fedb_", if (prefix == "fed_") "fedb_" else prefix)
+        .replace("fed_", prefix)
+      val localSql = fedSql.replace("fedb_", "").replace(prefix, "")
         .replace("TIMESTAMP_NTZ", "TIMESTAMP")
       val fedDf = spark.sql(fedSql)
       val frags = fedDf.queryExecution.optimizedPlan.collect {
