@@ -9,11 +9,22 @@ import org.apache.spark.sql.SparkSession
   * query plus a footer-read of every test table, so the first timed query
   * measures the operator, not JVM/classloading/parquet-metadata startup
   * (at sf0.001 that startup is ~6s — larger than every real query).
+  *
+  * Each query is timed `SPARK_GRAFT_BENCH_ITERS` times (default 3) and the
+  * MEDIAN is reported — a single-shot timing in a shared JVM is
+  * noise-dominated (one GC stall poisons the record; round 4's artifact
+  * showed 15+ phantom 2–7× "regressions" that a quiet re-run erased).
+  * Values are rounded to ms so the emitted line stays small enough for the
+  * driver's bounded tail capture, and the line is printed before any
+  * shutdown work so nothing can push it out of the capture window. Query
+  * failures are counted in an `errors` field instead of being recorded as
+  * fast successes.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,16 +47,39 @@ object Bench {
     graft.federation.FederationHarness.setup(spark, sfDir)
     graft.federation.jdbc.JdbcHarness.executor(spark, sfDir)
 
+    def ms3(sec: Double): Double = math.round(sec * 1000.0) / 1000.0
+
+    var errors = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            errors += 1
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            None
+        }
+      }.sorted
+      val median = if (times.isEmpty) -1.0 else times(times.size / 2)
+      val min = if (times.isEmpty) -1.0 else times.head
+      (name, ms3(median), ms3(min))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val mins = results.map { case (k, _, mn) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val total = ms3(results.filter(_._2 >= 0).map(_._2).sum)
+    // per-query minima go to stderr: useful for diagnosis, but kept off
+    // stdout so the official line stays within the driver's bounded tail
+    // capture (round 4's record was truncated by an oversized line)
+    System.err.println(s"""{"bench_min":$mins}""")
+    // emit the record BEFORE any shutdown work: nothing after this line but
+    // spark.stop(), so the driver's bounded tail capture always sees it whole
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     graft.operators.Dedup.releaseAllSignatures()
+    graft.operators.Similarity.releaseAllCounts()
     spark.stop()
   }
 }

@@ -106,6 +106,7 @@ object SparkEntry {
     "fed_jdbc_q1" -> (Federated.jdbcQ1 _),
     "fed_jdbc_q3" -> (Federated.jdbcQ3 _),
     "fed_jdbc_split" -> (Federated.jdbcSplitScan _),
+    "fed_jdbc_write" -> (Federated.jdbcWrite _),
     "fed_split_scan" -> (Federated.splitScanJoin _),
     // --- sampling / exact analytics ---
     "samp_hash_10pct" -> (Sampling.hashSample _),
@@ -183,6 +184,7 @@ object SparkEntry {
     "fed_jdbc_q1" -> Federated.jdbcQ1Oracle,
     "fed_jdbc_q3" -> Federated.jdbcQ3Oracle,
     "fed_jdbc_split" -> Federated.jdbcSplitScanOracle,
+    "fed_jdbc_write" -> Federated.jdbcWriteOracle,
     "fed_split_scan" -> Federated.splitScanOracle,
     "samp_hash_10pct" -> Sampling.hashSampleOracle,
     "samp_stats" -> Sampling.sampleStatsOracle,

@@ -40,6 +40,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.operators.Dedup.releaseAllSignatures()
+    graft.operators.Similarity.releaseAllCounts()
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft.federation
 import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession, SparkSessionExtensions}
 
 import graft.federation.plans.RemoteRelation
-import graft.federation.sql.{RemoteTableRef, SqlExecutor}
+import graft.federation.sql.{RemoteTableRef, SqlExecutor, TableHooks}
 
 /** Session wiring — the analog of the reference's `default_session_state`
   * (src/lib.rs:25-54) and `SQLSchemaProvider` catalog bootstrap
@@ -25,26 +25,30 @@ object Federation {
   }
 
   /** Register one remote table under a local name. Schema is inferred
-    * eagerly through the executor (once). */
+    * eagerly through the executor (once). `hooks` attaches per-table
+    * plan/SQL rewriters (reference `SQLTableSource` hooks,
+    * src/sql/table.rs:22-46) applied once per fragment referencing it. */
   def registerRemoteTable(spark: SparkSession, localName: String,
-      remoteRef: String, executor: SqlExecutor): Unit =
-    remoteDataFrame(spark, remoteRef, executor)
+      remoteRef: String, executor: SqlExecutor,
+      hooks: Option[TableHooks] = None): Unit =
+    remoteDataFrame(spark, remoteRef, executor, hooks)
       .createOrReplaceTempView(localName)
 
   /** A DataFrame rooted at a [[RemoteRelation]] — usable with the full
     * DataFrame API, not just SQL. */
   def remoteDataFrame(spark: SparkSession, remoteRef: String,
-      executor: SqlExecutor): DataFrame =
+      executor: SqlExecutor, hooks: Option[TableHooks] = None): DataFrame =
     GraftShims.ofRows(spark,
-      RemoteRelation(RemoteTableRef.parse(remoteRef), executor))
+      RemoteRelation(RemoteTableRef.parse(remoteRef), executor, hooks))
 
   /** Register every table the executor's catalog lists, under its remote
     * name prefixed with `prefix` (reference SQLSchemaProvider::new,
-    * src/sql/schema.rs:16-46). */
+    * src/sql/schema.rs:16-46). `hooks` maps REMOTE table names to their
+    * per-table rewriters. */
   def registerAll(spark: SparkSession, executor: SqlExecutor,
-      prefix: String = ""): Unit =
+      prefix: String = "", hooks: Map[String, TableHooks] = Map.empty): Unit =
     executor.tableNames.foreach { t =>
-      registerRemoteTable(spark, prefix + t, t, executor)
+      registerRemoteTable(spark, prefix + t, t, executor, hooks.get(t))
     }
 
   /** Register the union of several executors' catalogs into one namespace,

@@ -120,9 +120,29 @@ object JdbcHarness {
         }
         conn.commit()
       } finally conn.close()
+      urls.put((System.identityHashCode(spark), dir), s"jdbc:derby:memory:$db")
       new JdbcSqlExecutor("derby", spark, s"jdbc:derby:memory:$db",
         DerbyDialect, splitCount = Splits)
     })
+
+  private val urls = TrieMap.empty[(Int, String), String]
+
+  /** Prepare an empty write-target table on the harness database (create
+    * if missing, clear otherwise) — the DDL half a remote engine owns;
+    * the federation write path only appends ([[JdbcSqlExecutor.insertInto]]). */
+  def resetWriteTarget(spark: SparkSession, dir: String, table: String,
+      columnsDdl: String): Unit = {
+    executor(spark, dir) // ensure the database exists
+    val url = urls((System.identityHashCode(spark), dir))
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"""CREATE TABLE "$table" ($columnsDdl)""")
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      st.executeUpdate(s"""DELETE FROM "$table"""")
+      st.close()
+    } finally conn.close()
+  }
 
   private def jdbcType(dt: DataType): Int = dt match {
     case LongType => java.sql.Types.BIGINT

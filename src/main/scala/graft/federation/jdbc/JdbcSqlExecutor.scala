@@ -401,8 +401,17 @@ object DerbyDialect extends SqlDialect {
     if (p + 2 > 31) // Derby's max decimal precision; no room for the guard
       throw new UnparseUnsupported(s"decimal($p,$s) too wide to round-cast on derby")
     val half = java.math.BigDecimal.valueOf(5L, s + 1).toPlainString
-    s"CAST(CAST($x AS DECIMAL(${p + 2},${s + 1})) + " +
-      s"(CASE WHEN $x >= 0 THEN $half ELSE -$half END) AS DECIMAL($p,$s))"
+    // HALF_UP overflows DECIMAL(p,s) exactly when |x| >= max + 5·10^-(s+1)
+    // (same boundary as the nudge-then-truncate emulation). There Spark's
+    // non-ANSI cast yields NULL while Derby raises 22003 and fails the
+    // whole query — so the overflow arm yields NULL explicitly. The
+    // in-range arm's intermediate DECIMAL(p+2,s+1) then always fits.
+    val bound = new java.math.BigDecimal(
+        java.math.BigInteger.TEN.pow(p).subtract(java.math.BigInteger.ONE), s)
+      .add(java.math.BigDecimal.valueOf(5L, s + 1)).toPlainString
+    s"(CASE WHEN ABS($x) >= $bound THEN CAST(NULL AS DECIMAL($p,$s)) " +
+      s"ELSE CAST(CAST($x AS DECIMAL(${p + 2},${s + 1})) + " +
+      s"(CASE WHEN $x >= 0 THEN $half ELSE -$half END) AS DECIMAL($p,$s)) END)"
   }
   // Derby has no ANSI keyword literals TIMESTAMP '...' / DATE '...' —
   // only the function forms TIMESTAMP('...') / DATE('...')

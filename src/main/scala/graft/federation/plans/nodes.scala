@@ -20,7 +20,8 @@ import graft.federation.sql.{RemoteTableRef, SqlExecutor}
 final case class RemoteRelation(
     ref: RemoteTableRef,
     executor: SqlExecutor,
-    output: Seq[AttributeReference])
+    output: Seq[AttributeReference],
+    hooks: Option[graft.federation.sql.TableHooks] = None)
   extends LeafNode with MultiInstanceRelation {
 
   override def newInstance(): RemoteRelation =
@@ -37,10 +38,15 @@ final case class RemoteRelation(
 }
 
 object RemoteRelation {
-  def apply(ref: RemoteTableRef, executor: SqlExecutor): RemoteRelation = {
+  def apply(ref: RemoteTableRef, executor: SqlExecutor): RemoteRelation =
+    apply(ref, executor, None)
+
+  def apply(ref: RemoteTableRef, executor: SqlExecutor,
+      hooks: Option[graft.federation.sql.TableHooks]): RemoteRelation = {
     val schema = executor.tableSchema(ref)
     RemoteRelation(ref, executor,
-      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema))
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+      hooks)
   }
 }
 

@@ -29,10 +29,33 @@ import graft.federation.plans.RemoteRelation
 object SplitScan {
 
   /** The split column for `plan`, when the fragment's shape allows
-    * splitting: the first integral-typed output attribute. */
-  def splitColumn(plan: LogicalPlan): Option[Attribute] =
-    if (scanShaped(plan)) plan.output.find(a => integral(a.dataType))
-    else None
+    * splitting. Split balance depends entirely on the column's cardinality:
+    * modulo-n over a 1..7 column (`l_linenumber`) leaves splits empty or
+    * 2× skewed, over a dense surrogate key it is near-uniform. Preference
+    * order among integral output attributes:
+    *   1. statistics-informed — the attribute with the highest known
+    *      distinctCount (catalog/CBO column stats, when the remote engine
+    *      provides them);
+    *   2. name heuristic — an attribute ending in "key" (TPC-H-style
+    *      surrogate keys are dense and high-cardinality);
+    *   3. fallback — the first integral attribute (previous behavior). */
+  def splitColumn(plan: LogicalPlan): Option[Attribute] = {
+    if (!scanShaped(plan)) return None
+    val integrals = plan.output.filter(a => integral(a.dataType))
+    if (integrals.isEmpty) return None
+    val colStats =
+      try plan.stats.attributeStats
+      catch { case scala.util.control.NonFatal(_) =>
+        org.apache.spark.sql.catalyst.expressions.AttributeMap.empty[
+          org.apache.spark.sql.catalyst.plans.logical.ColumnStat]
+      }
+    val byDistinct = integrals.flatMap { a =>
+      colStats.get(a).flatMap(_.distinctCount).map(a -> _)
+    }
+    if (byDistinct.nonEmpty) Some(byDistinct.maxBy(_._2)._1)
+    else integrals.find(_.name.toLowerCase.endsWith("key"))
+      .orElse(integrals.headOption)
+  }
 
   private def integral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true

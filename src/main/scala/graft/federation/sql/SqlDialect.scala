@@ -117,8 +117,18 @@ trait SqlDialect {
     * semantics. Engines that keep the INPUT type for AVG (Derby: AVG(INT)
     * is integer division, AVG(DECIMAL(p,s)) truncates at scale s, probed
     * live in the drift tests) must refuse everything but floating point —
-    * Spark widens int→double and decimal scale by 4. */
-  def avgSafe(dt: DataType): Boolean = true
+    * Spark widens int→double and decimal scale by 4.
+    *
+    * DECIMAL inputs default to NOT safe: Spark's result type is
+    * DECIMAL(p+4,s+4) rounded HALF_UP, which e.g. DuckDB (AVG(DECIMAL) →
+    * DOUBLE) and Postgres (full-precision numeric, no s+4 rounding) both
+    * diverge from in type and/or rounding. A refused AVG leaves the
+    * aggregate local over a federated scan — correct by construction.
+    * Dialects with Spark's exact AVG semantics (SparkDialect) opt back in. */
+  def avgSafe(dt: DataType): Boolean = dt match {
+    case _: DecimalType => false
+    case _ => true
+  }
 
   /** Engines whose SUM keeps the input type (Derby) overflow on integral
     * sums where Spark widens to BIGINT; widening the input first restores
@@ -169,6 +179,22 @@ trait SqlDialect {
       elemName: String): String =
     s"$fromText CROSS JOIN UNNEST($arraySql) AS $alias($elemName)"
 
+  /** OUTER unnest-join: a NULL/empty array keeps the input row with a NULL
+    * element (Spark's `Generate(..., outer=true)`). Opt-in capability —
+    * engines without a left-lateral form refuse and the Generate degrades
+    * to a local operator over the federated scan. */
+  def unnestJoinOuter(fromText: String, arraySql: String, alias: String,
+      elemName: String): String =
+    throw new UnparseUnsupported(s"$name has no outer-unnest form")
+
+  /** Positional unnest-join (Spark `posexplode`): returns the FROM text
+    * and the SQL expression yielding the 0-BASED element position (SQL
+    * `WITH ORDINALITY` is 1-based — implementations rebase). Opt-in, as
+    * [[unnestJoinOuter]]. */
+  def unnestJoinPos(fromText: String, arraySql: String, alias: String,
+      elemName: String, posName: String, outer: Boolean): (String, String) =
+    throw new UnparseUnsupported(s"$name has no positional-unnest form")
+
   /** Number of elements of an array value (ANSI/Postgres CARDINALITY). */
   def arraySize(arraySql: String): String = s"CARDINALITY($arraySql)"
 
@@ -202,8 +228,22 @@ object SparkDialect extends SqlDialect {
   override def unnestJoin(fromText: String, arraySql: String, alias: String,
       elemName: String): String =
     s"$fromText LATERAL VIEW EXPLODE($arraySql) $alias AS $elemName"
+  override def unnestJoinOuter(fromText: String, arraySql: String,
+      alias: String, elemName: String): String =
+    s"$fromText LATERAL VIEW OUTER EXPLODE($arraySql) $alias AS $elemName"
+  // POSEXPLODE's pos is already 0-based
+  override def unnestJoinPos(fromText: String, arraySql: String,
+      alias: String, elemName: String, posName: String,
+      outer: Boolean): (String, String) = {
+    val o = if (outer) "OUTER " else ""
+    (s"$fromText LATERAL VIEW ${o}POSEXPLODE($arraySql) $alias " +
+      s"AS $posName, $elemName",
+      s"$alias.$posName")
+  }
   override def arraySize(arraySql: String): String = s"SIZE($arraySql)"
   override def nonFiniteLiteral(d: Double): String = castNonFinite(d)
+  // the remote IS Spark — AVG semantics are identical for every type
+  override def avgSafe(dt: DataType): Boolean = true
 }
 
 /** DuckDB dialect (JDBC executor target). */
@@ -219,6 +259,20 @@ object DuckDbDialect extends SqlDialect {
   override def dateDiffDays(end: String, start: String): String =
     s"DATE_DIFF('day', $start, $end)"
   override def nonFiniteLiteral(d: Double): String = castNonFinite(d)
+  // DuckDB lateral joins make UNNEST left-joinable (drift-pinned form; no
+  // live engine in this sandbox — see SURVEY §8.4)
+  override def unnestJoinOuter(fromText: String, arraySql: String,
+      alias: String, elemName: String): String =
+    s"$fromText LEFT JOIN UNNEST($arraySql) AS $alias($elemName) ON TRUE"
+  override def unnestJoinPos(fromText: String, arraySql: String,
+      alias: String, elemName: String, posName: String,
+      outer: Boolean): (String, String) = {
+    val join = if (outer) "LEFT JOIN" else "CROSS JOIN"
+    val on = if (outer) " ON TRUE" else ""
+    (s"$fromText $join UNNEST($arraySql) WITH ORDINALITY " +
+      s"AS $alias($elemName, $posName)$on",
+      s"($alias.$posName - 1)") // ORDINALITY is 1-based; Spark pos is 0-based
+  }
 }
 
 /** PostgreSQL dialect. */
@@ -240,6 +294,18 @@ object PostgresDialect extends SqlDialect {
   override def dateDiffDays(end: String, start: String): String =
     s"(CAST($end AS date) - CAST($start AS date))"
   override def nonFiniteLiteral(d: Double): String = castNonFinite(d)
+  override def unnestJoinOuter(fromText: String, arraySql: String,
+      alias: String, elemName: String): String =
+    s"$fromText LEFT JOIN LATERAL UNNEST($arraySql) AS $alias($elemName) ON TRUE"
+  override def unnestJoinPos(fromText: String, arraySql: String,
+      alias: String, elemName: String, posName: String,
+      outer: Boolean): (String, String) = {
+    val join = if (outer) "LEFT JOIN LATERAL" else "CROSS JOIN LATERAL"
+    val on = if (outer) " ON TRUE" else ""
+    (s"$fromText $join UNNEST($arraySql) WITH ORDINALITY " +
+      s"AS $alias($elemName, $posName)$on",
+      s"($alias.$posName - 1)") // ORDINALITY is 1-based; Spark pos is 0-based
+  }
 }
 
 /** SQLite dialect. NULLs sort smallest (like Spark); REGEXP needs a

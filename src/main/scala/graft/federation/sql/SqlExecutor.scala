@@ -79,6 +79,26 @@ trait SqlExecutor {
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = identity
 }
 
+/** Per-TABLE rewrite hooks — the reference attaches these to each
+  * `SQLTableSource` (`logical_optimizer` / `sql_query_rewriter`,
+  * src/sql/table.rs:22-46) and gathers the hooks of every table referenced
+  * by a fragment at SQL-generation time (src/sql/mod.rs:234-266). Executor
+  * hooks are the per-ENGINE layer; these let one table of an engine be a
+  * view needing an argument rewrite or a compatibility shim while its
+  * siblings are untouched.
+  *
+  * Deliberately NOT a case class: identity equality is the dedup key — a
+  * fragment referencing the same table twice (self-join; `newInstance`
+  * copies share the hooks reference) applies its hooks once.
+  *
+  * `planRewriter` must preserve the fragment's output schema (same
+  * contract, and the same loud failure, as the executor-level hook). */
+final class TableHooks(
+    val planRewriter: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = identity,
+    val sqlRewriter: String => String = identity,
+    val name: String = "table-hooks")
+
 /** Mock executor backed by a second (isolated-catalog) SparkSession over
   * parquet files — mirrors the reference's `MockSqliteExecutor` /
   * `MockPostgresExecutor` over an inner DataFusion context

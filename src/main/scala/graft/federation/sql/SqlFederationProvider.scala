@@ -24,23 +24,66 @@ final class SqlFederationProvider(val executor: SqlExecutor)
         .map(_ => FederatedPlan(p, this))
   }
 
-  /** Apply the executor's logical-plan hook, enforcing the reference's
-    * schema-preservation contract (src/sql/mod.rs:268-284): a hook that
-    * changes the fragment's output is a misconfiguration and fails loudly. */
-  private def hooked(plan: LogicalPlan): LogicalPlan = {
-    val rewritten = executor.planRewriter(plan)
+  /** The distinct [[TableHooks]] of every [[graft.federation.plans.RemoteRelation]]
+    * inside the fragment, in first-appearance order — the reference gathers
+    * each fragment's table rewriters the same way (src/sql/mod.rs:234-266).
+    * Dedup is by hooks-object identity, so a self-joined table (whose
+    * `newInstance` copies share the hooks reference) contributes once. */
+  private def tableHooksOf(plan: LogicalPlan): Seq[TableHooks] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[TableHooks, java.lang.Boolean]())
+    val buf = scala.collection.mutable.ArrayBuffer.empty[TableHooks]
+    plan.foreach {
+      case r: graft.federation.plans.RemoteRelation =>
+        r.hooks.foreach { h => if (seen.add(h)) buf += h }
+      case other =>
+        // subquery plans (EXISTS/IN/scalar) are expression-held, not children
+        other.expressions.foreach(_.foreach {
+          case sq: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+            sq.plan match {
+              case lp: LogicalPlan => buf ++= tableHooksOf(lp).filter(seen.add)
+              case _ =>
+            }
+          case _ =>
+        })
+    }
+    buf.toSeq
+  }
+
+  private def schemaChecked(owner: String)(
+      rewrite: LogicalPlan => LogicalPlan)(plan: LogicalPlan): LogicalPlan = {
+    val rewritten = rewrite(plan)
     require(rewritten.output.map(a => (a.name, a.dataType)) ==
       plan.output.map(a => (a.name, a.dataType)),
-      s"[${executor.name}] planRewriter changed the fragment schema: " +
+      s"[$owner] planRewriter changed the fragment schema: " +
         s"${plan.output.map(_.name)} -> ${rewritten.output.map(_.name)}")
     rewritten
   }
 
+  /** Apply the executor's logical-plan hook, then the hooks of every table
+    * the fragment references (each exactly once), enforcing the reference's
+    * schema-preservation contract (src/sql/mod.rs:268-284) at every step: a
+    * hook that changes the fragment's output is a misconfiguration and
+    * fails loudly. */
+  private def hooked(plan: LogicalPlan): LogicalPlan = {
+    val execRewritten =
+      schemaChecked(executor.name)(executor.planRewriter)(plan)
+    tableHooksOf(plan).foldLeft(execRewritten) { (p, h) =>
+      schemaChecked(s"${executor.name}/${h.name}")(h.planRewriter)(p)
+    }
+  }
+
+  /** The SQL-string hook chain for a fragment: each referenced table's
+    * rewriter once (reference `sql_query_rewriter`, src/sql/table.rs:33-45),
+    * then the executor-level rewriter. */
+  private def sqlHooked(plan: LogicalPlan)(sql: String): String =
+    executor.sqlRewriter(tableHooksOf(plan).foldLeft(sql)((s, h) => h.sqlRewriter(s)))
+
   /** Generate the final SQL for a frozen fragment (strategy-time): plan
-    * hook (schema-checked) → unparse → SQL-string hook — the reference's
+    * hooks (schema-checked) → unparse → SQL-string hooks — the reference's
     * final_sql() chain (src/sql/mod.rs:207-232). */
   def unparse(plan: LogicalPlan): String =
-    executor.sqlRewriter(new SqlUnparser(executor.dialect).unparse(hooked(plan)))
+    sqlHooked(plan)(new SqlUnparser(executor.dialect).unparse(hooked(plan)))
 
   /** The fragment's final SQL texts, one per remote cursor: a splittable
     * fragment on an executor with `splitCount` n > 1 yields n disjoint
@@ -52,13 +95,13 @@ final class SqlFederationProvider(val executor: SqlExecutor)
     col match {
       case Some(c) =>
         (0 until n).map { i =>
-          executor.sqlRewriter(new SqlUnparser(executor.dialect)
+          sqlHooked(plan)(new SqlUnparser(executor.dialect)
             .unparse(SplitScan.withSplitFilter(p, c, n, i)))
         }
       case None =>
         // plan hook already applied above — unparse `p` directly, or a
         // side-effecting/expensive planRewriter would run twice
-        Seq(executor.sqlRewriter(new SqlUnparser(executor.dialect).unparse(p)))
+        Seq(sqlHooked(plan)(new SqlUnparser(executor.dialect).unparse(p)))
     }
   }
 }

@@ -93,22 +93,45 @@ class SqlUnparser(dialect: SqlDialect) {
       from(child)
 
     // array UNNEST ships to the remote engine (reference rewrites unnest
-    // through federation, analyzer.rs:561-564): inner explode of an array
-    // becomes the dialect's unnest-join form. Map explode (two output
-    // attrs), outer explode, and posexplode stay local.
-    case g: Generate if !g.outer =>
+    // through federation, analyzer.rs:561-564): array explode becomes the
+    // dialect's unnest-join form. Outer explode and posexplode are opt-in
+    // dialect capabilities (LATERAL VIEW OUTER / LEFT JOIN UNNEST /
+    // WITH ORDINALITY); dialects without the form refuse here and the
+    // Generate degrades to a local operator over the federated scan. Map
+    // explode (key+value output) always stays local.
+    case g: Generate =>
       g.generator match {
         case Explode(arr) =>
           g.generatorOutput match {
             case Seq(elem) =>
               val f = from(g.child)
               val alias = freshAlias()
-              val text = dialect.unnestJoin(f.text, render(arr, f.scope),
-                q(alias), q(elem.name))
+              val rendered = render(arr, f.scope)
+              val text =
+                if (g.outer)
+                  dialect.unnestJoinOuter(f.text, rendered, q(alias),
+                    q(elem.name))
+                else
+                  dialect.unnestJoin(f.text, rendered, q(alias), q(elem.name))
               From(text,
                 f.scope + (elem.exprId -> s"${q(alias)}.${q(elem.name)}"),
                 f.preds)
             case _ => fail("map explode")
+          }
+        case PosExplode(arr) =>
+          g.generatorOutput match {
+            case Seq(pos, elem) =>
+              val f = from(g.child)
+              val alias = freshAlias()
+              val (text, posSql) = dialect.unnestJoinPos(f.text,
+                render(arr, f.scope), q(alias), q(elem.name), q(pos.name),
+                g.outer)
+              From(text,
+                f.scope +
+                  (elem.exprId -> s"${q(alias)}.${q(elem.name)}") +
+                  (pos.exprId -> posSql),
+                f.preds)
+            case _ => fail("posexplode of a map")
           }
         case other => fail(s"generator ${other.prettyName}")
       }
@@ -572,9 +595,24 @@ class SqlUnparser(dialect: SqlDialect) {
         else s"CAST(${r(c)} AS ${dialect.typeName(dt)})"
       case Cast(c, dt, _, _) => s"CAST(${r(c)} AS ${dialect.typeName(dt)})"
       case e if e.getClass.getSimpleName == "CheckOverflow" =>
-        // decimal-bound bookkeeping; re-emit as an explicit cast
+        // decimal-bound bookkeeping; re-emit as an explicit cast, routed
+        // through the same excess-scale check as Cast-to-decimal — a child
+        // carrying wider scale than the bound would otherwise truncate on
+        // engines that truncate (Derby) where Spark rounds HALF_UP
         val co = e.asInstanceOf[UnaryExpression]
-        s"CAST(${r(co.child)} AS ${dialect.typeName(e.dataType)})"
+        e.dataType match {
+          case dt: DecimalType =>
+            val excessScale = co.child.dataType match {
+              case DoubleType | FloatType => true
+              case d: DecimalType => d.scale > dt.scale
+              case _ => false
+            }
+            if (excessScale)
+              dialect.lossyDecimalCast(r(co.child), dt.precision, dt.scale)
+            else s"CAST(${r(co.child)} AS ${dialect.typeName(dt)})"
+          case other =>
+            s"CAST(${r(co.child)} AS ${dialect.typeName(other)})"
+        }
       case e if e.getClass.getSimpleName == "KnownFloatingPointNormalized" ||
         e.getClass.getSimpleName == "NormalizeNaNAndZero" =>
         r(e.asInstanceOf[UnaryExpression].child)

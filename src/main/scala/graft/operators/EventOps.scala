@@ -205,9 +205,13 @@ object EventOps {
       .select(col("event_id").as("p_id"), col("ts").as("p_ts"), col("value"))
     def epochOf(ts: Column): Column =
       floor(unix_millis(ts.cast("timestamp")) / widthMs)
+    // explode_outer: a NULL-ts window yields one NULL-epoch replica that
+    // can never match (left join still surfaces it with n_purchases=0),
+    // matching the oracle's LEFT JOIN semantics — plain explode would drop
+    // the row entirely
     val winRep = wins
       .withColumn("epoch",
-        explode(sequence(epochOf(col("w_start")), epochOf(col("w_end")))))
+        explode_outer(sequence(epochOf(col("w_start")), epochOf(col("w_end")))))
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
     val ptsKeyed = pts
       .withColumn("p_epoch", epochOf(col("p_ts")))

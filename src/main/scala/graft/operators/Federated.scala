@@ -360,6 +360,32 @@ object Federated {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** The federated write path, end-to-end against the real DBMS: derive a
+    * small aggregate locally, append it into a Derby table through
+    * [[graft.federation.jdbc.JdbcSqlExecutor.insertInto]] (one connection +
+    * batched INSERTs per partition task — the reference's `insert_into`
+    * delegation, src/table_provider.rs:110-139), then read it back as a
+    * federated scan. The oracle recomputes the derivation directly: the
+    * write→read round-trip must be the identity. */
+  def jdbcWrite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.jdbc.JdbcHarness.executor(s, dir)
+    graft.federation.jdbc.JdbcHarness.resetWriteTarget(s, dir, "nation_stats",
+      """"r_key" BIGINT, "n_nations" BIGINT""")
+    val derived = graft.sources.Tables.table(s, dir, "nation")
+      .groupBy(col("n_regionkey").cast("long").as("r_key"))
+      .agg(count(lit(1)).as("n_nations"))
+    ex.insertInto(
+      graft.federation.sql.RemoteTableRef.parse("nation_stats"), derived)
+    graft.federation.Federation.remoteDataFrame(s, "nation_stats", ex)
+      .orderBy(col("r_key"))
+  }
+
+  val jdbcWriteOracle: String =
+    """SELECT CAST(n_regionkey AS BIGINT) AS r_key, COUNT(*) AS n_nations
+      |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Window functions federate: rank + windowed count inside the fragment
     * (reference analyzer.rs:410-447 window coverage). */
   def windowPushdown(s: SparkSession, dir: String): DataFrame =

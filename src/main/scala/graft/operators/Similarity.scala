@@ -154,16 +154,42 @@ object Similarity {
       |  JOIN e eb ON eb.vec_id = p.b_id
       |)""".stripMargin
 
+  /** Corpus row count per (session, dir) — sizes the LSH key width. On a
+    * real catalog this is table statistics; here it is one metadata-scale
+    * job, cached so repeated `sim_*`/`dedup_embedding` invocations in one
+    * session don't re-run it (same keyed pattern as `Dedup.sigCache`). */
+  private val countCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+
+  private def corpusCount(s: SparkSession, dir: String): Long =
+    countCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      // tagged so monitoring (and the cache spec) can pin this job
+      val sc = s.sparkContext
+      val prev = sc.getLocalProperty("spark.job.description")
+      sc.setJobDescription("graft-corpus-count")
+      try embeddings(s, dir).count()
+      finally sc.setJobDescription(prev)
+    })
+
+  /** Drop the cached corpus count for one (session, dir) — pair of the
+    * `Dedup.releaseSignatures` evict hook, for sessions that rewrite the
+    * corpus under the same path. */
+  def releaseCount(s: SparkSession, dir: String): Unit =
+    countCache.remove((System.identityHashCode(s), dir))
+
+  /** Drop every cached corpus count (end-of-run cleanup). */
+  def releaseAllCounts(): Unit = countCache.clear()
+
   /** Banded-LSH candidate pairs with exact cosine verification: pairs
     * agreeing on at least one band's (key, refinement) bucket. Cost is
     * Σ bucket², bounded ~N·[[BucketCap]] by construction — never N².
     *
-    * The corpus count that sizes the key width is one cheap metadata-scale
-    * job here; on a real catalog it comes from table statistics. */
+    * The corpus count that sizes the key width comes from the keyed
+    * [[corpusCount]] cache — one job per (session, dir), not per call. */
   def lshPairs(s: SparkSession, dir: String,
       bucketCap: Int = BucketCap): DataFrame = {
     val emb = embeddings(s, dir)
-    val r = rBitsFor(emb.count())
+    val r = rBitsFor(corpusCount(s, dir))
     val keyed = emb.select(col("vec_id"), col("embedding"),
       PortableHashExprs.portable_sign_bands(col("embedding"), Bands, r,
         ExtraBits).as("keys"))

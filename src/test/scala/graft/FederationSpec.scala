@@ -381,6 +381,75 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys.forall(_ > 100), s"policy not applied: $keys")
   }
 
+  test("per-table hooks: two tables of one provider, each applied once") {
+    setup()
+    // reference: each SQLTableSource carries its own rewriters
+    // (src/sql/table.rs:22-46), gathered per fragment (src/sql/mod.rs:234-266)
+    var plansA = 0
+    var plansB = 0
+    val hooksA = new graft.federation.sql.TableHooks(
+      planRewriter = { p => plansA += 1; p },
+      sqlRewriter = s => s + " /* @hookA */", name = "hookA")
+    val hooksB = new graft.federation.sql.TableHooks(
+      planRewriter = { p => plansB += 1; p },
+      sqlRewriter = s => s + " /* @hookB */", name = "hookB")
+    val ex = new graft.federation.sql.SparkSqlExecutor(
+      "tblhooks", spark.newSession(),
+      Map("orders" -> s"$dir/orders.parquet",
+        "lineitem" -> s"$dir/lineitem.parquet"),
+      context = s"tblhooks@$dir")
+    graft.federation.Federation.registerRemoteTable(
+      spark, "th_orders", "orders", ex, Some(hooksA))
+    graft.federation.Federation.registerRemoteTable(
+      spark, "th_lineitem", "lineitem", ex, Some(hooksB))
+    val df = spark.sql(
+      """SELECT COUNT(*) AS n FROM th_orders JOIN th_lineitem
+        |ON o_orderkey = l_orderkey WHERE o_orderstatus = 'F'""".stripMargin)
+    assert(fedFragments(df).nonEmpty, "join did not federate")
+    val n = df.collect().head.getLong(0)
+    val sql = ex.executedSql.synchronized(ex.executedSql.last)
+    def occurrences(marker: String): Int =
+      sql.sliding(marker.length).count(_ == marker)
+    assert(occurrences("@hookA") == 1,
+      s"hookA applied ${occurrences("@hookA")} times in: $sql")
+    assert(occurrences("@hookB") == 1,
+      s"hookB applied ${occurrences("@hookB")} times in: $sql")
+    assert(plansA >= 1 && plansB >= 1, "per-table plan hooks never invoked")
+    val expected = spark.sql(
+      """SELECT COUNT(*) AS n FROM orders JOIN lineitem
+        |ON o_orderkey = l_orderkey WHERE o_orderstatus = 'F'""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n == expected)
+  }
+
+  test("per-table hooks: self-joined table contributes its hooks once") {
+    setup()
+    val hooks = new graft.federation.sql.TableHooks(
+      sqlRewriter = s => s + " /* @selfhook */", name = "selfhook")
+    val ex = new graft.federation.sql.SparkSqlExecutor(
+      "selfhooks", spark.newSession(),
+      Map("nation" -> s"$dir/nation.parquet"),
+      context = s"selfhooks@$dir")
+    graft.federation.Federation.registerRemoteTable(
+      spark, "sh_nation", "nation", ex, Some(hooks))
+    // self-join: the fragment holds two RemoteRelation instances (newInstance
+    // copies) sharing one TableHooks reference -> applied once, not twice
+    val df = spark.sql(
+      """SELECT COUNT(*) AS n FROM sh_nation a JOIN sh_nation b
+        |ON a.n_regionkey = b.n_regionkey""".stripMargin)
+    assert(fedFragments(df).nonEmpty, "self-join did not federate")
+    val n = df.collect().head.getLong(0)
+    val sql = ex.executedSql.synchronized(ex.executedSql.last)
+    val marker = "@selfhook"
+    assert(sql.sliding(marker.length).count(_ == marker) == 1,
+      s"self-join should apply the table hook exactly once: $sql")
+    val expected = spark.sql(
+      """SELECT COUNT(*) AS n FROM nation a JOIN nation b
+        |ON a.n_regionkey = b.n_regionkey""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n == expected)
+  }
+
   test("registerAllChained: first executor listing a table wins") {
     setup()
     val a = FederationHarness.executor(spark, dir, "alpha")
@@ -421,6 +490,54 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 1000")
     assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
       expected.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("split column prefers a *key attribute over a low-cardinality first int") {
+    setup()
+    val ex = FederationHarness.executor(spark, dir, "alpha")
+    // l_linenumber (values 1..7) is the FIRST integral output attribute;
+    // modulo-n over it would leave splits empty or skewed. The name
+    // heuristic must pick l_orderkey instead.
+    val df = graft.federation.Federation
+      .remoteDataFrame(spark, "lineitem", ex)
+      .select("l_linenumber", "l_quantity", "l_orderkey")
+    val col = graft.federation.sql.SplitScan
+      .splitColumn(df.queryExecution.analyzed)
+    assert(col.map(_.name) == Some("l_orderkey"),
+      s"expected l_orderkey as split column, got $col")
+    // a fragment with NO key-named integral falls back to the first integral
+    val df2 = graft.federation.Federation
+      .remoteDataFrame(spark, "lineitem", ex)
+      .select("l_linenumber", "l_quantity")
+    val col2 = graft.federation.sql.SplitScan
+      .splitColumn(df2.queryExecution.analyzed)
+    assert(col2.map(_.name) == Some("l_linenumber"))
+  }
+
+  test("split queries are balanced: no split takes >2x the mean rows") {
+    setup()
+    val split4 = new graft.federation.sql.SparkSqlExecutor(
+      "split4bal", spark.newSession(),
+      Map("lineitem" -> s"$dir/lineitem.parquet"),
+      context = s"split4bal@$dir", numSplits = 4)
+    graft.federation.Federation.registerRemoteTable(
+      spark, "bal_lineitem", "lineitem", split4)
+    val df = spark.sql(
+      "SELECT l_linenumber, l_orderkey, l_quantity FROM bal_lineitem WHERE l_quantity > 5")
+    val scans = df.queryExecution.executedPlan.collect {
+      case r: graft.federation.exec.RemoteScanExec => r
+    }
+    assert(scans.nonEmpty && scans.head.sqls.size == 4,
+      s"expected 4 split queries: ${scans.map(_.sqls)}")
+    assert(scans.head.sqls.forall(_.contains("l_orderkey")),
+      s"splits must be on the key column: ${scans.head.sqls}")
+    df.count() // materialize so the splits actually execute
+    val counts = scans.head.sqls.map { s =>
+      split4.inner.sql(s"SELECT COUNT(*) c FROM ($s) split_bal").head().getLong(0)
+    }
+    val mean = counts.sum.toDouble / counts.size
+    assert(counts.forall(_ <= 2 * mean),
+      s"unbalanced splits $counts (mean $mean)")
   }
 
   test("order-sensitive fragments are never split") {

@@ -206,6 +206,35 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter("dept_id IS NULL").count() == 1)
   }
 
+  test("jdbc split reads balance: key column chosen, no split >2x the mean") {
+    Federation.install(spark)
+    val dir = "/root/testdata/sf0.001"
+    val ex = graft.federation.jdbc.JdbcHarness.executor(spark, dir)
+    Federation.registerRemoteTable(spark, "bal_jdbc_lineitem", "lineitem", ex)
+    // l_linenumber (1..7) comes first: the key heuristic must route the
+    // 4-way modulo onto l_orderkey or the splits are empty/skewed
+    val df = spark.sql(
+      """SELECT l_linenumber, l_orderkey, l_quantity
+        |FROM bal_jdbc_lineitem WHERE l_quantity > 5.0""".stripMargin)
+    val scans = df.queryExecution.executedPlan.collect {
+      case r: graft.federation.exec.RemoteScanExec => r
+    }
+    assert(scans.nonEmpty &&
+      scans.head.sqls.size == graft.federation.jdbc.JdbcHarness.Splits,
+      s"expected ${graft.federation.jdbc.JdbcHarness.Splits} splits:\n" +
+        df.queryExecution.executedPlan)
+    assert(scans.head.sqls.forall(_.contains("l_orderkey")),
+      s"splits must be on the key column: ${scans.head.sqls}")
+    val counts = scans.head.sqls.map { s =>
+      ex.fragmentStatistics(s, df.schema).flatMap(_.rowCount)
+        .map(_.toLong).getOrElse(-1L)
+    }
+    assert(counts.forall(_ >= 0), s"split probe failed: $counts")
+    val mean = counts.sum.toDouble / counts.size
+    assert(counts.forall(_ <= 2 * mean),
+      s"unbalanced jdbc splits $counts (mean $mean)")
+  }
+
   test("aggregate FILTER degrades: remote scan, local filtered aggregate") {
     Federation.install(spark)
     Federation.registerAll(spark, executor, prefix = "db3_")

@@ -89,6 +89,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     operators.Dedup.releaseSignatures(spark, dir)
   }
 
+  test("lsh corpus count runs one job per (session, dir)") {
+    operators.Similarity.releaseCount(spark, dir)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    // parquet footer reads also run driver jobs; count only the tagged
+    // corpus-count job
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .exists(_.contains("graft-corpus-count")))
+          jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // listener delivery is async: poll until the counter stops moving
+      def settled(): Int = {
+        var prev = -1
+        var cur = jobs.get()
+        while (cur != prev) { Thread.sleep(200); prev = cur; cur = jobs.get() }
+        cur
+      }
+      // building the pair pipeline sizes the key width from the corpus
+      // count; repeated builds must reuse the keyed cache, not re-count
+      operators.Similarity.lshPairs(spark, dir)
+      // AQE splits one count() action into several tagged jobs; the
+      // invariant is that repeats add ZERO more, not the absolute number
+      val afterFirst = settled()
+      assert(afterFirst >= 1, "first build should run the count job")
+      operators.Similarity.lshPairs(spark, dir)
+      operators.Similarity.lshPairs(spark, dir)
+      assert(settled() == afterFirst,
+        s"repeated builds re-counted: first=$afterFirst now=${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("dedup_exact keeps every distinct document") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val kept = operators.Dedup.exact(spark, dir)
