@@ -61,7 +61,12 @@ object Bench {
             None
         }
       }.sorted
-      val median = if (times.isEmpty) -1.0 else times(times.size / 2)
+      // true median: mean of the two middles on an even sample (iters is
+      // odd by default, but the env knob allows any count)
+      val median =
+        if (times.isEmpty) -1.0
+        else if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
       val min = if (times.isEmpty) -1.0 else times.head
       (name, ms3(median), ms3(min))
     }
@@ -70,10 +75,10 @@ object Bench {
     val mins = results.map { case (k, _, mn) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val total = ms3(results.filter(_._2 >= 0).map(_._2).sum)
-    // per-query minima go to stderr: useful for diagnosis, but kept off
-    // stdout so the official line stays within the driver's bounded tail
-    // capture (round 4's record was truncated by an oversized line)
-    System.err.println(s"""{"bench_min":$mins}""")
+    // per-query minima on stdout BEFORE the official line: the driver's
+    // tail capture keeps the END of the stream, so if anything is cut it
+    // is this diagnostic line, never the record below
+    println(s"""{"bench_min":$mins}""")
     // emit the record BEFORE any shutdown work: nothing after this line but
     // spark.stop(), so the driver's bounded tail capture always sees it whole
     println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"errors":$errors,"queries":$qs,"sf":"$sfDir"}""")

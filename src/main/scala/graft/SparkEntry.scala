@@ -91,6 +91,8 @@ object SparkEntry {
     "fed_mixed_local" -> (Federated.mixedLocalRemote _),
     "fed_runtime_filter" -> (Federated.runtimeFilterJoin _),
     "fed_unnest" -> (Federated.unnestPushdown _),
+    "fed_unnest_outer" -> (Federated.unnestOuterPushdown _),
+    "fed_unnest_pos" -> (Federated.unnestPosPushdown _),
     "fed_left_join" -> (Federated.leftJoinPushdown _),
     "fed_limit_offset" -> (Federated.limitOffsetPushdown _),
     "fed_exists" -> (Federated.existsPushdown _),
@@ -169,6 +171,8 @@ object SparkEntry {
     "fed_mixed_local" -> Federated.mixedOracle,
     "fed_runtime_filter" -> Federated.runtimeFilterOracle,
     "fed_unnest" -> Federated.unnestOracle,
+    "fed_unnest_outer" -> Federated.unnestOuterOracle,
+    "fed_unnest_pos" -> Federated.unnestPosOracle,
     "fed_left_join" -> Federated.leftJoinOracle,
     "fed_limit_offset" -> Federated.limitOffsetOracle,
     "fed_exists" -> Federated.existsOracle,

@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import java.util.Locale
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -99,60 +99,84 @@ object PortableHashExprs {
     out
   }
 
-  /** Engine-portable MinHash signature (array<long> of `numHashes`). */
+  /** Static kernel shared by the interpreted and generated paths. */
+  def minhashKernel(text: UTF8String, as: Array[Long], bs: Array[Long],
+      shingleWidth: Int): ArrayData = {
+    val numHashes = as.length
+    val sh = shingles(tokenize(text), shingleWidth)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < sh.length) {
+      val h = baseHash(sh(s))
+      var i = 0
+      while (i < numHashes) {
+        val v = (as(i) * h + bs(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Engine-portable MinHash signature (array<long> of `numHashes`).
+    * Generates a static-kernel call instead of falling back to interpreted
+    * eval, so the expression stays inside whole-stage codegen (no per-row
+    * InternalRow boxing on the hot dedup path). */
   case class PortableMinHash(child: Expression, numHashes: Int, shingleWidth: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "portable_minhash"
 
     private lazy val as: Array[Long] = Array.tabulate(numHashes)(affineA)
     private lazy val bs: Array[Long] = Array.tabulate(numHashes)(affineB)
 
-    override def nullSafeEval(input: Any): Any = {
-      val sh = shingles(tokenize(input.asInstanceOf[UTF8String]), shingleWidth)
-      val mins = Array.fill(numHashes)(Long.MaxValue)
-      var s = 0
-      while (s < sh.length) {
-        val h = baseHash(sh(s))
-        var i = 0
-        while (i < numHashes) {
-          val v = (as(i) * h + bs(i)) % P
-          if (v < mins(i)) mins(i) = v
-          i += 1
-        }
-        s += 1
-      }
-      new GenericArrayData(mins)
+    override def nullSafeEval(input: Any): Any =
+      minhashKernel(input.asInstanceOf[UTF8String], as, bs, shingleWidth)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+      val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.PortableHashExprs.minhashKernel(" +
+          s"$c, $asRef, $bsRef, $shingleWidth);")
     }
     override protected def withNewChildInternal(c: Expression): PortableMinHash =
       copy(child = c)
   }
 
+  def simhash32Kernel(text: UTF8String): Long = {
+    val toks = tokenize(text)
+    val counts = new Array[Int](32)
+    var t = 0
+    while (t < toks.length) {
+      val h = hash32(toks(t))
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 32) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
+    sim
+  }
+
   /** Engine-portable 32-bit SimHash of the token multiset: bit j is set iff
     * strictly more tokens have bit j of hash32(token) set than clear. */
   case class PortableSimHash32(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "portable_simhash32"
 
-    override def nullSafeEval(input: Any): Any = {
-      val toks = tokenize(input.asInstanceOf[UTF8String])
-      val counts = new Array[Int](32)
-      var t = 0
-      while (t < toks.length) {
-        val h = hash32(toks(t))
-        var j = 0
-        while (j < 32) {
-          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-          j += 1
-        }
-        t += 1
-      }
-      var sim = 0L
-      var j = 0
-      while (j < 32) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
-      java.lang.Long.valueOf(sim)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(simhash32Kernel(input.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.PortableHashExprs.simhash32Kernel($c);")
     override protected def withNewChildInternal(c: Expression): PortableSimHash32 =
       copy(child = c)
   }
@@ -163,16 +187,24 @@ object PortableHashExprs {
     * formulation (transform over slices with concat_ws) evaluates an
     * interpreted lambda per (row × shingle); this is one compiled pass. */
   case class PortableShingles(child: Expression, shingleWidth: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "portable_shingles"
 
-    override def nullSafeEval(input: Any): Any = {
-      val sh = shingles(tokenize(input.asInstanceOf[UTF8String]), shingleWidth)
-      new GenericArrayData(sh.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
-    }
+    override def nullSafeEval(input: Any): Any =
+      shinglesKernel(input.asInstanceOf[UTF8String], shingleWidth)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.PortableHashExprs.shinglesKernel(" +
+          s"$c, $shingleWidth);")
     override protected def withNewChildInternal(c: Expression): PortableShingles =
       copy(child = c)
+  }
+
+  def shinglesKernel(text: UTF8String, shingleWidth: Int): ArrayData = {
+    val sh = shingles(tokenize(text), shingleWidth)
+    new GenericArrayData(sh.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
   }
 
   /** Count of positions where two equal-length long arrays agree — the
@@ -180,25 +212,30 @@ object PortableHashExprs {
     * numHashes). Replaces an interpreted zip_with+filter+size chain with
     * one compiled pass per candidate pair. */
   case class SigAgreement(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "sig_agreement"
 
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
-      var c = 0
-      var i = 0
-      while (i < n) {
-        if (a.getLong(i) == b.getLong(i)) c += 1
-        i += 1
-      }
-      java.lang.Integer.valueOf(c)
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Integer.valueOf(sigAgreementKernel(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.PortableHashExprs.sigAgreementKernel($a, $b);")
     override protected def withNewChildrenInternal(l: Expression,
         r: Expression): SigAgreement = copy(left = l, right = r)
+  }
+
+  def sigAgreementKernel(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
   }
 
   /** Deterministic ±1 hyperplane component for bit `i`, dimension `d` —
@@ -225,47 +262,79 @@ object PortableHashExprs {
         s"$prettyName requires array<float> or array<double> input, got ${other.sql}")
     }
 
-    private lazy val isFloat = child.dataType match {
+    protected lazy val isFloat = child.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
+  }
 
-    protected def elem(arr: ArrayData, d: Int): Double =
-      if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
-
-    /** In-order dot of the vector with portable ±1 plane `plane`, sign test.
-      * Left-to-right accumulation — same IEEE sequence as the SQL oracle's
-      * list_reduce fold. */
-    protected def projNonNeg(arr: ArrayData, n: Int, plane: Int): Boolean = {
-      var proj = 0.0
-      var d = 0
-      while (d < n) {
-        proj += elem(arr, d) * planeSign(plane, d)
-        d += 1
-      }
-      proj >= 0
+  /** In-order dot of the vector with portable ±1 plane `plane`, sign test.
+    * Left-to-right accumulation — same IEEE sequence as the SQL oracle's
+    * list_reduce fold. */
+  def projNonNeg(arr: ArrayData, n: Int, plane: Int, isFloat: Boolean): Boolean = {
+    var proj = 0.0
+    var d = 0
+    while (d < n) {
+      val e = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      proj += e * planeSign(plane, d)
+      d += 1
     }
+    proj >= 0
+  }
+
+  def signSketchKernel(arr: ArrayData, bits: Int, isFloat: Boolean): Long = {
+    val n = arr.numElements()
+    var sketch = 0L
+    var i = 0
+    while (i < bits) {
+      if (projNonNeg(arr, n, i, isFloat)) sketch |= (1L << i)
+      i += 1
+    }
+    sketch
+  }
+
+  def signBandsKernel(arr: ArrayData, bands: Int, rBits: Int, extraBits: Int,
+      isFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](2 * bands)
+    var t = 0
+    while (t < bands) {
+      var key = 0L
+      var j = 0
+      while (j < rBits) {
+        if (projNonNeg(arr, n, t * PlaneStride + j, isFloat)) key |= (1L << j)
+        j += 1
+      }
+      out(t) = key
+      var xkey = 0L
+      j = 0
+      while (j < extraBits) {
+        if (projNonNeg(arr, n, t * PlaneStride + ExtraPlaneOffset + j, isFloat))
+          xkey |= (1L << j)
+        j += 1
+      }
+      out(bands + t) = xkey
+      t += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Random-hyperplane sign sketch of a float vector: bit i of the result =
     * [in-order dot of the vector with portable ±1 plane i] >= 0. Replaces a
     * stored projection-matrix model with a formula any engine can evaluate. */
   case class PortableSignSketch(child: Expression, bits: Int)
-      extends UnaryExpression with CodegenFallback with VectorInput {
+      extends UnaryExpression with VectorInput {
     override def dataType: DataType = LongType
     override def prettyName: String = "portable_sign_sketch"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      var sketch = 0L
-      var i = 0
-      while (i < bits) {
-        if (projNonNeg(arr, n, i)) sketch |= (1L << i)
-        i += 1
-      }
-      java.lang.Long.valueOf(sketch)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        signSketchKernel(input.asInstanceOf[ArrayData], bits, isFloat))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.PortableHashExprs.signSketchKernel(" +
+          s"$c, $bits, $isFloat);")
     override protected def withNewChildInternal(c: Expression): PortableSignSketch =
       copy(child = c)
   }
@@ -288,36 +357,20 @@ object PortableHashExprs {
     */
   case class PortableSignBands(child: Expression, bands: Int, rBits: Int,
       extraBits: Int)
-      extends UnaryExpression with CodegenFallback with VectorInput {
+      extends UnaryExpression with VectorInput {
     require(rBits <= ExtraPlaneOffset && extraBits <= PlaneStride - ExtraPlaneOffset,
       s"band bit widths exceed the plane budget: r=$rBits extra=$extraBits")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "portable_sign_bands"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val out = new Array[Long](2 * bands)
-      var t = 0
-      while (t < bands) {
-        var key = 0L
-        var j = 0
-        while (j < rBits) {
-          if (projNonNeg(arr, n, t * PlaneStride + j)) key |= (1L << j)
-          j += 1
-        }
-        out(t) = key
-        var xkey = 0L
-        j = 0
-        while (j < extraBits) {
-          if (projNonNeg(arr, n, t * PlaneStride + ExtraPlaneOffset + j)) xkey |= (1L << j)
-          j += 1
-        }
-        out(bands + t) = xkey
-        t += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      signBandsKernel(input.asInstanceOf[ArrayData], bands, rBits, extraBits,
+        isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.PortableHashExprs.signBandsKernel(" +
+          s"$c, $bands, $rBits, $extraBits, $isFloat);")
     override protected def withNewChildInternal(c: Expression): PortableSignBands =
       copy(child = c)
   }

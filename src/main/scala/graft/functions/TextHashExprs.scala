@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -31,6 +31,61 @@ object TextHashExprs {
     if (s.isEmpty) Array.empty else s.split("\\s+")
   }
 
+  /** Static kernels shared by the interpreted and generated code paths —
+    * `doGenCode` emits one static call, so the expressions stay inside
+    * whole-stage codegen instead of falling back to interpreted eval. */
+  def minhashSigKernel(text: UTF8String, as: Array[Long], bs: Array[Long],
+      shingleWidth: Int): GenericArrayData = {
+    val numHashes = as.length
+    val toks = splitWs(text)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    if (toks.isEmpty) return new GenericArrayData(mins)
+    val w = math.min(shingleWidth, toks.length)
+    val nSh = toks.length - w + 1
+    var s = 0
+    while (s < nSh) {
+      // base hash of the shingle = chained token hashes (order-sensitive)
+      var h = 0L
+      var j = 0
+      while (j < w) { h = hashToken(toks(s + j), h ^ GOLDEN); j += 1 }
+      var i = 0
+      while (i < numHashes) {
+        val v = as(i) * h + bs(i)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def simhash64Kernel(text: UTF8String): Long = {
+    val toks = splitWs(text)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = hashToken(toks(t), 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sim = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) sim |= (1L << i); i += 1 }
+    sim
+  }
+
+  def rollingHash64Kernel(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 131L + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
   private def hashToken(t: String, seed: Long): Long = {
     val b = t.getBytes(StandardCharsets.UTF_8)
     XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, seed)
@@ -39,7 +94,7 @@ object TextHashExprs {
   /** MinHash signature over word `shingleWidth`-gram shingles of a text
     * column. Returns array<long> of length `numHashes`. */
   case class MinHashSig(child: Expression, numHashes: Int, shingleWidth: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_signature"
 
@@ -49,27 +104,15 @@ object TextHashExprs {
       Array.tabulate(numHashes)(i =>
         java.lang.Long.rotateLeft(GOLDEN, i) ^ (i * 0xC2B2AE3D27D4EB4FL))
 
-    override def nullSafeEval(input: Any): Any = {
-      val toks = splitWs(input.asInstanceOf[UTF8String])
-      val mins = Array.fill(numHashes)(Long.MaxValue)
-      if (toks.isEmpty) return new GenericArrayData(mins)
-      val w = math.min(shingleWidth, toks.length)
-      val nSh = toks.length - w + 1
-      var s = 0
-      while (s < nSh) {
-        // base hash of the shingle = chained token hashes (order-sensitive)
-        var h = 0L
-        var j = 0
-        while (j < w) { h = hashToken(toks(s + j), h ^ GOLDEN); j += 1 }
-        var i = 0
-        while (i < numHashes) {
-          val v = as(i) * h + bs(i)
-          if (v < mins(i)) mins(i) = v
-          i += 1
-        }
-        s += 1
-      }
-      new GenericArrayData(mins)
+    override def nullSafeEval(input: Any): Any =
+      minhashSigKernel(input.asInstanceOf[UTF8String], as, bs, shingleWidth)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val asRef = ctx.addReferenceObj("minhashSigAs", as, "long[]")
+      val bsRef = ctx.addReferenceObj("minhashSigBs", bs, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashExprs.minhashSigKernel(" +
+          s"$c, $asRef, $bsRef, $shingleWidth);")
     }
     override protected def withNewChildInternal(c: Expression): MinHashSig =
       copy(child = c)
@@ -77,28 +120,16 @@ object TextHashExprs {
 
   /** 64-bit SimHash of the token multiset of a text column. */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
 
-    override def nullSafeEval(input: Any): Any = {
-      val toks = splitWs(input.asInstanceOf[UTF8String])
-      val counts = new Array[Int](64)
-      var t = 0
-      while (t < toks.length) {
-        val h = hashToken(toks(t), 42L)
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
-          i += 1
-        }
-        t += 1
-      }
-      var sim = 0L
-      var i = 0
-      while (i < 64) { if (counts(i) > 0) sim |= (1L << i); i += 1 }
-      java.lang.Long.valueOf(sim)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(simhash64Kernel(input.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashExprs.simhash64Kernel($c);")
     override protected def withNewChildInternal(c: Expression): SimHash64 =
       copy(child = c)
   }
@@ -106,19 +137,16 @@ object TextHashExprs {
   /** Rolling polynomial fingerprint over the text bytes (base-131
     * wrap-around polynomial — the classic Karp-Rabin form). */
   case class RollingHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "rolling_hash64"
-    private val B = 131L
 
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String]
-      val bytes = s.getBytes
-      var h = 0L
-      var i = 0
-      while (i < bytes.length) { h = h * B + (bytes(i) & 0xffL); i += 1 }
-      java.lang.Long.valueOf(h)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(rollingHash64Kernel(input.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashExprs.rollingHash64Kernel($c);")
     override protected def withNewChildInternal(c: Expression): RollingHash64 =
       copy(child = c)
   }

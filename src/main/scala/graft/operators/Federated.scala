@@ -288,6 +288,67 @@ object Federated {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** OUTER unnest pushdown: `Generate(outer=true)` federates as the
+    * dialect's left-lateral form (LATERAL VIEW OUTER EXPLODE on the
+    * Spark-speaking mock; LEFT JOIN [LATERAL] UNNEST ... ON TRUE on
+    * DuckDB/Postgres). The CASE manufactures NULL arrays so the outer
+    * semantics are load-bearing: NULL-array rows survive with a NULL
+    * element, so COUNT(*) > COUNT(e) per group. */
+  def unnestOuterPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT label, COUNT(*) AS n_rows, COUNT(e) AS n_elems,
+        |  CAST(MIN(e) AS DOUBLE) AS min_e
+        |FROM (SELECT label,
+        |        CASE WHEN vec_id % 7 = 0 THEN NULL ELSE embedding END AS emb
+        |      FROM fed_embeddings WHERE vec_id < 150) t
+        |LATERAL VIEW OUTER EXPLODE(emb) ex AS e
+        |GROUP BY label
+        |ORDER BY label""".stripMargin)
+
+  /** DuckDB has no single outer-unnest SQL form the driver can run, so the
+    * oracle states the semantics directly: exploded rows UNION ALL the
+    * NULL/empty-array rows each preserved once with a NULL element. */
+  val unnestOuterOracle: String =
+    """WITH t AS (SELECT label,
+      |             CASE WHEN vec_id % 7 = 0 THEN NULL ELSE embedding END AS emb
+      |           FROM embeddings WHERE vec_id < 150),
+      |ex AS (
+      |  SELECT label, unnest(emb) AS e FROM t
+      |  WHERE emb IS NOT NULL AND len(emb) > 0
+      |  UNION ALL
+      |  SELECT label, NULL AS e FROM t WHERE emb IS NULL OR len(emb) = 0
+      |)
+      |SELECT label, COUNT(*) AS n_rows, COUNT(e) AS n_elems,
+      |  CAST(MIN(e) AS DOUBLE) AS min_e
+      |FROM ex GROUP BY label ORDER BY label""".stripMargin
+
+  /** Positional unnest pushdown: `posexplode` federates with the element
+    * position in remote SQL — POSEXPLODE (0-based) on the Spark mock;
+    * UNNEST ... WITH ORDINALITY rebased −1 on DuckDB/Postgres. The
+    * per-position aggregate (first element per vector) proves the position
+    * column is live remotely, not recomputed locally. */
+  def unnestPosPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT label, COUNT(*) AS n_elems,
+        |  CAST(MIN(CASE WHEN p = 0 THEN e END) AS DOUBLE) AS min_first,
+        |  CAST(MAX(p) AS INT) AS max_p
+        |FROM fed_embeddings LATERAL VIEW POSEXPLODE(embedding) ex AS p, e
+        |WHERE vec_id < 200
+        |GROUP BY label
+        |ORDER BY label""".stripMargin)
+
+  /** DuckDB zips parallel unnests in one SELECT, so `range(len(arr))`
+    * supplies the 0-based position beside the element. */
+  val unnestPosOracle: String =
+    """SELECT label, COUNT(*) AS n_elems,
+      |  CAST(MIN(CASE WHEN p = 0 THEN e END) AS DOUBLE) AS min_first,
+      |  CAST(MAX(p) AS INT) AS max_p
+      |FROM (SELECT label, unnest(embedding) AS e,
+      |        unnest(range(len(embedding))) AS p
+      |      FROM embeddings WHERE vec_id < 200) t
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   /** Full-schema q1 through the REAL JDBC path: the whole
     * filter+aggregate+sort ships as ONE Derby SQL over the driver-loaded
     * lineitem fact table. */

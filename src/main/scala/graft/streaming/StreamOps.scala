@@ -235,5 +235,6 @@ object StreamOps {
       |  ON p.event_type = 'purchase' AND s.event_type = 'signup'
       | AND p.user_id = s.user_id
       | AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
-      | AND CAST(p.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR""".stripMargin
+      | AND CAST(p.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+      |ORDER BY p_id, s_id""".stripMargin
 }

@@ -716,6 +716,51 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
         |ORDER BY label""".stripMargin)))
   }
 
+  test("outer unnest federates: OUTER EXPLODE inside the remote SQL, NULL rows kept") {
+    setup()
+    val df = Federated.unnestOuterPushdown(spark, dir)
+    assert(fedFragments(df).nonEmpty, "outer unnest plan did not federate")
+    val scan = df.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("RemoteScan")).getOrElse("")
+    assert(scan.contains("LATERAL VIEW OUTER EXPLODE"),
+      s"outer explode must ship remotely: $scan")
+    val got = df.collect()
+    // outer semantics are load-bearing: every label has NULL-array rows
+    // (vec_id % 7), so row count strictly exceeds element count
+    assert(got.forall(r => r.getLong(1) > r.getLong(2)),
+      got.mkString("\n"))
+    assert(rows(df) == rows(spark.sql(
+      """SELECT label, COUNT(*) AS n_rows, COUNT(e) AS n_elems,
+        |  CAST(MIN(e) AS DOUBLE) AS min_e
+        |FROM (SELECT label,
+        |        CASE WHEN vec_id % 7 = 0 THEN NULL ELSE embedding END AS emb
+        |      FROM embeddings WHERE vec_id < 150) t
+        |LATERAL VIEW OUTER EXPLODE(emb) ex AS e
+        |GROUP BY label
+        |ORDER BY label""".stripMargin)))
+  }
+
+  test("posexplode federates: POSEXPLODE inside the remote SQL, position live") {
+    setup()
+    val df = Federated.unnestPosPushdown(spark, dir)
+    assert(fedFragments(df).nonEmpty, "posexplode plan did not federate")
+    val scan = df.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("RemoteScan")).getOrElse("")
+    assert(scan.contains("POSEXPLODE"),
+      s"posexplode must ship remotely: $scan")
+    val got = df.collect()
+    // the position column is real: max position = 63 for 64-wide vectors
+    assert(got.forall(_.getInt(3) == 63), got.mkString("\n"))
+    assert(rows(df) == rows(spark.sql(
+      """SELECT label, COUNT(*) AS n_elems,
+        |  CAST(MIN(CASE WHEN p = 0 THEN e END) AS DOUBLE) AS min_first,
+        |  CAST(MAX(p) AS INT) AS max_p
+        |FROM embeddings LATERAL VIEW POSEXPLODE(embedding) ex AS p, e
+        |WHERE vec_id < 200
+        |GROUP BY label
+        |ORDER BY label""".stripMargin)))
+  }
+
   test("unnest renders as CROSS JOIN UNNEST for array-capable ANSI dialects") {
     setup()
     val rel = graft.federation.Federation

@@ -38,6 +38,47 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hash kernels codegen: generated path compiles and matches interpreted eval") {
+    // spark.sql.codegen.fallback=false turns a codegen compile failure into
+    // an error instead of a silent interpreted fallback, so this test fails
+    // loudly if any kernel's doGenCode emits bad Java
+    import org.apache.spark.sql.functions.{col, array, lit}
+    import graft.functions.{PortableHashExprs => P, TextHashExprs => T}
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.createDataFrame(Seq(
+        ("the quick brown fox jumps over the lazy dog", 0),
+        ("pack my box with five dozen liquor jugs", 1),
+        ("", 2))).toDF("text", "id")
+        .withColumn("vec", array((0 until 8).map(i => lit(i * 0.5 - 2.0)): _*))
+      val out = df.select(
+        P.portable_minhash(col("text"), 8, 3).as("mh"),
+        P.portable_simhash32(col("text")).as("sh"),
+        P.portable_shingles(col("text"), 3).as("sg"),
+        P.portable_sign_sketch(col("vec"), 8).as("ss"),
+        P.portable_sign_bands(col("vec"), 2, 4, 4).as("sb"),
+        T.minhash_signature(col("text"), 8, 3).as("tm"),
+        T.simhash64(col("text")).as("t64"),
+        T.rolling_hash64(col("text")).as("rh")).collect()
+      // cross-check one row against direct interpreted eval
+      val lit0 = org.apache.spark.sql.catalyst.expressions.Literal(
+        "the quick brown fox jumps over the lazy dog")
+      val interp = P.PortableMinHash(lit0, 8, 3).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      assert(out(0).getSeq[Long](0) == interp)
+      assert(out(0).getLong(1) ==
+        P.PortableSimHash32(lit0).eval(null).asInstanceOf[Long])
+      assert(out(0).getLong(7) ==
+        T.RollingHash64(lit0).eval(null).asInstanceOf[Long])
+      // sig_agreement on the two minhash columns
+      val pairs = df.select(P.sig_agreement(
+        P.portable_minhash(col("text"), 8, 3),
+        P.portable_minhash(col("text"), 8, 3)).as("agree")).collect()
+      assert(pairs.forall(_.getInt(0) == 8))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("q1 aggregates match a direct SQL computation") {
     graft.sources.Tables.registerAll(spark, dir)
     val viaSql = spark.sql(

@@ -201,6 +201,41 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Unnest shapes over fed_embeddings (the one array-column table):
+    * explode / posexplode × inner / OUTER, grouped and row-level, with
+    * maybe-NULL arrays so outer semantics are load-bearing. Mock-run only —
+    * Derby has no array type, so these never reach the jdbc sweep. */
+  private def genUnnestQuery(r: Random): String = {
+    val k = 3 + r.nextInt(7)
+    val n = 50 + r.nextInt(350)
+    val arrExpr = pick(r, "embedding",
+      s"CASE WHEN vec_id % $k = 0 THEN NULL ELSE embedding END",
+      s"CASE WHEN label = ${r.nextInt(10)} THEN NULL ELSE embedding END")
+    val o = if (r.nextBoolean()) "OUTER " else ""
+    r.nextInt(3) match {
+      case 0 => // grouped explode (order-independent aggregates only)
+        s"""SELECT label, COUNT(*) AS n_rows, COUNT(e) AS n_elems,
+           |  CAST(MIN(e) AS DOUBLE) AS lo, CAST(MAX(e) AS DOUBLE) AS hi
+           |FROM (SELECT label, vec_id, $arrExpr AS arr
+           |      FROM fed_embeddings WHERE vec_id < $n) t
+           |LATERAL VIEW ${o}EXPLODE(arr) ex AS e
+           |GROUP BY label ORDER BY label""".stripMargin
+      case 1 => // grouped posexplode: the position is live in aggregates
+        s"""SELECT label, COUNT(*) AS n_rows, COUNT(e) AS n_elems,
+           |  CAST(MIN(CASE WHEN p = ${r.nextInt(64)} THEN e END) AS DOUBLE) AS at_p,
+           |  MAX(p) AS max_p
+           |FROM (SELECT label, vec_id, $arrExpr AS arr
+           |      FROM fed_embeddings WHERE vec_id < $n) t
+           |LATERAL VIEW ${o}POSEXPLODE(arr) ex AS p, e
+           |GROUP BY label ORDER BY label""".stripMargin
+      case 2 => // row-level posexplode with a filter on the position
+        s"""SELECT vec_id, p, CAST(e AS DOUBLE) AS e
+           |FROM fed_embeddings LATERAL VIEW ${o}POSEXPLODE(embedding) ex AS p, e
+           |WHERE vec_id < ${10 + r.nextInt(40)} AND p < ${1 + r.nextInt(8)}
+           |ORDER BY vec_id, p""".stripMargin
+    }
+  }
+
   // ---- differential run --------------------------------------------------
 
   // -0.0 and 0.0 are equal under IEEE and SQL comparison but engines may
@@ -258,6 +293,34 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     // regression, not a semantics bug
     assert(federated >= (total * 9) / 10,
       s"only $federated/$total federated")
+  }
+
+  test("60 random unnest queries: explode/posexplode federate and match local") {
+    FederationHarness.setup(spark, dir)
+    graft.sources.Tables.registerAll(spark, dir)
+    val total = nOverride.map(n => math.max(10, n / 3)).getOrElse(60)
+    var federated = 0
+    val r = new Random(seedBase + 77L)
+    (1 to total).foreach { i =>
+      val fedSql = genUnnestQuery(r)
+      val localSql = fedSql.replace("fed_", "")
+      val fedDf = spark.sql(fedSql)
+      val frags = fedDf.queryExecution.optimizedPlan.collect {
+        case f: FederatedPlan => f
+      }
+      if (frags.nonEmpty) federated += 1
+      val got = rowsOf(fedDf)
+      val want = rowsOf(spark.sql(localSql))
+      assert(got == want,
+        s"unnest query #$i differs (federated=${frags.nonEmpty})\nSQL:\n$fedSql\n" +
+          s"got ${got.size} rows, want ${want.size}\n" +
+          s"first diff: ${got.zip(want).find(p => p._1 != p._2)}\n" +
+          s"plan:\n${fedDf.queryExecution.optimizedPlan}")
+    }
+    // every shape in the grammar is supported by the Spark dialect —
+    // anything that stays local is a refusal regression
+    assert(federated >= (total * 9) / 10,
+      s"only $federated/$total unnest queries federated")
   }
 
   test("100 random queries against the real JDBC engine (Derby) match local") {

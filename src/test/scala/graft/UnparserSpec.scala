@@ -235,4 +235,82 @@ class UnparserSpec extends AnyFunSuite {
     assert(SqlUnparser.tryUnparse(nanPred, SparkDialect)
       .exists(_.contains("CAST('NaN' AS DOUBLE)")))
   }
+
+  // ---- unnest-join goldens -------------------------------------------------
+  // Pin the exact remote SQL for every Generate shape × dialect (the
+  // reference rewrites all unnest forms through federation,
+  // analyzer.rs:561-564). The DuckDB/Postgres forms have no live engine in
+  // this sandbox, so these strings ARE the drift pin; the Spark forms also
+  // execute live in FederationSpec ("outer unnest federates", "posexplode
+  // federates").
+
+  private val u = rel("u", "id" -> IntegerType, "xs" -> ArrayType(DoubleType))
+  private val uid = u.output.head
+  private val uxs = u.output(1)
+
+  private def explodePlan(outer: Boolean): LogicalPlan = {
+    val e = AttributeReference("e", DoubleType)()
+    Project(Seq(uid, e),
+      Generate(Explode(uxs), Nil, outer, None, Seq(e), u))
+  }
+
+  private def posExplodePlan(outer: Boolean): LogicalPlan = {
+    val p = AttributeReference("p", IntegerType)()
+    val e = AttributeReference("e", DoubleType)()
+    Project(Seq(uid, p, e),
+      Generate(PosExplode(uxs), Nil, outer, None, Seq(p, e), u))
+  }
+
+  test("inner explode: CROSS JOIN UNNEST (ANSI/DuckDB/Postgres), LATERAL VIEW (Spark)") {
+    assert(new SqlUnparser(AnsiDialect).unparse(explodePlan(outer = false)) ==
+      "SELECT t1.id AS id, t2.e AS e FROM u AS t1 " +
+        "CROSS JOIN UNNEST(t1.xs) AS t2(e)")
+    assert(new SqlUnparser(SparkDialect).unparse(explodePlan(outer = false)) ==
+      "SELECT t1.id AS id, t2.e AS e FROM u AS t1 " +
+        "LATERAL VIEW EXPLODE(t1.xs) t2 AS e")
+  }
+
+  test("outer explode: LEFT JOIN UNNEST ON TRUE (DuckDB), LEFT JOIN LATERAL (Postgres), LATERAL VIEW OUTER (Spark)") {
+    assert(new SqlUnparser(DuckDbDialect).unparse(explodePlan(outer = true)) ==
+      "SELECT t1.id AS id, t2.e AS e FROM u AS t1 " +
+        "LEFT JOIN UNNEST(t1.xs) AS t2(e) ON TRUE")
+    assert(new SqlUnparser(PostgresDialect).unparse(explodePlan(outer = true)) ==
+      "SELECT t1.id AS id, t2.e AS e FROM u AS t1 " +
+        "LEFT JOIN LATERAL UNNEST(t1.xs) AS t2(e) ON TRUE")
+    assert(new SqlUnparser(SparkDialect).unparse(explodePlan(outer = true)) ==
+      "SELECT t1.id AS id, t2.e AS e FROM u AS t1 " +
+        "LATERAL VIEW OUTER EXPLODE(t1.xs) t2 AS e")
+    // engines without a left-lateral form refuse — the Generate stays local
+    assert(SqlUnparser.tryUnparse(explodePlan(outer = true), AnsiDialect).isEmpty)
+    assert(SqlUnparser.tryUnparse(explodePlan(outer = true), DerbyDialect).isEmpty)
+  }
+
+  test("posexplode: WITH ORDINALITY rebased to 0 (DuckDB/Postgres), POSEXPLODE (Spark)") {
+    // ORDINALITY is 1-based; Spark's pos is 0-based — the projected
+    // position must carry the −1 rebase
+    assert(new SqlUnparser(DuckDbDialect).unparse(posExplodePlan(outer = false)) ==
+      "SELECT t1.id AS id, (t2.p - 1) AS p, t2.e AS e FROM u AS t1 " +
+        "CROSS JOIN UNNEST(t1.xs) WITH ORDINALITY AS t2(e, p)")
+    assert(new SqlUnparser(PostgresDialect).unparse(posExplodePlan(outer = false)) ==
+      "SELECT t1.id AS id, (t2.p - 1) AS p, t2.e AS e FROM u AS t1 " +
+        "CROSS JOIN LATERAL UNNEST(t1.xs) WITH ORDINALITY AS t2(e, p)")
+    // POSEXPLODE's pos is already 0-based — no rebase
+    assert(new SqlUnparser(SparkDialect).unparse(posExplodePlan(outer = false)) ==
+      "SELECT t1.id AS id, t2.p AS p, t2.e AS e FROM u AS t1 " +
+        "LATERAL VIEW POSEXPLODE(t1.xs) t2 AS p, e")
+  }
+
+  test("outer posexplode: LEFT JOIN ... WITH ORDINALITY ON TRUE per dialect") {
+    assert(new SqlUnparser(DuckDbDialect).unparse(posExplodePlan(outer = true)) ==
+      "SELECT t1.id AS id, (t2.p - 1) AS p, t2.e AS e FROM u AS t1 " +
+        "LEFT JOIN UNNEST(t1.xs) WITH ORDINALITY AS t2(e, p) ON TRUE")
+    assert(new SqlUnparser(PostgresDialect).unparse(posExplodePlan(outer = true)) ==
+      "SELECT t1.id AS id, (t2.p - 1) AS p, t2.e AS e FROM u AS t1 " +
+        "LEFT JOIN LATERAL UNNEST(t1.xs) WITH ORDINALITY AS t2(e, p) ON TRUE")
+    assert(new SqlUnparser(SparkDialect).unparse(posExplodePlan(outer = true)) ==
+      "SELECT t1.id AS id, t2.p AS p, t2.e AS e FROM u AS t1 " +
+        "LATERAL VIEW OUTER POSEXPLODE(t1.xs) t2 AS p, e")
+    assert(SqlUnparser.tryUnparse(posExplodePlan(outer = true), AnsiDialect).isEmpty)
+    assert(SqlUnparser.tryUnparse(posExplodePlan(outer = true), SqliteDialect).isEmpty)
+  }
 }
