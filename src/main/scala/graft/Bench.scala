@@ -49,8 +49,15 @@ object Bench {
 
     def ms3(sec: Double): Double = math.round(sec * 1000.0) / 1000.0
 
+    // spot re-runs: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the timed set
+    // (warmup unchanged) — for root-causing a single query's regression
+    // without paying for the full sweep
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var errors = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

@@ -260,19 +260,65 @@ object Similarity {
   /** Cells probed per query. */
   val IvfProbes = 4
 
+  /** Lloyd-refinement sample share in percent (MD5 bucket of vec_id). */
+  val IvfSamplePct = 50
+
+  /** Portable MD5 bucket in [0, 100) — the same rule as
+    * [[Sampling.hashSample]], so the DuckDB oracle draws the identical
+    * Lloyd sample. */
+  private def ivfSampleBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 14), 16, 10).cast("long") % 100
+
+  /** IVF centroids: data-seeded (embeddings of vec_id < K) then refined by
+    * ONE deterministic Lloyd iteration over a fixed MD5-bucket sample —
+    * each cell's refined centroid is the element-wise mean of its sample
+    * members, accumulated in vec_id order as a left-to-right double fold
+    * (the exact IEEE sequence DuckDB's list_reduce computes, so the oracle
+    * rebuilds bitwise-identical centroids). Cells that attract no sample
+    * members keep their seed. Production would iterate to convergence on a
+    * larger sample; one pass already moves the centroids off arbitrary
+    * data points toward cluster centers (better-balanced cells → fewer
+    * over-full probes) while keeping every value engine-reproducible.
+    * Seeds and sample fit in memory at any corpus scale (K vectors + a
+    * bounded sample), so both Lloyd joins broadcast. */
+  def ivfCentroids(s: SparkSession, dir: String, kCells: Int = IvfK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, dir)
+    val seeds = emb.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("seed_vec"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val sampleAssigned = emb
+      .filter(ivfSampleBucket(col("vec_id")) < IvfSamplePct)
+      .join(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosine(col("embedding"), col("seed_vec")).as("ccos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val means = sampleAssigned
+      .groupBy(col("cent_id"))
+      .agg(sort_array(collect_list(struct(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")))).as("vs"))
+      .select(col("cent_id"), expr(
+        """transform(sequence(0, size(vs[0].v) - 1),
+          |  d -> aggregate(vs, CAST(0.0 AS DOUBLE),
+          |         (acc, m) -> acc + m.v[d]) / size(vs))""".stripMargin)
+        .as("mean_vec"))
+    seeds.join(means, Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        coalesce(col("mean_vec"), col("seed_vec")).as("cent_vec"))
+  }
+
   /** IVF cell assignment: every vector goes to the cell of its nearest
-    * (cosine) centroid, ties to the smaller centroid id. Centroids here
-    * are data-seeded (the embeddings of vec_id < K) so both engines derive
-    * them deterministically; production would k-means a sample, but the
-    * assign → invert → probe structure — the part that matters at 100 TB —
-    * is identical. Centroids are broadcast; assignment is one map-side
-    * pass + a top-1-per-vector window (WindowGroupLimit prunes
-    * per-partition before the shuffle). */
+    * (cosine) centroid, ties to the smaller centroid id. Centroids come
+    * from [[ivfCentroids]] (seeded + one Lloyd pass, engine-portable);
+    * the assign → invert → probe structure is the part that matters at
+    * 100 TB. Centroids are broadcast; assignment is one map-side pass +
+    * a top-1-per-vector window (WindowGroupLimit prunes per-partition
+    * before the shuffle). */
   def ivfScored(s: SparkSession, dir: String, kCells: Int = IvfK): DataFrame = {
     val emb = embeddings(s, dir)
-    val cents = emb.filter(col("vec_id") < kCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
-    emb.join(broadcast(cents))
+    emb.join(broadcast(ivfCentroids(s, dir, kCells)))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         cosine(col("embedding"), col("cent_vec")).as("ccos"))
   }
@@ -319,8 +365,27 @@ object Similarity {
   val ivfTopKOracle: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      |), c AS (
+      |), seeds AS (
       |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16
+      |), samp AS (
+      |  SELECT * FROM e
+      |  WHERE CAST('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,14) AS BIGINT) % 100 < 50
+      |), sassign AS (
+      |  SELECT vec_id, v, cent_id FROM (
+      |    SELECT s.vec_id, s.v, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+      |        ORDER BY list_cosine_similarity(s.v, c.cv) DESC, c.cent_id) AS rn
+      |    FROM samp s CROSS JOIN seeds c) WHERE rn = 1
+      |), means AS (
+      |  SELECT cent_id,
+      |    list_transform(range(1, len(vs[1]) + 1), d ->
+      |      list_reduce(list_transform(vs, x -> x[d]), (a, b) -> a + b)
+      |        / len(vs)) AS mv
+      |  FROM (SELECT cent_id, list(v ORDER BY vec_id) AS vs
+      |        FROM sassign GROUP BY cent_id)
+      |), c AS (
+      |  SELECT s.cent_id, COALESCE(m.mv, s.cv) AS cv
+      |  FROM seeds s LEFT JOIN means m USING (cent_id)
       |), scored AS (
       |  SELECT e.vec_id, e.v, c.cent_id,
       |    list_cosine_similarity(e.v, c.cv) AS ccos
