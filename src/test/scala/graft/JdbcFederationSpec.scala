@@ -90,6 +90,38 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("sales", 2L, 110.75)))
   }
 
+  test("per-table sqlRewriter hook rewrites the executed Derby SQL exactly once") {
+    Federation.install(spark)
+    // a structural compatibility rewrite (derived-table wrap), not a
+    // comment: Derby must PARSE the rewritten text, so a hook that emits
+    // invalid SQL fails this test instead of passing vacuously
+    val rewritten = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hooks = new graft.federation.sql.TableHooks(
+      sqlRewriter = { s =>
+        val out = s"SELECT * FROM ($s) AS hook_compat"
+        rewritten.synchronized(rewritten += out)
+        out
+      }, name = "derby-compat")
+    Federation.registerRemoteTable(spark, "hk_emp", "EMP", executor, Some(hooks))
+    val df = spark.sql(
+      """SELECT dept_id, COUNT(*) AS n, MAX(salary) AS top
+        |FROM hk_emp WHERE salary > 55.0
+        |GROUP BY dept_id""".stripMargin)
+    val scans = remoteScans(df)
+    assert(scans.size == 1, s"expected one remote scan, got: $scans")
+    val marker = "hook_compat"
+    assert(scans.head.sliding(marker.length).count(_ == marker) == 1,
+      s"hook must rewrite the shipped SQL exactly once: ${scans.head}")
+    assert(scans.head.contains("GROUP BY"),
+      s"aggregate must stay inside the rewritten fragment: ${scans.head}")
+    // and Derby executed the rewritten text to the right answer
+    val rows = df.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(rows == Seq((1, 2L, 120.5), (2, 2L, 110.75), (3, 1L, 60.0)))
+    assert(rewritten.synchronized(rewritten.nonEmpty),
+      "sqlRewriter hook never invoked")
+  }
+
   test("limit renders in Derby FETCH syntax and null dates survive") {
     Federation.install(spark)
     Federation.registerAll(spark, executor, prefix = "db2_")
