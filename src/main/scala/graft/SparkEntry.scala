@@ -46,16 +46,19 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.fingerprintMd5 _),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) =>
       TextOps.heavyHitters(s, d)),
+    "text_tfidf" -> ((s, d) => TextOps.tfidf(s, d)),
     // --- dedup family ---
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "dedup_embedding" -> (Similarity.embeddingNearDups _),
+    "dedup_components" -> ((s, d) => Dedup.components(s, d)),
     // --- similarity search ---
     "sim_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
     "sim_lsh_neighbors" -> (Similarity.lshNearNeighbors _),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "sim_quantized_topk" -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "sim_label_stats" -> (Similarity.labelStats _),
     // --- multimodal plumbing ---
     "mm_media_stats" -> (Multimodal.mediaStats _),
@@ -104,6 +107,8 @@ object SparkEntry {
     "fed_not_in" -> (Federated.notInPushdown _),
     "fed_sort_over_limit" -> (Federated.sortOverLimitSubquery _),
     "fed_expr_surface" -> (Federated.exprSurface _),
+    "fed_intersect" -> (Federated.intersectPushdown _),
+    "fed_except" -> (Federated.exceptPushdown _),
     "fed_jdbc_suppliers" -> (Federated.jdbcSuppliers _),
     "fed_jdbc_q1" -> (Federated.jdbcQ1 _),
     "fed_jdbc_q3" -> (Federated.jdbcQ3 _),
@@ -113,6 +118,7 @@ object SparkEntry {
     // --- sampling / exact analytics ---
     "samp_hash_10pct" -> (Sampling.hashSample _),
     "samp_stats" -> (Sampling.sampleStats _),
+    "samp_stratified" -> (Sampling.stratifiedSample _),
     "ev_value_median" -> (EventOps.valueMedian _),
   )
 
@@ -151,10 +157,13 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_embedding" -> Similarity.embeddingNearDupsOracle,
+    "dedup_components" -> Dedup.componentsOracle,
     "sim_label_stats" -> Similarity.labelStatsOracle,
     "sim_bruteforce_topk" -> Similarity.bruteForceTopKOracle,
     "sim_lsh_neighbors" -> Similarity.lshNearNeighborsOracle,
     "sim_ivf_topk" -> Similarity.ivfTopKOracle,
+    "sim_quantized_topk" -> Similarity.quantizedTopKOracle,
+    "text_tfidf" -> TextOps.tfidfOracle,
     "mm_media_stats" -> Multimodal.mediaStatsOracle,
     "mm_decode_features" -> Multimodal.decodeFeaturesOracle,
     "mm_sample_frames" -> Multimodal.sampleFramesOracle,
@@ -184,6 +193,8 @@ object SparkEntry {
     "fed_not_in" -> Federated.notInOracle,
     "fed_sort_over_limit" -> Federated.sortOverLimitOracle,
     "fed_expr_surface" -> Federated.exprSurfaceOracle,
+    "fed_intersect" -> Federated.intersectOracle,
+    "fed_except" -> Federated.exceptOracle,
     "fed_jdbc_suppliers" -> Federated.jdbcSuppliersOracle,
     "fed_jdbc_q1" -> Federated.jdbcQ1Oracle,
     "fed_jdbc_q3" -> Federated.jdbcQ3Oracle,
@@ -192,6 +203,7 @@ object SparkEntry {
     "fed_split_scan" -> Federated.splitScanOracle,
     "samp_hash_10pct" -> Sampling.hashSampleOracle,
     "samp_stats" -> Sampling.sampleStatsOracle,
+    "samp_stratified" -> Sampling.stratifiedSampleOracle,
     "ev_value_median" -> EventOps.valueMedianOracle,
   )
 }

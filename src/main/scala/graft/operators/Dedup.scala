@@ -268,6 +268,87 @@ object Dedup {
         |JOIN dsh b ON b.doc_id = c.b_id
         |ORDER BY c.a_id, c.b_id""".stripMargin
 
+  // ------------------------------------------------- connected components
+
+  /** Transitive duplicate clusters: connected components over the MinHash
+    * candidate graph, each doc labeled with the smallest doc_id reachable
+    * through any chain of near-dup pairs. Single-link one-round dedup
+    * ([[minhash]]) misses chains (a~b, b~c without a~c); real pipelines
+    * cluster transitively before choosing a canonical doc.
+    *
+    * Algorithm: hash-to-min label propagation — every round each node
+    * takes the min of its own label and its neighbors' labels; fixpoint in
+    * O(component diameter) rounds. Near-dup graphs are short chains, so
+    * the diameter is small; an adversarial long-path graph would want
+    * alternating large-star/small-star contraction (O(log n) rounds,
+    * Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    * per-round dataflow below (join + min-aggregate) is the same building
+    * block. Each round is one shuffle of the (labels ∪ edge-propagated
+    * labels) set on doc_id; previous rounds' results are unpersisted as
+    * soon as the next is materialized, so peak footprint is two label
+    * tables + the (sparse) edge set.
+    *
+    * Convergence is a fixpoint, hence order-independent and deterministic:
+    * the DuckDB oracle reproduces it with a recursive reachability CTE. */
+  def components(s: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame =
+    componentsOf(
+      documents(s, dir).select(col("doc_id")),
+      minhashCandidates(s, dir, threshold).select(col("a_id"), col("b_id")))
+
+  /** The propagation core over an explicit node/edge set (edges are
+    * undirected pairs with a_id < b_id; symmetrized here). */
+  def componentsOf(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .persist()
+    var labels = nodes
+      .select(col("doc_id"), col("doc_id").as("component")).persist()
+    var changed = 1L
+    var rounds = 0
+    // Bounded fixpoint loop: labels only decrease, so `changed` (count of
+    // strict drops) reaching 0 is exact convergence, not a heuristic.
+    while (changed > 0 && rounds < 64) {
+      val viaNeighbor = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .select(edges("src").as("doc_id"), col("component"))
+      val next = labels.select(col("doc_id"), col("component"))
+        .union(viaNeighbor)
+        .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
+        .persist()
+      changed = next
+        .join(labels.withColumnRenamed("component", "prev"), "doc_id")
+        .filter(col("component") < col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist(blocking = false)
+    // the final label table stays cached (two longs per doc): the caller's
+    // actions read it directly instead of replaying every round's lineage
+    labels.select(col("doc_id"), col("component"),
+        (col("component") === col("doc_id")).as("is_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Recursive-CTE mirror: min doc_id reachable over the symmetric
+    * candidate edges (UNION dedups, so the recursion terminates at the
+    * same fixpoint the propagation loop reaches). */
+  val componentsOracle: String =
+    sigsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """, edges AS (
+        |  SELECT a_id AS s, b_id AS t FROM scored WHERE est_jaccard >= 0.7
+        |  UNION ALL
+        |  SELECT b_id AS s, a_id AS t FROM scored WHERE est_jaccard >= 0.7
+        |), reach(doc_id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.t AS doc_id, r.comp FROM reach r JOIN edges e ON e.s = r.doc_id
+        |)
+        |SELECT doc_id, MIN(comp) AS component, MIN(comp) = doc_id AS is_rep
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Corpus-level dedup summary — a single-row report driving pipeline
     * decisions (and a stable smoke query at any SF). */
   def summary(s: SparkSession, dir: String): DataFrame = {

@@ -595,4 +595,41 @@ object Federated {
       |  AND CAST(l_orderkey AS VARCHAR) LIKE '%7%'
       |ORDER BY l_orderkey, l_linenumber, rf, disc_pct, qty_band, ls2
       |LIMIT 40""".stripMargin
+
+  /** INTERSECT across two same-provider scans. Catalyst lowers INTERSECT
+    * to Aggregate(LeftSemi(<=>)) before our rule runs, so federating it
+    * exercises the semi-join → EXISTS unparse path on a set operation the
+    * reference rewrites the same way (DataFusion keeps Intersect as a
+    * join by the time the federation analyzer sees it). */
+  def intersectPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT c_custkey AS k FROM fed_customer WHERE c_acctbal > 100
+        |INTERSECT
+        |SELECT o_custkey AS k FROM fed_orders WHERE o_orderstatus = 'F'
+        |ORDER BY k
+        |LIMIT 40""".stripMargin)
+
+  val intersectOracle: String =
+    """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 100
+      |INTERSECT
+      |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY k
+      |LIMIT 40""".stripMargin
+
+  /** EXCEPT (set-minus): lowered to Aggregate(LeftAnti(<=>)) — the
+    * NOT EXISTS unparse path. */
+  def exceptPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT c_custkey AS k FROM fed_customer WHERE c_acctbal > 100
+        |EXCEPT
+        |SELECT o_custkey AS k FROM fed_orders WHERE o_orderstatus = 'F'
+        |ORDER BY k
+        |LIMIT 40""".stripMargin)
+
+  val exceptOracle: String =
+    """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 100
+      |EXCEPT
+      |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY k
+      |LIMIT 40""".stripMargin
 }

@@ -51,4 +51,31 @@ object Sampling {
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin
+
+  /** Stratified deterministic sampling: a different rate per language
+    * stratum (downsample the dominant language, upsample the tails — the
+    * standard data-mixing move when rebalancing a training corpus). Same
+    * MD5-bucket membership rule as [[hashSample]], so strata stay
+    * reproducible and composable: a document's bucket never changes, only
+    * the per-stratum threshold does. Still a pure filter — no shuffle, no
+    * state, no sort — so it pushes into the scan at any corpus size. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", lit(5))
+      .when(col("lang").isin("de", "fr", "es"), lit(20))
+      .otherwise(lit(50))
+    documents(s, dir)
+      .withColumn("bucket", hashBucket(col("doc_id").cast("string")))
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val stratifiedSampleOracle: String =
+    """SELECT doc_id, lang,
+      |  CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14) AS BIGINT) % 100 AS bucket
+      |FROM documents
+      |WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14) AS BIGINT) % 100
+      |  < CASE WHEN lang = 'en' THEN 5
+      |         WHEN lang IN ('de','fr','es') THEN 20 ELSE 50 END
+      |ORDER BY doc_id""".stripMargin
 }

@@ -430,6 +430,78 @@ object Similarity {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  // ------------------------------------------------ scalar quantization
+
+  /** Per-vector int8 scalar quantization: scale = 127 / max|xᵢ|, then
+    * qᵢ = ⌊xᵢ·scale + 0.5⌋ (round-half-up via floor — floor and one IEEE
+    * multiply/divide are bit-identical across engines, unlike rint's
+    * banker's rounding or an engine's ROUND()). A zero vector quantizes to
+    * zeros. 4× smaller than float32 — at 100 TB the compressed corpus is
+    * what actually fits the cluster's memory — and the quantized dot
+    * product is exact 64-bit integer arithmetic: deterministic, portable,
+    * SIMD/codegen-friendly. */
+  def quantize8(v: Column): Column = {
+    val d = transform(v, _.cast("double"))
+    val m = array_max(transform(d, x => abs(x)))
+    when(m > lit(0.0),
+        transform(d, x => floor(x * (lit(127.0) / m) + lit(0.5))))
+      .otherwise(transform(d, _ => lit(0L)))
+  }
+
+  /** Exact signed-64 dot product of two quantized (long) vectors. */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Top-k nearest neighbors under the quantized dot product — the same
+    * broadcast-queries / never-shuffle-the-corpus plan as
+    * [[bruteForceTopK]], but scoring int8 codes: the memory-bound rerank
+    * layer a production ANN stack runs between the coarse index (IVF/LSH)
+    * and an exact float rerank. Integer scores make the result
+    * hash-exact against the oracle (no float-accumulation ambiguity). */
+  def quantizedTopK(s: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 10): DataFrame = {
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), quantize8(col("embedding")).as("q"))
+    val queries = emb.orderBy(col("vec_id")).limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("q_vec"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        quantizedDot(col("q_vec"), col("q")).as("qdot"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("qdot"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB mirror: identical quantization formula (one double divide, one
+    * multiply, floor) and an integer dot via an indexed comprehension. */
+  val quantizedTopKOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), q8 AS (
+      |  SELECT vec_id,
+      |    CASE WHEN list_max([abs(x) FOR x IN v]) > 0
+      |      THEN [CAST(floor(x * (127.0 / list_max([abs(y) FOR y IN v])) + 0.5) AS BIGINT) FOR x IN v]
+      |      ELSE [CAST(0 AS BIGINT) FOR x IN v] END AS q
+      |  FROM e
+      |), qq AS (
+      |  SELECT vec_id AS q_id, q AS q_vec FROM q8 ORDER BY vec_id LIMIT 8
+      |), scored AS (
+      |  SELECT qq.q_id, c.vec_id,
+      |    CAST(list_sum([qq.q_vec[i] * c.q[i] FOR i IN range(1, len(c.q)+1)]) AS BIGINT) AS qdot
+      |  FROM qq, q8 c WHERE c.vec_id <> qq.q_id
+      |), ranked AS (
+      |  SELECT q_id, vec_id, qdot,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY qdot DESC, vec_id) AS INTEGER) AS rank
+      |  FROM scored
+      |)
+      |SELECT q_id, rank, vec_id, qdot FROM ranked
+      |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** Embedding-cosine near-dup dedup decision (the 5th dedup family of
     * [[Dedup]]): keep a vector unless an LSH-verified neighbor with
     * cos ≥ 0.95 has a smaller id. */

@@ -206,6 +206,58 @@ object TextOps {
       .orderBy(col("true_count").desc, col("token"))
   }
 
+  /** Top-k characteristic terms per document by a log-free TF-IDF rank:
+    * score_ppm = ⌊tf · 10⁶ / df⌋. Dropping the usual log() keeps every
+    * value in exact integer arithmetic (ln's last-ulp behavior differs
+    * across engines, so a logged score would not hash-match an external
+    * oracle), and per document the ranking is monotone in tf/df — the same
+    * order classical tf·idf induces for a fixed corpus size. Two map-side
+    * combinable aggregations (term frequency, document frequency), one
+    * shuffle-hash join on the term dictionary, and a per-doc top-k window;
+    * nothing touches the driver. */
+  def tfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import graft.functions.PortableHashExprs
+    val terms = documents(s, dir)
+      .select(col("doc_id"),
+        explode(PortableHashExprs.portable_shingles(col("text"), 1)).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score_ppm", expr("(tf * 1000000L) DIV df"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("score_ppm"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest([x FOR x IN string_split_regex(lower(text), '\s+') IF x <> '']) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+      |), dfreq AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      |), scored AS (
+      |  SELECT t.doc_id, t.term, t.tf, d.df,
+      |    CAST((t.tf * 1000000) // d.df AS BIGINT) AS score_ppm
+      |  FROM tf t JOIN dfreq d USING (term)
+      |), ranked AS (
+      |  SELECT doc_id, term, tf, df, score_ppm,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score_ppm DESC, term) AS INTEGER) AS rank
+      |  FROM scored
+      |)
+      |SELECT doc_id, rank, term, tf, df, score_ppm FROM ranked
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** DuckDB rebuild of the sketch: same tokens, same bucket formula, same
     * min-over-rows estimate. */
   val heavyHittersOracle: String =

@@ -575,6 +575,35 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().nonEmpty)
   }
 
+  test("INTERSECT/EXCEPT lower to semi/anti joins and federate as one remote SQL") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val cases = Seq(
+      (Federated.intersectPushdown(spark, dir),
+        """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 100
+          |INTERSECT
+          |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+          |ORDER BY k LIMIT 40""".stripMargin, "EXISTS"),
+      (Federated.exceptPushdown(spark, dir),
+        """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 100
+          |EXCEPT
+          |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+          |ORDER BY k LIMIT 40""".stripMargin, "NOT EXISTS"))
+    for ((df, localSql, marker) <- cases) {
+      assert(fedFragments(df).size == 1,
+        s"set operation did not federate as one fragment:\n" +
+          df.queryExecution.optimizedPlan)
+      val before = alpha.executedSql.size
+      assert(rows(df) == rows(spark.sql(localSql)),
+        s"$marker set-op result differs from local execution")
+      val executed = alpha.executedSql.drop(before)
+      assert(executed.exists(s => s.contains("customer") &&
+          s.contains("orders") && s.contains(marker)),
+        s"no remote SQL carries the whole set-op as $marker:\n" +
+          executed.mkString("\n"))
+    }
+  }
+
   test("runtime filter: dim keys are inlined into the executed remote SQL") {
     setup()
     val alpha = FederationHarness.executor(spark, dir, "alpha")

@@ -283,4 +283,75 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketed == direct)
     assert(bucketed.exists(_.getLong(1) > 0), "no window matched anything")
   }
+
+  test("connected components propagate across multi-hop chains") {
+    import spark.implicits._
+    // chain 1-2-3-4 plus isolated 5: single-link one-round would label 3
+    // as dup_of=2; the fixpoint must pull the whole chain down to 1
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val got = operators.Dedup.componentsOf(nodes, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 1L, false), (5L, 5L, true)))
+  }
+
+  test("components refine single-link minhash clusters, never coarser") {
+    val byDoc = operators.Dedup.components(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every directly-linked duplicate pair must share a component
+    operators.Dedup.minhash(spark, dir).collect().foreach { r =>
+      val (doc, rep) = (r.getLong(0), r.getLong(1))
+      assert(byDoc(doc) == byDoc(rep),
+        s"doc $doc and its single-link rep $rep landed in different components")
+    }
+  }
+
+  test("int8 quantization: codes bounded, zero vector safe, high recall vs exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val q = Seq((1L, Seq(0.5f, -1.0f, 0.25f)), (2L, Seq(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select(operators.Similarity.quantize8(col("embedding")).as("q"))
+      .collect().map(_.getSeq[Long](0))
+    assert(q(0) == Seq(64L, -127L, 32L)) // floor(x*127/max + 0.5)
+    assert(q(1) == Seq(0L, 0L, 0L))
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (k, rows) => k -> rows.map(_.getLong(2)).toSet }
+    val exact = topSets(operators.Similarity.bruteForceTopK(spark, dir))
+    val quant = topSets(operators.Similarity.quantizedTopK(spark, dir))
+    val recalls = exact.map { case (k, want) =>
+      want.intersect(quant.getOrElse(k, Set.empty)).size.toDouble / want.size }
+    val mean = recalls.sum / recalls.size
+    // int8 dot-product ranking differs from cosine mostly via per-vector
+    // norm; measured ~0.9 mean here — assert with margin
+    assert(mean >= 0.6, s"mean quantized recall $mean < 0.6")
+  }
+
+  test("tfidf ranks rarer terms above common ones within a doc") {
+    val rows = operators.TextOps.tfidf(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length),
+        s"doc $doc ranks not dense")
+      val scores = byRank.map(_.getLong(5)).toSeq
+      assert(scores == scores.sorted.reverse, s"doc $doc scores not descending")
+    }
+  }
+
+  test("stratified sample honors each stratum's rate") {
+    val rows = operators.Sampling.stratifiedSample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, bucket) = (r.getString(1), r.getLong(2))
+      val rate = lang match {
+        case "en" => 5
+        case "de" | "fr" | "es" => 20
+        case _ => 50
+      }
+      assert(bucket < rate, s"lang $lang admitted bucket $bucket >= $rate")
+    }
+  }
 }

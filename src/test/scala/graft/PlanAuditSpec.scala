@@ -74,6 +74,44 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       count(p, "Exchange rangepartitioning") <= 2, p)
   }
 
+  test("stratified sample pushes its per-stratum predicate into the scan") {
+    val p = finalPlan("samp_stratified")
+    val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("md5"), s"bucket rule not pushed: $scan")
+    assert(!scan.contains("text"), s"text must be pruned: $scan")
+  }
+
+  test("quantized top-k broadcasts the query side, never the corpus") {
+    val p = finalPlan("sim_quantized_topk")
+    assert(count(p, "BroadcastNestedLoopJoin") +
+      count(p, "BroadcastHashJoin") >= 1, p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("tfidf reads only doc_id+text and joins on the term dictionary") {
+    val p = finalPlan("text_tfidf")
+    val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    // column pruning: lang/source/n_chars never read
+    assert(!scan.contains("lang") && !scan.contains("source"), scan)
+    assert(count(p, "CartesianProduct") == 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p)
+  }
+
+  test("component propagation rounds are equi-joins, never all-pairs") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val nodes = spark.range(0, 200).select(org.apache.spark.sql
+        .functions.col("id").as("doc_id"))
+      val pairs = Seq((0L, 1L), (1L, 2L), (5L, 9L)).toDF("a_id", "b_id")
+      val df = operators.Dedup.componentsOf(nodes, pairs)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString()
+      assert(count(p, "BroadcastNestedLoopJoin") == 0, p)
+      assert(count(p, "CartesianProduct") == 0, p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("range join is an equi-join on (epoch, salt), never all-pairs") {
     // disable broadcast so the plan shown is the large-scale shape: with
     // broadcasting on, a small build side hides the nested-loop risk

@@ -126,7 +126,7 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** One random query over fed_lineitem (join shape adds fed_orders). */
   private def genQuery(r: Random): String = {
     val d = 1 + r.nextInt(2)
-    r.nextInt(9) match {
+    r.nextInt(10) match {
       case 0 => // plain scan: project + filter, totally-ordered limit.
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
         // so the ORDER BY covers every output column — boundary ties are
@@ -191,6 +191,15 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
            |FROM fed_lineitem JOIN fedb_orders ON l_orderkey = o_orderkey
            |WHERE ${pred(r, d)} AND ${predO(r)}
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+      case 9 => // INTERSECT / EXCEPT: Catalyst lowers both to semi/anti
+        // joins on null-safe equality before the federation rule runs, so
+        // this sweeps the <=> rendering (incl. the Derby COALESCE
+        // emulation) through every dialect's (NOT) EXISTS form
+        val op = pick(r, "INTERSECT", "EXCEPT")
+        s"""SELECT l_orderkey AS k FROM fed_lineitem WHERE ${pred(r, d)}
+           |$op
+           |SELECT o_orderkey AS k FROM fed_orders WHERE ${predO(r)}
+           |ORDER BY k LIMIT ${20 + r.nextInt(80)}""".stripMargin
       case 7 => // HAVING over grouped aggregate
         s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
            |  MIN(${numExpr(r, d)}) AS lo
