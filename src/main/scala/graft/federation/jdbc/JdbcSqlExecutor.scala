@@ -391,10 +391,14 @@ object DerbyDialect extends SqlDialect {
         s"CASE WHEN LENGTH($str) - $pos + 1 < $len " +
         s"THEN LENGTH($str) - $pos + 1 ELSE $len END) " +
         s"ELSE '' END)"
-  // no IS NOT DISTINCT FROM (probed); COALESCE form is exact in all
-  // contexts (WHERE and projection)
+  // no IS NOT DISTINCT FROM (probed); CASE form is exact in all contexts
+  // (WHERE and projection). NOT COALESCE(bool, FALSE): Derby 10.16's
+  // generated expression code hits NoSuchMethodError
+  // DataValueDescriptor.equals(boolean) evaluating that shape inside
+  // (NOT) EXISTS under a join — probed live, fuzz seed 777 query #16.
   override def nullSafeEq(l: String, r: String): String =
-    s"COALESCE((($l = $r) OR ($l IS NULL AND $r IS NULL)), FALSE)"
+    s"(CASE WHEN ($l = $r) OR ($l IS NULL AND $r IS NULL) " +
+      "THEN TRUE ELSE FALSE END)"
   // Derby only parses ROW_NUMBER() OVER () — no PARTITION BY/ORDER BY
   override def supportsWindowFunctions: Boolean = false
   override def lossyDecimalCast(x: String, p: Int, s: Int): String = {

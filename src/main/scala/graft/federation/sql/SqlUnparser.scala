@@ -775,10 +775,30 @@ class SqlUnparser(dialect: SqlDialect) {
       case _: RowNumber => "row_number()"
       case _: Rank => "rank()"
       case _: DenseRank => "dense_rank()"
+      case _: PercentRank =>
+        // (rank-1)/(n-1) in IEEE double on both engines — bitwise stable
+        "percent_rank()"
+      case _: CumeDist => "cume_dist()"
       case ntile: NTile => s"ntile(${r(ntile.buckets)})"
       case Lag(c, o, d, _) => s"lag(${r(c)}, ${r(o)}, ${r(d)})"
       case Lead(c, o, d, _) => s"lead(${r(c)}, ${r(o)}, ${r(d)})"
-      case ae: AggregateExpression => renderAgg(ae, scope)
+      case NthValue(c, k, ignoreNulls) =>
+        // IGNORE NULLS syntax varies (DuckDB: arg-suffix; Postgres: absent)
+        if (ignoreNulls) fail("nth_value IGNORE NULLS is not portable SQL")
+        if (spec.orderSpec.isEmpty) fail("nth_value without ORDER BY")
+        s"nth_value(${r(c)}, ${r(k)})"
+      // first()/last() are refused as plain aggregates (non-deterministic)
+      // but FIRST_VALUE/LAST_VALUE over an ORDER BY'd window are standard
+      // SQL with engine-identical semantics
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case First(c, ignoreNulls) if spec.orderSpec.nonEmpty =>
+          if (ignoreNulls) fail("first_value IGNORE NULLS is not portable SQL")
+          s"first_value(${r(c)})"
+        case Last(c, ignoreNulls) if spec.orderSpec.nonEmpty =>
+          if (ignoreNulls) fail("last_value IGNORE NULLS is not portable SQL")
+          s"last_value(${r(c)})"
+        case _ => renderAgg(ae, scope)
+      }
       case other => fail(s"window function ${other.getClass.getSimpleName}")
     }
     val parts = Seq(

@@ -470,6 +470,66 @@ object Federated {
       |) t WHERE rn <= 3
       |ORDER BY o_orderpriority, rn""".stripMargin
 
+  /** Explicit ROWS frames (moving aggregates) survive federation — the
+    * frame clause is emitted verbatim, so the remote engine computes the
+    * same sliding window. Cents arithmetic keeps the moving sum exact. */
+  def windowFramePushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT o_custkey, o_orderkey,
+        |  SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv_cents,
+        |  COUNT(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv_n,
+        |  MIN(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS neigh_min
+        |FROM fed_orders WHERE o_custkey <= 200
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+
+  val windowFrameOracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv_cents,
+      |  COUNT(*) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv_n,
+      |  MIN(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS neigh_min
+      |FROM orders WHERE o_custkey <= 200
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Window navigation functions (FIRST_VALUE / LAST_VALUE / NTH_VALUE /
+    * PERCENT_RANK / CUME_DIST) — deterministic under a total ORDER BY, so
+    * they unparse portably; plain first()/last() aggregates stay refused. */
+  def windowNavPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT o_orderpriority, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS best_key,
+        |  LAST_VALUE(o_orderkey) OVER w AS run_key,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM fed_orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin)
+
+  val windowNavOracle: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |  FIRST_VALUE(o_orderkey) OVER w AS best_key,
+      |  LAST_VALUE(o_orderkey) OVER w AS run_key,
+      |  NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd
+      |FROM orders WHERE o_orderkey <= 2000
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   /** ROLLUP federates as GROUP BY GROUPING SETS (reference
     * analyzer.rs:523-550). */
   def rollupPushdown(s: SparkSession, dir: String): DataFrame =

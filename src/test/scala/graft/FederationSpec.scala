@@ -315,6 +315,64 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(df) == rows(spark.sql(localSql)))
   }
 
+  test("explicit ROWS frames federate: frame clause inside the remote SQL") {
+    setup()
+    val df = Federated.windowFramePushdown(spark, dir)
+    assert(fedFragments(df).nonEmpty, "frame query did not federate:\n" +
+      df.queryExecution.optimizedPlan)
+    val scan = df.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("RemoteScan")).getOrElse("")
+    assert(scan.contains("ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"),
+      s"moving frame not in remote SQL: $scan")
+    assert(scan.contains("ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING"),
+      s"centered frame not in remote SQL: $scan")
+    assert(rows(df) == rows(spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv_cents,
+        |  COUNT(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv_n,
+        |  MIN(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS neigh_min
+        |FROM orders WHERE o_custkey <= 200
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)))
+  }
+
+  test("window navigation functions federate; bare first()/last() stay refused") {
+    setup()
+    val df = Federated.windowNavPushdown(spark, dir)
+    assert(fedFragments(df).nonEmpty, "nav query did not federate:\n" +
+      df.queryExecution.optimizedPlan)
+    val scan = df.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("RemoteScan")).getOrElse("")
+    for (f <- Seq("first_value(", "last_value(", "nth_value(",
+        "percent_rank()", "cume_dist()"))
+      assert(scan.contains(f), s"$f not in remote SQL: $scan")
+    assert(rows(df) == rows(spark.sql(
+      """SELECT o_orderpriority, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS best_key,
+        |  LAST_VALUE(o_orderkey) OVER w AS run_key,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin)))
+    // first() as a plain aggregate is non-deterministic SQL: the whole
+    // aggregate must stay LOCAL (only the scan federates)
+    val refused = spark.sql(
+      "SELECT o_orderpriority, FIRST(o_orderkey) AS fk FROM fed_orders " +
+        "GROUP BY o_orderpriority")
+    val remote = refused.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("RemoteScan")).getOrElse("")
+    assert(!remote.toLowerCase.contains("first"),
+      s"bare first() must not ship remotely: $remote")
+  }
+
   test("NOT IN subquery federates as null-aware anti join") {
     setup()
     val df = Federated.notInPushdown(spark, dir)

@@ -164,7 +164,15 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           "ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)",
           "RANK() OVER (PARTITION BY l_linestatus ORDER BY l_quantity, l_orderkey, l_linenumber)",
           "COUNT(*) OVER (PARTITION BY l_returnflag)",
-          "MAX(l_quantity) OVER (PARTITION BY l_linestatus)")
+          "MAX(l_quantity) OVER (PARTITION BY l_linestatus)",
+          // navigation fns: deterministic under the total per-partition order
+          "FIRST_VALUE(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)",
+          "LAST_VALUE(l_orderkey) OVER (PARTITION BY l_linestatus ORDER BY l_orderkey, l_linenumber)",
+          "NTH_VALUE(l_orderkey, 3) OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)",
+          "PERCENT_RANK() OVER (PARTITION BY l_linestatus ORDER BY l_orderkey, l_linenumber)",
+          "CUME_DIST() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)",
+          // explicit sliding frame
+          "MIN(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING)")
         s"""SELECT l_orderkey, l_linenumber, $wfn AS w
            |FROM fed_lineitem WHERE ${pred(r, d)}
            |ORDER BY l_orderkey, l_linenumber, w LIMIT ${20 + r.nextInt(80)}"""
@@ -271,7 +279,11 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         case f: FederatedPlan => f
       }
       if (frags.nonEmpty) federated += 1 else refused += fedSql
-      val got = rowsOf(fedDf)
+      val got = try rowsOf(fedDf) catch { case e: Throwable =>
+        throw new AssertionError(
+          s"query #$i EXECUTION FAILED\nSQL:\n$fedSql\n" +
+            s"plan:\n${fedDf.queryExecution.executedPlan}", e)
+      }
       val want = rowsOf(spark.sql(localSql))
       assert(got == want,
         s"query #$i differs (federated=${frags.nonEmpty})\nSQL:\n$fedSql\n" +

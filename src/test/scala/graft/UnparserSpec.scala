@@ -144,6 +144,44 @@ class UnparserSpec extends AnyFunSuite {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"), s)
   }
 
+  test("window navigation functions render; IGNORE NULLS and orderless refuse") {
+    val spec = WindowSpecDefinition(Seq(b), Seq(SortOrder(a, Ascending)),
+      SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow))
+    def proj(e: Expression): LogicalPlan = {
+      val al = Alias(e, "v")()
+      Project(Seq(al), Window(Seq(al), Seq(b),
+        Seq(SortOrder(a, Ascending)), t))
+    }
+    val fv = sql(proj(WindowExpression(AggregateExpression(
+      First(a, ignoreNulls = false), Complete, isDistinct = false), spec)))
+    assert(fv.contains("first_value(t1.a) OVER (PARTITION BY t1.b " +
+      "ORDER BY t1.a ASC NULLS FIRST " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"), fv)
+    val lv = sql(proj(WindowExpression(AggregateExpression(
+      Last(a, ignoreNulls = false), Complete, isDistinct = false), spec)))
+    assert(lv.contains("last_value(t1.a)"), lv)
+    val nv = sql(proj(WindowExpression(
+      NthValue(a, Literal(2), ignoreNulls = false), spec)))
+    assert(nv.contains("nth_value(t1.a, 2)"), nv)
+    val pr = sql(proj(WindowExpression(PercentRank(Seq(a)), spec)))
+    assert(pr.contains("percent_rank() OVER (PARTITION BY t1.b"), pr)
+    val cd = sql(proj(WindowExpression(CumeDist(), spec)))
+    assert(cd.contains("cume_dist() OVER (PARTITION BY t1.b"), cd)
+    // IGNORE NULLS has no portable rendering → refuse (fragment stays local)
+    assertThrows[UnparseUnsupported](sql(proj(WindowExpression(
+      AggregateExpression(First(a, ignoreNulls = true), Complete,
+        isDistinct = false), spec))))
+    assertThrows[UnparseUnsupported](sql(proj(WindowExpression(
+      NthValue(a, Literal(2), ignoreNulls = true), spec))))
+    // first_value without ORDER BY is non-deterministic → refuse
+    val orderless = WindowSpecDefinition(Seq(b), Nil, UnspecifiedFrame)
+    val alNoOrd = Alias(WindowExpression(AggregateExpression(
+      First(a, ignoreNulls = false), Complete, isDistinct = false),
+      orderless), "v")()
+    assertThrows[UnparseUnsupported](sql(
+      Project(Seq(alNoOrd), Window(Seq(alNoOrd), Seq(b), Nil, t))))
+  }
+
   test("case, between-as-conjunction, in-list, like") {
     val expr = Alias(CaseWhen(Seq((
       And(GreaterThanOrEqual(a, Literal(1)), LessThanOrEqual(a, Literal(5))),
