@@ -39,6 +39,8 @@ object SparkEntry {
     "ev_props_histogram" -> (EventOps.propsHistogram _),
     "ev_asof_signup" -> (EventOps.asofPurchaseSignup _),
     "ev_range_join" -> ((s, d) => EventOps.rangeJoinWindowCounts(s, d)),
+    "ev_funnel" -> (EventOps.funnel _),
+    "ev_retention" -> (EventOps.retention _),
     // --- text analysis ---
     "text_token_stats" -> (TextOps.tokenStats _),
     "text_quality_score" -> (TextOps.qualityScore _),
@@ -47,6 +49,7 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s: SparkSession, d: String) =>
       TextOps.heavyHitters(s, d)),
     "text_tfidf" -> ((s, d) => TextOps.tfidf(s, d)),
+    "text_repetition" -> (TextOps.repetition _),
     // --- dedup family ---
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
@@ -101,6 +104,8 @@ object SparkEntry {
     "fed_exists" -> (Federated.existsPushdown _),
     "fed_dataframe_api" -> (Federated.dataframeApi _),
     "fed_window" -> (Federated.windowPushdown _),
+    "fed_window_frame" -> (Federated.windowFramePushdown _),
+    "fed_window_nav" -> (Federated.windowNavPushdown _),
     "fed_rollup" -> (Federated.rollupPushdown _),
     "fed_distinct_filter_agg" -> (Federated.distinctFilterAgg _),
     "fed_scalar_subquery" -> (Federated.scalarSubqueryPushdown _),
@@ -140,6 +145,8 @@ object SparkEntry {
     "ev_props_histogram" -> EventOps.propsHistogramOracle,
     "ev_asof_signup" -> EventOps.asofOracle,
     "ev_range_join" -> EventOps.rangeJoinOracle,
+    "ev_funnel" -> EventOps.funnelOracle,
+    "ev_retention" -> EventOps.retentionOracle,
     // single-batch streaming sessionization equals batch sessionization
     "stream_sessionize" -> EventOps.sessionizeOracle,
     "stream_interval_join" -> graft.streaming.StreamOps.intervalJoinOracle,
@@ -164,6 +171,7 @@ object SparkEntry {
     "sim_ivf_topk" -> Similarity.ivfTopKOracle,
     "sim_quantized_topk" -> Similarity.quantizedTopKOracle,
     "text_tfidf" -> TextOps.tfidfOracle,
+    "text_repetition" -> TextOps.repetitionOracle,
     "mm_media_stats" -> Multimodal.mediaStatsOracle,
     "mm_decode_features" -> Multimodal.decodeFeaturesOracle,
     "mm_sample_frames" -> Multimodal.sampleFramesOracle,
@@ -187,6 +195,8 @@ object SparkEntry {
     "fed_exists" -> Federated.existsOracle,
     "fed_dataframe_api" -> Federated.dataframeApiOracle,
     "fed_window" -> Federated.windowOracle,
+    "fed_window_frame" -> Federated.windowFrameOracle,
+    "fed_window_nav" -> Federated.windowNavOracle,
     "fed_rollup" -> Federated.rollupOracle,
     "fed_distinct_filter_agg" -> Federated.distinctFilterAggOracle,
     "fed_scalar_subquery" -> Federated.scalarSubqueryOracle,

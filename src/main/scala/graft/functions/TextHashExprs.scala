@@ -91,6 +91,37 @@ object TextHashExprs {
     XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, seed)
   }
 
+  /** One-pass token/bigram repetition statistics (the Gopher-style
+    * repetition quality signals): token count, distinct-token count, and
+    * the highest single-token and adjacent-bigram frequencies. Row-local —
+    * at 100 TB this runs inside the scan's codegen stage with zero
+    * shuffle, unlike the explode + double-groupBy formulation. */
+  def tokenRepetitionKernel(
+      text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = splitWs(text)
+    val n = toks.length
+    val tokCounts = new java.util.HashMap[String, Integer](n * 2)
+    var topTok = 0
+    var i = 0
+    while (i < n) {
+      val c = tokCounts.merge(toks(i), Integer.valueOf(1),
+        (a, b) => Integer.valueOf(a.intValue + b.intValue))
+      if (c.intValue > topTok) topTok = c.intValue
+      i += 1
+    }
+    val biCounts = new java.util.HashMap[String, Integer](n * 2)
+    var topBi = 0
+    i = 0
+    while (i < n - 1) {
+      val c = biCounts.merge(toks(i) + " " + toks(i + 1), Integer.valueOf(1),
+        (a, b) => Integer.valueOf(a.intValue + b.intValue))
+      if (c.intValue > topBi) topBi = c.intValue
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, tokCounts.size, topTok, topBi))
+  }
+
   /** MinHash signature over word `shingleWidth`-gram shingles of a text
     * column. Returns array<long> of length `numHashes`. */
   case class MinHashSig(child: Expression, numHashes: Int, shingleWidth: Int)
@@ -151,6 +182,27 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** Struct(n_tokens, n_distinct, top_token_n, top_bigram_n) of the token
+    * stream — see [[tokenRepetitionKernel]]. */
+  case class TokenRepetition(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("n_distinct", IntegerType, nullable = false),
+      StructField("top_token_n", IntegerType, nullable = false),
+      StructField("top_bigram_n", IntegerType, nullable = false)))
+    override def prettyName: String = "token_repetition"
+
+    override def nullSafeEval(input: Any): Any =
+      tokenRepetitionKernel(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashExprs.tokenRepetitionKernel($c);")
+    override protected def withNewChildInternal(c: Expression): TokenRepetition =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------------ Column API
 
   import org.apache.spark.sql.GraftShims.{column, expression}
@@ -162,6 +214,9 @@ object TextHashExprs {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
 
   def rolling_hash64(c: Column): Column = column(RollingHash64(expression(c)))
+
+  def token_repetition(c: Column): Column =
+    column(TokenRepetition(expression(c)))
 
   /** Register the kernels for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -240,4 +240,102 @@ object EventOps {
       | AND CAST(p.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
       |WHERE s.event_type = 'signup'
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Ordered funnel signup → view → purchase: a step counts only when it
+    * happens strictly after the user's previous completed step.
+    *
+    * One shuffle on user_id: both chained "earliest prior qualifying
+    * event" computations are windows over the SAME (partition, order), so
+    * Catalyst stacks the two Window nodes on one exchange + one sort — no
+    * self-joins, no per-step passes. Linear at 100 TB. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val prior = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .withColumn("prior_signup_ts",
+        min(when(col("event_type") === "signup", col("ts"))).over(prior))
+      .withColumn("prior_view_ts",
+        min(when(col("event_type") === "view" &&
+          col("prior_signup_ts").isNotNull, col("ts"))).over(prior))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "signup", 1).otherwise(0)).as("s1"),
+        max(when(col("event_type") === "view" &&
+          col("prior_signup_ts").isNotNull, 1).otherwise(0)).as("s2"),
+        max(when(col("event_type") === "purchase" &&
+          col("prior_view_ts").isNotNull, 1).otherwise(0)).as("s3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("s1")).as("n_signup"),
+        sum(col("s2")).as("n_view_after_signup"),
+        sum(col("s3")).as("n_purchase_after_view"))
+  }
+
+  val funnelOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events
+      |), w1 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_signup_ts
+      |  FROM e
+      |), w2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view'
+      |      AND prior_signup_ts IS NOT NULL THEN ts END) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_ts
+      |  FROM w1
+      |), u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s1,
+      |    MAX(CASE WHEN event_type = 'view'
+      |        AND prior_signup_ts IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+      |    MAX(CASE WHEN event_type = 'purchase'
+      |        AND prior_view_ts IS NOT NULL THEN 1 ELSE 0 END) AS s3
+      |  FROM w2 GROUP BY user_id
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(s1) AS BIGINT) AS n_signup,
+      |  CAST(SUM(s2) AS BIGINT) AS n_view_after_signup,
+      |  CAST(SUM(s3) AS BIGINT) AS n_purchase_after_view
+      |FROM u""".stripMargin
+
+  /** Cohort retention: users grouped by the calendar day of their first
+    * event; for each day offset 0..7, how many of the cohort were active.
+    *
+    * Scale: the cohort-day aggregate and the events join share the
+    * user_id hash partitioning (co-partitioned shuffle reuse); the final
+    * rollup is a small (days × 8) result. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    e.join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset") <= 7)
+      // timestamp_ntz output: DATE columns round-trip as datetimes through
+      // parquet/pandas, so both sides emit naive midnight timestamps
+      .groupBy(col("cohort_day").cast("timestamp_ntz").as("cohort_day"),
+        col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val retentionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id
+      |)
+      |SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+      |  CAST(date_diff('day', f.cohort_day, e.day) AS INTEGER) AS day_offset,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |WHERE date_diff('day', f.cohort_day, e.day) <= 7
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 }

@@ -354,4 +354,57 @@ object TextOps {
       |    / CAST(s_present + (256 - n_buckets) * (1::BIGINT << 49) AS DOUBLE) AS est_distinct,
       |  n_buckets AS n_used_buckets
       |FROM sums""".stripMargin
+
+  /** Repetition-based quality signals (the Gopher-style filters): type/
+    * token ratio and the most-repeated token / adjacent bigram, as exact
+    * integer ppm so any engine reproduces the ranking bitwise.
+    *
+    * One compiled pass per row ([[graft.functions.TextHashExprs
+    * .TokenRepetition]]) — zero shuffle, vs the explode + two-groupBy
+    * equivalent the oracle runs. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TextHashExprs.token_repetition(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+        col("r.n_distinct").as("n_distinct"),
+        col("r.top_token_n").as("top_token_n"),
+        col("r.top_bigram_n").as("top_bigram_n"))
+      .withColumn("ttr_ppm",
+        expr("n_distinct * 1000000L div n_tokens"))
+      .withColumn("rep_bigram_ppm",
+        expr("top_bigram_n * 1000000L div greatest(n_tokens - 1, 1)"))
+      .orderBy(col("doc_id"))
+
+  val repetitionOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(toks) AS tok,
+      |    unnest(generate_series(1, len(toks))) AS i
+      |  FROM d
+      |), tc AS (
+      |  SELECT doc_id, COUNT(*) AS n_distinct, MAX(c) AS top_token_n
+      |  FROM (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+      |  GROUP BY doc_id
+      |), bc AS (
+      |  SELECT doc_id, MAX(c) AS top_bigram_n
+      |  FROM (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg, COUNT(*) AS c
+      |        FROM tok a JOIN tok b
+      |          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |        GROUP BY 1, 2)
+      |  GROUP BY doc_id
+      |), base AS (
+      |  SELECT d.doc_id, CAST(len(d.toks) AS INTEGER) AS n_tokens,
+      |    CAST(t.n_distinct AS INTEGER) AS n_distinct,
+      |    CAST(t.top_token_n AS INTEGER) AS top_token_n,
+      |    CAST(COALESCE(b.top_bigram_n, 0) AS INTEGER) AS top_bigram_n
+      |  FROM d JOIN tc t USING (doc_id) LEFT JOIN bc b USING (doc_id)
+      |)
+      |SELECT doc_id, n_tokens, n_distinct, top_token_n, top_bigram_n,
+      |  CAST(CAST(n_distinct AS BIGINT) * 1000000
+      |    // n_tokens AS BIGINT) AS ttr_ppm,
+      |  CAST(CAST(top_bigram_n AS BIGINT) * 1000000
+      |    // greatest(n_tokens - 1, 1) AS BIGINT) AS rep_bigram_ppm
+      |FROM base ORDER BY doc_id""".stripMargin
 }

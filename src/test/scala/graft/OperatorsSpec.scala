@@ -59,7 +59,8 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         P.portable_sign_bands(col("vec"), 2, 4, 4).as("sb"),
         T.minhash_signature(col("text"), 8, 3).as("tm"),
         T.simhash64(col("text")).as("t64"),
-        T.rolling_hash64(col("text")).as("rh")).collect()
+        T.rolling_hash64(col("text")).as("rh"),
+        T.token_repetition(col("text")).as("tr")).collect()
       // cross-check one row against direct interpreted eval
       val lit0 = org.apache.spark.sql.catalyst.expressions.Literal(
         "the quick brown fox jumps over the lazy dog")
@@ -71,6 +72,11 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         P.PortableSimHash32(lit0).eval(null).asInstanceOf[Long])
       assert(out(0).getLong(7) ==
         T.RollingHash64(lit0).eval(null).asInstanceOf[Long])
+      // "the" appears twice in 9 tokens; no bigram repeats
+      assert(out(0).getStruct(8).getInt(0) == 9 &&
+        out(0).getStruct(8).getInt(1) == 8 &&
+        out(0).getStruct(8).getInt(2) == 2 &&
+        out(0).getStruct(8).getInt(3) == 1)
       // sig_agreement on the two minhash columns
       val pairs = df.select(P.sig_agreement(
         P.portable_minhash(col("text"), 8, 3),
@@ -353,5 +359,54 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(bucket < rate, s"lang $lang admitted bucket $bucket >= $rate")
     }
+  }
+
+  test("funnel steps are monotonically non-increasing and order-sensitive") {
+    import org.apache.spark.sql.functions._
+    val r = operators.EventOps.funnel(spark, dir).collect().head
+    val (users, s1, s2, s3) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(users >= s1 && s1 >= s2 && s2 >= s3, r.toString)
+    assert(s1 > 0, "no user ever signed up — data assumption broken")
+    // order-sensitivity: plain existence counts (ignoring order) must be
+    // >= the ordered funnel's counts
+    val e = graft.sources.Tables.events(spark, dir)
+    val anyView = e.filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(s2 <= anyView)
+  }
+
+  test("retention offset-0 equals cohort size and dominates later offsets") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.EventOps.retention(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // timestamp_ntz surfaces as java.time.LocalDateTime
+    val byCohort = rows.groupBy(_.getAs[Any]("cohort_day").toString)
+    byCohort.foreach { case (day, rs) =>
+      val at0 = rs.find(_.getInt(1) == 0)
+        .map(_.getLong(2)).getOrElse(0L)
+      assert(at0 > 0, s"cohort $day has no day-0 activity")
+      rs.foreach(r => assert(r.getLong(2) <= at0,
+        s"cohort $day offset ${r.getInt(1)} exceeds day-0 size"))
+    }
+  }
+
+  test("repetition kernel agrees with an explode+groupBy reference") {
+    import org.apache.spark.sql.functions._
+    val got = operators.TextOps.repetition(spark, dir).limit(50).collect()
+    assert(got.nonEmpty)
+    // recompute one doc the slow way
+    val r0 = got.head
+    val text = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") === r0.getLong(0))
+      .select("text").collect().head.getString(0)
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    assert(r0.getInt(1) == toks.length)
+    assert(r0.getInt(2) == toks.distinct.length)
+    assert(r0.getInt(3) == toks.groupBy(identity).values.map(_.size).max)
+    val bigrams = toks.zip(toks.drop(1)).map(p => p._1 + " " + p._2)
+    val topBi = if (bigrams.isEmpty) 0
+      else bigrams.groupBy(identity).values.map(_.size).max
+    assert(r0.getInt(4) == topBi)
   }
 }
