@@ -62,6 +62,7 @@ object SparkEntry {
     "sim_lsh_neighbors" -> (Similarity.lshNearNeighbors _),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_quantized_topk" -> ((s, d) => Similarity.quantizedTopK(s, d)),
+    "sim_rerank_topk" -> ((s, d) => Similarity.rerankTopK(s, d)),
     "sim_label_stats" -> (Similarity.labelStats _),
     // --- multimodal plumbing ---
     "mm_media_stats" -> (Multimodal.mediaStats _),
@@ -88,6 +89,9 @@ object SparkEntry {
     "stream_interval_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runIntervalJoinToMemory(s, d)
         .orderBy(col("p_id"), col("s_id"))),
+    "stream_quality_filter" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runQualityFilterToMemory(s, d)
+        .orderBy(col("lang"))),
     "text_distinct_estimate" -> (TextOps.distinctEstimate _),
     // --- federation engine (the reference's core capability) ---
     "fed_q1_pushdown" -> (Federated.q1Pushdown _),
@@ -125,6 +129,7 @@ object SparkEntry {
     "samp_stats" -> (Sampling.sampleStats _),
     "samp_stratified" -> (Sampling.stratifiedSample _),
     "ev_value_median" -> (EventOps.valueMedian _),
+    "ev_value_quantiles" -> (EventOps.valueQuantiles _),
   )
 
   /** DuckDB oracles — keys must match [[queries]]; aliases match exactly. */
@@ -150,6 +155,7 @@ object SparkEntry {
     // single-batch streaming sessionization equals batch sessionization
     "stream_sessionize" -> EventOps.sessionizeOracle,
     "stream_interval_join" -> graft.streaming.StreamOps.intervalJoinOracle,
+    "stream_quality_filter" -> graft.streaming.StreamOps.qualityFilterOracle,
     "text_token_stats" -> TextOps.tokenStatsOracle,
     "text_quality_score" -> TextOps.qualityScoreOracle,
     "text_lang_id" -> TextOps.langIdOracle,
@@ -170,6 +176,7 @@ object SparkEntry {
     "sim_lsh_neighbors" -> Similarity.lshNearNeighborsOracle,
     "sim_ivf_topk" -> Similarity.ivfTopKOracle,
     "sim_quantized_topk" -> Similarity.quantizedTopKOracle,
+    "sim_rerank_topk" -> Similarity.rerankTopKOracle,
     "text_tfidf" -> TextOps.tfidfOracle,
     "text_repetition" -> TextOps.repetitionOracle,
     "mm_media_stats" -> Multimodal.mediaStatsOracle,
@@ -215,5 +222,6 @@ object SparkEntry {
     "samp_stats" -> Sampling.sampleStatsOracle,
     "samp_stratified" -> Sampling.stratifiedSampleOracle,
     "ev_value_median" -> EventOps.valueMedianOracle,
+    "ev_value_quantiles" -> EventOps.valueQuantilesOracle,
   )
 }

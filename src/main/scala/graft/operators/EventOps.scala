@@ -241,6 +241,53 @@ object EventOps {
       |WHERE s.event_type = 'signup'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact per-group quantiles (p25/p50/p75/p90) by the nearest-rank
+    * definition: value at rank ⌈p·n/100⌉ under a deterministic total order
+    * (value, event_id). All-integer rank arithmetic — any engine
+    * reproduces it bitwise, unlike interpolating percentile functions.
+    * One shuffle (the per-group window); the filter keeps ≤4 rows per
+    * group, so the final aggregate is negligible at any scale. */
+  def valueQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    def rankOf(p: Int) = expr(s"($p * cnt + 99) div 100")
+    val ranked = events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+    ranked
+      .filter(Seq(25, 50, 75, 90).map(p => col("rn") === rankOf(p))
+        .reduce(_ || _))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("rn") === rankOf(25), col("value"))).as("p25"),
+        min(when(col("rn") === rankOf(50), col("value"))).as("p50"),
+        min(when(col("rn") === rankOf(75), col("value"))).as("p75"),
+        min(when(col("rn") === rankOf(90), col("value"))).as("p90"),
+        min(col("cnt")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val valueQuantilesOracle: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM events
+      |)
+      |SELECT event_type,
+      |  MIN(CASE WHEN rn = (25 * cnt + 99) // 100 THEN value END) AS p25,
+      |  MIN(CASE WHEN rn = (50 * cnt + 99) // 100 THEN value END) AS p50,
+      |  MIN(CASE WHEN rn = (75 * cnt + 99) // 100 THEN value END) AS p75,
+      |  MIN(CASE WHEN rn = (90 * cnt + 99) // 100 THEN value END) AS p90,
+      |  MIN(cnt) AS n_events
+      |FROM ranked
+      |WHERE rn = (25 * cnt + 99) // 100 OR rn = (50 * cnt + 99) // 100
+      |   OR rn = (75 * cnt + 99) // 100 OR rn = (90 * cnt + 99) // 100
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Ordered funnel signup → view → purchase: a step counts only when it
     * happens strictly after the user's previous completed step.
     *

@@ -502,6 +502,79 @@ object Similarity {
       |SELECT q_id, rank, vec_id, qdot FROM ranked
       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** Two-stage retrieval: int8 candidate generation → exact float rerank —
+    * the full compressed-index read path of a production ANN stack.
+    *
+    * Scale shape: the scoring pass moves only (q_id, vec_id, int8-dot)
+    * rows — the 4×-compressed codes never leave the scan, and the full
+    * float vectors are fetched ONLY for the Q×C candidate set via a
+    * broadcast join back against the corpus (no corpus shuffle, no wide
+    * rows through the top-C window). At 100 TB the rerank stage touches
+    * candRatio·k/N of the data. */
+  def rerankTopK(s: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 10, candFactor: Int = 3): DataFrame = {
+    val emb = embeddings(s, dir)
+    val q8 = emb.select(col("vec_id"), quantize8(col("embedding")).as("q"))
+    val queries8 = q8.orderBy(col("vec_id")).limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("q_vec"))
+    val scored = q8.join(broadcast(queries8), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        quantizedDot(col("q_vec"), col("q")).as("qdot"))
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+    val cands = scored.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= k * candFactor)
+      .select(col("q_id"), col("vec_id"))
+    val queriesF = emb.orderBy(col("vec_id")).limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(cands), "vec_id")
+      .join(broadcast(queriesF), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val rerankTopKOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), q8 AS (
+      |  SELECT vec_id,
+      |    CASE WHEN list_max([abs(x) FOR x IN v]) > 0
+      |      THEN [CAST(floor(x * (127.0 / list_max([abs(y) FOR y IN v])) + 0.5) AS BIGINT) FOR x IN v]
+      |      ELSE [CAST(0 AS BIGINT) FOR x IN v] END AS q
+      |  FROM e
+      |), qq AS (
+      |  SELECT vec_id AS q_id, q AS q_vec FROM q8 ORDER BY vec_id LIMIT 8
+      |), scored AS (
+      |  SELECT qq.q_id, c.vec_id,
+      |    CAST(list_sum([qq.q_vec[i] * c.q[i] FOR i IN range(1, len(c.q)+1)]) AS BIGINT) AS qdot
+      |  FROM qq, q8 c WHERE c.vec_id <> qq.q_id
+      |), cands AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY qdot DESC, vec_id) AS crank
+      |    FROM scored) WHERE crank <= 30
+      |), reranked AS (
+      |  SELECT c.q_id, c.vec_id,
+      |    list_cosine_similarity(
+      |      (SELECT v FROM e WHERE e.vec_id = c.q_id), ev.v) AS cos
+      |  FROM cands c JOIN e ev ON ev.vec_id = c.vec_id
+      |)
+      |SELECT q_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY cos DESC, vec_id) AS INTEGER) AS rank,
+      |  vec_id, cos
+      |FROM reranked
+      |QUALIFY rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   /** Embedding-cosine near-dup dedup decision (the 5th dedup family of
     * [[Dedup]]): keep a vector unless an LSH-verified neighbor with
     * cos ≥ 0.95 has a smaller id. */

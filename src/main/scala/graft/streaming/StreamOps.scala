@@ -237,4 +237,68 @@ object StreamOps {
       | AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
       | AND CAST(p.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
       |ORDER BY p_id, s_id""".stripMargin
+
+  /** Streaming quality gate: the in-flight filter stage of an ingest
+    * pipeline — each arriving document is scored by the one-pass
+    * [[graft.functions.TextHashExprs.TokenRepetition]] kernel (stateless,
+    * stays in the microbatch's scan projection), low-quality docs are
+    * dropped, and per-language admission stats aggregate downstream. The
+    * only stateful operator is the final small (langs-wide) aggregate. */
+  def qualityFilterStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.documents(spark, dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("lang"),
+        graft.functions.TextHashExprs.token_repetition(col("text")).as("r"))
+      .select(col("lang"), col("r.n_tokens").as("n_tokens"),
+        expr("r.n_distinct * 1000000L div r.n_tokens").as("ttr_ppm"),
+        expr("r.top_bigram_n * 1000000L div greatest(r.n_tokens - 1, 1)")
+          .as("rep_ppm"))
+      .filter(col("ttr_ppm").between(300000L, 800000L) &&
+        col("rep_ppm") < 60000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("ttr_ppm")).as("min_ttr_ppm"),
+        max(col("rep_ppm")).as("max_rep_ppm"))
+  }
+
+  def runQualityFilterToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_quality_out"): DataFrame =
+    runStream(spark, qualityFilterStream(spark, dir), "complete", name)
+
+  val qualityFilterOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(toks) AS tok,
+      |    unnest(generate_series(1, len(toks))) AS i
+      |  FROM d
+      |), bc AS (
+      |  SELECT doc_id, MAX(c) AS top_bigram_n
+      |  FROM (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg, COUNT(*) AS c
+      |        FROM tok a JOIN tok b
+      |          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |        GROUP BY 1, 2)
+      |  GROUP BY doc_id
+      |), m AS (
+      |  SELECT d.doc_id, d.lang, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+      |    CAST(CAST(t.n_distinct AS BIGINT) * 1000000
+      |      // len(d.toks) AS BIGINT) AS ttr_ppm,
+      |    CAST(CAST(COALESCE(b.top_bigram_n, 0) AS BIGINT) * 1000000
+      |      // greatest(len(d.toks) - 1, 1) AS BIGINT) AS rep_ppm
+      |  FROM d
+      |  JOIN (SELECT doc_id, COUNT(DISTINCT tok) AS n_distinct
+      |        FROM tok GROUP BY doc_id) t USING (doc_id)
+      |  LEFT JOIN bc b USING (doc_id)
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  MIN(ttr_ppm) AS min_ttr_ppm, MAX(rep_ppm) AS max_rep_ppm
+      |FROM m
+      |WHERE ttr_ppm BETWEEN 300000 AND 800000 AND rep_ppm < 60000
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 }

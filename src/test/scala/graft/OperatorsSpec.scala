@@ -391,6 +391,61 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantiles are monotone and sit inside the group's range") {
+    import org.apache.spark.sql.functions._
+    val q = operators.EventOps.valueQuantiles(spark, dir).collect()
+    assert(q.nonEmpty)
+    val ranges = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    q.foreach { r =>
+      val (p25, p50, p75, p90) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p90, r.toString)
+      val rng = ranges(r.getString(0))
+      assert(p25 >= rng.getDouble(1) && p90 <= rng.getDouble(2))
+      assert(r.getLong(5) == rng.getLong(3), "n_events mismatch")
+    }
+  }
+
+  test("two-stage rerank recovers most of the exact top-k") {
+    val exact = operators.Similarity.bruteForceTopK(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val rer = operators.Similarity.rerankTopK(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(rer.keySet == exact.keySet)
+    val recalls = exact.map { case (q, want) =>
+      rer(q).intersect(want).size.toDouble / want.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean rerank recall $mean < 0.8")
+  }
+
+  test("streaming quality filter equals the batch computation") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamOps
+      .runQualityFilterToMemory(spark, dir, "opspec_quality")
+      .orderBy(col("lang")).collect().map(_.toString).toSeq
+    val batch = graft.sources.Tables.documents(spark, dir)
+      .select(col("lang"), graft.functions.TextHashExprs
+        .token_repetition(col("text")).as("r"))
+      .select(col("lang"), col("r.n_tokens").as("n_tokens"),
+        expr("r.n_distinct * 1000000L div r.n_tokens").as("ttr_ppm"),
+        expr("r.top_bigram_n * 1000000L div greatest(r.n_tokens - 1, 1)")
+          .as("rep_ppm"))
+      .filter(col("ttr_ppm").between(300000L, 800000L) &&
+        col("rep_ppm") < 60000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        min(col("ttr_ppm")).as("min_ttr_ppm"),
+        max(col("rep_ppm")).as("max_rep_ppm"))
+      .orderBy(col("lang")).collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
+
   test("repetition kernel agrees with an explode+groupBy reference") {
     import org.apache.spark.sql.functions._
     val got = operators.TextOps.repetition(spark, dir).limit(50).collect()
