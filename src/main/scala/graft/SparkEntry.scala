@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "dedup_embedding" -> (Similarity.embeddingNearDups _),
     "dedup_components" -> ((s, d) => Dedup.components(s, d)),
+    "dedup_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     // --- similarity search ---
     "sim_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
     "sim_lsh_neighbors" -> (Similarity.lshNearNeighbors _),
@@ -171,6 +172,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_embedding" -> Similarity.embeddingNearDupsOracle,
     "dedup_components" -> Dedup.componentsOracle,
+    "dedup_decontaminate" -> Dedup.decontaminateOracle,
     "sim_label_stats" -> Similarity.labelStatsOracle,
     "sim_bruteforce_topk" -> Similarity.bruteForceTopKOracle,
     "sim_lsh_neighbors" -> Similarity.lshNearNeighborsOracle,

@@ -217,8 +217,17 @@ class SqlUnparser(dialect: SqlDialect) {
     case _: Project | _: Aggregate | _: Window | _: Union | _: Distinct |
          _: Filter | _: Sort | _: GlobalLimit | _: LocalLimit | _: Offset =>
       true
+    case d: Deduplicate => dedupeIsDistinct(d)
     case _ => false
   }
+
+  /** `Deduplicate` (what DataFrame `.distinct()`/`dropDuplicates()` build —
+    * SQL DISTINCT parses to the `Distinct` node instead) is SELECT DISTINCT
+    * exactly when its key set covers the child's whole output. A subset key
+    * means "an arbitrary row per key": no deterministic SQL form, so that
+    * shape stays local. */
+  private def dedupeIsDistinct(d: Deduplicate): Boolean =
+    d.child.output.forall(a => d.keys.exists(_.exprId == a.exprId))
 
   // ---------------------------------------------------------------- SELECT
 
@@ -315,6 +324,9 @@ class SqlUnparser(dialect: SqlDialect) {
       (Sel(parts.mkString(" UNION ALL "),
         dedupNames(children.head.output.map(_.name))),
         Map.empty)
+
+    case d: Deduplicate if dedupeIsDistinct(d) =>
+      buildCore(Distinct(d.child))
 
     case Distinct(child) =>
       val inner = buildCore(child)

@@ -349,6 +349,77 @@ object Dedup {
         |SELECT doc_id, MIN(comp) AS component, MIN(comp) = doc_id AS is_rep
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag training documents whose n-gram
+    * shingles overlap a held-out benchmark set — the standard "did my
+    * eval set leak into the training corpus" check an LLM data pipeline
+    * runs before every training job.
+    *
+    * Shingling is the same portable kernel as MinHash
+    * ([[PortableHashExprs.PortableShingles]]: lowercase, \s+ tokenize,
+    * word n-grams; real pipelines use n in 8..13 — the synthetic corpus's
+    * tiny vocabulary makes n=3 the interesting setting at test SF).
+    *
+    * Scale shape: the benchmark shingle set is small (eval suites are MBs
+    * even when the corpus is 100 TB) → dedup it and '''broadcast''' it;
+    * the corpus side is one shuffle for the per-doc distinct-shingle set,
+    * then a broadcast hash join + map-side-combined count. The corpus is
+    * never self-joined and never collected. */
+  def decontaminate(s: SparkSession, dir: String,
+      benchSource: String = "src0", n: Int = 3,
+      threshold: Double = 0.2): DataFrame = {
+    val sh = documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(shingles(col("text"), n)).as("shingle"))
+      .distinct() // per-doc distinct shingle set: one shuffle
+    val bench = sh.filter(col("source") === benchSource)
+      .select(col("shingle")).distinct()
+    val corpus = sh.filter(col("source") =!= benchSource)
+    // rows are already distinct per (doc_id, shingle) → plain counts,
+    // partial-aggregated map-side
+    val totals = corpus.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = corpus.join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_shingles")).as("overlap_ratio"))
+      .withColumn("contaminated", col("overlap_ratio") >= threshold)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror: same tokenize/shingle construction as [[sigsCte]]
+    * (raw shingle strings — no hashing needed for set overlap). */
+  val decontaminateOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM documents
+      |), shx AS (
+      |  SELECT doc_id, source, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END AS shs
+      |  FROM toks
+      |), ds AS (
+      |  SELECT DISTINCT doc_id, source, unnest(shs) AS shingle FROM shx
+      |), bench AS (
+      |  SELECT DISTINCT shingle FROM ds WHERE source = 'src0'
+      |), corpus AS (
+      |  SELECT doc_id, shingle FROM ds WHERE source <> 'src0'
+      |), tot AS (
+      |  SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id
+      |), hit AS (
+      |  SELECT c.doc_id, COUNT(*) AS n_overlap
+      |  FROM corpus c JOIN bench b USING (shingle) GROUP BY c.doc_id
+      |)
+      |SELECT t.doc_id, t.n_shingles, COALESCE(h.n_overlap, 0) AS n_overlap,
+      |  COALESCE(h.n_overlap, 0) / CAST(t.n_shingles AS DOUBLE) AS overlap_ratio,
+      |  COALESCE(h.n_overlap, 0) / CAST(t.n_shingles AS DOUBLE) >= 0.2 AS contaminated
+      |FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   /** Corpus-level dedup summary — a single-row report driving pipeline
     * decisions (and a stable smoke query at any SF). */
   def summary(s: SparkSession, dir: String): DataFrame = {

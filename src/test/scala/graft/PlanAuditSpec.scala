@@ -112,6 +112,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("decontaminate broadcasts the benchmark shingle set") {
+    val df = SparkEntry.queries("dedup_decontaminate")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    // corpus-vs-benchmark overlap join must be broadcast (benchmark suites
+    // stay small even at a 100 TB corpus); the corpus is never self-joined
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(count(p, "CartesianProduct") == 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p)
+  }
+
   test("range join is an equi-join on (epoch, salt), never all-pairs") {
     // disable broadcast so the plan shown is the large-scale shape: with
     // broadcasting on, a small build side hides the nested-loop risk
