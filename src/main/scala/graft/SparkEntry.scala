@@ -108,6 +108,7 @@ object SparkEntry {
     "fed_limit_offset" -> (Federated.limitOffsetPushdown _),
     "fed_exists" -> (Federated.existsPushdown _),
     "fed_dataframe_api" -> (Federated.dataframeApi _),
+    "fed_distinct_df" -> (Federated.distinctPushdown _),
     "fed_window" -> (Federated.windowPushdown _),
     "fed_window_frame" -> (Federated.windowFramePushdown _),
     "fed_window_nav" -> (Federated.windowNavPushdown _),
@@ -203,6 +204,7 @@ object SparkEntry {
     "fed_limit_offset" -> Federated.limitOffsetOracle,
     "fed_exists" -> Federated.existsOracle,
     "fed_dataframe_api" -> Federated.dataframeApiOracle,
+    "fed_distinct_df" -> Federated.distinctOracle,
     "fed_window" -> Federated.windowOracle,
     "fed_window_frame" -> Federated.windowFrameOracle,
     "fed_window_nav" -> Federated.windowNavOracle,

@@ -200,6 +200,25 @@ object Federated {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  /** DataFrame `.distinct()` federation: the API builds a `Deduplicate`
+    * node (SQL DISTINCT parses to `Distinct` instead); with the key set
+    * covering the whole output it unparses to SELECT DISTINCT and the
+    * dedup runs remotely — shipping only distinct pairs instead of every
+    * order row. */
+  def distinctPushdown(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    FederationHarness.setup(s, dir)
+    val ord = graft.federation.Federation.remoteDataFrame(s, "orders",
+      FederationHarness.executor(s, dir, "alpha"))
+    ord.select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  val distinctOracle: String =
+    """SELECT DISTINCT o_orderstatus, o_orderpriority
+      |FROM orders
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   /** Split-read path under the correctness gate: the remote fragment
     * (scan+filter+project on orders) fans out into 3 disjoint modulo-split
     * cursors ([[graft.federation.sql.SplitScan]]); the join with the local

@@ -439,6 +439,32 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys.forall(_ > 100), s"policy not applied: $keys")
   }
 
+  test("DataFrame .distinct() federates as SELECT DISTINCT") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    val df = Federated.distinctPushdown(spark, dir)
+    assert(fedFragments(df).nonEmpty, ".distinct() did not federate")
+    val got = rows(df)
+    // Catalyst lowers Deduplicate to Aggregate(group-by-all-cols) before
+    // the rule runs, so the dedup ships as the equivalent GROUP BY form;
+    // the direct Deduplicate→SELECT DISTINCT path is golden-pinned in
+    // UnparserSpec. Either way the dedup must run REMOTELY.
+    val executed = alpha.executedSql.drop(before)
+    assert(executed.exists(s => s.contains("SELECT DISTINCT") ||
+      (s.contains("GROUP BY") && s.contains("o_orderpriority"))),
+      s"remote SQL does not deduplicate: $executed")
+    val expected = rows(spark.sql(
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin))
+    assert(got == expected)
+    // subset-key dropDuplicates has no deterministic SQL form: stays local
+    val sub = graft.federation.Federation.remoteDataFrame(spark, "orders",
+      alpha).select("o_orderstatus", "o_orderpriority", "o_orderkey")
+      .dropDuplicates("o_orderstatus")
+    assert(sub.count() > 0)
+  }
+
   test("per-table hooks: two tables of one provider, each applied once") {
     setup()
     // reference: each SQLTableSource carries its own rewriters

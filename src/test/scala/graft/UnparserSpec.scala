@@ -274,6 +274,21 @@ class UnparserSpec extends AnyFunSuite {
       .exists(_.contains("CAST('NaN' AS DOUBLE)")))
   }
 
+  test("Deduplicate with full key set renders SELECT DISTINCT") {
+    // DataFrame .distinct()/dropDuplicates() build Deduplicate (SQL
+    // DISTINCT parses to the Distinct node; Catalyst usually lowers both
+    // to Aggregate before the rule runs — this pins the direct path)
+    val plan = Deduplicate(Seq(a, b), Project(Seq(a, b), t))
+    assert(sql(plan) == "SELECT DISTINCT t1.a AS a, t1.b AS b FROM t AS t1")
+    assert(sql(Distinct(Project(Seq(a, b), t))) ==
+      "SELECT DISTINCT t1.a AS a, t1.b AS b FROM t AS t1")
+  }
+
+  test("Deduplicate with subset key (arbitrary-row-per-key) refuses") {
+    val plan = Deduplicate(Seq(a), Project(Seq(a, b), t))
+    assertThrows[UnparseUnsupported](sql(plan))
+  }
+
   // ---- unnest-join goldens -------------------------------------------------
   // Pin the exact remote SQL for every Generate shape × dialect (the
   // reference rewrites all unnest forms through federation,
