@@ -132,6 +132,7 @@ object SparkEntry {
     "samp_stratified" -> (Sampling.stratifiedSample _),
     "ev_value_median" -> (EventOps.valueMedian _),
     "ev_value_quantiles" -> (EventOps.valueQuantiles _),
+    "ev_anomaly_iqr" -> (EventOps.anomalies _),
   )
 
   /** DuckDB oracles — keys must match [[queries]]; aliases match exactly. */
@@ -227,5 +228,6 @@ object SparkEntry {
     "samp_stratified" -> Sampling.stratifiedSampleOracle,
     "ev_value_median" -> EventOps.valueMedianOracle,
     "ev_value_quantiles" -> EventOps.valueQuantilesOracle,
+    "ev_anomaly_iqr" -> EventOps.anomaliesOracle,
   )
 }

@@ -288,6 +288,75 @@ object EventOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** IQR-fence outlier detection per event type (Tukey fences: outside
+    * [p25 − 1.5·IQR, p75 + 1.5·IQR]) — the data-cleaning screen a metrics
+    * pipeline runs before aggregating a value column. Quartiles are EXACT
+    * selections (same ceil-rank construction as [[valueQuantiles]]), so
+    * unlike mean/stddev z-scores there is no order-dependent FP summation
+    * anywhere: the result hash-matches the oracle bitwise.
+    *
+    * Scale shape: one sort per event_type partition for the ranks (the
+    * accepted exact-quantile cost; approx quantiles would drop the sort),
+    * then the 5-row fence table '''broadcasts''' back onto the events for
+    * a map-side-combined count — the corpus is never re-shuffled. */
+  def anomalies(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    def rankOf(p: Int) = expr(s"($p * cnt + 99) div 100")
+    val ranked = events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+    val fences = ranked
+      .filter(col("rn") === rankOf(25) || col("rn") === rankOf(75))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("rn") === rankOf(25), col("value"))).as("p25"),
+        min(when(col("rn") === rankOf(75), col("value"))).as("p75"))
+      .withColumn("lo", col("p25") - (col("p75") - col("p25")) * lit(1.5))
+      .withColumn("hi", col("p75") + (col("p75") - col("p25")) * lit(1.5))
+    events(s, dir).join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"), col("p25"), col("p75"),
+        col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("value") < col("lo") || col("value") > col("hi"),
+          1)).as("n_outliers"),
+        min(when(col("value") < col("lo"), col("value")))
+          .as("min_outlier"),
+        max(when(col("value") > col("hi"), col("value")))
+          .as("max_outlier"))
+      .orderBy(col("event_type"))
+  }
+
+  val anomaliesOracle: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM events
+      |), q AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN rn = (25 * cnt + 99) // 100 THEN value END) AS p25,
+      |    MIN(CASE WHEN rn = (75 * cnt + 99) // 100 THEN value END) AS p75
+      |  FROM ranked
+      |  WHERE rn = (25 * cnt + 99) // 100 OR rn = (75 * cnt + 99) // 100
+      |  GROUP BY event_type
+      |), b AS (
+      |  SELECT event_type, p25, p75,
+      |    p25 - (p75 - p25) * CAST(1.5 AS DOUBLE) AS lo,
+      |    p75 + (p75 - p25) * CAST(1.5 AS DOUBLE) AS hi
+      |  FROM q
+      |)
+      |SELECT e.event_type, b.p25, b.p75, b.lo, b.hi,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 END)
+      |    AS BIGINT) AS n_outliers,
+      |  MIN(CASE WHEN e.value < b.lo THEN e.value END) AS min_outlier,
+      |  MAX(CASE WHEN e.value > b.hi THEN e.value END) AS max_outlier
+      |FROM events e JOIN b ON e.event_type = b.event_type
+      |GROUP BY e.event_type, b.p25, b.p75, b.lo, b.hi
+      |ORDER BY e.event_type""".stripMargin
+
   /** Ordered funnel signup → view → purchase: a step counts only when it
     * happens strictly after the user's previous completed step.
     *
