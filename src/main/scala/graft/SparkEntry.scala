@@ -93,6 +93,9 @@ object SparkEntry {
     "stream_quality_filter" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runQualityFilterToMemory(s, d)
         .orderBy(col("lang"))),
+    "stream_anomaly_tag" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runAnomalyTagToMemory(s, d)
+        .orderBy(col("event_type"))),
     "text_distinct_estimate" -> (TextOps.distinctEstimate _),
     // --- federation engine (the reference's core capability) ---
     "fed_q1_pushdown" -> (Federated.q1Pushdown _),
@@ -159,6 +162,7 @@ object SparkEntry {
     "stream_sessionize" -> EventOps.sessionizeOracle,
     "stream_interval_join" -> graft.streaming.StreamOps.intervalJoinOracle,
     "stream_quality_filter" -> graft.streaming.StreamOps.qualityFilterOracle,
+    "stream_anomaly_tag" -> graft.streaming.StreamOps.anomalyTagOracle,
     "text_token_stats" -> TextOps.tokenStatsOracle,
     "text_quality_score" -> TextOps.qualityScoreOracle,
     "text_lang_id" -> TextOps.langIdOracle,

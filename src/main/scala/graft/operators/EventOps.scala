@@ -299,7 +299,11 @@ object EventOps {
     * accepted exact-quantile cost; approx quantiles would drop the sort),
     * then the 5-row fence table '''broadcasts''' back onto the events for
     * a map-side-combined count — the corpus is never re-shuffled. */
-  def anomalies(s: SparkSession, dir: String): DataFrame = {
+  /** The per-type Tukey fence table (event_type, p25, p75, lo, hi) —
+    * tiny (one row per event type), broadcast by both the batch
+    * [[anomalies]] screen and the streaming in-flight tagger
+    * ([[graft.streaming.StreamOps.anomalyTagStream]] stream-static join). */
+  def iqrFences(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("value"), col("event_id"))
     val wAll = Window.partitionBy(col("event_type"))
@@ -307,14 +311,17 @@ object EventOps {
     val ranked = events(s, dir)
       .withColumn("rn", row_number().over(w))
       .withColumn("cnt", count(lit(1)).over(wAll))
-    val fences = ranked
+    ranked
       .filter(col("rn") === rankOf(25) || col("rn") === rankOf(75))
       .groupBy(col("event_type"))
       .agg(min(when(col("rn") === rankOf(25), col("value"))).as("p25"),
         min(when(col("rn") === rankOf(75), col("value"))).as("p75"))
       .withColumn("lo", col("p25") - (col("p75") - col("p25")) * lit(1.5))
       .withColumn("hi", col("p75") + (col("p75") - col("p25")) * lit(1.5))
-    events(s, dir).join(broadcast(fences), Seq("event_type"))
+  }
+
+  def anomalies(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).join(broadcast(iqrFences(s, dir)), Seq("event_type"))
       .groupBy(col("event_type"), col("p25"), col("p75"),
         col("lo"), col("hi"))
       .agg(count(lit(1)).as("n_events"),

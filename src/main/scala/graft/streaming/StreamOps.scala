@@ -269,6 +269,63 @@ object StreamOps {
       name: String = "stream_quality_out"): DataFrame =
     runStream(spark, qualityFilterStream(spark, dir), "complete", name)
 
+  /** Stream-static join: arriving events join the BATCH-computed IQR
+    * fence table ([[graft.operators.EventOps.iqrFences]]) to tag outliers
+    * in flight — the standard "enrich a stream against a reference table"
+    * Structured Streaming pattern. The static side is a 5-row broadcast
+    * (re-read per microbatch by Spark's stream-static join contract, so a
+    * refreshed fence table is picked up without restarting the query);
+    * the join itself is stateless — the only stateful operator is the
+    * final event_type-wide aggregate. */
+  def anomalyTagStream(spark: SparkSession, dir: String): DataFrame = {
+    val fences = graft.operators.EventOps.iqrFences(spark, dir)
+    val schema = Tables.eventsRaw(spark, dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .join(broadcast(fences), Seq("event_type"))
+      .filter(col("value") < col("lo") || col("value") > col("hi"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_outliers"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+  }
+
+  def runAnomalyTagToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_anomaly_out"): DataFrame =
+    runStream(spark, anomalyTagStream(spark, dir), "complete", name)
+
+  /** Same fences + filter as the batch [[graft.operators.EventOps
+    * .anomaliesOracle]], aggregated over the outliers only. */
+  val anomalyTagOracle: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM events
+      |), q AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN rn = (25 * cnt + 99) // 100 THEN value END) AS p25,
+      |    MIN(CASE WHEN rn = (75 * cnt + 99) // 100 THEN value END) AS p75
+      |  FROM ranked
+      |  WHERE rn = (25 * cnt + 99) // 100 OR rn = (75 * cnt + 99) // 100
+      |  GROUP BY event_type
+      |), b AS (
+      |  SELECT event_type,
+      |    p25 - (p75 - p25) * CAST(1.5 AS DOUBLE) AS lo,
+      |    p75 + (p75 - p25) * CAST(1.5 AS DOUBLE) AS hi
+      |  FROM q
+      |)
+      |SELECT e.event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_outliers,
+      |  MIN(e.value) AS min_value, MAX(e.value) AS max_value
+      |FROM events e JOIN b ON e.event_type = b.event_type
+      |WHERE e.value < b.lo OR e.value > b.hi
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
   val qualityFilterOracle: String =
     """WITH d AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents

@@ -424,6 +424,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mean >= 0.8, s"mean rerank recall $mean < 0.8")
   }
 
+  test("stream-static anomaly tag equals the batch outlier screen") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamOps
+      .runAnomalyTagToMemory(spark, dir, "opspec_anomaly")
+      .orderBy(col("event_type")).collect().map(_.toString).toSeq
+    val batch = graft.sources.Tables.events(spark, dir)
+      .join(broadcast(graft.operators.EventOps.iqrFences(spark, dir)),
+        Seq("event_type"))
+      .filter(col("value") < col("lo") || col("value") > col("hi"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_outliers"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("event_type")).collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming quality filter equals the batch computation") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.StreamOps
