@@ -16,6 +16,11 @@ object Federation {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(FederationStrategy))
       exp.extraStrategies = exp.extraStrategies :+ FederationStrategy
+    // PartialAggRule must PRECEDE FederationRule within each batch
+    // iteration: once the union's children are wrapped as FederatedPlan,
+    // per-provider eligibility is no longer observable
+    if (!exp.extraOptimizations.contains(PartialAggRule))
+      exp.extraOptimizations = PartialAggRule +: exp.extraOptimizations
     if (!exp.extraOptimizations.contains(FederationRule))
       exp.extraOptimizations = exp.extraOptimizations :+ FederationRule
     // after FederationRule in the same batch: attaches join-derived
@@ -68,6 +73,7 @@ object Federation {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => PartialAggRule)
     e.injectOptimizerRule(_ => FederationRule)
     e.injectOptimizerRule(_ => RuntimeFilterRule)
     e.injectPlannerStrategy(_ => FederationStrategy)

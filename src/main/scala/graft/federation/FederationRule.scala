@@ -144,7 +144,7 @@ object FederationRule extends Rule[LogicalPlan] {
 
   /** Pure (non-rewriting) ScanResult of a plan — used for subquery plans,
     * which are unparsed in place when the fragment federates. */
-  private def scanResultOf(plan: LogicalPlan): ScanResult = plan match {
+  private[federation] def scanResultOf(plan: LogicalPlan): ScanResult = plan match {
     case _: FederatedPlan => ScanResult.Ambiguous
     case r: RemoteRelation =>
       ScanResult.Distinct(SqlFederationProvider.forExecutor(r.executor))

@@ -711,4 +711,42 @@ object Federated {
       |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY k
       |LIMIT 40""".stripMargin
+
+  /** Two-phase aggregation across providers ([[
+    * graft.federation.PartialAggRule]] — a scale feature beyond the
+    * reference): the GROUP BY over a UNION ALL spanning provider alpha and
+    * provider beta is split into per-provider partial aggregates, each
+    * federated into its remote engine, plus a local final combine. Each
+    * provider ships one row per group instead of every filtered order. */
+  def partialAggUnion(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT st, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total,
+        |  MIN(price) AS lo, MAX(price) AS hi
+        |FROM (
+        |  SELECT o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM fed_orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM fedb_orders WHERE o_orderpriority = '2-HIGH'
+        |) t GROUP BY st
+        |ORDER BY st""".stripMargin)
+
+  val partialAggOracle: String =
+    """SELECT st, COUNT(*) AS n,
+      |  CAST(SUM(price) AS DOUBLE) AS total,
+      |  CAST(MIN(price) AS DECIMAL(18,2)) AS lo,
+      |  CAST(MAX(price) AS DECIMAL(18,2)) AS hi
+      |FROM (
+      |  SELECT o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2))
+      |  FROM orders WHERE o_orderpriority = '2-HIGH'
+      |) t GROUP BY st
+      |ORDER BY st""".stripMargin
 }

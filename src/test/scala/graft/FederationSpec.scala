@@ -688,6 +688,91 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("partial agg pushdown: multi-provider union aggregates remotely per provider") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val beta = FederationHarness.executor(spark, dir, "beta")
+    val beforeA = alpha.executedSql.size
+    val beforeB = beta.executedSql.size
+    val df = Federated.partialAggUnion(spark, dir)
+    // one fragment per provider, each carrying a partial GROUP BY
+    assert(fedFragments(df).size == 2,
+      s"expected 2 per-provider fragments:\n${df.queryExecution.optimizedPlan}")
+    val expected = rows(spark.sql(
+      """SELECT st, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total,
+        |  MIN(price) AS lo, MAX(price) AS hi
+        |FROM (
+        |  SELECT o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderpriority = '2-HIGH'
+        |) t GROUP BY st ORDER BY st""".stripMargin))
+    assert(rows(df) == expected,
+      "partial-agg result differs from local execution")
+    // each provider executed its OWN partial aggregate remotely: the
+    // __gp_ partial aliases and the GROUP BY are inside the remote SQL
+    for ((ex, before, nm) <- Seq((alpha, beforeA, "alpha"),
+        (beta, beforeB, "beta"))) {
+      val executed = ex.executedSql.drop(before)
+      assert(executed.exists(s => s.contains("__gp_") &&
+          s.contains("GROUP BY") && s.contains("COUNT")),
+        s"$nm remote SQL carries no partial aggregate:\n" +
+          executed.mkString("\n"))
+    }
+  }
+
+  test("partial agg does NOT split a single-provider union (whole-SQL wins)") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    val df = Federated.unionPushdown(spark, dir)
+    assert(fedFragments(df).size == 1,
+      s"single-provider union+agg must stay one fragment:\n" +
+        df.queryExecution.optimizedPlan)
+    df.collect()
+    val executed = alpha.executedSql.drop(before)
+    assert(!executed.exists(_.contains("__gp_")),
+      s"single-provider union was needlessly partialized:\n" +
+        executed.mkString("\n"))
+  }
+
+  test("partial agg pushdown: remote+local mixed union partializes the remote side") {
+    setup()
+    graft.sources.Tables.orders(spark, dir)
+      .createOrReplaceTempView("pal_local_orders")
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    val df = spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n
+        |FROM (
+        |  SELECT o_orderstatus FROM fed_orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderstatus FROM pal_local_orders
+        |  WHERE o_orderpriority = '2-HIGH'
+        |) t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    val expected = rows(spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n
+        |FROM (
+        |  SELECT o_orderstatus FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderstatus FROM orders
+        |  WHERE o_orderpriority = '2-HIGH'
+        |) t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+    assert(rows(df) == expected,
+      "mixed-union partial-agg result differs from local execution")
+    val executed = alpha.executedSql.drop(before)
+    assert(executed.exists(s => s.contains("__gp_") &&
+        s.contains("GROUP BY")),
+      s"remote branch of the mixed union was not partialized:\n" +
+        executed.mkString("\n"))
+  }
+
   test("runtime filter: dim keys are inlined into the executed remote SQL") {
     setup()
     val alpha = FederationHarness.executor(spark, dir, "alpha")
