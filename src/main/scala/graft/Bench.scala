@@ -82,13 +82,16 @@ object Bench {
     val mins = results.map { case (k, _, mn) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val total = ms3(results.filter(_._2 >= 0).map(_._2).sum)
-    // per-query minima on stdout BEFORE the official line: the driver's
-    // tail capture keeps the END of the stream, so if anything is cut it
-    // is this diagnostic line, never the record below
-    println(s"""{"bench_min":$mins}""")
-    // emit the record BEFORE any shutdown work: nothing after this line but
-    // spark.stop(), so the driver's bounded tail capture always sees it whole
+    // per-query minima are diagnostics → stderr, so they can never crowd
+    // the official record out of the driver's bounded stdout tail capture
+    // (round 6's artifact lost its head exactly this way)
+    System.err.println(s"""{"bench_min":$mins}""")
+    // full per-query record first, then a compact summary (no queries map)
+    // as the VERY LAST stdout line: the tail capture keeps the end of the
+    // stream, so the parse-critical total/iters/errors/sf fields always
+    // survive whole even if the per-query line above gets truncated
     println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"errors":$errors,"sf":"$sfDir"}""")
     System.out.flush()
     graft.operators.Dedup.releaseAllSignatures()
     graft.operators.Similarity.releaseAllCounts()

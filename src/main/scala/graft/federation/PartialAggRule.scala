@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types._
 
 /** Two-phase aggregation across federation boundaries — a scale feature
   * the reference does NOT have (its `FederationOptimizerRule` federates
@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.DecimalType
   *   Agg[G, f(x)](Union(c1 .. cn))
   *     ==>  AggFinal[G, f'(p)](Union(AggPartial[G, f(x)](c1) .. ))
   * }}}
-  * with COUNT → SUM of partial counts, SUM → SUM, MIN → MIN, MAX → MAX.
+  * with COUNT → SUM of partial counts, SUM → SUM, MIN → MIN, MAX → MAX,
+  * and AVG → SUM+COUNT partials recombined as `sum(ps) / sum(pc)`.
   * [[FederationRule]] (which runs right after this rule in the same batch)
   * then federates each per-provider partial into its remote engine, so
   * each provider ships one row per group instead of its whole table — at
@@ -32,13 +33,25 @@ import org.apache.spark.sql.types.DecimalType
   * every union branch to feed combinable partials, and for a local branch
   * the rewrite coincides with the map-side combine Spark would do anyway.
   *
-  * Conservative v1 surface: group keys must be plain columns; aggregate
-  * calls limited to non-DISTINCT, unfiltered COUNT/SUM/MIN/MAX (AVG
-  * decomposes to SUM+COUNT and can join this list later; DISTINCT
-  * aggregates are not combinable from partials). Aggregate calls may sit
-  * inside arbitrary scalar expressions (`CAST(SUM(x) AS DOUBLE)`,
-  * `SUM(a) / COUNT(*)`) as long as every non-aggregate column reference
-  * in the output is a group key. Anything else leaves the plan untouched.
+  * v2 surface: group keys may be plain columns OR arbitrary deterministic
+  * scalar expressions over the union output (`GROUP BY upper(st)`). In
+  * SQL-originated plans Catalyst's `PullOutGroupingExpressions` has
+  * already extracted complex keys into a `_groupingexpression` column
+  * pushed into the union children (so the plain-column path fires and the
+  * key expression ships remotely inside the fragment); the direct
+  * expression-key path (`__gk_` aliases) covers hand-built plans;
+  * aggregate calls limited to non-DISTINCT, unfiltered
+  * COUNT/SUM/MIN/MAX/AVG. AVG is restricted to non-decimal numeric input:
+  * its partials are exact (integral SUM is a long; fractional SUM uses the
+  * same double accumulator plain AVG uses), but a decimal AVG's
+  * precision/rounding path (`DecimalType.bounded(p+4, s+4)` with
+  * analyzer-inserted precision widening) is not reproducible with a
+  * hand-built post-analysis Divide, so decimal AVG falls back to shipping
+  * rows. DISTINCT aggregates are not combinable from partials. Aggregate
+  * calls may sit inside arbitrary scalar expressions
+  * (`CAST(SUM(x) AS DOUBLE)`, `SUM(a) / COUNT(*)`) as long as every
+  * non-aggregate output subtree resolves to a group expression. Anything
+  * else leaves the plan untouched.
   *
   * Idempotence: partial aliases carry the `__gp_` prefix; a union whose
   * children already aggregate such columns is not rewritten again, so the
@@ -47,12 +60,13 @@ import org.apache.spark.sql.types.DecimalType
 object PartialAggRule extends Rule[LogicalPlan] {
 
   private val Marker = "__gp_"
+  private val GroupMarker = "__gk_"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
-      case agg @ Aggregate(groupExprs, aggExprs, u: Union, _)
+      case agg @ Aggregate(groupExprs, aggExprs, u: Union, hint)
           if eligible(groupExprs, aggExprs, u) =>
-        rewrite(agg, groupExprs, aggExprs, u)
+        rewrite(agg, groupExprs, aggExprs, u, hint)
     }
 
   // ------------------------------------------------------------ guards
@@ -60,33 +74,35 @@ object PartialAggRule extends Rule[LogicalPlan] {
   private def eligible(groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], u: Union): Boolean = {
     if (u.byName || u.allowMissingCol || u.children.size < 2) return false
+    // positional remap through the union collapses duplicate exprIds: a
+    // first child projecting the same attribute twice would substitute the
+    // wrong column into non-first children's partials
+    if (u.output.map(_.exprId).distinct.size != u.output.size) return false
     // already rewritten (fixpoint convergence)
     if (u.children.exists {
       case a: Aggregate => a.aggregateExpressions.exists(
         _.name.startsWith(Marker))
       case _ => false
     }) return false
-    // shape: group keys are plain columns of the union output
-    if (!groupExprs.forall {
-      case a: AttributeReference => u.output.exists(_.exprId == a.exprId)
-      case _ => false
+    // shape: group keys are deterministic scalar expressions over the
+    // union output (plain columns are the common special case). A
+    // reference-free key (GROUP BY constant) is degenerate and excluded —
+    // it could also collide with literals inside rebuilt combiners.
+    if (!groupExprs.forall { g =>
+      g.deterministic && g.references.nonEmpty &&
+        !g.exists(_.isInstanceOf[AggregateExpression]) &&
+        g.references.forall(a => u.output.exists(_.exprId == a.exprId))
     }) return false
-    // shape: outputs are group keys, or scalar expressions over
-    // combinable aggregate calls and group keys only
-    val isGroupKey: ExprId => Boolean = id =>
-      groupExprs.exists { case g: AttributeReference => g.exprId == id }
-    if (!aggExprs.forall {
-      case a: AttributeReference => isGroupKey(a.exprId)
-      case Alias(a: AttributeReference, _) => isGroupKey(a.exprId)
-      case Alias(e, _) =>
-        val aggs = e.collect { case ae: AggregateExpression => ae }
-        // attrs outside aggregate calls must be group keys
-        val outside = e.transform {
-          case _: AggregateExpression => Literal(null)
-        }.references
-        aggs.nonEmpty && aggs.forall(combinable) &&
-          outside.forall(a => isGroupKey(a.exprId))
-      case _ => false
+    // shape: after substituting group-expression matches and nulling out
+    // aggregate calls, an output may reference nothing else
+    if (!aggExprs.forall { ne =>
+      val body = ne match { case Alias(e, _) => e; case other => other }
+      val aggs = body.collect { case ae: AggregateExpression => ae }
+      val residual = body.transformDown {
+        case _: AggregateExpression => Literal(null)
+        case sub if groupExprs.exists(_.semanticEquals(sub)) => Literal(null)
+      }.references
+      aggs.forall(combinable) && residual.isEmpty
     }) return false
     // profitability: the union can't federate wholesale, but at least one
     // child fragment can
@@ -104,80 +120,141 @@ object PartialAggRule extends Rule[LogicalPlan] {
       case _: Count | _: Min | _: Max => true
       case s: Sum => s.evalContext.evalMode != EvalMode.TRY // TRY-mode
       // partials can mask per-branch overflow differently than unsplit
+      case a: Average => a.evalMode != EvalMode.TRY &&
+        (a.child.dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+               FloatType | DoubleType => true
+          case _ => false // decimal/interval AVG: precision path not ours
+        })
       case _ => false
     })
+
+  /** Partial aggregate functions one call decomposes into (1 for
+    * COUNT/SUM/MIN/MAX; SUM + COUNT for AVG). */
+  private def partialFuncs(f: AggregateFunction): Seq[AggregateFunction] =
+    f match {
+      case a: Average => Seq(Sum(a.child), Count(Seq(a.child)))
+      case other => Seq(other)
+    }
 
   // ----------------------------------------------------------- rewrite
 
   private def rewrite(agg: Aggregate, groupExprs: Seq[Expression],
-      aggExprs: Seq[NamedExpression], u: Union): LogicalPlan = {
-    val groupAttrs = groupExprs.map(_.asInstanceOf[AttributeReference])
+      aggExprs: Seq[NamedExpression], u: Union,
+      hint: Option[AggregateHint]): LogicalPlan = {
     // every aggregate CALL across the output, in traversal order (collect
-    // and transform share pre-order, so positional pairing is stable)
-    val aggCalls: Seq[AggregateExpression] = aggExprs.flatMap {
-      case _: AttributeReference => Nil
-      case Alias(_: AttributeReference, _) => Nil
-      case Alias(e, _) => e.collect { case ae: AggregateExpression => ae }
+    // and transform share sibling order for non-nested matches, so
+    // positional pairing is stable)
+    val aggCalls: Seq[AggregateExpression] = aggExprs.flatMap { ne =>
+      val body = ne match { case Alias(e, _) => e; case other => other }
+      body.collect { case ae: AggregateExpression => ae }
     }
+    val callPartials: Seq[Seq[AggregateFunction]] =
+      aggCalls.map(c => partialFuncs(c.aggregateFunction))
+    // flat offset of call i's first partial column (past the group cols)
+    val offsets: Seq[Int] = callPartials.scanLeft(0)(_ + _.size)
 
     // per-child partial: group by the child's own columns (positional
     // remap through the union), emit group cols + one __gp_ alias per
-    // aggregate call. Child 0's attrs ARE the union's output exprIds, so
-    // the rewritten union keeps the original ids at the group positions.
+    // partial function. Child 0's attrs ARE the union's output exprIds, so
+    // for plain-column keys the rewritten union keeps the original ids at
+    // the group positions; expression keys get a fresh __gk_ alias.
     val partials = u.children.map { child =>
       val remap: Map[ExprId, Attribute] =
         u.output.map(_.exprId).zip(child.output).toMap
       def rm(e: Expression): Expression = e.transform {
         case a: AttributeReference => remap.getOrElse(a.exprId, a)
       }
-      val pGroups = groupAttrs.map(rm(_).asInstanceOf[Attribute])
-      val pAggs = aggCalls.zipWithIndex.map { case (f, i) =>
-        val pf = f.aggregateFunction
-          .withNewChildren(f.aggregateFunction.children.map(rm))
-          .asInstanceOf[AggregateFunction]
-        Alias(f.copy(aggregateFunction = pf), s"$Marker$i")()
+      val pGroupExprs = groupExprs.map(rm)
+      val pGroupCols: Seq[NamedExpression] = pGroupExprs.zipWithIndex.map {
+        case (a: Attribute, _) => a
+        case (e, j) => Alias(e, s"$GroupMarker$j")()
       }
-      Aggregate(pGroups, (pGroups: Seq[NamedExpression]) ++ pAggs, child)
+      val pAggs = aggCalls.zip(callPartials).zipWithIndex.flatMap {
+        case ((f, pfs), i) => pfs.zipWithIndex.map { case (pf, k) =>
+          val rpf = pf.withNewChildren(pf.children.map(rm))
+            .asInstanceOf[AggregateFunction]
+          Alias(f.copy(aggregateFunction = rpf,
+            resultId = NamedExpression.newExprId),
+            s"$Marker${offsets(i) + k}")()
+        }
+      }
+      Aggregate(pGroupExprs, pGroupCols ++ pAggs, child)
     }
     val u2 = Union(partials, byName = false, allowMissingCol = false)
 
     // final combine: same output names/exprIds as the original Aggregate.
-    // Each aggregate call is replaced (in the same traversal order the
-    // partials were numbered in) by its combiner over the partial column,
-    // cast back to the call's original type where combining re-widens
-    // (summing already-widened decimal sums gives p+10 → p+20).
-    val nGroups = groupAttrs.size
-    var aggIdx = -1
-    val finalAggs: Seq[NamedExpression] = aggExprs.map {
-      case a: AttributeReference => a // group key (exprId preserved by u2)
-      case al @ Alias(a: AttributeReference, _) => al
-      case al @ Alias(e, name) =>
-        // transformUp: a top-down transform would descend into the
-        // replacement and re-match the combined AggregateExpression.
-        // Sibling order equals collect's pre-order (aggregates can't
-        // nest), so positional pairing with the partials holds.
-        val combinedBody = e.transformUp {
-          case ae: AggregateExpression =>
-            aggIdx += 1
-            val p = u2.output(nGroups + aggIdx)
-            val combined: Expression = ae.aggregateFunction match {
-              // partial counts are non-null and every final group holds
-              // >=1 partial row, so the SUM can never be null — keep the
-              // original COUNT column's non-nullable schema
-              case _: Count =>
-                KnownNotNull(ae.copy(aggregateFunction = Sum(p)))
-              case s: Sum => ae.copy(aggregateFunction = s.copy(child = p))
-              case m: Min => ae.copy(aggregateFunction = m.copy(child = p))
-              case m: Max => ae.copy(aggregateFunction = m.copy(child = p))
-              case other => throw new IllegalStateException(
-                s"non-combinable ${other.prettyName} past the guard")
-            }
-            if (combined.dataType == ae.dataType) combined
-            else Cast(combined, ae.dataType)
-        }
-        Alias(combinedBody, name)(exprId = al.exprId,
-          qualifier = al.qualifier, explicitMetadata = Some(al.metadata))
+    // Group-expression subtrees are first replaced by the partial group
+    // column; then each aggregate call is replaced (in the same traversal
+    // order the partials were numbered in) by its combiner over the
+    // partial column(s), cast back to the call's original type where
+    // combining re-widens (summing already-widened decimal sums gives
+    // p+10 → p+20).
+    val nGroups = groupExprs.size
+    val finalGroupRefs: Seq[Attribute] = u2.output.take(nGroups)
+    def substGroups(e: Expression): Expression = e.transformDown {
+      case sub if !sub.isInstanceOf[AggregateExpression] &&
+          groupExprs.exists(_.semanticEquals(sub)) =>
+        finalGroupRefs(groupExprs.indexWhere(_.semanticEquals(sub)))
     }
-    Aggregate(groupAttrs, finalAggs, u2)
+    def combiner(ae: AggregateExpression, ps: Seq[Attribute]): Expression = {
+      val combined: Expression = ae.aggregateFunction match {
+        // partial counts are non-null and every final group holds
+        // >=1 partial row, so the SUM can never be null — keep the
+        // original COUNT column's non-nullable schema
+        case _: Count =>
+          KnownNotNull(ae.copy(aggregateFunction = Sum(ps.head),
+            resultId = NamedExpression.newExprId))
+        case s: Sum => ae.copy(aggregateFunction = s.copy(child = ps.head),
+          resultId = NamedExpression.newExprId)
+        case m: Min => ae.copy(aggregateFunction = m.copy(child = ps.head),
+          resultId = NamedExpression.newExprId)
+        case m: Max => ae.copy(aggregateFunction = m.copy(child = ps.head),
+          resultId = NamedExpression.newExprId)
+        // AVG = total sum / total count. Non-decimal numeric only (see
+        // combinable): result type is DoubleType, the division is a plain
+        // IEEE double divide, and sum-of-partial-sums matches plain AVG's
+        // accumulator (long is exact; double uses the same accumulator
+        // type). Total count is 0 only when the sum is NULL, and
+        // NULL / 0 is NULL in non-ANSI Spark — AVG-of-nothing semantics.
+        case _: Average =>
+          val sumC = ae.copy(aggregateFunction = Sum(ps.head),
+            resultId = NamedExpression.newExprId)
+          val cntC = ae.copy(aggregateFunction = Sum(ps(1)),
+            resultId = NamedExpression.newExprId)
+          Divide(Cast(sumC, DoubleType), Cast(KnownNotNull(cntC), DoubleType))
+        case other => throw new IllegalStateException(
+          s"non-combinable ${other.prettyName} past the guard")
+      }
+      if (combined.dataType == ae.dataType) combined
+      else Cast(combined, ae.dataType)
+    }
+    var aggIdx = -1
+    val finalAggs: Seq[NamedExpression] = aggExprs.map { ne =>
+      val (body, rebuild): (Expression, Expression => NamedExpression) =
+        ne match {
+          case al @ Alias(e, name) => (e, out => Alias(out, name)(
+            exprId = al.exprId, qualifier = al.qualifier,
+            explicitMetadata = Some(al.metadata)))
+          case a: Attribute => (a, {
+            case same: Attribute if same.exprId == a.exprId => a
+            case out => Alias(out, a.name)(exprId = a.exprId,
+              qualifier = a.qualifier)
+          })
+        }
+      // transformUp for the combine: a top-down transform would descend
+      // into the replacement and re-match the combiner's own aggregate
+      // calls (AVG's combiner holds two). Sibling order equals collect's
+      // order (aggregates can't nest), so positional pairing holds.
+      val combinedBody = substGroups(body).transformUp {
+        case ae: AggregateExpression =>
+          aggIdx += 1
+          val ps = u2.output.slice(nGroups + offsets(aggIdx),
+            nGroups + offsets(aggIdx + 1))
+          combiner(ae, ps)
+      }
+      rebuild(combinedBody)
+    }
+    Aggregate(finalGroupRefs, finalAggs, u2, hint)
   }
 }

@@ -734,6 +734,36 @@ object Federated {
         |) t GROUP BY st
         |ORDER BY st""".stripMargin)
 
+  /** PartialAggRule v2 surface in one gate: AVG (decomposed into SUM+COUNT
+    * partials, recombined as `sum/count` locally) and an EXPRESSION group
+    * key (`GROUP BY upper(...)`, partialized per child as a `__gk_` alias).
+    * The AVG input is integral so partial sums are exact longs and the
+    * single final double division is bit-identical to the oracle's. */
+  def partialAvgUnion(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT UPPER(st) AS ust, COUNT(*) AS n, AVG(ck) AS avg_ck,
+        |  SUM(ck) / COUNT(ck) AS ratio
+        |FROM (
+        |  SELECT o_orderstatus AS st, o_custkey AS ck
+        |  FROM fed_orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_custkey
+        |  FROM fedb_orders WHERE o_orderpriority = '2-HIGH'
+        |) t GROUP BY UPPER(st)
+        |ORDER BY ust""".stripMargin)
+
+  val partialAvgOracle: String =
+    """SELECT UPPER(st) AS ust, COUNT(*) AS n, AVG(ck) AS avg_ck,
+      |  CAST(SUM(ck) AS DOUBLE) / COUNT(ck) AS ratio
+      |FROM (
+      |  SELECT o_orderstatus AS st, o_custkey AS ck
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_custkey
+      |  FROM orders WHERE o_orderpriority = '2-HIGH'
+      |) t GROUP BY UPPER(st)
+      |ORDER BY ust""".stripMargin
+
   val partialAggOracle: String =
     """SELECT st, COUNT(*) AS n,
       |  CAST(SUM(price) AS DOUBLE) AS total,

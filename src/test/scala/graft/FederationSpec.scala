@@ -719,7 +719,7 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
         (beta, beforeB, "beta"))) {
       val executed = ex.executedSql.drop(before)
       assert(executed.exists(s => s.contains("__gp_") &&
-          s.contains("GROUP BY") && s.contains("COUNT")),
+          s.contains("GROUP BY") && s.toUpperCase.contains("COUNT(")),
         s"$nm remote SQL carries no partial aggregate:\n" +
           executed.mkString("\n"))
     }
@@ -771,6 +771,76 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
         s.contains("GROUP BY")),
       s"remote branch of the mixed union was not partialized:\n" +
         executed.mkString("\n"))
+  }
+
+  test("partial agg v2: AVG decomposes to SUM+COUNT partials; expression group key ships remotely") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val beta = FederationHarness.executor(spark, dir, "beta")
+    val beforeA = alpha.executedSql.size
+    val beforeB = beta.executedSql.size
+    val df = Federated.partialAvgUnion(spark, dir)
+    assert(fedFragments(df).size == 2,
+      s"expected 2 per-provider fragments:\n${df.queryExecution.optimizedPlan}")
+    val expected = rows(spark.sql(
+      """SELECT UPPER(st) AS ust, COUNT(*) AS n, AVG(ck) AS avg_ck,
+        |  SUM(ck) / COUNT(ck) AS ratio
+        |FROM (
+        |  SELECT o_orderstatus AS st, o_custkey AS ck
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_custkey
+        |  FROM orders WHERE o_orderpriority = '2-HIGH'
+        |) t GROUP BY UPPER(st) ORDER BY ust""".stripMargin))
+    assert(rows(df) == expected,
+      "partial-avg result differs from local execution")
+    // each provider's remote SQL computes the expression key remotely
+    // (Catalyst's PullOutGroupingExpressions pre-extracts UPPER(st) into a
+    // projected column pushed into the union children, so the fragment
+    // carries the UPPER inside a derived table), GROUPs BY it, and ships
+    // the AVG as sum+count partials
+    for ((ex, before, nm) <- Seq((alpha, beforeA, "alpha"),
+        (beta, beforeB, "beta"))) {
+      val executed = ex.executedSql.drop(before)
+      assert(executed.exists { s =>
+        val u = s.toUpperCase
+        s.contains("__gp_") && u.contains("GROUP BY") &&
+          u.contains("UPPER(") && u.contains("SUM(") && u.contains("COUNT(")
+      }, s"$nm remote SQL carries no expression-key partial aggregate:\n" +
+        executed.mkString("\n"))
+    }
+    // no AVG crosses the wire: only its sum/count decomposition does
+    val all = (alpha.executedSql.drop(beforeA) ++ beta.executedSql.drop(beforeB))
+    assert(!all.exists(_.toUpperCase.contains("AVG(")),
+      s"AVG leaked into remote SQL instead of decomposing:\n${all.mkString("\n")}")
+  }
+
+  test("partial agg leaves decimal AVG un-partialized (precision path)") {
+    setup()
+    val df = FederationHarness.sql(spark, dir,
+      """SELECT st, AVG(price) AS ap
+        |FROM (
+        |  SELECT o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM fed_orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM fedb_orders WHERE o_orderpriority = '2-HIGH'
+        |) t GROUP BY st ORDER BY st""".stripMargin)
+    // no __gp_ partials in the plan: the rule must decline, and results
+    // still match local execution through the row-shipping fallback
+    assert(!df.queryExecution.optimizedPlan.toString.contains("__gp_"),
+      s"decimal AVG was partialized:\n${df.queryExecution.optimizedPlan}")
+    assert(rows(df) == rows(spark.sql(
+      """SELECT st, AVG(price) AS ap
+        |FROM (
+        |  SELECT o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderpriority = '2-HIGH'
+        |) t GROUP BY st ORDER BY st""".stripMargin)))
   }
 
   test("runtime filter: dim keys are inlined into the executed remote SQL") {

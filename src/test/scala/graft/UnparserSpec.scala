@@ -84,6 +84,22 @@ class UnparserSpec extends AnyFunSuite {
         "max(t1.a) FILTER (WHERE (t1.b = 'x')) AS m FROM t AS t1 GROUP BY t1.b")
   }
 
+  test("partial-agg fragment: __gp_ aliases + GROUP BY render as one SELECT") {
+    // the exact per-child shape PartialAggRule builds: group cols first,
+    // then one __gp_<i> alias per combinable aggregate call
+    val cnt = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
+      isDistinct = false), "__gp_0")()
+    val sm = Alias(AggregateExpression(Sum(a), Complete,
+      isDistinct = false), "__gp_1")()
+    val mn = Alias(AggregateExpression(Min(a), Complete,
+      isDistinct = false), "__gp_2")()
+    val plan = Aggregate(Seq(b), Seq(b, cnt, sm, mn),
+      Filter(GreaterThan(a, Literal(1)), t))
+    assert(sql(plan) ==
+      "SELECT t1.b AS b, count(*) AS __gp_0, sum(t1.a) AS __gp_1, " +
+        "min(t1.a) AS __gp_2 FROM t AS t1 WHERE (t1.a > 1) GROUP BY t1.b")
+  }
+
   test("inner join with condition, qualified scopes") {
     val u = rel("u", "a" -> IntegerType, "c" -> StringType)
     val ua = u.output.head
