@@ -95,6 +95,7 @@ object Bench {
     System.out.flush()
     graft.operators.Dedup.releaseAllSignatures()
     graft.operators.Similarity.releaseAllCounts()
+    graft.operators.Similarity.releaseAllIvf()
     spark.stop()
   }
 }

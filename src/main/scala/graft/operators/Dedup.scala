@@ -305,10 +305,18 @@ object Dedup {
       .persist()
     var labels = nodes
       .select(col("doc_id"), col("doc_id").as("component")).persist()
+    var cached = labels // the persisted DataFrame backing `labels`
     var changed = 1L
     var rounds = 0
     // Bounded fixpoint loop: labels only decrease, so `changed` (count of
     // strict drops) reaching 0 is exact convergence, not a heuristic.
+    // Each round is neighbor-min THEN pointer jumping (replace a node's
+    // label by its label-node's label — valid because "component" is
+    // always a reachable node's id, so transitivity keeps it reachable).
+    // Jumping halves label-tree depth per round, so convergence takes
+    // O(log diameter) rounds instead of O(diameter): a 10^6-hop chain —
+    // adversarial but possible in near-dup graphs of boilerplate docs —
+    // finishes in ~20 rounds, where pure propagation would need 10^6.
     while (changed > 0 && rounds < 64) {
       val viaNeighbor = edges
         .join(labels, edges("dst") === labels("doc_id"))
@@ -317,14 +325,36 @@ object Dedup {
         .union(viaNeighbor)
         .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
         .persist()
-      changed = next
+      val reps = next
+        .select(col("doc_id").as("c_id"), col("component").as("c_comp"))
+      val jumped = next
+        .join(reps, next("component") === reps("c_id"), "left")
+        .select(next("doc_id"),
+          coalesce(col("c_comp"), next("component")).as("component"))
+        .persist()
+      changed = jumped
         .join(labels.withColumnRenamed("component", "prev"), "doc_id")
-        .filter(col("component") < col("prev")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+        .filter(col("component") < col("prev")).count() // materializes jumped
+      // Lineage truncation — load-bearing: the jump self-join DOUBLES the
+      // logical plan per round, so without cutting it planning and plan
+      // stringification go exponential (2^rounds nodes) even though
+      // execution reads the persisted data. Rebuilding the frame from the
+      // materialized RDD keeps the plan O(1) per round; a cluster job
+      // would checkpoint to reliable storage instead.
+      val truncated = jumped.sparkSession
+        .createDataFrame(jumped.rdd, jumped.schema)
+      next.unpersist(blocking = false)
+      cached.unpersist(blocking = false)
+      cached = jumped
+      labels = truncated
       rounds += 1
     }
     edges.unpersist(blocking = false)
+    // with jumping, 64 rounds covers any graph that fits in storage
+    // (depth 2^64); reaching the cap non-converged means a logic bug —
+    // fail loudly rather than return stale labels as if they were exact
+    if (changed > 0) throw new IllegalStateException(
+      s"componentsOf did not converge in $rounds rounds ($changed labels still dropping)")
     // the final label table stays cached (two longs per doc): the caller's
     // actions read it directly instead of replaying every round's lineage
     labels.select(col("doc_id"), col("component"),

@@ -458,11 +458,26 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin))
     assert(got == expected)
-    // subset-key dropDuplicates has no deterministic SQL form: stays local
+    // subset-key dropDuplicates with surviving non-key columns has no
+    // deterministic SQL form (arbitrary-row-per-key): the DEDUP must stay
+    // local. NOTE the action matters: under count() Catalyst prunes the
+    // non-key columns and the dedup legitimately federates as a full-key
+    // GROUP BY — collect() keeps the non-key columns and forces the
+    // nondeterministic shape this guards against.
+    val beforeSub = alpha.executedSql.size
     val sub = graft.federation.Federation.remoteDataFrame(spark, "orders",
       alpha).select("o_orderstatus", "o_orderpriority", "o_orderkey")
       .dropDuplicates("o_orderstatus")
-    assert(sub.count() > 0)
+    assert(sub.collect().length > 0)
+    val subExecuted = alpha.executedSql.drop(beforeSub)
+    assert(subExecuted.nonEmpty, "the underlying scan should still federate")
+    assert(!subExecuted.exists(s => s.contains("SELECT DISTINCT") ||
+        s.toUpperCase.contains("GROUP BY") ||
+        s.toUpperCase.contains("FIRST(")),
+      s"subset-key dedup leaked into remote SQL:\n${subExecuted.mkString("\n")}")
+    // and the dedup sits locally ABOVE the federated fragment
+    assert(fedFragments(sub).nonEmpty,
+      s"scan below the local dedup did not federate:\n${sub.queryExecution.optimizedPlan}")
   }
 
   test("per-table hooks: two tables of one provider, each applied once") {

@@ -136,6 +136,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     operators.Dedup.releaseSignatures(spark, dir)
   }
 
+  test("ivf index cache persists once, releases storage on demand, rebuilds") {
+    operators.Similarity.releaseIvfIndex(spark, dir)
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val first = operators.Similarity.ivfTopK(spark, dir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size > base,
+      "ivf index (centroids + inverted file) should be persisted")
+    val cached = spark.sparkContext.getPersistentRDDs.size
+    // a second probe reuses the index: no new persisted tables
+    val again = operators.Similarity.ivfTopK(spark, dir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == cached,
+      "second probe must reuse the cached index, not rebuild it")
+    assert(again.toSeq == first.toSeq)
+    operators.Similarity.releaseIvfIndex(spark, dir)
+    assert(spark.sparkContext.getPersistentRDDs.size < cached,
+      "release must unpersist the index")
+    // transparent rebuild after release
+    assert(operators.Similarity.ivfTopK(spark, dir).count() > 0)
+    operators.Similarity.releaseIvfIndex(spark, dir)
+  }
+
   test("lsh corpus count runs one job per (session, dir)") {
     operators.Similarity.releaseCount(spark, dir)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -300,6 +320,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
     assert(got == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
       (4L, 1L, false), (5L, 5L, true)))
+  }
+
+  test("components converge on an 80-hop chain (past the old 64-round cap)") {
+    import spark.implicits._
+    // a path graph longer than the round cap: pure min-label propagation
+    // moves the min one hop per round and would hit the cap with stale
+    // labels; pointer jumping must close it in O(log n) rounds — and the
+    // loop now throws rather than silently returning non-converged labels
+    val n = 81L
+    val nodes = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = operators.Dedup.componentsOf(nodes, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L),
+      s"chain did not collapse to component 1: ${got.filter(_._2 != 1L).take(5).mkString(", ")}")
+    assert(got.count(_._3) == 1)
   }
 
   test("components refine single-link minhash clusters, never coarser") {

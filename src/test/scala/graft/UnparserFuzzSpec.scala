@@ -253,6 +253,45 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Multi-provider union + aggregate shapes for `PartialAggRule`: 2-3
+    * union branches spanning providers alpha (fed_), beta (fedb_) and
+    * local parquet, under mixed COUNT/SUM/MIN/MAX/AVG over random plain /
+    * expression / absent group keys. AVG inputs are integral and float
+    * SUMs go through DECIMAL, so partial recombination is exact on both
+    * engines. */
+  private def genPartialAggQuery(r: Random): String = {
+    val branches = r.shuffle(Seq("fed_", "fedb_", "")).take(2 + r.nextInt(2))
+    val sels = branches.map { p =>
+      s"""  SELECT l_returnflag AS k1, l_linestatus AS k2,
+         |    l_linenumber AS v, l_quantity AS q
+         |  FROM ${p}lineitem WHERE ${pred(r, 1)}""".stripMargin
+    }
+    val groups = r.nextInt(5) match {
+      case 0 => Seq("k1")
+      case 1 => Seq("k1", "k2")
+      case 2 => Seq("UPPER(k1)")
+      case 3 => Seq("CONCAT(k1, k2)")
+      case 4 => Nil // global aggregate: one combined row
+    }
+    val aggChoices = Seq(
+      "COUNT(*)", "COUNT(v)", "SUM(v)",
+      "CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE)",
+      "MIN(v)", "MAX(v)", "MIN(k1)", "MAX(k2)",
+      "AVG(v)", // integral input → exact SUM+COUNT partials
+      "SUM(v) / COUNT(v)", // aggregate calls inside a scalar expression
+      "COUNT(*) + MIN(v)")
+    val aggs = (1 to (1 + r.nextInt(3)))
+      .map(i => s"${pick(r, aggChoices: _*)} AS a$i")
+    val selList =
+      (groups.zipWithIndex.map { case (g, i) => s"$g AS g$i" } ++ aggs)
+        .mkString(", ")
+    val tail =
+      if (groups.isEmpty) ""
+      else s"\nGROUP BY ${groups.mkString(", ")}" +
+        s"\nORDER BY ${groups.indices.map(i => s"g$i").mkString(", ")}"
+    s"SELECT $selList FROM (\n${sels.mkString("\n  UNION ALL\n")}\n) u$tail"
+  }
+
   // ---- differential run --------------------------------------------------
 
   // -0.0 and 0.0 are equal under IEEE and SQL comparison but engines may
@@ -342,6 +381,38 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     // anything that stays local is a refusal regression
     assert(federated >= (total * 9) / 10,
       s"only $federated/$total unnest queries federated")
+  }
+
+  test("120 random multi-provider union aggregates: partialized == local") {
+    FederationHarness.setup(spark, dir)
+    graft.sources.Tables.registerAll(spark, dir)
+    val total = nOverride.map(n => math.max(20, n / 2)).getOrElse(120)
+    var partialized = 0
+    val r = new Random(seedBase + 99L)
+    (1 to total).foreach { i =>
+      val fedSql = genPartialAggQuery(r)
+      val localSql = fedSql.replace("fedb_", "").replace("fed_", "")
+        .replace("TIMESTAMP_NTZ", "TIMESTAMP")
+      val fedDf = spark.sql(fedSql)
+      if (fedDf.queryExecution.optimizedPlan.toString.contains("__gp_"))
+        partialized += 1
+      val got = try rowsOf(fedDf) catch { case e: Throwable =>
+        throw new AssertionError(
+          s"partial-agg query #$i EXECUTION FAILED\nSQL:\n$fedSql\n" +
+            s"plan:\n${fedDf.queryExecution.executedPlan}", e)
+      }
+      val want = rowsOf(spark.sql(localSql))
+      assert(got == want,
+        s"partial-agg query #$i differs (partialized=" +
+          s"${fedDf.queryExecution.optimizedPlan.toString.contains("__gp_")})\n" +
+          s"SQL:\n$fedSql\ngot ${got.size} rows, want ${want.size}\n" +
+          s"first diff: ${got.zip(want).find(p => p._1 != p._2)}\n" +
+          s"plan:\n${fedDf.queryExecution.optimizedPlan}")
+    }
+    // every generated shape is inside the rule's v2 surface — a low rate
+    // means an eligibility regression, not a semantics bug
+    assert(partialized >= (total * 9) / 10,
+      s"only $partialized/$total partialized")
   }
 
   test("100 random queries against the real JDBC engine (Derby) match local") {
