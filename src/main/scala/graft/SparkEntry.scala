@@ -125,6 +125,7 @@ object SparkEntry {
     "fed_except" -> (Federated.exceptPushdown _),
     "fed_partial_agg" -> (Federated.partialAggUnion _),
     "fed_partial_avg" -> (Federated.partialAvgUnion _),
+    "fed_union_topk" -> (Federated.unionTopK _),
     "fed_jdbc_suppliers" -> (Federated.jdbcSuppliers _),
     "fed_jdbc_q1" -> (Federated.jdbcQ1 _),
     "fed_jdbc_q3" -> (Federated.jdbcQ3 _),
@@ -225,6 +226,7 @@ object SparkEntry {
     "fed_except" -> Federated.exceptOracle,
     "fed_partial_agg" -> Federated.partialAggOracle,
     "fed_partial_avg" -> Federated.partialAvgOracle,
+    "fed_union_topk" -> Federated.unionTopKOracle,
     "fed_jdbc_suppliers" -> Federated.jdbcSuppliersOracle,
     "fed_jdbc_q1" -> Federated.jdbcQ1Oracle,
     "fed_jdbc_q3" -> Federated.jdbcQ3Oracle,

@@ -21,6 +21,9 @@ object Federation {
     // per-provider eligibility is no longer observable
     if (!exp.extraOptimizations.contains(PartialAggRule))
       exp.extraOptimizations = PartialAggRule +: exp.extraOptimizations
+    // same precedence requirement as PartialAggRule
+    if (!exp.extraOptimizations.contains(TopKPushdownRule))
+      exp.extraOptimizations = TopKPushdownRule +: exp.extraOptimizations
     if (!exp.extraOptimizations.contains(FederationRule))
       exp.extraOptimizations = exp.extraOptimizations :+ FederationRule
     // after FederationRule in the same batch: attaches join-derived
@@ -73,6 +76,7 @@ object Federation {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => TopKPushdownRule)
     e.injectOptimizerRule(_ => PartialAggRule)
     e.injectOptimizerRule(_ => FederationRule)
     e.injectOptimizerRule(_ => RuntimeFilterRule)

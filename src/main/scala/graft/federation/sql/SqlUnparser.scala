@@ -272,6 +272,11 @@ class SqlUnparser(dialect: SqlDialect) {
     }
 
     val (core, scope) = buildCore(p)
+    // ORDER BY directly above a set operation may only name output columns
+    // (expressions there are engine-divergent — Derby rejects them)
+    if (order.nonEmpty && p.isInstanceOf[Union] &&
+        !order.forall(_.child.isInstanceOf[AttributeReference]))
+      fail("expression ORDER BY over UNION")
     val orderSql =
       if (order.isEmpty) ""
       else " ORDER BY " + order.map(renderSortOrder(_, scope)).mkString(", ")
@@ -318,12 +323,28 @@ class SqlUnparser(dialect: SqlDialect) {
       val sql = s"SELECT ${itemsSql(items)} FROM ${f.text}" + whereSql(where)
       (Sel(sql, names), f.scope ++ aliasScope(all, names))
 
-    case Union(children, byName, allowMissing) =>
+    case u @ Union(children, byName, allowMissing) =>
       if (byName || allowMissing) fail("union by name")
-      val parts = children.map(c => s"${select(c).sql}")
-      (Sel(parts.mkString(" UNION ALL "),
-        dedupNames(children.head.output.map(_.name))),
-        Map.empty)
+      val names = dedupNames(children.head.output.map(_.name))
+      val parts = children.map { c =>
+        val armSel = select(c)
+        c match {
+          // an arm carrying its own ORDER BY/LIMIT/OFFSET (e.g. a
+          // per-provider top-k) is illegal bare inside UNION ALL — wrap it
+          // in a derived table so the clause binds to the arm, not the
+          // whole union
+          case _: GlobalLimit | _: LocalLimit | _: Offset | _: Sort =>
+            val al = freshAlias()
+            val cols = armSel.names
+              .map(n => s"${q(al)}.${q(n)} AS ${q(n)}").mkString(", ")
+            s"SELECT $cols FROM (${armSel.sql}) AS ${q(al)}"
+          case _ => armSel.sql
+        }
+      }
+      // scope: a trailing ORDER BY above the union resolves against the
+      // first arm's output names (bare, unqualified — the SQL rule)
+      (Sel(parts.mkString(" UNION ALL "), names),
+        u.output.zip(names).map { case (a, n) => a.exprId -> q(n) }.toMap)
 
     case d: Deduplicate if dedupeIsDistinct(d) =>
       buildCore(Distinct(d.child))

@@ -734,6 +734,40 @@ object Federated {
         |) t GROUP BY st
         |ORDER BY st""".stripMargin)
 
+  /** Top-k over a two-provider union ([[graft.federation.TopKPushdownRule]]
+    * — beyond the reference): ORDER BY + LIMIT is replicated into each
+    * provider's fragment, so alpha and beta each ship 25 rows and the
+    * local merge re-sorts 50, instead of both shipping every filtered
+    * order. The (price DESC, key) order is total — orderkeys are unique
+    * and the branch filters are disjoint — so the result is
+    * tie-deterministic for the oracle hash. */
+  def unionTopK(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+        |  o_orderstatus AS st
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM fed_orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM fedb_orders WHERE o_orderpriority = '2-HIGH'
+        |) t
+        |ORDER BY price DESC, k
+        |LIMIT 25""".stripMargin)
+
+  val unionTopKOracle: String =
+    """SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+      |  o_orderstatus AS st
+      |FROM (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderpriority = '2-HIGH'
+      |) t
+      |ORDER BY price DESC, k
+      |LIMIT 25""".stripMargin
+
   /** PartialAggRule v2 surface in one gate: AVG (decomposed into SUM+COUNT
     * partials, recombined as `sum/count` locally) and an EXPRESSION group
     * key (`GROUP BY upper(...)`, partialized per child as a `__gk_` alias).

@@ -830,6 +830,59 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"AVG leaked into remote SQL instead of decomposing:\n${all.mkString("\n")}")
   }
 
+  test("top-k pushdown: each provider ships ORDER BY + LIMIT k, merge is local") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val beta = FederationHarness.executor(spark, dir, "beta")
+    val beforeA = alpha.executedSql.size
+    val beforeB = beta.executedSql.size
+    val df = Federated.unionTopK(spark, dir)
+    assert(fedFragments(df).size == 2,
+      s"expected 2 per-provider fragments:\n${df.queryExecution.optimizedPlan}")
+    val expected = rows(spark.sql(
+      """SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+        |  o_orderstatus AS st
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderpriority = '2-HIGH'
+        |) t ORDER BY price DESC, k LIMIT 25""".stripMargin))
+    assert(rows(df) == expected, "top-k result differs from local execution")
+    // each provider's executed SQL carries its own ORDER BY ... LIMIT 25
+    for ((ex, before, nm) <- Seq((alpha, beforeA, "alpha"),
+        (beta, beforeB, "beta"))) {
+      val executed = ex.executedSql.drop(before)
+      assert(executed.exists(s => s.contains("ORDER BY") &&
+          s.contains("LIMIT 25")),
+        s"$nm remote SQL carries no per-provider top-k:\n" +
+          executed.mkString("\n"))
+    }
+  }
+
+  test("top-k pushdown does NOT split a single-provider union (whole-SQL wins)") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    val df = FederationHarness.sql(spark, dir,
+      """SELECT o_orderkey AS k FROM (
+        |  SELECT o_orderkey FROM fed_orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey FROM fed_orders WHERE o_orderpriority = '2-HIGH'
+        |) t ORDER BY k LIMIT 10""".stripMargin)
+    assert(fedFragments(df).size == 1,
+      s"single-provider union top-k must stay one fragment:\n" +
+        df.queryExecution.optimizedPlan)
+    df.collect()
+    // exactly one remote ORDER BY/LIMIT (the whole query), not per-branch
+    val withLimit = alpha.executedSql.drop(before)
+      .filter(s => s.contains("LIMIT 10"))
+    assert(withLimit.size == 1,
+      s"expected ONE whole-query remote SQL with the limit:\n" +
+        alpha.executedSql.drop(before).mkString("\n"))
+  }
+
   test("partial agg leaves decimal AVG un-partialized (precision path)") {
     setup()
     val df = FederationHarness.sql(spark, dir,

@@ -126,7 +126,7 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** One random query over fed_lineitem (join shape adds fed_orders). */
   private def genQuery(r: Random): String = {
     val d = 1 + r.nextInt(2)
-    r.nextInt(10) match {
+    r.nextInt(11) match {
       case 0 => // plain scan: project + filter, totally-ordered limit.
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
         // so the ORDER BY covers every output column — boundary ties are
@@ -208,6 +208,18 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
            |$op
            |SELECT o_orderkey AS k FROM fed_orders WHERE ${predO(r)}
            |ORDER BY k LIMIT ${20 + r.nextInt(80)}""".stripMargin
+      case 10 => // union top-k (TopKPushdownRule when cross-provider; a
+        // single whole-union ORDER BY + LIMIT/FETCH SQL when one provider
+        // — the jdbc run exercises Derby's FETCH-over-union form). The
+        // ORDER BY ends in the key columns, so boundary ties are
+        // bitwise-equal rows and any LIMIT cut is the same multiset.
+        s"""SELECT o_orderkey AS k, o_totalprice AS p
+           |FROM fed_orders WHERE ${predO(r)}
+           |UNION ALL
+           |SELECT o_orderkey AS k, o_totalprice AS p
+           |FROM fedb_orders WHERE ${predO(r)}
+           |ORDER BY ${pick(r, "p DESC, k", "k, p", "p, k DESC")}
+           |LIMIT ${5 + r.nextInt(95)}""".stripMargin
       case 7 => // HAVING over grouped aggregate
         s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
            |  MIN(${numExpr(r, d)}) AS lo

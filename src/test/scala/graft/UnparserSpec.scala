@@ -147,6 +147,45 @@ class UnparserSpec extends AnyFunSuite {
       "SELECT t1.a AS a FROM t AS t1 UNION ALL SELECT t2.a AS a FROM t2 AS t2")
   }
 
+  test("union with trailing ORDER BY + LIMIT binds to the whole union") {
+    val t2r = rel("t2", "a" -> IntegerType)
+    val u = Union(
+      Seq(Project(Seq(a), t), Project(Seq(t2r.output.head), t2r)),
+      byName = false, allowMissingCol = false)
+    val plan = GlobalLimit(Literal(10),
+      LocalLimit(Literal(10),
+        Sort(Seq(SortOrder(u.output.head, Descending)), global = true, u)))
+    assert(sql(plan) ==
+      "SELECT t1.a AS a FROM t AS t1 UNION ALL SELECT t2.a AS a FROM t2 AS t2 " +
+        "ORDER BY a DESC NULLS LAST LIMIT 10")
+  }
+
+  test("union arm with its own LIMIT is wrapped in a derived table") {
+    // the per-provider top-k shape TopKPushdownRule builds: bare
+    // `SELECT ... LIMIT k UNION ALL ...` is illegal, so the arm must nest
+    val t2r = rel("t2", "a" -> IntegerType)
+    val arm1 = GlobalLimit(Literal(5),
+      LocalLimit(Literal(5),
+        Sort(Seq(SortOrder(a, Ascending)), global = true,
+          Project(Seq(a), t))))
+    val u = Union(Seq(arm1, Project(Seq(t2r.output.head), t2r)),
+      byName = false, allowMissingCol = false)
+    assert(sql(u) ==
+      "SELECT t2.a AS a FROM " +
+        "(SELECT t1.a AS a FROM t AS t1 ORDER BY a ASC NULLS FIRST LIMIT 5) AS t2 " +
+        "UNION ALL SELECT t3.a AS a FROM t2 AS t3")
+  }
+
+  test("expression ORDER BY directly over a union refuses") {
+    val t2r = rel("t2", "a" -> IntegerType)
+    val u = Union(
+      Seq(Project(Seq(a), t), Project(Seq(t2r.output.head), t2r)),
+      byName = false, allowMissingCol = false)
+    val plan = Sort(Seq(SortOrder(Abs(u.output.head), Ascending)),
+      global = true, u)
+    assertThrows[UnparseUnsupported](sql(plan))
+  }
+
   test("window function with frame renders OVER clause") {
     val spec = WindowSpecDefinition(Seq(b), Seq(SortOrder(a, Ascending)),
       SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
