@@ -126,6 +126,7 @@ object SparkEntry {
     "fed_partial_agg" -> (Federated.partialAggUnion _),
     "fed_partial_avg" -> (Federated.partialAvgUnion _),
     "fed_union_topk" -> (Federated.unionTopK _),
+    "fed_partial_distinct" -> (Federated.partialDistinctUnion _),
     "fed_jdbc_suppliers" -> (Federated.jdbcSuppliers _),
     "fed_jdbc_q1" -> (Federated.jdbcQ1 _),
     "fed_jdbc_q3" -> (Federated.jdbcQ3 _),
@@ -227,6 +228,7 @@ object SparkEntry {
     "fed_partial_agg" -> Federated.partialAggOracle,
     "fed_partial_avg" -> Federated.partialAvgOracle,
     "fed_union_topk" -> Federated.unionTopKOracle,
+    "fed_partial_distinct" -> Federated.partialDistinctOracle,
     "fed_jdbc_suppliers" -> Federated.jdbcSuppliersOracle,
     "fed_jdbc_q1" -> Federated.jdbcQ1Oracle,
     "fed_jdbc_q3" -> Federated.jdbcQ3Oracle,

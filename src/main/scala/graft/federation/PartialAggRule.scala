@@ -61,17 +61,22 @@ object PartialAggRule extends Rule[LogicalPlan] {
 
   private val Marker = "__gp_"
   private val GroupMarker = "__gk_"
+  private val DistinctMarker = "__gd_"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
       case agg @ Aggregate(groupExprs, aggExprs, u: Union, hint)
           if eligible(groupExprs, aggExprs, u) =>
         rewrite(agg, groupExprs, aggExprs, u, hint)
+      case agg @ Aggregate(groupExprs, aggExprs, u: Union, hint)
+          if eligibleDistinct(groupExprs, aggExprs, u) =>
+        rewriteDistinct(agg, groupExprs, aggExprs, u, hint)
     }
 
   // ------------------------------------------------------------ guards
 
-  private def eligible(groupExprs: Seq[Expression],
+  /** Structural + profitability checks shared by both rewrites. */
+  private def sharedEligible(groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], u: Union): Boolean = {
     if (u.byName || u.allowMissingCol || u.children.size < 2) return false
     // positional remap through the union collapses duplicate exprIds: a
@@ -80,8 +85,8 @@ object PartialAggRule extends Rule[LogicalPlan] {
     if (u.output.map(_.exprId).distinct.size != u.output.size) return false
     // already rewritten (fixpoint convergence)
     if (u.children.exists {
-      case a: Aggregate => a.aggregateExpressions.exists(
-        _.name.startsWith(Marker))
+      case a: Aggregate => a.aggregateExpressions.exists(ne =>
+        ne.name.startsWith(Marker) || ne.name.startsWith(DistinctMarker))
       case _ => false
     }) return false
     // shape: group keys are deterministic scalar expressions over the
@@ -97,12 +102,11 @@ object PartialAggRule extends Rule[LogicalPlan] {
     // aggregate calls, an output may reference nothing else
     if (!aggExprs.forall { ne =>
       val body = ne match { case Alias(e, _) => e; case other => other }
-      val aggs = body.collect { case ae: AggregateExpression => ae }
       val residual = body.transformDown {
         case _: AggregateExpression => Literal(null)
         case sub if groupExprs.exists(_.semanticEquals(sub)) => Literal(null)
       }.references
-      aggs.forall(combinable) && residual.isEmpty
+      residual.isEmpty
     }) return false
     // profitability: the union can't federate wholesale, but at least one
     // child fragment can
@@ -113,6 +117,53 @@ object PartialAggRule extends Rule[LogicalPlan] {
       case _ => false
     }
     wholesale.isAmbiguous && someRemote
+  }
+
+  private def aggCallsOf(aggExprs: Seq[NamedExpression]): Seq[AggregateExpression] =
+    aggExprs.flatMap { ne =>
+      val body = ne match { case Alias(e, _) => e; case other => other }
+      body.collect { case ae: AggregateExpression => ae }
+    }
+
+  private def eligible(groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], u: Union): Boolean =
+    aggCallsOf(aggExprs).forall(combinable) &&
+      sharedEligible(groupExprs, aggExprs, u)
+
+  /** DISTINCT branch: every DISTINCT call is unfiltered, a standard
+    * function, and shares ONE argument list — so a single per-child dedup
+    * on (group keys, args) feeds them all. The final aggregate reruns the
+    * original DISTINCT calls over the deduped union (re-deduping across
+    * children), so any function is exact; each provider ships
+    * O(groups × distinct values) instead of O(rows). Non-distinct MIN/MAX
+    * riders are admitted when their argument lies inside the dedup key
+    * set (min/max are duplicate-insensitive — and Catalyst's
+    * `EliminateDistinct` strips DISTINCT off them before this rule runs,
+    * so `MIN(DISTINCT x)` arrives exactly this way). */
+  private def eligibleDistinct(groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], u: Union): Boolean = {
+    val calls = aggCallsOf(aggExprs)
+    val (distinct, plain) = calls.partition(_.isDistinct)
+    if (distinct.isEmpty) return false
+    val sharedArgs = distinct.head.aggregateFunction.children
+    distinct.forall { ae =>
+      ae.filter.isEmpty &&
+        ae.aggregateFunction.children.forall(_.deterministic) &&
+        (ae.aggregateFunction match {
+          case _: Count | _: Sum | _: Min | _: Max | _: Average => true
+          case _ => false
+        }) && {
+        val c = ae.aggregateFunction.children
+        sharedArgs.size == c.size &&
+          sharedArgs.zip(c).forall { case (x, y) => x.semanticEquals(y) }
+      }
+    } && plain.forall { ae =>
+      ae.filter.isEmpty && (ae.aggregateFunction match {
+        case _: Min | _: Max => ae.aggregateFunction.children.forall(c =>
+          (groupExprs ++ sharedArgs).exists(_.semanticEquals(c)))
+        case _ => false
+      })
+    } && sharedEligible(groupExprs, aggExprs, u)
   }
 
   private def combinable(ae: AggregateExpression): Boolean =
@@ -231,17 +282,7 @@ object PartialAggRule extends Rule[LogicalPlan] {
     }
     var aggIdx = -1
     val finalAggs: Seq[NamedExpression] = aggExprs.map { ne =>
-      val (body, rebuild): (Expression, Expression => NamedExpression) =
-        ne match {
-          case al @ Alias(e, name) => (e, out => Alias(out, name)(
-            exprId = al.exprId, qualifier = al.qualifier,
-            explicitMetadata = Some(al.metadata)))
-          case a: Attribute => (a, {
-            case same: Attribute if same.exprId == a.exprId => a
-            case out => Alias(out, a.name)(exprId = a.exprId,
-              qualifier = a.qualifier)
-          })
-        }
+      val (body, rebuild) = bodyAndRebuild(ne)
       // transformUp for the combine: a top-down transform would descend
       // into the replacement and re-match the combiner's own aggregate
       // calls (AVG's combiner holds two). Sibling order equals collect's
@@ -252,6 +293,83 @@ object PartialAggRule extends Rule[LogicalPlan] {
           val ps = u2.output.slice(nGroups + offsets(aggIdx),
             nGroups + offsets(aggIdx + 1))
           combiner(ae, ps)
+      }
+      rebuild(combinedBody)
+    }
+    Aggregate(finalGroupRefs, finalAggs, u2, hint)
+  }
+
+  private def bodyAndRebuild(
+      ne: NamedExpression): (Expression, Expression => NamedExpression) =
+    ne match {
+      case al @ Alias(e, name) => (e, out => Alias(out, name)(
+        exprId = al.exprId, qualifier = al.qualifier,
+        explicitMetadata = Some(al.metadata)))
+      case a: Attribute => (a, {
+        case same: Attribute if same.exprId == a.exprId => a
+        case out => Alias(out, a.name)(exprId = a.exprId,
+          qualifier = a.qualifier)
+      })
+    }
+
+  /** DISTINCT rewrite: per-child dedup partial on (group keys, shared
+    * argument list), final = the ORIGINAL distinct aggregates over the
+    * unioned dedup (the final DISTINCT re-dedups across children):
+    * {{{
+    *   Agg[G, f(DISTINCT E)](Union(c1 .. cn))
+    *     ==>  Agg[G, f(DISTINCT d)](Union(Dedup[G, E as d](c1) .. ))
+    * }}} */
+  private def rewriteDistinct(agg: Aggregate, groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], u: Union,
+      hint: Option[AggregateHint]): LogicalPlan = {
+    val distinctExprs: Seq[Expression] =
+      aggCallsOf(aggExprs).find(_.isDistinct).get.aggregateFunction.children
+
+    val partials = u.children.map { child =>
+      val remap: Map[ExprId, Attribute] =
+        u.output.map(_.exprId).zip(child.output).toMap
+      def rm(e: Expression): Expression = e.transform {
+        case a: AttributeReference => remap.getOrElse(a.exprId, a)
+      }
+      val pGroupExprs = groupExprs.map(rm)
+      val pGroupCols: Seq[NamedExpression] = pGroupExprs.zipWithIndex.map {
+        case (a: Attribute, _) => a
+        case (e, j) => Alias(e, s"$GroupMarker$j")()
+      }
+      val pDistinct = distinctExprs.zipWithIndex.map { case (e, i) =>
+        Alias(rm(e), s"$DistinctMarker$i")()
+      }
+      Aggregate(pGroupExprs ++ pDistinct.map(_.child),
+        pGroupCols ++ pDistinct, child)
+    }
+    val u2 = Union(partials, byName = false, allowMissingCol = false)
+
+    val nGroups = groupExprs.size
+    val finalGroupRefs: Seq[Attribute] = u2.output.take(nGroups)
+    val distinctAttrs: Seq[Attribute] = u2.output.drop(nGroups)
+    def substGroups(e: Expression): Expression = e.transformDown {
+      case sub if !sub.isInstanceOf[AggregateExpression] &&
+          groupExprs.exists(_.semanticEquals(sub)) =>
+        finalGroupRefs(groupExprs.indexWhere(_.semanticEquals(sub)))
+    }
+    val finalAggs: Seq[NamedExpression] = aggExprs.map { ne =>
+      val (body, rebuild) = bodyAndRebuild(ne)
+      val combinedBody = substGroups(body).transformUp {
+        case ae: AggregateExpression =>
+          // distinct calls rebind to the dedup columns wholesale; plain
+          // MIN/MAX riders map each child to its dedup column (group-key
+          // children were already rebound by substGroups above)
+          val newChildren =
+            if (ae.isDistinct) distinctAttrs
+            else ae.aggregateFunction.children.map { c =>
+              val di = distinctExprs.indexWhere(_.semanticEquals(c))
+              if (di >= 0) distinctAttrs(di) else c
+            }
+          val f2 = ae.aggregateFunction
+            .withNewChildren(newChildren)
+            .asInstanceOf[AggregateFunction]
+          ae.copy(aggregateFunction = f2,
+            resultId = NamedExpression.newExprId)
       }
       rebuild(combinedBody)
     }

@@ -768,6 +768,37 @@ object Federated {
       |ORDER BY price DESC, k
       |LIMIT 25""".stripMargin
 
+  /** DISTINCT-aggregate partialization ([[graft.federation.PartialAggRule]]
+    * DISTINCT branch): COUNT(DISTINCT)/SUM(DISTINCT) over a two-provider
+    * union ships a per-provider DEDUP on (group key, argument) — each
+    * engine returns its distinct (status, custkey) combinations, the local
+    * final re-dedups across providers and counts. O(groups × distinct
+    * values) on the wire instead of O(rows). */
+  def partialDistinctUnion(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT o_orderstatus AS st, COUNT(DISTINCT o_custkey) AS nd,
+        |  CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sd
+        |FROM (
+        |  SELECT o_orderstatus, o_custkey
+        |  FROM fed_orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_custkey
+        |  FROM fedb_orders WHERE o_orderpriority = '2-HIGH'
+        |) t GROUP BY o_orderstatus
+        |ORDER BY st""".stripMargin)
+
+  val partialDistinctOracle: String =
+    """SELECT o_orderstatus AS st, COUNT(DISTINCT o_custkey) AS nd,
+      |  CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sd
+      |FROM (
+      |  SELECT o_orderstatus, o_custkey
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_custkey
+      |  FROM orders WHERE o_orderpriority = '2-HIGH'
+      |) t GROUP BY o_orderstatus
+      |ORDER BY st""".stripMargin
+
   /** PartialAggRule v2 surface in one gate: AVG (decomposed into SUM+COUNT
     * partials, recombined as `sum/count` locally) and an EXPRESSION group
     * key (`GROUP BY upper(...)`, partialized per child as a `__gk_` alias).

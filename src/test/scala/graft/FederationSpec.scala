@@ -883,6 +883,69 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
         alpha.executedSql.drop(before).mkString("\n"))
   }
 
+  test("distinct partial: each provider ships a (key, value) dedup, count stays local") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val beta = FederationHarness.executor(spark, dir, "beta")
+    val beforeA = alpha.executedSql.size
+    val beforeB = beta.executedSql.size
+    val df = Federated.partialDistinctUnion(spark, dir)
+    assert(fedFragments(df).size == 2,
+      s"expected 2 per-provider fragments:\n${df.queryExecution.optimizedPlan}")
+    val expected = rows(spark.sql(
+      """SELECT o_orderstatus AS st, COUNT(DISTINCT o_custkey) AS nd,
+        |  CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sd
+        |FROM (
+        |  SELECT o_orderstatus, o_custkey
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_custkey
+        |  FROM orders WHERE o_orderpriority = '2-HIGH'
+        |) t GROUP BY o_orderstatus ORDER BY st""".stripMargin))
+    assert(rows(df) == expected,
+      "distinct-partial result differs from local execution")
+    // each provider executed a dedup (GROUP BY both columns, __gd_ alias)
+    // and NO aggregate call crossed the wire
+    for ((ex, before, nm) <- Seq((alpha, beforeA, "alpha"),
+        (beta, beforeB, "beta"))) {
+      val executed = ex.executedSql.drop(before)
+      assert(executed.exists(s => s.contains("__gd_") &&
+          s.contains("GROUP BY")),
+        s"$nm remote SQL carries no dedup partial:\n${executed.mkString("\n")}")
+      assert(!executed.exists(s => s.toUpperCase.contains("COUNT(") ||
+          s.toUpperCase.contains("SUM(")),
+        s"$nm aggregate leaked remotely instead of the dedup:\n" +
+          executed.mkString("\n"))
+    }
+  }
+
+  test("mixed DISTINCT and plain aggregates over a union stay unpartialized but correct") {
+    setup()
+    val df = FederationHarness.sql(spark, dir,
+      """SELECT o_orderstatus AS st, COUNT(DISTINCT o_custkey) AS nd,
+        |  COUNT(*) AS n
+        |FROM (
+        |  SELECT o_orderstatus, o_custkey
+        |  FROM fed_orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_custkey
+        |  FROM fedb_orders WHERE o_orderpriority = '2-HIGH'
+        |) t GROUP BY o_orderstatus ORDER BY st""".stripMargin)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("__g"),
+      s"mixed distinct/plain aggregates must not partialize:\n" +
+        df.queryExecution.optimizedPlan)
+    assert(rows(df) == rows(spark.sql(
+      """SELECT o_orderstatus AS st, COUNT(DISTINCT o_custkey) AS nd,
+        |  COUNT(*) AS n
+        |FROM (
+        |  SELECT o_orderstatus, o_custkey
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_custkey
+        |  FROM orders WHERE o_orderpriority = '2-HIGH'
+        |) t GROUP BY o_orderstatus ORDER BY st""".stripMargin)))
+  }
+
   test("partial agg leaves decimal AVG un-partialized (precision path)") {
     setup()
     val df = FederationHarness.sql(spark, dir,

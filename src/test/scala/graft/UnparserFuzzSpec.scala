@@ -285,15 +285,28 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       case 3 => Seq("CONCAT(k1, k2)")
       case 4 => Nil // global aggregate: one combined row
     }
-    val aggChoices = Seq(
-      "COUNT(*)", "COUNT(v)", "SUM(v)",
-      "CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE)",
-      "MIN(v)", "MAX(v)", "MIN(k1)", "MAX(k2)",
-      "AVG(v)", // integral input → exact SUM+COUNT partials
-      "SUM(v) / COUNT(v)", // aggregate calls inside a scalar expression
-      "COUNT(*) + MIN(v)")
-    val aggs = (1 to (1 + r.nextInt(3)))
-      .map(i => s"${pick(r, aggChoices: _*)} AS a$i")
+    // 1-in-4: an all-DISTINCT call set over ONE shared argument — the
+    // dedup-partial branch (mixing distinct with plain calls falls back
+    // by design, so the two surfaces are generated disjointly)
+    val aggs =
+      if (r.nextInt(4) == 0) {
+        val arg = pick(r, "v", "q", "k2")
+        val distinctChoices = Seq(s"COUNT(DISTINCT $arg)",
+          s"MIN(DISTINCT $arg)", s"MAX(DISTINCT $arg)",
+          s"COUNT(DISTINCT $arg) * 2")
+        (1 to (1 + r.nextInt(2)))
+          .map(i => s"${pick(r, distinctChoices: _*)} AS a$i")
+      } else {
+        val aggChoices = Seq(
+          "COUNT(*)", "COUNT(v)", "SUM(v)",
+          "CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE)",
+          "MIN(v)", "MAX(v)", "MIN(k1)", "MAX(k2)",
+          "AVG(v)", // integral input → exact SUM+COUNT partials
+          "SUM(v) / COUNT(v)", // aggregate calls inside a scalar expression
+          "COUNT(*) + MIN(v)")
+        (1 to (1 + r.nextInt(3)))
+          .map(i => s"${pick(r, aggChoices: _*)} AS a$i")
+      }
     val selList =
       (groups.zipWithIndex.map { case (g, i) => s"$g AS g$i" } ++ aggs)
         .mkString(", ")
@@ -406,8 +419,8 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       val localSql = fedSql.replace("fedb_", "").replace("fed_", "")
         .replace("TIMESTAMP_NTZ", "TIMESTAMP")
       val fedDf = spark.sql(fedSql)
-      if (fedDf.queryExecution.optimizedPlan.toString.contains("__gp_"))
-        partialized += 1
+      val opt = fedDf.queryExecution.optimizedPlan.toString
+      if (opt.contains("__gp_") || opt.contains("__gd_")) partialized += 1
       val got = try rowsOf(fedDf) catch { case e: Throwable =>
         throw new AssertionError(
           s"partial-agg query #$i EXECUTION FAILED\nSQL:\n$fedSql\n" +
