@@ -96,6 +96,7 @@ object Bench {
     graft.operators.Dedup.releaseAllSignatures()
     graft.operators.Similarity.releaseAllCounts()
     graft.operators.Similarity.releaseAllIvf()
+    graft.operators.Similarity.releaseAllCodes()
     spark.stop()
   }
 }

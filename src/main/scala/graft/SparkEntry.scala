@@ -43,6 +43,9 @@ object SparkEntry {
     "ev_retention" -> (EventOps.retention _),
     // --- text analysis ---
     "text_token_stats" -> (TextOps.tokenStats _),
+    "text_pii_report" -> ((s, d) => TextOps.piiReport(s, d)),
+    "text_mask" -> ((s, d) => TextOps.maskText(s, d)),
+    "text_chunks" -> ((s, d) => TextOps.chunk(s, d)),
     "text_quality_score" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
     "text_fingerprint" -> (TextOps.fingerprintMd5 _),
@@ -168,6 +171,9 @@ object SparkEntry {
     "stream_quality_filter" -> graft.streaming.StreamOps.qualityFilterOracle,
     "stream_anomaly_tag" -> graft.streaming.StreamOps.anomalyTagOracle,
     "text_token_stats" -> TextOps.tokenStatsOracle,
+    "text_pii_report" -> TextOps.piiReportOracle,
+    "text_mask" -> TextOps.maskTextOracle,
+    "text_chunks" -> TextOps.chunkOracle,
     "text_quality_score" -> TextOps.qualityScoreOracle,
     "text_lang_id" -> TextOps.langIdOracle,
     "text_fingerprint" -> TextOps.fingerprintOracle,

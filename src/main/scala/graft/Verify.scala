@@ -48,6 +48,7 @@ object Verify {
     graft.operators.Dedup.releaseAllSignatures()
     graft.operators.Similarity.releaseAllCounts()
     graft.operators.Similarity.releaseAllIvf()
+    graft.operators.Similarity.releaseAllCodes()
     spark.stop()
   }
 }

@@ -491,6 +491,30 @@ object Similarity {
   def quantizedDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** The quantized-codes table — in production, the STORED compressed
+    * index (codes are written once per corpus snapshot, queries scan
+    * them) — cached per (session, dir) and persisted, same keyed pattern
+    * as [[ivfIndex]] / `Dedup.sigCache`. */
+  private val codesCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def quantizedCodes(s: SparkSession, dir: String): DataFrame =
+    codesCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      embeddings(s, dir)
+        .select(col("vec_id"), quantize8(col("embedding")).as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Release the persisted code table for one corpus (pair of
+    * [[releaseIvfIndex]]); the next call transparently rebuilds. */
+  def releaseCodes(s: SparkSession, dir: String): Unit =
+    codesCache.remove((System.identityHashCode(s), dir))
+      .foreach(_.unpersist(blocking = false))
+
+  /** Release every cached code table (end-of-run cleanup). */
+  def releaseAllCodes(): Unit =
+    codesCache.keys.toSeq.foreach(k =>
+      codesCache.remove(k).foreach(_.unpersist(blocking = false)))
+
   /** Top-k nearest neighbors under the quantized dot product — the same
     * broadcast-queries / never-shuffle-the-corpus plan as
     * [[bruteForceTopK]], but scoring int8 codes: the memory-bound rerank
@@ -499,8 +523,7 @@ object Similarity {
     * hash-exact against the oracle (no float-accumulation ambiguity). */
   def quantizedTopK(s: SparkSession, dir: String, nQueries: Int = 8,
       k: Int = 10): DataFrame = {
-    val emb = embeddings(s, dir)
-      .select(col("vec_id"), quantize8(col("embedding")).as("q"))
+    val emb = quantizedCodes(s, dir)
     val queries = emb.orderBy(col("vec_id")).limit(nQueries)
       .select(col("vec_id").as("q_id"), col("q").as("q_vec"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
@@ -553,7 +576,7 @@ object Similarity {
   def rerankTopK(s: SparkSession, dir: String, nQueries: Int = 8,
       k: Int = 10, candFactor: Int = 3): DataFrame = {
     val emb = embeddings(s, dir)
-    val q8 = emb.select(col("vec_id"), quantize8(col("embedding")).as("q"))
+    val q8 = quantizedCodes(s, dir)
     val queries8 = q8.orderBy(col("vec_id")).limit(nQueries)
       .select(col("vec_id").as("q_id"), col("q").as("q_vec"))
     val scored = q8.join(broadcast(queries8), col("vec_id") =!= col("q_id"))

@@ -407,4 +407,123 @@ object TextOps {
       |  CAST(CAST(top_bigram_n AS BIGINT) * 1000000
       |    // greatest(n_tokens - 1, 1) AS BIGINT) AS rep_bigram_ppm
       |FROM base ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- PII / pattern scan
+
+  /** Sensitive-pattern library: the standard pre-training scrub targets
+    * (emails, phone numbers, IPv4s) plus a configurable deny-list slot.
+    * Patterns restrict to the RE2 ∩ java.util.regex common subset
+    * (character classes, bounded repeats, alternation, `\b` — no
+    * lookaround), so Spark and the oracle compile identical semantics. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** The deny-list used by the gates: terms that DO occur in the synthetic
+    * corpus, standing in for an org-specific blocklist. */
+  val denyPattern: String = "\\b(customer|vector)\\b"
+
+  /** Per-source sensitive-content report: match counts per pattern and
+    * documents hit — the scrub-coverage summary an LLM-data pipeline emits
+    * before redaction. One narrow projection + one tiny aggregate; the
+    * regex work is codegen'd `regexp_extract_all`, no shuffle until the
+    * per-source rollup. */
+  def piiReport(s: SparkSession, dir: String,
+      patterns: Seq[(String, String)] = piiPatterns,
+      deny: String = denyPattern): DataFrame = {
+    val counts = patterns.map { case (nm, p) =>
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).as(s"c_$nm")
+    }
+    val denyC = size(regexp_extract_all(col("text"), lit(deny), lit(0)))
+      .as("c_deny")
+    val perDoc = documents(s, dir)
+      .select(col("source") +: (counts :+ denyC): _*)
+    perDoc.groupBy(col("source"))
+      .agg(
+        sum(col(s"c_${patterns.head._1}")).as(s"n_${patterns.head._1}"),
+        (patterns.tail.map { case (nm, _) =>
+          sum(col(s"c_$nm")).as(s"n_$nm") } ++ Seq(
+          sum(col("c_deny")).as("n_deny"),
+          sum(when(col("c_deny") > 0, 1L).otherwise(0L)).as("docs_deny"),
+          count(lit(1)).as("n_docs"))): _*)
+      .orderBy(col("source"))
+  }
+
+  val piiReportOracle: String =
+    """SELECT source,
+      |  CAST(SUM(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_email,
+      |  CAST(SUM(len(regexp_extract_all(text,
+      |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))) AS BIGINT) AS n_phone,
+      |  CAST(SUM(len(regexp_extract_all(text,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS n_ipv4,
+      |  CAST(SUM(len(regexp_extract_all(text,
+      |    '\b(customer|vector)\b'))) AS BIGINT) AS n_deny,
+      |  CAST(SUM(CASE WHEN len(regexp_extract_all(text,
+      |    '\b(customer|vector)\b')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_deny,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM documents
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Redaction: deny-list hits replaced by `[MASKED]`; emits the masked
+    * text's md5 (hash-exact cross-engine proof of the full redacted
+    * string without shipping it) plus hit counts. Pure projection —
+    * shuffle-free at any corpus size. */
+  def maskText(s: SparkSession, dir: String,
+      deny: String = denyPattern): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(deny), lit(0))).as("n_masked"),
+      md5(regexp_replace(col("text"), deny, "[MASKED]")).as("masked_md5"),
+      length(regexp_replace(col("text"), deny, "[MASKED]")).as("masked_len"))
+      .orderBy(col("doc_id"))
+
+  val maskTextOracle: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\b(customer|vector)\b'))
+      |    AS INTEGER) AS n_masked,
+      |  md5(regexp_replace(text, '\b(customer|vector)\b', '[MASKED]', 'g'))
+      |    AS masked_md5,
+      |  CAST(LENGTH(regexp_replace(text, '\b(customer|vector)\b',
+      |    '[MASKED]', 'g')) AS INTEGER) AS masked_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- chunking
+
+  /** Overlapping token-window chunking (RAG / context-window packing):
+    * each document becomes ⌈n_tokens / stride⌉ windows of `width` tokens
+    * starting every `stride`. Built as one generate-and-explode
+    * projection — `sequence` of starts, `slice` per start, `posexplode` —
+    * so chunking 100 TB is an embarrassingly parallel scan stage with no
+    * shuffle; emits the chunk md5 + token count, not the text. */
+  def chunk(s: SparkSession, dir: String, width: Int = 32,
+      stride: Int = 16): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val starts = sequence(lit(0),
+      greatest(size(toks) - 1, lit(0)), lit(stride))
+    val chunks = transform(starts,
+      i => array_join(slice(toks, i + lit(1), lit(width)), " "))
+    documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"), chunks.as("chunks"))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(split(col("chunk"), " ")).as("n_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val chunkOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, CAST(i // 16 AS INTEGER) AS chunk_id,
+      |    array_to_string(toks[i+1 : i+32], ' ') AS chunk
+      |  FROM d, UNNEST(range(0, greatest(len(toks), 1), 16)) AS u(i)
+      |)
+      |SELECT doc_id, chunk_id,
+      |  CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_tokens,
+      |  md5(chunk) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 }

@@ -156,6 +156,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     operators.Similarity.releaseIvfIndex(spark, dir)
   }
 
+  test("quantized code table caches once, releases, rebuilds") {
+    operators.Similarity.releaseCodes(spark, dir)
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val first = operators.Similarity.quantizedTopK(spark, dir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size > base,
+      "code table should be persisted")
+    val cached = spark.sparkContext.getPersistentRDDs.size
+    // rerank reuses the same stored codes: no new persisted tables
+    operators.Similarity.rerankTopK(spark, dir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == cached,
+      "rerank must reuse the cached code table")
+    assert(operators.Similarity.quantizedTopK(spark, dir)
+      .collect().toSeq == first.toSeq)
+    operators.Similarity.releaseCodes(spark, dir)
+    assert(spark.sparkContext.getPersistentRDDs.size < cached,
+      "release must unpersist the code table")
+    assert(operators.Similarity.quantizedTopK(spark, dir).count() > 0)
+    operators.Similarity.releaseCodes(spark, dir)
+  }
+
   test("lsh corpus count runs one job per (session, dir)") {
     operators.Similarity.releaseCount(spark, dir)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -308,6 +328,55 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .rangeJoinWindowCounts(spark, dir, salts = 3).collect().toSeq
     assert(bucketed == direct)
     assert(bucketed.exists(_.getLong(1) > 0), "no window matched anything")
+  }
+
+  test("masking removes every deny-list hit and nothing else") {
+    import spark.implicits._
+    val masked = operators.TextOps.maskText(spark, dir)
+    // post-masking, the deny pattern never matches the masked text: prove
+    // it by masking a reconstructable sample and re-scanning
+    val probe = Seq(
+      (1L, "the customer bought a vector of value"),
+      (2L, "no hits here"),
+      (3L, "customers are not customer-only vectors vector")).toDF("doc_id", "text")
+    val out = probe.select(
+      org.apache.spark.sql.functions.regexp_replace(
+        org.apache.spark.sql.functions.col("text"),
+        operators.TextOps.denyPattern, "[MASKED]").as("m"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "the [MASKED] bought a [MASKED] of value")
+    assert(out(1) == "no hits here")
+    // \b guards: 'customers', 'customer-only' prefix stays, suffixed word
+    // 'vectors' stays, bare 'vector' masks
+    assert(out(2) == "customers are not [MASKED]-only vectors [MASKED]")
+    // and on the corpus: n_masked sums to the report's deny total
+    val totalMasked = masked.agg(
+      org.apache.spark.sql.functions.sum("n_masked")).collect()(0).getLong(0)
+    val reportDeny = operators.TextOps.piiReport(spark, dir).agg(
+      org.apache.spark.sql.functions.sum("n_deny")).collect()(0).getLong(0)
+    assert(totalMasked == reportDeny && totalMasked > 0,
+      s"masked=$totalMasked reportDeny=$reportDeny")
+  }
+
+  test("chunks overlap by stride and reassemble the document") {
+    import org.apache.spark.sql.functions._
+    // with width=2*stride, the even-position halves of consecutive chunks
+    // tile the token stream: chunk starts are exactly 0, stride, 2*stride…
+    val df = operators.TextOps.chunk(spark, dir, width = 32, stride = 16)
+    val perDoc = df.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max("chunk_id").as("max_id"),
+        sum(when(col("n_tokens") === 32, 1).otherwise(0)).as("full"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r => // (doc_id, n_chunks, max_id, full)
+      assert(r.getInt(2).toLong == r.getLong(1) - 1,
+        s"chunk_ids must be dense 0..n-1: $r")
+    }
+    // every chunk except possibly the trailing ≤2 is full-width
+    val nonFull = df.filter(col("n_tokens") =!= 32)
+      .groupBy("doc_id").count().collect()
+    assert(nonFull.forall(_.getLong(1) <= 2),
+      "only trailing chunks may be short")
   }
 
   test("connected components propagate across multi-hop chains") {
