@@ -46,6 +46,9 @@ object SparkEntry {
     "text_pii_report" -> ((s, d) => TextOps.piiReport(s, d)),
     "text_mask" -> ((s, d) => TextOps.maskText(s, d)),
     "text_chunks" -> ((s, d) => TextOps.chunk(s, d)),
+    "text_bm25" -> ((s, d) => TextOps.bm25(s, d)),
+    "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
+    "pack_stats" -> ((s, d) => Packing.packStats(s, d)),
     "text_quality_score" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
     "text_fingerprint" -> (TextOps.fingerprintMd5 _),
@@ -174,6 +177,9 @@ object SparkEntry {
     "text_pii_report" -> TextOps.piiReportOracle,
     "text_mask" -> TextOps.maskTextOracle,
     "text_chunks" -> TextOps.chunkOracle,
+    "text_bm25" -> TextOps.bm25Oracle,
+    "pack_sequences" -> Packing.packSequencesOracle,
+    "pack_stats" -> Packing.packStatsOracle,
     "text_quality_score" -> TextOps.qualityScoreOracle,
     "text_lang_id" -> TextOps.langIdOracle,
     "text_fingerprint" -> TextOps.fingerprintOracle,

@@ -513,6 +513,108 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  // ----------------------------------------------------- BM25 retrieval
+
+  /** The standing query-term set for the BM25 gate. */
+  val bm25Terms: Seq[String] = Seq("customer", "spark", "merge")
+
+  /** Log-free BM25 ranked retrieval: top-k documents for a small query
+    * term set, scored with the classic saturation formula (k1=1.2,
+    * b=0.75) kept ENTIRELY in exact integer arithmetic so the ranking is
+    * engine-reproducible (same trick as [[tfidf]]'s score_ppm):
+    *
+    *   sat_ppm  = ⌊10⁶·22·tf·T / (10·tf·T + 3·T + 9·dl·N)⌋
+    *   idf_ppm  = ⌊10⁶·(N−df+1) / (df+1)⌋
+    *   score    = Σ_terms ⌊idf_ppm·sat_ppm / 10⁶⌋
+    *
+    * (k1, b folded into the ×10 constants: 22=10(k1+1), 3=10·k1(1−b),
+    * 9=10·k1·b; multiplying through by corpus token count T clears the
+    * dl/avgdl ratio without a float division.)
+    *
+    * Plan shape: per-doc tf for a HANDFUL of terms is array `filter`
+    * inside one codegen'd projection — no explode, no per-term shuffle;
+    * the corpus stats (N, T, per-term df) are ONE tiny aggregate
+    * broadcast back; the global top-k is `orderBy().limit()` —
+    * TakeOrderedAndProject, per-partition heaps + driver merge of k
+    * rows, never a single-partition global sort. At 100 TB the stats row
+    * comes from the corpus summary table a real pipeline maintains;
+    * everything else is a narrow scan. int64 headroom: 10⁶·22·tf·T
+    * stays < 2⁶³ up to ~4·10¹² corpus tokens per stats scope. */
+  def bm25(s: SparkSession, dir: String, k: Int = 20,
+      terms: Seq[String] = bm25Terms): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val tfCols = terms.map(t =>
+      size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$t"))
+    val perDoc = documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +: tfCols: _*)
+    val statCols = Seq(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("n_toks")) ++
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+        .as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val contribs = terms.map(t => s"""CASE WHEN tf_$t > 0 THEN
+      ((1000000L * (n_docs - df_$t + 1)) DIV (df_$t + 1)) *
+      ((1000000L * 22 * tf_$t * n_toks) DIV
+        (10 * tf_$t * n_toks + 3 * n_toks + 9 * dl * n_docs))
+      DIV 1000000L ELSE 0L END""").mkString(" + ")
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .withColumn("bm25_ppm", expr(contribs))
+      .filter(col("bm25_ppm") > 0)
+      .orderBy(col("bm25_ppm").desc, col("doc_id"))
+      .limit(k)
+    import org.apache.spark.sql.expressions.Window
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25_ppm").desc, col("doc_id"))))
+      .select(col("rank") +: col("doc_id") +: col("dl") +:
+        col("bm25_ppm") +: terms.map(t => col(s"tf_$t")): _*)
+      .orderBy(col("rank"))
+  }
+
+  val bm25Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS toks
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |    CAST(len([x FOR x IN toks IF x = 'customer']) AS BIGINT) AS tf_customer,
+      |    CAST(len([x FOR x IN toks IF x = 'spark']) AS BIGINT) AS tf_spark,
+      |    CAST(len([x FOR x IN toks IF x = 'merge']) AS BIGINT) AS tf_merge
+      |  FROM d
+      |), st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(dl) AS BIGINT) AS n_toks,
+      |    CAST(SUM(CASE WHEN tf_customer > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_customer,
+      |    CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+      |    CAST(SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge
+      |  FROM p
+      |), sc AS (
+      |  SELECT doc_id, dl, tf_customer, tf_spark, tf_merge,
+      |    (CASE WHEN tf_customer > 0 THEN
+      |      ((1000000 * (n_docs - df_customer + 1)) // (df_customer + 1)) *
+      |      ((1000000 * 22 * tf_customer * n_toks) //
+      |        (10 * tf_customer * n_toks + 3 * n_toks + 9 * dl * n_docs))
+      |      // 1000000 ELSE 0 END) +
+      |    (CASE WHEN tf_spark > 0 THEN
+      |      ((1000000 * (n_docs - df_spark + 1)) // (df_spark + 1)) *
+      |      ((1000000 * 22 * tf_spark * n_toks) //
+      |        (10 * tf_spark * n_toks + 3 * n_toks + 9 * dl * n_docs))
+      |      // 1000000 ELSE 0 END) +
+      |    (CASE WHEN tf_merge > 0 THEN
+      |      ((1000000 * (n_docs - df_merge + 1)) // (df_merge + 1)) *
+      |      ((1000000 * 22 * tf_merge * n_toks) //
+      |        (10 * tf_merge * n_toks + 3 * n_toks + 9 * dl * n_docs))
+      |      // 1000000 ELSE 0 END) AS bm25_ppm
+      |  FROM p, st
+      |)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY bm25_ppm DESC, doc_id)
+      |    AS INTEGER) AS rank,
+      |  doc_id, dl, CAST(bm25_ppm AS BIGINT) AS bm25_ppm,
+      |  tf_customer, tf_spark, tf_merge
+      |FROM sc WHERE bm25_ppm > 0
+      |ORDER BY bm25_ppm DESC, doc_id LIMIT 20""".stripMargin
+
   val chunkOracle: String =
     """WITH d AS (
       |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks

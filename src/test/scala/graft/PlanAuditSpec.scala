@@ -112,6 +112,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("bm25 broadcasts the one-row stats table and takes an ordered top-k") {
+    val p = finalPlan("text_bm25")
+    // corpus stats join must be broadcast — the corpus side never shuffles
+    assert(count(p, "BroadcastNestedLoopJoin") +
+      count(p, "BroadcastHashJoin") >= 1, p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+    // global top-k = per-partition heaps + driver merge of k rows, not a
+    // single-partition global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // tf/dl are array ops inside the scan projection: no explode
+    assert(count(p, "Generate") == 0, p)
+  }
+
+  test("packing shuffles once on shard; scan reads only doc_id+text") {
+    val p = finalPlan("pack_sequences")
+    // one hash shuffle on shard; the only other exchange is the
+    // presentation orderBy(doc_id) the oracle dump needs
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(count(p, "Exchange") <= 2, p)
+    assert(count(p, "SortMergeJoin") + count(p, "CartesianProduct") == 0, p)
+    val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(!scan.contains("lang") && !scan.contains("source"), scan)
+  }
+
   test("decontaminate broadcasts the benchmark shingle set") {
     val df = SparkEntry.queries("dedup_decontaminate")(spark, dir)
     df.count()
