@@ -110,6 +110,7 @@ object SparkEntry {
     "fed_two_providers" -> (Federated.twoProvidersJoin _),
     "fed_mixed_local" -> (Federated.mixedLocalRemote _),
     "fed_runtime_filter" -> (Federated.runtimeFilterJoin _),
+    "fed_bind_join" -> (Federated.bindJoin _),
     "fed_unnest" -> (Federated.unnestPushdown _),
     "fed_unnest_outer" -> (Federated.unnestOuterPushdown _),
     "fed_unnest_pos" -> (Federated.unnestPosPushdown _),
@@ -218,6 +219,7 @@ object SparkEntry {
     "fed_two_providers" -> Federated.twoProvidersOracle,
     "fed_mixed_local" -> Federated.mixedOracle,
     "fed_runtime_filter" -> Federated.runtimeFilterOracle,
+    "fed_bind_join" -> Federated.bindJoinOracle,
     "fed_unnest" -> Federated.unnestOracle,
     "fed_unnest_outer" -> Federated.unnestOuterOracle,
     "fed_unnest_pos" -> Federated.unnestPosOracle,

@@ -1,0 +1,122 @@
+package graft.federation
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+import graft.federation.plans.{FederatedPlan, RemoteBindJoin}
+import graft.federation.sql.SqlFederationProvider
+
+/** Bind-join pushdown (beyond the reference — its optimizer only
+  * federates whole same-provider subtrees, src/optimizer/mod.rs:188-209):
+  * an INNER equi-join between a federated fragment and a small, selective
+  * build side is rewritten so the JOIN ITSELF runs on the remote engine,
+  * with the build side inlined into the fragment SQL as a
+  * `(VALUES ...) AS t(...)` derived table at execution time
+  * ([[graft.federation.exec.RemoteScanExec]]). The classic federation
+  * bind join: wire cost drops from O(fragment rows) to
+  * O(build rows out + join result back).
+  *
+  * The build side may itself be a fragment of ANOTHER provider — then the
+  * small provider's result is bound into the big provider's query: a
+  * cross-provider join that executes remotely.
+  *
+  * Eligibility (everything else is left to [[RuntimeFilterRule]], which
+  * still covers outer/semi shapes, FP keys, oversize builds, and dialects
+  * without inline VALUES):
+  *  - inner join whose condition is ENTIRELY equi-pairs of a bare
+  *    fragment output column and a bare build output column (a residual
+  *    predicate would be dropped by the rewrite, so any non-pair
+  *    conjunct disqualifies);
+  *  - every build output type renderable as a portable literal, floats
+  *    excluded (NaN/Infinity have no SQL spelling, and unlike the
+  *    IN-list path there is no safe "skip" once the local join is gone);
+  *  - build side deterministic, its stats under
+  *    `spark.graft.federation.bindJoin.maxBytes` (the inline SQL is the
+  *    wire format — this bar is deliberately far below the broadcast
+  *    threshold), and selective in the [[RuntimeFilterRule.selective]]
+  *    sense — an unfiltered dimension would only widen the result rows;
+  *  - the fragment's dialect supports inline VALUES tables.
+  *
+  * Runs between [[FederationRule]] and [[RuntimeFilterRule]] in the same
+  * fixpoint batch: fragments exist when it fires, and a join it consumes
+  * never gets a (then-redundant) runtime filter. A filter attached on an
+  * earlier iteration for the same build side is stripped as the bind
+  * absorbs it. Idempotent: the rewrite yields a leaf.
+  */
+object BindJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  val EnabledKey = "spark.graft.federation.bindJoin.enabled"
+  val MaxBytesKey = "spark.graft.federation.bindJoin.maxBytes"
+  val DefaultMaxBytes = 131072L
+
+  /** Types with portable, total literal rendering — no floats: a
+    * non-finite value at execution time could not degrade gracefully. */
+  private[federation] def renderable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         BooleanType | DateType | TimestampType | TimestampNTZType |
+         _: DecimalType => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
+    val maxBytes =
+      conf.getConfString(MaxBytesKey, DefaultMaxBytes.toString).toLong
+    plan.transformUp {
+      case j @ Join(l, r, Inner, Some(cond), _) =>
+        tryBind(j, l, r, buildLeft = false, maxBytes)
+          .orElse(tryBind(j, r, l, buildLeft = true, maxBytes))
+          .getOrElse(j)
+    }
+  }
+
+  private def dialectOk(f: FederatedPlan): Boolean = f.provider match {
+    case p: SqlFederationProvider => p.executor.dialect.supportsInlineValues
+    case _ => false
+  }
+
+  /** The selectivity bar, looking through a federated build side (its
+    * plan is an opaque leaf; the filters live on `inner`). */
+  private def selective(build: LogicalPlan): Boolean = build match {
+    case f: FederatedPlan => RuntimeFilterRule.selective(f.inner)
+    case other => RuntimeFilterRule.selective(other)
+  }
+
+  private def deterministic(build: LogicalPlan): Boolean =
+    !build.exists(_.expressions.exists(e => !e.deterministic))
+
+  private def tryBind(j: Join, fragSide: LogicalPlan, build: LogicalPlan,
+      buildLeft: Boolean, maxBytes: Long): Option[LogicalPlan] =
+    fragSide match {
+      case f: FederatedPlan
+          if f.bindJoin.isEmpty && dialectOk(f) &&
+             build.stats.sizeInBytes <= maxBytes && selective(build) &&
+             deterministic(build) &&
+             build.output.forall(a => renderable(a.dataType)) =>
+        val pairs = splitConjunctivePredicates(j.condition.get).map {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if f.outputSet.contains(a) && build.outputSet.contains(b) =>
+            Some((a, b))
+          case EqualTo(b: AttributeReference, a: AttributeReference)
+              if f.outputSet.contains(a) && build.outputSet.contains(b) =>
+            Some((a, b))
+          case _ => None
+        }
+        // duplicate output names inside either side would make the
+        // rendered column references ambiguous; refuse (cf. the
+        // PartialAggRule dup-exprId guard)
+        val unambiguous =
+          f.output.map(_.exprId).distinct.size == f.output.size &&
+          build.output.map(_.exprId).distinct.size == build.output.size
+        if (pairs.isEmpty || pairs.exists(_.isEmpty) || !unambiguous) None
+        else Some(f.copy(
+          runtimeFilters =
+            f.runtimeFilters.filterNot(_.buildPlan.sameResult(build)),
+          bindJoin = Some(RemoteBindJoin(
+            build, build.output, pairs.flatten, buildLeft))))
+      case _ => None
+    }
+}

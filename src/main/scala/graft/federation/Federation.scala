@@ -26,8 +26,12 @@ object Federation {
       exp.extraOptimizations = TopKPushdownRule +: exp.extraOptimizations
     if (!exp.extraOptimizations.contains(FederationRule))
       exp.extraOptimizations = exp.extraOptimizations :+ FederationRule
-    // after FederationRule in the same batch: attaches join-derived
-    // runtime filters to freshly-cut fragments
+    // after FederationRule in the same batch: consumes eligible
+    // fragment-vs-small-build inner joins whole...
+    if (!exp.extraOptimizations.contains(BindJoinRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ BindJoinRule
+    // ...and runtime filters cover every join shape the bind rule
+    // refuses (outer/semi, FP keys, oversize or unrenderable builds)
     if (!exp.extraOptimizations.contains(RuntimeFilterRule))
       exp.extraOptimizations = exp.extraOptimizations :+ RuntimeFilterRule
   }
@@ -79,6 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => TopKPushdownRule)
     e.injectOptimizerRule(_ => PartialAggRule)
     e.injectOptimizerRule(_ => FederationRule)
+    e.injectOptimizerRule(_ => BindJoinRule)
     e.injectOptimizerRule(_ => RuntimeFilterRule)
     e.injectPlannerStrategy(_ => FederationStrategy)
   }

@@ -47,8 +47,12 @@ object FederationRule extends Rule[LogicalPlan] {
     // (e.g. made before other rules finished collapsing the plan) heals
     // into the larger fragment on the final iteration. Rewrap of an
     // unchanged plan is structurally identical, so the batch converges.
+    // A fragment carrying a bind join is FINAL: the join it absorbed no
+    // longer exists in the surrounding plan, so unwrapping to `inner`
+    // (which loses the build side's output) would leave dangling
+    // attribute references above.
     val unwrapped = plan.transformUpWithSubqueries {
-      case f: FederatedPlan => f.inner
+      case f: FederatedPlan if f.bindJoin.isEmpty => f.inner
     }
     val (rewritten, result) = optimizeRecursively(unwrapped)
     result.providerOpt match {

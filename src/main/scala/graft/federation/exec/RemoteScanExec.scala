@@ -39,7 +39,8 @@ final case class RemoteScanExec(
     override val output: Seq[Attribute],
     sqls: Seq[String],
     @transient executor: SqlExecutor,
-    @transient runtimeFilters: Seq[RemoteRuntimeFilter] = Nil)
+    @transient runtimeFilters: Seq[RemoteRuntimeFilter] = Nil,
+    @transient bindJoin: Option[graft.federation.plans.RemoteBindJoin] = None)
   extends LeafExecNode {
   // @transient: physical plans are captured in task closures (whole-stage
   // codegen, broadcast); the executor is only dereferenced driver-side in
@@ -56,20 +57,76 @@ final case class RemoteScanExec(
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
     "numRuntimeFilters" -> SQLMetrics.createMetric(sparkContext, "runtime filters pushed"),
+    "numBindRows" -> SQLMetrics.createMetric(sparkContext, "bind join rows inlined"),
     "numSplits" -> SQLMetrics.createMetric(sparkContext, "remote cursors (splits)"),
     "remoteFetchTime" -> SQLMetrics.createNanoTimingMetric(sparkContext, "remote fetch time"),
     "remoteBytes" -> SQLMetrics.createSizeMetric(sparkContext, "bytes from remote"),
     "numCoercedRows" -> SQLMetrics.createMetric(sparkContext, "rows coerced from wire format"))
 
   /** The SQLs actually sent: base split SQLs, each wrapped with the
-    * runtime-filter predicates resolved at this call. */
+    * runtime-filter predicates resolved at this call, then with the bind
+    * join (filters apply to the fragment alone, so they nest inside). */
   private[graft] def effectiveSqls(): Seq[String] = {
     val preds = runtimeFilters.flatMap(renderFilter)
     metrics.get("numRuntimeFilters").foreach(_.add(preds.size))
-    if (preds.isEmpty) sqls
-    else {
-      val where = preds.mkString(" AND ")
-      sqls.map(s => s"SELECT * FROM ($s) AS rf_sub WHERE $where")
+    val filtered =
+      if (preds.isEmpty) sqls
+      else {
+        val where = preds.mkString(" AND ")
+        sqls.map(s => s"SELECT * FROM ($s) AS rf_sub WHERE $where")
+      }
+    bindJoin match {
+      case None => filtered
+      case Some(bj) =>
+        val wrap = renderBind(bj) // evaluated once, applied to every split
+        filtered.map(wrap)
+    }
+  }
+
+  /** Evaluate the bind join's build side and produce the SQL wrapper:
+    * `SELECT frag cols, build cols FROM (frag) JOIN (VALUES ...) ON keys`.
+    * Build columns are aliased `__bj_i` — collision-proof against
+    * fragment names, and the stream is read positionally. An empty build
+    * side degenerates to `WHERE 1=0` with NULL-cast build columns: the
+    * inner join can emit nothing, but the remote engine must still answer
+    * with the widened shape. No graceful-skip path exists (the local join
+    * is gone), which is why [[graft.federation.BindJoinRule]] admits only
+    * types whose literal rendering is total. */
+  private def renderBind(bj: graft.federation.plans.RemoteBindJoin)
+      : String => String = {
+    val d = executor.dialect
+    val session = SparkSession.active
+    val rows = internalRows(session, bj.buildPlan)
+    metrics.get("numBindRows").foreach(_.add(rows.length))
+    val types = bj.buildOutput.map(_.dataType)
+    val bjNames = bj.buildOutput.indices.map(i => d.quoteIfNeeded(s"__bj_$i"))
+    val buildCols = bjNames.map(n => s"bj_b.$n")
+    val fragCols = "bj_sub.*"
+    val selectList =
+      if (bj.buildLeft) (buildCols :+ fragCols).mkString(", ")
+      else (fragCols +: buildCols).mkString(", ")
+    if (rows.isEmpty) {
+      val nulls = types.zip(bjNames).map { case (dt, n) =>
+        s"CAST(NULL AS ${d.typeName(dt)}) AS $n"
+      }
+      val sel =
+        if (bj.buildLeft) (nulls :+ fragCols).mkString(", ")
+        else (fragCols +: nulls).mkString(", ")
+      sql => s"SELECT $sel FROM ($sql) AS bj_sub WHERE 1=0"
+    } else {
+      val rendered = rows.map { r =>
+        types.zipWithIndex.map { case (dt, i) =>
+          val v = r.get(i, dt)
+          if (v == null) s"CAST(NULL AS ${d.typeName(dt)})"
+          else d.literal(v, dt)
+        }.mkString("(", ", ", ")")
+      }.mkString(", ")
+      val on = bj.keys.map { case (fragCol, buildCol) =>
+        val i = bj.buildOutput.indexWhere(_.exprId == buildCol.exprId)
+        s"bj_sub.${d.quoteIfNeeded(fragCol.name)} = bj_b.${bjNames(i)}"
+      }.mkString(" AND ")
+      sql => s"SELECT $selectList FROM ($sql) AS bj_sub " +
+        s"JOIN (VALUES $rendered) AS bj_b(${bjNames.mkString(", ")}) ON $on"
     }
   }
 

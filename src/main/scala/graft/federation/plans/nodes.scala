@@ -64,6 +64,27 @@ final case class RemoteRuntimeFilter(
     buildPlan: LogicalPlan,
     buildKey: org.apache.spark.sql.catalyst.expressions.Expression)
 
+/** A bind join attached to a federated fragment: the small `buildPlan` is
+  * evaluated locally at execution time and inlined into the remote SQL as
+  * a `(VALUES ...) AS t(...)` derived table, and the equi-join COMPLETES
+  * on the remote engine — the classic federation bind join (SQL/MED
+  * wrapper literature; Trino/Presto connector join pushdown is the same
+  * move). Where a [[RemoteRuntimeFilter]] only pre-filters the fragment
+  * (the join still runs locally and re-streams the build side), a bind
+  * join ships O(build rows) out and O(join result) back, and the local
+  * join disappears entirely.
+  *
+  * `buildOutput` keeps the build side's original attributes (exprIds
+  * intact) so the widened fragment output resolves in parent plans;
+  * `keys` pairs a bare fragment output column with the build output
+  * attribute it equi-joins to; `buildLeft` records which side of the
+  * original join the build was on (output ordering). */
+final case class RemoteBindJoin(
+    buildPlan: LogicalPlan,
+    buildOutput: Seq[Attribute],
+    keys: Seq[(AttributeReference, Attribute)],
+    buildLeft: Boolean)
+
 /** Opaque logical node wrapping a sub-plan that will run remotely.
   *
   * A LeafNode on purpose: exposing no children/expressions freezes the
@@ -74,10 +95,15 @@ final case class RemoteRuntimeFilter(
 final case class FederatedPlan(
     inner: LogicalPlan,
     provider: FederationProvider,
-    runtimeFilters: Seq[RemoteRuntimeFilter] = Nil)
+    runtimeFilters: Seq[RemoteRuntimeFilter] = Nil,
+    bindJoin: Option[RemoteBindJoin] = None)
   extends LeafNode {
 
-  override def output: Seq[Attribute] = inner.output
+  override def output: Seq[Attribute] = bindJoin match {
+    case Some(bj) if bj.buildLeft => bj.buildOutput ++ inner.output
+    case Some(bj) => inner.output ++ bj.buildOutput
+    case None => inner.output
+  }
 
   /** Propagate the fragment's estimated stats so Spark can still pick
     * broadcast joins over small federated fragments (reference statistics
@@ -116,6 +142,9 @@ final case class FederatedPlan(
   override def simpleString(maxFields: Int): String = {
     val rf = if (runtimeFilters.isEmpty) ""
       else s" rfilters=[${runtimeFilters.map(_.column.name).mkString(",")}]"
-    s"Federated [${provider.name}]$rf"
+    val bj = bindJoin.map(b =>
+      s" bind=[${b.keys.map(k => k._1.name + "=" + k._2.name).mkString(",")}]")
+      .getOrElse("")
+    s"Federated [${provider.name}]$rf$bj"
   }
 }

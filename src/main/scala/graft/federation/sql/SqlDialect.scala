@@ -87,6 +87,12 @@ trait SqlDialect {
   /** Whether `agg(...) FILTER (WHERE p)` is supported. */
   def supportsFilterClause: Boolean = true
 
+  /** Whether `(VALUES (...), (...)) AS t(c1, c2)` works as a derived
+    * table in FROM — the bind-join inline table (probed live on Derby
+    * and Spark; standard on Postgres/DuckDB). SQLite parses VALUES in
+    * FROM but has no derived column list. */
+  def supportsInlineValues: Boolean = true
+
   /** The null ordering the engine assumes when none is written. ANSI-ish
     * engines (Postgres, DuckDB) treat NULLs as largest: ASC → NULLS LAST.
     * Spark treats NULLs as smallest: ASC → NULLS FIRST. Making this
@@ -312,6 +318,7 @@ object PostgresDialect extends SqlDialect {
   * loaded extension, so regexp fragments stay local. */
 object SqliteDialect extends SqlDialect {
   override val name = "sqlite"
+  override def supportsInlineValues: Boolean = false
   override def quote(ident: String): String =
     "\"" + ident.replace("\"", "\"\"") + "\""
   override def typeName(dt: DataType): String = dt match {

@@ -145,6 +145,30 @@ object Federated {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Cross-provider bind join ([[graft.federation.BindJoinRule]], beyond
+    * the reference): the selective beta-side nation fragment is evaluated
+    * first and inlined into alpha's supplier query as a VALUES derived
+    * table, so the join itself runs on alpha — wire cost O(build rows out
+    * + result back) instead of streaming every supplier row. */
+  def bindJoin(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM fed_supplier JOIN
+        |  (SELECT n_nationkey, n_name FROM fedb_nation WHERE n_regionkey < 2) n
+        |  ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+
+  val bindJoinOracle: String =
+    """SELECT n_name, COUNT(*) AS n_suppliers,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM supplier JOIN
+      |  (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 2) n
+      |  ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   /** LIMIT/OFFSET pushdown (reference analyzer.rs:890-938). */
   def limitOffsetPushdown(s: SparkSession, dir: String): DataFrame =
     FederationHarness.sql(s, dir,

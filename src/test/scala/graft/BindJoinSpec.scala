@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.federation.{BindJoinRule, FederationHarness}
+import graft.operators.Federated
+import graft.federation.plans.FederatedPlan
+
+/** Bind-join pushdown: an inner equi-join between a federated fragment
+  * and a small selective build side completes ON the remote engine, the
+  * build inlined as a `(VALUES ...)` derived table at execution time. */
+class BindJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-bindjoin-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def setup(): Unit = {
+    FederationHarness.setup(spark, dir)
+    graft.sources.Tables.registerAll(spark, dir)
+  }
+
+  private def boundFrags(df: DataFrame): Seq[FederatedPlan] =
+    df.queryExecution.optimizedPlan.collect {
+      case f: FederatedPlan if f.bindJoin.isDefined => f
+    }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("local selective dim binds into the remote SQL; join disappears locally") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    graft.sources.Tables.orders(spark, dir)
+      .filter("o_totalprice > 480000")
+      .createOrReplaceTempView("big_orders")
+    val before = alpha.executedSql.size
+    val df = spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM fed_lineitem JOIN big_orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    assert(boundFrags(df).nonEmpty,
+      s"join did not bind:\n${df.queryExecution.optimizedPlan}")
+    // results identical to fully-local execution
+    assert(rows(df) == rows(spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM lineitem JOIN (SELECT * FROM orders WHERE o_totalprice > 480000) o
+        |  ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)))
+    // the executed remote SQL carries the VALUES join on the key
+    val executed = alpha.executedSql.drop(before)
+    assert(executed.exists(s => s.contains("JOIN (VALUES") &&
+        s.contains("bj_sub.l_orderkey = bj_b.__bj_")),
+      s"no VALUES join reached the remote engine:\n${executed.mkString("\n")}")
+    // and no local join remains in the physical plan
+    val phys = df.queryExecution.executedPlan.toString()
+    assert(!phys.contains("Join"), phys)
+  }
+
+  test("cross-provider: small beta fragment binds into alpha's query") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val beta = FederationHarness.executor(spark, dir, "beta")
+    val beforeA = alpha.executedSql.size
+    val beforeB = beta.executedSql.size
+    val df = spark.sql(
+      """SELECT n_name, COUNT(*) AS n_suppliers
+        |FROM fed_supplier JOIN
+        |  (SELECT n_nationkey, n_name FROM fedb_nation WHERE n_regionkey < 2) n
+        |  ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    assert(boundFrags(df).nonEmpty,
+      s"cross-provider join did not bind:\n${df.queryExecution.optimizedPlan}")
+    assert(rows(df) == rows(spark.sql(
+      """SELECT n_name, COUNT(*) AS n_suppliers
+        |FROM supplier JOIN
+        |  (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 2) n
+        |  ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)))
+    // beta ran its own fragment (the build evaluation), and alpha's SQL
+    // carries the VALUES with beta's rows
+    assert(beta.executedSql.drop(beforeB).exists(_.contains("nation")),
+      "beta never executed the build fragment")
+    assert(alpha.executedSql.drop(beforeA).exists(s =>
+        s.contains("supplier") && s.contains("JOIN (VALUES")),
+      s"alpha SQL lacks the bound build:\n${alpha.executedSql.drop(beforeA).mkString("\n")}")
+  }
+
+  test("build on the left preserves column order and multiplicities") {
+    setup()
+    // duplicate build rows (UNION ALL of two filtered scans): inner-join
+    // multiplicity must survive the VALUES rendering (no dedup)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW dup_dim AS
+        |SELECT o_orderkey AS k, 'a' AS tag FROM orders WHERE o_orderkey < 5
+        |UNION ALL
+        |SELECT o_orderkey AS k, 'b' AS tag FROM orders WHERE o_orderkey < 5""".stripMargin)
+    val df = spark.sql(
+      """SELECT d.tag, l.l_orderkey, l.l_linenumber
+        |FROM dup_dim d JOIN fed_lineitem l ON d.k = l.l_orderkey
+        |ORDER BY d.tag, l.l_orderkey, l.l_linenumber""".stripMargin)
+    assert(boundFrags(df).nonEmpty,
+      s"duplicate-row build did not bind:\n${df.queryExecution.optimizedPlan}")
+    assert(rows(df) == rows(spark.sql(
+      """SELECT d.tag, l.l_orderkey, l.l_linenumber
+        |FROM (SELECT o_orderkey AS k, 'a' AS tag FROM orders WHERE o_orderkey < 5
+        |      UNION ALL
+        |      SELECT o_orderkey, 'b' FROM orders WHERE o_orderkey < 5) d
+        |JOIN lineitem l ON d.k = l.l_orderkey
+        |ORDER BY d.tag, l.l_orderkey, l.l_linenumber""".stripMargin)))
+  }
+
+  test("empty build side renders the widened 1=0 shape, zero rows") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    graft.sources.Tables.orders(spark, dir)
+      .filter("o_totalprice > 99999999")
+      .selectExpr("o_orderkey", "o_orderpriority")
+      .createOrReplaceTempView("no_orders")
+    val df = spark.sql(
+      """SELECT l_orderkey, o_orderpriority
+        |FROM fed_lineitem JOIN no_orders ON l_orderkey = o_orderkey""".stripMargin)
+    if (boundFrags(df).nonEmpty) {
+      assert(df.collect().isEmpty)
+      val executed = alpha.executedSql.drop(before).filter(_.contains("lineitem"))
+      // AQE may skip the scan; if it ran, it must carry the short-circuit
+      assert(executed.isEmpty || executed.exists(_.contains("1=0")),
+        s"fact ran unfiltered:\n${executed.mkString("\n")}")
+    } else fail(s"join did not bind:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("null payload values render as typed NULLs and match local") {
+    setup()
+    // payload NULL on one build row: must render CAST(NULL AS <type>)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW nullable_dim AS
+        |SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey = 2 THEN NULL ELSE o_orderstatus END AS payload
+        |FROM orders WHERE o_orderkey <= 3""".stripMargin)
+    val df = spark.sql(
+      """SELECT l.l_orderkey, l.l_linenumber, d.payload
+        |FROM fed_lineitem l JOIN nullable_dim d ON l.l_orderkey = d.k
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)
+    assert(boundFrags(df).nonEmpty,
+      s"join did not bind:\n${df.queryExecution.optimizedPlan}")
+    assert(rows(df) == rows(spark.sql(
+      """SELECT l.l_orderkey, l.l_linenumber, d.payload
+        |FROM lineitem l JOIN
+        |  (SELECT o_orderkey AS k,
+        |     CASE WHEN o_orderkey = 2 THEN NULL ELSE o_orderstatus END AS payload
+        |   FROM orders WHERE o_orderkey <= 3) d ON l.l_orderkey = d.k
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)))
+  }
+
+  test("refusals: FP keys, residual predicates, unfiltered or oversize builds") {
+    setup()
+    // FP join key → refuse (falls back to runtime filter machinery)
+    val fp = spark.sql(
+      """SELECT COUNT(*) AS n FROM fed_lineitem
+        |JOIN (SELECT DISTINCT l_quantity AS q FROM lineitem WHERE l_quantity < 3) d
+        |  ON l_quantity = d.q""".stripMargin)
+    assert(boundFrags(fp).isEmpty, "FP key must not bind")
+    // residual non-equi conjunct → refuse (it would be dropped)
+    graft.sources.Tables.orders(spark, dir)
+      .filter("o_totalprice > 480000")
+      .createOrReplaceTempView("big_orders2")
+    val residual = spark.sql(
+      """SELECT COUNT(*) AS n
+        |FROM fed_lineitem JOIN big_orders2
+        |  ON l_orderkey = o_orderkey AND l_extendedprice > o_totalprice / 100""".stripMargin)
+    assert(boundFrags(residual).isEmpty, "residual predicate must not bind")
+    assert(residual.collect().head.getLong(0) ==
+      spark.sql(
+        """SELECT COUNT(*) AS n
+          |FROM lineitem JOIN (SELECT * FROM orders WHERE o_totalprice > 480000) o
+          |  ON l_orderkey = o_orderkey AND l_extendedprice > o_totalprice / 100""".stripMargin)
+        .collect().head.getLong(0))
+    // unfiltered (non-selective) dimension → refuse
+    val unfiltered = spark.sql(
+      """SELECT COUNT(*) AS n
+        |FROM fed_lineitem JOIN nation ON l_suppkey = n_nationkey""".stripMargin)
+    assert(boundFrags(unfiltered).isEmpty, "unfiltered dim must not bind")
+    // oversize build (cap forced to 1 byte) → refuse
+    spark.conf.set(BindJoinRule.MaxBytesKey, "1")
+    try {
+      val over = spark.sql(
+        """SELECT COUNT(*) AS n
+          |FROM fed_lineitem JOIN big_orders2 ON l_orderkey = o_orderkey""".stripMargin)
+      assert(boundFrags(over).isEmpty, "over-cap build must not bind")
+    } finally spark.conf.unset(BindJoinRule.MaxBytesKey)
+  }
+
+  test("gate query fed_bind_join binds and matches its oracle shape") {
+    val df = Federated.bindJoin(spark, dir)
+    assert(boundFrags(df).nonEmpty,
+      s"gate query did not bind:\n${df.queryExecution.optimizedPlan}")
+    assert(df.count() > 0)
+  }
+}

@@ -974,8 +974,18 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
         |) t GROUP BY st ORDER BY st""".stripMargin)))
   }
 
+  /** Pin the runtime-filter (or stats) subsystem with the bind join off —
+    * with it on, these join shapes bind remotely and the path under test
+    * never fires (BindJoinSpec covers that, better, behavior). */
+  private def withoutBindJoin[A](body: => A): A = {
+    spark.conf.set(graft.federation.BindJoinRule.EnabledKey, "false")
+    try body
+    finally spark.conf.unset(graft.federation.BindJoinRule.EnabledKey)
+  }
+
   test("runtime filter: dim keys are inlined into the executed remote SQL") {
     setup()
+    withoutBindJoin {
     val alpha = FederationHarness.executor(spark, dir, "alpha")
     val before = alpha.executedSql.size
     val df = Federated.runtimeFilterJoin(spark, dir)
@@ -1000,6 +1010,7 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s.contains("lineitem") && s.contains("l_orderkey IN ("))
     assert(filtered.nonEmpty,
       s"no executed remote SQL carries the runtime filter:\n${executed.mkString("\n")}")
+    }
   }
 
   test("runtime filter: non-finite build keys skip the filter, not the rows") {
@@ -1177,6 +1188,7 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("fragment statistics: a filtered fragment wins the broadcast its base table forfeits") {
     setup()
+    withoutBindJoin {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192") // 8 KB
     spark.conf.set("spark.sql.adaptive.enabled", "false") // deterministic join pick
     try {
@@ -1208,10 +1220,12 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.enabled")
     }
+    }
   }
 
   test("runtime filter: key sets over the cap degrade to a min/max range") {
     setup()
+    withoutBindJoin {
     val alpha = FederationHarness.executor(spark, dir, "alpha")
     spark.conf.set(graft.federation.RuntimeFilterRule.MaxKeysKey, "10")
     try {
@@ -1229,6 +1243,7 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
           s.contains("l_orderkey >= ") && s.contains("l_orderkey <= ")),
         s"no range predicate reached the remote engine:\n${executed.mkString("\n")}")
     } finally spark.conf.unset(graft.federation.RuntimeFilterRule.MaxKeysKey)
+    }
   }
 
   test("runtime filter: outer-preserved sides are never filtered") {
@@ -1251,6 +1266,7 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("runtime filter: empty build side short-circuits to 1=0") {
     setup()
+    withoutBindJoin {
     val alpha = FederationHarness.executor(spark, dir, "alpha")
     val before = alpha.executedSql.size
     graft.sources.Tables.orders(spark, dir)
@@ -1274,6 +1290,7 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("SELECT l_orderkey FROM lineitem"), alpha, frag.get.runtimeFilters)
     val sqls = exec.effectiveSqls()
     assert(sqls.forall(_.contains("1=0")), sqls.mkString("\n"))
+    }
   }
 
   test("AnsiDialect emits explicit NULLS FIRST when Spark default differs") {

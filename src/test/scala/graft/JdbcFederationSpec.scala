@@ -90,6 +90,31 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("sales", 2L, 110.75)))
   }
 
+  test("bind join: a selective local dim inlines as VALUES into the Derby SQL") {
+    Federation.install(spark)
+    val ex = executor
+    Federation.registerAll(spark, ex, prefix = "bj_")
+    // parquet-backed so the selectivity filter survives optimization
+    graft.sources.Tables.nation(spark, "/root/testdata/sf0.001")
+      .selectExpr("n_nationkey + 1 AS dept_id", "n_name")
+      .filter("dept_id <= 2")
+      .createOrReplaceTempView("derby_dim")
+    val df = spark.sql(
+      """SELECT e.EMP_NAME, d.n_name
+        |FROM bj_EMP e JOIN derby_dim d ON e.DEPT_ID = d.dept_id
+        |ORDER BY e.EMP_NAME""".stripMargin)
+    val bound = df.queryExecution.optimizedPlan.collect {
+      case f: graft.federation.plans.FederatedPlan if f.bindJoin.isDefined => f
+    }
+    assert(bound.nonEmpty,
+      s"derby join did not bind:\n${df.queryExecution.optimizedPlan}")
+    val scans = remoteScans(df)
+    assert(scans.size == 1, s"expected one remote scan, got: $scans")
+    // four emps in depts 1-2 × the dim names; join ran ON Derby
+    val got = df.collect().map(_.getString(0)).toSeq
+    assert(got == Seq("ada", "bob", "cyd", "dee"), got.toString)
+  }
+
   test("per-table sqlRewriter hook rewrites the executed Derby SQL exactly once") {
     Federation.install(spark)
     // a structural compatibility rewrite (derived-table wrap), not a
