@@ -317,6 +317,44 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     s"SELECT $selList FROM (\n${sels.mkString("\n  UNION ALL\n")}\n) u$tail"
   }
 
+  /** Fragment ⋈ small-selective-build inner joins — the BindJoinRule
+    * surface: local and cross-provider builds, 0-2 payload columns
+    * (one a CASE-NULL), occasionally-empty builds, both join orders,
+    * aggregate and plain-projection tops. */
+  private def genBindJoinQuery(r: Random): String = {
+    val bPrefix = pick(r, "", "fedb_")
+    val (fragTbl, buildTbl, fragKey, buildKey, pays, filt) = r.nextInt(3) match {
+      case 0 => ("fed_lineitem", s"${bPrefix}orders", "l_orderkey", "o_orderkey",
+        Seq("o_orderpriority AS p1",
+          "CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS p2"),
+        s"o_totalprice > ${400000 + r.nextInt(4) * 40000}")
+      case 1 => ("fed_orders", s"${bPrefix}customer", "o_custkey", "c_custkey",
+        Seq("c_mktsegment AS p1"),
+        s"c_acctbal > ${9000 + r.nextInt(5) * 500}")
+      case 2 => ("fed_supplier", s"${bPrefix}nation", "s_nationkey", "n_nationkey",
+        Seq("n_name AS p1"),
+        s"n_regionkey < ${r.nextInt(4)}") // < 0 → empty build, 1=0 path
+    }
+    val payCols = pays.take(r.nextInt(pays.size + 1))
+    val build = s"(SELECT $buildKey AS bk" +
+      (if (payCols.isEmpty) "" else payCols.mkString(", ", ", ", "")) +
+      s" FROM $buildTbl WHERE $filt) b"
+    val on = if (r.nextBoolean()) s"$fragKey = b.bk" else s"b.bk = $fragKey"
+    val from = if (r.nextBoolean()) s"$fragTbl JOIN $build ON $on"
+      else s"$build JOIN $fragTbl ON $on"
+    val payNames = payCols.indices.map(i => s"p${i + 1}")
+    if (r.nextBoolean()) {
+      val groups = payNames.take(r.nextInt(payNames.size + 1))
+      val sel = (groups ++ Seq("COUNT(*) AS n", s"MIN($fragKey) AS mn",
+        s"MAX($fragKey) AS mx")).mkString(", ")
+      val tail = if (groups.isEmpty) "" else s" GROUP BY ${groups.mkString(", ")}"
+      s"SELECT $sel FROM $from$tail"
+    } else {
+      val sel = (Seq(fragKey, "b.bk AS bk") ++ payNames).mkString(", ")
+      s"SELECT $sel FROM $from"
+    }
+  }
+
   // ---- differential run --------------------------------------------------
 
   // -0.0 and 0.0 are equal under IEEE and SQL comparison but engines may
@@ -438,6 +476,38 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     // means an eligibility regression, not a semantics bug
     assert(partialized >= (total * 9) / 10,
       s"only $partialized/$total partialized")
+  }
+
+  test("80 random bind-join shapes: remotely-joined == local") {
+    FederationHarness.setup(spark, dir)
+    graft.sources.Tables.registerAll(spark, dir)
+    val total = nOverride.map(n => math.max(20, n / 3)).getOrElse(80)
+    var bound = 0
+    val r = new Random(seedBase + 123L)
+    (1 to total).foreach { i =>
+      val fedSql = genBindJoinQuery(r)
+      val localSql = fedSql.replace("fedb_", "").replace("fed_", "")
+      val fedDf = spark.sql(fedSql)
+      val hasBind = fedDf.queryExecution.optimizedPlan.exists {
+        case f: FederatedPlan => f.bindJoin.isDefined
+        case _ => false
+      }
+      if (hasBind) bound += 1
+      val got = try rowsOf(fedDf) catch { case e: Throwable =>
+        throw new AssertionError(
+          s"bind-join query #$i EXECUTION FAILED\nSQL:\n$fedSql\n" +
+            s"plan:\n${fedDf.queryExecution.executedPlan}", e)
+      }
+      val want = rowsOf(spark.sql(localSql))
+      assert(got == want,
+        s"bind-join query #$i differs (bound=$hasBind)\nSQL:\n$fedSql\n" +
+          s"got ${got.size} rows, want ${want.size}\n" +
+          s"first diff: ${got.zip(want).find(p => p._1 != p._2)}\n" +
+          s"plan:\n${fedDf.queryExecution.optimizedPlan}")
+    }
+    // every generated shape is inside the rule's surface — a low bind rate
+    // is an eligibility regression, not a semantics bug
+    assert(bound >= (total * 9) / 10, s"only $bound/$total bound")
   }
 
   test("100 random queries against the real JDBC engine (Derby) match local") {
