@@ -1,7 +1,7 @@
 package graft.federation
 
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -67,9 +67,15 @@ object BindJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       conf.getConfString(MaxBytesKey, DefaultMaxBytes.toString).toLong
     plan.transformUp {
       case j @ Join(l, r, Inner, Some(cond), _) =>
-        tryBind(j, l, r, buildLeft = false, maxBytes)
-          .orElse(tryBind(j, r, l, buildLeft = true, maxBytes))
+        tryBind(j, l, r, buildLeft = false, Inner, maxBytes)
+          .orElse(tryBind(j, r, l, buildLeft = true, Inner, maxBytes))
           .getOrElse(j)
+      // semi/anti: the fragment must be the preserved LEFT side; the
+      // build inlines as (NOT) EXISTS against the VALUES table. Strict
+      // EqualTo matching refuses Catalyst's null-aware anti (NOT IN)
+      // shape, whose condition carries Or/IsNull conjuncts.
+      case j @ Join(l, r, jt @ (LeftSemi | LeftAnti), Some(cond), _) =>
+        tryBind(j, l, r, buildLeft = false, jt, maxBytes).getOrElse(j)
     }
   }
 
@@ -89,11 +95,15 @@ object BindJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     !build.exists(_.expressions.exists(e => !e.deterministic))
 
   private def tryBind(j: Join, fragSide: LogicalPlan, build: LogicalPlan,
-      buildLeft: Boolean, maxBytes: Long): Option[LogicalPlan] =
+      buildLeft: Boolean, joinType: JoinType,
+      maxBytes: Long): Option[LogicalPlan] =
     fragSide match {
       case f: FederatedPlan
           if f.bindJoin.isEmpty && dialectOk(f) &&
-             build.stats.sizeInBytes <= maxBytes && selective(build) &&
+             build.stats.sizeInBytes <= maxBytes &&
+             // semi/anti output is a SUBSET of the fragment, so ANY small
+             // build profits; inner widens rows, so it must be selective
+             (joinType != Inner || selective(build)) &&
              deterministic(build) &&
              build.output.forall(a => renderable(a.dataType)) =>
         val pairs = splitConjunctivePredicates(j.condition.get).map {
@@ -116,7 +126,7 @@ object BindJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           runtimeFilters =
             f.runtimeFilters.filterNot(_.buildPlan.sameResult(build)),
           bindJoin = Some(RemoteBindJoin(
-            build, build.output, pairs.flatten, buildLeft))))
+            build, build.output, pairs.flatten, buildLeft, joinType))))
       case _ => None
     }
 }

@@ -105,6 +105,31 @@ final case class RemoteScanExec(
     val selectList =
       if (bj.buildLeft) (buildCols :+ fragCols).mkString(", ")
       else (fragCols +: buildCols).mkString(", ")
+    def valuesList: String = rows.map { r =>
+      types.zipWithIndex.map { case (dt, i) =>
+        val v = r.get(i, dt)
+        if (v == null) s"CAST(NULL AS ${d.typeName(dt)})"
+        else d.literal(v, dt)
+      }.mkString("(", ", ", ")")
+    }.mkString(", ")
+    def onClause: String = bj.keys.map { case (fragCol, buildCol) =>
+      val i = bj.buildOutput.indexWhere(_.exprId == buildCol.exprId)
+      s"bj_sub.${d.quoteIfNeeded(fragCol.name)} = bj_b.${bjNames(i)}"
+    }.mkString(" AND ")
+    bj.joinType match {
+      case org.apache.spark.sql.catalyst.plans.LeftSemi =>
+        if (rows.isEmpty)
+          return sql => s"SELECT * FROM ($sql) AS bj_sub WHERE 1=0"
+        return sql => s"SELECT * FROM ($sql) AS bj_sub WHERE EXISTS " +
+          s"(SELECT 1 FROM (VALUES $valuesList) " +
+          s"AS bj_b(${bjNames.mkString(", ")}) WHERE $onClause)"
+      case org.apache.spark.sql.catalyst.plans.LeftAnti =>
+        if (rows.isEmpty) return identity // nothing to reject: all rows pass
+        return sql => s"SELECT * FROM ($sql) AS bj_sub WHERE NOT EXISTS " +
+          s"(SELECT 1 FROM (VALUES $valuesList) " +
+          s"AS bj_b(${bjNames.mkString(", ")}) WHERE $onClause)"
+      case _ => // Inner falls through to the widening VALUES join below
+    }
     if (rows.isEmpty) {
       val nulls = types.zip(bjNames).map { case (dt, n) =>
         s"CAST(NULL AS ${d.typeName(dt)}) AS $n"
@@ -114,17 +139,8 @@ final case class RemoteScanExec(
         else (fragCols +: nulls).mkString(", ")
       sql => s"SELECT $sel FROM ($sql) AS bj_sub WHERE 1=0"
     } else {
-      val rendered = rows.map { r =>
-        types.zipWithIndex.map { case (dt, i) =>
-          val v = r.get(i, dt)
-          if (v == null) s"CAST(NULL AS ${d.typeName(dt)})"
-          else d.literal(v, dt)
-        }.mkString("(", ", ", ")")
-      }.mkString(", ")
-      val on = bj.keys.map { case (fragCol, buildCol) =>
-        val i = bj.buildOutput.indexWhere(_.exprId == buildCol.exprId)
-        s"bj_sub.${d.quoteIfNeeded(fragCol.name)} = bj_b.${bjNames(i)}"
-      }.mkString(" AND ")
+      val rendered = valuesList
+      val on = onClause
       sql => s"SELECT $selectList FROM ($sql) AS bj_sub " +
         s"JOIN (VALUES $rendered) AS bj_b(${bjNames.mkString(", ")}) ON $on"
     }

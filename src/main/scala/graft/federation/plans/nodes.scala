@@ -78,12 +78,22 @@ final case class RemoteRuntimeFilter(
   * intact) so the widened fragment output resolves in parent plans;
   * `keys` pairs a bare fragment output column with the build output
   * attribute it equi-joins to; `buildLeft` records which side of the
-  * original join the build was on (output ordering). */
+  * original join the build was on (output ordering; Inner only).
+  *
+  * `joinType` is Inner (VALUES join, output widens by the build
+  * columns), LeftSemi (`WHERE EXISTS` against the VALUES table) or
+  * LeftAnti (`WHERE NOT EXISTS`) — for semi/anti the output is the
+  * fragment's alone, and SQL equality inside (NOT) EXISTS reproduces
+  * Spark's strict-EqualTo semi/anti null semantics exactly (a NULL key
+  * compares unknown → EXISTS false → semi drops / anti keeps the row,
+  * as Spark does). */
 final case class RemoteBindJoin(
     buildPlan: LogicalPlan,
     buildOutput: Seq[Attribute],
     keys: Seq[(AttributeReference, Attribute)],
-    buildLeft: Boolean)
+    buildLeft: Boolean,
+    joinType: org.apache.spark.sql.catalyst.plans.JoinType =
+      org.apache.spark.sql.catalyst.plans.Inner)
 
 /** Opaque logical node wrapping a sub-plan that will run remotely.
   *
@@ -100,6 +110,8 @@ final case class FederatedPlan(
   extends LeafNode {
 
   override def output: Seq[Attribute] = bindJoin match {
+    case Some(bj) if bj.joinType != org.apache.spark.sql.catalyst.plans.Inner =>
+      inner.output // semi/anti filter the fragment; no widening
     case Some(bj) if bj.buildLeft => bj.buildOutput ++ inner.output
     case Some(bj) => inner.output ++ bj.buildOutput
     case None => inner.output

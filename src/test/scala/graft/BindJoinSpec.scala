@@ -203,6 +203,62 @@ class BindJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(BindJoinRule.MaxBytesKey)
   }
 
+  test("semi join binds as EXISTS against the VALUES table") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    // unfiltered small build: the semi output is a subset of the fragment,
+    // so the selectivity bar is deliberately relaxed
+    val df = spark.sql(
+      """SELECT s_name FROM fed_supplier
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 2)
+        |ORDER BY s_name""".stripMargin)
+    assert(boundFrags(df).exists(_.bindJoin.get.joinType ==
+        org.apache.spark.sql.catalyst.plans.LeftSemi),
+      s"semi join did not bind:\n${df.queryExecution.optimizedPlan}")
+    assert(rows(df) == rows(spark.sql(
+      """SELECT s_name FROM supplier
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 2)
+        |ORDER BY s_name""".stripMargin)))
+    assert(alpha.executedSql.drop(before).exists(s =>
+        s.contains("WHERE EXISTS") && s.contains("(VALUES")),
+      s"no EXISTS-VALUES SQL executed:\n${alpha.executedSql.drop(before).mkString("\n")}")
+  }
+
+  test("anti join binds as NOT EXISTS; null-aware NOT IN refuses") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    val df = spark.sql(
+      """SELECT s_name FROM fed_supplier s
+        |WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |  WHERE n.n_nationkey = s.s_nationkey AND n.n_regionkey < 2)
+        |ORDER BY s_name""".stripMargin)
+    assert(boundFrags(df).exists(_.bindJoin.get.joinType ==
+        org.apache.spark.sql.catalyst.plans.LeftAnti),
+      s"anti join did not bind:\n${df.queryExecution.optimizedPlan}")
+    assert(rows(df) == rows(spark.sql(
+      """SELECT s_name FROM supplier s
+        |WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |  WHERE n.n_nationkey = s.s_nationkey AND n.n_regionkey < 2)
+        |ORDER BY s_name""".stripMargin)))
+    assert(alpha.executedSql.drop(before).exists(s =>
+        s.contains("WHERE NOT EXISTS") && s.contains("(VALUES")),
+      s"no NOT-EXISTS-VALUES SQL executed:\n${alpha.executedSql.drop(before).mkString("\n")}")
+    // null-aware anti (NOT IN over a nullable key expression): the Or/
+    // IsNull condition is not bare equi-pairs — must refuse
+    val notIn = spark.sql(
+      """SELECT COUNT(*) AS n FROM fed_supplier
+        |WHERE CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey END
+        |  NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 2)""".stripMargin)
+    assert(boundFrags(notIn).isEmpty,
+      s"null-aware NOT IN must not bind:\n${notIn.queryExecution.optimizedPlan}")
+    assert(rows(notIn) == rows(spark.sql(
+      """SELECT COUNT(*) AS n FROM supplier
+        |WHERE CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey END
+        |  NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 2)""".stripMargin)))
+  }
+
   test("gate query fed_bind_join binds and matches its oracle shape") {
     val df = Federated.bindJoin(spark, dir)
     assert(boundFrags(df).nonEmpty,

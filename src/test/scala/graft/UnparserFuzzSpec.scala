@@ -343,15 +343,22 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val from = if (r.nextBoolean()) s"$fragTbl JOIN $build ON $on"
       else s"$build JOIN $fragTbl ON $on"
     val payNames = payCols.indices.map(i => s"p${i + 1}")
-    if (r.nextBoolean()) {
-      val groups = payNames.take(r.nextInt(payNames.size + 1))
-      val sel = (groups ++ Seq("COUNT(*) AS n", s"MIN($fragKey) AS mn",
-        s"MAX($fragKey) AS mx")).mkString(", ")
-      val tail = if (groups.isEmpty) "" else s" GROUP BY ${groups.mkString(", ")}"
-      s"SELECT $sel FROM $from$tail"
-    } else {
-      val sel = (Seq(fragKey, "b.bk AS bk") ++ payNames).mkString(", ")
-      s"SELECT $sel FROM $from"
+    r.nextInt(4) match {
+      case 0 => // semi: IN-subquery against the build
+        s"SELECT $fragKey FROM $fragTbl WHERE $fragKey IN " +
+          s"(SELECT $buildKey FROM $buildTbl WHERE $filt)"
+      case 1 => // anti: correlated NOT EXISTS (decorrelates to LeftAnti)
+        s"SELECT $fragKey FROM $fragTbl f WHERE NOT EXISTS " +
+          s"(SELECT 1 FROM $buildTbl WHERE $buildKey = f.$fragKey AND $filt)"
+      case 2 =>
+        val groups = payNames.take(r.nextInt(payNames.size + 1))
+        val sel = (groups ++ Seq("COUNT(*) AS n", s"MIN($fragKey) AS mn",
+          s"MAX($fragKey) AS mx")).mkString(", ")
+        val tail = if (groups.isEmpty) "" else s" GROUP BY ${groups.mkString(", ")}"
+        s"SELECT $sel FROM $from$tail"
+      case 3 =>
+        val sel = (Seq(fragKey, "b.bk AS bk") ++ payNames).mkString(", ")
+        s"SELECT $sel FROM $from"
     }
   }
 
