@@ -49,6 +49,7 @@ object SparkEntry {
     "text_bm25" -> ((s, d) => TextOps.bm25(s, d)),
     "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
     "pack_stats" -> ((s, d) => Packing.packStats(s, d)),
+    "samp_mixture" -> ((s, d) => Sampling.mixture(s, d)),
     "text_quality_score" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
     "text_fingerprint" -> (TextOps.fingerprintMd5 _),
@@ -181,6 +182,7 @@ object SparkEntry {
     "text_bm25" -> TextOps.bm25Oracle,
     "pack_sequences" -> Packing.packSequencesOracle,
     "pack_stats" -> Packing.packStatsOracle,
+    "samp_mixture" -> Sampling.mixtureOracle,
     "text_quality_score" -> TextOps.qualityScoreOracle,
     "text_lang_id" -> TextOps.langIdOracle,
     "text_fingerprint" -> TextOps.fingerprintOracle,

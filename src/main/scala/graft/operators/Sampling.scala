@@ -78,4 +78,84 @@ object Sampling {
       |  < CASE WHEN lang = 'en' THEN 5
       |         WHEN lang IN ('de','fr','es') THEN 20 ELSE 50 END
       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ mixture construction
+
+  /** The target pre-training mixture, as ppm weights per language. */
+  val mixtureWeights: Seq[(String, Long)] = Seq(
+    "en" -> 400000L, "de" -> 150000L, "fr" -> 150000L,
+    "es" -> 150000L, "zh" -> 150000L)
+
+  /** Mixture construction: turn target per-stratum weights into the
+    * LARGEST achievable downsample-only corpus and the deterministic
+    * per-stratum acceptance rates that produce it.
+    *
+    *   T        = min over strata of ⌊n_s · 10⁶ / w_s⌋  (binding stratum)
+    *   quota_s  = ⌊w_s · T / 10⁶⌋
+    *   rate_s   = ⌊quota_s · 10⁴ / n_s⌋ basis points, membership =
+    *              md5-bucket(doc_id) mod 10⁴ < rate_s
+    *
+    * All integer arithmetic, so any engine derives the same rates and the
+    * same member set. Plan shape: one tiny per-stratum aggregate (strata
+    * count is small — the global window over it is a 5-row frame at ANY
+    * corpus size), broadcast back onto the corpus for the membership
+    * flag, then the per-stratum rollup — the corpus is scanned, never
+    * re-shuffled wide. */
+  def mixture(s: SparkSession, dir: String,
+      weights: Seq[(String, Long)] = mixtureWeights): DataFrame = {
+    val w = weights.tail.foldLeft(
+      when(col("lang") === weights.head._1, lit(weights.head._2))) {
+      case (acc, (l, p)) => acc.when(col("lang") === l, lit(p))
+    }.otherwise(lit(0L))
+    val counts = documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("w_ppm", w)
+      .filter(col("w_ppm") > 0)
+    import org.apache.spark.sql.expressions.Window
+    val rates = counts
+      .withColumn("t_feasible",
+        min(expr("n * 1000000L div w_ppm")).over(
+          Window.partitionBy(lit(1))))
+      .withColumn("quota", expr("w_ppm * t_feasible div 1000000L"))
+      .withColumn("rate_bp",
+        least(lit(10000L), expr("quota * 10000L div n")))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 14),
+      16, 10).cast("long") % 10000
+    documents(s, dir)
+      .withColumn("bucket", bucket)
+      .join(broadcast(rates), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        first(col("w_ppm")).as("w_ppm"),
+        first(col("quota")).as("quota"),
+        first(col("rate_bp")).as("rate_bp"),
+        sum(when(col("bucket") < col("rate_bp"), 1L).otherwise(0L))
+          .as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val mixtureOracle: String =
+    """WITH c AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CASE lang WHEN 'en' THEN 400000 WHEN 'de' THEN 150000
+      |      WHEN 'fr' THEN 150000 WHEN 'es' THEN 150000
+      |      WHEN 'zh' THEN 150000 ELSE 0 END AS w_ppm
+      |  FROM documents GROUP BY lang
+      |), t AS (
+      |  SELECT lang, n, w_ppm,
+      |    MIN(n * 1000000 // w_ppm) OVER () AS tf
+      |  FROM c WHERE w_ppm > 0
+      |), r AS (
+      |  SELECT lang, n, w_ppm, (w_ppm * tf) // 1000000 AS quota,
+      |    LEAST(10000, ((w_ppm * tf) // 1000000) * 10000 // n) AS rate_bp
+      |  FROM t
+      |)
+      |SELECT r.lang, r.n AS n_total, CAST(r.w_ppm AS BIGINT) AS w_ppm,
+      |  CAST(r.quota AS BIGINT) AS quota, CAST(r.rate_bp AS BIGINT) AS rate_bp,
+      |  CAST(SUM(CASE WHEN
+      |    CAST('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,14) AS BIGINT)
+      |      % 10000 < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM r JOIN documents d ON d.lang = r.lang
+      |GROUP BY r.lang, r.n, r.w_ppm, r.quota, r.rate_bp
+      |ORDER BY r.lang""".stripMargin
 }

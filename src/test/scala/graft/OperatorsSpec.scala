@@ -428,6 +428,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.getLong(0) > 0 && stats.getLong(1) > 0)
   }
 
+  test("mixture rates are feasible, capped, and tight on the binding stratum") {
+    import org.apache.spark.sql.functions._
+    val m = operators.Sampling.mixture(spark, dir).collect()
+    assert(m.length == operators.Sampling.mixtureWeights.size)
+    m.foreach { r => // lang, n_total, w_ppm, quota, rate_bp, n_sampled
+      assert(r.getLong(4) <= 10000L, s"rate over 100%: $r")
+      assert(r.getLong(3) <= r.getLong(1), s"quota exceeds stratum: $r")
+      assert(r.getLong(5) <= r.getLong(1), s"sampled exceeds stratum: $r")
+    }
+    // the binding stratum is taken (nearly) whole: floor losses cost at
+    // most ~2 parts per stratum row at tiny n, so 98% is the safe bar
+    assert(m.map(_.getLong(4)).max >= 9800L,
+      s"no stratum near 100%: ${m.mkString(";")}")
+    // realized counts track quotas (MD5 buckets are near-uniform; the
+    // tolerance is loose on purpose — exactness is the oracle's job)
+    m.foreach { r =>
+      assert(math.abs(r.getLong(5) - r.getLong(3)) <=
+        math.max(5L, r.getLong(1) / 4), s"sampled far off quota: $r")
+    }
+    // sampled mixture is closer to the target than the raw corpus for the
+    // dominant stratum (the point of the exercise)
+    val total = m.map(_.getLong(1)).sum.toDouble
+    val sTotal = m.map(_.getLong(5)).sum.toDouble
+    val en = m.find(_.getString(0) == "en").get
+    val rawShare = en.getLong(1) / total
+    val newShare = en.getLong(5) / sTotal
+    assert(math.abs(newShare - 0.4) < math.abs(rawShare - 0.4),
+      s"mixture did not move en toward target: raw=$rawShare new=$newShare")
+  }
+
   test("connected components propagate across multi-hop chains") {
     import spark.implicits._
     // chain 1-2-3-4 plus isolated 5: single-link one-round would label 3
