@@ -38,6 +38,30 @@ import graft.federation.sql.SqlFederationProvider
   * is idempotent (FederatedPlan is a leaf with a Nop-like result), so
   * fixpoint batches are safe.
   */
+/** Gate for shipping a [[LocalRelation]] as an inline VALUES table: small
+  * (the rendered SQL is the wire format), scalar renderable types only,
+  * distinct column names (the derived column list must be unambiguous),
+  * non-empty (SQL has no zero-row VALUES; empty-relation joins are
+  * normally eliminated by PropagateEmptyRelation before this rule). */
+object InlineValues {
+  val MaxRows = 1000
+
+  def ok(l: LocalRelation): Boolean =
+    l.data.nonEmpty && l.data.length <= MaxRows &&
+      l.output.map(_.name).distinct.size == l.output.size &&
+      l.output.forall(a => scalarRenderable(a.dataType))
+
+  private def scalarRenderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           BooleanType | DateType | TimestampType | TimestampNTZType |
+           FloatType | DoubleType | _: DecimalType => true
+      case _ => false
+    }
+  }
+}
+
 object FederationRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -87,6 +111,14 @@ object FederationRule extends Rule[LogicalPlan] {
 
       case r: RemoteRelation =>
         (r, ScanResult.Distinct(SqlFederationProvider.forExecutor(r.executor)))
+
+      // a small literal relation is provider-NEUTRAL: it merges with any
+      // fragment (NoScan) and the unparser ships it as an inline VALUES
+      // table, so remote ⋈ literal-dim — and everything stacked above —
+      // federates as ONE SQL. Oversize/exotic relations fall through to
+      // the Nop leaf case and keep blocking, as before.
+      case l: LocalRelation if InlineValues.ok(l) =>
+        (l, ScanResult.NoScan)
 
       case leaf: LeafNode =>
         (leaf, ScanResult.Distinct(NopFederationProvider))
@@ -152,6 +184,7 @@ object FederationRule extends Rule[LogicalPlan] {
     case _: FederatedPlan => ScanResult.Ambiguous
     case r: RemoteRelation =>
       ScanResult.Distinct(SqlFederationProvider.forExecutor(r.executor))
+    case l: LocalRelation if InlineValues.ok(l) => ScanResult.NoScan
     case leaf: LeafNode => ScanResult.Distinct(NopFederationProvider)
     case _: Command => ScanResult.Ambiguous
     case node =>

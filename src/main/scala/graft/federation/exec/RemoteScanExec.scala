@@ -107,9 +107,7 @@ final case class RemoteScanExec(
       else (fragCols +: buildCols).mkString(", ")
     def valuesList: String = rows.map { r =>
       types.zipWithIndex.map { case (dt, i) =>
-        val v = r.get(i, dt)
-        if (v == null) s"CAST(NULL AS ${d.typeName(dt)})"
-        else d.literal(v, dt)
+        d.valuesCell(r.get(i, dt), dt)
       }.mkString("(", ", ", ")")
     }.mkString(", ")
     def onClause: String = bj.keys.map { case (fragCol, buildCol) =>

@@ -435,6 +435,14 @@ object DerbyDialect extends SqlDialect {
       case (None, Some(o)) => s" OFFSET $o ROWS"
       case (None, None) => ""
     }
+  // bare string literals in a VALUES row are typed CHAR (fixed-width,
+  // blank-padded — probed live: GROUP BY over a VALUES dim returned
+  // 'ENG  '); force a varying type sized to the value
+  override def valuesCell(v: Any, dt: DataType): String = dt match {
+    case StringType if v != null =>
+      s"CAST(${literal(v, dt)} AS VARCHAR(${math.max(1, v.toString.length)}))"
+    case _ => super.valuesCell(v, dt)
+  }
   override def dateDiffDays(end: String, start: String): String =
     s"{fn TIMESTAMPDIFF(SQL_TSI_DAY, $start, $end)}"
 }

@@ -93,6 +93,14 @@ trait SqlDialect {
     * FROM but has no derived column list. */
   def supportsInlineValues: Boolean = true
 
+  /** One cell of an inline VALUES row. NULLs always carry an explicit
+    * type (Derby rejects untyped NULL in VALUES; harmless elsewhere).
+    * Derby additionally types bare string literals in VALUES as
+    * fixed-width CHAR — blank-padded on join/group-by — so it overrides
+    * strings with a VARCHAR cast. */
+  def valuesCell(v: Any, dt: DataType): String =
+    if (v == null) s"CAST(NULL AS ${typeName(dt)})" else literal(v, dt)
+
   /** The null ordering the engine assumes when none is written. ANSI-ish
     * engines (Postgres, DuckDB) treat NULLs as largest: ASC → NULLS LAST.
     * Spark treats NULLs as smallest: ASC → NULLS FIRST. Making this

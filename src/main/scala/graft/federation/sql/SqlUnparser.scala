@@ -77,6 +77,28 @@ class SqlUnparser(dialect: SqlDialect) {
       From(base, r.output.map(a =>
         a.exprId -> s"${q(names)}.${q(a.name)}").toMap)
 
+    // a small literal relation (inline DataFrame, constant-folded dim)
+    // ships as an inline VALUES derived table — the planning-time
+    // counterpart of the execution-time bind join, and unlike it this
+    // form COMPOSES: joins, filters and aggregates above it stay inside
+    // the same remote SQL. Size/type gating happens in the federation
+    // rule (InlineValues.ok); here only dialect capability and literal
+    // renderability can refuse.
+    case l: LocalRelation =>
+      if (!dialect.supportsInlineValues)
+        fail(s"${dialect.name} has no inline VALUES form")
+      if (l.data.isEmpty) fail("empty inline relation")
+      val alias = freshAlias()
+      val rows = l.data.map { row =>
+        l.output.zipWithIndex.map { case (a, i) =>
+          dialect.valuesCell(row.get(i, a.dataType), a.dataType)
+        }.mkString("(", ", ", ")")
+      }.mkString(", ")
+      From(s"(VALUES $rows) AS ${q(alias)}" +
+          s"(${l.output.map(a => q(a.name)).mkString(", ")})",
+        l.output.map(a =>
+          a.exprId -> s"${q(alias)}.${q(a.name)}").toMap)
+
     case SubqueryAlias(_, child) => from(child)
 
     // Spark's top-k optimization (InferWindowGroupLimit) inserts a

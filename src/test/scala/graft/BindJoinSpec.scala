@@ -259,6 +259,36 @@ class BindJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 2)""".stripMargin)))
   }
 
+  test("inline DataFrame dim federates as VALUES inside ONE remote SQL, aggregate included") {
+    setup()
+    import spark.implicits._
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("k", "tag").createOrReplaceTempView("inline_dim")
+    // unlike the execution-time bind join, the VALUES relation composes:
+    // the aggregate ABOVE the join ships in the same remote SQL
+    val df = spark.sql(
+      """SELECT tag, COUNT(*) AS n
+        |FROM fed_lineitem JOIN inline_dim ON l_orderkey = k
+        |GROUP BY tag ORDER BY tag""".stripMargin)
+    val frags = df.queryExecution.optimizedPlan.collect {
+      case f: FederatedPlan => f
+    }
+    assert(frags.nonEmpty, s"did not federate:\n${df.queryExecution.optimizedPlan}")
+    assert(boundFrags(df).isEmpty,
+      "should ride the VALUES relation, not the execution-time bind")
+    assert(rows(df) == rows(spark.sql(
+      """SELECT tag, COUNT(*) AS n
+        |FROM lineitem JOIN (SELECT * FROM VALUES (1L,'one'),(2L,'two'),(3L,'three')
+        |  AS t(k, tag)) ON l_orderkey = k
+        |GROUP BY tag ORDER BY tag""".stripMargin)))
+    val executed = alpha.executedSql.drop(before)
+    assert(executed.exists(s => s.contains("(VALUES") &&
+        s.contains("GROUP BY") && s.contains("lineitem")),
+      s"VALUES + aggregate not in one remote SQL:\n${executed.mkString("\n")}")
+  }
+
   test("gate query fed_bind_join binds and matches its oracle shape") {
     val df = Federated.bindJoin(spark, dir)
     assert(boundFrags(df).nonEmpty,

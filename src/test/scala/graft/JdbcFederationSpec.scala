@@ -115,6 +115,25 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq("ada", "bob", "cyd", "dee"), got.toString)
   }
 
+  test("inline DataFrame dim ships as VALUES inside one Derby SQL with the aggregate") {
+    Federation.install(spark)
+    Federation.registerAll(spark, executor, prefix = "iv_")
+    import spark.implicits._
+    Seq((1, "ENG"), (2, "SALES")).toDF("dept_id", "label")
+      .createOrReplaceTempView("derby_inline_dim")
+    val df = spark.sql(
+      """SELECT label, COUNT(*) AS n, MAX(SALARY) AS top
+        |FROM iv_EMP e JOIN derby_inline_dim d ON e.DEPT_ID = d.dept_id
+        |GROUP BY label ORDER BY label""".stripMargin)
+    val scans = remoteScans(df)
+    assert(scans.size == 1, s"expected one remote scan, got: $scans")
+    assert(scans.head.contains("VALUES") && scans.head.contains("GROUP BY"),
+      scans.head)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("ENG", 2L, 120.5), ("SALES", 2L, 110.75)), rows.toString)
+  }
+
   test("per-table sqlRewriter hook rewrites the executed Derby SQL exactly once") {
     Federation.install(spark)
     // a structural compatibility rewrite (derived-table wrap), not a

@@ -343,7 +343,18 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val from = if (r.nextBoolean()) s"$fragTbl JOIN $build ON $on"
       else s"$build JOIN $fragTbl ON $on"
     val payNames = payCols.indices.map(i => s"p${i + 1}")
-    r.nextInt(4) match {
+    r.nextInt(5) match {
+      case 4 => // literal inline dim → ConvertToLocalRelation → the
+        // VALUES relation federates WHOLE (no bind join involved)
+        val ks = (1 to 2 + r.nextInt(4)).map(_ => 1 + r.nextInt(2000))
+        val vals = ks.zipWithIndex.map { case (k, i) =>
+          val tag = if (i == 0 && r.nextBoolean()) "CAST(NULL AS STRING)"
+            else s"'tag$i'"
+          s"(${k}L, $tag)"
+        }.mkString(",")
+        s"SELECT v.tag, COUNT(*) AS n FROM $fragTbl JOIN " +
+          s"(SELECT * FROM VALUES $vals AS t(k, tag)) v ON $fragKey = v.k " +
+          "GROUP BY v.tag"
       case 0 => // semi: IN-subquery against the build
         s"SELECT $fragKey FROM $fragTbl WHERE $fragKey IN " +
           s"(SELECT $buildKey FROM $buildTbl WHERE $filt)"
@@ -495,11 +506,20 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       val fedSql = genBindJoinQuery(r)
       val localSql = fedSql.replace("fedb_", "").replace("fed_", "")
       val fedDf = spark.sql(fedSql)
+      // success = the join left Spark: an execution-time bind, or (inline
+      // literal dims) the whole join federated via the VALUES relation
       val hasBind = fedDf.queryExecution.optimizedPlan.exists {
         case f: FederatedPlan => f.bindJoin.isDefined
         case _ => false
       }
-      if (hasBind) bound += 1
+      val fullyFederated = !fedDf.queryExecution.optimizedPlan.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+        case _ => false
+      } && fedDf.queryExecution.optimizedPlan.exists {
+        case _: FederatedPlan => true
+        case _ => false
+      }
+      if (hasBind || fullyFederated) bound += 1
       val got = try rowsOf(fedDf) catch { case e: Throwable =>
         throw new AssertionError(
           s"bind-join query #$i EXECUTION FAILED\nSQL:\n$fedSql\n" +

@@ -344,6 +344,45 @@ class UnparserSpec extends AnyFunSuite {
     assertThrows[UnparseUnsupported](sql(plan))
   }
 
+  // ---- inline VALUES (LocalRelation) goldens -----------------------------
+
+  test("LocalRelation joins the fragment as an inline VALUES table") {
+    val k = AttributeReference("k", IntegerType)()
+    val tag = AttributeReference("tag", StringType)()
+    val dim = LocalRelation(Seq(k, tag), Seq(
+      InternalRow(1, org.apache.spark.unsafe.types.UTF8String.fromString("x")),
+      InternalRow(2, null)))
+    val plan = Project(Seq(a, tag),
+      Join(t, dim, Inner, Some(EqualTo(a, k)), JoinHint.NONE))
+    assert(sql(plan) ==
+      "SELECT t1.a AS a, t2.tag AS tag FROM t AS t1 " +
+        "JOIN (VALUES (1, 'x'), (2, CAST(NULL AS VARCHAR))) AS t2(k, tag) " +
+        "ON (t1.a = t2.k)")
+  }
+
+  test("aggregate above a VALUES join stays in the same SQL block") {
+    val k = AttributeReference("k", IntegerType)()
+    val dim = LocalRelation(Seq(k), Seq(InternalRow(1), InternalRow(2)))
+    val plan = Aggregate(Seq(b),
+      Seq(b, Alias(Count(Literal(1)).toAggregateExpression(), "n")()),
+      Join(t, dim, Inner, Some(EqualTo(a, k)), JoinHint.NONE))
+    assert(sql(plan) ==
+      "SELECT t1.b AS b, count(*) AS n FROM t AS t1 " +
+        "JOIN (VALUES (1), (2)) AS t2(k) ON (t1.a = t2.k) GROUP BY t1.b")
+  }
+
+  test("empty or oversize local relations refuse the VALUES form") {
+    val k = AttributeReference("k", IntegerType)()
+    assertThrows[UnparseUnsupported](
+      sql(Project(Seq(a), Join(t, LocalRelation(Seq(k)), Inner,
+        Some(EqualTo(a, k)), JoinHint.NONE))))
+    // oversize is gated in the federation rule, not the unparser
+    assert(!graft.federation.InlineValues.ok(
+      LocalRelation(Seq(k), (1 to 1001).map(i => InternalRow(i)))))
+    assert(graft.federation.InlineValues.ok(
+      LocalRelation(Seq(k), Seq(InternalRow(1)))))
+  }
+
   // ---- unnest-join goldens -------------------------------------------------
   // Pin the exact remote SQL for every Generate shape × dialect (the
   // reference rewrites all unnest forms through federation,
