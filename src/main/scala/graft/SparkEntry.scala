@@ -50,6 +50,7 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
     "pack_stats" -> ((s, d) => Packing.packStats(s, d)),
     "samp_mixture" -> ((s, d) => Sampling.mixture(s, d)),
+    "pipe_train_corpus" -> ((s, d) => Pipeline.trainCorpus(s, d)),
     "text_quality_score" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
     "text_fingerprint" -> (TextOps.fingerprintMd5 _),
@@ -103,6 +104,9 @@ object SparkEntry {
     "stream_anomaly_tag" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runAnomalyTagToMemory(s, d)
         .orderBy(col("event_type"))),
+    "stream_decontaminate" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runDecontaminateToMemory(s, d)
+        .orderBy(col("source"))),
     "text_distinct_estimate" -> (TextOps.distinctEstimate _),
     // --- federation engine (the reference's core capability) ---
     "fed_q1_pushdown" -> (Federated.q1Pushdown _),
@@ -175,6 +179,7 @@ object SparkEntry {
     "stream_interval_join" -> graft.streaming.StreamOps.intervalJoinOracle,
     "stream_quality_filter" -> graft.streaming.StreamOps.qualityFilterOracle,
     "stream_anomaly_tag" -> graft.streaming.StreamOps.anomalyTagOracle,
+    "stream_decontaminate" -> graft.streaming.StreamOps.decontaminateOracle,
     "text_token_stats" -> TextOps.tokenStatsOracle,
     "text_pii_report" -> TextOps.piiReportOracle,
     "text_mask" -> TextOps.maskTextOracle,
@@ -183,6 +188,7 @@ object SparkEntry {
     "pack_sequences" -> Packing.packSequencesOracle,
     "pack_stats" -> Packing.packStatsOracle,
     "samp_mixture" -> Sampling.mixtureOracle,
+    "pipe_train_corpus" -> Pipeline.trainCorpusOracle,
     "text_quality_score" -> TextOps.qualityScoreOracle,
     "text_lang_id" -> TextOps.langIdOracle,
     "text_fingerprint" -> TextOps.fingerprintOracle,

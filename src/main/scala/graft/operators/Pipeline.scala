@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+
+/** The end-to-end pre-training corpus build, composed from the library's
+  * own stages — the "a user can run their whole pipeline on this engine"
+  * demonstration, and a gate that any refactor of the underlying pieces
+  * must keep green:
+  *
+  *   quality filter (Gopher-style TTR/repetition screen, one compiled
+  *   kernel pass) → exact dedup (md5 fingerprint, keep the smallest
+  *   doc_id) → mixture enforcement (per-language feasible quotas on the
+  *   SURVIVING corpus) → sequence packing (per-shard concat-and-chop
+  *   summary of what ships to training).
+  *
+  * Plan shape at 100 TB: one kernel scan-projection (no shuffle), one
+  * dedup shuffle on the fingerprint, a tiny per-language aggregate +
+  * 5-row window broadcast back, and the per-shard packing rollup — four
+  * stages, three shuffles, nothing driver-side. Every intermediate stays
+  * integer/hash-exact, so the whole chain is one DuckDB oracle. */
+object Pipeline {
+
+  def trainCorpus(s: SparkSession, dir: String, seqLen: Int = 64,
+      nShards: Int = 8): DataFrame = {
+    // stage 1: quality screen (same thresholds as the quality-filter gate)
+    val scored = documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        graft.functions.TextHashExprs.token_repetition(col("text")).as("r"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        col("r.n_tokens").as("n_tokens"),
+        expr("r.n_distinct * 1000000L div r.n_tokens").as("ttr_ppm"),
+        expr("r.top_bigram_n * 1000000L div greatest(r.n_tokens - 1, 1)")
+          .as("rep_ppm"))
+      .filter(col("ttr_ppm").between(300000L, 800000L) &&
+        col("rep_ppm") < 60000L)
+    // stage 2: exact dedup — first doc_id per content fingerprint wins
+    val deduped = scored
+      .withColumn("fp", md5(col("text")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    // stage 3: mixture quotas computed on the SURVIVORS
+    val w = Sampling.mixtureWeights.tail.foldLeft(
+      when(col("lang") === Sampling.mixtureWeights.head._1,
+        lit(Sampling.mixtureWeights.head._2))) {
+      case (acc, (l, p)) => acc.when(col("lang") === l, lit(p))
+    }.otherwise(lit(0L))
+    val rates = deduped.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n")).withColumn("w_ppm", w)
+      .filter(col("w_ppm") > 0)
+      .withColumn("t_feasible",
+        min(expr("n * 1000000L div w_ppm")).over(Window.partitionBy(lit(1))))
+      .withColumn("rate_bp", least(lit(10000L),
+        expr("(w_ppm * t_feasible div 1000000L) * 10000L div n")))
+      .select(col("lang"), col("rate_bp"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 14),
+      16, 10).cast("long") % 10000
+    val sampled = deduped
+      .join(broadcast(rates), "lang")
+      .filter(bucket < col("rate_bp"))
+    // stage 4: packing summary per output shard
+    sampled
+      .select((conv(substring(md5(col("doc_id").cast("string")), 1, 14),
+          16, 10).cast("long") % nShards).as("shard"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens + ${seqLen - 1}) div $seqLen").as("n_seqs"))
+      .orderBy(col("shard"))
+  }
+
+  /** The same four stages as one DuckDB chain. The quality CTEs mirror
+    * [[graft.streaming.StreamOps.qualityFilterOracle]]; note `n_tokens`
+    * here is the kernel's space-split count (string_split on ' '), the
+    * same tokenization the packing stage then sums. */
+  val trainCorpusOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(toks) AS tok,
+      |    unnest(generate_series(1, len(toks))) AS i
+      |  FROM d
+      |), bc AS (
+      |  SELECT doc_id, MAX(c) AS top_bigram_n
+      |  FROM (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg, COUNT(*) AS c
+      |        FROM tok a JOIN tok b
+      |          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |        GROUP BY 1, 2)
+      |  GROUP BY doc_id
+      |), m AS (
+      |  SELECT d.doc_id, d.lang, d.text,
+      |    CAST(len(d.toks) AS BIGINT) AS n_tokens,
+      |    CAST(CAST(t.n_distinct AS BIGINT) * 1000000
+      |      // len(d.toks) AS BIGINT) AS ttr_ppm,
+      |    CAST(CAST(COALESCE(b.top_bigram_n, 0) AS BIGINT) * 1000000
+      |      // greatest(len(d.toks) - 1, 1) AS BIGINT) AS rep_ppm
+      |  FROM d
+      |  JOIN (SELECT doc_id, COUNT(DISTINCT tok) AS n_distinct
+      |        FROM tok GROUP BY doc_id) t USING (doc_id)
+      |  LEFT JOIN bc b USING (doc_id)
+      |), filtered AS (
+      |  SELECT * FROM m
+      |  WHERE ttr_ppm BETWEEN 300000 AND 800000 AND rep_ppm < 60000
+      |), deduped AS (
+      |  SELECT doc_id, lang, n_tokens FROM (
+      |    SELECT doc_id, lang, n_tokens,
+      |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+      |    FROM filtered)
+      |  WHERE rk = 1
+      |), c AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CASE lang WHEN 'en' THEN 400000 WHEN 'de' THEN 150000
+      |      WHEN 'fr' THEN 150000 WHEN 'es' THEN 150000
+      |      WHEN 'zh' THEN 150000 ELSE 0 END AS w_ppm
+      |  FROM deduped GROUP BY lang
+      |), r AS (
+      |  SELECT lang,
+      |    LEAST(10000, ((w_ppm * MIN(n * 1000000 // w_ppm) OVER ())
+      |      // 1000000) * 10000 // n) AS rate_bp
+      |  FROM c WHERE w_ppm > 0
+      |), sampled AS (
+      |  SELECT dd.doc_id, dd.n_tokens
+      |  FROM deduped dd JOIN r ON dd.lang = r.lang
+      |  WHERE CAST('0x'||substr(md5(CAST(dd.doc_id AS VARCHAR)),1,14) AS BIGINT)
+      |    % 10000 < r.rate_bp
+      |)
+      |SELECT
+      |  CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14) AS BIGINT) % 8
+      |    AS shard,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST((SUM(n_tokens) + 63) // 64 AS BIGINT) AS n_seqs
+      |FROM sampled
+      |GROUP BY 1 ORDER BY shard""".stripMargin
+}

@@ -326,6 +326,67 @@ object StreamOps {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  /** In-flight benchmark decontamination: the streaming counterpart of
+    * [[graft.operators.Dedup.decontaminate]] — every arriving document's
+    * distinct shingle set is checked against the (small, broadcast)
+    * benchmark shingle set, and per-source contamination totals accumulate
+    * in complete mode. The per-doc distinct set is `array_distinct` INSIDE
+    * the row (no shuffle at all on the stream side — streaming improves on
+    * the batch plan's explode+distinct); the benchmark set is computed
+    * once, batch-side, and broadcast into the stream-static join. State is
+    * one row per source. */
+  def decontaminateStream(spark: SparkSession, dir: String,
+      benchSource: String = "src0", n: Int = 3): DataFrame = {
+    import graft.functions.PortableHashExprs.portable_shingles
+    val bench = Tables.documents(spark, dir)
+      .filter(col("source") === benchSource)
+      .select(explode(array_distinct(
+        portable_shingles(col("text"), n))).as("shingle"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val schema = Tables.documents(spark, dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("source") =!= benchSource)
+      .select(col("source"), explode(array_distinct(
+        portable_shingles(col("text"), n))).as("shingle"))
+      .join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+  }
+
+  def runDecontaminateToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_decontaminate_out"): DataFrame =
+    runStream(spark, decontaminateStream(spark, dir), "complete", name)
+
+  /** Same shingling as [[graft.operators.Dedup.decontaminateOracle]],
+    * rolled up per source. */
+  val decontaminateOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM documents
+      |), shx AS (
+      |  SELECT doc_id, source, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END AS shs
+      |  FROM toks
+      |), u AS (
+      |  SELECT DISTINCT doc_id, source, unnest(shs) AS shingle FROM shx
+      |), bench AS (
+      |  SELECT DISTINCT shingle FROM u WHERE source = 'src0'
+      |)
+      |SELECT u.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_overlap
+      |FROM u LEFT JOIN bench b ON u.shingle = b.shingle
+      |WHERE u.source <> 'src0'
+      |GROUP BY u.source
+      |ORDER BY u.source""".stripMargin
+
   val qualityFilterOracle: String =
     """WITH d AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents

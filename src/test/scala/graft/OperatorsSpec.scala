@@ -626,6 +626,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming decontamination totals equal the batch overlap rollup") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamOps
+      .runDecontaminateToMemory(spark, dir, "opspec_decon")
+      .orderBy(col("source")).collect().map(_.toString).toSeq
+    // the batch operator reports per-doc; roll it up per source the same
+    // way (n_shingles = Σ per-doc distinct shingles, n_overlap = Σ hits)
+    val batch = graft.operators.Dedup.decontaminate(spark, dir)
+      .join(graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_shingles")).as("n_shingles"),
+        sum(col("n_overlap")).as("n_overlap"))
+      .orderBy(col("source")).collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming quality filter equals the batch computation") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.StreamOps

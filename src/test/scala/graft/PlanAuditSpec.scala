@@ -136,6 +136,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scan.contains("lang") && !scan.contains("source"), scan)
   }
 
+  test("pipeline chain: broadcast mixture rates, bounded shuffles, no cartesian") {
+    val df = SparkEntry.queries("pipe_train_corpus")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(count(p, "CartesianProduct") == 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p)
+    // the tiny per-language rate table must broadcast onto the corpus
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    // four stages, bounded shuffles: dedup window + lang agg + shard agg
+    // (plus AQE re-reads); a blowup here means a stage stopped combining
+    assert(count(p, "Exchange hashpartitioning") <= 5, p)
+  }
+
   test("decontaminate broadcasts the benchmark shingle set") {
     val df = SparkEntry.queries("dedup_decontaminate")(spark, dir)
     df.count()
