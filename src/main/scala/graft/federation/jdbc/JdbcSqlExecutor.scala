@@ -435,6 +435,12 @@ object DerbyDialect extends SqlDialect {
       case (None, Some(o)) => s" OFFSET $o ROWS"
       case (None, None) => ""
     }
+  // Derby VARCHAR requires an explicit length in CAST targets (bare
+  // `CAST(x AS VARCHAR)` is a syntax error); 32672 is the engine maximum
+  override def typeName(dt: DataType): String = dt match {
+    case StringType => "VARCHAR(32672)"
+    case other => super.typeName(other)
+  }
   // bare string literals in a VALUES row are typed CHAR (fixed-width,
   // blank-padded — probed live: GROUP BY over a VALUES dim returned
   // 'ENG  '); force a varying type sized to the value

@@ -119,7 +119,10 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     Federation.install(spark)
     Federation.registerAll(spark, executor, prefix = "iv_")
     import spark.implicits._
-    Seq((1, "ENG"), (2, "SALES")).toDF("dept_id", "label")
+    // the dept-3 row carries a NULL label: the typed-NULL VALUES cell
+    // (CAST(NULL AS VARCHAR(32672))) must execute on real Derby
+    Seq((1, Some("ENG")), (2, Some("SALES")), (3, None))
+      .toDF("dept_id", "label")
       .createOrReplaceTempView("derby_inline_dim")
     val df = spark.sql(
       """SELECT label, COUNT(*) AS n, MAX(SALARY) AS top
@@ -130,8 +133,9 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans.head.contains("VALUES") && scans.head.contains("GROUP BY"),
       scans.head)
     val rows = df.collect().map(r =>
-      (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
-    assert(rows == Seq(("ENG", 2L, 120.5), ("SALES", 2L, 110.75)), rows.toString)
+      (Option(r.getString(0)), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((None, 1L, 60.0), (Some("ENG"), 2L, 120.5),
+      (Some("SALES"), 2L, 110.75)), rows.toString)
   }
 
   test("per-table sqlRewriter hook rewrites the executed Derby SQL exactly once") {

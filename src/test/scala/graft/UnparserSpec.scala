@@ -371,6 +371,28 @@ class UnparserSpec extends AnyFunSuite {
         "JOIN (VALUES (1), (2)) AS t2(k) ON (t1.a = t2.k) GROUP BY t1.b")
   }
 
+  test("VALUES cells per dialect: Derby VARCHAR-casts strings, SQLite refuses") {
+    val k = AttributeReference("k", IntegerType)()
+    val tag = AttributeReference("tag", StringType)()
+    val dim = LocalRelation(Seq(k, tag), Seq(
+      InternalRow(1, org.apache.spark.unsafe.types.UTF8String.fromString("eng")),
+      InternalRow(2, null)))
+    val plan = Project(Seq(a, tag),
+      Join(t, dim, Inner, Some(EqualTo(a, k)), JoinHint.NONE))
+    // Derby: bare string VALUES literals type as blank-padded CHAR (probed
+    // live — GROUP BY returned 'ENG  '); the dialect must cast VARCHAR(n)
+    val derby = new SqlUnparser(DerbyDialect).unparse(plan)
+    assert(derby.contains("CAST('eng' AS VARCHAR(3))"), derby)
+    // NULL cells carry the Derby max length — bare VARCHAR is a syntax
+    // error in Derby CAST targets
+    assert(derby.contains("CAST(NULL AS VARCHAR(32672))"), derby)
+    // DuckDB / Postgres take the plain form
+    assert(new SqlUnparser(DuckDbDialect).unparse(plan)
+      .contains("(VALUES (1, 'eng'), (2, CAST(NULL AS VARCHAR)))"))
+    // SQLite has no derived column list for VALUES → refusal (stays local)
+    assertThrows[UnparseUnsupported](new SqlUnparser(SqliteDialect).unparse(plan))
+  }
+
   test("empty or oversize local relations refuse the VALUES form") {
     val k = AttributeReference("k", IntegerType)()
     assertThrows[UnparseUnsupported](
