@@ -116,6 +116,7 @@ object SparkEntry {
     "fed_mixed_local" -> (Federated.mixedLocalRemote _),
     "fed_runtime_filter" -> (Federated.runtimeFilterJoin _),
     "fed_bind_join" -> (Federated.bindJoin _),
+    "fed_jdbc_bind" -> (Federated.jdbcBindJoin _),
     "fed_unnest" -> (Federated.unnestPushdown _),
     "fed_unnest_outer" -> (Federated.unnestOuterPushdown _),
     "fed_unnest_pos" -> (Federated.unnestPosPushdown _),
@@ -138,6 +139,7 @@ object SparkEntry {
     "fed_partial_agg" -> (Federated.partialAggUnion _),
     "fed_partial_avg" -> (Federated.partialAvgUnion _),
     "fed_union_topk" -> (Federated.unionTopK _),
+    "fed_union_topk_offset" -> (Federated.unionTopKOffset _),
     "fed_partial_distinct" -> (Federated.partialDistinctUnion _),
     "fed_jdbc_suppliers" -> (Federated.jdbcSuppliers _),
     "fed_jdbc_q1" -> (Federated.jdbcQ1 _),
@@ -228,6 +230,7 @@ object SparkEntry {
     "fed_mixed_local" -> Federated.mixedOracle,
     "fed_runtime_filter" -> Federated.runtimeFilterOracle,
     "fed_bind_join" -> Federated.bindJoinOracle,
+    "fed_jdbc_bind" -> Federated.bindJoinOracle, // same SQL semantics, live Derby
     "fed_unnest" -> Federated.unnestOracle,
     "fed_unnest_outer" -> Federated.unnestOuterOracle,
     "fed_unnest_pos" -> Federated.unnestPosOracle,
@@ -250,6 +253,7 @@ object SparkEntry {
     "fed_partial_agg" -> Federated.partialAggOracle,
     "fed_partial_avg" -> Federated.partialAvgOracle,
     "fed_union_topk" -> Federated.unionTopKOracle,
+    "fed_union_topk_offset" -> Federated.unionTopKOffsetOracle,
     "fed_partial_distinct" -> Federated.partialDistinctOracle,
     "fed_jdbc_suppliers" -> Federated.jdbcSuppliersOracle,
     "fed_jdbc_q1" -> Federated.jdbcQ1Oracle,

@@ -32,9 +32,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Fires only when the union cannot federate wholesale but at least one
   * child can (same profitability test as [[PartialAggRule]]); sort keys
-  * must be deterministic expressions over the union output. OFFSET shapes
-  * are left untouched (per-child pushdown would need limit+offset rows
-  * per child and an offset-aware merge — not v1).
+  * must be deterministic expressions over the union output.
+  *
+  * OFFSET shapes (r7): `ORDER BY … LIMIT k OFFSET o` arrives as
+  * `GlobalLimit(k, Offset(o, LocalLimit(k+o, Sort(...))))` — Spark's
+  * LimitPushDown already folded k+o into the LocalLimit. Any row of the
+  * global answer has < k+o rows ordered before it overall, hence < k+o
+  * within its own child — so each child truncates to its top-(k+o) and
+  * the OFFSET itself stays in the local merge (per-child offsets would
+  * drop rows wrongly).
   */
 object TopKPushdownRule extends Rule[LogicalPlan] {
 
@@ -46,19 +52,31 @@ object TopKPushdownRule extends Rule[LogicalPlan] {
     case gl @ GlobalLimit(IntegerLiteral(k),
         ll @ LocalLimit(_, srt @ Sort(order, true, u: Union, _)))
         if eligible(k, order, u) =>
-      val children2 = u.children.map { child =>
-        val remap: Map[ExprId, Attribute] =
-          u.output.map(_.exprId).zip(child.output).toMap
-        val order2 = order.map { so =>
-          so.transform {
-            case a: AttributeReference => remap.getOrElse(a.exprId, a)
-          }.asInstanceOf[SortOrder]
-        }
-        Limit(Literal(k), Sort(order2, global = true, child))
-      }
       gl.copy(child = ll.copy(child =
-        srt.copy(child = u.copy(children = children2))))
+        srt.copy(child = u.copy(children = truncated(u, order, k)))))
+    case gl @ GlobalLimit(IntegerLiteral(_),
+        off @ Offset(IntegerLiteral(o),
+          ll @ LocalLimit(IntegerLiteral(n),
+            srt @ Sort(order, true, u: Union, _))))
+        if o > 0 && eligible(n, order, u) =>
+      gl.copy(child = off.copy(child = ll.copy(child =
+        srt.copy(child = u.copy(children = truncated(u, order, n))))))
   }
+
+  /** Each union child capped to its own best `n` under the union-level
+    * order remapped positionally into the child's attributes. */
+  private def truncated(u: Union, order: Seq[SortOrder],
+      n: Int): Seq[LogicalPlan] =
+    u.children.map { child =>
+      val remap: Map[ExprId, Attribute] =
+        u.output.map(_.exprId).zip(child.output).toMap
+      val order2 = order.map { so =>
+        so.transform {
+          case a: AttributeReference => remap.getOrElse(a.exprId, a)
+        }.asInstanceOf[SortOrder]
+      }
+      Limit(Literal(n), Sort(order2, global = true, child))
+    }
 
   private def eligible(k: Int, order: Seq[SortOrder], u: Union): Boolean = {
     if (u.byName || u.allowMissingCol || u.children.size < 2) return false

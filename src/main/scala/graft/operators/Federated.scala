@@ -169,6 +169,24 @@ object Federated {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** Bind join through the REAL JDBC path: the selective local nation dim
+    * is inlined as a VALUES table into the supplier SQL that ships to
+    * embedded Derby — the live-engine proof of the bind-join wire
+    * format (incl. the Derby VARCHAR-cast VALUES cells). */
+  def jdbcBindJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.federation.jdbc.JdbcHarness.registerViews(s, dir)
+    graft.sources.Tables.nation(s, dir)
+      .filter("n_regionkey < 2")
+      .selectExpr("n_nationkey", "n_name")
+      .createOrReplaceTempView("local_nations")
+    s.sql(
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM jdbc_supplier JOIN local_nations ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
   /** LIMIT/OFFSET pushdown (reference analyzer.rs:890-938). */
   def limitOffsetPushdown(s: SparkSession, dir: String): DataFrame =
     FederationHarness.sql(s, dir,
@@ -791,6 +809,36 @@ object Federated {
       |) t
       |ORDER BY price DESC, k
       |LIMIT 25""".stripMargin
+
+  /** Top-k with OFFSET over a two-provider union (r7 extension of
+    * [[graft.federation.TopKPushdownRule]]): each provider ships its
+    * top-(k+o) rows and the OFFSET is applied only in the local merge. */
+  def unionTopKOffset(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+        |  o_orderstatus AS st
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM fed_orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM fedb_orders WHERE o_orderpriority = '2-HIGH'
+        |) t
+        |ORDER BY price DESC, k
+        |LIMIT 15 OFFSET 10""".stripMargin)
+
+  val unionTopKOffsetOracle: String =
+    """SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+      |  o_orderstatus AS st
+      |FROM (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderpriority = '2-HIGH'
+      |) t
+      |ORDER BY price DESC, k
+      |LIMIT 15 OFFSET 10""".stripMargin
 
   /** DISTINCT-aggregate partialization ([[graft.federation.PartialAggRule]]
     * DISTINCT branch): COUNT(DISTINCT)/SUM(DISTINCT) over a two-provider

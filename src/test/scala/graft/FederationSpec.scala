@@ -861,6 +861,37 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("top-k with OFFSET: providers ship top-(k+o); OFFSET stays in the merge") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val beta = FederationHarness.executor(spark, dir, "beta")
+    val beforeA = alpha.executedSql.size
+    val beforeB = beta.executedSql.size
+    val df = Federated.unionTopKOffset(spark, dir)
+    assert(fedFragments(df).size == 2,
+      s"expected 2 per-provider fragments:\n${df.queryExecution.optimizedPlan}")
+    assert(rows(df) == rows(spark.sql(
+      """SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+        |  o_orderstatus AS st
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderpriority = '2-HIGH'
+        |) t ORDER BY price DESC, k LIMIT 15 OFFSET 10""".stripMargin)),
+      "offset top-k differs from local execution")
+    // per-provider SQL: LIMIT 25 (= k+o), and NO remote OFFSET
+    for ((ex, before, nm) <- Seq((alpha, beforeA, "alpha"),
+        (beta, beforeB, "beta"))) {
+      val executed = ex.executedSql.drop(before)
+      assert(executed.exists(s => s.contains("ORDER BY") &&
+          s.contains("LIMIT 25") && !s.contains("OFFSET")),
+        s"$nm remote SQL should carry LIMIT 25 and no OFFSET:\n" +
+          executed.mkString("\n"))
+    }
+  }
+
   test("top-k pushdown does NOT split a single-provider union (whole-SQL wins)") {
     setup()
     val alpha = FederationHarness.executor(spark, dir, "alpha")

@@ -219,7 +219,9 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
            |SELECT o_orderkey AS k, o_totalprice AS p
            |FROM fedb_orders WHERE ${predO(r)}
            |ORDER BY ${pick(r, "p DESC, k", "k, p", "p, k DESC")}
-           |LIMIT ${5 + r.nextInt(95)}""".stripMargin
+           |LIMIT ${5 + r.nextInt(95)}${
+             if (r.nextInt(3) == 0) s" OFFSET ${1 + r.nextInt(30)}" else ""
+           }""".stripMargin
       case 7 => // HAVING over grouped aggregate
         s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
            |  MIN(${numExpr(r, d)}) AS lo
