@@ -65,6 +65,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "dedup_embedding" -> (Similarity.embeddingNearDups _),
     "dedup_components" -> ((s, d) => Dedup.components(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
+    "dedup_canonical" -> ((s, d) => Dedup.canonical(s, d)),
     "dedup_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     // --- similarity search ---
     "sim_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -205,6 +207,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_embedding" -> Similarity.embeddingNearDupsOracle,
     "dedup_components" -> Dedup.componentsOracle,
+    "dedup_incremental" -> Dedup.incrementalOracle,
+    "dedup_canonical" -> Dedup.canonicalOracle,
     "dedup_decontaminate" -> Dedup.decontaminateOracle,
     "sim_label_stats" -> Similarity.labelStatsOracle,
     "sim_bruteforce_topk" -> Similarity.bruteForceTopKOracle,

@@ -156,6 +156,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     operators.Similarity.releaseIvfIndex(spark, dir)
   }
 
+  test("component label cache persists once, releases storage, rebuilds") {
+    operators.Dedup.releaseComponents(spark, dir)
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val first = operators.Dedup.components(spark, dir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size > base,
+      "converged label table should be persisted")
+    val cached = spark.sparkContext.getPersistentRDDs.size
+    // a second read reuses the labels: no new persisted tables, no new loop
+    val again = operators.Dedup.components(spark, dir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == cached,
+      "second read must reuse the cached labels, not re-run the fixpoint")
+    assert(again.toSeq == first.toSeq)
+    operators.Dedup.releaseComponents(spark, dir)
+    assert(spark.sparkContext.getPersistentRDDs.size < cached,
+      "release must unpersist the label table")
+    assert(operators.Dedup.components(spark, dir).count() > 0)
+    operators.Dedup.releaseComponents(spark, dir)
+  }
+
   test("quantized code table caches once, releases, rebuilds") {
     operators.Similarity.releaseCodes(spark, dir)
     val base = spark.sparkContext.getPersistentRDDs.size
@@ -495,6 +514,52 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (doc, rep) = (r.getLong(0), r.getLong(1))
       assert(byDoc(doc) == byDoc(rep),
         s"doc $doc and its single-link rep $rep landed in different components")
+    }
+  }
+
+  test("incremental dedup classifies corpus dups, batch dups, and fresh docs") {
+    import spark.implicits._
+    val corpus = Seq((100L, "fpA"), (101L, "fpB")).toDF("doc_id", "fp")
+    val batch = Seq((1L, "fpA"), (2L, "fpC"), (3L, "fpC"), (4L, "fpD"))
+      .toDF("doc_id", "fp")
+    val got = operators.Dedup.incrementalOf(corpus, batch)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == Seq((1L, "dup_of_corpus"), (2L, "kept"),
+      (3L, "dup_in_batch"), (4L, "kept")))
+    // ingestion fixpoint: append the kept docs' fps to the corpus index and
+    // re-offer the same batch — every doc must now be a corpus dup
+    val corpus2 = corpus.select("fp")
+      .union(Seq("fpC", "fpD").toDF("fp"))
+    val again = operators.Dedup.incrementalOf(corpus2, batch)
+      .collect().map(_.getString(2))
+    assert(again.forall(_ == "dup_of_corpus"),
+      s"re-ingested batch not fully deduped: ${again.mkString(",")}")
+  }
+
+  test("canonical selection keeps the longest member, ties to the smallest id") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L),
+      (9L, 9L)).toDF("doc_id", "component")
+    val toks = Seq((1L, 5), (2L, 9), (3L, 9), (7L, 4), (8L, 4), (9L, 2))
+      .toDF("doc_id", "n_tokens")
+    val got = operators.Dedup.canonicalOf(labels, toks).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // comp 1: docs 2 and 3 tie at 9 tokens -> smaller id 2 wins over 3
+    assert(got == Seq((1L, 2L, 9, 3L, 23L), (7L, 7L, 4, 2L, 8L),
+      (9L, 9L, 2, 1L, 2L)))
+  }
+
+  test("canonical ids are members of their clusters and cover every component") {
+    val comp = operators.Dedup.components(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = comp.toMap
+    val can = operators.Dedup.canonical(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(can.map(_._1).toSet == comp.map(_._2).toSet,
+      "canonical output does not cover exactly the component set")
+    can.foreach { case (c, id) =>
+      assert(byDoc(id) == c, s"canonical $id is not a member of cluster $c")
     }
   }
 
