@@ -119,6 +119,7 @@ object SparkEntry {
     "fed_runtime_filter" -> (Federated.runtimeFilterJoin _),
     "fed_bind_join" -> (Federated.bindJoin _),
     "fed_jdbc_bind" -> (Federated.jdbcBindJoin _),
+    "fed_sample" -> (Federated.sampleFederated _),
     "fed_unnest" -> (Federated.unnestPushdown _),
     "fed_unnest_outer" -> (Federated.unnestOuterPushdown _),
     "fed_unnest_pos" -> (Federated.unnestPosPushdown _),
@@ -235,6 +236,7 @@ object SparkEntry {
     "fed_runtime_filter" -> Federated.runtimeFilterOracle,
     "fed_bind_join" -> Federated.bindJoinOracle,
     "fed_jdbc_bind" -> Federated.bindJoinOracle, // same SQL semantics, live Derby
+    "fed_sample" -> Federated.sampleFederatedOracle,
     "fed_unnest" -> Federated.unnestOracle,
     "fed_unnest_outer" -> Federated.unnestOuterOracle,
     "fed_unnest_pos" -> Federated.unnestPosOracle,

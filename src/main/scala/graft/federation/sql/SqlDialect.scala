@@ -185,6 +185,12 @@ trait SqlDialect {
   /** Integer remainder (Derby has no % operator). */
   def modulo(left: String, right: String): String = s"($left % $right)"
 
+  /** Hex-string → decimal-string conversion (Spark's `conv(x, 16, 10)` —
+    * the deterministic MD5-bucket sampling rule rides on it). None means
+    * the engine has no portable spelling and the expression refuses,
+    * degrading the sampling filter to local execution over the scan. */
+  def hexToDecimal(hex: String): Option[String] = None
+
   /** Array-unnest join: one output row per element of `arraySql` for each
     * input row of `fromText` (the SQL form of Spark's Generate/Explode —
     * reference rewrites unnest through federation, analyzer.rs:561-564).
@@ -258,6 +264,8 @@ object SparkDialect extends SqlDialect {
   override def nonFiniteLiteral(d: Double): String = castNonFinite(d)
   // the remote IS Spark — AVG semantics are identical for every type
   override def avgSafe(dt: DataType): Boolean = true
+  override def hexToDecimal(hex: String): Option[String] =
+    Some(s"conv($hex, 16, 10)")
 }
 
 /** DuckDB dialect (JDBC executor target). */
@@ -287,6 +295,10 @@ object DuckDbDialect extends SqlDialect {
       s"AS $alias($elemName, $posName)$on",
       s"($alias.$posName - 1)") // ORDINALITY is 1-based; Spark pos is 0-based
   }
+  // '0x'-prefixed CAST parses hex; 14 md5 hex digits = 56 bits < BIGINT.
+  // Re-rendered as VARCHAR to keep conv()'s string result type.
+  override def hexToDecimal(hex: String): Option[String] =
+    Some(s"CAST(CAST('0x' || $hex AS BIGINT) AS VARCHAR)")
 }
 
 /** PostgreSQL dialect. */

@@ -770,6 +770,11 @@ class SqlUnparser(dialect: SqlDialect) {
       case StringTranslate(s2, m, rep) => fnN("translate", Seq(s2, m, rep))
       case ConcatWs(cs) => fnN("concat_ws", cs)
       case Md5(c) => fn1("md5", c)
+      // only the hex→dec shape (the MD5-bucket sampling rule); arbitrary
+      // base pairs have no portable SQL spelling
+      case Conv(num, Literal(16, IntegerType), Literal(10, IntegerType), _) =>
+        dialect.hexToDecimal(r(num)).getOrElse(
+          fail(s"hex-to-decimal conv: no ${dialect.name} spelling"))
 
       // bit ops (shared & | syntax)
       case BitwiseAnd(l, rr) => bin(l, "&", rr)

@@ -187,6 +187,26 @@ object Federated {
         |ORDER BY n_name""".stripMargin)
   }
 
+  /** Deterministic MD5-bucket sampling pushed into the remote engine —
+    * [[graft.operators.Sampling]]'s portable bucket rule riding
+    * federation: the sample predicate is pure SQL over the row key
+    * (md5 → hex-to-dec → mod), so the remote engine evaluates it and the
+    * wire carries only the ~10% sample instead of the table. */
+  def sampleFederated(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT doc_id, source, lang,
+        |  CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 14), 16, 10) AS BIGINT) % 100 AS bucket
+        |FROM fed_documents
+        |WHERE CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 14), 16, 10) AS BIGINT) % 100 < 10
+        |ORDER BY doc_id""".stripMargin)
+
+  val sampleFederatedOracle: String =
+    """SELECT doc_id, source, lang,
+      |  CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14) AS BIGINT) % 100 AS bucket
+      |FROM documents
+      |WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14) AS BIGINT) % 100 < 10
+      |ORDER BY doc_id""".stripMargin
+
   /** LIMIT/OFFSET pushdown (reference analyzer.rs:890-938). */
   def limitOffsetPushdown(s: SparkSession, dir: String): DataFrame =
     FederationHarness.sql(s, dir,

@@ -1014,6 +1014,24 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally spark.conf.unset(graft.federation.BindJoinRule.EnabledKey)
   }
 
+  test("deterministic sample: the bucket predicate ships in the remote SQL") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    val df = Federated.sampleFederated(spark, dir)
+    assert(fedFragments(df).size == 1,
+      s"sample should federate as ONE fragment:\n${df.queryExecution.optimizedPlan}")
+    val n = df.count()
+    assert(n > 0, "sample selected nothing at test SF")
+    // the conv-bucket filter must reach the remote engine: the executed
+    // SQL carries it, and the rows returned are already the sample
+    val executed = alpha.executedSql.drop(before)
+    val carried = executed.filter(s =>
+      s.contains("documents") && s.contains("conv(") && s.contains("< 10"))
+    assert(carried.nonEmpty,
+      s"no executed remote SQL carries the sample predicate:\n${executed.mkString("\n")}")
+  }
+
   test("runtime filter: dim keys are inlined into the executed remote SQL") {
     setup()
     withoutBindJoin {

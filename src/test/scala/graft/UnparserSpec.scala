@@ -299,6 +299,23 @@ class UnparserSpec extends AnyFunSuite {
     assert(!new SqlUnparser(SqliteDialect).unparse(sorted).contains("NULLS"))
   }
 
+  test("hex-to-dec conv: per-dialect spelling, refusal where none exists") {
+    val conv = Project(Seq(Alias(
+      Conv(Substring(Md5(Cast(a, StringType)), Literal(1), Literal(14)),
+        Literal(16), Literal(10)), "bk")()), t)
+    assert(new SqlUnparser(SparkDialect).unparse(conv).contains(
+      "conv(substring(md5(CAST(t1.a AS STRING)), 1, 14), 16, 10)"))
+    assert(new SqlUnparser(DuckDbDialect).unparse(conv).contains(
+      "CAST(CAST('0x' || substring(md5(CAST(t1.a AS VARCHAR)), 1, 14) AS BIGINT) AS VARCHAR)"))
+    // no portable spelling on ANSI/Postgres/Derby → fragment refuses
+    assert(SqlUnparser.tryUnparse(conv, AnsiDialect).isEmpty)
+    assert(SqlUnparser.tryUnparse(conv, PostgresDialect).isEmpty)
+    assert(SqlUnparser.tryUnparse(conv, DerbyDialect).isEmpty)
+    // non-16→10 base pairs refuse everywhere (no portable spelling)
+    val odd = Project(Seq(Alias(Conv(b, Literal(2), Literal(8)), "o")()), t)
+    assert(SqlUnparser.tryUnparse(odd, SparkDialect).isEmpty)
+  }
+
   test("substring: Derby clamps to Spark's lenient range, refuses unprovable args") {
     val sub = Project(Seq(Alias(Substring(b, Literal(2), Literal(3)), "s")()), t)
     // engines whose substring already clamps render the plain form
