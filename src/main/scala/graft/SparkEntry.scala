@@ -109,6 +109,9 @@ object SparkEntry {
     "stream_decontaminate" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runDecontaminateToMemory(s, d)
         .orderBy(col("source"))),
+    "stream_incremental" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runIncrementalToMemory(s, d)
+        .orderBy(col("fp"))),
     "text_distinct_estimate" -> (TextOps.distinctEstimate _),
     // --- federation engine (the reference's core capability) ---
     "fed_q1_pushdown" -> (Federated.q1Pushdown _),
@@ -185,6 +188,7 @@ object SparkEntry {
     "stream_quality_filter" -> graft.streaming.StreamOps.qualityFilterOracle,
     "stream_anomaly_tag" -> graft.streaming.StreamOps.anomalyTagOracle,
     "stream_decontaminate" -> graft.streaming.StreamOps.decontaminateOracle,
+    "stream_incremental" -> graft.streaming.StreamOps.incrementalStreamOracle,
     "text_token_stats" -> TextOps.tokenStatsOracle,
     "text_pii_report" -> TextOps.piiReportOracle,
     "text_mask" -> TextOps.maskTextOracle,

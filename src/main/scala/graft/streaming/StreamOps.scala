@@ -362,6 +362,52 @@ object StreamOps {
       name: String = "stream_decontaminate_out"): DataFrame =
     runStream(spark, decontaminateStream(spark, dir), "complete", name)
 
+  /** Streaming incremental ingestion dedup: the arriving batch is a
+    * stream classified against the STATIC corpus fingerprint index — the
+    * stream-ingest counterpart of [[graft.operators.Dedup.incrementalOf]].
+    * Fingerprints already in the corpus are dropped by a STATELESS
+    * stream-static left-anti join (the index is batch-side; at scale a
+    * maintained staging table, re-read per microbatch by the
+    * stream-static contract so index updates between batches are seen);
+    * repeats WITHIN the stream collapse via `dropDuplicates` keyed on the
+    * fingerprint — state is one entry per newly-admitted fingerprint,
+    * exactly the set a production ingest appends to the index at commit
+    * time. The deterministic output contract is that SET; which arrival
+    * carried a fingerprint first is racy across partitions, as in
+    * [[dedupStream]]. */
+  def incrementalStream(spark: SparkSession, dir: String,
+      batchSource: String = "src0"): DataFrame = {
+    val corpusFps = Tables.documents(spark, dir)
+      .filter(col("source") =!= batchSource)
+      .select(md5(col("text")).as("fp"))
+      .distinct()
+    val schema = Tables.documents(spark, dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("source") === batchSource)
+      .select(md5(col("text")).as("fp"))
+      .join(broadcast(corpusFps), Seq("fp"), "left_anti")
+      .dropDuplicates("fp")
+  }
+
+  def runIncrementalToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_incremental_out"): DataFrame =
+    runStream(spark, incrementalStream(spark, dir), "append", name)
+
+  /** The batch [[graft.operators.Dedup.incrementalOracle]]'s kept set,
+    * projected to fingerprints. */
+  val incrementalStreamOracle: String =
+    """WITH fps AS (
+      |  SELECT doc_id, source, md5(text) AS fp FROM documents
+      |), corpus AS (
+      |  SELECT DISTINCT fp FROM fps WHERE source <> 'src0'
+      |)
+      |SELECT DISTINCT fp FROM fps
+      |WHERE source = 'src0' AND fp NOT IN (SELECT fp FROM corpus)
+      |ORDER BY fp""".stripMargin
+
   /** Same shingling as [[graft.operators.Dedup.decontaminateOracle]],
     * rolled up per source. */
   val decontaminateOracle: String =

@@ -536,6 +536,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"re-ingested batch not fully deduped: ${again.mkString(",")}")
   }
 
+  test("streaming incremental dedup admits exactly the batch kept set") {
+    val batchKept = operators.Dedup.incremental(spark, dir).collect()
+      .filter(_.getString(2) == "kept").map(_.getString(1)).toSet
+    val streamed = streaming.StreamOps
+      .runIncrementalToMemory(spark, dir, "stream_incr_spec")
+      .collect().map(_.getString(0)).toSet
+    assert(streamed == batchKept,
+      s"stream admitted ${streamed.size} fps, batch kept ${batchKept.size}")
+  }
+
   test("canonical selection keeps the longest member, ties to the smallest id") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L),
