@@ -123,6 +123,7 @@ object SparkEntry {
     "fed_bind_join" -> (Federated.bindJoin _),
     "fed_jdbc_bind" -> (Federated.jdbcBindJoin _),
     "fed_sample" -> (Federated.sampleFederated _),
+    "fed_incremental" -> (Federated.fedIncremental _),
     "fed_unnest" -> (Federated.unnestPushdown _),
     "fed_unnest_outer" -> (Federated.unnestOuterPushdown _),
     "fed_unnest_pos" -> (Federated.unnestPosPushdown _),
@@ -241,6 +242,7 @@ object SparkEntry {
     "fed_bind_join" -> Federated.bindJoinOracle,
     "fed_jdbc_bind" -> Federated.bindJoinOracle, // same SQL semantics, live Derby
     "fed_sample" -> Federated.sampleFederatedOracle,
+    "fed_incremental" -> Federated.fedIncrementalOracle,
     "fed_unnest" -> Federated.unnestOracle,
     "fed_unnest_outer" -> Federated.unnestOuterOracle,
     "fed_unnest_pos" -> Federated.unnestPosOracle,

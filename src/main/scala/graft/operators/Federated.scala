@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, md5}
 
 import graft.federation.FederationHarness
 
@@ -186,6 +187,38 @@ object Federated {
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin)
   }
+
+  /** Federated incremental ingestion dedup: the corpus fingerprint index
+    * lives in a REMOTE engine while the arriving batch is local — the
+    * cross-system variant of [[graft.operators.Dedup.incrementalOf]].
+    * The corpus DISTINCT-fp index federates as one remote SQL and the
+    * batch's fingerprints ship into it as a runtime IN-list filter
+    * ([[graft.federation.RuntimeFilterRule]] — LeftAnti's right side is
+    * safely filterable), so the wire carries only the fingerprints the
+    * batch actually collides with — O(batch), never O(corpus index).
+    * The anti join itself completes locally; its output is the admitted
+    * fingerprint set. */
+  def fedIncremental(s: SparkSession, dir: String): DataFrame = {
+    FederationHarness.setup(s, dir)
+    val batch = graft.sources.Tables.documents(s, dir)
+      .filter(col("source") === "src0")
+      .select(md5(col("text")).as("fp")).distinct()
+    val corpusIdx = s.table("fed_documents")
+      .filter(col("source") =!= "src0")
+      .select(md5(col("text")).as("fp")).distinct()
+    batch.join(corpusIdx, Seq("fp"), "left_anti")
+      .orderBy(col("fp"))
+  }
+
+  val fedIncrementalOracle: String =
+    """WITH fps AS (
+      |  SELECT source, md5(text) AS fp FROM documents
+      |), corpus AS (
+      |  SELECT DISTINCT fp FROM fps WHERE source <> 'src0'
+      |)
+      |SELECT DISTINCT fp FROM fps
+      |WHERE source = 'src0' AND fp NOT IN (SELECT fp FROM corpus)
+      |ORDER BY fp""".stripMargin
 
   /** Deterministic MD5-bucket sampling pushed into the remote engine —
     * [[graft.operators.Sampling]]'s portable bucket rule riding

@@ -1032,6 +1032,29 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no executed remote SQL carries the sample predicate:\n${executed.mkString("\n")}")
   }
 
+  test("federated incremental dedup: batch fps reach the remote index as an IN-list") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    val df = Federated.fedIncremental(spark, dir)
+    val frags = fedFragments(df)
+    assert(frags.nonEmpty, s"corpus index did not federate:\n${df.queryExecution.optimizedPlan}")
+    assert(frags.exists(_.runtimeFilters.nonEmpty),
+      s"no runtime filter on the remote fp index:\n${df.queryExecution.optimizedPlan}")
+    assert(rows(df) == rows(spark.sql(
+      """WITH fps AS (SELECT source, md5(text) AS fp FROM documents),
+        |corpus AS (SELECT DISTINCT fp FROM fps WHERE source <> 'src0')
+        |SELECT DISTINCT fp FROM fps
+        |WHERE source = 'src0' AND fp NOT IN (SELECT fp FROM corpus)
+        |ORDER BY fp""".stripMargin)),
+      "federated incremental dedup differs from local execution")
+    // the SQL that reached the remote engine carries the batch's
+    // fingerprint IN-list — the wire is O(batch), not the corpus index
+    val executed = alpha.executedSql.drop(before)
+    assert(executed.exists(s => s.contains("md5(") && s.contains(" IN (")),
+      s"no executed remote SQL carries the fp IN-list:\n${executed.mkString("\n")}")
+  }
+
   test("runtime filter: dim keys are inlined into the executed remote SQL") {
     setup()
     withoutBindJoin {
