@@ -37,6 +37,7 @@ object SparkEntry {
     "ev_hourly_rollup" -> (EventOps.hourlyRollup _),
     "ev_sessionize" -> (EventOps.sessionize _),
     "ev_props_histogram" -> (EventOps.propsHistogram _),
+    "ev_transitions" -> (EventOps.transitions _),
     "ev_asof_signup" -> (EventOps.asofPurchaseSignup _),
     "ev_range_join" -> ((s, d) => EventOps.rangeJoinWindowCounts(s, d)),
     "ev_funnel" -> (EventOps.funnel _),
@@ -179,6 +180,7 @@ object SparkEntry {
     "ev_hourly_rollup" -> EventOps.hourlyRollupOracle,
     "ev_sessionize" -> EventOps.sessionizeOracle,
     "ev_props_histogram" -> EventOps.propsHistogramOracle,
+    "ev_transitions" -> EventOps.transitionsOracle,
     "ev_asof_signup" -> EventOps.asofOracle,
     "ev_range_join" -> EventOps.rangeJoinOracle,
     "ev_funnel" -> EventOps.funnelOracle,

@@ -84,6 +84,54 @@ object EventOps {
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Event-transition matrix: per user, consecutive event pairs in time
+    * order counted corpus-wide — the Markov-edge / path-analysis
+    * primitive of product analytics (which step follows which, and with
+    * what probability). One exchange on user_id for the lag, then a
+    * map-side-combinable pair count over the tiny (types × types) key
+    * space; the transition probability is integer ppm over the from-type
+    * total (same exact-arithmetic trick as TextOps.tfidf), computed by a
+    * window over the already-aggregated matrix — no second pass over the
+    * events. Deterministic: (ts, event_id) ordering fixes every lag
+    * pair. */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("from_total", sum(col("n_transitions"))
+        .over(Window.partitionBy(col("from_type"))))
+      .withColumn("p_ppm",
+        expr("(n_transitions * 1000000L) DIV from_total"))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        col("n_users"), col("p_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val transitionsOracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      |  FROM events
+      |), m AS (
+      |  SELECT prev_type AS from_type, event_type AS to_type,
+      |    COUNT(*) AS n_transitions,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |  FROM seq WHERE prev_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, n_transitions, n_users,
+      |  CAST((n_transitions * 1000000) //
+      |    SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+      |FROM m
+      |ORDER BY from_type, to_type""".stripMargin
+
   /** Semi-structured extraction: pull `k` out of the JSON props column and
     * histogram it per event type. */
   def propsHistogram(s: SparkSession, dir: String): DataFrame =

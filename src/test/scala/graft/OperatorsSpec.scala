@@ -621,6 +621,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("transition matrix: edge totals and probability rows are exact") {
+    import org.apache.spark.sql.functions._
+    val evs = sources.Tables.events(spark, dir)
+    val nEvents = evs.count()
+    val nUsers = evs.select(countDistinct(col("user_id"))).head.getLong(0)
+    val m = operators.EventOps.transitions(spark, dir).collect()
+    // every user contributes exactly (its events - 1) transitions
+    assert(m.map(_.getLong(2)).sum == nEvents - nUsers,
+      "transition count must be total events minus one per user")
+    // each from-type's probability row sums to 1e6 within floor rounding
+    m.groupBy(_.getString(0)).foreach { case (from, rows) =>
+      val total = rows.map(_.getLong(4)).sum
+      assert(total <= 1000000L && total > 1000000L - rows.length,
+        s"$from probability row sums to $total ppm over ${rows.length} edges")
+    }
+  }
+
   test("funnel steps are monotonically non-increasing and order-sensitive") {
     import org.apache.spark.sql.functions._
     val r = operators.EventOps.funnel(spark, dir).collect().head
