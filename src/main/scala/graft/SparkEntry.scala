@@ -38,6 +38,7 @@ object SparkEntry {
     "ev_sessionize" -> (EventOps.sessionize _),
     "ev_props_histogram" -> (EventOps.propsHistogram _),
     "ev_transitions" -> (EventOps.transitions _),
+    "mm_phash_neardup" -> (Multimodal.phashNearDup _),
     "ev_asof_signup" -> (EventOps.asofPurchaseSignup _),
     "ev_range_join" -> ((s, d) => EventOps.rangeJoinWindowCounts(s, d)),
     "ev_funnel" -> (EventOps.funnel _),
@@ -181,6 +182,7 @@ object SparkEntry {
     "ev_sessionize" -> EventOps.sessionizeOracle,
     "ev_props_histogram" -> EventOps.propsHistogramOracle,
     "ev_transitions" -> EventOps.transitionsOracle,
+    "mm_phash_neardup" -> Multimodal.phashNearDupOracle,
     "ev_asof_signup" -> EventOps.asofOracle,
     "ev_range_join" -> EventOps.rangeJoinOracle,
     "ev_funnel" -> EventOps.funnelOracle,

@@ -164,6 +164,72 @@ object Multimodal {
       |FROM b, UNNEST(range(0, n//64, 4)) AS t(f)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Media near-dup detection via a banded blockwise fingerprint: each
+    * item's 8 feature sums reduce to 8 fingerprint bytes, paired into
+    * 4×16-bit band keys; items sharing ANY band become candidate
+    * duplicates and the smallest partner id wins ([[Dedup.minhash]]'s
+    * single-link policy). A real build would put DCT-sign pHash bits
+    * where the STUB feature bytes are — the banding, bucket self-join,
+    * and keep-policy are the production-real parts, and the cost shape is
+    * the same as text LSH: 4 narrow rows per item, join per band bucket,
+    * media bytes never shuffle. */
+  def phashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = decodeAndFeaturize(s, dir)
+      .select(col("doc_id"),
+        transform(col("feature"), x => pmod(x, lit(256))).as("fb"))
+    val keyed = f.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(3)), b => struct(
+        b.as("band"),
+        (element_at(col("fb"), b * 2 + 1) * 256 +
+          element_at(col("fb"), b * 2 + 2)).as("bkey")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
+    val pairs = keyed.as("a")
+      .join(keyed.as("b2"), Seq("band", "bkey"))
+      .where(col("a.doc_id") < col("b2.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b2.doc_id").as("b_id"))
+      .distinct()
+    val best = pairs.groupBy(col("b_id").as("doc_id"))
+      .agg(min(col("a_id")).as("dup_of"))
+    f.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("fb"), _.cast("string"))).as("fp_csv"),
+        coalesce(col("dup_of"), col("doc_id")).as("dup_of"))
+      .withColumn("is_dup", col("dup_of") < col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Same byte expansion as [[decodeFeaturesOracle]]; fingerprint bytes,
+    * band keys, and the single-link min all mirrored in SQL. */
+  val phashNearDupOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, octet_length(encode(text))+1),
+      |      i -> (strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i-1, 1))*16
+      |          + strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)))) AS bytes
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, list_transform(range(0,8),
+      |    k -> COALESCE(list_sum(list_transform(bytes,
+      |           (x,i) -> CASE WHEN (i-1)%8=k THEN x ELSE 0 END)), 0) % 256) AS fb
+      |  FROM b
+      |), keyed AS (
+      |  SELECT doc_id, band, fb[2*band+1]*256 + fb[2*band+2] AS bkey
+      |  FROM f, UNNEST(range(0,4)) AS t(band)
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+      |  FROM keyed a JOIN keyed b2
+      |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+      |), best AS (
+      |  SELECT b_id AS doc_id, MIN(a_id) AS dup_of FROM pairs GROUP BY b_id
+      |)
+      |SELECT f.doc_id, array_to_string(f.fb, ',') AS fp_csv,
+      |  COALESCE(best.dup_of, f.doc_id) AS dup_of,
+      |  COALESCE(best.dup_of, f.doc_id) < f.doc_id AS is_dup
+      |FROM f LEFT JOIN best ON best.doc_id = f.doc_id
+      |ORDER BY f.doc_id""".stripMargin
+
   /** Oracle-comparable slice of the media pipeline: byte length and
     * media-type routing are exact (the fake decode stays out of the oracle).
     */

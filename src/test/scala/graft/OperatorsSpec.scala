@@ -621,6 +621,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("phash near-dup: every claimed partner shares a fingerprint band") {
+    val rows = operators.Multimodal.phashNearDup(spark, dir).collect()
+    val fp = rows.map(r =>
+      r.getLong(0) -> r.getString(1).split(",").map(_.toInt)).toMap
+    def bands(b: Array[Int]) =
+      (0 until 4).map(k => (k, b(2 * k) * 256 + b(2 * k + 1))).toSet
+    rows.foreach { r =>
+      val (id, dup) = (r.getLong(0), r.getLong(2))
+      assert(dup <= id, s"dup_of must be the smallest partner, got $dup for $id")
+      assert(r.getBoolean(3) == (dup < id))
+      if (dup != id)
+        assert(bands(fp(id)).intersect(bands(fp(dup))).nonEmpty,
+          s"$id claims dup_of $dup but shares no band")
+    }
+  }
+
   test("transition matrix: edge totals and probability rows are exact") {
     import org.apache.spark.sql.functions._
     val evs = sources.Tables.events(spark, dir)

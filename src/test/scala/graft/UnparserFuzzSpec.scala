@@ -121,7 +121,10 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     s"o_totalprice ${pick(r, "<", ">", ">=")} ${pick(r, "50000", "200000", "400000")}",
     s"o_orderstatus = '${pick(r, "F", "O", "P")}'",
     s"o_orderpriority LIKE '${pick(r, "1%", "2%", "%URGENT%")}'",
-    s"o_custkey BETWEEN 1 AND ${50 + r.nextInt(500)}")
+    s"o_custkey BETWEEN 1 AND ${50 + r.nextInt(500)}",
+    // the deterministic MD5-bucket sampling rule (hexToDecimal dialect
+    // hook; Derby has no spelling -> the filter degrades to local)
+    s"CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 14), 16, 10) AS BIGINT) % 100 < ${10 + r.nextInt(80)}")
 
   /** One random query over fed_lineitem (join shape adds fed_orders). */
   private def genQuery(r: Random): String = {
