@@ -88,6 +88,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(count(p, "SortMergeJoin") == 0, p)
   }
 
+  test("incremental dedup joins narrow fingerprints, never all-pairs") {
+    val p = finalPlan("dedup_incremental")
+    assert(count(p, "CartesianProduct") == 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p)
+    // both join sides are the narrow fp projection: no text column moves
+    // through any exchange (text appears only at the scans that hash it)
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffles.forall(!_.contains("text")), p)
+  }
+
+  test("canonical selection rides one hash exchange on component") {
+    val p = finalPlan("dedup_canonical")
+    assert(count(p, "CartesianProduct") == 0, p)
+    // rank + member count + token sum share the Window partitioning: at
+    // most one hashpartitioning on component feeds the window stack (the
+    // label cache means no propagation-round exchanges appear here)
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(component")) <= 1, p)
+  }
+
+  test("transition matrix aggregates after one user_id exchange") {
+    val p = finalPlan("ev_transitions")
+    assert(count(p, "CartesianProduct") == 0, p)
+    assert(count(p, "Exchange hashpartitioning(user_id") <= 1, p)
+  }
+
   test("tfidf reads only doc_id+text and joins on the term dictionary") {
     val p = finalPlan("text_tfidf")
     val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
