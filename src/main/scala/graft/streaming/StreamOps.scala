@@ -388,7 +388,12 @@ object StreamOps {
       .parquet(dir)
       .filter(col("source") === batchSource)
       .select(md5(col("text")).as("fp"))
-      .join(broadcast(corpusFps), Seq("fp"), "left_anti")
+      // no broadcast hint: unlike decontaminate's benchmark set, the fp
+      // index is CORPUS-sized — at scale this is a shuffled stream-static
+      // join keyed on fp (the planner may still broadcast at toy SF); a
+      // production deployment additionally buckets the index snapshot by
+      // fp so each microbatch reads only matching buckets
+      .join(corpusFps, Seq("fp"), "left_anti")
       .dropDuplicates("fp")
   }
 
