@@ -163,6 +163,9 @@ object SparkEntry {
     "ev_value_median" -> (EventOps.valueMedian _),
     "ev_value_quantiles" -> (EventOps.valueQuantiles _),
     "ev_anomaly_iqr" -> (EventOps.anomalies _),
+    "ev_quantile_sketch" -> (EventOps.quantileSketch _),
+    "text_block_dedup" -> ((s, d) => TextOps.blockDedup(s, d)),
+    "text_source_overlap" -> ((s, d) => TextOps.sourceOverlap(s, d)),
   )
 
   /** DuckDB oracles — keys must match [[queries]]; aliases match exactly. */
@@ -283,5 +286,8 @@ object SparkEntry {
     "ev_value_median" -> EventOps.valueMedianOracle,
     "ev_value_quantiles" -> EventOps.valueQuantilesOracle,
     "ev_anomaly_iqr" -> EventOps.anomaliesOracle,
+    "ev_quantile_sketch" -> EventOps.quantileSketchOracle,
+    "text_block_dedup" -> TextOps.blockDedupOracle,
+    "text_source_overlap" -> TextOps.sourceOverlapOracle,
   )
 }

@@ -316,6 +316,69 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** Approximate quantiles from a log₂-binned histogram — the SCALE path
+    * next to [[valueQuantiles]]'s exact selection: the exact form shuffles
+    * and window-sorts every row per group (O(n log n) at 100 TB), while
+    * this reduces the corpus to ≤64 (type, bin) rows in ONE map-side-
+    * combined aggregate — the classic fixed-memory quantile sketch, made
+    * engine-portable by using only integer arithmetic (value → cents via
+    * floor, bin = bit length of cents, estimate = bin upper bound 2^b − 1;
+    * no transcendental log whose last ulp differs across engines). The
+    * estimate overshoots the true quantile by at most 2× (bin width) —
+    * spec-asserted against the exact quantiles. */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val hist = events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .select(col("event_type"),
+        when(col("cents") <= 0, lit(0))
+          .otherwise(length(conv(col("cents"), 10, 2))).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    def est(p: Int) =
+      min(when(col("cum") >= expr(s"($p * n + 99) div 100"),
+        expr("shiftleft(1L, bin) - 1L"))).as(s"est_p${p}_cents")
+    cum.groupBy(col("event_type"))
+      .agg(min(col("n")).as("n_events"),
+        count(lit(1)).as("bins_used"),
+        est(25), est(50), est(75), est(90))
+      .orderBy(col("event_type"))
+  }
+
+  val quantileSketchOracle: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CASE WHEN CAST(floor(value * 100) AS BIGINT) <= 0 THEN 0
+      |         ELSE CAST(length(bin(CAST(floor(value * 100) AS BIGINT)))
+      |           AS INTEGER) END AS bin
+      |  FROM events
+      |), hist AS (
+      |  SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, bin, c,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM hist
+      |)
+      |SELECT event_type,
+      |  CAST(MIN(n) AS BIGINT) AS n_events,
+      |  CAST(COUNT(*) AS BIGINT) AS bins_used,
+      |  CAST(MIN(CASE WHEN cum >= (25 * n + 99) // 100
+      |    THEN (1::BIGINT << bin) - 1 END) AS BIGINT) AS est_p25_cents,
+      |  CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100
+      |    THEN (1::BIGINT << bin) - 1 END) AS BIGINT) AS est_p50_cents,
+      |  CAST(MIN(CASE WHEN cum >= (75 * n + 99) // 100
+      |    THEN (1::BIGINT << bin) - 1 END) AS BIGINT) AS est_p75_cents,
+      |  CAST(MIN(CASE WHEN cum >= (90 * n + 99) // 100
+      |    THEN (1::BIGINT << bin) - 1 END) AS BIGINT) AS est_p90_cents
+      |FROM cum
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val valueQuantilesOracle: String =
     """WITH ranked AS (
       |  SELECT event_type, value,

@@ -615,6 +615,141 @@ object TextOps {
       |FROM sc WHERE bm25_ppm > 0
       |ORDER BY bm25_ppm DESC, doc_id LIMIT 20""".stripMargin
 
+  // ------------------------------------- repeated-block (boilerplate) dedup
+
+  /** Frequent-repeated-block removal — the line/paragraph-level dedup stage
+    * of a pre-training pipeline (CCNet's shared-line filter; Lee et al.
+    * 2022's repeated-substring dedup, approximated at disjoint token-block
+    * granularity since this corpus has no newlines): any block of `width`
+    * consecutive tokens occurring in ≥ `minDf` distinct documents is
+    * boilerplate and removed from EVERY document.
+    *
+    * Scale shape: pass 1 reduces each doc to its distinct block md5s (the
+    * shuffle carries 32-char hashes, never text) and keeps hashes with
+    * df ≥ minDf — boilerplate sets are tiny by construction (a block must
+    * repeat across docs to qualify), so the frequent set folds to ONE array
+    * row that is broadcast; pass 2 is a pure projection filtering each
+    * doc's blocks against the broadcast array inside the row. Document
+    * text is never shuffled, and there is no doc×block join. Emits the
+    * kept-text md5 rather than the text (hash-exact cross-engine proof). */
+  def blockDedup(s: SparkSession, dir: String, width: Int = 16,
+      minDf: Int = 2): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(width))
+    val blocks = transform(starts,
+      i => array_join(slice(toks, i + lit(1), lit(width)), " "))
+    val d = documents(s, dir).select(col("doc_id"), blocks.as("blocks"))
+    // one row per (doc, distinct block): count(*) == count distinct docs
+    val freq = d
+      .select(explode(array_distinct(col("blocks"))).as("b"))
+      .select(md5(col("b")).as("bh"))
+      .groupBy(col("bh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .agg(sort_array(collect_list(col("bh"))).as("freq"))
+    d.crossJoin(broadcast(freq))
+      .select(col("doc_id"),
+        size(col("blocks")).as("n_blocks"),
+        filter(col("blocks"),
+          b => !array_contains(col("freq"), md5(b))).as("kept"))
+      .select(col("doc_id"), col("n_blocks"),
+        size(col("kept")).as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val blockDedupOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+      |    array_to_string(toks[i+1 : i+16], ' ') AS block
+      |  FROM d, UNNEST(range(0, greatest(len(toks), 1), 16)) AS u(i)
+      |), freq AS (
+      |  SELECT md5(block) AS bh
+      |  FROM b GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+      |), kept AS (
+      |  SELECT b.doc_id,
+      |    COUNT(*) AS n_blocks,
+      |    COUNT(*) FILTER (WHERE f.bh IS NULL) AS n_kept,
+      |    md5(COALESCE(string_agg(block, ' ' ORDER BY i)
+      |      FILTER (WHERE f.bh IS NULL), '')) AS kept_md5
+      |  FROM b LEFT JOIN freq f ON f.bh = md5(b.block)
+      |  GROUP BY b.doc_id
+      |)
+      |SELECT doc_id, CAST(n_blocks AS INTEGER) AS n_blocks,
+      |  CAST(n_kept AS INTEGER) AS n_kept, kept_md5
+      |FROM kept ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------- cross-source overlap audit
+
+  /** Pairwise source-contamination matrix: n-gram Jaccard between every
+    * pair of sources — the corpus-level audit run before mixing corpora
+    * (is "web" already substantially inside "books"?). Each source is its
+    * distinct token-trigram md5 set; for every source pair: intersection,
+    * union, and jaccard in exact integer ppm.
+    *
+    * Scale shape: docs reduce to distinct (source, shingle-md5) rows — a
+    * narrow map-side-combined aggregate; the self-join key is the shingle
+    * hash, whose per-key match count is bounded by the number of SOURCES
+    * (not docs), so the join output is ≤ |shingles|·S²/2 narrow rows; the
+    * final matrix is S² rows. Nothing rejoins the corpus. */
+  def sourceOverlap(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    import graft.functions.PortableHashExprs
+    val sets = documents(s, dir)
+      .select(col("source"),
+        explode(PortableHashExprs.portable_shingles(col("text"), n)).as("sh"))
+      .filter(col("sh") =!= "")
+      .select(col("source"), md5(col("sh")).as("h"))
+      .distinct()
+    val sizes = sets.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val inter = sets.as("a").join(sets.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n_sh", "n_a"), "src_a")
+      .join(sizes.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n_sh", "n_b"), "src_b")
+      .withColumn("jaccard_ppm",
+        expr("n_common * 1000000L DIV (n_a + n_b - n_common)"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM documents
+      |), shl AS (
+      |  SELECT source, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+      |    END AS shs
+      |  FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT source, md5(s2) AS h
+      |  FROM shl, UNNEST(shs) AS u(s2)
+      |  WHERE s2 <> ''
+      |), sizes AS (
+      |  SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source
+      |), inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT i.src_a, i.src_b,
+      |  CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+      |  CAST(i.n_common AS BIGINT) AS n_common,
+      |  CAST(i.n_common * 1000000 // (sa.n_sh + sb.n_sh - i.n_common)
+      |    AS BIGINT) AS jaccard_ppm
+      |FROM inter i
+      |JOIN sizes sa ON sa.source = i.src_a
+      |JOIN sizes sb ON sb.source = i.src_b
+      |ORDER BY i.src_a, i.src_b""".stripMargin
+
   val chunkOracle: String =
     """WITH d AS (
       |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks

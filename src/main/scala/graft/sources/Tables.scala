@@ -19,10 +19,13 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries nanosecond timestamps, which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read them as raw int64 nanos
-    * (legacy conf) and convert with integer µs division — floor semantics,
-    * matching DuckDB's `CAST(ts_ns AS TIMESTAMP)` truncation. */
+  /** Early testdata drops stored events.ts as NANOSECOND timestamps, which
+    * Spark's parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); current drops
+    * store microseconds, which read natively as TIMESTAMP_NTZ. Keep the
+    * nanosAsLong conf so nano files read as raw int64 (converted in
+    * [[events]] with integer µs division — floor semantics, matching
+    * DuckDB's `CAST(ts_ns AS TIMESTAMP)` truncation); micro files are
+    * unaffected by the conf and pass through as NTZ. */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")

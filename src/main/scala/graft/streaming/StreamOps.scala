@@ -17,18 +17,29 @@ import graft.sources.Tables
   */
 object StreamOps {
 
-  /** Streaming hourly rollup over a file source feeding `events`-schema
-    * parquet. Append mode + 1h watermark. */
-  def hourlyRollupStream(spark: SparkSession, dir: String): DataFrame = {
-    // schema as stored (ts = int64 nanos; see Tables.eventsRaw)
+  /** Streaming read of the events table with `ts` normalized to TIMESTAMP
+    * (micros, UTC session zone — watermarks require TIMESTAMP, not NTZ),
+    * whichever way the files store it: legacy int64 nanos (read as raw
+    * longs via [[Tables.eventsRaw]]'s nanosAsLong conf, floor-divided to
+    * micros) or native microsecond timestamps (parquet NTZ, reinterpreted
+    * in the UTC session zone — identical instants). Mirrors the branch in
+    * [[Tables.events]] so batch and stream see the same values. */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.eventsRaw(spark, dir).schema
-    spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       // the file source requires a directory; glob-filter to the events file
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      // watermarks require TIMESTAMP (not NTZ); output is cast back below
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  /** Streaming hourly rollup over a file source feeding `events`-schema
+    * parquet. Append mode + 1h watermark. */
+  def hourlyRollupStream(spark: SparkSession, dir: String): DataFrame = {
+    eventStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
@@ -88,13 +99,9 @@ object StreamOps {
     */
   def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val schema = Tables.eventsRaw(spark, dir).schema
-    val evs = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val evs = eventStream(spark, dir)
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("ts_us"))
+        unix_micros(col("ts")).as("ts_us"))
       .as[SessEvent]
 
     val sessions = evs.groupByKey(_.user_id)
@@ -201,12 +208,7 @@ object StreamOps {
     * static input. At 100 TB/day this is the standard enrich-in-flight
     * shape: shuffle on user_id, per-key state bounded by the interval. */
   def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.eventsRaw(spark, dir).schema
-    def side(t: String): DataFrame = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def side(t: String): DataFrame = eventStream(spark, dir)
       .filter(col("event_type") === t)
     val signups = side("signup")
       .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
@@ -279,11 +281,7 @@ object StreamOps {
     * final event_type-wide aggregate. */
   def anomalyTagStream(spark: SparkSession, dir: String): DataFrame = {
     val fences = graft.operators.EventOps.iqrFences(spark, dir)
-    val schema = Tables.eventsRaw(spark, dir).schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    eventStream(spark, dir)
       .join(broadcast(fences), Seq("event_type"))
       .filter(col("value") < col("lo") || col("value") > col("hi"))
       .groupBy(col("event_type"))

@@ -773,6 +773,77 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("quantile sketch brackets the exact quantile inside its power-of-2 bin") {
+    import org.apache.spark.sql.functions._
+    val exact = operators.EventOps.valueQuantiles(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val est = operators.EventOps.quantileSketch(spark, dir).collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val e = exact(r.getString(0))
+      // same ceil-rank: the sketch returns the upper bound of the bin
+      // holding the exact quantile, so exact <= est < 2*exact (in cents)
+      Seq(3 -> 1, 4 -> 2, 5 -> 3, 6 -> 4).foreach { case (ei, xi) =>
+        val estC = r.getLong(ei)
+        val exactC = math.floor(e.getDouble(xi) * 100).toLong
+        assert(estC >= exactC, s"${r.getString(0)} p$xi: est $estC < $exactC")
+        assert(estC <= math.max(2 * exactC - 1, 0L),
+          s"${r.getString(0)} p$xi: est $estC not within 2x of $exactC")
+      }
+      assert(r.getLong(1) > 0 && r.getLong(2) <= 64)
+    }
+  }
+
+  test("block dedup agrees with an explode-based recompute and hits real docs") {
+    import org.apache.spark.sql.functions._
+    val toks = split(trim(col("text")), "\\s+")
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(16))
+    val blocks = transform(starts,
+      i => array_join(slice(toks, i + lit(1), lit(16)), " "))
+    val occ = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(blocks).as("b"))
+      .withColumn("bh", md5(col("b")))
+    val freq = occ.select(col("doc_id"), col("bh")).distinct()
+      .groupBy(col("bh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("bh")
+    val keptInd = occ.join(freq, Seq("bh"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = operators.TextOps.blockDedup(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (id, nb, nk) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(nk <= nb && nb >= 1, r.toString)
+      assert(nk.toLong == keptInd.getOrElse(id, 0L),
+        s"doc $id: operator kept $nk, reference kept ${keptInd.get(id)}")
+    }
+    // the corpus genuinely contains cross-document boilerplate
+    assert(got.exists(r => r.getInt(2) < r.getInt(1)),
+      "no doc lost a block — boilerplate fixture assumption broken")
+  }
+
+  test("source overlap covers every pair with consistent integer jaccard") {
+    val rows = operators.TextOps.sourceOverlap(spark, dir).collect()
+    val sources = (rows.map(_.getString(0)) ++ rows.map(_.getString(1))).toSet
+    val s = sources.size
+    assert(rows.length == s * (s - 1) / 2,
+      s"expected all ${s * (s - 1) / 2} pairs, got ${rows.length}")
+    // per-source set size must be identical wherever the source appears
+    val sizes = collection.mutable.Map.empty[String, Long]
+    def check(src: String, n: Long): Unit =
+      assert(sizes.getOrElseUpdate(src, n) == n, s"$src size drift")
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (na, nb, nc, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(a < b, r.toString)
+      check(a, na); check(b, nb)
+      assert(nc >= 1 && nc <= math.min(na, nb), r.toString)
+      assert(j == nc * 1000000L / (na + nb - nc), r.toString)
+      assert(j <= 1000000L)
+    }
+  }
+
   test("repetition kernel agrees with an explode+groupBy reference") {
     import org.apache.spark.sql.functions._
     val got = operators.TextOps.repetition(spark, dir).limit(50).collect()

@@ -186,6 +186,46 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(count(p, "BroadcastNestedLoopJoin") == 0, p)
   }
 
+  test("quantile sketch folds the corpus in one map-side-combined aggregate") {
+    val df = SparkEntry.queries("ev_quantile_sketch")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    // the corpus-wide pass is the binned histogram: partial HashAggregate
+    // before its exchange (<=64 rows/group cross the wire); everything
+    // after operates on the tiny histogram
+    assert(count(p, "HashAggregate") >= 2, p)
+    assert(count(p, "SortMergeJoin") + count(p, "CartesianProduct") == 0, p)
+    val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("event_type") && scan.contains("value"), scan)
+    assert(!scan.contains("props"), s"props must be pruned: $scan")
+  }
+
+  test("block dedup broadcasts the frequent set; text never shuffles") {
+    val df = SparkEntry.queries("text_block_dedup")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    // pass 1 shuffles 32-char hashes only; the folded frequent-block array
+    // (one row) joins back via broadcast — doc text stays in a projection
+    assert(count(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(count(p, "SortMergeJoin") + count(p, "ShuffledHashJoin") == 0, p)
+    val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(!scan.contains("source"), s"source must be pruned: $scan")
+  }
+
+  test("source overlap self-joins narrow hashes on an equi-key") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("text_source_overlap")(spark, dir)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString()
+      // the shingle-set self-join keys on the hash (per-key fanout bounded
+      // by |sources|); size joins are tiny and must never go all-pairs
+      assert(count(p, "BroadcastNestedLoopJoin") == 0, p)
+      assert(count(p, "CartesianProduct") == 0, p)
+      assert(count(p, "SortMergeJoin") + count(p, "ShuffledHashJoin") >= 1, p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("range join is an equi-join on (epoch, salt), never all-pairs") {
     // disable broadcast so the plan shown is the large-scale shape: with
     // broadcasting on, a small build side hides the nested-loop risk
