@@ -166,6 +166,7 @@ object SparkEntry {
     "ev_quantile_sketch" -> (EventOps.quantileSketch _),
     "text_block_dedup" -> ((s, d) => TextOps.blockDedup(s, d)),
     "text_source_overlap" -> ((s, d) => TextOps.sourceOverlap(s, d)),
+    "text_source_minhash" -> (TextOps.sourceMinhash _),
   )
 
   /** DuckDB oracles — keys must match [[queries]]; aliases match exactly. */
@@ -289,5 +290,6 @@ object SparkEntry {
     "ev_quantile_sketch" -> EventOps.quantileSketchOracle,
     "text_block_dedup" -> TextOps.blockDedupOracle,
     "text_source_overlap" -> TextOps.sourceOverlapOracle,
+    "text_source_minhash" -> TextOps.sourceMinhashOracle,
   )
 }

@@ -750,6 +750,58 @@ object TextOps {
       |JOIN sizes sb ON sb.source = i.src_b
       |ORDER BY i.src_a, i.src_b""".stripMargin
 
+  /** MinHash-signature estimate of the pairwise source-overlap matrix —
+    * the SCALE path next to [[sourceOverlap]]'s exact form: a source's
+    * MinHash over its shingle UNION is the element-wise min of its docs'
+    * signatures (min over docs of min over shingles), so the corpus
+    * reduces to |sources|×64 narrow rows in ONE map-side-combined
+    * aggregate over the already-codegen'd per-doc kernel — no shingle
+    * self-join, no distinct-set materialization, wire cost independent of
+    * corpus size. Estimate = matching components / 64, reported in exact
+    * integer ppm; OperatorsSpec bounds it against the exact matrix. */
+  def sourceMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = documents(s, dir)
+      .select(col("source"), Dedup.minhashSignature(col("text")).as("sig"))
+      .select(col("source"), posexplode(col("sig")).as(Seq("i", "v")))
+      .groupBy(col("source"), col("i")).agg(min(col("v")).as("v"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.i") === col("b.i") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(when(col("a.v") === col("b.v"), lit(1))).as("n_match"))
+      .withColumn("est_jaccard_ppm", expr("n_match * 1000000L DIV 64"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceMinhashOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, source, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END AS shs
+      |  FROM toks
+      |), hs AS (
+      |  SELECT doc_id, source,
+      |    [(CAST('0x'||substr(md5(s2),1,14) AS BIGINT) % 2147483647) FOR s2 IN shs] AS hl
+      |  FROM sh
+      |), sigs AS (
+      |  SELECT source, [list_min([((((1103515245*(i+7)+12345) % 1073741823) | 1) * h
+      |      + ((2027382749*(i+13)+577) % 2147483647)) % 2147483647 FOR h IN hl])
+      |    FOR i IN range(0,64)] AS sig
+      |  FROM hs
+      |), src AS (
+      |  SELECT source, CAST(i AS INTEGER) AS i, MIN(sig[i+1]) AS v
+      |  FROM sigs, UNNEST(range(0,64)) AS u(i)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(COUNT(*) FILTER (WHERE a.v = b.v) AS BIGINT) AS n_match,
+      |  CAST(COUNT(*) FILTER (WHERE a.v = b.v) * 1000000 // 64 AS BIGINT)
+      |    AS est_jaccard_ppm
+      |FROM src a JOIN src b ON a.i = b.i AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val chunkOracle: String =
     """WITH d AS (
       |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
