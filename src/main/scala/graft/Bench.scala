@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import scala.jdk.CollectionConverters._
+
 /** Benchmark main: times every [[SparkEntry.queries]] entry against
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
@@ -86,6 +88,30 @@ object Bench {
     // the official record out of the driver's bounded stdout tail capture
     // (round 6's artifact lost its head exactly this way)
     System.err.println(s"""{"bench_min":$mins}""")
+    // Durable per-query record: the driver's bounded stdout tail capture
+    // head-truncated the full map two rounds running (BENCH_r06/r07 lost
+    // the dedup_*/ev_* medians), so full runs also persist the record to a
+    // committed file. Round number = 1 + the highest BENCH_r{N}.json the
+    // driver has written so far; spot re-runs (BENCH_ONLY) never overwrite.
+    if (only.isEmpty) {
+      try {
+        val repo = java.nio.file.Paths.get("/root/repo")
+        val round = java.nio.file.Files.list(repo).iterator().asScala
+          .flatMap { p =>
+            "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(p.getFileName.toString)
+              .map(_.group(1).toInt)
+          }.foldLeft(0)(math.max) + 1
+        val out = repo.resolve(f"bench_queries_r$round%02d.json")
+        val body =
+          s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"errors":$errors,"sf":"$sfDir",
+             |"queries":$qs,
+             |"mins":$mins}""".stripMargin
+        java.nio.file.Files.write(out, body.getBytes("UTF-8"))
+        System.err.println(s"[bench] per-query record written to $out")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] per-query record write failed: $e")
+      }
+    }
     // full per-query record first, then a compact summary (no queries map)
     // as the VERY LAST stdout line: the tail capture keeps the end of the
     // stream, so the parse-critical total/iters/errors/sf fields always

@@ -499,7 +499,8 @@ object TextOps {
     * shuffle; emits the chunk md5 + token count, not the text. */
   def chunk(s: SparkSession, dir: String, width: Int = 32,
       stride: Int = 16): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
+    // filter-empty tokenization, same cross-engine rationale as blockDedup
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
     val starts = sequence(lit(0),
       greatest(size(toks) - 1, lit(0)), lit(stride))
     val chunks = transform(starts,
@@ -634,7 +635,11 @@ object TextOps {
     * kept-text md5 rather than the text (hash-exact cross-engine proof). */
   def blockDedup(s: SparkSession, dir: String, width: Int = 16,
       minDf: Int = 2): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
+    // filter-empty tokenization (the PortableHashExprs convention), NOT
+    // trim+split: Java split drops trailing empty strings while DuckDB's
+    // regexp_split_to_array keeps them, so a doc ending in non-space
+    // whitespace (tab) would yield different block arrays under trim
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
     val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(width))
     val blocks = transform(starts,
       i => array_join(slice(toks, i + lit(1), lit(width)), " "))
@@ -659,7 +664,8 @@ object TextOps {
 
   val blockDedupOracle: String =
     """WITH d AS (
-      |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+      |  SELECT doc_id,
+      |    [x FOR x IN regexp_split_to_array(text, '\s+') IF x <> ''] AS toks
       |  FROM documents
       |), b AS (
       |  SELECT doc_id, CAST(i AS INTEGER) AS i,
@@ -693,7 +699,13 @@ object TextOps {
     * narrow map-side-combined aggregate; the self-join key is the shingle
     * hash, whose per-key match count is bounded by the number of SOURCES
     * (not docs), so the join output is ≤ |shingles|·S²/2 narrow rows; the
-    * final matrix is S² rows. Nothing rejoins the corpus. */
+    * final matrix is S² rows. Nothing rejoins the corpus.
+    *
+    * The matrix is COMPLETE: every source pair appears, including pairs
+    * with zero shingle overlap (n_common = 0) — in a contamination audit
+    * "absent" must never be ambiguous with "no overlap". The pair frame is
+    * the cross product of the (tiny, S-row) sizes table, left-joined with
+    * the observed intersections. */
   def sourceOverlap(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
     import graft.functions.PortableHashExprs
     val sets = documents(s, dir)
@@ -707,11 +719,11 @@ object TextOps {
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("source", "src_a")
-        .withColumnRenamed("n_sh", "n_a"), "src_a")
-      .join(sizes.withColumnRenamed("source", "src_b")
-        .withColumnRenamed("n_sh", "n_b"), "src_b")
+    val pairs = sizes.select(col("source").as("src_a"), col("n_sh").as("n_a"))
+      .crossJoin(sizes.select(col("source").as("src_b"), col("n_sh").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
       .withColumn("jaccard_ppm",
         expr("n_common * 1000000L DIV (n_a + n_b - n_common)"))
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
@@ -739,16 +751,19 @@ object TextOps {
       |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
       |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
       |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT sa.source AS src_a, sb.source AS src_b,
+      |    sa.n_sh AS n_a, sb.n_sh AS n_b
+      |  FROM sizes sa JOIN sizes sb ON sa.source < sb.source
       |)
-      |SELECT i.src_a, i.src_b,
-      |  CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
-      |  CAST(i.n_common AS BIGINT) AS n_common,
-      |  CAST(i.n_common * 1000000 // (sa.n_sh + sb.n_sh - i.n_common)
-      |    AS BIGINT) AS jaccard_ppm
-      |FROM inter i
-      |JOIN sizes sa ON sa.source = i.src_a
-      |JOIN sizes sb ON sb.source = i.src_b
-      |ORDER BY i.src_a, i.src_b""".stripMargin
+      |SELECT p.src_a, p.src_b,
+      |  CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+      |  CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+      |  CAST(COALESCE(i.n_common, 0) * 1000000
+      |    // (p.n_a + p.n_b - COALESCE(i.n_common, 0)) AS BIGINT) AS jaccard_ppm
+      |FROM pairs p
+      |LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+      |ORDER BY p.src_a, p.src_b""".stripMargin
 
   /** MinHash-signature estimate of the pairwise source-overlap matrix —
     * the SCALE path next to [[sourceOverlap]]'s exact form: a source's

@@ -755,6 +755,31 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
         executed.mkString("\n"))
   }
 
+  test("fed_union ships as ONE remote SQL, no per-arm derived-table regression") {
+    // Bench-flag disposition guard (r7→r8): the r7 union unparser changes
+    // (ORDER-BY scope, derived-table wrapping for arms with their own
+    // ORDER BY/LIMIT) must not regress this query's shape — a GROUP BY
+    // over a same-provider UNION ALL federates as ONE remote SQL whose
+    // arms carry only their WHEREs, with the sort/limit once, outermost.
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    val df = Federated.unionPushdown(spark, dir)
+    assert(fedFragments(df).size == 1,
+      s"union+agg must be one fragment:\n${df.queryExecution.optimizedPlan}")
+    df.collect()
+    val executed = alpha.executedSql.drop(before)
+    assert(executed.size == 1,
+      s"expected exactly ONE remote SQL, got:\n${executed.mkString("\n")}")
+    val sql = executed.head
+    assert(sql.contains("UNION ALL") && sql.contains("orders") &&
+      sql.contains("lineitem"), s"union did not ship whole: $sql")
+    assert("GROUP BY".r.findAllIn(sql).size == 1, s"agg not single: $sql")
+    assert("ORDER BY".r.findAllIn(sql).size == 1 &&
+      "LIMIT".r.findAllIn(sql).size == 1,
+      s"per-arm ORDER BY/LIMIT wrap crept into the union arms: $sql")
+  }
+
   test("partial agg pushdown: remote+local mixed union partializes the remote side") {
     setup()
     graft.sources.Tables.orders(spark, dir)

@@ -823,11 +823,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("source overlap covers every pair with consistent integer jaccard") {
-    val rows = operators.TextOps.sourceOverlap(spark, dir).collect()
-    val sources = (rows.map(_.getString(0)) ++ rows.map(_.getString(1))).toSet
+    // the expected source set comes INDEPENDENTLY from the documents
+    // table, not from the result rows — a source pair dropped from the
+    // matrix (or a source disjoint from all others vanishing entirely)
+    // must fail here, not silently shrink the expectation
+    val sources = graft.sources.Tables.documents(spark, dir)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
     val s = sources.size
+    assert(s >= 2, "fixture needs at least two sources")
+    val rows = operators.TextOps.sourceOverlap(spark, dir).collect()
     assert(rows.length == s * (s - 1) / 2,
       s"expected all ${s * (s - 1) / 2} pairs, got ${rows.length}")
+    val gotPairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    val wantPairs = (for (a <- sources; b <- sources if a < b) yield (a, b))
+    assert(gotPairs == wantPairs.toSet, s"pair set mismatch: $gotPairs")
     // per-source set size must be identical wherever the source appears
     val sizes = collection.mutable.Map.empty[String, Long]
     def check(src: String, n: Long): Unit =
@@ -838,10 +847,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
       assert(a < b, r.toString)
       check(a, na); check(b, nb)
-      assert(nc >= 1 && nc <= math.min(na, nb), r.toString)
+      assert(nc >= 0 && nc <= math.min(na, nb), r.toString)
       assert(j == nc * 1000000L / (na + nb - nc), r.toString)
       assert(j <= 1000000L)
     }
+  }
+
+  test("source minhash estimate is within MinHash-64 error of the exact matrix") {
+    // est_jaccard_ppm is a 64-permutation MinHash estimate of the exact
+    // trigram-set jaccard (both keyed (src_a, src_b)): σ = √(J(1−J)/64)
+    // ≤ 0.0625, so |est − exact| within 4σ_max = 250000 ppm, and the
+    // typical-case mean error should sit far tighter
+    val exact = operators.TextOps.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    val est = operators.TextOps.sourceMinhash(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(est.keySet == exact.keySet,
+      s"pair sets differ: ${est.keySet} vs ${exact.keySet}")
+    val errs = exact.map { case (k, j) => math.abs(est(k) - j) }
+    assert(errs.forall(_ <= 250000L),
+      s"estimate outside 4σ of exact: ${errs.max} ppm")
+    assert(errs.sum / errs.size <= 125000L,
+      s"mean estimate error implausibly large: ${errs.sum / errs.size} ppm")
   }
 
   test("repetition kernel agrees with an explode+groupBy reference") {

@@ -31,6 +31,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def count(plan: String, needle: String): Int =
     plan.sliding(needle.length).count(_ == needle)
 
+  /** ALL FileScan lines of a plan — pruning assertions must hold on every
+    * scan, not just the first: a plan that reads a table twice (e.g. block
+    * dedup's frequent-set pass + projection pass) could otherwise regress
+    * its second scan to reading pruned columns without failing here. */
+  private def fileScans(p: String): Seq[String] =
+    p.linesIterator.filter(_.contains("FileScan")).toSeq
+
   test("q3: all dimension joins broadcast, no sort-merge join") {
     val p = finalPlan("q3_shipping_priority")
     assert(count(p, "BroadcastHashJoin") >= 2, p)
@@ -208,8 +215,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (one row) joins back via broadcast — doc text stays in a projection
     assert(count(p, "BroadcastNestedLoopJoin") == 1, p)
     assert(count(p, "SortMergeJoin") + count(p, "ShuffledHashJoin") == 0, p)
-    val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
-    assert(!scan.contains("source"), s"source must be pruned: $scan")
+    // BOTH document scans (frequent-set pass and projection pass) prune
+    val scans = fileScans(p)
+    assert(scans.size >= 2, s"expected two document scans:\n$p")
+    scans.foreach { scan =>
+      assert(!scan.contains("source") && !scan.contains("lang"),
+        s"source/lang must be pruned from every scan: $scan")
+    }
   }
 
   test("source overlap self-joins narrow hashes on an equi-key") {
@@ -219,10 +231,34 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.count()
       val p = df.queryExecution.executedPlan.toString()
       // the shingle-set self-join keys on the hash (per-key fanout bounded
-      // by |sources|); size joins are tiny and must never go all-pairs
+      // by |sources|) and must be an equi-join; the ONE permitted
+      // cartesian is the S×S pair frame over the aggregated sizes table
+      // (S = #sources — corpus-size-independent), which makes
+      // zero-overlap pairs explicit in the matrix
+      assert(count(p, "BroadcastNestedLoopJoin") +
+        count(p, "CartesianProduct") <= 1, p)
+      assert(count(p, "SortMergeJoin") + count(p, "ShuffledHashJoin") >= 1, p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("source minhash folds per-doc signatures; self-join is equi on component") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("text_source_minhash")(spark, dir)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString()
+      // corpus folds to |sources|×64 rows in a map-side-combined aggregate;
+      // the pair estimate self-joins those rows equi on the signature
+      // component index — never all-pairs, no shingle materialization
       assert(count(p, "BroadcastNestedLoopJoin") == 0, p)
       assert(count(p, "CartesianProduct") == 0, p)
       assert(count(p, "SortMergeJoin") + count(p, "ShuffledHashJoin") >= 1, p)
+      assert(count(p, "HashAggregate") >= 2, s"no map-side combine:\n$p")
+      // the documents scan reads only source+text
+      fileScans(p).foreach { scan =>
+        assert(!scan.contains("lang") && !scan.contains("n_chars"),
+          s"lang/n_chars must be pruned: $scan")
+      }
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
