@@ -6,18 +6,24 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
-  * metadata, plus decode / feature-extract / resize / frame-sample stages.
+  * metadata, plus decode / feature-extract / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the decode kernels are
-  * STUBBED with a deterministic fake (integer byte-statistics standing in
-  * for pixel decoding — clearly marked below). Everything Spark-side is
-  * real: the binary schema, the typed metadata struct, partition-preserving
-  * `mapPartitions` batching (the Scala analog of `mapInPandas` — one
-  * iterator per partition, constant memory), and the feature schema.
+  * The decode path is REAL: each document is rendered into a valid
+  * binary P6 PPM image (header + RGB raster — [[encodePpm]]), and
+  * [[decodePpm]] is a genuine whitespace/comment-tolerant PPM parser that
+  * would read any conforming PPM file, not just ours. Features are a
+  * perceptual hash over the DECODED pixels: integer luma → 8×8
+  * downsample → 2-D Walsh–Hadamard transform → coefficient sign bits
+  * ([[phashBytes]]). The WHT is the integer-exact analog of the pHash
+  * DCT (Hadamard entries are ±1, so the transform is pure additions),
+  * which keeps the whole chain — encode, parse, downsample, transform,
+  * hash — verifiable bit-for-bit against the DuckDB oracle; a float
+  * DCT's cos() last-ulp behavior would not be.
   *
-  * The fakes are deliberately integer-exact arithmetic over the raw bytes,
-  * so the whole pipeline (including the stubbed kernels) is verified
-  * against a DuckDB oracle — byte-for-byte, not just row counts.
+  * Spark-side plumbing is production-shaped throughout: binary schema,
+  * typed metadata struct, partition-preserving `mapPartitions` batching
+  * (the Scala analog of `mapInPandas` — one iterator per partition,
+  * constant memory), narrow feature schema.
   *
   * At 100 TB: media bytes never shuffle — every stage below is a narrow
   * map over the scan; only extracted (small) features flow onward.
@@ -29,13 +35,21 @@ object Multimodal {
 
   case class MediaRow(doc_id: Long, media: Array[Byte], media_type: String)
 
+  case class PpmRow(doc_id: Long, media: Array[Byte])
+
+  /** A decoded image: dimensions + interleaved RGB raster. */
+  case class PpmImage(width: Int, height: Int, maxVal: Int,
+      pixels: Array[Byte])
+
   case class MediaFeature(doc_id: Long, n_bytes: Long, width: Int,
       height: Int, channels: Int, format: String, mean_byte: Double,
       feature: Array[Long])
 
   /** Build an opaque binary "media" column from the documents table (the
     * testdata carries no real media; utf-8 bytes stand in — the plumbing is
-    * type-correct for any blob). */
+    * type-correct for any blob). Used by the byte-level stages
+    * ([[mediaStats]], [[sampleFrames]]); the decode chain uses the real
+    * PPM blobs from [[ppmTable]]. */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(
       col("doc_id"),
@@ -44,93 +58,193 @@ object Multimodal {
         .when(col("doc_id") % 3 === 1, "audio/wav")
         .otherwise("video/mp4")).as("media_type"))
 
-  /** Position-weighted checksum of the byte stream:
-    * `(Σ byte_i · i) mod 1000003`, i 1-based. The deterministic seed for
-    * the fake decode below; pure integer math. */
-  private def checksum(bytes: Array[Byte]): Long = {
-    var h = 0L
-    var j = 0
-    while (j < bytes.length) { h += (bytes(j) & 0xff).toLong * (j + 1); j += 1 }
-    h % 1000003L
-  }
+  // ------------------------------------------------ real PPM encode/decode
 
-  /** STUB decode kernel: a real build would call an image/audio codec here
-    * (???). Deterministic fake: dimensions derived from the byte checksum. */
-  private def decodeStub(bytes: Array[Byte], mediaType: String): MediaMeta = {
-    // ??? — codec unavailable in this container; deterministic fake below.
-    val h = checksum(bytes)
-    MediaMeta(
-      width = (64 + h % 512).toInt,
-      height = (64 + (h / 512) % 512).toInt,
-      channels = if (mediaType.startsWith("image")) 3 else 1,
-      format = mediaType.substring(mediaType.indexOf('/') + 1))
-  }
-
-  /** STUB feature extractor (resize + embed in a real pipeline): fixed-width
-    * vector of strided byte sums — integer-exact. */
-  private def featureStub(bytes: Array[Byte], dim: Int = 8): Array[Long] = {
-    val out = new Array[Long](dim)
+  /** Render a document into a VALID binary P6 PPM image: `P6\nW H\n255\n`
+    * followed by W·H interleaved RGB bytes. Dimensions vary per doc
+    * (8..16 each side, from doc_id); pixels tile the utf-8 content bytes.
+    * Any conforming PPM reader decodes the result. */
+  def encodePpm(docId: Long, content: Array[Byte]): Array[Byte] = {
+    val w = 8 + (docId % 9).toInt
+    val h = 8 + ((docId / 9) % 9).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val npix = w * h * 3
+    val out = new Array[Byte](header.length + npix)
+    System.arraycopy(header, 0, out, 0, header.length)
     var i = 0
-    while (i < bytes.length) { out(i % dim) += (bytes(i) & 0xff); i += 1 }
+    while (i < npix) {
+      out(header.length + i) =
+        if (content.length == 0) 0 else content(i % content.length)
+      i += 1
+    }
     out
   }
 
-  /** Decode + feature-extract over media batches. `mapPartitions` keeps the
-    * per-partition iterator streaming (no materialization), matching the
-    * batch shape a Pandas-UDF/`mapInPandas` stage would have. */
+  /** REAL P6 PPM parser: magic check, whitespace- and `#`-comment-tolerant
+    * header (width, height, maxval), single whitespace, then the raster.
+    * Throws on malformed input — no silent fallback. */
+  def decodePpm(bytes: Array[Byte]): PpmImage = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed PPM: $msg")
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6')
+      fail("bad magic (want P6)")
+    var pos = 2
+    def nextInt(): Int = {
+      var inComment = false
+      while (pos < bytes.length && {
+        val c = bytes(pos).toChar
+        if (inComment) { if (c == '\n') inComment = false; true }
+        else if (c == '#') { inComment = true; true }
+        else c.isWhitespace
+      }) pos += 1
+      if (pos >= bytes.length) fail("truncated header")
+      var v = 0
+      var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      if (!any) fail(s"expected integer at offset $pos")
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val mv = nextInt()
+    if (w <= 0 || h <= 0 || mv <= 0 || mv > 255) fail(s"bad header $w x $h / $mv")
+    pos += 1 // the single whitespace byte after maxval
+    val n = w * h * 3
+    if (bytes.length - pos < n)
+      fail(s"truncated raster: want $n, have ${bytes.length - pos}")
+    PpmImage(w, h, mv, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+  }
+
+  /** 64-bit perceptual hash of a decoded image, as 8 fingerprint bytes:
+    * integer luma `(r + 2g + b)/4` per pixel, nearest-neighbor 8×8
+    * downsample, 2-D Walsh–Hadamard transform
+    * (`H[i][j] = (−1)^popcount(i&j)` — Sylvester order), sign bit per
+    * coefficient packed MSB-first. Pure integer arithmetic end-to-end, so
+    * the oracle reproduces every bit. */
+  def phashBytes(img: PpmImage): Array[Int] = {
+    val g = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      val gy = (k / 8) * img.height / 8
+      val gx = (k % 8) * img.width / 8
+      val base = (gy * img.width + gx) * 3
+      g(k) = ((img.pixels(base) & 0xff) + 2 * (img.pixels(base + 1) & 0xff) +
+        (img.pixels(base + 2) & 0xff)) / 4
+      k += 1
+    }
+    val fb = new Array[Int](8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var c = 0L
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            val neg = (Integer.bitCount(u & yy) + Integer.bitCount(v & xx)) % 2
+            c += (if (neg == 0) g(yy * 8 + xx) else -g(yy * 8 + xx))
+            xx += 1
+          }
+          yy += 1
+        }
+        val idx = u * 8 + v
+        if (c > 0) fb(idx / 8) |= 1 << (7 - idx % 8)
+        v += 1
+      }
+      u += 1
+    }
+    fb
+  }
+
+  /** The corpus as real PPM blobs, one image per document. */
+  def ppmTable(s: SparkSession, dir: String): Dataset[PpmRow] = {
+    import s.implicits._
+    documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[PpmRow]
+      .mapPartitions(_.map(r => PpmRow(r.doc_id, encodePpm(r.doc_id, r.media))))
+  }
+
+  /** Decode + feature-extract over media batches: parse the PPM blob,
+    * report REAL decoded dimensions, mean pixel byte, and the 8 pHash
+    * fingerprint bytes. `mapPartitions` keeps the per-partition iterator
+    * streaming (no materialization), matching the batch shape a
+    * Pandas-UDF/`mapInPandas` stage would have. */
   def decodeAndFeaturize(s: SparkSession, dir: String): Dataset[MediaFeature] = {
     import s.implicits._
-    mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
+    ppmTable(s, dir).mapPartitions { rows =>
       rows.map { r =>
-        val meta = decodeStub(r.media, r.media_type)
+        val img = decodePpm(r.media)
         var sum = 0L
-        r.media.foreach(b => sum += (b & 0xff))
-        MediaFeature(r.doc_id, r.media.length.toLong, meta.width, meta.height,
-          meta.channels, meta.format,
-          if (r.media.length == 0) 0.0 else sum.toDouble / r.media.length,
-          featureStub(r.media))
+        img.pixels.foreach(b => sum += (b & 0xff))
+        MediaFeature(r.doc_id, r.media.length.toLong, img.width, img.height,
+          3, "ppm", sum.toDouble / img.pixels.length,
+          phashBytes(img).map(_.toLong))
       }
     }
   }
 
-  /** DuckDB mirror of `decodeAndFeaturize` + the feature_csv rendering in
-    * SparkEntry: bytes recovered from the utf-8 blob via hex expansion,
-    * then the same integer formulas. */
-  val decodeFeaturesOracle: String =
-    """WITH b AS (
-      |  SELECT doc_id,
-      |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-      |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
-      |         ELSE 'video/mp4' END AS media_type,
-      |    octet_length(encode(text)) AS n,
+  /** The encode∘decode∘hash pipeline recomputed in SQL: same byte
+    * expansion, same tiling, same luma/downsample/WHT/sign formulas. The
+    * oracle mirrors the MATH of the round-trip (the Spark side genuinely
+    * routes through PPM bytes and the parser). Shared by the decode and
+    * near-dup oracles. */
+  private val ppmFpCte: String =
+    """b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS tb,
       |    list_transform(range(1, octet_length(encode(text))+1),
       |      i -> (strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i-1, 1))*16
       |          + strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)))) AS bytes
       |  FROM documents
-      |), d AS (
-      |  SELECT doc_id, media_type, n, bytes,
-      |    COALESCE(list_sum(list_transform(bytes, (x,i) -> x*i)), 0) % 1000003 AS h
+      |), dims AS (
+      |  SELECT doc_id, tb, bytes,
+      |    CAST(8 + doc_id % 9 AS INTEGER) AS w,
+      |    CAST(8 + (doc_id // 9) % 9 AS INTEGER) AS h
       |  FROM b
-      |)
-      |SELECT doc_id,
-      |  CAST(n AS BIGINT) AS n_bytes,
-      |  CAST(64 + h % 512 AS INTEGER) AS width,
-      |  CAST(64 + (h // 512) % 512 AS INTEGER) AS height,
-      |  CAST(CASE WHEN media_type LIKE 'image%' THEN 3 ELSE 1 END AS INTEGER) AS channels,
-      |  str_split(media_type, '/')[2] AS format,
-      |  CASE WHEN n = 0 THEN 0.0
-      |       ELSE CAST(COALESCE(list_sum(bytes), 0) AS DOUBLE) / n END AS mean_byte,
-      |  array_to_string(list_transform(range(0,8),
-      |    k -> COALESCE(list_sum(list_transform(bytes,
-      |           (x,i) -> CASE WHEN (i-1)%8=k THEN x ELSE 0 END)), 0)), ',') AS feature_csv
-      |FROM d
-      |ORDER BY doc_id""".stripMargin
+      |), pix AS (
+      |  SELECT doc_id, w, h, w*h*3 AS npix,
+      |    3 + length(CAST(w AS VARCHAR)) + 1 + length(CAST(h AS VARCHAR)) + 5 AS hdr,
+      |    list_transform(range(0, w*h*3),
+      |      i -> CASE WHEN tb = 0 THEN 0 ELSE bytes[(i % tb) + 1] END) AS p
+      |  FROM dims
+      |), gray AS (
+      |  SELECT doc_id, w, h, npix, hdr, p,
+      |    list_transform(range(0, 64),
+      |      k -> (p[((k//8 * h // 8) * w + (k%8 * w // 8)) * 3 + 1]
+      |          + 2*p[((k//8 * h // 8) * w + (k%8 * w // 8)) * 3 + 2]
+      |          + p[((k//8 * h // 8) * w + (k%8 * w // 8)) * 3 + 3]) // 4) AS g
+      |  FROM pix
+      |), wht AS (
+      |  SELECT doc_id, w, h, npix, hdr, p,
+      |    list_transform(range(0, 64),
+      |      kk -> list_sum(list_transform(range(0, 64),
+      |        k -> g[k+1] * (1 - 2*((bit_count(CAST(kk//8 AS BIGINT) & CAST(k//8 AS BIGINT))
+      |                 + bit_count(CAST(kk%8 AS BIGINT) & CAST(k%8 AS BIGINT))) % 2)))) ) AS c
+      |  FROM gray
+      |), f AS (
+      |  SELECT doc_id, w, h, npix, hdr, p,
+      |    list_transform(range(0, 8),
+      |      j -> list_sum(list_transform(range(0, 8),
+      |        t -> CASE WHEN c[j*8+t+1] > 0 THEN (1 << (7-t)) ELSE 0 END))) AS fb
+      |  FROM wht
+      |)""".stripMargin
+
+  val decodeFeaturesOracle: String =
+    s"""WITH $ppmFpCte
+       |SELECT doc_id,
+       |  CAST(hdr + npix AS BIGINT) AS n_bytes,
+       |  w AS width, h AS height,
+       |  CAST(3 AS INTEGER) AS channels, 'ppm' AS format,
+       |  CAST(list_sum(p) AS DOUBLE) / npix AS mean_byte,
+       |  array_to_string(fb, ',') AS feature_csv
+       |FROM f ORDER BY doc_id""".stripMargin
 
   /** Frame sampling for video-typed rows: emit every `stride`-th "frame"
-    * (fixed-size byte windows of the blob — the real kernel would demux).
-    * One row in, few rows out: `flatMap`, still narrow. Frame hash is a
-    * `(h·31 + byte) mod 2147483647` rolling hash seeded with 1 — integer
-    * math shared with the oracle. */
+    * (fixed-size byte windows of the blob — a demux kernel has the same
+    * one-row-in/few-rows-out shape). `flatMap`, still narrow. Frame hash
+    * is a `(h·31 + byte) mod 2147483647` rolling hash seeded with 1 —
+    * integer math shared with the oracle. */
   def sampleFrames(s: SparkSession, dir: String, frameBytes: Int = 64,
       stride: Int = 4): DataFrame = {
     import s.implicits._
@@ -164,20 +278,16 @@ object Multimodal {
       |FROM b, UNNEST(range(0, n//64, 4)) AS t(f)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
-  /** Media near-dup detection via a banded blockwise fingerprint: each
-    * item's 8 feature sums reduce to 8 fingerprint bytes, paired into
-    * 4×16-bit band keys; items sharing ANY band become candidate
-    * duplicates and the smallest partner id wins ([[Dedup.minhash]]'s
-    * single-link policy). A real build would put DCT-sign pHash bits
-    * where the STUB feature bytes are — the banding, bucket self-join,
-    * and keep-policy are the production-real parts, and the cost shape is
-    * the same as text LSH: 4 narrow rows per item, join per band bucket,
-    * media bytes never shuffle. */
+  /** Media near-dup detection over the REAL pHash: the 8 fingerprint
+    * bytes pair into 4×16-bit band keys; items sharing ANY band become
+    * candidate duplicates and the smallest partner id wins
+    * ([[Dedup.minhash]]'s single-link policy). Cost shape is the same as
+    * text LSH: 4 narrow rows per item, join per band bucket, media bytes
+    * never shuffle — only the 8-byte fingerprints do. */
   def phashNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val f = decodeAndFeaturize(s, dir)
-      .select(col("doc_id"),
-        transform(col("feature"), x => pmod(x, lit(256))).as("fb"))
+      .select(col("doc_id"), col("feature").as("fb"))
     val keyed = f.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(3)), b => struct(
         b.as("band"),
@@ -200,39 +310,28 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Same byte expansion as [[decodeFeaturesOracle]]; fingerprint bytes,
-    * band keys, and the single-link min all mirrored in SQL. */
+  /** Same pHash pipeline as [[decodeFeaturesOracle]]; band keys and the
+    * single-link min mirrored in SQL. */
   val phashNearDupOracle: String =
-    """WITH b AS (
-      |  SELECT doc_id,
-      |    list_transform(range(1, octet_length(encode(text))+1),
-      |      i -> (strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i-1, 1))*16
-      |          + strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)))) AS bytes
-      |  FROM documents
-      |), f AS (
-      |  SELECT doc_id, list_transform(range(0,8),
-      |    k -> COALESCE(list_sum(list_transform(bytes,
-      |           (x,i) -> CASE WHEN (i-1)%8=k THEN x ELSE 0 END)), 0) % 256) AS fb
-      |  FROM b
-      |), keyed AS (
-      |  SELECT doc_id, band, fb[2*band+1]*256 + fb[2*band+2] AS bkey
-      |  FROM f, UNNEST(range(0,4)) AS t(band)
-      |), pairs AS (
-      |  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
-      |  FROM keyed a JOIN keyed b2
-      |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
-      |), best AS (
-      |  SELECT b_id AS doc_id, MIN(a_id) AS dup_of FROM pairs GROUP BY b_id
-      |)
-      |SELECT f.doc_id, array_to_string(f.fb, ',') AS fp_csv,
-      |  COALESCE(best.dup_of, f.doc_id) AS dup_of,
-      |  COALESCE(best.dup_of, f.doc_id) < f.doc_id AS is_dup
-      |FROM f LEFT JOIN best ON best.doc_id = f.doc_id
-      |ORDER BY f.doc_id""".stripMargin
+    s"""WITH $ppmFpCte,
+       |keyed AS (
+       |  SELECT doc_id, band, fb[2*band+1]*256 + fb[2*band+2] AS bkey
+       |  FROM f, UNNEST(range(0,4)) AS t(band)
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+       |  FROM keyed a JOIN keyed b2
+       |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+       |), best AS (
+       |  SELECT b_id AS doc_id, MIN(a_id) AS dup_of FROM pairs GROUP BY b_id
+       |)
+       |SELECT f.doc_id, array_to_string(f.fb, ',') AS fp_csv,
+       |  COALESCE(best.dup_of, f.doc_id) AS dup_of,
+       |  COALESCE(best.dup_of, f.doc_id) < f.doc_id AS is_dup
+       |FROM f LEFT JOIN best ON best.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
 
   /** Oracle-comparable slice of the media pipeline: byte length and
-    * media-type routing are exact (the fake decode stays out of the oracle).
-    */
+    * media-type routing are exact. */
   def mediaStats(s: SparkSession, dir: String): DataFrame =
     mediaTable(s, dir)
       .groupBy(col("media_type"))

@@ -621,6 +621,72 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PPM codec: encode round-trips through the real parser") {
+    val content = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    for (docId <- Seq(0L, 7L, 42L, 80L, 12345L)) {
+      val blob = operators.Multimodal.encodePpm(docId, content)
+      // a valid P6 file: magic + parseable header + full raster
+      assert(blob(0) == 'P' && blob(1) == '6')
+      val img = operators.Multimodal.decodePpm(blob)
+      assert(img.width == 8 + (docId % 9).toInt, s"doc $docId width")
+      assert(img.height == 8 + ((docId / 9) % 9).toInt, s"doc $docId height")
+      assert(img.maxVal == 255)
+      assert(img.pixels.length == img.width * img.height * 3)
+      // pixels tile the content bytes
+      (0 until img.pixels.length).foreach { i =>
+        assert(img.pixels(i) == content(i % content.length), s"pixel $i")
+      }
+    }
+  }
+
+  test("PPM parser handles comments and rejects malformed input") {
+    val raster = Array.fill(2 * 3 * 3)(7.toByte)
+    val withComment =
+      "P6\n# a comment line\n2 3\n# another\n255\n".getBytes("US-ASCII") ++ raster
+    val img = operators.Multimodal.decodePpm(withComment)
+    assert(img.width == 2 && img.height == 3 && img.pixels.length == 18)
+    // bad magic, truncated header, truncated raster all throw
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.decodePpm("P5\n2 2\n255\n".getBytes ++ raster)
+    }
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.decodePpm("P6\n2".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.decodePpm("P6\n9 9\n255\n".getBytes ++ raster)
+    }
+  }
+
+  test("pHash WHT sign bits match a direct reference computation") {
+    // independent slow reference: same luma/downsample, WHT via explicit
+    // Hadamard matrix multiply, sign bits — must agree with the packed
+    // kernel for several images
+    def hadamard(i: Int, j: Int): Int =
+      if (Integer.bitCount(i & j) % 2 == 0) 1 else -1
+    for (docId <- Seq(1L, 9L, 33L)) {
+      val content = s"doc $docId content with some repeated words words words"
+        .getBytes("UTF-8")
+      val img = operators.Multimodal.decodePpm(
+        operators.Multimodal.encodePpm(docId, content))
+      val g = Array.tabulate(8, 8) { (y, x) =>
+        val gy = y * img.height / 8
+        val gx = x * img.width / 8
+        val b = (gy * img.width + gx) * 3
+        ((img.pixels(b) & 0xff) + 2 * (img.pixels(b + 1) & 0xff) +
+          (img.pixels(b + 2) & 0xff)) / 4
+      }
+      val bits = for (u <- 0 until 8; v <- 0 until 8) yield {
+        val c = (for (y <- 0 until 8; x <- 0 until 8)
+          yield hadamard(u, y) * hadamard(v, x) * g(y)(x)).sum
+        if (c > 0) 1 else 0
+      }
+      val expected = bits.grouped(8)
+        .map(_.foldLeft(0)((a, b) => (a << 1) | b)).toSeq
+      val got = operators.Multimodal.phashBytes(img).toSeq
+      assert(got == expected, s"doc $docId: $got != $expected")
+    }
+  }
+
   test("phash near-dup: every claimed partner shares a fingerprint band") {
     val rows = operators.Multimodal.phashNearDup(spark, dir).collect()
     val fp = rows.map(r =>
