@@ -26,10 +26,15 @@ import graft.federation.sql.SqlFederationProvider
   * Eligibility (everything else is left to [[RuntimeFilterRule]], which
   * still covers outer/semi shapes, FP keys, oversize builds, and dialects
   * without inline VALUES):
-  *  - inner join whose condition is ENTIRELY equi-pairs of a bare
-  *    fragment output column and a bare build output column (a residual
-  *    predicate would be dropped by the rewrite, so any non-pair
-  *    conjunct disqualifies);
+  *  - inner join whose condition is equi-pairs of a bare fragment output
+  *    column and a bare build output column, plus optionally
+  *    FRAGMENT-side-only deterministic residual conjuncts the fragment's
+  *    dialect can render (e.g. `frag.date < X` riding along with the key
+  *    equality — trial-unparsed at planning time, rendered into the
+  *    wrapped SQL at execution; semi/anti put it INSIDE the (NOT) EXISTS
+  *    to preserve NULL semantics). Build-side or MIXED-side residuals
+  *    still disqualify — they would reference the build VALUES outside
+  *    the equality scope the rewrite provides;
   *  - every build output type renderable as a portable literal, floats
   *    excluded (NaN/Infinity have no SQL spelling, and unlike the
   *    IN-list path there is no safe "skip" once the local join is gone);
@@ -106,27 +111,65 @@ object BindJoinRule extends Rule[LogicalPlan] with PredicateHelper {
              (joinType != Inner || selective(build)) &&
              deterministic(build) &&
              build.output.forall(a => renderable(a.dataType)) =>
-        val pairs = splitConjunctivePredicates(j.condition.get).map {
-          case EqualTo(a: AttributeReference, b: AttributeReference)
-              if f.outputSet.contains(a) && build.outputSet.contains(b) =>
-            Some((a, b))
-          case EqualTo(b: AttributeReference, a: AttributeReference)
-              if f.outputSet.contains(a) && build.outputSet.contains(b) =>
-            Some((a, b))
-          case _ => None
+        object EquiPair {
+          def unapply(e: org.apache.spark.sql.catalyst.expressions.Expression)
+              : Option[(AttributeReference, AttributeReference)] = e match {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if f.outputSet.contains(a) && build.outputSet.contains(b) =>
+              Some((a, b))
+            case EqualTo(b: AttributeReference, a: AttributeReference)
+                if f.outputSet.contains(a) && build.outputSet.contains(b) =>
+              Some((a, b))
+            case _ => None
+          }
         }
+        val conjuncts = splitConjunctivePredicates(j.condition.get)
+        val pairs = conjuncts.collect { case EquiPair(a, b) => (a, b) }
+        val rest = conjuncts.filter(EquiPair.unapply(_).isEmpty)
+        // non-pair conjuncts: fragment-side-only deterministic residuals
+        // ride into the wrapped SQL's WHERE; anything touching the build
+        // side (or non-deterministic, or unrenderable in the fragment's
+        // dialect) refuses the bind — RuntimeFilterRule still covers it
+        val (residual, disqualifying) = rest.partition(e =>
+          e.references.subsetOf(f.outputSet) && e.deterministic)
         // duplicate output names inside either side would make the
         // rendered column references ambiguous; refuse (cf. the
-        // PartialAggRule dup-exprId guard)
+        // PartialAggRule dup-exprId guard). Residual rendering reads
+        // fragment columns by NAME, so name uniqueness is required too.
         val unambiguous =
           f.output.map(_.exprId).distinct.size == f.output.size &&
-          build.output.map(_.exprId).distinct.size == build.output.size
-        if (pairs.isEmpty || pairs.exists(_.isEmpty) || !unambiguous) None
+          build.output.map(_.exprId).distinct.size == build.output.size &&
+          (residual.isEmpty ||
+            f.output.map(_.name).distinct.size == f.output.size)
+        if (pairs.isEmpty || disqualifying.nonEmpty || !unambiguous ||
+            !residualRenders(f, residual)) None
         else Some(f.copy(
           runtimeFilters =
             f.runtimeFilters.filterNot(_.buildPlan.sameResult(build)),
           bindJoin = Some(RemoteBindJoin(
-            build, build.output, pairs.flatten, buildLeft, joinType))))
+            build, build.output, pairs, buildLeft, joinType, residual))))
       case _ => None
     }
+
+  /** Planning-time proof that every residual conjunct renders in the
+    * fragment's dialect — once the local join is gone there is no
+    * graceful-skip path, so an execution-time unparse failure must be
+    * impossible. The trial render uses the same scope the executor will
+    * (`bj_sub.<col>` per fragment output), and the unparser is
+    * deterministic, so success here guarantees success there. */
+  private def residualRenders(f: FederatedPlan,
+      residual: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Boolean =
+    residual.isEmpty || (f.provider match {
+      case p: SqlFederationProvider =>
+        val d = p.executor.dialect
+        val scope = f.output
+          .map(a => a.exprId -> s"bj_sub.${d.quoteIfNeeded(a.name)}").toMap
+        try {
+          val u = new graft.federation.sql.SqlUnparser(d)
+          residual.foreach(e => u.render(e, scope))
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      case _ => false
+    })
 }

@@ -114,18 +114,36 @@ final case class RemoteScanExec(
       val i = bj.buildOutput.indexWhere(_.exprId == buildCol.exprId)
       s"bj_sub.${d.quoteIfNeeded(fragCol.name)} = bj_b.${bjNames(i)}"
     }.mkString(" AND ")
+    // fragment-side residual conjuncts, proven renderable at planning
+    // time (BindJoinRule.residualRenders — same dialect, same scope).
+    // Semi/anti render them INSIDE the (NOT) EXISTS so a NULL-valued
+    // residual behaves as Spark's condition-not-TRUE (anti keeps the
+    // row); Inner appends a WHERE, where NULL likewise drops the row.
+    def residualSql: Seq[String] = {
+      if (bj.residual.isEmpty) Nil
+      else {
+        val scope = bj.residual.flatMap(_.references)
+          .map(a => a.exprId -> s"bj_sub.${d.quoteIfNeeded(a.name)}").toMap
+        val u = new graft.federation.sql.SqlUnparser(d)
+        bj.residual.map(e => "(" + u.render(e, scope) + ")")
+      }
+    }
+    def existsCond: String =
+      (onClause +: residualSql).mkString(" AND ")
     bj.joinType match {
       case org.apache.spark.sql.catalyst.plans.LeftSemi =>
         if (rows.isEmpty)
           return sql => s"SELECT * FROM ($sql) AS bj_sub WHERE 1=0"
+        val cond = existsCond
         return sql => s"SELECT * FROM ($sql) AS bj_sub WHERE EXISTS " +
           s"(SELECT 1 FROM (VALUES $valuesList) " +
-          s"AS bj_b(${bjNames.mkString(", ")}) WHERE $onClause)"
+          s"AS bj_b(${bjNames.mkString(", ")}) WHERE $cond)"
       case org.apache.spark.sql.catalyst.plans.LeftAnti =>
         if (rows.isEmpty) return identity // nothing to reject: all rows pass
+        val cond = existsCond
         return sql => s"SELECT * FROM ($sql) AS bj_sub WHERE NOT EXISTS " +
           s"(SELECT 1 FROM (VALUES $valuesList) " +
-          s"AS bj_b(${bjNames.mkString(", ")}) WHERE $onClause)"
+          s"AS bj_b(${bjNames.mkString(", ")}) WHERE $cond)"
       case _ => // Inner falls through to the widening VALUES join below
     }
     if (rows.isEmpty) {
@@ -139,8 +157,12 @@ final case class RemoteScanExec(
     } else {
       val rendered = valuesList
       val on = onClause
+      val where = residualSql match {
+        case Nil => ""
+        case rs => rs.mkString(" WHERE ", " AND ", "")
+      }
       sql => s"SELECT $selectList FROM ($sql) AS bj_sub " +
-        s"JOIN (VALUES $rendered) AS bj_b(${bjNames.mkString(", ")}) ON $on"
+        s"JOIN (VALUES $rendered) AS bj_b(${bjNames.mkString(", ")}) ON $on$where"
     }
   }
 

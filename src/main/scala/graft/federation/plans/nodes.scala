@@ -86,14 +86,26 @@ final case class RemoteRuntimeFilter(
   * fragment's alone, and SQL equality inside (NOT) EXISTS reproduces
   * Spark's strict-EqualTo semi/anti null semantics exactly (a NULL key
   * compares unknown → EXISTS false → semi drops / anti keeps the row,
-  * as Spark does). */
+  * as Spark does).
+  *
+  * `residual` holds FRAGMENT-side-only non-equi conjuncts of the join
+  * condition (e.g. `frag.date < X` riding along with the key equality),
+  * proven unparsable-in-dialect at planning time by
+  * [[graft.federation.BindJoinRule]]. Rendering preserves Spark's
+  * condition-must-be-TRUE semantics per join type: Inner appends a WHERE
+  * on the wrapped join; semi/anti render the residual INSIDE the (NOT)
+  * EXISTS subquery — an anti row whose residual evaluates to NULL must be
+  * KEPT (the condition is never TRUE), which an outer `WHERE NOT (p AND
+  * EXISTS …)` would get wrong (NULL → row dropped). Build-side or
+  * mixed-side residuals refuse the bind entirely. */
 final case class RemoteBindJoin(
     buildPlan: LogicalPlan,
     buildOutput: Seq[Attribute],
     keys: Seq[(AttributeReference, Attribute)],
     buildLeft: Boolean,
     joinType: org.apache.spark.sql.catalyst.plans.JoinType =
-      org.apache.spark.sql.catalyst.plans.Inner)
+      org.apache.spark.sql.catalyst.plans.Inner,
+    residual: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
 
 /** Opaque logical node wrapping a sub-plan that will run remotely.
   *

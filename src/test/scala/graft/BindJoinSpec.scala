@@ -173,7 +173,9 @@ class BindJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
         |JOIN (SELECT DISTINCT l_quantity AS q FROM lineitem WHERE l_quantity < 3) d
         |  ON l_quantity = d.q""".stripMargin)
     assert(boundFrags(fp).isEmpty, "FP key must not bind")
-    // residual non-equi conjunct → refuse (it would be dropped)
+    // MIXED-side residual conjunct (references both fragment and build
+    // beyond the equality) → refuse; fragment-side-only residuals bind
+    // since r8 (see the dedicated residual tests below)
     graft.sources.Tables.orders(spark, dir)
       .filter("o_totalprice > 480000")
       .createOrReplaceTempView("big_orders2")
@@ -181,7 +183,7 @@ class BindJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       """SELECT COUNT(*) AS n
         |FROM fed_lineitem JOIN big_orders2
         |  ON l_orderkey = o_orderkey AND l_extendedprice > o_totalprice / 100""".stripMargin)
-    assert(boundFrags(residual).isEmpty, "residual predicate must not bind")
+    assert(boundFrags(residual).isEmpty, "mixed residual predicate must not bind")
     assert(residual.collect().head.getLong(0) ==
       spark.sql(
         """SELECT COUNT(*) AS n
@@ -294,5 +296,90 @@ class BindJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(boundFrags(df).nonEmpty,
       s"gate query did not bind:\n${df.queryExecution.optimizedPlan}")
     assert(df.count() > 0)
+  }
+
+  test("inner bind with fragment-side residual rides into the remote WHERE") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    // For an INNER join Catalyst always pushes a fragment-side conjunct
+    // out of the condition before any injected rule runs, and
+    // PushDownPredicates is on the optimizer's non-excludable list — so
+    // the condition-carrying shape is built directly here: the shape a
+    // plan gets when a residual survives to the rule (as anti conditions
+    // do naturally; see the next test).
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, LessThan, Literal}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, Project}
+    val frag = spark.sql("SELECT l_orderkey, l_linenumber, l_quantity FROM fed_lineitem")
+      .queryExecution.optimizedPlan.collectFirst { case f: FederatedPlan => f }
+      .getOrElse(fail("fragment did not federate"))
+    val build = graft.sources.Tables.orders(spark, dir)
+      .filter("o_totalprice > 480000").select("o_orderkey")
+      .queryExecution.optimizedPlan
+    def out(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).get
+    val cond = And(
+      EqualTo(out(frag, "l_orderkey"), out(build, "o_orderkey")),
+      LessThan(out(frag, "l_quantity"), Literal(10.0)))
+    val joined = Join(frag, build, Inner, Some(cond), JoinHint.NONE)
+    val rewritten = BindJoinRule(joined)
+    val bound = rewritten.collectFirst {
+      case f: FederatedPlan if f.bindJoin.isDefined => f }
+      .getOrElse(fail(s"residual join did not bind:\n$rewritten"))
+    assert(bound.bindJoin.get.residual.nonEmpty, "bind carries no residual")
+    assert(rewritten.isInstanceOf[FederatedPlan], "join must collapse to the leaf")
+    // execute the bound plan and the original local join: identical rows
+    val before = alpha.executedSql.size
+    val project = (p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =>
+      Project(Seq(out(p, "l_orderkey"), out(p, "l_linenumber")), p)
+    val got = org.apache.spark.sql.GraftShims.ofRows(spark, project(rewritten))
+      .orderBy("l_orderkey", "l_linenumber")
+    val want = spark.sql(
+      """SELECT l_orderkey, l_linenumber
+        |FROM lineitem JOIN (SELECT * FROM orders WHERE o_totalprice > 480000) o
+        |  ON l_orderkey = o_orderkey AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    assert(rows(got) == rows(want), "bound result differs from local join")
+    val executed = alpha.executedSql.drop(before)
+    assert(executed.exists(s => s.contains("JOIN (VALUES") &&
+        s.contains("WHERE") && s.contains("l_quantity")),
+      s"residual not in the remote SQL:\n${executed.mkString("\n")}")
+  }
+
+  test("anti bind with NULL-valued residual keeps the row (Spark semantics)") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    // left-side conjuncts of an ANTI condition are NOT pushable (dropping
+    // the row when the residual is false/NULL would be wrong), so this
+    // residual reaches the rule in the condition under the DEFAULT
+    // optimizer — no excludedRules needed. The CASE makes the residual
+    // NULL for some probe rows: Spark keeps such rows (condition never
+    // TRUE); rendering the residual INSIDE NOT EXISTS reproduces that.
+    val df = spark.sql(
+      """SELECT s_suppkey, s_name FROM fed_supplier s
+        |LEFT ANTI JOIN (SELECT n_nationkey FROM nation WHERE n_regionkey < 2) n
+        |  ON s.s_nationkey = n.n_nationkey
+        |     AND (CASE WHEN s.s_suppkey % 3 = 0 THEN NULL ELSE true END)
+        |ORDER BY s_suppkey""".stripMargin)
+    val bound = boundFrags(df)
+    assert(bound.exists(f =>
+        f.bindJoin.get.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti &&
+        f.bindJoin.get.residual.nonEmpty),
+      s"anti residual did not bind:\n${df.queryExecution.optimizedPlan}")
+    assert(rows(df) == rows(spark.sql(
+      """SELECT s_suppkey, s_name FROM supplier s
+        |LEFT ANTI JOIN (SELECT n_nationkey FROM nation WHERE n_regionkey < 2) n
+        |  ON s.s_nationkey = n.n_nationkey
+        |     AND (CASE WHEN s.s_suppkey % 3 = 0 THEN NULL ELSE true END)
+        |ORDER BY s_suppkey""".stripMargin)))
+    val executed = alpha.executedSql.drop(before)
+    // the residual references s_suppkey, which no key equality does; its
+    // text may differ from the CASE (Catalyst legally rewrites NULL to
+    // FALSE under condition-must-be-TRUE semantics) but must sit INSIDE
+    // the NOT EXISTS subquery, after the ON equality
+    assert(executed.exists(s => s.contains("NOT EXISTS") &&
+        s.indexOf("s_suppkey", s.indexOf("NOT EXISTS")) > 0),
+      s"residual not inside NOT EXISTS:\n${executed.mkString("\n")}")
   }
 }
