@@ -24,6 +24,8 @@ object Federation {
     // same precedence requirement as PartialAggRule
     if (!exp.extraOptimizations.contains(TopKPushdownRule))
       exp.extraOptimizations = TopKPushdownRule +: exp.extraOptimizations
+    if (!exp.extraOptimizations.contains(GroupTopKPushdownRule))
+      exp.extraOptimizations = GroupTopKPushdownRule +: exp.extraOptimizations
     if (!exp.extraOptimizations.contains(FederationRule))
       exp.extraOptimizations = exp.extraOptimizations :+ FederationRule
     // after FederationRule in the same batch: consumes eligible
@@ -81,6 +83,7 @@ object Federation {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => TopKPushdownRule)
+    e.injectOptimizerRule(_ => GroupTopKPushdownRule)
     e.injectOptimizerRule(_ => PartialAggRule)
     e.injectOptimizerRule(_ => FederationRule)
     e.injectOptimizerRule(_ => BindJoinRule)

@@ -893,6 +893,48 @@ object Federated {
       |ORDER BY price DESC, k
       |LIMIT 15 OFFSET 10""".stripMargin
 
+  /** Per-GROUP top-k over a two-provider union
+    * ([[graft.federation.GroupTopKPushdownRule]] — beyond the reference,
+    * r8): the `row_number() OVER (PARTITION BY st ORDER BY price DESC, k)
+    * <= 3` filter is replicated into each provider's fragment as a
+    * windowed derived-table SQL, so alpha and beta each ship at most
+    * 3 rows per status instead of every filtered order; the local merge
+    * re-ranks the truncated union. The order is total (orderkeys unique,
+    * branch filters disjoint), so the result is tie-deterministic for the
+    * oracle hash. */
+  def unionGroupTopK(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT st, rnk, k, price FROM (
+        |  SELECT o_orderstatus AS st, o_orderkey AS k,
+        |    CAST(o_totalprice AS DOUBLE) AS price,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM (
+        |    SELECT o_orderkey, o_totalprice, o_orderstatus
+        |    FROM fed_orders WHERE o_orderpriority = '1-URGENT'
+        |    UNION ALL
+        |    SELECT o_orderkey, o_totalprice, o_orderstatus
+        |    FROM fedb_orders WHERE o_orderpriority = '2-HIGH'
+        |  ) t
+        |) r WHERE rnk <= 3
+        |ORDER BY st, rnk""".stripMargin)
+
+  val unionGroupTopKOracle: String =
+    """SELECT st, rnk, k, price FROM (
+      |  SELECT o_orderstatus AS st, o_orderkey AS k,
+      |    CAST(o_totalprice AS DOUBLE) AS price,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+      |  FROM (
+      |    SELECT o_orderkey, o_totalprice, o_orderstatus
+      |    FROM orders WHERE o_orderpriority = '1-URGENT'
+      |    UNION ALL
+      |    SELECT o_orderkey, o_totalprice, o_orderstatus
+      |    FROM orders WHERE o_orderpriority = '2-HIGH'
+      |  ) t
+      |) r WHERE rnk <= 3
+      |ORDER BY st, rnk""".stripMargin
+
   /** DISTINCT-aggregate partialization ([[graft.federation.PartialAggRule]]
     * DISTINCT branch): COUNT(DISTINCT)/SUM(DISTINCT) over a two-provider
     * union ships a per-provider DEDUP on (group key, argument) — each

@@ -917,6 +917,71 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("per-group top-k: providers ship windowed per-child SQL; merge re-ranks") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val beta = FederationHarness.executor(spark, dir, "beta")
+    val beforeA = alpha.executedSql.size
+    val beforeB = beta.executedSql.size
+    val df = Federated.unionGroupTopK(spark, dir)
+    assert(fedFragments(df).size == 2,
+      s"expected 2 per-provider fragments:\n${df.queryExecution.optimizedPlan}")
+    assert(rows(df) == rows(spark.sql(
+      """SELECT st, rnk, k, price FROM (
+        |  SELECT o_orderstatus AS st, o_orderkey AS k,
+        |    CAST(o_totalprice AS DOUBLE) AS price,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM (
+        |    SELECT o_orderkey, o_totalprice, o_orderstatus
+        |    FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    UNION ALL
+        |    SELECT o_orderkey, o_totalprice, o_orderstatus
+        |    FROM orders WHERE o_orderpriority = '2-HIGH'
+        |  ) t
+        |) r WHERE rnk <= 3
+        |ORDER BY st, rnk""".stripMargin)),
+      "per-group top-k differs from local execution")
+    // each provider's executed SQL carries its own windowed rank +
+    // truncation (the __gtk_rn marker alias)
+    for ((ex, before, nm) <- Seq((alpha, beforeA, "alpha"),
+        (beta, beforeB, "beta"))) {
+      val executed = ex.executedSql.drop(before)
+      assert(executed.exists(s => s.toLowerCase.contains("row_number() over") &&
+          s.contains("__gtk_rn") && s.contains("<= 3")),
+        s"$nm remote SQL carries no per-group truncation:\n" +
+          executed.mkString("\n"))
+    }
+  }
+
+  test("per-group top-k does NOT split a single-provider union (whole-SQL wins)") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    val df = FederationHarness.sql(spark, dir,
+      """SELECT st, rnk FROM (
+        |  SELECT o_orderstatus AS st,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM (
+        |    SELECT o_orderkey, o_totalprice, o_orderstatus
+        |    FROM fed_orders WHERE o_orderpriority = '1-URGENT'
+        |    UNION ALL
+        |    SELECT o_orderkey, o_totalprice, o_orderstatus
+        |    FROM fed_orders WHERE o_orderpriority = '2-HIGH'
+        |  ) t
+        |) r WHERE rnk <= 3
+        |ORDER BY st, rnk""".stripMargin)
+    assert(fedFragments(df).size == 1,
+      s"single-provider windowed union must stay one fragment:\n" +
+        df.queryExecution.optimizedPlan)
+    df.collect()
+    val executed = alpha.executedSql.drop(before)
+    assert(!executed.exists(_.contains("__gtk_rn")),
+      s"single-provider union was needlessly group-truncated:\n" +
+        executed.mkString("\n"))
+  }
+
   test("top-k pushdown does NOT split a single-provider union (whole-SQL wins)") {
     setup()
     val alpha = FederationHarness.executor(spark, dir, "alpha")
