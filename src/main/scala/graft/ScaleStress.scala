@@ -1,0 +1,158 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** One-off scale-stress harness for the dedup/graph path (SURVEY §8.4).
+  *
+  * The sf0.1 correctness corpus is 5k documents; the 100 TB design claims
+  * for MinHash candidate generation, connected components (pointer
+  * jumping), and canonical selection are argued from plan shape there but
+  * never *measured* past that size. This main manufactures a ~5M-doc
+  * corpus and measures each stage once, reporting wall time, fixpoint
+  * round count, and total shuffle bytes per phase — the numbers SURVEY
+  * §8.4 records.
+  *
+  * Corpus construction (deterministic, no RNG):
+  *  - '''Replication''': every sf0.1 document is copied `REPS` times with
+  *    a per-replica token salt (`tok` → `tok b<rep>`): shingle universes
+  *    of different replicas are disjoint, so each replica batch carries an
+  *    isolated copy of the sf0.1 near-dup graph — edge count scales
+  *    linearly with data, bucket sizes stay bounded (the realistic shape:
+  *    a bigger corpus has more near-dup *clusters*, not quadratically
+  *    bigger ones).
+  *  - '''Adversarial chain''': `CHAIN` sliding-window documents over a
+  *    shared token stream (40 tokens, step 1): consecutive docs have
+  *    Jaccard 39/41 ≈ 0.95, and docs up to 6-7 apart still clear the 0.7
+  *    threshold, so the chain is ONE component of diameter ~CHAIN/7 —
+  *    the worst case for label propagation. Pure neighbor-min would need
+  *    ~diameter rounds; pointer jumping must converge in O(log diameter).
+  *
+  * Run: `SPARK_DRIVER_MEM=48g sbt "runMain graft.ScaleStress"`.
+  * Output: one JSON line with per-phase seconds, shuffle bytes, pair /
+  * component counts, and the components round count. The generated corpus
+  * lands under `target/scale-stress/` (git-ignored, reused across runs
+  * unless SPARK_GRAFT_SCALE_REGEN=1).
+  */
+object ScaleStress {
+
+  /** Accumulates completed-stage shuffle totals; phases snapshot deltas. */
+  private final class ShuffleListener extends SparkListener {
+    val write = new AtomicLong
+    val read = new AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1000").toInt
+    val chain = sys.env.getOrElse("SPARK_GRAFT_SCALE_CHAIN", "50000").toInt
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = "target/scale-stress"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new ShuffleListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, ujsonish]
+    def timed[A](name: String)(body: => A): A = {
+      val w0 = listener.write.get(); val r0 = listener.read.get()
+      val t0 = System.nanoTime()
+      val out = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // listener bus drains asynchronously
+      phases(name) = ujsonish(sec,
+        listener.write.get() - w0, listener.read.get() - r0)
+      out
+    }
+
+    // ------------------------------------------------------- generate
+    val docs = new java.io.File(s"$outDir/documents.parquet")
+    val regen = sys.env.get("SPARK_GRAFT_SCALE_REGEN").contains("1")
+    if (regen || !docs.exists()) timed("gen") {
+      val base = graft.sources.Tables.documents(spark, srcDir)
+      val salted = base
+        .crossJoin(spark.range(reps.toLong).toDF("rep"))
+        .select(
+          (col("doc_id") + col("rep") * 10000L).as("doc_id"),
+          array_join(
+            transform(filter(split(col("text"), "\\s+"), t => t =!= ""),
+              t => concat(t, lit("b"), col("rep"))),
+            " ").as("text"),
+          col("lang"), col("source"))
+      val w = 40
+      val chained = spark.range(chain.toLong).select(
+        (col("id") + 100000000L).as("doc_id"),
+        array_join(
+          transform(sequence(col("id"), col("id") + (w - 1)),
+            x => concat(lit("c"), x)),
+          " ").as("text"),
+        lit("xx").as("lang"), lit("chain").as("source"))
+      salted.unionAll(chained)
+        .withColumn("n_chars", length(col("text")))
+        .repartition(64)
+        .write.mode("overwrite").parquet(docs.getPath)
+    }
+    val nDocs = spark.read.parquet(docs.getPath).count()
+
+    // ----------------------------------------------------- measure
+    // cold = signature staging build + banding join (the full first-use
+    // cost, exactly what a production run pays once per corpus snapshot);
+    // warm = banding join over the cached signature table
+    val nPairs = timed("candidates_cold") {
+      Dedup.minhashCandidates(spark, outDir).count()
+    }
+    timed("candidates_warm") {
+      Dedup.minhashCandidates(spark, outDir).count()
+    }
+    val nKept = timed("minhash_keep") {
+      Dedup.minhash(spark, outDir).filter(col("keep")).count()
+    }
+    val labels = timed("components") {
+      val l = Dedup.components(spark, outDir)
+      l.count(); l
+    }
+    val rounds = Dedup.lastComponentsRounds
+    val nComponents = labels.filter(col("is_rep")).count()
+    // chain sanity: the 50k-doc chain must have collapsed to FEW
+    // components (one, absent unlucky minhash breaks) — proves the
+    // measured diameter was real, not an already-flat graph
+    val chainComps = labels.filter(col("doc_id") >= 100000000L)
+      .select(countDistinct(col("component"))).head.getLong(0)
+    val nCanonical = timed("canonical") {
+      Dedup.canonical(spark, outDir).count()
+    }
+
+    val phaseJson = phases.map { case (n, p) =>
+      f""""$n":{"sec":${p.sec}%.1f,"shuffle_write_mb":${p.w / 1048576},"shuffle_read_mb":${p.r / 1048576}}"""
+    }.mkString(",")
+    println(
+      s"""{"n_docs":$nDocs,"reps":$reps,"chain":$chain,"n_pairs":$nPairs,""" +
+      s""""minhash_kept":$nKept,""" +
+      s""""components_rounds":$rounds,"n_components":$nComponents,""" +
+      s""""chain_components":$chainComps,"n_canonical":$nCanonical,""" +
+      s"""$phaseJson}""")
+    spark.stop()
+  }
+
+  /** Tiny record for phase metrics (sec, shuffle write/read bytes). */
+  private final case class ujsonish(sec: Double, w: Long, r: Long)
+}

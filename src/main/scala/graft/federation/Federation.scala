@@ -26,6 +26,11 @@ object Federation {
       exp.extraOptimizations = TopKPushdownRule +: exp.extraOptimizations
     if (!exp.extraOptimizations.contains(GroupTopKPushdownRule))
       exp.extraOptimizations = GroupTopKPushdownRule +: exp.extraOptimizations
+    // also before FederationRule: a join over a still-observable
+    // multi-provider union distributes into per-arm joins that the rest
+    // of the batch then federates/binds arm by arm
+    if (!exp.extraOptimizations.contains(JoinUnionDistributeRule))
+      exp.extraOptimizations = JoinUnionDistributeRule +: exp.extraOptimizations
     if (!exp.extraOptimizations.contains(FederationRule))
       exp.extraOptimizations = exp.extraOptimizations :+ FederationRule
     // after FederationRule in the same batch: consumes eligible
@@ -84,6 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => TopKPushdownRule)
     e.injectOptimizerRule(_ => GroupTopKPushdownRule)
+    e.injectOptimizerRule(_ => JoinUnionDistributeRule)
     e.injectOptimizerRule(_ => PartialAggRule)
     e.injectOptimizerRule(_ => FederationRule)
     e.injectOptimizerRule(_ => BindJoinRule)

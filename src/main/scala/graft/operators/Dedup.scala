@@ -106,24 +106,36 @@ object Dedup {
     * 4-value signature slice — exact, no secondary hashing, so the oracle's
     * slice-equality reproduces the candidate set verbatim). Estimated
     * Jaccard from full signature agreement; threshold filters false
-    * positives. */
+    * positives.
+    *
+    * Shuffle discipline (found by the r8 5M-doc scale stress): the bucket
+    * self-join carries ONLY (band, bkey, doc_id) — `Bands` narrow rows per
+    * doc. An earlier shape shipped the full 64-long signature on both join
+    * sides "to have it ready" for the agreement count; at 5M docs that is
+    * ~90 GB of shuffle where the narrow join moves ~5 GB. Signatures are
+    * re-attached by id to the *deduplicated candidate pairs* instead —
+    * two hash joins whose shuffled volume is O(pairs + docs), not
+    * O(docs × Bands × sig). */
   def minhashCandidates(s: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame = {
     val sigs = signatures(s, dir)
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),
         b => struct(b.as("band"),
           slice(col("sig"), b * BandRows + 1, lit(BandRows)).as("bkey"))))
         .as("bb"))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val l = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("a_id"), col("sig").as("a_sig"))
-    val r = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"))
+    val r = banded.select(col("band"), col("bkey"), col("doc_id").as("b_id"))
     l.join(r, Seq("band", "bkey")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")),
+        Seq("a_id"))
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")),
+        Seq("b_id"))
       .withColumn("est_jaccard",
         PortableHashExprs.sig_agreement(col("a_sig"), col("b_sig"))
           .cast("double") / NumHashes)
@@ -318,6 +330,12 @@ object Dedup {
     componentCache.remove((System.identityHashCode(s), dir, threshold))
       .foreach(_.unpersist(blocking = false))
 
+  /** Instrumentation: fixpoint rounds of the most recent [[componentsOf]]
+    * run in this JVM — read by [[graft.ScaleStress]] to report the
+    * O(log diameter) convergence measurement; not part of the operator
+    * API. */
+  @volatile var lastComponentsRounds: Int = -1
+
   /** The propagation core over an explicit node/edge set (edges are
     * undirected pairs with a_id < b_id; symmetrized here). */
   def componentsOf(nodes: DataFrame, pairs: DataFrame): DataFrame = {
@@ -372,6 +390,7 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist(blocking = false)
+    lastComponentsRounds = rounds
     // with jumping, 64 rounds covers any graph that fits in storage
     // (depth 2^64); reaching the cap non-converged means a logic bug —
     // fail loudly rather than return stale labels as if they were exact

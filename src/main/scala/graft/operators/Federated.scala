@@ -935,6 +935,41 @@ object Federated {
       |) r WHERE rnk <= 3
       |ORDER BY st, rnk""".stripMargin
 
+  /** Dimension join over a two-provider union
+    * ([[graft.federation.JoinUnionDistributeRule]] — beyond the reference,
+    * r8): the join against the small nation dim distributes into each
+    * union arm (join distributivity over UNION ALL), so the alpha arm —
+    * customer and nation both on alpha — federates as ONE remote SQL and
+    * only join results travel, while the beta arm's cross-provider join
+    * is handled per-arm by the bind/runtime-filter machinery. Without the
+    * rule the multi-provider union blocks wholesale federation and every
+    * filtered customer row of BOTH providers ships local before the join
+    * runs. */
+  def unionDimJoin(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT c.k, c.name, n.n_name AS nation
+        |FROM (
+        |  SELECT c_custkey AS k, c_name AS name, c_nationkey AS nk
+        |  FROM fed_customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey
+        |  FROM fedb_customer WHERE c_mktsegment = 'MACHINERY'
+        |) c
+        |JOIN fed_nation n ON c.nk = n.n_nationkey
+        |ORDER BY c.k""".stripMargin)
+
+  val unionDimJoinOracle: String =
+    """SELECT c.k, c.name, n.n_name AS nation
+      |FROM (
+      |  SELECT c_custkey AS k, c_name AS name, c_nationkey AS nk
+      |  FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey
+      |  FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |) c
+      |JOIN nation n ON c.nk = n.n_nationkey
+      |ORDER BY c.k""".stripMargin
+
   /** DISTINCT-aggregate partialization ([[graft.federation.PartialAggRule]]
     * DISTINCT branch): COUNT(DISTINCT)/SUM(DISTINCT) over a two-provider
     * union ships a per-provider DEDUP on (group key, argument) — each

@@ -982,6 +982,88 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
         executed.mkString("\n"))
   }
 
+  test("union dim join distributes: same-provider arm ships the JOIN remotely") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    val df = Federated.unionDimJoin(spark, dir)
+    assert(fedFragments(df).size >= 2,
+      s"expected per-arm fragments:\n${df.queryExecution.optimizedPlan}")
+    assert(rows(df) == rows(spark.sql(Federated.unionDimJoinOracle)),
+      "distributed union-dim join differs from local execution")
+    // the alpha arm's customer⋈nation must have federated as ONE SQL
+    val executed = alpha.executedSql.drop(before)
+    assert(executed.exists(s => s.contains("customer") && s.contains("nation")),
+      s"alpha arm did not ship the join in one SQL:\n${executed.mkString("\n")}")
+  }
+
+  test("union dim join: rule off reproduces identical rows (differential)") {
+    setup()
+    val on = rows(Federated.unionDimJoin(spark, dir))
+    spark.conf.set(
+      graft.federation.JoinUnionDistributeRule.EnabledKey, "false")
+    try {
+      val off = Federated.unionDimJoin(spark, dir)
+      // with the rule off, the local Join over the (per-arm federated)
+      // Union remains — the undistributed baseline shape
+      assert(off.queryExecution.optimizedPlan.exists {
+        case org.apache.spark.sql.catalyst.plans.logical.Join(
+            _: org.apache.spark.sql.catalyst.plans.logical.Union, _, _, _, _)
+          => true
+        case _ => false
+      }, s"rule off should keep Join-over-Union:\n" +
+        off.queryExecution.optimizedPlan)
+      assert(rows(off) == on, "rule-off result differs from rule-on result")
+    } finally spark.conf.set(
+      graft.federation.JoinUnionDistributeRule.EnabledKey, "true")
+  }
+
+  test("union dim join refuses an oversize dim (keeps the local join)") {
+    setup()
+    spark.conf.set(graft.federation.JoinUnionDistributeRule.MaxBytesKey, "1")
+    try {
+      val df = Federated.unionDimJoin(spark, dir)
+      val kept = df.queryExecution.optimizedPlan.exists {
+        case org.apache.spark.sql.catalyst.plans.logical.Join(
+            _: org.apache.spark.sql.catalyst.plans.logical.Union, _, _, _, _)
+          => true
+        case _ => false
+      }
+      assert(kept,
+        s"oversize dim must refuse distribution:\n" +
+          df.queryExecution.optimizedPlan)
+      assert(rows(df) == rows(spark.sql(Federated.unionDimJoinOracle)),
+        "refused plan must still be correct")
+    } finally spark.conf.set(
+      graft.federation.JoinUnionDistributeRule.MaxBytesKey,
+      graft.federation.JoinUnionDistributeRule.DefaultMaxBytes.toString)
+  }
+
+  test("union semi join (IN subquery) distributes per arm as EXISTS") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    val fedSql =
+      """SELECT c_custkey AS k FROM (
+        |  SELECT c_custkey, c_nationkey
+        |  FROM fed_customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey
+        |  FROM fedb_customer WHERE c_mktsegment = 'MACHINERY'
+        |) c
+        |WHERE c_nationkey IN
+        |  (SELECT n_nationkey FROM fed_nation WHERE n_regionkey = 1)
+        |ORDER BY k""".stripMargin
+    val df = FederationHarness.sql(spark, dir, fedSql)
+    assert(rows(df) == rows(spark.sql(localized(fedSql))),
+      "distributed union semi join differs from local execution")
+    val executed = alpha.executedSql.drop(before)
+    assert(executed.exists(s => s.contains("customer") &&
+        s.contains("nation") && s.toUpperCase.contains("EXISTS")),
+      s"alpha arm did not ship the semi join as EXISTS:\n" +
+        executed.mkString("\n"))
+  }
+
   test("top-k pushdown does NOT split a single-provider union (whole-SQL wins)") {
     setup()
     val alpha = FederationHarness.executor(spark, dir, "alpha")
