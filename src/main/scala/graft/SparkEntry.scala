@@ -151,6 +151,7 @@ object SparkEntry {
     "fed_union_topk_offset" -> (Federated.unionTopKOffset _),
     "fed_union_grouptopk" -> (Federated.unionGroupTopK _),
     "fed_union_dim_join" -> (Federated.unionDimJoin _),
+    "fed_union_semi_agg" -> (Federated.unionSemiAgg _),
     "fed_partial_distinct" -> (Federated.partialDistinctUnion _),
     "fed_jdbc_suppliers" -> (Federated.jdbcSuppliers _),
     "fed_jdbc_q1" -> (Federated.jdbcQ1 _),
@@ -278,6 +279,7 @@ object SparkEntry {
     "fed_union_topk_offset" -> Federated.unionTopKOffsetOracle,
     "fed_union_grouptopk" -> Federated.unionGroupTopKOracle,
     "fed_union_dim_join" -> Federated.unionDimJoinOracle,
+    "fed_union_semi_agg" -> Federated.unionSemiAggOracle,
     "fed_partial_distinct" -> Federated.partialDistinctOracle,
     "fed_jdbc_suppliers" -> Federated.jdbcSuppliersOracle,
     "fed_jdbc_q1" -> Federated.jdbcQ1Oracle,

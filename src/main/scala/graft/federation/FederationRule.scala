@@ -192,6 +192,18 @@ object FederationRule extends Rule[LogicalPlan] {
       ScanResult.merge(node.children.map(scanResultOf) ++ exprResults)
   }
 
+  /** [[scanResultOf]] after looking through previously-cut bind-free
+    * [[FederatedPlan]] leaves — the probe mirror of [[apply]]'s
+    * unwrap-and-regroup: a fragment that an earlier fixpoint iteration
+    * (or the subquery optimizer, which federates IN/EXISTS subquery plans
+    * before the main plan's batch runs) already cut is still regroupable,
+    * so profitability probes must count it as its provider, not as
+    * opaque. Bind-final fragments stay opaque, exactly as in [[apply]]. */
+  private[federation] def effectiveScan(plan: LogicalPlan): ScanResult =
+    scanResultOf(plan.transformUpWithSubqueries {
+      case f: FederatedPlan if f.bindJoin.isEmpty => f.inner
+    })
+
   /** Hand a single-provider fragment to its provider; `None` keeps it
     * local. A root the unparser cannot render as a top-level SELECT block
     * is wrapped in an identity Projection first (reference wrap_projection,

@@ -6,6 +6,8 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
+import graft.federation.plans.FederatedPlan
+
 /** Two-phase aggregation across federation boundaries — a scale feature
   * the reference does NOT have (its `FederationOptimizerRule` federates
   * whole single-provider subtrees only; an aggregate over a multi-provider
@@ -83,12 +85,17 @@ object PartialAggRule extends Rule[LogicalPlan] {
     // first child projecting the same attribute twice would substitute the
     // wrong column into non-first children's partials
     if (u.output.map(_.exprId).distinct.size != u.output.size) return false
-    // already rewritten (fixpoint convergence)
-    if (u.children.exists {
+    // already rewritten (fixpoint convergence) — a partial that
+    // FederationRule has since cut into a fragment counts too, so this
+    // must look through FederatedPlan (whose inner root, for an
+    // aggregate-topped fragment, IS the partial Aggregate)
+    def partialMarked(p: LogicalPlan): Boolean = p match {
       case a: Aggregate => a.aggregateExpressions.exists(ne =>
         ne.name.startsWith(Marker) || ne.name.startsWith(DistinctMarker))
+      case f: FederatedPlan => partialMarked(f.inner)
       case _ => false
-    }) return false
+    }
+    if (u.children.exists(partialMarked)) return false
     // shape: group keys are deterministic scalar expressions over the
     // union output (plain columns are the common special case). A
     // reference-free key (GROUP BY constant) is degenerate and excluded —
@@ -109,8 +116,11 @@ object PartialAggRule extends Rule[LogicalPlan] {
       residual.isEmpty
     }) return false
     // profitability: the union can't federate wholesale, but at least one
-    // child fragment can
-    val childResults = u.children.map(FederationRule.scanResultOf)
+    // child fragment can. effectiveScan (not scanResultOf): a child whose
+    // semi-join build is an already-federated subquery fragment is still
+    // Distinct after FederationRule's unwrap-and-regroup, and the partial
+    // this rule inserts above it federates with it.
+    val childResults = u.children.map(FederationRule.effectiveScan)
     val wholesale = ScanResult.merge(childResults)
     val someRemote = childResults.exists {
       case ScanResult.Distinct(p) => p != NopFederationProvider

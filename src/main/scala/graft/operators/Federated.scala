@@ -970,6 +970,43 @@ object Federated {
       |JOIN nation n ON c.nk = n.n_nationkey
       |ORDER BY c.k""".stripMargin
 
+  /** Rule-family composition ([[graft.federation.JoinUnionDistributeRule]]
+    * + [[graft.federation.PartialAggRule]], r8): a grouped COUNT over a
+    * two-provider union restricted by an IN-subquery dim. The semi join
+    * distributes into each arm first (no restore Project — semi output is
+    * the arm's own), leaving `Agg(Union(semi-joins))`, which the partial
+    * aggregation rule then splits — so each provider evaluates BOTH the
+    * EXISTS and its partial GROUP BY remotely and ships one row per
+    * nation instead of every matching customer. */
+  def unionSemiAgg(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        |FROM (
+        |  SELECT c_custkey, c_nationkey
+        |  FROM fed_customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey
+        |  FROM fedb_customer WHERE c_mktsegment = 'MACHINERY'
+        |) c
+        |WHERE c_nationkey IN
+        |  (SELECT n_nationkey FROM fed_nation WHERE n_regionkey < 3)
+        |GROUP BY c_nationkey
+        |ORDER BY nk""".stripMargin)
+
+  val unionSemiAggOracle: String =
+    """SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+      |FROM (
+      |  SELECT c_custkey, c_nationkey
+      |  FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION ALL
+      |  SELECT c_custkey, c_nationkey
+      |  FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |) c
+      |WHERE c_nationkey IN
+      |  (SELECT n_nationkey FROM nation WHERE n_regionkey < 3)
+      |GROUP BY c_nationkey
+      |ORDER BY nk""".stripMargin
+
   /** DISTINCT-aggregate partialization ([[graft.federation.PartialAggRule]]
     * DISTINCT branch): COUNT(DISTINCT)/SUM(DISTINCT) over a two-provider
     * union ships a per-provider DEDUP on (group key, argument) — each

@@ -1064,6 +1064,34 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
         executed.mkString("\n"))
   }
 
+  test("union semi join + partial agg compose: EXISTS and GROUP BY both remote") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val beta = FederationHarness.executor(spark, dir, "beta")
+    val beforeA = alpha.executedSql.size
+    val beforeB = beta.executedSql.size
+    val df = Federated.unionSemiAgg(spark, dir)
+    assert(rows(df) == rows(spark.sql(
+      Federated.unionSemiAggOracle.replace("CAST(COUNT(*) AS BIGINT)",
+        "COUNT(*)"))),
+      "composed semi+agg differs from local execution")
+    // the same-provider arm (alpha customer, alpha nation subquery) must
+    // ship EXISTS + the partial GROUP BY (__gp_ marker) in ONE SQL; the
+    // cross-provider beta arm ships its EXISTS as a bind-join VALUES
+    // table, with the partial aggregate sitting locally above the bound
+    // scan (bind-final fragments are exempt from regrouping)
+    val executedA = alpha.executedSql.drop(beforeA)
+    assert(executedA.exists(s => s.toUpperCase.contains("EXISTS") &&
+        s.contains("GROUP BY") && s.contains("__gp_")),
+      s"alpha did not ship EXISTS + partial GROUP BY in one SQL:\n" +
+        executedA.mkString("\n"))
+    val executedB = beta.executedSql.drop(beforeB)
+    assert(executedB.exists(s => s.toUpperCase.contains("EXISTS") &&
+        s.contains("VALUES")),
+      s"beta did not ship the semi join as a bound VALUES EXISTS:\n" +
+        executedB.mkString("\n"))
+  }
+
   test("top-k pushdown does NOT split a single-provider union (whole-SQL wins)") {
     setup()
     val alpha = FederationHarness.executor(spark, dir, "alpha")
