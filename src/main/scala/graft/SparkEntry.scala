@@ -49,6 +49,7 @@ object SparkEntry {
     "text_mask" -> ((s, d) => TextOps.maskText(s, d)),
     "text_chunks" -> ((s, d) => TextOps.chunk(s, d)),
     "text_bm25" -> ((s, d) => TextOps.bm25(s, d)),
+    "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
     "pack_stats" -> ((s, d) => Packing.packStats(s, d)),
     "samp_mixture" -> ((s, d) => Sampling.mixture(s, d)),
@@ -206,6 +207,7 @@ object SparkEntry {
     "text_mask" -> TextOps.maskTextOracle,
     "text_chunks" -> TextOps.chunkOracle,
     "text_bm25" -> TextOps.bm25Oracle,
+    "text_lm_score" -> TextOps.lmScoreOracle,
     "pack_sequences" -> Packing.packSequencesOracle,
     "pack_stats" -> Packing.packStatsOracle,
     "samp_mixture" -> Sampling.mixtureOracle,

@@ -541,6 +541,115 @@ object TextOps {
     * comes from the corpus summary table a real pipeline maintains;
     * everything else is a narrow scan. int64 headroom: 10⁶·22·tf·T
     * stays < 2⁶³ up to ~4·10¹² corpus tokens per stats scope. */
+  // ------------------------------------------------ LM quality scoring
+
+  /** CCNet-style language-model quality scoring: an add-one-smoothed
+    * bigram LM is trained on a REFERENCE slice of the corpus (`source =
+    * trainSource` — the stand-in for CCNet's wikipedia LM) and every
+    * document is scored by its mean per-bigram surprisal. High surprisal
+    * = text the reference model finds unpredictable (noise, gibberish,
+    * wrong language); low = fluent/boilerplate. Pipelines bucket on this
+    * score to pick the quality tail to drop — exactly CCNet's
+    * head/middle/tail split.
+    *
+    * Exactness across engines: true log-probabilities are transcendental,
+    * so the surprisal is quantized to INTEGER bits per bigram:
+    * {{{
+    *   bits(w1,w2) = floor(log2((c1 + V) / (c12 + 1)))
+    * }}}
+    * the floor-log2 of the inverse smoothed probability, computed as
+    * `length(bin(den DIV num)) - 1` — floor(log2(x)) equals
+    * floor(log2(floor(x))) for x ≥ 1 (both lie in the same power-of-two
+    * interval), and `bin()` renders positives unpadded identically in
+    * Spark and DuckDB, so the DuckDB oracle reproduces every bit count
+    * exactly. The doc score is `sum(bits) * 1e6 div n_bigrams` — integer
+    * ppm, hash-stable.
+    *
+    * Scale shape: the model tables (unigram counts, bigram counts, V) are
+    * reference-corpus-sized — independent of the 100 TB being scored —
+    * and join the scored bigram stream on (w1) / (w1, w2) keys; AQE
+    * broadcasts them when small, shuffle-joins otherwise. The scored side
+    * is one generate + two joins + one map-side-combined aggregate; docs
+    * with fewer than two tokens are kept with a NULL score via the final
+    * left join against `documents` (absent and unscorable must not be
+    * conflated — same lesson as the overlap matrix). */
+  def lmScore(s: SparkSession, dir: String,
+      trainSource: String = "src0"): DataFrame = {
+    val toks = documents(s, dir).select(col("doc_id"), col("source"),
+      filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
+    val bigrams = toks.select(col("doc_id"), col("source"),
+      explode(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("source"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val trainToks = toks.filter(col("source") === trainSource)
+      .select(explode(col("t")).as("w"))
+    val uni = trainToks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = trainToks.select(
+      countDistinct(col("w")).as("v"))
+    val bgc = bigrams.filter(col("source") === trainSource)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val scored = bigrams
+      .join(bgc, Seq("w1", "w2"), "left")
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (length(bin(expr(
+          "(coalesce(c1, 0L) + v) DIV (coalesce(c12, 0L) + 1)"))) - 1)
+          .as("bits"))
+    val agg = scored.groupBy(col("doc_id")).agg(
+      count(lit(1)).cast("int").as("nb"),
+      sum(col("bits")).as("bits_sum"))
+    documents(s, dir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0)).as("n_bigrams"),
+        when(col("nb").isNull, lit(null).cast("long"))
+          .otherwise(expr("bits_sum * 1000000L DIV nb")).as("bits_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mirror of [[lmScore]]: same tokenize/bigram/floor-log2 pipeline in
+    * DuckDB SQL (`bin()` and `//` agree with Spark's `bin`/`DIV` on
+    * positive integers). */
+  val lmScoreOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+      |  WHERE len(t) >= 2
+      |), train_toks AS (
+      |  SELECT unnest(t) AS w FROM toks WHERE source = 'src0'
+      |), uni AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM train_toks GROUP BY w
+      |), vocab AS (
+      |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM train_toks
+      |), bgc AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM bg WHERE source = 'src0' GROUP BY w1, w2
+      |), scored AS (
+      |  SELECT bg.doc_id,
+      |    length(bin((COALESCE(u.c1, 0) + v.v) // (COALESCE(c.c12, 0) + 1))) - 1 AS bits
+      |  FROM bg
+      |  LEFT JOIN bgc c ON bg.w1 = c.w1 AND bg.w2 = c.w2
+      |  LEFT JOIN uni u ON bg.w1 = u.w
+      |  CROSS JOIN vocab v
+      |), agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS nb,
+      |    CAST(SUM(bits) AS BIGINT) AS bits_sum
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, COALESCE(a.nb, 0) AS n_bigrams,
+      |  CASE WHEN a.nb IS NULL THEN NULL
+      |    ELSE CAST(a.bits_sum * 1000000 // a.nb AS BIGINT) END AS bits_ppm
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def bm25(s: SparkSession, dir: String, k: Int = 20,
       terms: Seq[String] = bm25Terms): DataFrame = {
     val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")

@@ -955,4 +955,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       else bigrams.groupBy(identity).values.map(_.size).max
     assert(r0.getInt(4) == topBi)
   }
+
+  test("LM score: hand-computed surprisal on a micro corpus; NULL under 2 tokens") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // train corpus (src0): "a b a b" → V=2, uni a=2 b=2, bigram (a,b)=2
+    // scored: doc 1 "a b" → bits = floor(log2((2+2) div (2+1))) = 0
+    //         doc 2 "c c" → unseen: floor(log2((0+2) div (0+1))) = 1/bigram
+    //         doc 3 "x"   → no bigrams → n_bigrams 0, bits_ppm NULL
+    val tmp = java.nio.file.Files.createTempDirectory("lmscore").toString
+    Seq(
+      (0L, "a b a b", "en", "src0", 7L),
+      (1L, "a b", "en", "src1", 3L),
+      (2L, "c c", "en", "src1", 3L),
+      (3L, "x", "en", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = operators.TextOps.lmScore(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got(0L) == ((3, Some(333333L))), // bigrams ab(0) ba(0?) ab(0)
+      s"train doc surprisal: ${got(0L)}")
+    // train doc detail: (a,b) c12=2 → (2+2) div 3 = 1 → 0 bits;
+    // (b,a) c12=1 → 4 div 2 = 2 → 1 bit; mean = 1e6 div 3 = 333333
+    assert(got(1L) == ((1, Some(0L))), s"in-domain doc: ${got(1L)}")
+    assert(got(2L) == ((1, Some(1000000L))), s"unseen doc: ${got(2L)}")
+    assert(got(3L) == ((0, None)), s"sub-2-token doc: ${got(3L)}")
+    // in-domain text scores strictly below out-of-domain gibberish
+    assert(got(1L)._2.get < got(2L)._2.get)
+  }
 }

@@ -158,6 +158,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(count(p, "Generate") == 0, p)
   }
 
+  test("lm score: model tables join broadcast/hash, no cartesian blowup") {
+    val p = finalPlan("text_lm_score")
+    // the only nested-loop is the 1-row vocab broadcast; the model joins
+    // (bigram counts, unigram counts) are hash joins — never cartesian
+    assert(count(p, "CartesianProduct") == 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+  }
+
   test("packing shuffles once on shard; scan reads only doc_id+text") {
     val p = finalPlan("pack_sequences")
     // one hash shuffle on shard; the only other exchange is the
