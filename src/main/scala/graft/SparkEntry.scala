@@ -153,6 +153,7 @@ object SparkEntry {
     "fed_union_grouptopk" -> (Federated.unionGroupTopK _),
     "fed_union_dim_join" -> (Federated.unionDimJoin _),
     "fed_union_semi_agg" -> (Federated.unionSemiAgg _),
+    "fed_union_join_agg" -> (Federated.unionJoinAgg _),
     "fed_partial_distinct" -> (Federated.partialDistinctUnion _),
     "fed_jdbc_suppliers" -> (Federated.jdbcSuppliers _),
     "fed_jdbc_q1" -> (Federated.jdbcQ1 _),
@@ -282,6 +283,7 @@ object SparkEntry {
     "fed_union_grouptopk" -> Federated.unionGroupTopKOracle,
     "fed_union_dim_join" -> Federated.unionDimJoinOracle,
     "fed_union_semi_agg" -> Federated.unionSemiAggOracle,
+    "fed_union_join_agg" -> Federated.unionJoinAggOracle,
     "fed_partial_distinct" -> Federated.partialDistinctOracle,
     "fed_jdbc_suppliers" -> Federated.jdbcSuppliersOracle,
     "fed_jdbc_q1" -> Federated.jdbcQ1Oracle,

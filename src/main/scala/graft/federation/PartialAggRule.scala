@@ -73,6 +73,70 @@ object PartialAggRule extends Rule[LogicalPlan] {
       case agg @ Aggregate(groupExprs, aggExprs, u: Union, hint)
           if eligibleDistinct(groupExprs, aggExprs, u) =>
         rewriteDistinct(agg, groupExprs, aggExprs, u, hint)
+      // A chain of alias-only Projects between the aggregate and the
+      // union hides the shape — most commonly Catalyst's column-pruning
+      // Project stacked on the restore Project that
+      // [[JoinUnionDistributeRule]] leaves over a distributed inner join
+      // (dim columns aliased back to their pre-distribution exprIds).
+      // Catalyst's own CollapseProject lives in earlier batches and never
+      // runs mid-fixpoint here, so inline the projections into the
+      // aggregate ourselves and re-check. Output exprIds are preserved:
+      // substituted non-attribute outputs keep their name and id via a
+      // same-id Alias.
+      case agg @ Aggregate(groupExprs, aggExprs, p: Project, hint)
+          if stripProjects(p).isInstanceOf[Union] => {
+        var g2 = groupExprs
+        var a2: Seq[NamedExpression] = aggExprs
+        var cur: LogicalPlan = p
+        var ok = true
+        while (ok && cur.isInstanceOf[Project]) {
+          val Project(list, inner) = cur: @unchecked
+          if (!inlinable(list)) ok = false
+          else {
+            val sub: Map[ExprId, Expression] = list.map {
+              case al: Alias => al.exprId -> al.child
+              case ar: AttributeReference => ar.exprId -> (ar: Expression)
+            }.toMap
+            def substitute(e: Expression): Expression = e.transform {
+              case ar: AttributeReference if sub.contains(ar.exprId) =>
+                sub(ar.exprId)
+            }
+            g2 = g2.map(substitute)
+            a2 = a2.map { ne =>
+              substitute(ne) match {
+                case n: NamedExpression if n.exprId == ne.exprId => n
+                case other => Alias(other, ne.name)(exprId = ne.exprId,
+                  qualifier = ne.qualifier)
+              }
+            }
+            cur = inner
+          }
+        }
+        cur match {
+          case u: Union if ok && eligible(g2, a2, u) =>
+            rewrite(Aggregate(g2, a2, u, hint), g2, a2, u, hint)
+          case u: Union if ok && eligibleDistinct(g2, a2, u) =>
+            rewriteDistinct(Aggregate(g2, a2, u, hint), g2, a2, u, hint)
+          case _ => agg
+        }
+      }
+    }
+
+  /** Strip a chain of inlinable Projects (see [[inlinable]]). */
+  private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(list, c) if inlinable(list) => stripProjects(c)
+    case other => other
+  }
+
+  /** Projection lists safe to inline: deterministic aliases / plain
+    * attributes only (no aggregates or windows hiding inside). */
+  private def inlinable(list: Seq[NamedExpression]): Boolean =
+    list.forall {
+      case al: Alias => al.deterministic &&
+        !al.exists(e => e.isInstanceOf[AggregateExpression] ||
+          e.isInstanceOf[WindowExpression])
+      case _: AttributeReference => true
+      case _ => false
     }
 
   // ------------------------------------------------------------ guards

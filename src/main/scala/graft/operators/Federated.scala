@@ -970,6 +970,42 @@ object Federated {
       |JOIN nation n ON c.nk = n.n_nationkey
       |ORDER BY c.k""".stripMargin
 
+  /** Full pushdown-family composition
+    * ([[graft.federation.JoinUnionDistributeRule]] +
+    * [[graft.federation.PartialAggRule]] Project-inlining, r8): a grouped
+    * COUNT over a two-provider union INNER-joined to a small dim. The
+    * join distributes per arm (leaving the restore Project over the new
+    * union), the partial-agg rule inlines that projection and splits the
+    * aggregate, and the same-provider arm then federates join + partial
+    * GROUP BY as ONE remote SQL — each provider ships one row per nation
+    * name instead of every matching customer row. */
+  def unionJoinAgg(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT n.n_name AS nation, COUNT(*) AS n_cust
+        |FROM (
+        |  SELECT c_custkey, c_nationkey
+        |  FROM fed_customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey
+        |  FROM fedb_customer WHERE c_mktsegment = 'MACHINERY'
+        |) c
+        |JOIN fed_nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY nation""".stripMargin)
+
+  val unionJoinAggOracle: String =
+    """SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_cust
+      |FROM (
+      |  SELECT c_custkey, c_nationkey
+      |  FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION ALL
+      |  SELECT c_custkey, c_nationkey
+      |  FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |) c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name
+      |ORDER BY nation""".stripMargin
+
   /** Rule-family composition ([[graft.federation.JoinUnionDistributeRule]]
     * + [[graft.federation.PartialAggRule]], r8): a grouped COUNT over a
     * two-provider union restricted by an IN-subquery dim. The semi join

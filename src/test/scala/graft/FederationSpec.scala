@@ -1092,6 +1092,26 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
         executedB.mkString("\n"))
   }
 
+  test("union inner join + partial agg compose through the restore Project") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    val df = Federated.unionJoinAgg(spark, dir)
+    assert(rows(df) == rows(spark.sql(
+      Federated.unionJoinAggOracle.replace("CAST(COUNT(*) AS BIGINT)",
+        "COUNT(*)"))),
+      "composed join+agg differs from local execution")
+    // the distributed alpha arm must ship JOIN + partial GROUP BY in ONE
+    // SQL — the partial-agg rule saw the union through the restore (and
+    // column-pruning) Projects the distribution left behind
+    val executed = alpha.executedSql.drop(before)
+    assert(executed.exists(s => s.contains("customer") &&
+        s.contains("nation") && s.contains("GROUP BY") &&
+        s.contains("__gp_")),
+      s"alpha did not ship join + partial GROUP BY in one SQL:\n" +
+        executed.mkString("\n"))
+  }
+
   test("top-k pushdown does NOT split a single-provider union (whole-SQL wins)") {
     setup()
     val alpha = FederationHarness.executor(spark, dir, "alpha")
