@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "dedup_embedding" -> (Similarity.embeddingNearDups _),
+    "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "dedup_components" -> ((s, d) => Dedup.components(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_canonical" -> ((s, d) => Dedup.canonical(s, d)),
@@ -226,6 +227,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_embedding" -> Similarity.embeddingNearDupsOracle,
+    "dedup_semantic" -> Similarity.semanticDedupOracle,
     "dedup_components" -> Dedup.componentsOracle,
     "dedup_incremental" -> Dedup.incrementalOracle,
     "dedup_canonical" -> Dedup.canonicalOracle,

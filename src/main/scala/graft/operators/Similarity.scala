@@ -401,7 +401,11 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  val ivfTopKOracle: String =
+  /** Shared IVF oracle prelude: engine-portable centroid build (seeds +
+    * one Lloyd pass over the MD5 sample) and the full cell assignment —
+    * the DuckDB mirror of [[ivfIndex]], reused by [[ivfTopKOracle]] and
+    * [[semanticDedupOracle]]. */
+  private val ivfAssignedCte: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |), seeds AS (
@@ -433,7 +437,10 @@ object Similarity {
       |  SELECT vec_id, v, cent_id AS cell FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
       |      ORDER BY ccos DESC, cent_id) AS rn FROM scored) WHERE rn = 1
-      |), probes AS (
+      |)""".stripMargin
+
+  val ivfTopKOracle: String = ivfAssignedCte +
+    """, probes AS (
       |  SELECT vec_id AS q_id, v AS qv, cent_id AS cell FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
       |      ORDER BY ccos DESC, cent_id) AS rn
@@ -662,4 +669,56 @@ object Similarity {
         |  bt.dup_of IS NULL AS keep
         |FROM embeddings e LEFT JOIN better bt USING (vec_id)
         |ORDER BY e.vec_id""".stripMargin
+
+  // ------------------------------------------------------------ SemDeDup
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are k-means-clustered and pairwise
+    * cosine is computed ONLY within a cluster — the published scale path
+    * for embedding-level dedup, because semantic duplicates land in the
+    * same cell by construction and the pair count collapses from N² to
+    * Σ cell². Reuses the cached IVF index ([[ivfIndex]]: engine-portable
+    * centroids + inverted file, built once per corpus snapshot), so this
+    * operator is ONE keyed self-join over the assignment table. Keep
+    * policy: smallest vec_id per semantic-dup group (single-link within
+    * the cell), the same deterministic first-writer-wins rule as every
+    * dedup family here. At 100 TB the cell count K scales with corpus
+    * size (≈√N keeps expected cell size √N), bounding every cell's
+    * pairwise block; the LSH pair path ([[embeddingNearDups]]) remains
+    * the alternative when clustering is not wanted. */
+  def semanticDedup(s: SparkSession, dir: String, tau: Double = 0.95,
+      kCells: Int = IvfK): DataFrame = {
+    val assigned = ivfAssignments(s, dir, kCells)
+    val l = assigned.select(col("cell"),
+      col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val r = assigned.select(col("cell"),
+      col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val better = l.join(r, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("a_vec"), col("b_vec")) >= tau)
+      .groupBy(col("b_id").as("vec_id")).agg(min(col("a_id")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(better, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup_of"), col("vec_id")).as("semantic_rep"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB mirror: same centroids/assignment CTE as the IVF oracle,
+    * within-cell pairs, smallest-id keep. */
+  val semanticDedupOracle: String = ivfAssignedCte +
+    """, pairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM assigned a JOIN assigned b USING (cell)
+      |  WHERE a.vec_id < b.vec_id
+      |    AND list_cosine_similarity(a.v, b.v) >= 0.95
+      |), better AS (
+      |  SELECT b_id AS vec_id, MIN(a_id) AS dup_of FROM pairs GROUP BY b_id
+      |)
+      |SELECT a.vec_id, a.cell,
+      |  COALESCE(bt.dup_of, a.vec_id) AS semantic_rep,
+      |  bt.dup_of IS NULL AS keep
+      |FROM assigned a LEFT JOIN better bt USING (vec_id)
+      |ORDER BY a.vec_id""".stripMargin
 }

@@ -984,4 +984,44 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // in-domain text scores strictly below out-of-domain gibberish
     assert(got(1L)._2.get < got(2L)._2.get)
   }
+
+  test("semantic dedup: non-kept vectors point at a smaller same-cell rep") {
+    // the stock embeddings have no close pairs (max pairwise cosine
+    // ≈ 0.48), so plant semantic dups: 40 base vectors on distinct
+    // directions plus slightly-jittered copies of the first 10 (cosine
+    // with their base ≈ 0.999, far above τ = 0.95)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("semdedup").toString
+    val dim = 48
+    def oneHot(i: Int): Array[Float] =
+      Array.tabulate(dim)(d => if (d == i) 1.0f else 0.0f)
+    // bases are exactly orthogonal (cosine 0 — far below τ), so none dedup
+    val base = (0 until 40).map(i => (i.toLong, oneHot(i), i % 4))
+    val dups = (0 until 10).map { i =>
+      val v = oneHot(i); v(i + 1) = 0.01f // cosine with base ≈ 0.99995
+      ((100 + i).toLong, v, i % 4)
+    }
+    (base ++ dups).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = operators.Similarity.semanticDedup(spark, tmp).collect()
+    assert(rows.length == 50)
+    val cellOf = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (id, rep, keep) = (r.getLong(0), r.getLong(2), r.getBoolean(3))
+      if (keep) assert(rep == id, s"kept $id must be its own rep")
+      else {
+        assert(rep < id, s"dup $id must point at a smaller rep, got $rep")
+        // the rep is a direct within-cell neighbor by construction
+        assert(cellOf(rep) == cellOf(id),
+          s"dup $id (cell ${cellOf(id)}) has rep $rep in cell ${cellOf(rep)}")
+      }
+    }
+    // every planted jitter pair lands in one cell (cosine ≈ 1 with its
+    // base, so the same centroid wins) and must be caught
+    val dropped = rows.filter(!_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert((100L until 110L).forall(dropped.contains),
+      s"planted dups not all caught: $dropped")
+    assert(dropped.size == 10, s"over-deduped: $dropped")
+    operators.Similarity.releaseIvfIndex(spark, tmp)
+  }
 }
