@@ -116,6 +116,9 @@ object SparkEntry {
     "stream_incremental" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runIncrementalToMemory(s, d)
         .orderBy(col("fp"))),
+    "stream_lm_quality" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runLmQualityToMemory(s, d)
+        .orderBy(col("source"))),
     "text_distinct_estimate" -> (TextOps.distinctEstimate _),
     // --- federation engine (the reference's core capability) ---
     "fed_q1_pushdown" -> (Federated.q1Pushdown _),
@@ -204,6 +207,7 @@ object SparkEntry {
     "stream_anomaly_tag" -> graft.streaming.StreamOps.anomalyTagOracle,
     "stream_decontaminate" -> graft.streaming.StreamOps.decontaminateOracle,
     "stream_incremental" -> graft.streaming.StreamOps.incrementalStreamOracle,
+    "stream_lm_quality" -> graft.streaming.StreamOps.lmQualityOracle,
     "text_token_stats" -> TextOps.tokenStatsOracle,
     "text_pii_report" -> TextOps.piiReportOracle,
     "text_mask" -> TextOps.maskTextOracle,

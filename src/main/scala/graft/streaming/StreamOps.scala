@@ -468,4 +468,119 @@ object StreamOps {
       |WHERE ttr_ppm BETWEEN 300000 AND 800000 AND rep_ppm < 60000
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
+
+  // --------------------------------------------- streaming LM quality
+
+  /** Streaming counterpart of [[graft.operators.TextOps.lmScore]]: a
+    * per-source LM-quality rollup over arriving documents, scored against
+    * the batch-trained reference bigram model.
+    *
+    * The model (unigram counts, bigram counts, vocabulary size — all
+    * add-one-smoothed exactly as the batch operator) is folded into ONE
+    * static row of two maps + a scalar and cross-joined into the stream
+    * with a broadcast: a reference LM is megabytes even when the scored
+    * stream is unbounded (CCNet's wiki LM), the same
+    * small-static-side contract as [[decontaminateStream]]'s benchmark
+    * set. Scoring is then entirely IN-ROW (`zip_with` over the bigram
+    * arrays + `element_at` map lookups + the same `length(bin(..))-1`
+    * floor-log2 kernel) — zero stream-side shuffle, no per-doc state; the
+    * only stateful operator is the per-source rollup (one row per
+    * source, complete mode). */
+  def lmQualityStream(spark: SparkSession, dir: String,
+      trainSource: String = "src0"): DataFrame = {
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), "\\s+"), t => t =!= "")
+    def heads(t: org.apache.spark.sql.Column) =
+      slice(t, lit(1), greatest(size(t) - 1, lit(0)))
+    def tails(t: org.apache.spark.sql.Column) =
+      slice(t, lit(2), greatest(size(t) - 1, lit(0)))
+    val train = Tables.documents(spark, dir)
+      .filter(col("source") === trainSource)
+      .select(toks(col("text")).as("t"))
+    val uniRow = train.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("c"))))
+        .as("um"))
+    val bgRow = train.select(explode(zip_with(heads(col("t")),
+        tails(col("t")), (a, b) => concat(a, lit(" "), b))).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(map_from_entries(collect_list(struct(col("k"), col("c"))))
+        .as("bm"))
+    val vRow = train.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val model = uniRow.crossJoin(bgRow).crossJoin(vRow)
+    val schema = Tables.documents(spark, dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("source"), toks(col("text")).as("t"))
+      .crossJoin(broadcast(model))
+      .select(col("source"),
+        expr("""zip_with(
+          |  slice(t, 1, greatest(size(t) - 1, 0)),
+          |  zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+          |           slice(t, 2, greatest(size(t) - 1, 0)),
+          |           (a, b) -> concat(a, ' ', b)),
+          |  (w1, k) -> length(bin(
+          |    (coalesce(element_at(um, w1), 0L) + v)
+          |      DIV (coalesce(element_at(bm, k), 0L) + 1))) - 1)
+          |""".stripMargin).as("bits"))
+      .select(col("source"), size(col("bits")).as("nb"),
+        expr("aggregate(bits, 0L, (acc, x) -> acc + x)").as("bits_sum"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nb") > 0, 1L).otherwise(0L)).as("n_scored"),
+        sum(col("bits_sum")).as("total_bits"),
+        sum(col("nb").cast("long")).as("total_bigrams"),
+        min(when(col("nb") > 0,
+          expr("bits_sum * 1000000L DIV nb"))).as("min_ppm"),
+        max(when(col("nb") > 0,
+          expr("bits_sum * 1000000L DIV nb"))).as("max_ppm"))
+  }
+
+  def runLmQualityToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_lm_quality_out"): DataFrame =
+    runStream(spark, lmQualityStream(spark, dir), "complete", name)
+
+  /** Per-source rollup of the batch [[graft.operators.TextOps.lmScore]]
+    * pipeline — the stream must agree exactly. */
+  val lmQualityOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+      |  WHERE len(t) >= 2
+      |), train_toks AS (
+      |  SELECT unnest(t) AS w FROM toks WHERE source = 'src0'
+      |), uni AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM train_toks GROUP BY w
+      |), vocab AS (
+      |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM train_toks
+      |), bgc AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM bg WHERE source = 'src0' GROUP BY w1, w2
+      |), scored AS (
+      |  SELECT bg.doc_id,
+      |    length(bin((COALESCE(u.c1, 0) + v.v) // (COALESCE(c.c12, 0) + 1))) - 1 AS bits
+      |  FROM bg
+      |  LEFT JOIN bgc c ON bg.w1 = c.w1 AND bg.w2 = c.w2
+      |  LEFT JOIN uni u ON bg.w1 = u.w
+      |  CROSS JOIN vocab v
+      |), agg AS (
+      |  SELECT doc_id, COUNT(*) AS nb, SUM(bits) AS bits_sum
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(a.nb) AS BIGINT) AS n_scored,
+      |  CAST(COALESCE(SUM(a.bits_sum), 0) AS BIGINT) AS total_bits,
+      |  CAST(COALESCE(SUM(a.nb), 0) AS BIGINT) AS total_bigrams,
+      |  CAST(MIN(a.bits_sum * 1000000 // a.nb) AS BIGINT) AS min_ppm,
+      |  CAST(MAX(a.bits_sum * 1000000 // a.nb) AS BIGINT) AS max_ppm
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
 }

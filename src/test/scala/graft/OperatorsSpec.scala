@@ -1024,4 +1024,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dropped.size == 10, s"over-deduped: $dropped")
     operators.Similarity.releaseIvfIndex(spark, tmp)
   }
+
+  test("streaming LM quality rollup agrees with the batch lmScore output") {
+    import org.apache.spark.sql.functions._
+    val stream = graft.streaming.StreamOps
+      .runLmQualityToMemory(spark, dir, "t_lmq_batchcheck")
+      .orderBy("source").collect()
+    val batch = operators.TextOps.lmScore(spark, dir)
+      .join(graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_bigrams") > 0, 1L).otherwise(0L)).as("n_scored"),
+        sum(col("n_bigrams").cast("long")).as("total_bigrams"),
+        min(col("bits_ppm")).as("min_ppm"),
+        max(col("bits_ppm")).as("max_ppm"))
+      .orderBy("source").collect()
+    assert(stream.length == batch.length && stream.nonEmpty)
+    stream.zip(batch).foreach { case (sRow, b) =>
+      assert(sRow.getString(0) == b.getString(0))
+      assert(sRow.getLong(1) == b.getLong(1), s"n_docs ${sRow} vs $b")
+      assert(sRow.getLong(2) == b.getLong(2), s"n_scored ${sRow} vs $b")
+      assert(sRow.getLong(4) == b.getLong(2 + 1), s"total_bigrams $sRow vs $b")
+      assert(sRow.getLong(5) == b.getLong(4), s"min_ppm $sRow vs $b")
+      assert(sRow.getLong(6) == b.getLong(5), s"max_ppm $sRow vs $b")
+    }
+  }
 }
