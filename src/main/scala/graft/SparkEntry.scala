@@ -50,6 +50,7 @@ object SparkEntry {
     "text_chunks" -> ((s, d) => TextOps.chunk(s, d)),
     "text_bm25" -> ((s, d) => TextOps.bm25(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
+    "text_quality_buckets" -> ((s, d) => TextOps.qualityBuckets(s, d)),
     "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
     "pack_stats" -> ((s, d) => Packing.packStats(s, d)),
     "samp_mixture" -> ((s, d) => Sampling.mixture(s, d)),
@@ -214,6 +215,7 @@ object SparkEntry {
     "text_chunks" -> TextOps.chunkOracle,
     "text_bm25" -> TextOps.bm25Oracle,
     "text_lm_score" -> TextOps.lmScoreOracle,
+    "text_quality_buckets" -> TextOps.qualityBucketsOracle,
     "pack_sequences" -> Packing.packSequencesOracle,
     "pack_stats" -> Packing.packStatsOracle,
     "samp_mixture" -> Sampling.mixtureOracle,

@@ -650,6 +650,72 @@ object TextOps {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** CCNet's head/middle/tail split: per source, scored documents are
+    * ranked by LM surprisal ([[lmScore]]) and cut into `nBuckets` equal
+    * tiles — bucket 1 ("head") is the most reference-like text, the last
+    * bucket ("tail") the least; pipelines keep head+middle and drop or
+    * down-weight the tail. NTILE over the total order (bits_ppm, doc_id)
+    * is deterministic and identical across engines. One window + one
+    * aggregate, both keyed on source — a single exchange beyond the
+    * scoring pipeline. Unscorable docs (< 2 tokens) are excluded from
+    * ranking by construction. */
+  def qualityBuckets(s: SparkSession, dir: String,
+      nBuckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmScore(s, dir).filter(col("bits_ppm").isNotNull)
+      .join(documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("bits_ppm"), col("doc_id"))
+    scored.withColumn("bucket", ntile(nBuckets).over(w))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("bits_ppm")).as("min_bits_ppm"),
+        max(col("bits_ppm")).as("max_bits_ppm"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  /** [[lmScore]] oracle pipeline + NTILE(3) per source. */
+  val qualityBucketsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+      |  WHERE len(t) >= 2
+      |), train_toks AS (
+      |  SELECT unnest(t) AS w FROM toks WHERE source = 'src0'
+      |), uni AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM train_toks GROUP BY w
+      |), vocab AS (
+      |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM train_toks
+      |), bgc AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM bg WHERE source = 'src0' GROUP BY w1, w2
+      |), scored AS (
+      |  SELECT bg.doc_id,
+      |    length(bin((COALESCE(u.c1, 0) + v.v) // (COALESCE(c.c12, 0) + 1))) - 1 AS bits
+      |  FROM bg
+      |  LEFT JOIN bgc c ON bg.w1 = c.w1 AND bg.w2 = c.w2
+      |  LEFT JOIN uni u ON bg.w1 = u.w
+      |  CROSS JOIN vocab v
+      |), agg AS (
+      |  SELECT doc_id, COUNT(*) AS nb,
+      |    CAST(SUM(bits) * 1000000 // COUNT(*) AS BIGINT) AS bits_ppm
+      |  FROM scored GROUP BY doc_id
+      |), tiled AS (
+      |  SELECT d.source, a.bits_ppm,
+      |    CAST(NTILE(3) OVER (PARTITION BY d.source
+      |      ORDER BY a.bits_ppm, a.doc_id) AS INTEGER) AS bucket
+      |  FROM agg a JOIN documents d USING (doc_id)
+      |)
+      |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(bits_ppm) AS min_bits_ppm, MAX(bits_ppm) AS max_bits_ppm
+      |FROM tiled GROUP BY source, bucket
+      |ORDER BY source, bucket""".stripMargin
+
   def bm25(s: SparkSession, dir: String, k: Int = 20,
       terms: Seq[String] = bm25Terms): DataFrame = {
     val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")

@@ -138,6 +138,38 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (Some("SALES"), 2L, 110.75)), rows.toString)
   }
 
+  test("union dim join distributes: the live Derby arm ships a VALUES-join SQL") {
+    Federation.install(spark)
+    Federation.registerAll(spark, executor, prefix = "ud_")
+    // non-inline local arm (parquet-backed) keeps the union Ambiguous, so
+    // wholesale federation refuses and JoinUnionDistributeRule must fire;
+    // the inline dim then rides into the Derby arm as (VALUES …)
+    graft.sources.Tables.nation(spark, "/root/testdata/sf0.001")
+      .filter("n_nationkey < 4")
+      .selectExpr("n_nationkey + 100 AS emp_id",
+        "n_nationkey % 3 + 1 AS dept_id", "n_name AS emp_name")
+      .createOrReplaceTempView("ud_local_emp")
+    import spark.implicits._
+    Seq((1L, "ENG"), (3L, "OPS")).toDF("dept_id", "label")
+      .createOrReplaceTempView("ud_dim")
+    val df = spark.sql(
+      """SELECT u.emp_name, d.label FROM (
+        |  SELECT EMP_ID AS emp_id, DEPT_ID AS dept_id, EMP_NAME AS emp_name
+        |  FROM ud_EMP
+        |  UNION ALL
+        |  SELECT emp_id, dept_id, emp_name FROM ud_local_emp
+        |) u JOIN ud_dim d ON u.dept_id = d.dept_id
+        |ORDER BY u.emp_name""".stripMargin)
+    val scans = remoteScans(df)
+    assert(scans.size == 1, s"expected ONE Derby scan, got: $scans")
+    assert(scans.head.contains("VALUES") && scans.head.toLowerCase.contains("emp"),
+      s"derby arm did not absorb the VALUES dim join: ${scans.head}")
+    val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("NATION_0", "ENG"), ("NATION_2", "OPS"),
+      ("NATION_3", "ENG"), ("ada", "ENG"), ("bob", "ENG"), ("eli", "OPS")),
+      got.toString)
+  }
+
   test("per-table sqlRewriter hook rewrites the executed Derby SQL exactly once") {
     Federation.install(spark)
     // a structural compatibility rewrite (derived-table wrap), not a

@@ -1025,6 +1025,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     operators.Similarity.releaseIvfIndex(spark, tmp)
   }
 
+  test("quality buckets tile each source evenly with ordered score ranges") {
+    val rows = operators.TextOps.qualityBuckets(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, bs) =>
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"$src buckets")
+      // NTILE: sizes differ by at most one, larger tiles first
+      val sizes = sorted.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$src sizes: ${sizes.toSeq}")
+      assert(sizes.toSeq == sizes.sortBy(-_).toSeq, s"$src order: ${sizes.toSeq}")
+      // score ranges are internally consistent and ordered across buckets
+      sorted.foreach { case (_, _, _, lo, hi) => assert(lo <= hi) }
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 >= a._5,
+          s"$src bucket ${b._2} overlaps bucket ${a._2}")
+        case _ =>
+      }
+    }
+  }
+
   test("streaming LM quality rollup agrees with the batch lmScore output") {
     import org.apache.spark.sql.functions._
     val stream = graft.streaming.StreamOps
