@@ -93,7 +93,9 @@ object Bench {
     // the dedup_*/ev_* medians), so full runs also persist the record to a
     // committed file. Round number = 1 + the highest BENCH_r{N}.json the
     // driver has written so far; spot re-runs (BENCH_ONLY) never overwrite.
-    if (only.isEmpty) {
+    // sf0.1 only: local smoke runs at other SFs must not clobber the
+    // committed round record with toy-scale numbers
+    if (only.isEmpty && sfDir.contains("sf0.1")) {
       try {
         val repo = java.nio.file.Paths.get("/root/repo")
         val round = java.nio.file.Files.list(repo).iterator().asScala
@@ -123,6 +125,7 @@ object Bench {
     graft.operators.Similarity.releaseAllCounts()
     graft.operators.Similarity.releaseAllIvf()
     graft.operators.Similarity.releaseAllCodes()
+    graft.streaming.StreamOps.releaseAllLmModels()
     spark.stop()
   }
 }

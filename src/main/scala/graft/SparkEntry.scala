@@ -55,6 +55,7 @@ object SparkEntry {
     "pack_stats" -> ((s, d) => Packing.packStats(s, d)),
     "samp_mixture" -> ((s, d) => Sampling.mixture(s, d)),
     "pipe_train_corpus" -> ((s, d) => Pipeline.trainCorpus(s, d)),
+    "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(s, d)),
     "text_quality_score" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
     "text_fingerprint" -> (TextOps.fingerprintMd5 _),
@@ -220,6 +221,7 @@ object SparkEntry {
     "pack_stats" -> Packing.packStatsOracle,
     "samp_mixture" -> Sampling.mixtureOracle,
     "pipe_train_corpus" -> Pipeline.trainCorpusOracle,
+    "pipe_curated_corpus" -> Pipeline.curatedCorpusOracle,
     "text_quality_score" -> TextOps.qualityScoreOracle,
     "text_lang_id" -> TextOps.langIdOracle,
     "text_fingerprint" -> TextOps.fingerprintOracle,

@@ -75,7 +75,14 @@ object JoinUnionDistributeRule extends Rule[LogicalPlan] {
       case j @ Join(u: Union, dim,
           Inner | LeftOuter | LeftSemi | LeftAnti, Some(cond), _)
           if eligible(u, dim, cond, maxBytes) =>
-        distribute(j, u, dim, cond)
+        distribute(j, u, dim, cond, unionLeft = true)
+      // symmetric shape: the union syntactically on the RIGHT. Inner is
+      // commutative; RightOuter preserves the union side, so both
+      // distribute exactly. (If both sides are unions, freshDim refuses
+      // the non-distributed side and neither case fires.)
+      case j @ Join(dim, u: Union, Inner | RightOuter, Some(cond), _)
+          if eligible(u, dim, cond, maxBytes) =>
+        distribute(j, u, dim, cond, unionLeft = false)
     }
   }
 
@@ -119,7 +126,7 @@ object JoinUnionDistributeRule extends Rule[LogicalPlan] {
   // ---------------------------------------------------------- rewrite
 
   private def distribute(j: Join, u: Union, dim: LogicalPlan,
-      cond: Expression): LogicalPlan = {
+      cond: Expression, unionLeft: Boolean): LogicalPlan = {
     val arms = u.children.map { child =>
       // Union.output reuses the head child's exprIds, so for arm 0 this
       // is the identity map — the same positional remap as the sibling
@@ -128,7 +135,8 @@ object JoinUnionDistributeRule extends Rule[LogicalPlan] {
         u.output.map(_.exprId).zip(child.output).toMap
       val (dimClone, dMap) = freshDim(dim).get // eligibility pre-checked
       val condI = remap(cond, uMap ++ dMap)
-      Join(child, dimClone, j.joinType, Some(condI), j.hint)
+      if (unionLeft) Join(child, dimClone, j.joinType, Some(condI), j.hint)
+      else Join(dimClone, child, j.joinType, Some(condI), j.hint)
     }
     val newUnion = Union(arms, byName = false, allowMissingCol = false)
     // Restore the original output exprIds (the union-side columns already

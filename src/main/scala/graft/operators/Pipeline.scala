@@ -75,6 +75,90 @@ object Pipeline {
       .orderBy(col("shard"))
   }
 
+  /** The r8 curated-corpus chain, composed from the round's new stages —
+    * the second refactor-guard pipeline next to [[trainCorpus]]:
+    *
+    *   LM tail-drop (CCNet split: keep head+middle of
+    *   [[TextOps.lmBucketed]], drop each source's worst surprisal
+    *   tercile) → exact dedup (md5, first doc_id wins) → per-source
+    *   packing summary (docs, tokens, `ceil(tokens/seqLen)` sequences).
+    *
+    * Plan shape at 100 TB: the LM scoring joins (reference-model-sized),
+    * one source-keyed window for the tiles, one dedup shuffle on the
+    * fingerprint, one per-source rollup. Integer/hash-exact end to end —
+    * one DuckDB oracle verifies the whole chain. */
+  def curatedCorpus(s: SparkSession, dir: String,
+      seqLen: Int = 64): DataFrame = {
+    val kept = TextOps.lmBucketed(s, dir, 3).filter(col("bucket") < 3)
+      .select(col("doc_id"), col("source"))
+    val deduped = kept
+      .join(documents(s, dir).select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .withColumn("fp", md5(col("text")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("source"),
+        size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+    deduped.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr(s"(total_tokens + ${seqLen - 1}) div $seqLen").as("n_seqs"))
+      .orderBy(col("source"))
+  }
+
+  /** The curated chain as one DuckDB pipeline (LM CTEs as in
+    * [[TextOps.lmScoreOracle]], NTILE split, dedup, rollup). */
+  val curatedCorpusOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+      |  WHERE len(t) >= 2
+      |), train_toks AS (
+      |  SELECT unnest(t) AS w FROM toks WHERE source = 'src0'
+      |), uni AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM train_toks GROUP BY w
+      |), vocab AS (
+      |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM train_toks
+      |), bgc AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM bg WHERE source = 'src0' GROUP BY w1, w2
+      |), scored AS (
+      |  SELECT bg.doc_id,
+      |    length(bin((COALESCE(u.c1, 0) + v.v) // (COALESCE(c.c12, 0) + 1))) - 1 AS bits
+      |  FROM bg
+      |  LEFT JOIN bgc c ON bg.w1 = c.w1 AND bg.w2 = c.w2
+      |  LEFT JOIN uni u ON bg.w1 = u.w
+      |  CROSS JOIN vocab v
+      |), agg AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(bits) * 1000000 // COUNT(*) AS BIGINT) AS bits_ppm
+      |  FROM scored GROUP BY doc_id
+      |), tiled AS (
+      |  SELECT a.doc_id, d.source, d.text,
+      |    NTILE(3) OVER (PARTITION BY d.source
+      |      ORDER BY a.bits_ppm, a.doc_id) AS bucket
+      |  FROM agg a JOIN documents d USING (doc_id)
+      |), kept AS (
+      |  SELECT doc_id, source, text FROM tiled WHERE bucket < 3
+      |), dd AS (
+      |  SELECT source,
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+      |          ORDER BY doc_id) AS rk FROM kept)
+      |  WHERE rk = 1
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+      |  CAST((SUM(len(t)) + 63) // 64 AS BIGINT) AS n_seqs
+      |FROM dd GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** The same four stages as one DuckDB chain. The quality CTEs mirror
     * [[graft.streaming.StreamOps.qualityFilterOracle]]; note `n_tokens`
     * here is the kernel's space-split count (string_split on ' '), the

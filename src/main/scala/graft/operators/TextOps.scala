@@ -659,8 +659,10 @@ object TextOps {
     * aggregate, both keyed on source — a single exchange beyond the
     * scoring pipeline. Unscorable docs (< 2 tokens) are excluded from
     * ranking by construction. */
-  def qualityBuckets(s: SparkSession, dir: String,
-      nBuckets: Int = 3): DataFrame = {
+  /** Per-document LM-quality tile (see [[qualityBuckets]]) — shared by
+    * the bucket report and the curated-corpus pipeline. */
+  private[operators] def lmBucketed(s: SparkSession, dir: String,
+      nBuckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = lmScore(s, dir).filter(col("bits_ppm").isNotNull)
       .join(documents(s, dir).select(col("doc_id"), col("source")),
@@ -668,6 +670,11 @@ object TextOps {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("bits_ppm"), col("doc_id"))
     scored.withColumn("bucket", ntile(nBuckets).over(w))
+  }
+
+  def qualityBuckets(s: SparkSession, dir: String,
+      nBuckets: Int = 3): DataFrame = {
+    lmBucketed(s, dir, nBuckets)
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("bits_ppm")).as("min_bits_ppm"),

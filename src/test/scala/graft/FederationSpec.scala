@@ -1039,6 +1039,27 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.federation.JoinUnionDistributeRule.DefaultMaxBytes.toString)
   }
 
+  test("union on the RIGHT of an inner dim join distributes symmetrically") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    val fedSql =
+      """SELECT n.n_name AS nation, c.k FROM fed_nation n JOIN (
+        |  SELECT c_custkey AS k, c_nationkey AS nk
+        |  FROM fed_customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey
+        |  FROM fedb_customer WHERE c_mktsegment = 'MACHINERY'
+        |) c ON n.n_nationkey = c.nk
+        |ORDER BY c.k""".stripMargin
+    val df = FederationHarness.sql(spark, dir, fedSql)
+    assert(rows(df) == rows(spark.sql(localized(fedSql))),
+      "right-side union distribution differs from local execution")
+    val executed = alpha.executedSql.drop(before)
+    assert(executed.exists(s => s.contains("customer") && s.contains("nation")),
+      s"alpha arm did not ship the join in one SQL:\n${executed.mkString("\n")}")
+  }
+
   test("union semi join (IN subquery) distributes per arm as EXISTS") {
     setup()
     val alpha = FederationHarness.executor(spark, dir, "alpha")

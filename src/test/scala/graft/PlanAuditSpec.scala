@@ -166,6 +166,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
   }
 
+  test("curated pipeline: no cartesian beyond the vocab broadcast, bounded exchanges") {
+    val p = finalPlan("pipe_curated_corpus")
+    assert(count(p, "CartesianProduct") == 0, p)
+    // the only nested-loop is the 1-row vocab broadcast from lmScore
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+    // LM model joins + tile window + dedup + rollup: a handful of hash
+    // exchanges, not a per-stage explosion
+    assert(count(p, "Exchange hashpartitioning") <= 8, p)
+  }
+
   test("packing shuffles once on shard; scan reads only doc_id+text") {
     val p = finalPlan("pack_sequences")
     // one hash shuffle on shard; the only other exchange is the
