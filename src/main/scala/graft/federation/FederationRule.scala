@@ -200,7 +200,10 @@ object FederationRule extends Rule[LogicalPlan] {
     * so profitability probes must count it as its provider, not as
     * opaque. Bind-final fragments stay opaque, exactly as in [[apply]]. */
   private[federation] def effectiveScan(plan: LogicalPlan): ScanResult =
-    scanResultOf(plan.transformUpWithSubqueries {
+    // common case first: no previously-cut fragment anywhere → the
+    // unwrap transform would copy the whole tree for nothing
+    if (!plan.exists(_.isInstanceOf[FederatedPlan])) scanResultOf(plan)
+    else scanResultOf(plan.transformUpWithSubqueries {
       case f: FederatedPlan if f.bindJoin.isEmpty => f.inner
     })
 
