@@ -54,6 +54,8 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
     "pack_stats" -> ((s, d) => Packing.packStats(s, d)),
     "samp_mixture" -> ((s, d) => Sampling.mixture(s, d)),
+    "samp_split_leakfree" -> ((s, d) => Sampling.leakFreeSplit(s, d)),
+    "text_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
     "pipe_train_corpus" -> ((s, d) => Pipeline.trainCorpus(s, d)),
     "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(s, d)),
     "text_quality_score" -> (TextOps.qualityScore _),
@@ -220,6 +222,8 @@ object SparkEntry {
     "pack_sequences" -> Packing.packSequencesOracle,
     "pack_stats" -> Packing.packStatsOracle,
     "samp_mixture" -> Sampling.mixtureOracle,
+    "samp_split_leakfree" -> Sampling.leakFreeSplitOracle,
+    "text_span_dedup" -> TextOps.spanDedupOracle,
     "pipe_train_corpus" -> Pipeline.trainCorpusOracle,
     "pipe_curated_corpus" -> Pipeline.curatedCorpusOracle,
     "text_quality_score" -> TextOps.qualityScoreOracle,

@@ -158,4 +158,49 @@ object Sampling {
       |FROM r JOIN documents d ON d.lang = r.lang
       |GROUP BY r.lang, r.n, r.w_ppm, r.quota, r.rate_bp
       |ORDER BY r.lang""".stripMargin
+
+  // ------------------------------------------- leakage-free splitting
+
+  /** Leakage-free train/valid/test split: the split is assigned to each
+    * near-dup CLUSTER ([[Dedup.components]] label), not each document, so
+    * two near-duplicate documents can never land in different splits — a
+    * per-doc hash split leaks every near-dup pair that straddles
+    * train/test, which is exactly the contamination the dedup pipeline
+    * exists to prevent. Assignment is the same deterministic MD5 bucket
+    * as [[hashSample]], keyed on the component id: 90/5/5 by bucket
+    * ranges, reproducible across runs, engines, and corpus growth (a
+    * cluster's split never changes unless the cluster itself merges).
+    *
+    * Scale shape: one broadcast-or-hash join of the corpus against the
+    * cached label table (two longs per doc — built once per corpus
+    * snapshot inside [[Dedup.components]]); the bucket is a projection.
+    * No extra shuffle beyond the label join. */
+  def leakFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("component").cast("string")), 1, 14),
+      16, 10).cast("long") % 100
+    graft.operators.Dedup.components(s, dir)
+      .select(col("doc_id"), col("component"))
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "valid")
+          .otherwise("test"))
+      .select(col("doc_id"), col("component"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Recursive-CTE labels (the [[Dedup.componentsOracle]] fixpoint) with
+    * the same MD5 bucket rule on the component id. */
+  val leakFreeSplitOracle: String =
+    graft.operators.Dedup.componentsOracle.replace(
+      """SELECT doc_id, MIN(comp) AS component, MIN(comp) = doc_id AS is_rep
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """, lab AS (
+        |  SELECT doc_id, MIN(comp) AS component FROM reach GROUP BY doc_id
+        |)
+        |SELECT doc_id, component,
+        |  CASE WHEN CAST('0x'||substr(md5(CAST(component AS VARCHAR)),1,14) AS BIGINT) % 100 < 90 THEN 'train'
+        |       WHEN CAST('0x'||substr(md5(CAST(component AS VARCHAR)),1,14) AS BIGINT) % 100 < 95 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM lab ORDER BY doc_id""".stripMargin)
 }

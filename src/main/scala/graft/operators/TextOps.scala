@@ -1012,4 +1012,116 @@ object TextOps {
       |  CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_tokens,
       |  md5(chunk) AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ----------------------------------------- duplicated-substring spans
+
+  /** Exact duplicated-substring span removal (ExactSubstr in Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): any `width`-token window whose text occurs more
+    * than once in the corpus — across documents OR repeated inside one —
+    * is a duplicated substring; every occurrence EXCEPT the globally
+    * first (smallest (doc_id, pos)) is marked for removal, and marked
+    * windows are merged into maximal per-doc token spans. The paper
+    * builds a corpus-wide suffix array; the distributed re-expression is
+    * windowed hashing — the same duplicate set for span boundaries at
+    * window granularity, with no global index structure:
+    *
+    *  1. per doc, hash every `width`-token window (transform over a
+    *     `sequence` of starts — computed INSIDE the row, so the explode
+    *     that follows emits only (pos, md5) pairs, never the token array);
+    *  2. one shuffle on the window hash ranks occurrences by
+    *     (doc_id, pos) and counts them — `cnt >= 2 AND rn > 1` marks
+    *     non-canonical occurrences (the keep-one-copy policy);
+    *  3. one shuffle on doc_id merges overlapping/adjacent windows into
+    *     spans (gaps-and-islands: running max of span end over the
+    *     pos-ordered window — no self-join).
+    *
+    * Output: one row per maximal removable span, 1-based inclusive token
+    * positions. All-integer + md5 arithmetic → the DuckDB oracle
+    * reproduces every row bit-exactly.
+    *
+    * Scale shape: wire cost is (n_windows ≈ n_tokens) rows of
+    * (doc_id, pos, 32-char hash) through the rank shuffle — the same
+    * order as the MinHash signature stage — and only duplicate hits
+    * (rare at 100 TB outside boilerplate) reach the island stage. Text
+    * never shuffles. The paper's 50-token production `width` drops the
+    * hit rate further; the synthetic corpus's tiny vocabulary makes 8 the
+    * interesting setting at test SF. */
+  def spanDedup(s: SparkSession, dir: String, width: Int = 8): DataFrame =
+    spanDedupOf(documents(s, dir), width)
+
+  /** The span core over an explicit (doc_id, text) frame. */
+  def spanDedupOf(docs: DataFrame, width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val starts = sequence(lit(1), size(col("toks")) - (width - 1))
+    val hashes = transform(starts,
+      i => md5(array_join(slice(col("toks"), i, lit(width)), " ")))
+    val w = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("i", "h")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"), col("h"))
+    val byHash = Window.partitionBy(col("h"))
+    val ranked = w
+      .withColumn("rn",
+        row_number().over(byHash.orderBy(col("doc_id"), col("pos"))))
+      .withColumn("cnt", count(lit(1)).over(byHash))
+    val hits = ranked.filter(col("cnt") >= 2 && col("rn") > 1)
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + (width - 1)).as("fin"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMax = max(col("fin"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = hits
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevMax, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"), max(col("fin")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+    spans
+      .select(col("doc_id"), col("island").as("span_id"),
+        col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+      .orderBy(col("doc_id"), col("span_id"))
+  }
+
+  val spanDedupOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    [x FOR x IN string_split_regex(text, '\s+') IF x <> ''] AS toks
+      |  FROM documents
+      |), w AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    md5(array_to_string(toks[i : i+7], ' ')) AS h
+      |  FROM d, UNNEST(range(1, len(toks) - 6)) AS u(i)
+      |  WHERE len(toks) >= 8
+      |), ranked AS (
+      |  SELECT doc_id, pos,
+      |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+      |    COUNT(*) OVER (PARTITION BY h) AS cnt
+      |  FROM w
+      |), hits AS (
+      |  SELECT doc_id, pos, pos + 7 AS fin FROM ranked
+      |  WHERE cnt >= 2 AND rn > 1
+      |), isl AS (
+      |  SELECT doc_id, pos, fin,
+      |    CASE WHEN pos > COALESCE(MAX(fin) OVER (PARTITION BY doc_id
+      |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      -1) + 1 THEN 1 ELSE 0 END AS brk
+      |  FROM hits
+      |), grp AS (
+      |  SELECT doc_id, pos, fin,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM isl
+      |)
+      |SELECT doc_id, CAST(island AS BIGINT) AS span_id,
+      |  MIN(pos) AS span_start, MAX(fin) AS span_end,
+      |  MAX(fin) - MIN(pos) + 1 AS span_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_windows
+      |FROM grp GROUP BY doc_id, island
+      |ORDER BY doc_id, span_id""".stripMargin
 }

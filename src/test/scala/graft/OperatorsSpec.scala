@@ -1072,4 +1072,102 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sRow.getLong(6) == b.getLong(5), s"max_ppm $sRow vs $b")
     }
   }
+
+  test("span dedup: planted duplicates produce exactly the expected spans") {
+    import spark.implicits._
+    // doc 1 is canonical; doc 2 repeats doc 1's first 10 tokens (an 8-wide
+    // window hit at positions 1..3 → one merged span 1..10) then diverges;
+    // doc 3 repeats its own 8-token run back-to-back (positions 1..8 and
+    // 9..16 — the SECOND occurrence is non-canonical → span 9..16); doc 4
+    // shares nothing; doc 5 is too short to window.
+    val w = (1 to 10).map(i => s"w$i").mkString(" ")
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, w + " x1 x2 x3"),
+      (2L, w + " y1 y2 y3"),
+      (3L, rep + " " + rep),
+      (4L, (1 to 12).map(i => s"z$i").mkString(" ")),
+      (5L, "a b c")).toDF("doc_id", "text")
+    val got = operators.TextOps.spanDedupOf(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5)))
+    // doc 2: windows at pos 1..3 duplicate doc 1's → span [1,10], 3 windows
+    // doc 3: window at pos 9 duplicates its own pos-1 window → span [9,16]
+    assert(got.toSet == Set((2L, 1L, 10L, 3L), (3L, 9L, 16L, 1L)), got.mkString(", "))
+  }
+
+  test("span dedup: first occurrence retained, spans maximal and disjoint") {
+    import org.apache.spark.sql.functions._
+    val width = 8
+    // independent recompute of the non-canonical duplicate window set
+    // via groupBy (no window functions): min (doc_id, pos) per hash is
+    // canonical; every other occurrence of a dup hash is removable
+    val toksC = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val d = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), toksC.as("toks"))
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("toks")) - (width - 1)),
+          i => md5(array_join(slice(col("toks"), i, lit(width)), " "))))
+        .as(Seq("i", "h")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"), col("h"))
+    val canon = d.groupBy("h")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+    val removable = d.join(canon, "h")
+      .filter(col("cnt") >= 2 &&
+        !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val spans = operators.TextOps.spanDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(spans.nonEmpty, "fixture has no duplicated spans")
+    // every span starts AND ends at a removable window; interior fully
+    // covered; spans per doc disjoint with a gap (maximality)
+    val byDoc = spans.groupBy(_._1)
+    byDoc.foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _, _), (_, s2, _, _, _)) =>
+          assert(s2 > e1 + 1, s"doc $id spans not maximal: end $e1 then start $s2")
+        case _ =>
+      }
+      sorted.foreach { case (_, s0, e0, tk, nw) =>
+        assert(tk == e0 - s0 + 1)
+        assert(removable.contains((id, s0)), s"doc $id span start $s0 not removable")
+        assert(removable.contains((id, e0 - width + 1)),
+          s"doc $id span end-window ${e0 - width + 1} not removable")
+        assert(nw >= 1 && nw <= tk - width + 1)
+      }
+    }
+    // and every removable window lies inside some reported span
+    removable.foreach { case (id, p) =>
+      assert(byDoc.get(id).exists(_.exists(s => s._2 <= p && p + width - 1 <= s._3)),
+        s"removable window ($id, $p) not covered by any span")
+    }
+  }
+
+  test("leak-free split: every near-dup pair lands in one split, all docs covered") {
+    import org.apache.spark.sql.functions._
+    val split = operators.Sampling.leakFreeSplit(spark, dir)
+    val rows = split.collect()
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    assert(rows.length.toLong == nDocs, "every doc assigned exactly once")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    val byId = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    // the real leakage property: near-dup candidate PAIRS never straddle
+    val pairs = operators.Dedup.minhashCandidates(spark, dir, 0.7)
+      .select(col("a_id"), col("b_id")).collect()
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs")
+    pairs.foreach { p =>
+      val (a, b) = (p.getLong(0), p.getLong(1))
+      assert(byId(a) == byId(b), s"near-dups $a/$b split ${byId(a)}/${byId(b)}")
+    }
+    // split is a pure function of the component id
+    val comps = rows.map(r => r.getLong(1) -> r.getString(2)).distinct
+    assert(comps.map(_._1).distinct.length == comps.length,
+      "a component mapped to two splits")
+    // deterministic ratios: train strictly dominates at any fixture size
+    val dist = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(dist.getOrElse("train", 0) > rows.length / 2, dist.toString)
+  }
 }

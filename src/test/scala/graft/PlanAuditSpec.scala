@@ -280,6 +280,35 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("span dedup: two hash shuffles of narrow rows, no joins, text pruned") {
+    val df = SparkEntry.queries("text_span_dedup")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    // windowed hashing, not a suffix-array join: the whole operator is
+    // window functions over two hash exchanges — (h) for the occurrence
+    // rank, (doc_id) for the island merge (the final groupBy reuses the
+    // doc_id partitioning) — plus the output rangepartitioning sort.
+    // No join of any kind; the shuffled rows are (doc_id, pos, md5).
+    assert(count(p, "Join") == 0, p)
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+    fileScans(p).foreach { scan =>
+      assert(!scan.contains("lang") && !scan.contains("n_chars"),
+        s"lang/n_chars must be pruned: $scan")
+    }
+  }
+
+  test("leak-free split reads the cached label table, one narrow sort") {
+    val df = SparkEntry.queries("samp_split_leakfree")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    // split assignment is a projection over the cached components label
+    // table (the one-time clustering is billed to the staging build, not
+    // to every read): no joins, no hash shuffle — only the output sort
+    assert(count(p, "Join") == 0, p)
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    assert(count(p, "InMemoryTableScan") >= 1, s"label cache not used:\n$p")
+  }
+
   test("range join is an equi-join on (epoch, salt), never all-pairs") {
     // disable broadcast so the plan shown is the large-scale shape: with
     // broadcasting on, a small build side hides the nested-loop risk
