@@ -56,6 +56,7 @@ object SparkEntry {
     "samp_mixture" -> ((s, d) => Sampling.mixture(s, d)),
     "samp_split_leakfree" -> ((s, d) => Sampling.leakFreeSplit(s, d)),
     "text_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
+    "text_cdc_dedup" -> ((s, d) => TextOps.cdcDedup(s, d)),
     "pipe_train_corpus" -> ((s, d) => Pipeline.trainCorpus(s, d)),
     "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(s, d)),
     "text_quality_score" -> (TextOps.qualityScore _),
@@ -224,6 +225,7 @@ object SparkEntry {
     "samp_mixture" -> Sampling.mixtureOracle,
     "samp_split_leakfree" -> Sampling.leakFreeSplitOracle,
     "text_span_dedup" -> TextOps.spanDedupOracle,
+    "text_cdc_dedup" -> TextOps.cdcDedupOracle,
     "pipe_train_corpus" -> Pipeline.trainCorpusOracle,
     "pipe_curated_corpus" -> Pipeline.curatedCorpusOracle,
     "text_quality_score" -> TextOps.qualityScoreOracle,

@@ -1089,6 +1089,103 @@ object TextOps {
       .orderBy(col("doc_id"), col("span_id"))
   }
 
+  // ------------------------------------- content-defined chunking dedup
+
+  /** Content-defined chunking (CDC) dedup: chunk boundaries are placed
+    * where the rolling hash of the trailing `k`-token gram lands in a
+    * fixed residue class (`md5int(gram) % d == 0`), so boundary positions
+    * are a pure function of LOCAL content — inserting or deleting a
+    * prefix shifts every fixed-width block ([[blockDedup]]'s weakness)
+    * but leaves every downstream CDC chunk identity unchanged once the
+    * first post-edit boundary re-synchronizes. The standard trick from
+    * storage dedup (Muthitacharoen et al., "A Low-Bandwidth Network File
+    * System", SOSP'01), applied at token granularity for corpus
+    * boilerplate: `d = 8` gives ~8-token expected chunks.
+    *
+    * Everything up to the duplicate check happens INSIDE the row —
+    * boundary positions, chunk starts/ends, chunk text and hash are array
+    * expressions over the token array, so the only shuffled rows are
+    * (doc_id, chunk_id, 32-char hash). A chunk is a cross-doc duplicate
+    * when its hash occurs in ≥2 distinct docs — detected with
+    * `min(doc_id) <> max(doc_id)` in ONE map-side-combined aggregate
+    * (no count-distinct expansion), then a hash equi-join back marks
+    * occurrences and a per-doc rollup reports the duplicated fraction. */
+  def cdcDedup(s: SparkSession, dir: String): DataFrame = {
+    val occ = cdcChunksOf(documents(s, dir))
+    val dup = occ.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"), lit(1L).as("m"))
+    occ.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("m"), lit(0L))).as("n_dup_chunks"))
+      .withColumn("dup_ratio_ppm",
+        expr("n_dup_chunks * 1000000L div n_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The in-row CDC chunk table over an explicit (doc_id, text) frame:
+    * (doc_id, chunk_id, chunk token count, chunk md5). */
+  def cdcChunksOf(docs: DataFrame, k: Int = 3, d: Int = 8): DataFrame = {
+    val toksC = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val gramHash = (i: Column) =>
+      conv(substring(md5(array_join(
+        slice(col("toks"), i - (k - 1), lit(k)), " ")), 1, 14), 16, 10)
+        .cast("long") % d
+    val bpos = when(size(col("toks")) >= k,
+      filter(sequence(lit(k), size(col("toks"))), i => gramHash(i) === 0))
+      .otherwise(array().cast("array<int>"))
+    val withB = docs
+      .select(col("doc_id"), toksC.as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("toks"), bpos.as("bpos"))
+      .select(col("doc_id"), col("toks"),
+        concat(array(lit(1)), transform(col("bpos"), p => p + 1)).as("ss"),
+        concat(col("bpos"), array(size(col("toks")))).as("es"))
+    withB
+      .select(col("doc_id"), col("toks"),
+        posexplode(zip_with(col("ss"), col("es"),
+          (a, b) => struct(a.as("s"), b.as("e")))).as(Seq("j", "se")))
+      .filter(col("se.e") >= col("se.s"))
+      .select(col("doc_id"), (col("j") + 1).cast("long").as("chunk_id"),
+        (col("se.e") - col("se.s") + 1).cast("long").as("n_tokens"),
+        md5(array_join(
+          slice(col("toks"), col("se.s"), col("se.e") - col("se.s") + 1),
+          " ")).as("h"))
+  }
+
+  val cdcDedupOracle: String =
+    """WITH dd AS (
+      |  SELECT doc_id,
+      |    [x FOR x IN string_split_regex(text, '\s+') IF x <> ''] AS toks
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      [i FOR i IN range(3, len(toks)+1)
+      |       IF CAST('0x'||substr(md5(array_to_string(toks[i-2 : i], ' ')),1,14)
+      |          AS BIGINT) % 8 = 0]
+      |    ELSE [] END AS bpos
+      |  FROM dd WHERE len(toks) >= 1
+      |), c AS (
+      |  SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,
+      |    (list_prepend(1, [p+1 FOR p IN bpos]))[j] AS s,
+      |    (list_append(bpos, n))[j] AS e, toks
+      |  FROM b, UNNEST(range(1, len(bpos)+2)) AS u(j)
+      |), occ AS (
+      |  SELECT doc_id, chunk_id,
+      |    md5(array_to_string(toks[s : e], ' ')) AS h
+      |  FROM c WHERE e >= s
+      |), dup AS (
+      |  SELECT h FROM occ GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)
+      |)
+      |SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(COUNT(d2.h) AS BIGINT) AS n_dup_chunks,
+      |  CAST(COUNT(d2.h) * 1000000 // COUNT(*) AS BIGINT) AS dup_ratio_ppm
+      |FROM occ o LEFT JOIN dup d2 ON o.h = d2.h
+      |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin
+
   val spanDedupOracle: String =
     """WITH d AS (
       |  SELECT doc_id,

@@ -1146,6 +1146,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cdc chunking is shift-robust: prefix insertion preserves downstream chunks") {
+    import spark.implicits._
+    // doc 20 = 60-token junk prefix + doc 10's text: fixed-width blocks
+    // would all shift, but CDC boundaries depend only on the trailing
+    // 3-gram, so once the first boundary inside the shared suffix
+    // re-synchronizes, every later chunk of doc 10 reappears verbatim in
+    // doc 20. At least all but the first two of doc 10's chunks (the
+    // resync window) must be shared.
+    val base = (1 to 120).map(i => s"w${i % 37}q${i % 11}").mkString(" ")
+    val junk = (1 to 60).map(i => s"j$i").mkString(" ")
+    val docs = Seq((10L, base), (20L, junk + " " + base)).toDF("doc_id", "text")
+    val chunks = operators.TextOps.cdcChunksOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val a = chunks.filter(_._1 == 10L).map(_._2)
+    val b = chunks.filter(_._1 == 20L).map(_._2).toSet
+    assert(a.length >= 4, s"fixture produced too few chunks (${a.length})")
+    val shared = a.count(b.contains)
+    assert(shared >= a.length - 2,
+      s"only $shared/${a.length} chunks survived a prefix insertion")
+    // and the chunks tile the doc exactly: token counts sum to doc length
+    val na = operators.TextOps.cdcChunksOf(docs).filter($"doc_id" === 10L)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head.getLong(0)
+    assert(na == 120L, s"chunks cover $na of 120 tokens")
+  }
+
   test("leak-free split: every near-dup pair lands in one split, all docs covered") {
     import org.apache.spark.sql.functions._
     val split = operators.Sampling.leakFreeSplit(spark, dir)

@@ -309,6 +309,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(count(p, "InMemoryTableScan") >= 1, s"label cache not used:\n$p")
   }
 
+  test("cdc dedup: chunking stays in-row, dup check is one equi-join on the hash") {
+    val df = SparkEntry.queries("text_cdc_dedup")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    // boundaries/starts/ends/chunk hashes are array expressions inside
+    // the row; only (doc_id, chunk_id, md5) rows shuffle. The duplicate
+    // mark is a single hash equi-join (no cartesian), and min<>max
+    // replaces count-distinct (no Expand in the plan)
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(count(p, "CartesianProduct") == 0, p)
+    assert(count(p, "Expand") == 0, s"count-distinct expansion crept in:\n$p")
+    fileScans(p).foreach { scan =>
+      assert(!scan.contains("lang") && !scan.contains("n_chars"),
+        s"lang/n_chars must be pruned: $scan")
+    }
+  }
+
   test("range join is an equi-join on (epoch, salt), never all-pairs") {
     // disable broadcast so the plan shown is the large-scale shape: with
     // broadcasting on, a small build side hides the nested-loop risk
