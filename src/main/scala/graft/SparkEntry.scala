@@ -133,6 +133,7 @@ object SparkEntry {
     "fed_mixed_local" -> (Federated.mixedLocalRemote _),
     "fed_runtime_filter" -> (Federated.runtimeFilterJoin _),
     "fed_bind_join" -> (Federated.bindJoin _),
+    "fed_bind_join_star" -> (Federated.bindJoinStar _),
     "fed_jdbc_bind" -> (Federated.jdbcBindJoin _),
     "fed_sample" -> (Federated.sampleFederated _),
     "fed_incremental" -> (Federated.fedIncremental _),
@@ -270,6 +271,7 @@ object SparkEntry {
     "fed_mixed_local" -> Federated.mixedOracle,
     "fed_runtime_filter" -> Federated.runtimeFilterOracle,
     "fed_bind_join" -> Federated.bindJoinOracle,
+    "fed_bind_join_star" -> Federated.bindJoinStarOracle,
     "fed_jdbc_bind" -> Federated.bindJoinOracle, // same SQL semantics, live Derby
     "fed_sample" -> Federated.sampleFederatedOracle,
     "fed_incremental" -> Federated.fedIncrementalOracle,

@@ -99,12 +99,26 @@ object BindJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def deterministic(build: LogicalPlan): Boolean =
     !build.exists(_.expressions.exists(e => !e.deterministic))
 
+  /** The fragment side as seen by a join: the federated leaf itself, or
+    * the leaf under a bare column-pruning Project (Catalyst prunes the
+    * widened output of an earlier bind before the NEXT join in a star —
+    * the Project must be looked through or only the first dim ever
+    * binds). Returns the leaf plus the pruning attribute list. */
+  private def unwrapFrag(p: LogicalPlan)
+      : Option[(FederatedPlan, Option[Seq[AttributeReference]])] = p match {
+    case f: FederatedPlan => Some((f, None))
+    case org.apache.spark.sql.catalyst.plans.logical.Project(pl, f: FederatedPlan)
+        if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      Some((f, Some(pl.map(_.asInstanceOf[AttributeReference]))))
+    case _ => None
+  }
+
   private def tryBind(j: Join, fragSide: LogicalPlan, build: LogicalPlan,
       buildLeft: Boolean, joinType: JoinType,
       maxBytes: Long): Option[LogicalPlan] =
-    fragSide match {
-      case f: FederatedPlan
-          if f.bindJoin.isEmpty && dialectOk(f) &&
+    unwrapFrag(fragSide) match {
+      case Some((f, pruned))
+          if dialectOk(f) &&
              build.stats.sizeInBytes <= maxBytes &&
              // semi/anti output is a SUBSET of the fragment, so ANY small
              // build profits; inner widens rows, so it must be selective
@@ -143,11 +157,26 @@ object BindJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             f.output.map(_.name).distinct.size == f.output.size)
         if (pairs.isEmpty || disqualifying.nonEmpty || !unambiguous ||
             !residualRenders(f, residual)) None
-        else Some(f.copy(
-          runtimeFilters =
-            f.runtimeFilters.filterNot(_.buildPlan.sameResult(build)),
-          bindJoin = Some(RemoteBindJoin(
-            build, build.output, pairs, buildLeft, joinType, residual))))
+        else {
+          val bound = f.copy(
+            runtimeFilters =
+              f.runtimeFilters.filterNot(_.buildPlan.sameResult(build)),
+            bindJoins = f.bindJoins :+ RemoteBindJoin(
+              build, build.output, pairs, buildLeft, joinType, residual))
+          pruned match {
+            case None => Some(bound)
+            case Some(attrs) =>
+              // restore the pruning Project, widened to mirror the join's
+              // own output: Join(Project(f), build).output is
+              // attrs ++ build cols (sides per buildLeft; semi/anti add
+              // nothing) — the replacement must stay positionally equal
+              val keep: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
+                if (joinType == Inner) {
+                  if (buildLeft) build.output ++ attrs else attrs ++ build.output
+                } else attrs
+              Some(org.apache.spark.sql.catalyst.plans.logical.Project(keep, bound))
+          }
+        }
       case _ => None
     }
 

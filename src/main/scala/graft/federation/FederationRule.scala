@@ -76,7 +76,7 @@ object FederationRule extends Rule[LogicalPlan] {
     // (which loses the build side's output) would leave dangling
     // attribute references above.
     val unwrapped = plan.transformUpWithSubqueries {
-      case f: FederatedPlan if f.bindJoin.isEmpty => f.inner
+      case f: FederatedPlan if f.bindJoins.isEmpty => f.inner
     }
     val (rewritten, result) = optimizeRecursively(unwrapped)
     result.providerOpt match {
@@ -204,7 +204,7 @@ object FederationRule extends Rule[LogicalPlan] {
     // unwrap transform would copy the whole tree for nothing
     if (!plan.exists(_.isInstanceOf[FederatedPlan])) scanResultOf(plan)
     else scanResultOf(plan.transformUpWithSubqueries {
-      case f: FederatedPlan if f.bindJoin.isEmpty => f.inner
+      case f: FederatedPlan if f.bindJoins.isEmpty => f.inner
     })
 
   /** Hand a single-provider fragment to its provider; `None` keeps it

@@ -29,7 +29,7 @@ object FederationStrategy extends SparkStrategy {
             s"cannot plan federation for provider ${other.name}")
       }
       RemoteScanExec(f.output, provider.unparseSplits(f.inner),
-        provider.executor, f.runtimeFilters, f.bindJoin) :: Nil
+        provider.executor, f.runtimeFilters, f.bindJoins) :: Nil
 
     case r: RemoteRelation =>
       // route through the provider so plan/SQL hooks apply on the

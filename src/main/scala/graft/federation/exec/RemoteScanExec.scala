@@ -40,7 +40,7 @@ final case class RemoteScanExec(
     sqls: Seq[String],
     @transient executor: SqlExecutor,
     @transient runtimeFilters: Seq[RemoteRuntimeFilter] = Nil,
-    @transient bindJoin: Option[graft.federation.plans.RemoteBindJoin] = None)
+    @transient bindJoins: Seq[graft.federation.plans.RemoteBindJoin] = Nil)
   extends LeafExecNode {
   // @transient: physical plans are captured in task closures (whole-stage
   // codegen, broadcast); the executor is only dereferenced driver-side in
@@ -75,13 +75,46 @@ final case class RemoteScanExec(
         val where = preds.mkString(" AND ")
         sqls.map(s => s"SELECT * FROM ($s) AS rf_sub WHERE $where")
       }
-    bindJoin match {
-      case None => filtered
-      case Some(bj) =>
-        val wrap = renderBind(bj) // evaluated once, applied to every split
-        filtered.map(wrap)
+    if (bindJoins.isEmpty) filtered
+    else {
+      // Fold binds in wrap order (bind 0 innermost). Each layer's key and
+      // residual references resolve through `names`: fragment columns keep
+      // their own SQL names through `bj_sub.*`, while an earlier INNER
+      // bind's build columns are visible only under their `__bj…` aliases
+      // — a star join's second dim may key on the first dim's output.
+      var names: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String] =
+        baseOutput.map(a =>
+          a.exprId -> executor.dialect.quoteIfNeeded(a.name)).toMap
+      var sqlsAcc = filtered
+      bindJoins.zipWithIndex.foreach { case (bj, idx) =>
+        val wrap = renderBind(bj, idx, names) // evaluated once per bind
+        sqlsAcc = sqlsAcc.map(wrap)
+        if (bj.joinType == org.apache.spark.sql.catalyst.plans.Inner)
+          names ++= bj.buildOutput.zipWithIndex.map { case (a, i) =>
+            a.exprId -> executor.dialect.quoteIfNeeded(bindAlias(idx, i))
+          }
+      }
+      sqlsAcc
     }
   }
+
+  /** Build-column alias for bind layer `idx`: layer 0 keeps the historic
+    * `__bj_i` spelling; later layers prefix the index so nested wraps
+    * never collide (`bj_sub.*` re-exposes every inner alias). */
+  private def bindAlias(idx: Int, i: Int): String =
+    if (idx == 0) s"__bj_$i" else s"__bj${idx}_$i"
+
+  /** The fragment's own output (before bind widening): peel each bind's
+    * build columns off `output` in reverse wrap order. */
+  private def baseOutput: Seq[Attribute] =
+    bindJoins.reverse.foldLeft(output) { (acc, bj) =>
+      bj.joinType match {
+        case org.apache.spark.sql.catalyst.plans.Inner =>
+          val n = bj.buildOutput.size
+          if (bj.buildLeft) acc.drop(n) else acc.dropRight(n)
+        case _ => acc
+      }
+    }
 
   /** Evaluate the bind join's build side and produce the SQL wrapper:
     * `SELECT frag cols, build cols FROM (frag) JOIN (VALUES ...) ON keys`.
@@ -92,14 +125,17 @@ final case class RemoteScanExec(
     * with the widened shape. No graceful-skip path exists (the local join
     * is gone), which is why [[graft.federation.BindJoinRule]] admits only
     * types whose literal rendering is total. */
-  private def renderBind(bj: graft.federation.plans.RemoteBindJoin)
+  private def renderBind(bj: graft.federation.plans.RemoteBindJoin,
+      idx: Int,
+      names: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String])
       : String => String = {
     val d = executor.dialect
     val session = SparkSession.active
     val rows = internalRows(session, bj.buildPlan)
     metrics.get("numBindRows").foreach(_.add(rows.length))
     val types = bj.buildOutput.map(_.dataType)
-    val bjNames = bj.buildOutput.indices.map(i => d.quoteIfNeeded(s"__bj_$i"))
+    val bjNames =
+      bj.buildOutput.indices.map(i => d.quoteIfNeeded(bindAlias(idx, i)))
     val buildCols = bjNames.map(n => s"bj_b.$n")
     val fragCols = "bj_sub.*"
     val selectList =
@@ -112,7 +148,8 @@ final case class RemoteScanExec(
     }.mkString(", ")
     def onClause: String = bj.keys.map { case (fragCol, buildCol) =>
       val i = bj.buildOutput.indexWhere(_.exprId == buildCol.exprId)
-      s"bj_sub.${d.quoteIfNeeded(fragCol.name)} = bj_b.${bjNames(i)}"
+      val left = names.getOrElse(fragCol.exprId, d.quoteIfNeeded(fragCol.name))
+      s"bj_sub.$left = bj_b.${bjNames(i)}"
     }.mkString(" AND ")
     // fragment-side residual conjuncts, proven renderable at planning
     // time (BindJoinRule.residualRenders — same dialect, same scope).
@@ -123,7 +160,8 @@ final case class RemoteScanExec(
       if (bj.residual.isEmpty) Nil
       else {
         val scope = bj.residual.flatMap(_.references)
-          .map(a => a.exprId -> s"bj_sub.${d.quoteIfNeeded(a.name)}").toMap
+          .map(a => a.exprId -> ("bj_sub." +
+            names.getOrElse(a.exprId, d.quoteIfNeeded(a.name)))).toMap
         val u = new graft.federation.sql.SqlUnparser(d)
         bj.residual.map(e => "(" + u.render(e, scope) + ")")
       }

@@ -118,15 +118,20 @@ final case class FederatedPlan(
     inner: LogicalPlan,
     provider: FederationProvider,
     runtimeFilters: Seq[RemoteRuntimeFilter] = Nil,
-    bindJoin: Option[RemoteBindJoin] = None)
+    bindJoins: Seq[RemoteBindJoin] = Nil)
   extends LeafNode {
 
-  override def output: Seq[Attribute] = bindJoin match {
-    case Some(bj) if bj.joinType != org.apache.spark.sql.catalyst.plans.Inner =>
-      inner.output // semi/anti filter the fragment; no widening
-    case Some(bj) if bj.buildLeft => bj.buildOutput ++ inner.output
-    case Some(bj) => inner.output ++ bj.buildOutput
-    case None => inner.output
+  /** Output widens per bind in wrap order: each successive inner bind's
+    * build columns append on its own side of the previous layer's output
+    * (semi/anti binds filter the fragment; no widening). Must stay
+    * positionally consistent with [[graft.federation.exec.RemoteScanExec]]'s
+    * fold over the same sequence. */
+  override def output: Seq[Attribute] = bindJoins.foldLeft(inner.output) {
+    (acc, bj) => bj.joinType match {
+      case org.apache.spark.sql.catalyst.plans.Inner =>
+        if (bj.buildLeft) bj.buildOutput ++ acc else acc ++ bj.buildOutput
+      case _ => acc // semi/anti: subset of the fragment rows
+    }
   }
 
   /** Propagate the fragment's estimated stats so Spark can still pick
@@ -166,9 +171,10 @@ final case class FederatedPlan(
   override def simpleString(maxFields: Int): String = {
     val rf = if (runtimeFilters.isEmpty) ""
       else s" rfilters=[${runtimeFilters.map(_.column.name).mkString(",")}]"
-    val bj = bindJoin.map(b =>
-      s" bind=[${b.keys.map(k => k._1.name + "=" + k._2.name).mkString(",")}]")
-      .getOrElse("")
+    val bj = if (bindJoins.isEmpty) "" else
+      bindJoins.map(b =>
+        s" bind=[${b.keys.map(k => k._1.name + "=" + k._2.name).mkString(",")}]")
+        .mkString
     s"Federated [${provider.name}]$rf$bj"
   }
 }

@@ -170,6 +170,39 @@ object Federated {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** Star bind join ([[graft.federation.BindJoinRule]] multi-bind): TWO
+    * selective beta dims chain into alpha's supplier SQL as nested
+    * `(VALUES …)` derived tables — the snowflake twist being that the
+    * region join keys on the NATION build's column, so the second bind's
+    * ON clause references the first bind's `__bj…` alias, not a fragment
+    * column. The whole 3-table star executes on alpha; the wire carries
+    * two small dim extractions out and the joined result back. */
+  def bindJoinStar(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT r_name, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM fed_supplier JOIN
+        |  (SELECT n_nationkey, n_regionkey FROM fedb_nation
+        |   WHERE n_nationkey < 20) n
+        |  ON s_nationkey = n_nationkey
+        |JOIN
+        |  (SELECT r_regionkey, r_name FROM fedb_region WHERE r_regionkey < 3) r
+        |  ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin)
+
+  val bindJoinStarOracle: String =
+    """SELECT r_name, COUNT(*) AS n_suppliers,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM supplier JOIN
+      |  (SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 20) n
+      |  ON s_nationkey = n_nationkey
+      |JOIN
+      |  (SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3) r
+      |  ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
   /** Bind join through the REAL JDBC path: the selective local nation dim
     * is inlined as a VALUES table into the supplier SQL that ships to
     * embedded Derby — the live-engine proof of the bind-join wire

@@ -32,7 +32,7 @@ class BindJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def boundFrags(df: DataFrame): Seq[FederatedPlan] =
     df.queryExecution.optimizedPlan.collect {
-      case f: FederatedPlan if f.bindJoin.isDefined => f
+      case f: FederatedPlan if f.bindJoins.nonEmpty => f
     }
 
   private def rows(df: DataFrame): Seq[String] =
@@ -215,7 +215,7 @@ class BindJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       """SELECT s_name FROM fed_supplier
         |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 2)
         |ORDER BY s_name""".stripMargin)
-    assert(boundFrags(df).exists(_.bindJoin.get.joinType ==
+    assert(boundFrags(df).exists(_.bindJoins.head.joinType ==
         org.apache.spark.sql.catalyst.plans.LeftSemi),
       s"semi join did not bind:\n${df.queryExecution.optimizedPlan}")
     assert(rows(df) == rows(spark.sql(
@@ -236,7 +236,7 @@ class BindJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
         |WHERE NOT EXISTS (SELECT 1 FROM nation n
         |  WHERE n.n_nationkey = s.s_nationkey AND n.n_regionkey < 2)
         |ORDER BY s_name""".stripMargin)
-    assert(boundFrags(df).exists(_.bindJoin.get.joinType ==
+    assert(boundFrags(df).exists(_.bindJoins.head.joinType ==
         org.apache.spark.sql.catalyst.plans.LeftAnti),
       s"anti join did not bind:\n${df.queryExecution.optimizedPlan}")
     assert(rows(df) == rows(spark.sql(
@@ -324,9 +324,9 @@ class BindJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     val joined = Join(frag, build, Inner, Some(cond), JoinHint.NONE)
     val rewritten = BindJoinRule(joined)
     val bound = rewritten.collectFirst {
-      case f: FederatedPlan if f.bindJoin.isDefined => f }
+      case f: FederatedPlan if f.bindJoins.nonEmpty => f }
       .getOrElse(fail(s"residual join did not bind:\n$rewritten"))
-    assert(bound.bindJoin.get.residual.nonEmpty, "bind carries no residual")
+    assert(bound.bindJoins.head.residual.nonEmpty, "bind carries no residual")
     assert(rewritten.isInstanceOf[FederatedPlan], "join must collapse to the leaf")
     // execute the bound plan and the original local join: identical rows
     val before = alpha.executedSql.size
@@ -364,8 +364,8 @@ class BindJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
         |ORDER BY s_suppkey""".stripMargin)
     val bound = boundFrags(df)
     assert(bound.exists(f =>
-        f.bindJoin.get.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti &&
-        f.bindJoin.get.residual.nonEmpty),
+        f.bindJoins.head.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti &&
+        f.bindJoins.head.residual.nonEmpty),
       s"anti residual did not bind:\n${df.queryExecution.optimizedPlan}")
     assert(rows(df) == rows(spark.sql(
       """SELECT s_suppkey, s_name FROM supplier s
@@ -381,5 +381,54 @@ class BindJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(executed.exists(s => s.contains("NOT EXISTS") &&
         s.indexOf("s_suppkey", s.indexOf("NOT EXISTS")) > 0),
       s"residual not inside NOT EXISTS:\n${executed.mkString("\n")}")
+  }
+
+  test("star: two dims chain-bind; snowflake key resolves the first build's alias") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW star_nat AS
+        |SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 20""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW star_reg AS
+        |SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3""".stripMargin)
+    val before = alpha.executedSql.size
+    val df = spark.sql(
+      """SELECT r_name, COUNT(*) AS n
+        |FROM fed_supplier s
+        |JOIN star_nat n ON s.s_nationkey = n.n_nationkey
+        |JOIN star_reg r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    val bound = boundFrags(df)
+    assert(bound.nonEmpty && bound.head.bindJoins.size == 2,
+      s"expected 2 binds:\n${df.queryExecution.optimizedPlan}")
+    assert(rows(df) == rows(spark.sql(
+      """SELECT r_name, COUNT(*) AS n
+        |FROM supplier s
+        |JOIN star_nat n ON s.s_nationkey = n.n_nationkey
+        |JOIN star_reg r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)))
+    val executed = alpha.executedSql.drop(before)
+    // both VALUES tables nest in ONE remote SQL; the region bind's ON
+    // references the nation bind's __bj alias on the bj_sub side (the
+    // snowflake key is a build column, not a fragment column)
+    val star = executed.find(s =>
+      s.sliding("JOIN (VALUES".length).count(_ == "JOIN (VALUES") == 2)
+    assert(star.isDefined,
+      s"no remote SQL carries both binds:\n${executed.mkString("\n")}")
+    assert(star.get.contains("bj_sub.__bj_") &&
+        star.get.contains("= bj_b.__bj1_"),
+      s"second ON does not key on the first build's alias:\n${star.get}")
+    // no local join survives
+    assert(!df.queryExecution.executedPlan.toString().contains("Join"),
+      df.queryExecution.executedPlan.toString())
+  }
+
+  test("gate fed_bind_join_star: cross-provider star binds both beta dims") {
+    val df = Federated.bindJoinStar(spark, dir)
+    val bound = boundFrags(df)
+    assert(bound.nonEmpty && bound.head.bindJoins.size == 2,
+      s"gate star did not double-bind:\n${df.queryExecution.optimizedPlan}")
+    assert(df.count() > 0)
   }
 }

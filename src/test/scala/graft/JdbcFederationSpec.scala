@@ -104,7 +104,7 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
         |FROM bj_EMP e JOIN derby_dim d ON e.DEPT_ID = d.dept_id
         |ORDER BY e.EMP_NAME""".stripMargin)
     val bound = df.queryExecution.optimizedPlan.collect {
-      case f: graft.federation.plans.FederatedPlan if f.bindJoin.isDefined => f
+      case f: graft.federation.plans.FederatedPlan if f.bindJoins.nonEmpty => f
     }
     assert(bound.nonEmpty,
       s"derby join did not bind:\n${df.queryExecution.optimizedPlan}")

@@ -514,7 +514,7 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       // success = the join left Spark: an execution-time bind, or (inline
       // literal dims) the whole join federated via the VALUES relation
       val hasBind = fedDf.queryExecution.optimizedPlan.exists {
-        case f: FederatedPlan => f.bindJoin.isDefined
+        case f: FederatedPlan => f.bindJoins.nonEmpty
         case _ => false
       }
       val fullyFederated = !fedDf.queryExecution.optimizedPlan.exists {
