@@ -170,6 +170,7 @@ object SparkEntry {
     "fed_jdbc_q3" -> (Federated.jdbcQ3 _),
     "fed_jdbc_split" -> (Federated.jdbcSplitScan _),
     "fed_jdbc_write" -> (Federated.jdbcWrite _),
+    "fed_jdbc_ctas" -> (Federated.jdbcCtas _),
     "fed_split_scan" -> (Federated.splitScanJoin _),
     // --- sampling / exact analytics ---
     "samp_hash_10pct" -> (Sampling.hashSample _),
@@ -308,6 +309,7 @@ object SparkEntry {
     "fed_jdbc_q3" -> Federated.jdbcQ3Oracle,
     "fed_jdbc_split" -> Federated.jdbcSplitScanOracle,
     "fed_jdbc_write" -> Federated.jdbcWriteOracle,
+    "fed_jdbc_ctas" -> Federated.jdbcCtasOracle,
     "fed_split_scan" -> Federated.splitScanOracle,
     "samp_hash_10pct" -> Sampling.hashSampleOracle,
     "samp_stats" -> Sampling.sampleStatsOracle,

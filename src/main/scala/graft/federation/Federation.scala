@@ -70,6 +70,31 @@ object Federation {
       registerRemoteTable(spark, prefix + t, t, executor, hooks.get(t))
     }
 
+  /** Append `df` into a remote table, pushing the WHOLE copy to the
+    * remote engine when possible: if `df`'s optimized plan is a single
+    * federated fragment of `executor`'s own provider (no execution-time
+    * runtime filters or binds pending), the fragment unparses and ships
+    * as `INSERT INTO target (SELECT …)` — the engine produces and
+    * consumes the rows itself, zero rows on the wire. Anything else
+    * falls back to the distributed batched-INSERT append
+    * ([[graft.federation.sql.SqlExecutor.insertInto]]). Returns true
+    * when the push happened. */
+  def insertIntoRemote(df: DataFrame, ref: RemoteTableRef,
+      executor: SqlExecutor): Boolean = {
+    val provider = graft.federation.sql.SqlFederationProvider
+      .forExecutor(executor)
+    df.queryExecution.optimizedPlan match {
+      case f: graft.federation.plans.FederatedPlan
+          if f.provider == provider && f.runtimeFilters.isEmpty &&
+             f.bindJoins.isEmpty &&
+             executor.insertFromQuery(ref, provider.unparse(f.inner)) =>
+        true
+      case _ =>
+        executor.insertInto(ref, df)
+        false
+    }
+  }
+
   /** Register the union of several executors' catalogs into one namespace,
     * first executor listing a name wins — the reference's
     * `MultiSchemaProvider` chaining (src/sql/schema.rs:110-143). */

@@ -180,6 +180,29 @@ final class JdbcSqlExecutor(
     }
   }
 
+  /** Driver-side DML statements this executor has run (INSERT…SELECT
+    * pushdowns) — lets tests assert the remote-to-remote copy never built
+    * a row stream. */
+  val dmlLog = new scala.collection.mutable.ArrayBuffer[String]
+
+  /** Same-engine INSERT INTO … (SELECT …): one statement, executed where
+    * the data lives. The remote engine both produces and consumes the
+    * rows — the wire carries only the statement text and an update count,
+    * while [[insertInto]] would stream every row out of the engine and
+    * batch it straight back in. */
+  override def insertFromQuery(ref: RemoteTableRef,
+      selectSql: String): Boolean = {
+    val sql = s"INSERT INTO ${ref.sql(dialect)} $selectSql"
+    dmlLog.synchronized { dmlLog += sql }
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(sql)
+      st.close()
+    } finally conn.close()
+    true
+  }
+
   private def probe(fromSql: String, schema: StructType): Option[Statistics] = {
     val strCols = schema.fields.filter(_.dataType == StringType)
     val sums = strCols.map(f =>

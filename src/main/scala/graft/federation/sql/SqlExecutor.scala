@@ -66,6 +66,13 @@ trait SqlExecutor {
     throw new UnsupportedOperationException(
       s"remote [$name] has no write path")
 
+  /** Same-engine `INSERT INTO target (SELECT …)`: when the rows to append
+    * are themselves a query against THIS engine, the copy should execute
+    * entirely remotely — zero rows cross the wire in either direction.
+    * Returns false when the engine has no such path (caller falls back to
+    * streaming the rows through [[insertInto]]). */
+  def insertFromQuery(ref: RemoteTableRef, selectSql: String): Boolean = false
+
   /** Optional hook: rewrite the generated SQL string just before execution
     * (reference `sql_query_rewriter`, src/sql/table.rs:33-45). */
   def sqlRewriter: String => String = identity

@@ -594,6 +594,37 @@ object Federated {
     """SELECT CAST(n_regionkey AS BIGINT) AS r_key, COUNT(*) AS n_nations
       |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Remote-to-remote copy (beyond the reference): the source aggregate is
+    * itself a fragment of the SAME Derby engine, so
+    * [[graft.federation.Federation.insertIntoRemote]] ships the whole copy
+    * as ONE `INSERT INTO target (SELECT …)` statement — the engine
+    * produces and consumes the rows; the wire carries the statement text
+    * and an update count, never a row. The batched-INSERT path this
+    * supersedes would stream every aggregate row out of Derby and write
+    * it straight back in. */
+  def jdbcCtas(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.jdbc.JdbcHarness.executor(s, dir)
+    graft.federation.jdbc.JdbcHarness.resetWriteTarget(s, dir, "supp_stats",
+      """"n_key" BIGINT, "n_supp" BIGINT, "max_bal" DOUBLE""")
+    val derived = graft.federation.Federation
+      .remoteDataFrame(s, "supplier", ex)
+      .groupBy(col("s_nationkey").cast("long").as("n_key"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_supp"),
+        org.apache.spark.sql.functions.max(col("s_acctbal")).as("max_bal"))
+    graft.federation.Federation.insertIntoRemote(derived,
+      graft.federation.sql.RemoteTableRef.parse("supp_stats"), ex)
+    graft.federation.Federation.remoteDataFrame(s, "supp_stats", ex)
+      .orderBy(col("n_key"))
+  }
+
+  val jdbcCtasOracle: String =
+    """SELECT CAST(s_nationkey AS BIGINT) AS n_key, COUNT(*) AS n_supp,
+      |  MAX(s_acctbal) AS max_bal
+      |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Window functions federate: rank + windowed count inside the fragment
     * (reference analyzer.rs:410-447 window coverage). */
   def windowPushdown(s: SparkSession, dir: String): DataFrame =

@@ -264,6 +264,51 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("insert-from-query: same-engine copy ships as ONE INSERT..SELECT, no row stream") {
+    Federation.install(spark)
+    val ex = executor
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE dept_salaries (d_id INT, n_emp BIGINT, top_sal DOUBLE)")
+    conn.close()
+    Federation.registerRemoteTable(spark, "ctas_emp", "EMP", ex)
+    import org.apache.spark.sql.functions._
+    val derived = spark.table("ctas_emp")
+      .filter(col("salary") > 55.0)
+      .groupBy(col("dept_id"))
+      .agg(count(lit(1)).as("n_emp"), max(col("salary")).as("top_sal"))
+    val before = ex.dmlLog.size
+    val pushed = Federation.insertIntoRemote(derived,
+      graft.federation.sql.RemoteTableRef.parse("DEPT_SALARIES"), ex)
+    assert(pushed, "same-provider source must push as INSERT..SELECT")
+    val dml = ex.dmlLog.drop(before)
+    assert(dml.size == 1 && dml.head.startsWith("INSERT INTO") &&
+        dml.head.contains("SELECT") && dml.head.contains("GROUP BY"),
+      s"unexpected DML:\n${dml.mkString("\n")}")
+    // read back: matches a fully-local recompute
+    Federation.registerRemoteTable(spark, "w_dept_salaries", "DEPT_SALARIES", ex)
+    val back = spark.sql(
+      "SELECT d_id, n_emp, top_sal FROM w_dept_salaries ORDER BY d_id").collect()
+    val want = spark.table("ctas_emp").collect()
+      .filter(r => !r.isNullAt(3) && r.getDouble(3) > 55.0)
+      .groupBy(r => if (r.isNullAt(1)) null else r.getInt(1))
+    back.foreach { r =>
+      val k = if (r.isNullAt(0)) null else r.getInt(0)
+      val grp = want(k.asInstanceOf[Any])
+      assert(r.getLong(1) == grp.size, r.toString)
+      assert(r.getDouble(2) == grp.map(_.getDouble(3)).max, r.toString)
+    }
+    assert(back.length == want.size)
+    // a NON-fragment source (local data) falls back to the batched append
+    val local = spark.range(2).selectExpr("CAST(id AS INT) AS d_id",
+      "id AS n_emp", "CAST(id AS DOUBLE) AS top_sal")
+    val before2 = ex.dmlLog.size
+    val pushed2 = Federation.insertIntoRemote(local,
+      graft.federation.sql.RemoteTableRef.parse("DEPT_SALARIES"), ex)
+    assert(!pushed2 && ex.dmlLog.size == before2,
+      "local source must fall back to the batched insertInto path")
+  }
+
   test("scan metrics: fetch time, bytes, and wire-format coercion are measured") {
     Federation.install(spark)
     spark.conf.set("spark.sql.adaptive.enabled", "false") // keep the scan reachable via collect
