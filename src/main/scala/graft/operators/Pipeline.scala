@@ -223,4 +223,62 @@ object Pipeline {
       |  CAST((SUM(n_tokens) + 63) // 64 AS BIGINT) AS n_seqs
       |FROM sampled
       |GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** The third refactor-guard composition: the TRAINING-SPLIT MANIFEST a
+    * pipeline publishes after dedup-aware splitting — near-dup clusters
+    * ([[Dedup.components]]) are assigned whole to train/valid/test
+    * ([[Sampling.leakFreeSplit]]) and each split reports its cluster/doc/
+    * token budget plus its largest cluster (the skew a curriculum or
+    * packing stage needs to know about).
+    *
+    * Plan shape: the cached label table joins token counts (one hash
+    * join), then a TWO-LEVEL aggregate — (split, component) partials
+    * before the 3-row split rollup — so no count-distinct Expand and no
+    * wide re-shuffle; everything after the label join is integer-exact. */
+  def splitManifest(s: SparkSession, dir: String): DataFrame = {
+    val ntok = documents(s, dir).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    val perComponent = Sampling.leakFreeSplit(s, dir)
+      .join(ntok, Seq("doc_id"))
+      .groupBy(col("split"), col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("comp_tokens"))
+    perComponent
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("comp_tokens")).as("total_tokens"),
+        max(col("n_docs")).as("max_component_docs"))
+      .orderBy(col("split"))
+  }
+
+  /** Recursive-CTE labels + the split bucket rule + token counts, rolled
+    * up through the same two levels. */
+  val splitManifestOracle: String =
+    Dedup.componentsOracle.replace(
+      """SELECT doc_id, MIN(comp) AS component, MIN(comp) = doc_id AS is_rep
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """, lab AS (
+        |  SELECT doc_id, MIN(comp) AS component FROM reach GROUP BY doc_id
+        |), spl AS (
+        |  SELECT doc_id, component,
+        |    CASE WHEN CAST('0x'||substr(md5(CAST(component AS VARCHAR)),1,14) AS BIGINT) % 100 < 90 THEN 'train'
+        |         WHEN CAST('0x'||substr(md5(CAST(component AS VARCHAR)),1,14) AS BIGINT) % 100 < 95 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM lab
+        |), ntok AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), pc AS (
+        |  SELECT s.split, s.component, COUNT(*) AS n_docs,
+        |    SUM(n.n_tokens) AS comp_tokens
+        |  FROM spl s JOIN ntok n ON n.doc_id = s.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_components,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(SUM(comp_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(MAX(n_docs) AS BIGINT) AS max_component_docs
+        |FROM pc GROUP BY split ORDER BY split""".stripMargin)
 }

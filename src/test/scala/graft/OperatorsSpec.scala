@@ -1171,6 +1171,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(na == 120L, s"chunks cover $na of 120 tokens")
   }
 
+  test("split manifest conserves docs/tokens and its component counts tile the label table") {
+    import org.apache.spark.sql.functions._
+    val m = operators.Pipeline.splitManifest(spark, dir).collect()
+    assert(m.nonEmpty && m.map(_.getString(0)).toSet.subsetOf(
+      Set("train", "valid", "test")))
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val nTokens = docs.select(sum(size(split(trim(col("text")), "\\s+"))))
+      .head.getLong(0)
+    assert(m.map(_.getLong(2)).sum == nDocs, "doc conservation")
+    assert(m.map(_.getLong(3)).sum == nTokens, "token conservation")
+    val nComponents = operators.Dedup.components(spark, dir)
+      .select("component").distinct().count()
+    assert(m.map(_.getLong(1)).sum == nComponents, "component conservation")
+    m.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2) && r.getLong(4) >= 1, r.toString)
+      assert(r.getLong(1) <= r.getLong(2), r.toString)
+    }
+  }
+
   test("leak-free split: every near-dup pair lands in one split, all docs covered") {
     import org.apache.spark.sql.functions._
     val split = operators.Sampling.leakFreeSplit(spark, dir)
