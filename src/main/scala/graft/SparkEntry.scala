@@ -42,6 +42,7 @@ object SparkEntry {
     "ev_asof_signup" -> (EventOps.asofPurchaseSignup _),
     "ev_range_join" -> ((s, d) => EventOps.rangeJoinWindowCounts(s, d)),
     "ev_funnel" -> (EventOps.funnel _),
+    "ev_conversion_lag" -> (EventOps.conversionLag _),
     "ev_retention" -> (EventOps.retention _),
     // --- text analysis ---
     "text_token_stats" -> (TextOps.tokenStats _),
@@ -207,6 +208,7 @@ object SparkEntry {
     "ev_asof_signup" -> EventOps.asofOracle,
     "ev_range_join" -> EventOps.rangeJoinOracle,
     "ev_funnel" -> EventOps.funnelOracle,
+    "ev_conversion_lag" -> EventOps.conversionLagOracle,
     "ev_retention" -> EventOps.retentionOracle,
     // single-batch streaming sessionization equals batch sessionization
     "stream_sessionize" -> EventOps.sessionizeOracle,

@@ -572,4 +572,73 @@ object EventOps {
       |WHERE date_diff('day', f.cohort_day, e.day) <= 7
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
+
+  /** Conversion-lag histogram: per user, the time from FIRST signup to
+    * the first purchase at-or-after it, bucketed into product-analytics
+    * lag bands (<1h, <1d, <7d, ≥7d, never) — the windowed sibling of
+    * [[funnel]]: not just whether the user converted, but how fast.
+    *
+    * Lag arithmetic is integer microseconds end-to-end (`unix_micros` /
+    * DuckDB `epoch_us`, floor-divided to seconds) so the bucket edges and
+    * sums are engine-exact — a float `epoch()` would round where Spark's
+    * long cast truncates.
+    *
+    * Scale shape: two filtered per-user aggregates shuffle on user_id and
+    * join co-partitioned (signups inner-join purchases on the same key,
+    * non-converts recovered by the left join), then a 5-row map-side-
+    * combined rollup. No window over the full event stream, no
+    * re-shuffle after the first exchange. */
+  def conversionLag(s: SparkSession, dir: String): DataFrame = {
+    val micros = unix_micros(col("ts").cast("timestamp"))
+    val e = events(s, dir).select(col("user_id"),
+      col("event_type"), micros.as("us"))
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .join(su, Seq("user_id"))
+      .filter(col("us") >= col("s_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    val lag = su.join(pu, Seq("user_id"), "left")
+      .withColumn("lag_s", expr("(p_us - s_us) div 1000000L"))
+    lag
+      .withColumn("bucket",
+        when(col("lag_s").isNull, "4_none")
+          .when(col("lag_s") < 3600L, "0_lt_1h")
+          .when(col("lag_s") < 86400L, "1_lt_1d")
+          .when(col("lag_s") < 604800L, "2_lt_7d")
+          .otherwise("3_ge_7d"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("lag_s")).as("min_lag_s"),
+        max(col("lag_s")).as("max_lag_s"),
+        sum(col("lag_s")).as("sum_lag_s"))
+      .orderBy(col("bucket"))
+  }
+
+  val conversionLagOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |), su AS (
+      |  SELECT user_id, MIN(us) AS s_us FROM e
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), pu AS (
+      |  SELECT e.user_id, MIN(e.us) AS p_us
+      |  FROM e JOIN su ON su.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us >= su.s_us
+      |  GROUP BY e.user_id
+      |), lg AS (
+      |  SELECT su.user_id, (pu.p_us - su.s_us) // 1000000 AS lag_s
+      |  FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+      |)
+      |SELECT CASE WHEN lag_s IS NULL THEN '4_none'
+      |  WHEN lag_s < 3600 THEN '0_lt_1h'
+      |  WHEN lag_s < 86400 THEN '1_lt_1d'
+      |  WHEN lag_s < 604800 THEN '2_lt_7d'
+      |  ELSE '3_ge_7d' END AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  MIN(lag_s) AS min_lag_s, MAX(lag_s) AS max_lag_s,
+      |  CAST(SUM(lag_s) AS BIGINT) AS sum_lag_s
+      |FROM lg GROUP BY 1 ORDER BY 1""".stripMargin
 }

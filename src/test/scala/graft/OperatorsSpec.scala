@@ -1146,6 +1146,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("conversion lag tiles the signup cohort with bucket-respecting ranges") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.EventOps.conversionLag(spark, dir).collect()
+    val ev = graft.sources.Tables.events(spark, dir)
+    val nSignup = ev.filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nSignup,
+      "every signup user lands in exactly one bucket")
+    val edges = Map("0_lt_1h" -> (0L, 3599L), "1_lt_1d" -> (3600L, 86399L),
+      "2_lt_7d" -> (86400L, 604799L))
+    rows.foreach { r =>
+      val b = r.getString(0)
+      if (b == "4_none") { assert(r.isNullAt(2) && r.isNullAt(3), r.toString) }
+      else if (edges.contains(b)) {
+        val (lo, hi) = edges(b)
+        assert(r.getLong(2) >= lo && r.getLong(3) <= hi, r.toString)
+        assert(r.getLong(2) <= r.getLong(3), r.toString)
+      } else assert(b == "3_ge_7d" && r.getLong(2) >= 604800L, r.toString)
+    }
+  }
+
   test("cdc chunking is shift-robust: prefix insertion preserves downstream chunks") {
     import spark.implicits._
     // doc 20 = 60-token junk prefix + doc 10's text: fixed-width blocks
