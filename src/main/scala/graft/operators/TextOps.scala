@@ -1064,11 +1064,12 @@ object TextOps {
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("i", "h")))
       .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"), col("h"))
     val byHash = Window.partitionBy(col("h"))
-    val ranked = w
-      .withColumn("rn",
-        row_number().over(byHash.orderBy(col("doc_id"), col("pos"))))
-      .withColumn("cnt", count(lit(1)).over(byHash))
-    val hits = ranked.filter(col("cnt") >= 2 && col("rn") > 1)
+    // rn > 1 alone marks non-canonical duplicates: a second-ranked row
+    // exists only when the hash occurs at least twice, so no separate
+    // occurrence-count window pass is needed
+    val ranked = w.withColumn("rn",
+      row_number().over(byHash.orderBy(col("doc_id"), col("pos"))))
+    val hits = ranked.filter(col("rn") > 1)
       .select(col("doc_id"), col("pos"),
         (col("pos") + (width - 1)).as("fin"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
