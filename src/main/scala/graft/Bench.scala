@@ -122,6 +122,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"errors":$errors,"sf":"$sfDir"}""")
     System.out.flush()
     graft.operators.Dedup.releaseAllSignatures()
+    graft.operators.Sampling.releaseAllDsir()
     graft.operators.Similarity.releaseAllCounts()
     graft.operators.Similarity.releaseAllIvf()
     graft.operators.Similarity.releaseAllCodes()

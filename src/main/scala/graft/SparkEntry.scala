@@ -18,6 +18,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
+  /** Corpus-adapted required-word list for the `text_gopher_rules` gate
+    * (the published English list is constant-false on the synthetic token
+    * soup — only "the" occurs; see [[TextOps.gopherRules]]). */
+  private val gopherGateWords = Seq("the", "a", "table", "value")
+
   /** One entry per implemented operator from SURVEY.md §2 + the pipeline
     * operator families. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -52,10 +57,13 @@ object SparkEntry {
     "text_bm25" -> ((s, d) => TextOps.bm25(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "text_quality_buckets" -> ((s, d) => TextOps.qualityBuckets(s, d)),
+    "text_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d,
+      requiredWords = gopherGateWords)),
     "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
     "pack_stats" -> ((s, d) => Packing.packStats(s, d)),
     "samp_mixture" -> ((s, d) => Sampling.mixture(s, d)),
     "samp_split_leakfree" -> ((s, d) => Sampling.leakFreeSplit(s, d)),
+    "samp_dsir" -> ((s, d) => Sampling.dsirSelect(s, d)),
     "text_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
     "text_cdc_dedup" -> ((s, d) => TextOps.cdcDedup(s, d)),
     "pipe_train_corpus" -> ((s, d) => Pipeline.trainCorpus(s, d)),
@@ -126,6 +134,9 @@ object SparkEntry {
     "stream_lm_quality" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runLmQualityToMemory(s, d)
         .orderBy(col("source"))),
+    "stream_gopher_filter" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runGopherFilterToMemory(s, d, gopherGateWords)
+        .orderBy(col("source"))),
     "text_distinct_estimate" -> (TextOps.distinctEstimate _),
     // --- federation engine (the reference's core capability) ---
     "fed_q1_pushdown" -> (Federated.q1Pushdown _),
@@ -173,6 +184,8 @@ object SparkEntry {
     "fed_jdbc_split" -> (Federated.jdbcSplitScan _),
     "fed_jdbc_write" -> (Federated.jdbcWrite _),
     "fed_jdbc_ctas" -> (Federated.jdbcCtas _),
+    "fed_jdbc_delete" -> (Federated.jdbcDelete _),
+    "fed_jdbc_update" -> (Federated.jdbcUpdate _),
     "fed_split_scan" -> (Federated.splitScanJoin _),
     // --- sampling / exact analytics ---
     "samp_hash_10pct" -> (Sampling.hashSample _),
@@ -225,6 +238,10 @@ object SparkEntry {
     "text_bm25" -> TextOps.bm25Oracle,
     "text_lm_score" -> TextOps.lmScoreOracle,
     "text_quality_buckets" -> TextOps.qualityBucketsOracle,
+    "text_gopher_rules" -> TextOps.gopherRulesOracle(30, 90, gopherGateWords),
+    "samp_dsir" -> Sampling.dsirSelectOracle(),
+    "stream_gopher_filter" ->
+      graft.streaming.StreamOps.gopherFilterOracle(gopherGateWords),
     "pack_sequences" -> Packing.packSequencesOracle,
     "pack_stats" -> Packing.packStatsOracle,
     "samp_mixture" -> Sampling.mixtureOracle,
@@ -314,6 +331,8 @@ object SparkEntry {
     "fed_jdbc_split" -> Federated.jdbcSplitScanOracle,
     "fed_jdbc_write" -> Federated.jdbcWriteOracle,
     "fed_jdbc_ctas" -> Federated.jdbcCtasOracle,
+    "fed_jdbc_delete" -> Federated.jdbcDeleteOracle,
+    "fed_jdbc_update" -> Federated.jdbcUpdateOracle,
     "fed_split_scan" -> Federated.splitScanOracle,
     "samp_hash_10pct" -> Sampling.hashSampleOracle,
     "samp_stats" -> Sampling.sampleStatsOracle,

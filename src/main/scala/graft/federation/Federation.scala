@@ -95,6 +95,106 @@ object Federation {
     }
   }
 
+  /** Predicate DELETE pushed to the remote engine (the DML sibling of
+    * [[insertIntoRemote]]'s INSERT..SELECT path): `cond` is resolved
+    * against the remote table's schema, unparsed in the executor's
+    * dialect with BARE column references (standard `DELETE FROM t` has no
+    * alias scope), and ships as ONE `DELETE FROM t WHERE p` — zero rows
+    * move, the wire carries the statement and an update count. The
+    * condition must be deterministic, subquery-free, and renderable in
+    * the dialect; anything else THROWS rather than falling back, because
+    * remote DML has no local fallback (a quietly-different local path
+    * would be a correctness trap, not a convenience). */
+  def deleteFromRemote(spark: SparkSession, remoteRef: String,
+      executor: SqlExecutor,
+      cond: org.apache.spark.sql.Column): Long = {
+    val rel = RemoteRelation(RemoteTableRef.parse(remoteRef), executor)
+    executor.deleteWhere(rel.ref,
+      renderDmlPredicate(spark, rel, executor, cond))
+  }
+
+  /** Predicate UPDATE pushed to the remote engine — the third DML leg
+    * next to [[insertIntoRemote]] and [[deleteFromRemote]], same
+    * contract: set values and the condition resolve against the remote
+    * schema, unparse in the executor's dialect with bare column
+    * references, and ship as ONE `UPDATE t SET … WHERE …`. Unsupported
+    * shapes THROW (no local fallback exists for remote DML). */
+  def updateRemote(spark: SparkSession, remoteRef: String,
+      executor: SqlExecutor,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
+    val rel = RemoteRelation(RemoteTableRef.parse(remoteRef), executor)
+    val df = GraftShims.ofRows(spark, rel)
+    val unparser = new graft.federation.sql.SqlUnparser(executor.dialect)
+    val scope = rel.output.map(a => a.exprId ->
+      executor.dialect.quoteIfNeeded(a.name)).toMap
+    val setSql = sets.map { case (target, value) =>
+      val tgt = rel.output.find(_.name == target).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown UPDATE target column '$target' on ${rel.ref}"))
+      val v = stripAliases(df.select(value).queryExecution.analyzed) match {
+        case Project(Seq(item), _) => item match {
+          case Alias(c, _) => c
+          case a => a
+        }
+        case other => throw new IllegalArgumentException(
+          s"unexpected SET value shape: ${other.nodeName}")
+      }
+      checkDmlExpr(v, "UPDATE")
+      s"${executor.dialect.quoteIfNeeded(tgt.name)} = " +
+        unparser.render(v, scope)
+    }.mkString(", ")
+    executor.updateWhere(rel.ref, setSql,
+      renderDmlPredicate(spark, rel, executor, cond))
+  }
+
+  private def stripAliases(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+    case org.apache.spark.sql.catalyst.plans.logical
+      .SubqueryAlias(_, c) => stripAliases(c)
+    case other => other
+  }
+
+  private def checkDmlExpr(
+      c: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Unit = {
+    require(c.deterministic, s"non-deterministic $what expression: $c")
+    require(!c.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      s"subqueries are not supported in a pushed $what: $c")
+  }
+
+  /** Resolve `cond` against the remote table and render it as a bare
+    * WHERE predicate in the executor's dialect (shared by DELETE and
+    * UPDATE — standard DML statements have no alias scope). */
+  private def renderDmlPredicate(spark: SparkSession, rel: RemoteRelation,
+      executor: SqlExecutor,
+      cond: org.apache.spark.sql.Column): String = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val analyzed = GraftShims.ofRows(spark, rel).filter(cond)
+      .queryExecution.analyzed
+    stripAliases(analyzed) match {
+      case Filter(c, child) =>
+        stripAliases(child) match {
+          case _: RemoteRelation => ()
+          case other => throw new IllegalArgumentException(
+            s"DML predicate must sit directly over the remote table, " +
+              s"got: ${other.nodeName}")
+        }
+        checkDmlExpr(c, "DML predicate")
+        val scope = rel.output.map(a => a.exprId ->
+          executor.dialect.quoteIfNeeded(a.name)).toMap
+        new graft.federation.sql.SqlUnparser(executor.dialect)
+          .render(c, scope)
+      case other => throw new IllegalArgumentException(
+        s"expected Filter over the remote table, got: ${other.nodeName}")
+    }
+  }
+
   /** Register the union of several executors' catalogs into one namespace,
     * first executor listing a name wins — the reference's
     * `MultiSchemaProvider` chaining (src/sql/schema.rs:110-143). */

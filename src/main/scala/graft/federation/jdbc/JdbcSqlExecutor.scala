@@ -203,6 +203,28 @@ final class JdbcSqlExecutor(
     true
   }
 
+  /** Predicate DELETE, executed where the data lives: one statement, an
+    * update count back — no row ever crosses the wire. The statement is
+    * recorded in [[dmlLog]] so tests can assert no row stream was built. */
+  override def deleteWhere(ref: RemoteTableRef, whereSql: String): Long =
+    runDml(s"DELETE FROM ${ref.sql(dialect)} WHERE $whereSql")
+
+  /** Predicate UPDATE — same one-statement contract as [[deleteWhere]]. */
+  override def updateWhere(ref: RemoteTableRef, setSql: String,
+      whereSql: String): Long =
+    runDml(s"UPDATE ${ref.sql(dialect)} SET $setSql WHERE $whereSql")
+
+  private def runDml(sql: String): Long = {
+    dmlLog.synchronized { dmlLog += sql }
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      val n = st.executeUpdate(sql).toLong
+      st.close()
+      n
+    } finally conn.close()
+  }
+
   private def probe(fromSql: String, schema: StructType): Option[Statistics] = {
     val strCols = schema.fields.filter(_.dataType == StringType)
     val sums = strCols.map(f =>

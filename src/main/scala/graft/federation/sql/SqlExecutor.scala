@@ -73,6 +73,25 @@ trait SqlExecutor {
     * streaming the rows through [[insertInto]]). */
   def insertFromQuery(ref: RemoteTableRef, selectSql: String): Boolean = false
 
+  /** Optional DML path: delete the remote table's rows matching an
+    * already-rendered predicate — ships as ONE `DELETE FROM t WHERE …`
+    * executed where the data lives (the DML sibling of
+    * [[insertFromQuery]]; beyond the read-mostly reference). Returns the
+    * engine-reported affected-row count. There is no local fallback for
+    * remote DML, so executors without a delete path throw. */
+  def deleteWhere(ref: RemoteTableRef, whereSql: String): Long =
+    throw new UnsupportedOperationException(
+      s"remote [$name] has no delete path")
+
+  /** Optional DML path: `UPDATE t SET <setSql> WHERE <whereSql>` executed
+    * where the data lives (the third DML leg next to [[insertFromQuery]]
+    * and [[deleteWhere]]). Both clauses arrive pre-rendered in this
+    * engine's dialect. Returns the affected-row count. */
+  def updateWhere(ref: RemoteTableRef, setSql: String,
+      whereSql: String): Long =
+    throw new UnsupportedOperationException(
+      s"remote [$name] has no update path")
+
   /** Optional hook: rewrite the generated SQL string just before execution
     * (reference `sql_query_rewriter`, src/sql/table.rs:33-45). */
   def sqlRewriter: String => String = identity

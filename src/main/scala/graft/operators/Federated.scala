@@ -625,6 +625,73 @@ object Federated {
       |  MAX(s_acctbal) AS max_bal
       |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Predicate DELETE pushdown (beyond the read-mostly reference): the
+    * condition unparses in Derby's dialect and ships as ONE
+    * `DELETE FROM t WHERE …` executed where the data lives — zero rows on
+    * the wire in either direction, where a read-modify-rewrite would
+    * stream the whole table out and back. The gate populates a live Derby
+    * table from `nation`, deletes `r_key >= 3 OR name LIKE '%IA'`
+    * remotely, and reads the survivors back; the oracle derives the same
+    * survivor set from the source table. */
+  def jdbcDelete(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.jdbc.JdbcHarness.executor(s, dir)
+    graft.federation.jdbc.JdbcHarness.resetWriteTarget(s, dir, "nation_trim",
+      """"n_key" BIGINT, "name" VARCHAR(32), "r_key" BIGINT""")
+    val rows = graft.sources.Tables.table(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("n_key"),
+      col("n_name").as("name"),
+      col("n_regionkey").cast("long").as("r_key"))
+    ex.insertInto(
+      graft.federation.sql.RemoteTableRef.parse("nation_trim"), rows)
+    graft.federation.Federation.deleteFromRemote(s, "nation_trim", ex,
+      col("r_key") >= 3 || col("name").like("%IA"))
+    graft.federation.Federation.remoteDataFrame(s, "nation_trim", ex)
+      .orderBy(col("n_key"))
+  }
+
+  val jdbcDeleteOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_key, n_name AS name,
+      |  CAST(n_regionkey AS BIGINT) AS r_key
+      |FROM nation
+      |WHERE NOT (n_regionkey >= 3 OR n_name LIKE '%IA')
+      |ORDER BY n_key""".stripMargin
+
+  /** Predicate UPDATE pushdown — the third DML leg: SET expressions and
+    * the WHERE predicate both unparse into ONE remote
+    * `UPDATE t SET … WHERE …`; the engine computes the new values from
+    * its own rows (`r_key = r_key + 100`), nothing crosses the wire but
+    * the statement and a count. */
+  def jdbcUpdate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.jdbc.JdbcHarness.executor(s, dir)
+    graft.federation.jdbc.JdbcHarness.resetWriteTarget(s, dir, "nation_adj",
+      """"n_key" BIGINT, "name" VARCHAR(40), "r_key" BIGINT""")
+    val rows = graft.sources.Tables.table(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("n_key"),
+      col("n_name").as("name"),
+      col("n_regionkey").cast("long").as("r_key"))
+    ex.insertInto(
+      graft.federation.sql.RemoteTableRef.parse("nation_adj"), rows)
+    graft.federation.Federation.updateRemote(s, "nation_adj", ex,
+      Seq("r_key" -> (col("r_key") + 100L),
+        "name" -> concat(col("name"), lit("_X"))),
+      col("name").like("%IA"))
+    graft.federation.Federation.remoteDataFrame(s, "nation_adj", ex)
+      .orderBy(col("n_key"))
+  }
+
+  val jdbcUpdateOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_key,
+      |  CASE WHEN n_name LIKE '%IA' THEN n_name || '_X' ELSE n_name END
+      |    AS name,
+      |  CAST(CASE WHEN n_name LIKE '%IA' THEN n_regionkey + 100
+      |    ELSE n_regionkey END AS BIGINT) AS r_key
+      |FROM nation
+      |ORDER BY n_key""".stripMargin
+
   /** Window functions federate: rank + windowed count inside the fragment
     * (reference analyzer.rs:410-447 window coverage). */
   def windowPushdown(s: SparkSession, dir: String): DataFrame =

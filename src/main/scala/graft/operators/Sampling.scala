@@ -203,4 +203,175 @@ object Sampling {
         |       WHEN CAST('0x'||substr(md5(CAST(component AS VARCHAR)),1,14) AS BIGINT) % 100 < 95 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM lab ORDER BY doc_id""".stripMargin)
+
+  // ------------------------------- DSIR data selection (importance weights)
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by how much more likely
+    * its hashed-bigram features are under the TARGET domain's distribution
+    * than under the raw pool's, then keep the highest-scoring fraction.
+    * The published method estimates log(p_target(f)/p_raw(f)) over hashed
+    * n-gram features; this implementation keeps the whole computation in
+    * engine-exact integer arithmetic (the [[graft.operators.TextOps.lmScore]]
+    * kernel family):
+    *
+    *  - feature = portable-MD5 of the bigram text mod `buckets` (the
+    *    hashed feature space of the paper, default 256);
+    *  - per-bucket surprisal under distribution x:
+    *    `bits_x(b) = floor(log2((T_x + buckets) DIV (c_x(b) + 1)))` via
+    *    `length(bin(..)) - 1` — add-one-smoothed, positive, portable;
+    *  - doc score = mean over its bigrams of
+    *    `bits_raw(b) - bits_target(b) + 64` in ppm (the +64 shift keeps
+    *    the dividend nonnegative: Spark's `DIV` truncates while DuckDB's
+    *    `//` floors, so a negative mean would diverge between engines;
+    *    the shift is monotone and cancels in ranking).
+    *
+    * Scale shape: the model is ≤ `buckets` rows built by ONE map-side
+    * combined aggregate over the bigram stream and broadcast back; scoring
+    * is a broadcast join + per-doc aggregate (one shuffle on doc_id). No
+    * all-pairs work anywhere. */
+  private val dsirCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String, Int), DataFrame]
+
+  /** Release the persisted DSIR score table for one corpus/target (the
+    * [[graft.operators.Dedup.releaseSignatures]] contract — next call
+    * transparently rebuilds). */
+  def releaseDsir(s: SparkSession, dir: String): Unit =
+    dsirCache.keys.toSeq
+      .filter(k => k._1 == System.identityHashCode(s) && k._2 == dir)
+      .foreach(k => dsirCache.remove(k).foreach(_.unpersist(blocking = false)))
+
+  /** Release every cached DSIR score table (end-of-run cleanup). */
+  def releaseAllDsir(): Unit =
+    dsirCache.keys.toSeq.foreach(k =>
+      dsirCache.remove(k).foreach(_.unpersist(blocking = false)))
+
+  def dsirScore(s: SparkSession, dir: String,
+      targetSource: String = "src0", buckets: Int = 256): DataFrame =
+    dsirCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir, targetSource, buckets), {
+        val toks = documents(s, dir).select(col("doc_id"), col("source"),
+          filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
+        val grams = toks.select(col("doc_id"), col("source"),
+          explode(zip_with(
+            slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+            slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+            (a, b) => concat_ws(" ", a, b))).as("g"))
+          .select(col("doc_id"), col("source"),
+            (conv(substring(md5(col("g")), 1, 14), 16, 10).cast("long")
+              % buckets).as("b"))
+        // raw and target counts in ONE map-side-combined pass (pass 1 of
+        // the two-pass DSIR shape: learn the model, then score)
+        val model = grams.groupBy(col("b")).agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("source") === targetSource, 1L).otherwise(0L))
+            .as("ct"))
+        val tot = model.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+        val bits = model.crossJoin(broadcast(tot)).select(col("b"),
+          (length(bin(expr(s"(tr + $buckets) DIV (cr + 1)"))) - 1)
+            .as("bits_raw"),
+          (length(bin(expr(s"(tt + $buckets) DIV (ct + 1)"))) - 1)
+            .as("bits_tgt"))
+        // every gram's bucket exists in the model by construction → inner
+        // join; the result is the persisted STAGING TABLE of the selection
+        // step (narrow: three numeric columns per doc) — [[dsirSelect]]
+        // reads it twice (histogram + tie-rank) and the gram scoring must
+        // not re-run per consumer
+        grams.join(broadcast(bits), Seq("b"))
+          .groupBy(col("doc_id")).agg(
+            count(lit(1)).cast("int").as("n_grams"),
+            sum(col("bits_raw") - col("bits_tgt") + 64).as("shift_sum"))
+          .select(col("doc_id"), col("n_grams"),
+            expr("shift_sum * 1000000L DIV n_grams").as("score_shift_ppm"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
+  /** DSIR selection: keep the top `keepPpm` fraction of scorable docs by
+    * (score desc, doc_id) — the deterministic analog of the paper's
+    * Gumbel-top-k resampling step (reproducible across engines and runs,
+    * the property every other selector here guarantees).
+    *
+    * The global top-k is computed WITHOUT a global sort: a doc is selected
+    * iff (docs with strictly higher score) + (its doc_id rank within its
+    * own score) ≤ quota. The strict-above counts come from a window over
+    * the score HISTOGRAM (≤ distinct-integer-scores rows — bounded far
+    * below N); the within-score rank is a window partitioned BY score, so
+    * the only unpartitioned pass touches the tiny histogram. Docs with no
+    * bigrams are unscorable → kept with NULL score, selected = false. */
+  def dsirSelect(s: SparkSession, dir: String,
+      targetSource: String = "src0", buckets: Int = 256,
+      keepPpm: Long = 250000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = dsirScore(s, dir, targetSource, buckets)
+    val hist = sc.groupBy(col("score_shift_ppm")).agg(count(lit(1)).as("cnt"))
+    val above = hist
+      .withColumn("cum_above",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("score_shift_ppm").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("score_shift_ppm"), col("cum_above"))
+    val quota = sc.agg(
+      expr(s"count(1) * ${keepPpm}L DIV 1000000L").as("quota"))
+    val tie = Window.partitionBy(col("score_shift_ppm")).orderBy(col("doc_id"))
+    val flagged = sc.join(broadcast(above), Seq("score_shift_ppm"))
+      .crossJoin(broadcast(quota))
+      .withColumn("rn_tie", row_number().over(tie))
+      .select(col("doc_id"), col("n_grams"), col("score_shift_ppm"),
+        (col("cum_above") + col("rn_tie") <= col("quota")).as("selected"))
+    documents(s, dir).select(col("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0)).as("n_grams"),
+        col("score_shift_ppm"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mirror of [[dsirSelect]]: same hashed-bigram model, surprisal bits,
+    * and top-fraction rule; the oracle may use the simple global
+    * ROW_NUMBER since it never runs at scale — strict-above + tie-rank
+    * equals the global (score desc, doc_id) rank by construction. */
+  def dsirSelectOracle(targetSource: String = "src0", buckets: Int = 256,
+      keepPpm: Long = 250000L): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    [x FOR x IN string_split_regex(lower(text), '\\s+') IF x <> ''] AS t
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, source,
+       |    CAST('0x'||substr(md5(t[i] || ' ' || t[i + 1]),1,14) AS BIGINT)
+       |      % $buckets AS b
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+       |  WHERE len(t) >= 2
+       |), raw AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM g GROUP BY b
+       |), tgt AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM g
+       |  WHERE source = '$targetSource' GROUP BY b
+       |), tot AS (
+       |  SELECT CAST(SUM(cr) AS BIGINT) AS tr,
+       |    CAST((SELECT COALESCE(SUM(ct), 0) FROM tgt) AS BIGINT) AS tt
+       |  FROM raw
+       |), model AS (
+       |  SELECT r.b,
+       |    length(bin((t2.tr + $buckets) // (r.cr + 1))) - 1 AS bits_raw,
+       |    length(bin((t2.tt + $buckets) // (COALESCE(tg.ct, 0) + 1))) - 1
+       |      AS bits_tgt
+       |  FROM raw r LEFT JOIN tgt tg USING (b) CROSS JOIN tot t2
+       |), sc AS (
+       |  SELECT g.doc_id, CAST(COUNT(*) AS INTEGER) AS n_grams,
+       |    CAST(SUM(bits_raw - bits_tgt + 64) * 1000000 // COUNT(*)
+       |      AS BIGINT) AS score_shift_ppm
+       |  FROM g JOIN model USING (b) GROUP BY g.doc_id
+       |), ranked AS (
+       |  SELECT doc_id, n_grams, score_shift_ppm,
+       |    ROW_NUMBER() OVER (ORDER BY score_shift_ppm DESC, doc_id) AS rnk,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sc) AS ns
+       |  FROM sc
+       |)
+       |SELECT d.doc_id, COALESCE(r.n_grams, 0) AS n_grams,
+       |  r.score_shift_ppm,
+       |  COALESCE(r.rnk <= r.ns * $keepPpm // 1000000, FALSE) AS selected
+       |FROM documents d LEFT JOIN ranked r USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -1222,4 +1222,135 @@ object TextOps {
       |  CAST(COUNT(*) AS BIGINT) AS n_windows
       |FROM grp GROUP BY doc_id, island
       |ORDER BY doc_id, span_id""".stripMargin
+
+  // ------------------------------------- Gopher-style quality rule filter
+
+  /** The required-word rule's published English list (Gopher, Rae et al.
+    * 2021, arXiv:2112.11446 §A1.1): a document must contain at least two
+    * of these to count as running English prose. */
+  val gopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher's rule-based document filter (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1, Table A1; the same rule family underpins RefinedWeb and Dolma):
+    * seven per-document structural rules —
+    *
+    *   1. word count within [minWords, maxWords];
+    *   2. mean word length within [3, 10] characters;
+    *   3. symbol-to-word ratio (`#` or `...`) ≤ 1/10;
+    *   4. ≤ 10% of lines start with a bullet (`-`, `*`, `•`);
+    *   5. ≤ 30% of lines end with an ellipsis;
+    *   6. ≥ 80% of words contain an alphabetic character;
+    *   7. at least two distinct words from a required word list.
+    *
+    * Every rule is a pure in-row array/regexp expression over the token and
+    * line arrays — ratio comparisons are cross-multiplied integers (never an
+    * IEEE division), so each boolean is engine-exact and the whole report is
+    * ONE narrow scan-projection with no shuffle before the output sort. At
+    * 100 TB this is the shape you want: the filter runs inside the scan's
+    * WholeStageCodegen span and feeds the kept subset straight downstream.
+    *
+    * `requiredWords` defaults to the published English list; the gate passes
+    * a corpus-adapted list because the synthetic fixture's token soup
+    * contains only "the" from the published set (rule 7 would be constant).
+    */
+  def gopherRules(s: SparkSession, dir: String,
+      minWords: Int = 30, maxWords: Int = 90,
+      requiredWords: Seq[String] = gopherRequiredWords): DataFrame =
+    gopherRulesOf(documents(s, dir), minWords, maxWords, requiredWords)
+
+  /** [[gopherRules]] over an explicit (doc_id, source, text) frame — the
+    * spec plants bullet/ellipsis/symbol-heavy docs the fixture lacks. */
+  def gopherRulesOf(docs: DataFrame,
+      minWords: Int = 30, maxWords: Int = 90,
+      requiredWords: Seq[String] = gopherRequiredWords): DataFrame =
+    gopherRulesFrame(docs, minWords, maxWords, requiredWords)
+      .orderBy(col("doc_id"))
+
+  /** The sort-free rule projection — stateless and entirely in-row, so it
+    * applies unchanged to a STREAMING frame ([[
+    * graft.streaming.StreamOps.gopherFilterStream]]); batch callers add
+    * the output sort. */
+  def gopherRulesFrame(docs: DataFrame,
+      minWords: Int = 30, maxWords: Int = 90,
+      requiredWords: Seq[String] = gopherRequiredWords): DataFrame = {
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val m = docs.select(
+      col("doc_id"), col("source"), col("text"), toks.as("t"),
+      split(col("text"), "\n").as("ls"))
+    m.select(
+      col("doc_id"), col("source"),
+      size(col("t")).as("n_words"),
+      aggregate(col("t"), lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+      size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+        .as("n_symbols"),
+      size(col("ls")).as("n_lines"),
+      size(filter(col("ls"), l => l.startsWith("-") || l.startsWith("*") ||
+        l.startsWith("•"))).as("n_bullet"),
+      size(filter(col("ls"), l => l.endsWith("..."))).as("n_ellipsis"),
+      size(filter(col("t"), w => w.rlike("[A-Za-z]"))).as("n_alpha_words"),
+      size(array_intersect(array_distinct(col("t")),
+        lit(requiredWords.toArray))).as("n_required"))
+      .select(
+        col("doc_id"), col("source"), col("n_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("r_word_count"),
+        (col("sum_len") >= col("n_words") * 3 &&
+          col("sum_len") <= col("n_words") * 10).as("r_mean_word_len"),
+        (col("n_symbols") * 10 <= col("n_words")).as("r_symbol_ratio"),
+        (col("n_bullet") * 10 <= col("n_lines")).as("r_bullet_lines"),
+        (col("n_ellipsis") * 10 <= col("n_lines") * 3).as("r_ellipsis_lines"),
+        (col("n_alpha_words") * 10 >= col("n_words") * 8).as("r_alpha_words"),
+        (col("n_required") >= 2).as("r_required_words"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_required_words"))
+  }
+
+  /** Mirror of [[gopherRules]] with the gate's corpus-adapted required list
+    * (see `SparkEntry`). */
+  def gopherRulesOracle(minWords: Int, maxWords: Int,
+      requiredWords: Seq[String]): String = {
+    val req = requiredWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id, source, text,
+       |    [x FOR x IN string_split_regex(TRIM(text), '\\s+') IF x <> ''] AS t,
+       |    string_split(text, chr(10)) AS ls
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(t) AS INTEGER) AS n_words,
+       |    CAST(COALESCE(list_sum([length(x) FOR x IN t]), 0) AS BIGINT)
+       |      AS sum_len,
+       |    len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+       |    len(ls) AS n_lines,
+       |    len([l FOR l IN ls IF starts_with(l, '-') OR starts_with(l, '*')
+       |      OR starts_with(l, '•')]) AS n_bullet,
+       |    len([l FOR l IN ls IF ends_with(l, '...')]) AS n_ellipsis,
+       |    len([w FOR w IN t IF regexp_matches(w, '[A-Za-z]')])
+       |      AS n_alpha_words,
+       |    len(list_intersect(list_distinct(t), [$req])) AS n_required
+       |  FROM m
+       |)
+       |SELECT doc_id, source, n_words,
+       |  n_words >= $minWords AND n_words <= $maxWords AS r_word_count,
+       |  sum_len >= n_words * 3 AND sum_len <= n_words * 10
+       |    AS r_mean_word_len,
+       |  n_symbols * 10 <= n_words AS r_symbol_ratio,
+       |  n_bullet * 10 <= n_lines AS r_bullet_lines,
+       |  n_ellipsis * 10 <= n_lines * 3 AS r_ellipsis_lines,
+       |  n_alpha_words * 10 >= n_words * 8 AS r_alpha_words,
+       |  n_required >= 2 AS r_required_words,
+       |  (n_words >= $minWords AND n_words <= $maxWords)
+       |    AND (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+       |    AND (n_symbols * 10 <= n_words)
+       |    AND (n_bullet * 10 <= n_lines)
+       |    AND (n_ellipsis * 10 <= n_lines * 3)
+       |    AND (n_alpha_words * 10 >= n_words * 8)
+       |    AND (n_required >= 2) AS keep
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+  }
 }

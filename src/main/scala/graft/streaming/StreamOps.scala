@@ -271,6 +271,44 @@ object StreamOps {
       name: String = "stream_quality_out"): DataFrame =
     runStream(spark, qualityFilterStream(spark, dir), "complete", name)
 
+  /** In-flight Gopher rule filtering ([[
+    * graft.operators.TextOps.gopherRules]] on arriving documents): the
+    * seven structural rules are a stateless in-row projection — zero
+    * stream-side shuffle, no per-doc state — so the exact same rule frame
+    * the batch screen uses applies unchanged to the stream; the only
+    * stateful operator is the one-row-per-source kept rollup. */
+  def gopherFilterStream(spark: SparkSession, dir: String,
+      requiredWords: Seq[String]): DataFrame = {
+    val schema = Tables.documents(spark, dir).schema
+    val docs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    graft.operators.TextOps
+      .gopherRulesFrame(docs, requiredWords = requiredWords)
+      .filter(col("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_words").cast("long")).as("kept_words"))
+  }
+
+  def runGopherFilterToMemory(spark: SparkSession, dir: String,
+      requiredWords: Seq[String],
+      name: String = "stream_gopher_out"): DataFrame =
+    runStream(spark, gopherFilterStream(spark, dir, requiredWords),
+      "complete", name)
+
+  /** Batch recompute of the stream rollup: the per-doc rule table
+    * ([[graft.operators.TextOps.gopherRulesOracle]]) filtered to kept
+    * docs and rolled up per source. */
+  def gopherFilterOracle(requiredWords: Seq[String]): String =
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |  CAST(SUM(n_words) AS BIGINT) AS kept_words
+       |FROM (${graft.operators.TextOps
+            .gopherRulesOracle(30, 90, requiredWords)
+            .stripSuffix("ORDER BY doc_id")}) g
+       |WHERE keep GROUP BY source ORDER BY source""".stripMargin
+
   /** Stream-static join: arriving events join the BATCH-computed IQR
     * fence table ([[graft.operators.EventOps.iqrFences]]) to tag outliers
     * in flight — the standard "enrich a stream against a reference table"

@@ -309,6 +309,93 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "local source must fall back to the batched insertInto path")
   }
 
+  test("delete pushdown: ONE remote DELETE statement, count back, no row stream") {
+    Federation.install(spark)
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      """CREATE TABLE prune_emp (e_id INT NOT NULL, e_name VARCHAR(32),
+        |  sal DOUBLE)""".stripMargin.replace("\n", " "))
+    conn.createStatement().executeUpdate(
+      """INSERT INTO prune_emp VALUES (1, 'ada', 120.5), (2, 'bob', 95.0),
+        |  (3, 'cyd', 80.25), (4, 'dee', NULL), (5, 'eli', 60.0)"""
+        .stripMargin.replace("\n", " "))
+    conn.close()
+    val ex = executor
+    val before = ex.dmlLog.size
+    import org.apache.spark.sql.functions.col
+    val n = Federation.deleteFromRemote(spark, "PRUNE_EMP", ex,
+      col("SAL") < 90.0 || col("E_NAME").like("%ob"))
+    // rows 2 (like), 3 and 5 (< 90) deleted; NULL sal row 4 SURVIVES —
+    // SQL DELETE removes only WHERE=TRUE rows, same as Spark's filter
+    assert(n == 3, s"affected count $n")
+    val dml = ex.dmlLog.drop(before)
+    assert(dml.size == 1 && dml.head.startsWith("DELETE FROM") &&
+      dml.head.contains("WHERE"), s"unexpected DML:\n${dml.mkString("\n")}")
+    Federation.registerRemoteTable(spark, "w_prune_emp", "PRUNE_EMP", ex)
+    val back = spark.sql(
+      "SELECT e_id FROM w_prune_emp ORDER BY e_id").collect().map(_.getInt(0))
+    assert(back.toSeq == Seq(1, 4), back.mkString(","))
+    // refusals: non-deterministic and subquery predicates throw — remote
+    // DML has no local fallback, a quiet wrong path would be a trap
+    intercept[IllegalArgumentException] {
+      Federation.deleteFromRemote(spark, "PRUNE_EMP", ex,
+        org.apache.spark.sql.functions.rand() < 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      spark.range(3).createOrReplaceTempView("del_ids")
+      Federation.deleteFromRemote(spark, "PRUNE_EMP", ex,
+        org.apache.spark.sql.functions
+          .expr("E_ID IN (SELECT id FROM del_ids)"))
+    }
+    // a read-only executor has no delete path
+    intercept[UnsupportedOperationException] {
+      new graft.federation.sql.SparkSqlExecutor(
+        "rod", spark.newSession(), Map.empty, context = "ro")
+        .deleteWhere(graft.federation.sql.RemoteTableRef.parse("x"), "1=0")
+    }
+  }
+
+  test("update pushdown: SET expressions compute remotely, ONE statement") {
+    Federation.install(spark)
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      """CREATE TABLE adj_emp (a_id INT NOT NULL, a_name VARCHAR(40),
+        |  sal DOUBLE)""".stripMargin.replace("\n", " "))
+    conn.createStatement().executeUpdate(
+      """INSERT INTO adj_emp VALUES (1, 'ada', 100.0), (2, 'bob', 90.0),
+        |  (3, 'cyd', NULL)""".stripMargin.replace("\n", " "))
+    conn.close()
+    val ex = executor
+    val before = ex.dmlLog.size
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // the new value is computed FROM the row's own columns, remotely
+    val n = Federation.updateRemote(spark, "ADJ_EMP", ex,
+      Seq("SAL" -> (col("SAL") * 2.0),
+        "A_NAME" -> concat(col("A_NAME"), lit("!"))),
+      col("A_ID") <= 2)
+    assert(n == 2, s"affected count $n")
+    val dml = ex.dmlLog.drop(before)
+    assert(dml.size == 1 && dml.head.startsWith("UPDATE") &&
+      dml.head.contains("SET") && dml.head.contains("WHERE"),
+      s"unexpected DML:\n${dml.mkString("\n")}")
+    Federation.registerRemoteTable(spark, "w_adj_emp", "ADJ_EMP", ex)
+    val back = spark.sql(
+      "SELECT a_id, a_name, sal FROM w_adj_emp ORDER BY a_id").collect()
+    assert(back.map(_.toString).toSeq ==
+      Seq("[1,ada!,200.0]", "[2,bob!,180.0]", "[3,cyd,null]"),
+      back.mkString(","))
+    // unknown target column and nondeterministic SET value both refuse
+    intercept[IllegalArgumentException] {
+      Federation.updateRemote(spark, "ADJ_EMP", ex,
+        Seq("NOPE" -> lit(1)), col("A_ID") === 1)
+    }
+    intercept[IllegalArgumentException] {
+      Federation.updateRemote(spark, "ADJ_EMP", ex,
+        Seq("SAL" -> org.apache.spark.sql.functions.rand()),
+        col("A_ID") === 1)
+    }
+  }
+
   test("scan metrics: fetch time, bytes, and wire-format coercion are measured") {
     Federation.install(spark)
     spark.conf.set("spark.sql.adaptive.enabled", "false") // keep the scan reachable via collect

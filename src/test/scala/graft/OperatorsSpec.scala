@@ -1236,4 +1236,88 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dist = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
     assert(dist.getOrElse("train", 0) > rows.length / 2, dist.toString)
   }
+
+  test("DSIR: target-domain docs outscore off-domain, quota selects by (score, id)") {
+    import spark.implicits._
+    // target domain speaks {a,b}; off-domain speaks {x,y}. Buckets of the
+    // five distinct bigrams are collision-free under md5 % 256 (checked).
+    val tmp = java.nio.file.Files.createTempDirectory("dsir").toString
+    Seq(
+      (0L, "a b a b a b", "en", "tgt", 11L),   // the target slice itself
+      (1L, "a b a b", "en", "pool", 7L),       // pure target-like
+      (2L, "x y x y", "en", "pool", 7L),       // pure off-domain
+      (3L, "z", "en", "pool", 1L),             // unscorable (no bigram)
+      (4L, "a b x y", "en", "pool", 7L))       // mixed
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = operators.Sampling
+      .dsirSelect(spark, tmp, targetSource = "tgt", keepPpm = 500000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getBoolean(3)))).toMap
+    // docs 0 and 1 carry only target bigrams → the two top scores (their
+    // means differ slightly: different ab/ba multiplicity mixes)
+    // ordering: target-like > mixed > off-domain
+    assert(got(0L)._2.get > got(4L)._2.get, s"${got(0L)} vs ${got(4L)}")
+    assert(got(1L)._2.get > got(4L)._2.get, s"${got(1L)} vs ${got(4L)}")
+    assert(got(4L)._2.get > got(2L)._2.get, s"${got(4L)} vs ${got(2L)}")
+    // unscorable doc: zero grams, NULL score, never selected
+    assert(got(3L) == ((0, None, false)), got(3L).toString)
+    // quota = floor(4 scorable * 0.5) = 2 → the tied top pair wins by id
+    assert(got.filter(_._2._3).keySet == Set(0L, 1L),
+      got.mkString(", "))
+  }
+
+  test("gopher rules: each rule trips on exactly its planted violation") {
+    import spark.implicits._
+    // The parquet fixture has no newlines/symbols/numeric tokens, so the
+    // line/symbol/alpha rules are exercised here on planted docs.
+    val docs = Seq(
+      // 0: clean prose — every rule passes (words 8, mean len in [3,10])
+      (0L, "the cat sat with the small grey dog", "clean"),
+      // 1: bullet-heavy — 3 of 4 lines start with a bullet (> 10%)
+      (1L, "- one item here\n- two item here\n* three item here\nplain tail line the cat", "bullet"),
+      // 2: ellipsis-heavy — 2 of 3 lines end with '...' (> 30%)
+      (2L, "to be continued...\nmore coming soon...\nthe plain cat line", "ellipsis"),
+      // 3: symbol-heavy — 4 symbols over 6 words (> 1/10)
+      (3L, "# # heading # mark # the cat sat", "symbol"),
+      // 4: numeric soup — 2 alpha words of 7 (< 80%)
+      (4L, "1 2 3 4 5 the cat", "numeric"),
+      // 5: single-char tokens — mean word length 1 (< 3)
+      (5L, "a b c d e f g h", "shortwords"),
+      // 6: oversized words — mean word length > 10
+      (6L, "extraordinarily incomprehensible uncharacteristically demonstrations", "longwords"),
+      // 7: too short — word count below the minimum
+      (7L, "the cat", "short"),
+      // 8: no required words at all
+      (8L, "big red fox runs over nine lazy dogs", "norequired"))
+      .toDF("doc_id", "text", "source")
+    val got = operators.TextOps
+      .gopherRulesOf(docs, minWords = 4, maxWords = 50,
+        requiredWords = Seq("the", "cat", "with", "sat"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def rules(id: Long): Seq[Boolean] =
+      (3 to 9).map(i => got(id).getBoolean(i))
+    val names = Seq("word_count", "mean_word_len", "symbol_ratio",
+      "bullet_lines", "ellipsis_lines", "alpha_words", "required_words")
+    // doc 0 passes everything, incl. the aggregate keep column
+    assert(rules(0L).forall(identity) && got(0L).getBoolean(10))
+    // every planted violation trips EXACTLY its own rule
+    val expectFail = Map(1L -> "bullet_lines", 2L -> "ellipsis_lines",
+      3L -> "symbol_ratio", 4L -> "alpha_words", 5L -> "mean_word_len",
+      6L -> "mean_word_len", 7L -> "word_count", 8L -> "required_words")
+    for ((id, rule) <- expectFail) {
+      val failed = names.zip(rules(id)).filterNot(_._2).map(_._1)
+      // short docs legitimately co-trip word_count/required thresholds
+      assert(failed.contains(rule), s"doc $id: expected $rule among $failed")
+      assert(!got(id).getBoolean(10), s"doc $id keep should be false")
+    }
+    // doc 6's long words also violate ONLY mean_word_len besides count
+    assert(names.zip(rules(6L)).filterNot(_._2).map(_._1)
+      .forall(Set("mean_word_len", "required_words")))
+    // every rule column sees both outcomes across the planted set
+    for (i <- 3 to 9)
+      assert(got.values.map(_.getBoolean(i)).toSet.size == 2,
+        s"rule column $i never exercised both ways")
+  }
 }

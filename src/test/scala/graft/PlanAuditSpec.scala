@@ -326,6 +326,43 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("gopher rules: one in-row scan projection, no joins or hash shuffles") {
+    val df = SparkEntry.queries("text_gopher_rules")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    // every rule is an array/regexp expression inside the row: the whole
+    // report is scan → project → output sort. Any join or aggregate here
+    // means a rule stopped being in-row.
+    assert(count(p, "Join") == 0, p)
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    fileScans(p).foreach { scan =>
+      assert(!scan.contains("lang") && !scan.contains("n_chars"),
+        s"lang/n_chars must be pruned: $scan")
+    }
+  }
+
+  test("dsir: model joins broadcast, no cartesian beyond the 1-row totals") {
+    val df = SparkEntry.queries("samp_dsir")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    // the ≤256-row model and 1-row quota broadcast back onto the gram
+    // stream; the heavy gram-scoring pass materializes ONCE as the
+    // persisted staging table and its three consumers (histogram, quota,
+    // tie-rank) read the cache instead of re-running the scoring. The
+    // final documents←scores restore join is corpus×corpus and may
+    // legitimately shuffle. (String counts like BNLJ are inflated by the
+    // embedded cached-relation definition, so assert the cache reads.)
+    assert(count(p, "CartesianProduct") == 0, p)
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"model/hist joins must broadcast:\n$p")
+    assert(count(p, "InMemoryTableScan") >= 3,
+      s"score staging table not reused across consumers:\n$p")
+    fileScans(p).foreach { scan =>
+      assert(!scan.contains("lang") && !scan.contains("n_chars"),
+        s"lang/n_chars must be pruned: $scan")
+    }
+  }
+
   test("range join is an equi-join on (epoch, salt), never all-pairs") {
     // disable broadcast so the plan shown is the large-scale shape: with
     // broadcasting on, a small build side hides the nested-loop risk
