@@ -21,7 +21,7 @@ object SparkEntry {
   /** Corpus-adapted required-word list for the `text_gopher_rules` gate
     * (the published English list is constant-false on the synthetic token
     * soup — only "the" occurs; see [[TextOps.gopherRules]]). */
-  private val gopherGateWords = Seq("the", "a", "table", "value")
+  private val gopherGateWords = TextOps.gopherFixtureWords
 
   /** One entry per implemented operator from SURVEY.md §2 + the pipeline
     * operator families. */
@@ -64,6 +64,8 @@ object SparkEntry {
     "samp_mixture" -> ((s, d) => Sampling.mixture(s, d)),
     "samp_split_leakfree" -> ((s, d) => Sampling.leakFreeSplit(s, d)),
     "samp_dsir" -> ((s, d) => Sampling.dsirSelect(s, d)),
+    "dedup_priority" -> ((s, d) => Dedup.priorityKeep(s, d)),
+    "pipe_datasheet" -> ((s, d) => Pipeline.datasheet(s, d)),
     "text_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
     "text_cdc_dedup" -> ((s, d) => TextOps.cdcDedup(s, d)),
     "pipe_train_corpus" -> ((s, d) => Pipeline.trainCorpus(s, d)),
@@ -333,6 +335,8 @@ object SparkEntry {
     "fed_jdbc_ctas" -> Federated.jdbcCtasOracle,
     "fed_jdbc_delete" -> Federated.jdbcDeleteOracle,
     "fed_jdbc_update" -> Federated.jdbcUpdateOracle,
+    "dedup_priority" -> Dedup.priorityKeepOracle,
+    "pipe_datasheet" -> Pipeline.datasheetOracle,
     "fed_split_scan" -> Federated.splitScanOracle,
     "samp_hash_10pct" -> Sampling.hashSampleOracle,
     "samp_stats" -> Sampling.sampleStatsOracle,

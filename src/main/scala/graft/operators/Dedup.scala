@@ -633,6 +633,66 @@ object Dedup {
         |  n_members, total_tokens
         |FROM ranked WHERE rk = 1 ORDER BY component""".stripMargin
 
+  /** Best-source duplicate resolution: per near-dup cluster keep the
+    * member from the HIGHEST-priority source (ties → smallest doc_id) —
+    * the other standard keep policy next to [[canonicalOf]]'s
+    * longest-member rule: real pipelines prefer the curated copy (wiki >
+    * books > web) of a duplicated text over the longest crawl copy. The
+    * priority here is the source's numeric suffix (src0 best), standing
+    * in for the curated ranking a production run would supply.
+    *
+    * Same scale shape as canonical selection: the cached cluster label
+    * table joins the narrow (doc_id, source, rank) projection and the
+    * winner is ONE row_number window on `component` — a single hash
+    * exchange over two-long rows, the corpus text never re-read. */
+  def priorityKeep(s: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcs = documents(s, dir).select(col("doc_id"), col("source"),
+      regexp_extract(col("source"), "([0-9]+)$", 1).cast("int").as("rank"))
+    val w = Window.partitionBy(col("component"))
+    val wOrd = w.orderBy(col("rank").asc, col("doc_id").asc)
+    components(s, dir, threshold).select(col("doc_id"), col("component"))
+      .join(srcs, Seq("doc_id"))
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("doc_id").as("kept_id"),
+        col("source").as("kept_source"), col("rank").as("kept_rank"),
+        col("n_members"))
+      .orderBy(col("component"))
+  }
+
+  /** Recursive-CTE labels (the [[componentsOracle]] fixpoint) with the
+    * same source-rank window selection. */
+  val priorityKeepOracle: String =
+    sigsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """, edges AS (
+        |  SELECT a_id AS s, b_id AS t FROM scored WHERE est_jaccard >= 0.7
+        |  UNION ALL
+        |  SELECT b_id AS s, a_id AS t FROM scored WHERE est_jaccard >= 0.7
+        |), reach(doc_id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.t AS doc_id, r.comp FROM reach r JOIN edges e ON e.s = r.doc_id
+        |), lab AS (
+        |  SELECT doc_id, MIN(comp) AS component FROM reach GROUP BY doc_id
+        |), srcs AS (
+        |  SELECT doc_id, source,
+        |    CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) AS rank
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT l.component, l.doc_id, s.source, s.rank,
+        |    ROW_NUMBER() OVER (PARTITION BY l.component
+        |      ORDER BY s.rank, l.doc_id) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY l.component) AS BIGINT)
+        |      AS n_members
+        |  FROM lab l JOIN srcs s ON s.doc_id = l.doc_id
+        |)
+        |SELECT component, doc_id AS kept_id, source AS kept_source,
+        |  rank AS kept_rank, n_members
+        |FROM ranked WHERE rk = 1 ORDER BY component""".stripMargin
+
   /** Corpus-level dedup summary — a single-row report driving pipeline
     * decisions (and a stable smoke query at any SF). */
   def summary(s: SparkSession, dir: String): DataFrame = {

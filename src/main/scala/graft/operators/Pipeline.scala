@@ -281,4 +281,101 @@ object Pipeline {
         |  CAST(SUM(comp_tokens) AS BIGINT) AS total_tokens,
         |  CAST(MAX(n_docs) AS BIGINT) AS max_component_docs
         |FROM pc GROUP BY split ORDER BY split""".stripMargin)
+
+  /** The corpus DATASHEET — the per-source "data card" every released
+    * training corpus ships with, composed from four of the library's own
+    * stages as the fourth refactor-guard gate: token totals, language
+    * spread, near-dup exposure (docs in multi-member [[Dedup.components]]
+    * clusters), Gopher-rule pass rate, and mean LM surprisal vs the
+    * reference slice. No count-distinct anywhere: language spread comes
+    * from the (source, lang) → source two-level aggregate (the
+    * [[splitManifest]] pattern — no Expand in the plan), duplicate
+    * exposure reads the CACHED cluster label table, and the rule/LM
+    * columns ride the same per-doc join. Plan shape at scale: three
+    * corpus-keyed hash joins (narrow per-doc rows), two map-side-combined
+    * aggregates, the 1-row LM vocab broadcast — nothing driver-side. */
+  def datasheet(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val t = docs.select(col("doc_id"), col("source"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val dup = Dedup.components(s, dir)
+      .select(col("doc_id"), col("component"))
+      .withColumn("is_dup",
+        count(lit(1)).over(Window.partitionBy(col("component"))) > 1)
+      .select(col("doc_id"), col("is_dup"))
+    val gf = TextOps
+      .gopherRulesFrame(docs, requiredWords = TextOps.gopherFixtureWords)
+      .select(col("doc_id"), col("keep"))
+    val lm = TextOps.lmScore(s, dir).select(col("doc_id"), col("bits_ppm"))
+    val l1 = t.join(dup, Seq("doc_id")).join(gf, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .groupBy(col("source"), col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("bits_ppm").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(coalesce(col("bits_ppm"), lit(0L))).as("bits_sum"))
+    l1.groupBy(col("source")).agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_langs"),
+        sum(col("n_dup")).as("n_dup_docs"),
+        sum(col("n_kept")).as("n_gopher_kept"),
+        sum(col("n_scored")).as("ns"),
+        sum(col("bits_sum")).as("bs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_langs"), col("n_dup_docs"), col("n_gopher_kept"),
+        when(col("ns") === 0, lit(null).cast("long"))
+          .otherwise(expr("bs DIV ns")).as("mean_bits_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** The same composition in one DuckDB query: recursive-CTE cluster
+    * labels, the full Gopher rule table and LM-surprisal subqueries, and
+    * the identical two-level rollup. */
+  val datasheetOracle: String =
+    Dedup.componentsOracle.replace(
+      """SELECT doc_id, MIN(comp) AS component, MIN(comp) = doc_id AS is_rep
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s""", lab AS (
+         |  SELECT doc_id, MIN(comp) AS component FROM reach GROUP BY doc_id
+         |), dupf AS (
+         |  SELECT doc_id,
+         |    COUNT(*) OVER (PARTITION BY component) > 1 AS is_dup
+         |  FROM lab
+         |), t AS (
+         |  SELECT doc_id, source, lang,
+         |    CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents
+         |), gf AS (
+         |  SELECT doc_id, keep FROM (${graft.operators.TextOps
+              .gopherRulesOracle(30, 90, TextOps.gopherFixtureWords)
+              .stripSuffix("ORDER BY doc_id")}) g
+         |), lmq AS (
+         |  SELECT doc_id, bits_ppm FROM (${TextOps.lmScoreOracle
+              .stripSuffix("ORDER BY doc_id")}) l
+         |), j AS (
+         |  SELECT t.source, t.lang, t.n_tokens, d.is_dup, g.keep, q.bits_ppm
+         |  FROM t JOIN dupf d USING (doc_id) JOIN gf g USING (doc_id)
+         |    JOIN lmq q USING (doc_id)
+         |), l1 AS (
+         |  SELECT source, lang, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+         |    SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup,
+         |    SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+         |    SUM(CASE WHEN bits_ppm IS NOT NULL THEN 1 ELSE 0 END) AS n_scored,
+         |    SUM(CASE WHEN bits_ppm IS NOT NULL THEN bits_ppm ELSE 0 END)
+         |      AS bits_sum
+         |  FROM j GROUP BY 1, 2
+         |)
+         |SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_langs,
+         |  CAST(SUM(n_dup) AS BIGINT) AS n_dup_docs,
+         |  CAST(SUM(n_kept) AS BIGINT) AS n_gopher_kept,
+         |  CASE WHEN SUM(n_scored) = 0 THEN NULL
+         |    ELSE CAST(SUM(bits_sum) // SUM(n_scored) AS BIGINT) END
+         |    AS mean_bits_ppm
+         |FROM l1 GROUP BY source ORDER BY source""".stripMargin)
 }

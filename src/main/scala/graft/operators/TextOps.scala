@@ -1231,6 +1231,11 @@ object TextOps {
   val gopherRequiredWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Corpus-adapted required-word list for the fixture gates: the
+    * synthetic token soup contains only "the" from the published list, so
+    * rule 7 would be constant-false there. */
+  val gopherFixtureWords: Seq[String] = Seq("the", "a", "table", "value")
+
   /** Gopher's rule-based document filter (Rae et al. 2021, arXiv:2112.11446
     * §A1.1, Table A1; the same rule family underpins RefinedWeb and Dolma):
     * seven per-document structural rules —

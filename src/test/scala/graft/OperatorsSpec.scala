@@ -1237,6 +1237,58 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist.getOrElse("train", 0) > rows.length / 2, dist.toString)
   }
 
+  test("datasheet conserves docs/dups/kept across its component reports") {
+    import org.apache.spark.sql.functions.col
+    val ds = operators.Pipeline.datasheet(spark, dir).collect()
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    assert(ds.map(_.getLong(1)).sum == nDocs, "doc totals must tile corpus")
+    // dup exposure total = docs living in multi-member clusters
+    val labels = operators.Dedup.components(spark, dir)
+      .select(col("doc_id"), col("component")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dupDocs = labels.groupBy(_._2).values.filter(_.length > 1)
+      .map(_.length).sum
+    assert(ds.map(_.getLong(4)).sum == dupDocs, "dup exposure mismatch")
+    // gopher pass total = the rule gate's own keep count
+    val kept = operators.TextOps.gopherRules(spark, dir,
+        requiredWords = operators.TextOps.gopherFixtureWords)
+      .filter(col("keep")).count()
+    assert(ds.map(_.getLong(5)).sum == kept, "gopher keep mismatch")
+    // the LM-trained source scores itself as most reference-like
+    val means = ds.filter(!_.isNullAt(6))
+      .map(r => r.getString(0) -> r.getLong(6)).toMap
+    assert(means.contains("src0") && means("src0") == means.values.min,
+      means.toString)
+  }
+
+  test("priority keep: every cluster keeps its best-source member exactly once") {
+    import org.apache.spark.sql.functions.col
+    val kept = operators.Dedup.priorityKeep(spark, dir).collect()
+    val labels = operators.Dedup.components(spark, dir)
+      .select(col("doc_id"), col("component")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val srcRank = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).drop(3).toInt).toMap
+    val byComp = labels.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    // one keep row per component, covering every component
+    assert(kept.length == byComp.size)
+    assert(kept.map(_.getLong(0)).toSet == byComp.keySet)
+    kept.foreach { r =>
+      val (comp, id, rank, n) =
+        (r.getLong(0), r.getLong(1), r.getInt(3), r.getLong(4))
+      val members = byComp(comp)
+      assert(n == members.length, r.toString)
+      val bestRank = members.map(srcRank).min
+      assert(rank == bestRank, s"comp $comp kept rank $rank != $bestRank")
+      // tie-break: smallest doc_id among best-rank members
+      assert(id == members.filter(m => srcRank(m) == bestRank).min,
+        r.toString)
+    }
+    // the fixture has real multi-member, multi-source clusters
+    assert(kept.exists(r => r.getLong(4) > 1), "no multi-member cluster")
+  }
+
   test("DSIR: target-domain docs outscore off-domain, quota selects by (score, id)") {
     import spark.implicits._
     // target domain speaks {a,b}; off-domain speaks {x,y}. Buckets of the

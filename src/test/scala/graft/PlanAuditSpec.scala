@@ -363,6 +363,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("datasheet: no count-distinct Expand, label cache reused, no cartesian") {
+    val df = SparkEntry.queries("pipe_datasheet")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    // language spread via the two-level (source, lang) → source rollup
+    assert(count(p, "Expand") == 0, s"count-distinct expansion crept in:\n$p")
+    assert(count(p, "CartesianProduct") == 0, p)
+    // dup exposure reads the cached cluster label table, not a re-cluster
+    assert(count(p, "InMemoryTableScan") >= 1, s"label cache not used:\n$p")
+    // the only nested-loop join is the 1-row LM vocab broadcast
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+  }
+
   test("range join is an equi-join on (epoch, salt), never all-pairs") {
     // disable broadcast so the plan shown is the large-scale shape: with
     // broadcasting on, a small build side hides the nested-loop risk
