@@ -139,6 +139,9 @@ object SparkEntry {
     "stream_gopher_filter" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runGopherFilterToMemory(s, d, gopherGateWords)
         .orderBy(col("source"))),
+    "stream_packing" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runPackingToMemory(s, d)
+        .orderBy(col("doc_id"))),
     "text_distinct_estimate" -> (TextOps.distinctEstimate _),
     // --- federation engine (the reference's core capability) ---
     "fed_q1_pushdown" -> (Federated.q1Pushdown _),
@@ -337,6 +340,8 @@ object SparkEntry {
     "fed_jdbc_update" -> Federated.jdbcUpdateOracle,
     "dedup_priority" -> Dedup.priorityKeepOracle,
     "pipe_datasheet" -> Pipeline.datasheetOracle,
+    // single-batch streaming packing reproduces the batch packer bitwise
+    "stream_packing" -> Packing.packSequencesOracle,
     "fed_split_scan" -> Federated.splitScanOracle,
     "samp_hash_10pct" -> Sampling.hashSampleOracle,
     "samp_stats" -> Sampling.sampleStatsOracle,

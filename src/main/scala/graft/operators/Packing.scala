@@ -29,8 +29,9 @@ import graft.sources.Tables._
   */
 object Packing {
 
-  /** Portable MD5 shard in [0, nShards) of the document id. */
-  private def shardOf(nShards: Int) =
+  /** Portable MD5 shard in [0, nShards) of the document id (shared with
+    * the streaming packer, [[graft.streaming.StreamOps.packingStream]]). */
+  def shardOf(nShards: Int): org.apache.spark.sql.Column =
     conv(substring(md5(col("doc_id").cast("string")), 1, 14), 16, 10)
       .cast("long") % nShards
 

@@ -298,6 +298,62 @@ object StreamOps {
     runStream(spark, gopherFilterStream(spark, dir, requiredWords),
       "complete", name)
 
+  case class PackDoc(doc_id: Long, shard: Long, n_tokens: Long)
+  case class PackOut(doc_id: Long, shard: Long, n_tokens: Long,
+    tok_start: Long, seq_first: Long, seq_last: Long)
+
+  /** STREAMING sequence packing — the incremental counterpart of
+    * [[graft.operators.Packing.packSequences]]: arriving documents route
+    * to their MD5 shard and a per-shard `flatMapGroupsWithState` carries
+    * the running token offset ACROSS microbatches, so each doc is
+    * assigned its [seq_first, seq_last] span the moment it arrives and a
+    * packed-dataset writer can append sequences continuously as the
+    * corpus grows. State = one Long per shard (the offset a batch job
+    * would recompute with its window prefix-sum); within a microbatch the
+    * shard's slice is ordered by doc_id, so a single-batch run reproduces
+    * the batch packer bitwise — the gate hash-matches the BATCH oracle —
+    * and across batches offsets continue exactly where the previous batch
+    * ended (spec drives two microbatches via maxFilesPerTrigger). The
+    * per-(shard, batch) buffer is bounded by the microbatch slice — the
+    * same unit the batch window sorts. */
+  def packingStream(spark: SparkSession, dir: String, seqLen: Int = 64,
+      nShards: Int = 8, glob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val schema = Tables.documents(spark, dir).schema
+    val reader = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val docs = reader
+      .parquet(dir)
+      .select(col("doc_id"),
+        graft.operators.Packing.shardOf(nShards).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .as[PackDoc]
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[Long, PackOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, batch, state) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = batch.toSeq.sortBy(_.doc_id).map { d =>
+            val start = off
+            off += d.n_tokens
+            PackOut(d.doc_id, d.shard, d.n_tokens, start,
+              start / seqLen, (off - 1) / seqLen)
+          }
+          state.update(off)
+          out.iterator
+      }
+      .toDF()
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + lit(1L))
+  }
+
+  def runPackingToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_packing_out"): DataFrame =
+    runStream(spark, packingStream(spark, dir), "append", name)
+
   /** Batch recompute of the stream rollup: the per-doc rule table
     * ([[graft.operators.TextOps.gopherRulesOracle]]) filtered to kept
     * docs and rolled up per source. */

@@ -1237,6 +1237,67 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist.getOrElse("train", 0) > rows.length / 2, dist.toString)
   }
 
+  test("streaming packing: offsets continue across microbatches per shard") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("spack").toString
+    def doc(i: Long, n: Int) =
+      (i, Seq.fill(n)("w").mkString(" "), "en", "s", n.toLong)
+    def writeOne(docs: Seq[(Long, String, String, String, Long)],
+        name: String): Unit = {
+      val scratch = Files.createTempDirectory("spackw").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(tmp, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val a = (0L to 5L).map(i => doc(i, 3 + i.toInt))
+    val b = (10L to 15L).map(i => doc(i, 2 + i.toInt % 4))
+    writeOne(a, "documents.parquet")
+    writeOne(b, "documents2.parquet")
+    // file source processes oldest-first: A is one microbatch, then B
+    Files.setLastModifiedTime(Paths.get(tmp, "documents.parquet"),
+      java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis - 60000))
+    val sdf = graft.streaming.StreamOps.packingStream(spark, tmp,
+      seqLen = 8, nShards = 2, glob = "documents*.parquet",
+      maxFilesPerTrigger = Some(1))
+    val ckpt = Files.createTempDirectory("spackckpt").toString
+    val q = sdf.writeStream.outputMode("append").format("memory")
+      .queryName("spack_out").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("spack_out").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == a.length + b.length)
+    def shard(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(14), 16) % 2
+    }
+    // replicate: batch A first, then B; within a batch by doc_id per shard
+    val offsets = scala.collection.mutable.Map.empty[Long, Long]
+    val expStart = scala.collection.mutable.Map.empty[Long, Long]
+    for (batch <- Seq(a, b); d <- batch.sortBy(_._1)) {
+      val sh = shard(d._1)
+      val off = offsets.getOrElse(sh, 0L)
+      expStart(d._1) = off
+      offsets(sh) = off + d._5
+    }
+    rows.foreach { case (id, sh, n, start, sf, sl) =>
+      assert(sh == shard(id), s"doc $id shard")
+      assert(start == expStart(id),
+        s"doc $id start $start != ${expStart(id)}")
+      assert(sf == start / 8 && sl == (start + n - 1) / 8, s"doc $id span")
+    }
+    // the continuation genuinely engaged: every file-B doc starts at the
+    // offset file A's shard slice left behind (non-zero for used shards)
+    assert(b.exists(d => expStart(d._1) > 0), "no cross-batch continuation")
+  }
+
   test("datasheet conserves docs/dups/kept across its component reports") {
     import org.apache.spark.sql.functions.col
     val ds = operators.Pipeline.datasheet(spark, dir).collect()
