@@ -174,6 +174,8 @@ object SparkEntry {
     "fed_expr_surface" -> (Federated.exprSurface _),
     "fed_intersect" -> (Federated.intersectPushdown _),
     "fed_except" -> (Federated.exceptPushdown _),
+    "fed_intersect_all" -> (Federated.intersectAllPushdown _),
+    "fed_except_all" -> (Federated.exceptAllPushdown _),
     "fed_partial_agg" -> (Federated.partialAggUnion _),
     "fed_partial_avg" -> (Federated.partialAvgUnion _),
     "fed_union_topk" -> (Federated.unionTopK _),
@@ -321,6 +323,8 @@ object SparkEntry {
     "fed_expr_surface" -> Federated.exprSurfaceOracle,
     "fed_intersect" -> Federated.intersectOracle,
     "fed_except" -> Federated.exceptOracle,
+    "fed_intersect_all" -> Federated.intersectAllOracle,
+    "fed_except_all" -> Federated.exceptAllOracle,
     "fed_partial_agg" -> Federated.partialAggOracle,
     "fed_partial_avg" -> Federated.partialAvgOracle,
     "fed_union_topk" -> Federated.unionTopKOracle,

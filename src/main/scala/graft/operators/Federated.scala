@@ -938,6 +938,46 @@ object Federated {
       |ORDER BY k
       |LIMIT 40""".stripMargin
 
+  /** INTERSECT ALL (multiset intersection): Catalyst lowers it to a
+    * UNION ALL of count-tagged arms + a grouped min-count aggregate +
+    * `Generate(replicaterows)`. Everything BELOW the Generate federates
+    * as ONE remote SQL — the engine ships one row per distinct value with
+    * its multiplicity — and only the row replication runs locally, which
+    * is the optimal wire split: replicating remotely would ship strictly
+    * MORE rows than (value, count) pairs. FederationSpec pins the
+    * one-fragment shape. */
+  def intersectAllPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT o_custkey AS k FROM fed_orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey AS k FROM fed_orders WHERE o_totalprice > 1000
+        |ORDER BY k
+        |LIMIT 60""".stripMargin)
+
+  val intersectAllOracle: String =
+    """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT ALL
+      |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 1000
+      |ORDER BY k
+      |LIMIT 60""".stripMargin
+
+  /** EXCEPT ALL — same lowering with a signed-count sum; same one-SQL
+    * fragment under a local `Generate(replicaterows)`. */
+  def exceptAllPushdown(s: SparkSession, dir: String): DataFrame =
+    FederationHarness.sql(s, dir,
+      """SELECT o_custkey AS k FROM fed_orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey AS k FROM fed_orders WHERE o_totalprice > 150000
+        |ORDER BY k
+        |LIMIT 60""".stripMargin)
+
+  val exceptAllOracle: String =
+    """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT ALL
+      |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000
+      |ORDER BY k
+      |LIMIT 60""".stripMargin
+
   /** Two-phase aggregation across providers ([[
     * graft.federation.PartialAggRule]] — a scale feature beyond the
     * reference): the GROUP BY over a UNION ALL spanning provider alpha and

@@ -780,6 +780,33 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-arm ORDER BY/LIMIT wrap crept into the union arms: $sql")
   }
 
+  test("INTERSECT ALL / EXCEPT ALL: one fragment per query, replicaterows local") {
+    // Catalyst lowers the ALL set-ops to UNION ALL + grouped counts +
+    // Generate(replicaterows). The whole union+aggregate must federate as
+    // ONE remote SQL — the wire carries (value, multiplicity) pairs — and
+    // only the row replication runs locally (replicating remotely would
+    // ship strictly more rows than it saves).
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    for ((df, what) <- Seq(
+        Federated.intersectAllPushdown(spark, dir) -> "INTERSECT ALL",
+        Federated.exceptAllPushdown(spark, dir) -> "EXCEPT ALL")) {
+      val opt = df.queryExecution.optimizedPlan
+      assert(fedFragments(df).size == 1,
+        s"$what union+agg must be one fragment:\n$opt")
+      assert(opt.toString.contains("replicaterows"),
+        s"$what expected a local Generate(replicaterows):\n$opt")
+      val before = alpha.executedSql.size
+      df.collect()
+      val executed = alpha.executedSql.drop(before)
+      assert(executed.size == 1,
+        s"$what: expected ONE remote SQL, got:\n${executed.mkString("\n")}")
+      assert(executed.head.contains("UNION ALL") &&
+        "GROUP BY".r.findAllIn(executed.head).size == 1,
+        s"$what did not ship union+agg whole: ${executed.head}")
+    }
+  }
+
   test("partial agg pushdown: remote+local mixed union partializes the remote side") {
     setup()
     graft.sources.Tables.orders(spark, dir)
