@@ -106,6 +106,9 @@ object SparkEntry {
           array_join(transform(col("feature"), _.cast("string")), ","))
         .drop("feature")
         .orderBy(col("doc_id"))),
+    "mm_audio_fingerprint" -> ((s: SparkSession, d: String) =>
+      Multimodal.decodeAndFingerprintAudio(s, d).toDF()
+        .orderBy(col("doc_id"))),
     "mm_sample_frames" -> ((s: SparkSession, d: String) =>
       Multimodal.sampleFrames(s, d).orderBy(col("doc_id"), col("frame_idx"))),
     // --- streaming ---
@@ -286,6 +289,7 @@ object SparkEntry {
     "text_repetition" -> TextOps.repetitionOracle,
     "mm_media_stats" -> Multimodal.mediaStatsOracle,
     "mm_decode_features" -> Multimodal.decodeFeaturesOracle,
+    "mm_audio_fingerprint" -> Multimodal.audioFingerprintOracle,
     "mm_sample_frames" -> Multimodal.sampleFramesOracle,
     "stream_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,

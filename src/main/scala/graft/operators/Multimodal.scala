@@ -330,6 +330,180 @@ object Multimodal {
        |FROM f LEFT JOIN best ON best.doc_id = f.doc_id
        |ORDER BY f.doc_id""".stripMargin
 
+  // ------------------------------------------------ real WAV encode/decode
+
+  /** A decoded PCM clip: sample rate + signed 16-bit samples. */
+  case class WavAudio(sampleRate: Int, samples: Array[Int])
+
+  case class AudioFeature(doc_id: Long, n_bytes: Long, n_samples: Int,
+    sample_rate: Int, mean_abs: Double, fp_csv: String)
+
+  /** Render a document into a VALID RIFF/WAVE file: the standard 44-byte
+    * header (PCM, mono, 8 kHz, 16-bit) followed by `64 + doc_id % 64`
+    * little-endian samples whose bytes tile the utf-8 content — the audio
+    * sibling of [[encodePpm]]. Any conforming WAV reader decodes it. */
+  def encodeWav(docId: Long, content: Array[Byte]): Array[Byte] = {
+    val n = 64 + (docId % 64).toInt
+    val dataBytes = 2 * n
+    val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)        // PCM, mono
+      .putInt(8000).putInt(16000)     // sample rate, byte rate
+      .putShort(2).putShort(16)       // block align, bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var j = 0
+    while (j < dataBytes) {
+      out.put(if (content.length == 0) 0.toByte
+        else content(j % content.length))
+      j += 1
+    }
+    out.array()
+  }
+
+  /** REAL RIFF/WAVE parser: verifies the RIFF/WAVE magic, walks the chunk
+    * list (tolerating unknown chunks and their word alignment), requires a
+    * PCM 16-bit `fmt ` chunk before `data`, and decodes the samples as
+    * signed little-endian 16-bit. Throws on malformed input. */
+  def decodeWav(bytes: Array[Byte]): WavAudio = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed WAV: $msg")
+    def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    def u32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    if (bytes.length < 12 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
+      fail("bad RIFF/WAVE magic")
+    var pos = 12
+    var sampleRate = -1
+    var bitsPerSample = -1
+    var channels = -1
+    while (pos + 8 <= bytes.length) {
+      val id = ascii(pos)
+      val size = u32(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length)
+        fail(s"chunk '$id' overruns file")
+      if (id == "fmt ") {
+        if (size < 16) fail("fmt chunk too small")
+        if (u16(pos + 8) != 1) fail("not PCM")
+        channels = u16(pos + 10)
+        sampleRate = u32(pos + 12)
+        bitsPerSample = u16(pos + 22)
+      } else if (id == "data") {
+        if (sampleRate < 0) fail("data before fmt")
+        if (bitsPerSample != 16 || channels != 1)
+          fail(s"unsupported format: $channels ch / $bitsPerSample bit")
+        val n = size / 2
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = ((bytes(pos + 8 + 2 * i) & 0xff) |
+            ((bytes(pos + 8 + 2 * i + 1) & 0xff) << 8)).toShort.toInt
+          i += 1
+        }
+        return WavAudio(sampleRate, samples)
+      }
+      pos += 8 + size + (size % 2) // RIFF chunks are word-aligned
+    }
+    fail("no data chunk")
+  }
+
+  /** 64-bit audio fingerprint as 8 bytes: nearest-neighbor downsample of
+    * the clip to 64 points, 1-D Walsh–Hadamard transform
+    * (`H[u][k] = (−1)^popcount(u&k)`), sign bit per coefficient — the 1-D
+    * analog of [[phashBytes]], pure integer arithmetic end-to-end. */
+  def audioFingerprint(a: WavAudio): Array[Int] = {
+    val n = a.samples.length
+    val bins = Array.tabulate(64)(k => a.samples(k * n / 64).toLong)
+    val fb = new Array[Int](8)
+    var u = 0
+    while (u < 64) {
+      var c = 0L
+      var k = 0
+      while (k < 64) {
+        c += (if (Integer.bitCount(u & k) % 2 == 0) bins(k) else -bins(k))
+        k += 1
+      }
+      if (c > 0) fb(u / 8) |= 1 << (7 - u % 8)
+      u += 1
+    }
+    fb
+  }
+
+  /** Decode + fingerprint over real WAV blobs — the audio leg of the
+    * multimodal pipeline, same narrow `mapPartitions` shape as
+    * [[decodeAndFeaturize]]: media bytes never shuffle, only the small
+    * feature rows flow on. */
+  def decodeAndFingerprintAudio(s: SparkSession,
+      dir: String): Dataset[AudioFeature] = {
+    import s.implicits._
+    documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[PpmRow]
+      .mapPartitions(_.map { r =>
+        val blob = encodeWav(r.doc_id, r.media)
+        val a = decodeWav(blob)
+        var sumAbs = 0L
+        a.samples.foreach(s0 => sumAbs += math.abs(s0.toLong))
+        AudioFeature(r.doc_id, blob.length.toLong, a.samples.length,
+          a.sampleRate, sumAbs.toDouble / a.samples.length,
+          audioFingerprint(a).mkString(","))
+      })
+  }
+
+  /** The encode∘decode∘fingerprint pipeline in SQL: same byte tiling,
+    * signed-16-bit reconstruction, downsample, 1-D WHT and sign packing
+    * (the Spark side genuinely routes through WAV bytes and the parser —
+    * the oracle mirrors the math). */
+  val audioFingerprintOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS tb,
+      |    list_transform(range(1, octet_length(encode(text))+1),
+      |      i -> (strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i-1, 1))*16
+      |          + strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)))) AS bytes
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, tb, bytes, CAST(64 + doc_id % 64 AS INTEGER) AS n
+      |  FROM b
+      |), smp AS (
+      |  SELECT doc_id, tb, n,
+      |    list_transform(range(0, n), i ->
+      |      CASE WHEN tb = 0 THEN 0 ELSE
+      |        CASE WHEN bytes[((2*i) % tb) + 1]
+      |                  + 256*bytes[((2*i+1) % tb) + 1] >= 32768
+      |          THEN bytes[((2*i) % tb) + 1]
+      |                  + 256*bytes[((2*i+1) % tb) + 1] - 65536
+      |          ELSE bytes[((2*i) % tb) + 1]
+      |                  + 256*bytes[((2*i+1) % tb) + 1] END END) AS s
+      |  FROM d
+      |), bins AS (
+      |  SELECT doc_id, n, s,
+      |    list_transform(range(0, 64), k -> s[(k*n)//64 + 1]) AS g
+      |  FROM smp
+      |), wht AS (
+      |  SELECT doc_id, n, s,
+      |    list_transform(range(0, 64),
+      |      u -> list_sum(list_transform(range(0, 64),
+      |        k -> g[k+1] * (1 - 2*(bit_count(CAST(u AS BIGINT) & CAST(k AS BIGINT)) % 2))))) AS c
+      |  FROM bins
+      |), f AS (
+      |  SELECT doc_id, n, s,
+      |    list_transform(range(0, 8),
+      |      j -> list_sum(list_transform(range(0, 8),
+      |        t -> CASE WHEN c[j*8+t+1] > 0 THEN (1 << (7-t)) ELSE 0 END))) AS fb
+      |  FROM wht
+      |)
+      |SELECT doc_id, CAST(44 + 2*n AS BIGINT) AS n_bytes,
+      |  n AS n_samples, CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(list_sum(list_transform(s, x -> abs(x))) AS DOUBLE) / n
+      |    AS mean_abs,
+      |  array_to_string(fb, ',') AS fp_csv
+      |FROM f ORDER BY doc_id""".stripMargin
+
   /** Oracle-comparable slice of the media pipeline: byte length and
     * media-type routing are exact. */
   def mediaStats(s: SparkSession, dir: String): DataFrame =

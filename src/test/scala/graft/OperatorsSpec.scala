@@ -657,6 +657,67 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("WAV codec: encode round-trips; parser reads foreign files, rejects bad ones") {
+    val content = "pack my box with five dozen liquor jugs".getBytes("UTF-8")
+    for (docId <- Seq(0L, 5L, 63L, 64L, 977L)) {
+      val blob = operators.Multimodal.encodeWav(docId, content)
+      val a = operators.Multimodal.decodeWav(blob)
+      assert(a.sampleRate == 8000)
+      assert(a.samples.length == 64 + (docId % 64).toInt, s"doc $docId n")
+      assert(blob.length == 44 + 2 * a.samples.length)
+      // samples reconstruct the tiled little-endian content bytes
+      a.samples.zipWithIndex.foreach { case (s0, i) =>
+        val b0 = content((2 * i) % content.length) & 0xff
+        val b1 = content((2 * i + 1) % content.length) & 0xff
+        assert(s0 == (b0 | (b1 << 8)).toShort.toInt, s"doc $docId sample $i")
+      }
+    }
+    // parser generality: a hand-built file with an unknown chunk BEFORE
+    // data (and odd size + pad byte) still decodes
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(44100).putInt(88200).putShort(2).putShort(16)
+    bb.put("LIST".getBytes).putInt(3).put("abc".getBytes).put(0.toByte)
+    bb.put("data".getBytes).putInt(4).putShort(-5).putShort(300)
+    val foreign = operators.Multimodal.decodeWav(bb.array())
+    assert(foreign.sampleRate == 44100 &&
+      foreign.samples.toSeq == Seq(-5, 300))
+    // malformed inputs throw: bad magic, stereo, truncated data chunk
+    val good = operators.Multimodal.encodeWav(1L, content)
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.decodeWav("RIFX".getBytes ++ good.drop(4))
+    }
+    intercept[IllegalArgumentException] {
+      val stereo = good.clone(); stereo(22) = 2 // numChannels field
+      operators.Multimodal.decodeWav(stereo)
+    }
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.decodeWav(good.take(50))
+    }
+  }
+
+  test("audio fingerprint equals a direct 1-D WHT reference computation") {
+    val content = "abcdefgh".getBytes("UTF-8")
+    val a = operators.Multimodal.decodeWav(
+      operators.Multimodal.encodeWav(9L, content))
+    val got = operators.Multimodal.audioFingerprint(a)
+    val n = a.samples.length
+    val bins = Array.tabulate(64)(k => a.samples(k * n / 64).toLong)
+    val want = new Array[Int](8)
+    for (u <- 0 until 64) {
+      val c = (0 until 64).map(k =>
+        if (Integer.bitCount(u & k) % 2 == 0) bins(k) else -bins(k)).sum
+      if (c > 0) want(u / 8) |= 1 << (7 - u % 8)
+    }
+    assert(got.toSeq == want.toSeq)
+    // flipping the loudest sample's sign flips at least one bit
+    val flipped = a.copy(samples = a.samples.map(-_))
+    assert(operators.Multimodal.audioFingerprint(flipped).toSeq
+      != got.toSeq)
+  }
+
   test("pHash WHT sign bits match a direct reference computation") {
     // independent slow reference: same luma/downsample, WHT via explicit
     // Hadamard matrix multiply, sign bits — must agree with the packed
