@@ -123,6 +123,7 @@ object Bench {
     System.out.flush()
     graft.operators.Dedup.releaseAllSignatures()
     graft.operators.Sampling.releaseAllDsir()
+    graft.streaming.StreamOps.releaseAllDsirModels()
     graft.operators.Similarity.releaseAllCounts()
     graft.operators.Similarity.releaseAllIvf()
     graft.operators.Similarity.releaseAllCodes()

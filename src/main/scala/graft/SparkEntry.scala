@@ -145,6 +145,9 @@ object SparkEntry {
     "stream_packing" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runPackingToMemory(s, d)
         .orderBy(col("doc_id"))),
+    "stream_dsir" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runDsirToMemory(s, d)
+        .orderBy(col("source"))),
     "text_distinct_estimate" -> (TextOps.distinctEstimate _),
     // --- federation engine (the reference's core capability) ---
     "fed_q1_pushdown" -> (Federated.q1Pushdown _),
@@ -350,6 +353,7 @@ object SparkEntry {
     "pipe_datasheet" -> Pipeline.datasheetOracle,
     // single-batch streaming packing reproduces the batch packer bitwise
     "stream_packing" -> Packing.packSequencesOracle,
+    "stream_dsir" -> graft.streaming.StreamOps.dsirStreamOracle,
     "fed_split_scan" -> Federated.splitScanOracle,
     "samp_hash_10pct" -> Sampling.hashSampleOracle,
     "samp_stats" -> Sampling.sampleStatsOracle,

@@ -47,6 +47,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.operators.Dedup.releaseAllSignatures()
     graft.operators.Sampling.releaseAllDsir()
+    graft.streaming.StreamOps.releaseAllDsirModels()
     graft.operators.Similarity.releaseAllCounts()
     graft.operators.Similarity.releaseAllIvf()
     graft.operators.Similarity.releaseAllCodes()

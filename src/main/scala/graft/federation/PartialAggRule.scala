@@ -160,6 +160,39 @@ object PartialAggRule extends Rule[LogicalPlan] {
       case _ => false
     }
     if (u.children.exists(partialMarked)) return false
+    // GROUP-ONLY idempotence: a pure-dedup aggregate (no aggregate calls)
+    // rewrites into per-arm dedups that carry NO __gp_/__gd_ marker — for
+    // plain-attribute keys the partial is a bare `Aggregate [k],[k]`, and
+    // once FederationRule absorbs it into the fragment the ORIGINAL shape
+    // reappears verbatim, so the marker check above can never stop the
+    // re-split and the fixpoint batch ping-pongs to Catalyst's iteration
+    // cap (observed on every Dataset.count() over a federated GROUP BY:
+    // 100 wasted optimizer iterations per query). Structural check
+    // instead: if every arm already ends in a group-only aggregate on
+    // exactly this aggregate's keys (remapped through the union — the
+    // same positional remap the rewrite uses), the dedup has already been
+    // pushed and this aggregate only re-dedups across arms.
+    if (aggCallsOf(aggExprs).isEmpty) {
+      def dedupedOnKeys(p: LogicalPlan,
+          keys: Seq[Expression]): Boolean = p match {
+        case a: Aggregate =>
+          a.aggregateExpressions.length == a.groupingExpressions.length &&
+            a.groupingExpressions.length == keys.length &&
+            keys.forall(k =>
+              a.groupingExpressions.exists(_.semanticEquals(k)))
+        case f: FederatedPlan => dedupedOnKeys(f.inner, keys)
+        case _ => false
+      }
+      val allDeduped = u.children.forall { child =>
+        val remap: Map[ExprId, Attribute] =
+          u.output.map(_.exprId).zip(child.output).toMap
+        val childKeys = groupExprs.map(_.transform {
+          case a: AttributeReference => remap.getOrElse(a.exprId, a)
+        })
+        dedupedOnKeys(child, childKeys)
+      }
+      if (allDeduped) return false
+    }
     // shape: group keys are deterministic scalar expressions over the
     // union output (plain columns are the common special case). A
     // reference-free key (GROUP BY constant) is degenerate and excluded —

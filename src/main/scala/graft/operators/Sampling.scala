@@ -246,38 +246,54 @@ object Sampling {
     dsirCache.keys.toSeq.foreach(k =>
       dsirCache.remove(k).foreach(_.unpersist(blocking = false)))
 
+  /** The hashed-bigram stream (doc_id, source, bucket) feeding both DSIR
+    * passes. */
+  private def dsirGrams(s: SparkSession, dir: String,
+      buckets: Int): DataFrame =
+    documents(s, dir).select(col("doc_id"), col("source"),
+      filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
+      .select(col("doc_id"), col("source"),
+        explode(zip_with(
+          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("g"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("g")), 1, 14), 16, 10).cast("long")
+          % buckets).as("b"))
+
+  /** Pass 1 of DSIR: the ≤`buckets`-row surprisal model
+    * (b, bits_raw, bits_tgt) plus the corpus totals (tr, tt) — raw and
+    * target counts in ONE map-side-combined aggregate, totals broadcast
+    * back. Shared by the batch scorer and the streaming scorer
+    * ([[graft.streaming.StreamOps.dsirStream]], which needs the totals to
+    * score unseen buckets in-row). */
+  def dsirModel(s: SparkSession, dir: String,
+      targetSource: String = "src0", buckets: Int = 256): DataFrame = {
+    val model = dsirGrams(s, dir, buckets).groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("source") === targetSource, 1L).otherwise(0L))
+        .as("ct"))
+    val tot = model.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    model.crossJoin(broadcast(tot)).select(col("b"),
+      (length(bin(expr(s"(tr + $buckets) DIV (cr + 1)"))) - 1)
+        .as("bits_raw"),
+      (length(bin(expr(s"(tt + $buckets) DIV (ct + 1)"))) - 1)
+        .as("bits_tgt"),
+      col("tr"), col("tt"))
+  }
+
   def dsirScore(s: SparkSession, dir: String,
       targetSource: String = "src0", buckets: Int = 256): DataFrame =
     dsirCache.getOrElseUpdate(
       (System.identityHashCode(s), dir, targetSource, buckets), {
-        val toks = documents(s, dir).select(col("doc_id"), col("source"),
-          filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
-        val grams = toks.select(col("doc_id"), col("source"),
-          explode(zip_with(
-            slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
-            slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
-            (a, b) => concat_ws(" ", a, b))).as("g"))
-          .select(col("doc_id"), col("source"),
-            (conv(substring(md5(col("g")), 1, 14), 16, 10).cast("long")
-              % buckets).as("b"))
-        // raw and target counts in ONE map-side-combined pass (pass 1 of
-        // the two-pass DSIR shape: learn the model, then score)
-        val model = grams.groupBy(col("b")).agg(
-          count(lit(1)).as("cr"),
-          sum(when(col("source") === targetSource, 1L).otherwise(0L))
-            .as("ct"))
-        val tot = model.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
-        val bits = model.crossJoin(broadcast(tot)).select(col("b"),
-          (length(bin(expr(s"(tr + $buckets) DIV (cr + 1)"))) - 1)
-            .as("bits_raw"),
-          (length(bin(expr(s"(tt + $buckets) DIV (ct + 1)"))) - 1)
-            .as("bits_tgt"))
+        val bits = dsirModel(s, dir, targetSource, buckets)
+          .select(col("b"), col("bits_raw"), col("bits_tgt"))
         // every gram's bucket exists in the model by construction → inner
         // join; the result is the persisted STAGING TABLE of the selection
         // step (narrow: three numeric columns per doc) — [[dsirSelect]]
         // reads it twice (histogram + tie-rank) and the gram scoring must
         // not re-run per consumer
-        grams.join(broadcast(bits), Seq("b"))
+        dsirGrams(s, dir, buckets).join(broadcast(bits), Seq("b"))
           .groupBy(col("doc_id")).agg(
             count(lit(1)).cast("int").as("n_grams"),
             sum(col("bits_raw") - col("bits_tgt") + 64).as("shift_sum"))

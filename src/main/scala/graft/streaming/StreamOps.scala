@@ -646,6 +646,131 @@ object StreamOps {
     lmModelCache.keys.toSeq.foreach(k =>
       lmModelCache.remove(k).foreach(_.unpersist(blocking = false)))
 
+  private val dsirModelCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String, Int), DataFrame]
+
+  /** The DSIR surprisal model folded into ONE static row: a
+    * bucket → (bits_raw − bits_tgt + 64) map plus the corpus totals —
+    * `buckets` ≤ 256 entries, so the in-row `element_at` scan is
+    * trivially cheap (the [[lmModel]] two-level-map treatment is for
+    * 40k-entry maps). Cached/persisted per (session, dir, target,
+    * buckets) like every staging table. */
+  private def dsirModelRow(spark: SparkSession, dir: String,
+      targetSource: String, buckets: Int): DataFrame =
+    dsirModelCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, targetSource, buckets),
+      graft.operators.Sampling.dsirModel(spark, dir, targetSource, buckets)
+        .agg(
+          map_from_entries(collect_list(struct(col("b"),
+            (col("bits_raw") - col("bits_tgt") + lit(64)).cast("long"))))
+            .as("dm"),
+          first(col("tr")).as("tr"), first(col("tt")).as("tt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Release every cached DSIR model row (end-of-run cleanup). */
+  def releaseAllDsirModels(): Unit =
+    dsirModelCache.keys.toSeq.foreach(k =>
+      dsirModelCache.remove(k).foreach(_.unpersist(blocking = false)))
+
+  /** STREAMING DSIR scoring: arriving documents are scored against the
+    * static hashed-bigram importance model
+    * ([[graft.operators.Sampling.dsirModel]]) entirely IN-ROW — bigrams,
+    * bucket hashes, and the surprisal-difference lookup are array
+    * expressions over the broadcast one-row model, zero stream-side
+    * shuffle and no per-doc state; the only stateful operator is the
+    * per-source rollup. Buckets the static model never saw (genuinely
+    * novel text) score from the broadcast totals with the same
+    * `length(bin(...))` kernel, so an evolving stream cannot hit a null
+    * path. A doc is counted target-like when its mean shifted score
+    * exceeds the +64-bit shift — i.e. the target distribution explains it
+    * better than the raw pool. The rollup hash-matches the batch
+    * [[graft.operators.Sampling.dsirScore]] staging table's own
+    * per-source aggregation (OperatorsSpec proves it field by field). */
+  def dsirStream(spark: SparkSession, dir: String,
+      targetSource: String = "src0", buckets: Int = 256): DataFrame = {
+    val schema = Tables.documents(spark, dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("source"),
+        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
+      .crossJoin(broadcast(dsirModelRow(spark, dir, targetSource, buckets)))
+      .select(col("source"), expr(
+        s"""transform(
+           |  zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+           |           slice(t, 2, greatest(size(t) - 1, 0)),
+           |           (a, b) -> concat(a, ' ', b)),
+           |  g -> coalesce(
+           |    element_at(dm, CAST(conv(substring(md5(g), 1, 14), 16, 10)
+           |      AS BIGINT) % $buckets),
+           |    (length(bin((tr + $buckets) DIV 1)) - 1)
+           |      - (length(bin((tt + $buckets) DIV 1)) - 1) + 64L))
+           |""".stripMargin).as("deltas"))
+      .select(col("source"), size(col("deltas")).as("n"),
+        expr("aggregate(deltas, 0L, (acc, x) -> acc + x)").as("dsum"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("n") > 0 &&
+          expr("dsum * 1000000L DIV n") > 64000000L, 1L).otherwise(0L))
+          .as("n_target_like"),
+        sum(when(col("n") > 0, expr("dsum * 1000000L DIV n"))
+          .otherwise(0L)).as("score_sum"))
+      .select(col("source"), col("n_docs"), col("n_scored"),
+        col("n_target_like"),
+        when(col("n_scored") === 0, lit(null).cast("long"))
+          .otherwise(expr("score_sum DIV n_scored")).as("mean_score_ppm"))
+  }
+
+  def runDsirToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_dsir_out"): DataFrame =
+    runStream(spark, dsirStream(spark, dir), "complete", name)
+
+  /** Per-source rollup of the batch DSIR score pipeline — the stream must
+    * agree exactly (same model, same integer kernels). */
+  val dsirStreamOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, source,
+      |    CAST('0x'||substr(md5(t[i] || ' ' || t[i + 1]),1,14) AS BIGINT)
+      |      % 256 AS b
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+      |  WHERE len(t) >= 2
+      |), raw AS (
+      |  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM g GROUP BY b
+      |), tgt AS (
+      |  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM g
+      |  WHERE source = 'src0' GROUP BY b
+      |), tot AS (
+      |  SELECT CAST(SUM(cr) AS BIGINT) AS tr,
+      |    CAST((SELECT COALESCE(SUM(ct), 0) FROM tgt) AS BIGINT) AS tt
+      |  FROM raw
+      |), model AS (
+      |  SELECT r.b,
+      |    length(bin((t2.tr + 256) // (r.cr + 1))) - 1 AS bits_raw,
+      |    length(bin((t2.tt + 256) // (COALESCE(tg.ct, 0) + 1))) - 1
+      |      AS bits_tgt
+      |  FROM raw r LEFT JOIN tgt tg USING (b) CROSS JOIN tot t2
+      |), sc AS (
+      |  SELECT g.doc_id, g.source, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(bits_raw - bits_tgt + 64) * 1000000 // COUNT(*)
+      |      AS BIGINT) AS score
+      |  FROM g JOIN model USING (b) GROUP BY 1, 2
+      |)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(sc.doc_id) AS BIGINT) AS n_scored,
+      |  CAST(SUM(CASE WHEN sc.score > 64000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_target_like,
+      |  CASE WHEN COUNT(sc.doc_id) = 0 THEN NULL
+      |    ELSE CAST(SUM(sc.score) // COUNT(sc.doc_id) AS BIGINT) END
+      |    AS mean_score_ppm
+      |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   def lmQualityStream(spark: SparkSession, dir: String,
       trainSource: String = "src0"): DataFrame = {
     def toks(c: org.apache.spark.sql.Column) =

@@ -780,6 +780,32 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-arm ORDER BY/LIMIT wrap crept into the union arms: $sql")
   }
 
+  test("count() over a federated GROUP BY reaches a rule fixpoint (no ping-pong)") {
+    // Regression: Dataset.count() prunes a federated GROUP BY to a pure
+    // dedup Aggregate (group keys only, no agg calls, so no __gp_ marker
+    // survives). PartialAggRule used to re-split it every iteration after
+    // FederationRule absorbed the per-arm dedup back into the fragments —
+    // the batch ping-ponged to Catalyst's 100-iteration cap on EVERY
+    // count() of this family. The optimized plan must now be a fixpoint
+    // of the whole graft batch.
+    setup()
+    import graft.federation._
+    val rules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+      Seq(PartialAggRule, TopKPushdownRule, GroupTopKPushdownRule,
+        JoinUnionDistributeRule, FederationRule, BindJoinRule,
+        RuntimeFilterRule)
+    for (q <- Seq("fed_partial_agg", "fed_union_join_agg",
+        "fed_union_semi_agg", "fed_partial_distinct")) {
+      val cnt = SparkEntry.queries(q)(spark, dir).groupBy().count()
+      val opt = cnt.queryExecution.optimizedPlan
+      var cur = opt
+      rules.foreach(r => cur = r(cur))
+      assert(cur.fastEquals(opt),
+        s"$q: graft rules still rewrite the optimized count plan:\n$opt\n--->\n$cur")
+    }
+  }
+
   test("INTERSECT ALL / EXCEPT ALL: one fragment per query, replicaterows local") {
     // Catalyst lowers the ALL set-ops to UNION ALL + grouped counts +
     // Generate(replicaterows). The whole union+aggregate must federate as

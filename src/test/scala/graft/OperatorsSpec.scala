@@ -1298,6 +1298,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist.getOrElse("train", 0) > rows.length / 2, dist.toString)
   }
 
+  test("streaming DSIR rollup agrees with the batch score staging table") {
+    import org.apache.spark.sql.functions.col
+    val stream = graft.streaming.StreamOps.runDsirToMemory(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // batch recompute from the staging table + source lookup
+    val batch = operators.Sampling.dsirScore(spark, dir)
+      .join(graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .collect().groupBy(_.getString(3))
+    val nDocsBySource = graft.sources.Tables.documents(spark, dir)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stream.keySet == nDocsBySource.keySet)
+    for ((src, row) <- stream) {
+      val scored = batch.getOrElse(src, Array.empty)
+      assert(row.getLong(1) == nDocsBySource(src), s"$src n_docs")
+      assert(row.getLong(2) == scored.length, s"$src n_scored")
+      val scores = scored.map(_.getLong(2))
+      assert(row.getLong(3) == scores.count(_ > 64000000L),
+        s"$src n_target_like")
+      if (scores.nonEmpty)
+        assert(row.getLong(4) == scores.sum / scores.length, s"$src mean")
+      else assert(row.isNullAt(4), s"$src mean should be NULL")
+    }
+  }
+
   test("streaming packing: offsets continue across microbatches per shard") {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
