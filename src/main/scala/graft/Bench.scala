@@ -127,6 +127,7 @@ object Bench {
     graft.operators.Similarity.releaseAllCounts()
     graft.operators.Similarity.releaseAllIvf()
     graft.operators.Similarity.releaseAllCodes()
+    graft.operators.Similarity.releaseAllPq()
     graft.streaming.StreamOps.releaseAllLmModels()
     spark.stop()
   }

@@ -51,6 +51,7 @@ object Verify {
     graft.operators.Similarity.releaseAllCounts()
     graft.operators.Similarity.releaseAllIvf()
     graft.operators.Similarity.releaseAllCodes()
+    graft.operators.Similarity.releaseAllPq()
     spark.stop()
   }
 }

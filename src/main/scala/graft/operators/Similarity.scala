@@ -707,7 +707,7 @@ object Similarity {
 
   /** DuckDB mirror: same centroids/assignment CTE as the IVF oracle,
     * within-cell pairs, smallest-id keep. */
-  val semanticDedupOracle: String = ivfAssignedCte +
+    val semanticDedupOracle: String = ivfAssignedCte +
     """, pairs AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
       |  FROM assigned a JOIN assigned b USING (cell)
@@ -721,4 +721,213 @@ object Similarity {
       |  bt.dup_of IS NULL AS keep
       |FROM assigned a LEFT JOIN better bt USING (vec_id)
       |ORDER BY a.vec_id""".stripMargin
+
+  // --------------------------------------------- product quantization (PQ)
+
+  /** PQ subspaces (64-dim embeddings → 4 × 16-dim subvectors). */
+  val PqM = 4
+  /** Codes per subspace codebook. */
+  val PqK = 16
+
+  /** Exact squared-L2 between two double arrays, folded left-to-right in
+    * index order — the IEEE sequence DuckDB's list comprehensions
+    * reproduce. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0).cast("double"), (acc, x) => acc + x)
+
+  /** Per-subspace PQ codebooks (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): each 16-dim subspace gets its own
+    * 16-entry codebook — data-seeded (subvectors of vec_id < k) and
+    * refined by ONE deterministic Lloyd pass over the same MD5-bucket
+    * sample as [[ivfCentroids]], means folded in vec_id order, empty
+    * cells keep their seed. Every value is engine-reproducible, so the
+    * DuckDB oracle rebuilds codebooks, codes, and distance tables
+    * bitwise. Output: (j, cent_id, cent_vec) — m·k rows, broadcastable
+    * at any corpus scale. */
+  def pqCodebooks(s: SparkSession, dir: String, m: Int = PqM,
+      k: Int = PqK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, dir)
+    val sub = 64 / m
+    val subs = emb.select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(m - 1)), j =>
+          struct(j.as("j"), transform(
+            slice(col("embedding"), j * sub + 1, lit(sub)),
+            x => x.cast("double")).as("sv")))).as("e"))
+      .select(col("vec_id"), col("e.j").as("j"), col("e.sv").as("sv"))
+    val seeds = subs.filter(col("vec_id") < k)
+      .select(col("j"), col("vec_id").as("cent_id"), col("sv").as("seed_vec"))
+    val w = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d2").asc, col("cent_id"))
+    val sampleAssigned = subs
+      .filter(ivfSampleBucket(col("vec_id")) < IvfSamplePct)
+      .join(broadcast(seeds), Seq("j"))
+      .select(col("vec_id"), col("j"), col("sv"), col("cent_id"),
+        l2sq(col("sv"), col("seed_vec")).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val means = sampleAssigned
+      .groupBy(col("j"), col("cent_id"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("sv").as("v"))))
+        .as("vs"))
+      .select(col("j"), col("cent_id"), expr(
+        """transform(sequence(0, size(vs[0].v) - 1),
+          |  d -> aggregate(vs, CAST(0.0 AS DOUBLE),
+          |         (acc, m) -> acc + m.v[d]) / size(vs))""".stripMargin)
+        .as("mean_vec"))
+    seeds.join(means, Seq("j", "cent_id"), "left")
+      .select(col("j"), col("cent_id"),
+        coalesce(col("mean_vec"), col("seed_vec")).as("cent_vec"))
+  }
+
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (DataFrame, DataFrame)]
+
+  /** The PQ index: codebooks + the code table (every vector's m nearest
+    * sub-centroid ids, exploded as (vec_id, j, code)) — 4 small ints
+    * replacing 64 floats, the 64×-compressed layer UNDER the int8
+    * quantizer in a production ANN stack. Built once per corpus snapshot
+    * (keyed cache + evict hook, the [[ivfIndex]] pattern). */
+  private def pqIndex(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    pqCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      import org.apache.spark.sql.expressions.Window
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val books = pqCodebooks(s, dir).persist(lvl)
+      val sub = 64 / PqM
+      val subs = embeddings(s, dir).select(col("vec_id"),
+          explode(transform(sequence(lit(0), lit(PqM - 1)), j =>
+            struct(j.as("j"), transform(
+              slice(col("embedding"), j * sub + 1, lit(sub)),
+              x => x.cast("double")).as("sv")))).as("e"))
+        .select(col("vec_id"), col("e.j").as("j"), col("e.sv").as("sv"))
+      val w = Window.partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("d2").asc, col("cent_id"))
+      val codes = subs.join(broadcast(books), Seq("j"))
+        .select(col("vec_id"), col("j"), col("cent_id"),
+          l2sq(col("sv"), col("cent_vec")).as("d2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("j"), col("cent_id").as("code"))
+        .persist(lvl)
+      (books, codes)
+    })
+
+  /** Release the cached PQ index for one corpus (next call rebuilds). */
+  def releasePq(s: SparkSession, dir: String): Unit =
+    pqCache.remove((System.identityHashCode(s), dir)).foreach {
+      case (b, c) =>
+        b.unpersist(blocking = false); c.unpersist(blocking = false)
+    }
+
+  /** Release every cached PQ index (end-of-run cleanup). */
+  def releaseAllPq(): Unit =
+    pqCache.keys.toSeq.foreach(k => pqCache.remove(k).foreach {
+      case (b, c) =>
+        b.unpersist(blocking = false); c.unpersist(blocking = false)
+    })
+
+  /** PQ top-k via asymmetric distance computation (ADC): each query keeps
+    * its FULL-precision subvectors and scores a compressed vector as
+    * Σ_j l2²(q_j, codebook_j[code_j]) — one m·k-row distance table per
+    * query (here 64 rows, broadcast), so the corpus scan touches only the
+    * 4-int codes, never the embeddings. The per-pair sum folds the m
+    * subspace distances in j order (sort_array + left fold — the same
+    * engine-exact IEEE sequence everywhere else in this file). Smaller
+    * distance = nearer; ties break on vec_id. */
+  def pqTopK(s: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (books, codes) = pqIndex(s, dir)
+    val sub = 64 / PqM
+    val queries = embeddings(s, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(transform(sequence(lit(0), lit(PqM - 1)), j =>
+          struct(j.as("j"), transform(
+            slice(col("embedding"), j * sub + 1, lit(sub)),
+            x => x.cast("double")).as("qv")))).as("e"))
+      .select(col("q_id"), col("e.j").as("j"), col("e.qv").as("qv"))
+    val dtab = queries.join(books, Seq("j"))
+      .select(col("q_id"), col("j"), col("cent_id").as("code"),
+        l2sq(col("qv"), col("cent_vec")).as("d2"))
+    val scored = codes.join(broadcast(dtab), Seq("j", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("j"), col("d2")))).as("ds"))
+      .select(col("q_id"), col("vec_id"),
+        expr("aggregate(ds, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d2)")
+          .as("pq_d2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("pq_d2").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("pq_d2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB mirror: identical subvector slicing, seeded+Lloyd codebooks
+    * per subspace, argmin codes, query distance tables, and the j-ordered
+    * distance fold. */
+  val pqTopKOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), subs AS (
+      |  SELECT vec_id, j, v[j*16+1 : j*16+16] AS sv
+      |  FROM e, UNNEST(range(0, 4)) AS t(j)
+      |), seeds AS (
+      |  SELECT j, vec_id AS cent_id, sv AS cv FROM subs WHERE vec_id < 16
+      |), samp AS (
+      |  SELECT * FROM subs
+      |  WHERE CAST('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,14) AS BIGINT) % 100 < 50
+      |), sassign AS (
+      |  SELECT vec_id, j, sv, cent_id FROM (
+      |    SELECT s.vec_id, s.j, s.sv, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+      |        ORDER BY list_sum(list_transform(range(1, len(s.sv) + 1),
+      |          i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) ASC,
+      |          c.cent_id) AS rn
+      |    FROM samp s JOIN seeds c USING (j))
+      |  WHERE rn = 1
+      |), means AS (
+      |  SELECT j, cent_id,
+      |    list_transform(range(1, 17), d ->
+      |      list_sum(list_transform(vs, m -> m.sv[d])) / len(vs)) AS mv
+      |  FROM (
+      |    SELECT j, cent_id,
+      |      list_sort(list(struct_pack(vec_id := vec_id, sv := sv))) AS vs
+      |    FROM sassign GROUP BY j, cent_id)
+      |), books AS (
+      |  SELECT s.j, s.cent_id, COALESCE(m.mv, s.cv) AS cv
+      |  FROM seeds s LEFT JOIN means m
+      |    ON m.j = s.j AND m.cent_id = s.cent_id
+      |), codes AS (
+      |  SELECT vec_id, j, cent_id AS code FROM (
+      |    SELECT su.vec_id, su.j, b.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY su.vec_id, su.j
+      |        ORDER BY list_sum(list_transform(range(1, len(su.sv) + 1),
+      |          i -> (su.sv[i] - b.cv[i]) * (su.sv[i] - b.cv[i]))) ASC,
+      |          b.cent_id) AS rn
+      |    FROM subs su JOIN books b USING (j))
+      |  WHERE rn = 1
+      |), dtab AS (
+      |  SELECT q.vec_id AS q_id, q.j, b.cent_id AS code,
+      |    list_sum(list_transform(range(1, len(q.sv) + 1),
+      |      i -> (q.sv[i] - b.cv[i]) * (q.sv[i] - b.cv[i]))) AS d2
+      |  FROM subs q JOIN books b USING (j)
+      |  WHERE q.vec_id < 8
+      |), scored AS (
+      |  SELECT d.q_id, c.vec_id,
+      |    list_sum(list_transform(
+      |      list_sort(list(struct_pack(j := c.j, d2 := d.d2))),
+      |      x -> x.d2)) AS pq_d2
+      |  FROM codes c JOIN dtab d ON d.j = c.j AND d.code = c.code
+      |  WHERE c.vec_id <> d.q_id
+      |  GROUP BY d.q_id, c.vec_id
+      |)
+      |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, pq_d2 FROM (
+      |  SELECT q_id, vec_id, pq_d2,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY pq_d2 ASC, vec_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
 }

@@ -1298,6 +1298,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist.getOrElse("train", 0) > rows.length / 2, dist.toString)
   }
 
+  test("PQ: codebooks/codes well-formed, recall well above chance") {
+    import org.apache.spark.sql.functions.col
+    val books = operators.Similarity.pqCodebooks(spark, dir).collect()
+    // 4 subspaces × 16 codes, each a 16-dim double centroid
+    assert(books.length == 64, s"codebook rows ${books.length}")
+    assert(books.map(r => (r.getInt(0), r.getLong(1))).distinct.length == 64)
+    books.foreach(r => assert(r.getSeq[Double](2).length == 16))
+    val pq = operators.Similarity.pqTopK(spark, dir).collect()
+    val byQ = pq.groupBy(_.getLong(0))
+    assert(byQ.size == 8 && byQ.values.forall(_.length == 10))
+    // distances ascend with rank and are nonnegative
+    byQ.values.foreach { rows =>
+      val ds = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(ds.forall(_ >= 0.0) && ds.sameElements(ds.sorted))
+    }
+    // recall@10 vs exact cosine: lossy (4 codes replace 64 floats) but
+    // far above the ~0.02 chance level on this corpus (measured ~0.33)
+    val bf = operators.Similarity.bruteForceTopK(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    val recall = byQ.map { case (q, rows) =>
+      (rows.map(_.getLong(2)).toSet & bf(q)).size / 10.0
+    }
+    assert(recall.sum / recall.size >= 0.2,
+      s"mean PQ recall ${recall.sum / recall.size}")
+  }
+
   test("streaming DSIR rollup agrees with the batch score staging table") {
     import org.apache.spark.sql.functions.col
     val stream = graft.streaming.StreamOps.runDsirToMemory(spark, dir)
