@@ -65,6 +65,7 @@ object SparkEntry {
     "samp_split_leakfree" -> ((s, d) => Sampling.leakFreeSplit(s, d)),
     "samp_dsir" -> ((s, d) => Sampling.dsirSelect(s, d)),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "dedup_priority" -> ((s, d) => Dedup.priorityKeep(s, d)),
     "pipe_datasheet" -> ((s, d) => Pipeline.datasheet(s, d)),
     "text_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
@@ -356,6 +357,7 @@ object SparkEntry {
     "stream_packing" -> Packing.packSequencesOracle,
     "stream_dsir" -> graft.streaming.StreamOps.dsirStreamOracle,
     "sim_pq_topk" -> Similarity.pqTopKOracle,
+    "sim_ivfpq_topk" -> Similarity.ivfPqTopKOracle,
     "fed_split_scan" -> Federated.splitScanOracle,
     "samp_hash_10pct" -> Sampling.hashSampleOracle,
     "samp_stats" -> Sampling.sampleStatsOracle,

@@ -864,6 +864,133 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF-PQ: the production composition (the FAISS `IVFx,PQy` default) —
+    * the IVF probe bounds the candidate set to ~nprobe/K of the corpus,
+    * and ADC over the 4-int PQ codes ranks those candidates WITHOUT
+    * touching stored embeddings: the scan reads cells' code lists, the
+    * query's m·k distance table is broadcast, and only (k × queries)
+    * result rows move. Both indexes come from their per-snapshot caches,
+    * so the query measures the probe + table-lookup path. */
+  def ivfPqTopK(s: SparkSession, dir: String, kCells: Int = IvfK,
+      nprobe: Int = IvfProbes, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = ivfAssignments(s, dir, kCells)
+      .select(col("vec_id"), col("cell"))
+    val probes = ivfScored(s, dir, kCells).filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
+    val (books, codes) = pqIndex(s, dir)
+    val sub = 64 / PqM
+    val queries = embeddings(s, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(transform(sequence(lit(0), lit(PqM - 1)), j =>
+          struct(j.as("j"), transform(
+            slice(col("embedding"), j * sub + 1, lit(sub)),
+            x => x.cast("double")).as("qv")))).as("e"))
+      .select(col("q_id"), col("e.j").as("j"), col("e.qv").as("qv"))
+    val dtab = queries.join(books, Seq("j"))
+      .select(col("q_id"), col("j"), col("cent_id").as("code"),
+        l2sq(col("qv"), col("cent_vec")).as("d2"))
+    val candCodes = assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .join(codes, Seq("vec_id"))
+    val scored = candCodes
+      .join(broadcast(dtab), Seq("q_id", "j", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("j"), col("d2")))).as("ds"))
+      .select(col("q_id"), col("vec_id"),
+        expr("aggregate(ds, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d2)")
+          .as("pq_d2"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("pq_d2").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("pq_d2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The PQ codebook/code/distance-table CTEs with `pq`-prefixed names,
+    * appendable after [[ivfAssignedCte]] (whose seeds/samp/… names they
+    * would otherwise collide with). */
+  private val pqCte: String =
+    """ subs AS (
+      |  SELECT vec_id, j, v[j*16+1 : j*16+16] AS sv
+      |  FROM e, UNNEST(range(0, 4)) AS t(j)
+      |), pqseeds AS (
+      |  SELECT j, vec_id AS cent_id, sv AS cv FROM subs WHERE vec_id < 16
+      |), pqsamp AS (
+      |  SELECT * FROM subs
+      |  WHERE CAST('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,14) AS BIGINT) % 100 < 50
+      |), pqsassign AS (
+      |  SELECT vec_id, j, sv, cent_id FROM (
+      |    SELECT s.vec_id, s.j, s.sv, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+      |        ORDER BY list_sum(list_transform(range(1, len(s.sv) + 1),
+      |          i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) ASC,
+      |          c.cent_id) AS rn
+      |    FROM pqsamp s JOIN pqseeds c USING (j))
+      |  WHERE rn = 1
+      |), pqmeans AS (
+      |  SELECT j, cent_id,
+      |    list_transform(range(1, 17), d ->
+      |      list_sum(list_transform(vs, m -> m.sv[d])) / len(vs)) AS mv
+      |  FROM (
+      |    SELECT j, cent_id,
+      |      list_sort(list(struct_pack(vec_id := vec_id, sv := sv))) AS vs
+      |    FROM pqsassign GROUP BY j, cent_id)
+      |), books AS (
+      |  SELECT s.j, s.cent_id, COALESCE(m.mv, s.cv) AS cv
+      |  FROM pqseeds s LEFT JOIN pqmeans m
+      |    ON m.j = s.j AND m.cent_id = s.cent_id
+      |), codes AS (
+      |  SELECT vec_id, j, cent_id AS code FROM (
+      |    SELECT su.vec_id, su.j, b.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY su.vec_id, su.j
+      |        ORDER BY list_sum(list_transform(range(1, len(su.sv) + 1),
+      |          i -> (su.sv[i] - b.cv[i]) * (su.sv[i] - b.cv[i]))) ASC,
+      |          b.cent_id) AS rn
+      |    FROM subs su JOIN books b USING (j))
+      |  WHERE rn = 1
+      |), dtab AS (
+      |  SELECT q.vec_id AS q_id, q.j, b.cent_id AS code,
+      |    list_sum(list_transform(range(1, len(q.sv) + 1),
+      |      i -> (q.sv[i] - b.cv[i]) * (q.sv[i] - b.cv[i]))) AS d2
+      |  FROM subs q JOIN books b USING (j)
+      |  WHERE q.vec_id < 8
+      |)""".stripMargin
+
+  /** IVF probes + PQ ADC over the probed cells' candidates. */
+  val ivfPqTopKOracle: String = ivfAssignedCte + "," + pqCte +
+    """, probes AS (
+      |  SELECT vec_id AS q_id, cent_id AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY ccos DESC, cent_id) AS rn
+      |    FROM scored WHERE vec_id < 8) WHERE rn <= 4
+      |), cnd AS (
+      |  SELECT p.q_id, a.vec_id
+      |  FROM assigned a JOIN probes p USING (cell)
+      |  WHERE a.vec_id <> p.q_id
+      |), pqscored AS (
+      |  SELECT cd.q_id, cd.vec_id,
+      |    list_sum(list_transform(
+      |      list_sort(list(struct_pack(j := c.j, d2 := d.d2))),
+      |      x -> x.d2)) AS pq_d2
+      |  FROM cnd cd
+      |  JOIN codes c ON c.vec_id = cd.vec_id
+      |  JOIN dtab d ON d.q_id = cd.q_id AND d.j = c.j AND d.code = c.code
+      |  GROUP BY cd.q_id, cd.vec_id
+      |)
+      |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, pq_d2 FROM (
+      |  SELECT q_id, vec_id, pq_d2,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY pq_d2 ASC, vec_id) AS rank
+      |  FROM pqscored)
+      |WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   /** DuckDB mirror: identical subvector slicing, seeded+Lloyd codebooks
     * per subspace, argmin codes, query distance tables, and the j-ordered
     * distance fold. */

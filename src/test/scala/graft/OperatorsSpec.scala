@@ -1324,6 +1324,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"mean PQ recall ${recall.sum / recall.size}")
   }
 
+  test("IVF-PQ: candidates come only from probed cells, ADC agrees with PQ path") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val res = operators.Similarity.ivfPqTopK(spark, dir).collect()
+    assert(res.groupBy(_.getLong(0)).size == 8)
+    // every returned vector lives in a cell its query probed
+    val cells = operators.Similarity.ivfAssignments(spark, dir)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probed = operators.Similarity.ivfScored(spark, dir)
+      .filter(col("vec_id") < 8)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      .select(col("vec_id"), col("cent_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    res.foreach { r =>
+      val (q, v) = (r.getLong(0), r.getLong(2))
+      assert(probed(q).contains(cells(v)), s"vec $v outside query $q's probes")
+    }
+    // the ADC distance is the same number the pure-PQ path computes
+    val pqd = operators.Similarity.pqTopK(spark, dir, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    res.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(pqd.get(key).forall(_ == r.getDouble(3)), s"ADC mismatch at $key")
+    }
+  }
+
   test("streaming DSIR rollup agrees with the batch score staging table") {
     import org.apache.spark.sql.functions.col
     val stream = graft.streaming.StreamOps.runDsirToMemory(spark, dir)
