@@ -113,6 +113,52 @@ object ScaleStress {
     }
     val nDocs = spark.read.parquet(docs.getPath).count()
 
+    // Phase toggles: the dedup/graph phases (the r8 judge-demand battery)
+    // run by default; SPARK_GRAFT_SCALE_DEDUP=0 skips them and
+    // SPARK_GRAFT_SCALE_TEXT=1 adds the later-r8 text/selection phases
+    // (span dedup, DSIR, Gopher rules) over the same 5M-doc corpus.
+    val doDedup = !sys.env.get("SPARK_GRAFT_SCALE_DEDUP").contains("0")
+    val doText = sys.env.get("SPARK_GRAFT_SCALE_TEXT").contains("1")
+
+    if (doText) {
+      val sel = sys.env.getOrElse("SPARK_GRAFT_SCALE_TEXT_PHASES",
+        "span,dsir,gopher").split(",").toSet
+      val nSpans = if (!sel("span")) -1L else timed("span_dedup") {
+        graft.operators.TextOps.spanDedup(spark, outDir).count()
+      }
+      val nScored = if (!sel("dsir")) -1L else timed("dsir_score") {
+        graft.operators.Sampling.dsirScore(spark, outDir).count()
+      }
+      val nSelected = if (!sel("dsir")) -1L else timed("dsir_select") {
+        graft.operators.Sampling.dsirSelect(spark, outDir)
+          .filter(col("selected")).count()
+      }
+      // salted tokens defeat the required-word rule (every doc fails it);
+      // summing over the rule BOOLEANS forces the full in-row projection
+      // (a bare count() would let Catalyst prune every rule column away)
+      val nGopherRows = if (!sel("gopher")) -1L else timed("gopher_rules") {
+        graft.operators.TextOps
+          .gopherRulesFrame(spark.read.parquet(docs.getPath))
+          .agg(sum(when(col("r_word_count"), 1L).otherwise(0L)) +
+            sum(when(col("r_mean_word_len"), 1L).otherwise(0L)) +
+            sum(when(col("r_alpha_words"), 1L).otherwise(0L)) +
+            sum(when(col("keep"), 1L).otherwise(0L)))
+          .head.getLong(0)
+      }
+      val textJson = phases
+        .filter(p => Seq("gen", "span_dedup", "dsir_score", "dsir_select",
+          "gopher_rules").contains(p._1))
+        .map { case (n, p) =>
+          f""""$n":{"sec":${p.sec}%.1f,"shuffle_write_mb":${p.w / 1048576},"shuffle_read_mb":${p.r / 1048576}}"""
+        }.mkString(",")
+      println(
+        s"""{"n_docs":$nDocs,"n_spans":$nSpans,"dsir_scored":$nScored,""" +
+        s""""dsir_selected":$nSelected,"gopher_rows":$nGopherRows,""" +
+        s"""$textJson}""")
+    }
+
+    if (!doDedup) { spark.stop(); return }
+
     // ----------------------------------------------------- measure
     // cold = signature staging build + banding join (the full first-use
     // cost, exactly what a production run pays once per corpus snapshot);

@@ -59,6 +59,7 @@ object SparkEntry {
     "text_quality_buckets" -> ((s, d) => TextOps.qualityBuckets(s, d)),
     "text_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d,
       requiredWords = gopherGateWords)),
+    "text_novelty" -> ((s, d) => TextOps.novelty(s, d)),
     "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
     "pack_stats" -> ((s, d) => Packing.packStats(s, d)),
     "samp_mixture" -> ((s, d) => Sampling.mixture(s, d)),
@@ -358,6 +359,7 @@ object SparkEntry {
     "stream_dsir" -> graft.streaming.StreamOps.dsirStreamOracle,
     "sim_pq_topk" -> Similarity.pqTopKOracle,
     "sim_ivfpq_topk" -> Similarity.ivfPqTopKOracle,
+    "text_novelty" -> TextOps.noveltyOracle,
     "fed_split_scan" -> Federated.splitScanOracle,
     "samp_hash_10pct" -> Sampling.hashSampleOracle,
     "samp_stats" -> Sampling.sampleStatsOracle,

@@ -888,6 +888,76 @@ object TextOps {
     * "absent" must never be ambiguous with "no overlap". The pair frame is
     * the cross product of the (tiny, S-row) sizes table, left-joined with
     * the observed intersections. */
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * shingles whose global FIRST occurrence (smallest doc_id) is this doc
+    * — the corpus-growth diagnostic that shows whether newly ingested
+    * data still contributes unseen content or is re-crawling the same
+    * text (novelty decaying toward 0 = the crawl is saturating).
+    *
+    * Scale shape: docs reduce to distinct (doc_id, shingle-md5) rows in
+    * one map-side-combined pass; first occurrences are a second
+    * map-side-combined MIN; the join back is hash-keyed on the shingle
+    * and its output is exactly the input rows (linear — every row meets
+    * ONE firsts row). Ratios are exact integer ppm. */
+  def novelty(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    import graft.functions.PortableHashExprs
+    val sh = documents(s, dir)
+      .select(col("doc_id"),
+        explode(PortableHashExprs.portable_shingles(col("text"), n))
+          .as("shg"))
+      .filter(col("shg") =!= "")
+      .select(col("doc_id"), md5(col("shg")).as("h"))
+      .distinct()
+    val firsts = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val agg = sh.join(firsts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    documents(s, dir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0,
+          lit(null).cast("long"))
+          .otherwise(expr("n_novel * 1000000L DIV n_shingles"))
+          .as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Same shingle construction as [[sourceOverlapOracle]], first
+    * occurrences by MIN(doc_id), identical rollup. */
+  val noveltyOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM documents
+      |), shl AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+      |    END AS shs
+      |  FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, md5(s2) AS h
+      |  FROM shl, UNNEST(shs) AS u(s2)
+      |  WHERE s2 <> ''
+      |), firsts AS (
+      |  SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY h
+      |), agg AS (
+      |  SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |    CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_novel
+      |  FROM sh JOIN firsts f USING (h) GROUP BY sh.doc_id
+      |)
+      |SELECT d.doc_id, COALESCE(a.n_shingles, 0) AS n_shingles,
+      |  COALESCE(a.n_novel, 0) AS n_novel,
+      |  CASE WHEN COALESCE(a.n_shingles, 0) = 0 THEN NULL
+      |    ELSE CAST(a.n_novel * 1000000 // a.n_shingles AS BIGINT) END
+      |    AS novelty_ppm
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def sourceOverlap(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
     import graft.functions.PortableHashExprs
     val sets = documents(s, dir)

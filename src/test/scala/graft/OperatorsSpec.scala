@@ -1523,6 +1523,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       got.mkString(", "))
   }
 
+  test("novelty: first doc fully novel, totals conserve the shingle universe") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.TextOps.novelty(spark, dir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // the smallest doc_id sees every one of its shingles first
+    val first = byId(rows.map(_.getLong(0)).min)
+    assert(first.getLong(1) == first.getLong(2), first.toString)
+    assert(first.getLong(3) == 1000000L, first.toString)
+    // Σ n_novel = the global distinct shingle count (each shingle is
+    // first-seen exactly once)
+    import graft.functions.PortableHashExprs
+    val universe = graft.sources.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.explode(
+        PortableHashExprs.portable_shingles(col("text"), 3)).as("s"))
+      .filter(col("s") =!= "").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == universe,
+      s"novel sum ${rows.map(_.getLong(2)).sum} != universe $universe")
+    // ratios bounded and exact
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1))
+    }
+    // the fixture's near-dup replicas give SOME doc a sub-half novelty
+    assert(rows.exists(r => !r.isNullAt(3) && r.getLong(3) < 500000L),
+      "no low-novelty doc — dedup fixture should produce one")
+  }
+
   test("gopher rules: each rule trips on exactly its planted violation") {
     import spark.implicits._
     // The parquet fixture has no newlines/symbols/numeric tokens, so the
