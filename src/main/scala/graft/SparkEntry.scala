@@ -60,6 +60,7 @@ object SparkEntry {
     "text_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d,
       requiredWords = gopherGateWords)),
     "text_novelty" -> ((s, d) => TextOps.novelty(s, d)),
+    "text_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d)),
     "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
     "pack_stats" -> ((s, d) => Packing.packStats(s, d)),
     "samp_mixture" -> ((s, d) => Sampling.mixture(s, d)),
@@ -360,6 +361,7 @@ object SparkEntry {
     "sim_pq_topk" -> Similarity.pqTopKOracle,
     "sim_ivfpq_topk" -> Similarity.ivfPqTopKOracle,
     "text_novelty" -> TextOps.noveltyOracle,
+    "text_vocab_growth" -> TextOps.vocabGrowthOracle,
     "fed_split_scan" -> Federated.splitScanOracle,
     "samp_hash_10pct" -> Sampling.hashSampleOracle,
     "samp_stats" -> Sampling.sampleStatsOracle,

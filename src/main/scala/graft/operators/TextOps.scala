@@ -958,6 +958,73 @@ object TextOps {
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Vocabulary growth curve (Heaps' law): cumulative distinct token
+    * types vs cumulative tokens processed, in doc_id ingestion order —
+    * the diagnostic that tells a pipeline whether its corpus keeps
+    * contributing vocabulary or has saturated. Computed at BUCKET
+    * granularity (`bucketSize` docs per curve point): per-token first
+    * occurrence is the same map-side-combined MIN as [[novelty]], new
+    * types fold to one row per bucket, and the only ordered prefix sum
+    * runs over the BUCKET table (corpus_size / bucketSize rows — the
+    * curve's own resolution), never over docs. All counts integer. */
+  def vocabGrowth(s: SparkSession, dir: String,
+      bucketSize: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(s, dir).select(col("doc_id"),
+      filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
+    val perDoc = toks.select(col("doc_id"), size(col("t")).cast("long")
+      .as("n_tokens"))
+    val firsts = toks.select(col("doc_id"),
+        explode(array_distinct(col("t"))).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+    val bTokens = perDoc
+      .groupBy(expr(s"doc_id DIV $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("b_tokens"))
+    val bTypes = firsts
+      .groupBy(expr(s"first_doc DIV $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("b_new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bTokens.join(bTypes, Seq("bucket"), "left")
+      .withColumn("b_new_types", coalesce(col("b_new_types"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("b_tokens")).over(w))
+      .withColumn("cum_types", sum(col("b_new_types")).over(w))
+      .select(col("bucket"), col("n_docs"), col("b_tokens"),
+        col("b_new_types"), col("cum_tokens"), col("cum_types"))
+      .orderBy(col("bucket"))
+  }
+
+  val vocabGrowthOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM documents
+      |), per_doc AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+      |), firsts AS (
+      |  SELECT w, MIN(doc_id) AS first_doc
+      |  FROM (SELECT doc_id, unnest(list_distinct(t)) AS w FROM toks)
+      |  GROUP BY w
+      |), btok AS (
+      |  SELECT doc_id // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS b_tokens
+      |  FROM per_doc GROUP BY 1
+      |), btyp AS (
+      |  SELECT first_doc // 50 AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS b_new_types
+      |  FROM firsts GROUP BY 1
+      |)
+      |SELECT bt.bucket, bt.n_docs, bt.b_tokens,
+      |  COALESCE(ty.b_new_types, 0) AS b_new_types,
+      |  CAST(SUM(bt.b_tokens) OVER (ORDER BY bt.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_tokens,
+      |  CAST(SUM(COALESCE(ty.b_new_types, 0)) OVER (ORDER BY bt.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_types
+      |FROM btok bt LEFT JOIN btyp ty USING (bucket)
+      |ORDER BY bt.bucket""".stripMargin
+
   def sourceOverlap(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
     import graft.functions.PortableHashExprs
     val sets = documents(s, dir)

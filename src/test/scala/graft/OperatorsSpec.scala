@@ -1523,6 +1523,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       got.mkString(", "))
   }
 
+  test("vocab growth: curve monotone, endpoints equal corpus totals") {
+    import org.apache.spark.sql.functions.{col, explode, lower, split}
+    val curve = operators.TextOps.vocabGrowth(spark, dir).collect()
+    // buckets ordered, cumulative columns strictly bookkeeping-consistent
+    val buckets = curve.map(_.getLong(0))
+    assert(buckets.sameElements(buckets.sorted))
+    var (ct, cy) = (0L, 0L)
+    curve.foreach { r =>
+      ct += r.getLong(2); cy += r.getLong(3)
+      assert(r.getLong(4) == ct && r.getLong(5) == cy, r.toString)
+    }
+    // endpoint = corpus totals: token count and distinct type count
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val toks = docs.select(explode(
+      org.apache.spark.sql.functions.filter(
+        split(lower(col("text")), "\\s+"), t => t =!= "")).as("w"))
+    assert(ct == toks.count(), "cumulative tokens != corpus tokens")
+    assert(cy == toks.distinct().count(), "cumulative types != vocabulary")
+    assert(curve.map(_.getLong(1)).sum == docs.count())
+    // Heaps: growth decelerates — the last bucket adds fewer new types
+    // than the first (the fixture's vocabulary saturates quickly)
+    assert(curve.last.getLong(3) < curve.head.getLong(3))
+  }
+
   test("novelty: first doc fully novel, totals conserve the shingle universe") {
     import org.apache.spark.sql.functions.col
     val rows = operators.TextOps.novelty(spark, dir).collect()
