@@ -186,6 +186,7 @@ object SparkEntry {
     "fed_except" -> (Federated.exceptPushdown _),
     "fed_intersect_all" -> (Federated.intersectAllPushdown _),
     "fed_except_all" -> (Federated.exceptAllPushdown _),
+    "fed_three_providers" -> (Federated.threeProviderUnion _),
     "fed_partial_agg" -> (Federated.partialAggUnion _),
     "fed_partial_avg" -> (Federated.partialAvgUnion _),
     "fed_union_topk" -> (Federated.unionTopK _),
@@ -336,6 +337,7 @@ object SparkEntry {
     "fed_except" -> Federated.exceptOracle,
     "fed_intersect_all" -> Federated.intersectAllOracle,
     "fed_except_all" -> Federated.exceptAllOracle,
+    "fed_three_providers" -> Federated.threeProviderUnionOracle,
     "fed_partial_agg" -> Federated.partialAggOracle,
     "fed_partial_avg" -> Federated.partialAvgOracle,
     "fed_union_topk" -> Federated.unionTopKOracle,

@@ -978,6 +978,46 @@ object Federated {
       |ORDER BY k
       |LIMIT 60""".stripMargin
 
+  /** THREE-provider union aggregate: every prior cross-provider gate uses
+    * two engines; the lattice merge, per-arm partial aggregation, and the
+    * local combine are all N-ary, so a third provider (gamma) must fall
+    * out for free — each of the three engines ships ONE partial GROUP BY
+    * and only 3 × |groups| rows travel. FederationSpec asserts the
+    * executed partial SQL on all three executors. */
+  def threeProviderUnion(s: SparkSession, dir: String): DataFrame = {
+    FederationHarness.setup(s, dir)
+    val gamma = FederationHarness.executor(s, dir, "gamma")
+    graft.federation.Federation.registerRemoteTable(
+      s, "fedc_orders", "orders", gamma)
+    s.sql(
+      """SELECT st, COUNT(*) AS n, MIN(price) AS lo, MAX(price) AS hi
+        |FROM (
+        |  SELECT o_orderstatus AS st, o_totalprice AS price
+        |  FROM fed_orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice
+        |  FROM fedb_orders WHERE o_orderpriority = '2-HIGH'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice
+        |  FROM fedc_orders WHERE o_orderpriority = '3-MEDIUM'
+        |)
+        |GROUP BY st ORDER BY st""".stripMargin)
+  }
+
+  val threeProviderUnionOracle: String =
+    """SELECT st, COUNT(*) AS n, MIN(price) AS lo, MAX(price) AS hi
+      |FROM (
+      |  SELECT o_orderstatus AS st, o_totalprice AS price
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderpriority = '2-HIGH'
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderpriority = '3-MEDIUM'
+      |) sub
+      |GROUP BY st ORDER BY st""".stripMargin
+
   /** Two-phase aggregation across providers ([[
     * graft.federation.PartialAggRule]] — a scale feature beyond the
     * reference): the GROUP BY over a UNION ALL spanning provider alpha and

@@ -806,6 +806,23 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("three providers: each engine ships exactly one partial GROUP BY") {
+    setup()
+    val df = Federated.threeProviderUnion(spark, dir)
+    val execs = Seq("alpha", "beta", "gamma")
+      .map(n => FederationHarness.executor(spark, dir, n))
+    val before = execs.map(_.executedSql.size)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    execs.zip(before).zipWithIndex.foreach { case ((ex, b), i) =>
+      val sqls = ex.executedSql.drop(b)
+      assert(sqls.size == 1,
+        s"${execs(i).name}: expected ONE SQL, got\n${sqls.mkString("\n")}")
+      assert(sqls.head.contains("__gp_") && sqls.head.contains("GROUP BY"),
+        s"${execs(i).name} did not ship a partial aggregate: ${sqls.head}")
+    }
+  }
+
   test("INTERSECT ALL / EXCEPT ALL: one fragment per query, replicaterows local") {
     // Catalyst lowers the ALL set-ops to UNION ALL + grouped counts +
     // Generate(replicaterows). The whole union+aggregate must federate as
