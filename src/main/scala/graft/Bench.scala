@@ -32,6 +32,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // 145 gates × several codegen stages each overflow the default
+      // 100-entry generated-class cache, so a full sweep recompiles the
+      // heaviest stages on EVERY iteration (measured: sim_label_stats
+      // 0.18 s quiet → 3.0 s in-sweep, pure janino churn). Production
+      // reuses a repeated query's compiled stages, so size the cache to
+      // the suite — per-query medians then measure execution, not other
+      // queries' cache evictions.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
