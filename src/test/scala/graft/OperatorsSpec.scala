@@ -1353,6 +1353,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming gopher filter equals the batch rule screen rollup") {
+    import org.apache.spark.sql.functions.col
+    val words = operators.TextOps.gopherFixtureWords
+    val stream = graft.streaming.StreamOps
+      .runGopherFilterToMemory(spark, dir, words)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = operators.TextOps.gopherRules(spark, dir,
+        requiredWords = words)
+      .filter(col("keep")).collect()
+      .groupBy(_.getString(1))
+    assert(stream.keySet == batch.keySet,
+      s"sources ${stream.keySet} vs ${batch.keySet}")
+    for ((src, (nKept, keptWords)) <- stream) {
+      assert(nKept == batch(src).length, s"$src n_kept")
+      assert(keptWords == batch(src).map(_.getInt(2).toLong).sum,
+        s"$src kept_words")
+    }
+  }
+
   test("streaming DSIR rollup agrees with the batch score staging table") {
     import org.apache.spark.sql.functions.col
     val stream = graft.streaming.StreamOps.runDsirToMemory(spark, dir)

@@ -376,6 +376,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
   }
 
+  test("novelty: hash-keyed equi join, no cartesian, text pruned after shingling") {
+    val df = SparkEntry.queries("text_novelty")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    // first-occurrence MIN + the join back are both keyed on the shingle
+    // hash; nothing may go all-pairs and no count-distinct Expand exists
+    assert(count(p, "CartesianProduct") == 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(count(p, "Expand") == 0, p)
+    fileScans(p).foreach { scan =>
+      assert(!scan.contains("lang") && !scan.contains("source"),
+        s"lang/source must be pruned: $scan")
+    }
+  }
+
   test("range join is an equi-join on (epoch, salt), never all-pairs") {
     // disable broadcast so the plan shown is the large-scale shape: with
     // broadcasting on, a small build side hides the nested-loop risk
