@@ -152,6 +152,9 @@ object SparkEntry {
     "stream_dsir" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runDsirToMemory(s, d)
         .orderBy(col("source"))),
+    "stream_novelty" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runNoveltyToMemory(s, d)
+        .orderBy(col("source"))),
     "text_distinct_estimate" -> (TextOps.distinctEstimate _),
     // --- federation engine (the reference's core capability) ---
     "fed_q1_pushdown" -> (Federated.q1Pushdown _),
@@ -360,6 +363,7 @@ object SparkEntry {
     // single-batch streaming packing reproduces the batch packer bitwise
     "stream_packing" -> Packing.packSequencesOracle,
     "stream_dsir" -> graft.streaming.StreamOps.dsirStreamOracle,
+    "stream_novelty" -> graft.streaming.StreamOps.noveltyStreamOracle,
     "sim_pq_topk" -> Similarity.pqTopKOracle,
     "sim_ivfpq_topk" -> Similarity.ivfPqTopKOracle,
     "text_novelty" -> TextOps.noveltyOracle,

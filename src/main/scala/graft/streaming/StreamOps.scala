@@ -727,6 +727,82 @@ object StreamOps {
       name: String = "stream_dsir_out"): DataFrame =
     runStream(spark, dsirStream(spark, dir), "complete", name)
 
+  /** STREAMING novelty — the in-flight sibling of
+    * [[graft.operators.TextOps.novelty]]: arriving documents' distinct
+    * shingle hashes check against the STATIC index of a prior corpus
+    * snapshot (here the deterministic MD5-bucket half of the corpus —
+    * the stand-in for "yesterday's shingle index"), reporting per source
+    * how much of the incoming stream is genuinely new content. Shingles
+    * and per-doc dedup happen IN-ROW (`array_distinct` before the
+    * explode); the index side is corpus-sized so it is deliberately NOT
+    * broadcast — the stream-static left join is hash-keyed and the index
+    * is re-read per microbatch (between-batch index updates are seen),
+    * exactly the [[incrementalStream]] contract. State = the
+    * one-row-per-source rollup. */
+  def noveltyStream(spark: SparkSession, dir: String,
+      n: Int = 3): DataFrame = {
+    import graft.functions.PortableHashExprs
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 14),
+      16, 10).cast("long") % 100
+    val index = Tables.documents(spark, dir)
+      .filter(bucket < 50)
+      .select(explode(PortableHashExprs.portable_shingles(col("text"), n))
+        .as("shg"))
+      .filter(col("shg") =!= "")
+      .select(md5(col("shg")).as("h"), lit(1L).as("known"))
+      .distinct()
+    val schema = Tables.documents(spark, dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("source"),
+        explode(array_distinct(transform(
+          filter(PortableHashExprs.portable_shingles(col("text"), n),
+            s0 => s0 =!= ""),
+          s0 => md5(s0)))).as("h"))
+      .join(index, Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("known"), lit(0L))).as("n_known"))
+      .select(col("source"), col("n_shingles"), col("n_known"),
+        expr("(n_shingles - n_known) * 1000000L DIV n_shingles")
+          .as("novel_ppm"))
+  }
+
+  def runNoveltyToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_novelty_out"): DataFrame =
+    runStream(spark, noveltyStream(spark, dir), "complete", name)
+
+  /** Batch recompute: same shingle set, same MD5-bucket snapshot index,
+    * same per-source rollup. */
+  val noveltyStreamOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM documents
+      |), shl AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+      |    END AS shs
+      |  FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, source, md5(s2) AS h
+      |  FROM shl, UNNEST(shs) AS u(s2)
+      |  WHERE s2 <> ''
+      |), idx AS (
+      |  SELECT DISTINCT h FROM sh
+      |  WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14) AS BIGINT) % 100 < 50
+      |)
+      |SELECT sh.source, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_known,
+      |  CAST((COUNT(*) - SUM(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END))
+      |    * 1000000 // COUNT(*) AS BIGINT) AS novel_ppm
+      |FROM sh LEFT JOIN idx i ON i.h = sh.h
+      |GROUP BY sh.source ORDER BY sh.source""".stripMargin
+
   /** Per-source rollup of the batch DSIR score pipeline — the stream must
     * agree exactly (same model, same integer kernels). */
   val dsirStreamOracle: String =

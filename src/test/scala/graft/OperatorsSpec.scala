@@ -1373,6 +1373,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming novelty agrees with a driver-side kernel recompute") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shingleSet(text: String): Set[String] = {
+      val arr = graft.functions.PortableHashExprs
+        .shinglesKernel(UTF8String.fromString(text), 3)
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+        .filter(_.nonEmpty).map(md5hex).toSet
+    }
+    val sets = docs.map { case (id, src, t) => (id, src, shingleSet(t)) }
+    val index = sets.filter { case (id, _, _) =>
+      java.lang.Long.parseLong(md5hex(id.toString).take(14), 16) % 100 < 50
+    }.flatMap(_._3).toSet
+    val want = sets.groupBy(_._2).view.mapValues { g =>
+      val n = g.map(_._3.size.toLong).sum
+      val known = g.map(d => (d._3 & index).size.toLong).sum
+      (n, known, (n - known) * 1000000L / n)
+    }.toMap
+    val got = graft.streaming.StreamOps.runNoveltyToMemory(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == want.keySet)
+    for ((src, w) <- want) assert(got(src) == w, s"$src: ${got(src)} vs $w")
+    // the snapshot index makes its own half ~fully known
+    assert(got.values.exists(_._3 < 500000L), "no low-novelty source")
+  }
+
   test("streaming DSIR rollup agrees with the batch score staging table") {
     import org.apache.spark.sql.functions.col
     val stream = graft.streaming.StreamOps.runDsirToMemory(spark, dir)
