@@ -61,6 +61,8 @@ object SparkEntry {
       requiredWords = gopherGateWords)),
     "text_novelty" -> ((s, d) => TextOps.novelty(s, d)),
     "text_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d)),
+    "text_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(s, d)),
+    "sim_truncated_topk" -> ((s, d) => Similarity.truncatedTopK(s, d)),
     "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
     "pack_stats" -> ((s, d) => Packing.packStats(s, d)),
     "samp_mixture" -> ((s, d) => Sampling.mixture(s, d)),
@@ -368,6 +370,8 @@ object SparkEntry {
     "sim_ivfpq_topk" -> Similarity.ivfPqTopKOracle,
     "text_novelty" -> TextOps.noveltyOracle,
     "text_vocab_growth" -> TextOps.vocabGrowthOracle,
+    "text_unigram_surprisal" -> TextOps.unigramSurprisalOracle,
+    "sim_truncated_topk" -> Similarity.truncatedTopKOracle,
     "fed_split_scan" -> Federated.splitScanOracle,
     "samp_hash_10pct" -> Sampling.hashSampleOracle,
     "samp_stats" -> Sampling.sampleStatsOracle,

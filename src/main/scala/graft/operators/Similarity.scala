@@ -722,6 +722,51 @@ object Similarity {
       |FROM assigned a LEFT JOIN better bt USING (vec_id)
       |ORDER BY a.vec_id""".stripMargin
 
+  /** Dimension-truncated retrieval (the Matryoshka representation idea,
+    * Kusupati et al. 2022, arXiv:2205.13147): exact cosine top-k over
+    * only the FIRST `dims` coordinates — the cheap coarse pass of an MRL
+    * funnel, scanning 1/4 of the vector bytes here. Same
+    * broadcast-queries / never-shuffle-the-corpus plan as
+    * [[bruteForceTopK]]; the slice happens inside the row. Useful
+    * exactly when embeddings were trained front-loaded; the spec treats
+    * recall vs the full-dim top-k as DIAGNOSTIC output (the synthetic
+    * vectors are not front-loaded, so only a chance-level floor is
+    * asserted — the operator's value is the measurement itself). */
+  def truncatedTopK(s: SparkSession, dir: String, dims: Int = 16,
+      nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), slice(col("embedding"), 1, dims).as("v"))
+    val queries = emb.orderBy(col("vec_id")).limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_vec"), col("v")).as("cos"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val truncatedTopKOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding[1:16] AS DOUBLE[]) AS v
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS q_id, v AS q_vec FROM e ORDER BY vec_id LIMIT 8
+      |), scored AS (
+      |  SELECT q.q_id, e.vec_id, list_cosine_similarity(q.q_vec, e.v) AS cos
+      |  FROM q, e WHERE e.vec_id <> q.q_id
+      |)
+      |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, cos FROM (
+      |  SELECT q_id, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   // --------------------------------------------- product quantization (PQ)
 
   /** PQ subspaces (64-dim embeddings → 4 × 16-dim subvectors). */

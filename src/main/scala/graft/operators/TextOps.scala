@@ -958,6 +958,51 @@ object TextOps {
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Per-source mean unigram self-surprisal — the engine-exact stand-in
+    * for Shannon entropy as a corpus-diversity measure: token w with
+    * corpus count c out of T total occurrences carries
+    * `floor(log2(T DIV c))` integer bits (the same `length(bin(..))-1`
+    * kernel as [[lmScore]], so the score is bitwise reproducible where a
+    * float `log` would not be); a source's score is the mean over its
+    * token OCCURRENCES in ppm. Repetitive/templated sources score low,
+    * diverse prose scores high — the cheap corpus-mix diagnostic next to
+    * the bigram LM. One global count aggregate (map-side combined,
+    * broadcast back onto the token stream) + one per-source rollup. */
+  def unigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(col("source"),
+      explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+        .as("w"))
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("t"))
+    toks.join(counts, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        (length(bin(expr("t DIV c"))) - 1).as("bits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("bits_sum"))
+      .select(col("source"), col("n_tokens"),
+        expr("bits_sum * 1000000L DIV n_tokens").as("mean_bits_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val unigramSurprisalOracle: String =
+    """WITH toks AS (
+      |  SELECT source, unnest([x FOR x IN
+      |    string_split_regex(lower(text), '\s+') IF x <> '']) AS w
+      |  FROM documents
+      |), counts AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+      |), tot AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts
+      |), scored AS (
+      |  SELECT toks.source, length(bin(t.t // c.c)) - 1 AS bits
+      |  FROM toks JOIN counts c USING (w) CROSS JOIN tot t
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(bits) * 1000000 // COUNT(*) AS BIGINT) AS mean_bits_ppm
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
   /** Vocabulary growth curve (Heaps' law): cumulative distinct token
     * types vs cumulative tokens processed, in doc_id ingestion order —
     * the diagnostic that tells a pipeline whether its corpus keeps

@@ -1298,6 +1298,59 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist.getOrElse("train", 0) > rows.length / 2, dist.toString)
   }
 
+  test("unigram surprisal: hand-checked bits on a micro corpus, bounds hold") {
+    import spark.implicits._
+    // corpus: a×4, b×2, c×1, d×1 → T=8; bits(w)=floor(log2(8 div c)):
+    //   a: 8 div 4 = 2 → 1 bit; b: 8 div 2 = 4 → 2; c,d: 8 → 3
+    val tmp = java.nio.file.Files.createTempDirectory("uni").toString
+    Seq(
+      (0L, "a a a b", "en", "rep", 7L),     // bits 1+1+1+2 → mean 1.25
+      (1L, "a b c d", "en", "div", 7L))     // bits 1+2+3+3 → mean 2.25
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = operators.TextOps.unigramSurprisal(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("rep") == ((4L, 1250000L)), got("rep").toString)
+    assert(got("div") == ((4L, 2250000L)), got("div").toString)
+    // the diverse source scores strictly higher — the diagnostic works
+    assert(got("div")._2 > got("rep")._2)
+    // fixture-wide sanity: every source within [0, log2(T)] bits
+    val corpus = operators.TextOps.unigramSurprisal(spark, dir).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach(r => assert(r.getLong(2) >= 0L &&
+      r.getLong(2) <= 64000000L, r.toString))
+  }
+
+  test("truncated retrieval: exact on the slice, recall vs full reported") {
+    import org.apache.spark.sql.functions.col
+    val tr = operators.Similarity.truncatedTopK(spark, dir).collect()
+    val byQ = tr.groupBy(_.getLong(0))
+    assert(byQ.size == 8 && byQ.values.forall(_.length == 10))
+    // exactness on the sliced space: spot-check one query's top-1 against
+    // a driver-side cosine over the first 16 dims
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).take(16).map(_.toDouble))
+      .toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q0 = byQ.keys.min
+    val best = emb.keys.filter(_ != q0)
+      .maxBy(v => (cos(emb(q0), emb(v)), -v))
+    assert(byQ(q0).minBy(_.getInt(1)).getLong(2) == best,
+      s"query $q0 top-1 mismatch")
+    // recall vs the full-dim exact top-k: diagnostic, chance-level floor
+    // (synthetic vectors are not front-loaded like trained MRL embeddings)
+    val bf = operators.Similarity.bruteForceTopK(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    val recall = byQ.map { case (q, rows) =>
+      (rows.map(_.getLong(2)).toSet & bf(q)).size / 10.0 }
+    assert(recall.sum / recall.size > 0.02,
+      s"truncated recall ${recall.sum / recall.size} at chance level")
+  }
+
   test("PQ: codebooks/codes well-formed, recall well above chance") {
     import org.apache.spark.sql.functions.col
     val books = operators.Similarity.pqCodebooks(spark, dir).collect()
