@@ -71,6 +71,7 @@ object SparkEntry {
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "dedup_priority" -> ((s, d) => Dedup.priorityKeep(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "pipe_datasheet" -> ((s, d) => Pipeline.datasheet(s, d)),
     "text_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
     "text_cdc_dedup" -> ((s, d) => TextOps.cdcDedup(s, d)),
@@ -361,6 +362,7 @@ object SparkEntry {
     "fed_jdbc_delete" -> Federated.jdbcDeleteOracle,
     "fed_jdbc_update" -> Federated.jdbcUpdateOracle,
     "dedup_priority" -> Dedup.priorityKeepOracle,
+    "dedup_containment" -> Dedup.containmentOracle,
     "pipe_datasheet" -> Pipeline.datasheetOracle,
     // single-batch streaming packing reproduces the batch packer bitwise
     "stream_packing" -> Packing.packSequencesOracle,

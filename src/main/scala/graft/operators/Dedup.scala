@@ -693,6 +693,85 @@ object Dedup {
         |  rank AS kept_rank, n_members
         |FROM ranked WHERE rk = 1 ORDER BY component""".stripMargin
 
+  /** Shingle CONTAINMENT (Broder's asymmetric resemblance): doc A is
+    * contained in doc B when |A∩B| / |A| is high even though the
+    * symmetric Jaccard is low — the excerpt/quote/superset case MinHash
+    * dedup structurally misses (a 10-token quote inside a 100-token doc
+    * has J ≈ 0.1 and never becomes an LSH candidate). Pairs come from a
+    * self-join on the shingle hash, NOT from LSH, so low-Jaccard
+    * containment is still found; the quadratic risk is bounded by
+    * dropping stop-shingles occurring in more than `dfCap` docs (the
+    * standard trick — corpus-wide boilerplate belongs to
+    * [[graft.operators.TextOps.blockDedup]], not here), making per-key
+    * fanout ≤ dfCap and the pair space Σ df² ≤ N·dfCap. Sizes and
+    * intersections both count the FILTERED shingle universe, so the
+    * ratio is internally consistent; all integer ppm. */
+  def containment(s: SparkSession, dir: String, n: Int = 3,
+      dfCap: Int = 32, minPpm: Long = 800000L): DataFrame = {
+    import graft.functions.PortableHashExprs
+    val sh = documents(s, dir)
+      .select(col("doc_id"),
+        explode(PortableHashExprs.portable_shingles(col("text"), n))
+          .as("shg"))
+      .filter(col("shg") =!= "")
+      .select(col("doc_id"), md5(col("shg")).as("h"))
+      .distinct()
+    val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("h"))
+    val shk = sh.join(keep, Seq("h"))
+    val sizes = shk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = shk.select(col("h"), col("doc_id").as("contained_id"))
+      .join(shk.select(col("h"), col("doc_id").as("container_id")),
+        Seq("h"))
+      .filter(col("contained_id") =!= col("container_id"))
+      .groupBy(col("contained_id"), col("container_id"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("contained_id"),
+        col("n_sh").as("n_contained")), Seq("contained_id"))
+      .withColumn("containment_ppm",
+        expr("n_common * 1000000L DIV n_contained"))
+      .filter(col("containment_ppm") >= minPpm)
+      .select(col("contained_id"), col("container_id"),
+        col("n_contained"), col("n_common"), col("containment_ppm"))
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
+  /** Same filtered-universe shingle sets, pair counts, and ratio. */
+  val containmentOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM documents
+      |), shl AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+      |    END AS shs
+      |  FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, md5(s2) AS h
+      |  FROM shl, UNNEST(shs) AS u(s2)
+      |  WHERE s2 <> ''
+      |), keep AS (
+      |  SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= 32
+      |), shk AS (
+      |  SELECT sh.doc_id, sh.h FROM sh JOIN keep USING (h)
+      |), sizes AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+      |  FROM shk GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM shk a JOIN shk b ON a.h = b.h AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.contained_id, p.container_id, s.n_sh AS n_contained,
+      |  p.n_common,
+      |  CAST(p.n_common * 1000000 // s.n_sh AS BIGINT) AS containment_ppm
+      |FROM pairs p JOIN sizes s ON s.doc_id = p.contained_id
+      |WHERE p.n_common * 1000000 // s.n_sh >= 800000
+      |ORDER BY p.contained_id, p.container_id""".stripMargin
+
   /** Corpus-level dedup summary — a single-row report driving pipeline
     * decisions (and a stable smoke query at any SF). */
   def summary(s: SparkSession, dir: String): DataFrame = {

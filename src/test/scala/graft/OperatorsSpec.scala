@@ -1569,6 +1569,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       means.toString)
   }
 
+  test("containment finds the excerpt MinHash dedup structurally misses") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 to 19).map(i => s"w$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("contain").toString
+    Seq(
+      (0L, long, "en", "s", 1L),
+      (1L, excerpt, "en", "s", 1L),
+      (2L, "totally different words here entirely", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = operators.Dedup.containment(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // the 10-token excerpt is FULLY contained in the long doc...
+    assert(got.contains((1L, 0L)), got.toString)
+    val (nc, common, ppm) = got((1L, 0L))
+    assert(nc == 8 && common == 8 && ppm == 1000000L, got((1L, 0L)).toString)
+    // ...the reverse direction (8 of 38 shingles) is below the bar...
+    assert(!got.contains((0L, 1L)))
+    // ...and symmetric-Jaccard LSH at the dedup threshold NEVER pairs
+    // them (J = 8/38 ≈ 0.21) — the case this operator exists for
+    val lsh = operators.Dedup.minhashCandidates(spark, tmp, 0.7).collect()
+    assert(!lsh.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
+      "LSH unexpectedly paired the excerpt")
+    operators.Dedup.releaseSignatures(spark, tmp)
+  }
+
   test("priority keep: every cluster keeps its best-source member exactly once") {
     import org.apache.spark.sql.functions.col
     val kept = operators.Dedup.priorityKeep(spark, dir).collect()
