@@ -210,6 +210,7 @@ object SparkEntry {
     "fed_jdbc_ctas" -> (Federated.jdbcCtas _),
     "fed_jdbc_delete" -> (Federated.jdbcDelete _),
     "fed_jdbc_update" -> (Federated.jdbcUpdate _),
+    "fed_jdbc_create" -> (Federated.jdbcCreate _),
     "fed_split_scan" -> (Federated.splitScanJoin _),
     // --- sampling / exact analytics ---
     "samp_hash_10pct" -> (Sampling.hashSample _),
@@ -361,6 +362,7 @@ object SparkEntry {
     "fed_jdbc_ctas" -> Federated.jdbcCtasOracle,
     "fed_jdbc_delete" -> Federated.jdbcDeleteOracle,
     "fed_jdbc_update" -> Federated.jdbcUpdateOracle,
+    "fed_jdbc_create" -> Federated.jdbcCreateOracle,
     "dedup_priority" -> Dedup.priorityKeepOracle,
     "dedup_containment" -> Dedup.containmentOracle,
     "pipe_datasheet" -> Pipeline.datasheetOracle,

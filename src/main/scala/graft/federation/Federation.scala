@@ -95,6 +95,21 @@ object Federation {
     }
   }
 
+  /** TRUE federated CREATE TABLE AS: the target's DDL derives from the
+    * frame's schema (engine type names via the executor), the table is
+    * created remotely (replacing any prior incarnation), and the rows
+    * land through [[insertIntoRemote]] — which pushes the whole
+    * derivation as `INSERT INTO … (SELECT …)` when the source is the
+    * engine's OWN fragment (zero rows on the wire) and falls back to the
+    * distributed batched append otherwise. Returns true when the insert
+    * pushed. */
+  def createRemoteTableAs(df: DataFrame, remoteRef: String,
+      executor: SqlExecutor): Boolean = {
+    val ref = RemoteTableRef.parse(remoteRef)
+    executor.createTable(ref, df.schema)
+    insertIntoRemote(df, ref, executor)
+  }
+
   /** Predicate DELETE pushed to the remote engine (the DML sibling of
     * [[insertIntoRemote]]'s INSERT..SELECT path): `cond` is resolved
     * against the remote table's schema, unparsed in the executor's

@@ -214,6 +214,42 @@ final class JdbcSqlExecutor(
       whereSql: String): Long =
     runDml(s"UPDATE ${ref.sql(dialect)} SET $setSql WHERE $whereSql")
 
+  /** DDL: create the table, replacing any prior incarnation (DROP is
+    * attempted first and its table-not-found failure ignored — Derby has
+    * no IF EXISTS). Types map Spark → Derby; strings get a generous
+    * VARCHAR since the source frame carries no length bound. */
+  override def createTable(ref: RemoteTableRef,
+      schema: StructType): Unit = {
+    def ddl(dt: DataType): String = dt match {
+      case ByteType | ShortType => "SMALLINT"
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case FloatType => "REAL"
+      case DoubleType => "DOUBLE"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampNTZType | TimestampType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case StringType => "VARCHAR(4000)"
+      case other => throw new UnparseUnsupported(
+        s"no Derby DDL type for $other")
+    }
+    val cols = schema.fields
+      .map(f => s"${dialect.quoteIfNeeded(f.name)} ${ddl(f.dataType)}")
+      .mkString(", ")
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE ${ref.sql(dialect)}")
+      catch { case e: java.sql.SQLException
+        if e.getSQLState == "42Y55" => () } // table did not exist
+      val sql = s"CREATE TABLE ${ref.sql(dialect)} ($cols)"
+      dmlLog.synchronized { dmlLog += sql }
+      st.executeUpdate(sql)
+      st.close()
+    } finally conn.close()
+  }
+
   private def runDml(sql: String): Long = {
     dmlLog.synchronized { dmlLog += sql }
     val conn = connect()

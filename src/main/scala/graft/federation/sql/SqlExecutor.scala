@@ -92,6 +92,15 @@ trait SqlExecutor {
     throw new UnsupportedOperationException(
       s"remote [$name] has no update path")
 
+  /** Optional DDL path: create (replacing any existing) a remote table
+    * shaped like `schema`, using the engine's own type names — the
+    * prerequisite of a true CREATE TABLE AS
+    * ([[graft.federation.Federation.createRemoteTableAs]]). */
+  def createTable(ref: RemoteTableRef,
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    throw new UnsupportedOperationException(
+      s"remote [$name] has no create path")
+
   /** Optional hook: rewrite the generated SQL string just before execution
     * (reference `sql_query_rewriter`, src/sql/table.rs:33-45). */
   def sqlRewriter: String => String = identity

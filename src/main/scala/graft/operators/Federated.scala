@@ -658,6 +658,32 @@ object Federated {
       |WHERE NOT (n_regionkey >= 3 OR n_name LIKE '%IA')
       |ORDER BY n_key""".stripMargin
 
+  /** TRUE CREATE TABLE AS on the live engine: the target table did not
+    * exist — its DDL derives from the derivation's schema, Derby creates
+    * it, and because the source aggregate is the engine's OWN fragment
+    * the rows land as ONE `INSERT INTO … (SELECT …)` (zero rows on the
+    * wire; the batched append would stream every aggregate row out and
+    * back). */
+  def jdbcCreate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.jdbc.JdbcHarness.executor(s, dir)
+    val derived = graft.federation.Federation
+      .remoteDataFrame(s, "customer", ex)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_cust"),
+        max(col("c_acctbal")).as("max_bal"))
+    graft.federation.Federation.createRemoteTableAs(
+      derived, "segment_stats", ex)
+    graft.federation.Federation.remoteDataFrame(s, "segment_stats", ex)
+      .orderBy(col("segment"))
+  }
+
+  val jdbcCreateOracle: String =
+    """SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
+      |  MAX(c_acctbal) AS max_bal
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Predicate UPDATE pushdown — the third DML leg: SET expressions and
     * the WHERE predicate both unparse into ONE remote
     * `UPDATE t SET … WHERE …`; the engine computes the new values from

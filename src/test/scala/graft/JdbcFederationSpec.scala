@@ -355,6 +355,40 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("create-table-as: DDL from the frame schema, push insert, replace on rerun") {
+    Federation.install(spark)
+    val ex = executor
+    import org.apache.spark.sql.functions.{col, count, lit}
+    Federation.registerRemoteTable(spark, "ctas2_emp", "EMP", ex)
+    val derived = spark.table("ctas2_emp")
+      .groupBy(col("DEPT_ID").cast("long").as("d_id"))
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.max(col("SALARY")).as("top"))
+    val before = ex.dmlLog.size
+    val pushed = Federation.createRemoteTableAs(derived, "EMP_ROLLUP", ex)
+    assert(pushed, "same-engine source must push as INSERT..SELECT")
+    val dml = ex.dmlLog.drop(before)
+    assert(dml.exists(_.startsWith("CREATE TABLE")) &&
+      dml.exists(s0 => s0.startsWith("INSERT INTO") && s0.contains("SELECT")),
+      s"unexpected DDL/DML:\n${dml.mkString("\n")}")
+    // introspected schema round-trips the mapped types
+    val schema = ex.tableSchema(
+      graft.federation.sql.RemoteTableRef.parse("EMP_ROLLUP"))
+    assert(schema.fields.map(_.dataType).toSeq ==
+      Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.DoubleType), schema.toString)
+    // read-back equality with a local recompute
+    Federation.registerRemoteTable(spark, "w_emp_rollup", "EMP_ROLLUP", ex)
+    val want = derived.collect().map(_.toString).sorted.toSeq
+    val got = spark.sql("SELECT * FROM w_emp_rollup").collect()
+      .map(_.toString).sorted.toSeq
+    assert(got == want, s"$got vs $want")
+    // rerun REPLACES: same row count, no duplicate append
+    Federation.createRemoteTableAs(derived, "EMP_ROLLUP", ex)
+    assert(spark.sql("SELECT * FROM w_emp_rollup").count() == want.size)
+  }
+
   test("update pushdown: SET expressions compute remotely, ONE statement") {
     Federation.install(spark)
     val conn = DriverManager.getConnection(url)
