@@ -211,6 +211,7 @@ object SparkEntry {
     "fed_jdbc_delete" -> (Federated.jdbcDelete _),
     "fed_jdbc_update" -> (Federated.jdbcUpdate _),
     "fed_jdbc_create" -> (Federated.jdbcCreate _),
+    "stream_jdbc_sink" -> (Federated.jdbcStreamSink _),
     "fed_split_scan" -> (Federated.splitScanJoin _),
     // --- sampling / exact analytics ---
     "samp_hash_10pct" -> (Sampling.hashSample _),
@@ -363,6 +364,7 @@ object SparkEntry {
     "fed_jdbc_delete" -> Federated.jdbcDeleteOracle,
     "fed_jdbc_update" -> Federated.jdbcUpdateOracle,
     "fed_jdbc_create" -> Federated.jdbcCreateOracle,
+    "stream_jdbc_sink" -> Federated.jdbcStreamSinkOracle,
     "dedup_priority" -> Dedup.priorityKeepOracle,
     "dedup_containment" -> Dedup.containmentOracle,
     "pipe_datasheet" -> Pipeline.datasheetOracle,

@@ -718,6 +718,59 @@ object Federated {
       |FROM nation
       |ORDER BY n_key""".stripMargin
 
+  /** STREAMING ingest into the remote engine: arriving documents pass the
+    * in-row Gopher rule screen and every microbatch of survivors appends
+    * into a live Derby table through the executor's distributed batched
+    * INSERT (`foreachBatch` — the standard Structured Streaming sink
+    * adapter for engines without a native stream sink). The remote table
+    * IS the pipeline's output: reading it back federated must equal the
+    * batch rule screen, which is exactly what the oracle checks. */
+  def jdbcStreamSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.jdbc.JdbcHarness.executor(s, dir)
+    val ref = graft.federation.sql.RemoteTableRef.parse("stream_docs_kept")
+    ex.createTable(ref, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_words",
+        org.apache.spark.sql.types.IntegerType))))
+    val schema = graft.sources.Tables.documents(s, dir).schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val kept = graft.operators.TextOps
+      .gopherRulesFrame(stream,
+        requiredWords = graft.operators.TextOps.gopherFixtureWords)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("source"), col("n_words"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("jdbc_sink_ckpt").toString
+    val q = kept.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ex.insertInto(ref, batch)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.federation.Federation
+      .remoteDataFrame(s, "stream_docs_kept", ex)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The batch recompute of what the stream admitted: the Gopher rule
+    * table's kept rows. */
+  val jdbcStreamSinkOracle: String = {
+    val inner = graft.operators.TextOps
+      .gopherRulesOracle(30, 90, graft.operators.TextOps.gopherFixtureWords)
+      .stripSuffix("ORDER BY doc_id")
+    s"""SELECT doc_id, source, n_words FROM ($inner) g
+       |WHERE keep ORDER BY doc_id""".stripMargin
+  }
+
   /** Window functions federate: rank + windowed count inside the fragment
     * (reference analyzer.rs:410-447 window coverage). */
   def windowPushdown(s: SparkSession, dir: String): DataFrame =

@@ -1426,6 +1426,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("jdbc stream sink: admitted set equals the batch screen, rerun replaces") {
+    import org.apache.spark.sql.functions.col
+    val first = operators.Federated.jdbcStreamSink(spark, dir).collect()
+    val want = operators.TextOps.gopherRules(spark, dir,
+        requiredWords = operators.TextOps.gopherFixtureWords)
+      .filter(col("keep")).select(col("doc_id")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(first.map(_.getLong(0)).toSeq == want,
+      s"admitted ${first.length} vs batch ${want.size}")
+    // rerun: table replaced, not appended to
+    val second = operators.Federated.jdbcStreamSink(spark, dir).collect()
+    assert(second.length == first.length, "rerun duplicated rows")
+  }
+
   test("streaming novelty agrees with a driver-side kernel recompute") {
     import org.apache.spark.unsafe.types.UTF8String
     val docs = graft.sources.Tables.documents(spark, dir)
