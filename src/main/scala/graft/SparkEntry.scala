@@ -72,6 +72,7 @@ object SparkEntry {
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "dedup_priority" -> ((s, d) => Dedup.priorityKeep(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
+    "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
     "pipe_datasheet" -> ((s, d) => Pipeline.datasheet(s, d)),
     "text_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
     "text_cdc_dedup" -> ((s, d) => TextOps.cdcDedup(s, d)),
@@ -367,6 +368,7 @@ object SparkEntry {
     "stream_jdbc_sink" -> Federated.jdbcStreamSinkOracle,
     "dedup_priority" -> Dedup.priorityKeepOracle,
     "dedup_containment" -> Dedup.containmentOracle,
+    "dedup_threshold_curve" -> Dedup.thresholdCurveOracle,
     "pipe_datasheet" -> Pipeline.datasheetOracle,
     // single-batch streaming packing reproduces the batch packer bitwise
     "stream_packing" -> Packing.packSequencesOracle,

@@ -143,6 +143,35 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
 
+  /** MinHash THRESHOLD-TUNING curve: for every LSH-colliding pair, the
+    * exact signature agreement count (0..64) and the pair count per
+    * agreement level — the histogram a pipeline inspects before choosing
+    * its dedup threshold (how many pairs a 0.6 vs 0.7 cut would merge).
+    * Agreement/64 is exactly representable in a double, so the integer
+    * recovery is lossless and the report hash-exact. One extra aggregate
+    * over the same banded candidate join every dedup run already pays. */
+  def thresholdCurve(s: SparkSession, dir: String): DataFrame =
+    minhashCandidates(s, dir, 0.0)
+      .select((col("est_jaccard") * 64).cast("int").as("agreement"))
+      .groupBy(col("agreement")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("est_jaccard_ppm",
+        expr("agreement * 1000000L DIV 64"))
+      .select(col("agreement"), col("n_pairs"), col("est_jaccard_ppm"))
+      .orderBy(col("agreement"))
+
+  // def, not val: `sigsCte` is declared later in the file and object vals
+  // initialize in declaration order — a val here would capture null
+  def thresholdCurveOracle: String =
+    sigsCte +
+      """, curve AS (
+        |  SELECT CAST(est_jaccard * 64 AS INTEGER) AS agreement,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM scored GROUP BY 1
+        |)
+        |SELECT agreement, n_pairs,
+        |  CAST(agreement * 1000000 // 64 AS BIGINT) AS est_jaccard_ppm
+        |FROM curve ORDER BY agreement""".stripMargin
+
   /** MinHash dedup decision per document: keep unless some candidate
     * duplicate has a smaller id (single-link, one LSH round — the
     * distributed analog of greedy first-wins dedup). Emits every doc with

@@ -1583,6 +1583,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       means.toString)
   }
 
+  test("threshold curve: pair totals conserve, 0.7-cut band matches dedup") {
+    val curve = operators.Dedup.thresholdCurve(spark, dir).collect()
+    assert(curve.map(_.getInt(0)).forall(a => a >= 0 && a <= 64))
+    // Σ pairs over the curve = every LSH-colliding pair once
+    val all = operators.Dedup.minhashCandidates(spark, dir, 0.0).count()
+    assert(curve.map(_.getLong(1)).sum == all)
+    // agreement >= 45 ⇔ est_jaccard >= 0.7 (45/64 is the first level
+    // over the cut) — the curve must predict the dedup pair count
+    val at07 = operators.Dedup.minhashCandidates(spark, dir, 0.7).count()
+    assert(curve.filter(_.getInt(0) >= 45).map(_.getLong(1)).sum == at07)
+    // ppm column is the exact rational
+    curve.foreach(r =>
+      assert(r.getLong(2) == r.getInt(0) * 1000000L / 64))
+  }
+
   test("containment finds the excerpt MinHash dedup structurally misses") {
     import spark.implicits._
     val long = (1 to 40).map(i => s"w$i").mkString(" ")
