@@ -133,6 +133,10 @@ object ScaleStress {
         graft.operators.Sampling.dsirSelect(spark, outDir)
           .filter(col("selected")).count()
       }
+      val nContained = if (!sel("containment")) -1L
+      else timed("containment") {
+        graft.operators.Dedup.containment(spark, outDir).count()
+      }
       // salted tokens defeat the required-word rule (every doc fails it);
       // summing over the rule BOOLEANS forces the full in-row projection
       // (a bare count() would let Catalyst prune every rule column away)
@@ -147,13 +151,14 @@ object ScaleStress {
       }
       val textJson = phases
         .filter(p => Seq("gen", "span_dedup", "dsir_score", "dsir_select",
-          "gopher_rules").contains(p._1))
+          "containment", "gopher_rules").contains(p._1))
         .map { case (n, p) =>
           f""""$n":{"sec":${p.sec}%.1f,"shuffle_write_mb":${p.w / 1048576},"shuffle_read_mb":${p.r / 1048576}}"""
         }.mkString(",")
       println(
         s"""{"n_docs":$nDocs,"n_spans":$nSpans,"dsir_scored":$nScored,""" +
-        s""""dsir_selected":$nSelected,"gopher_rows":$nGopherRows,""" +
+        s""""dsir_selected":$nSelected,"n_contained":$nContained,""" +
+        s""""gopher_rows":$nGopherRows,""" +
         s"""$textJson}""")
     }
 

