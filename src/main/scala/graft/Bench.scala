@@ -56,6 +56,7 @@ object Bench {
     // not query cost
     graft.federation.FederationHarness.setup(spark, sfDir)
     graft.federation.jdbc.JdbcHarness.executor(spark, sfDir)
+    graft.federation.duckdb.DuckDbHarness.executor(spark, sfDir)
 
     def ms3(sec: Double): Double = math.round(sec * 1000.0) / 1000.0
 

@@ -213,6 +213,11 @@ object SparkEntry {
     "fed_jdbc_update" -> (Federated.jdbcUpdate _),
     "fed_jdbc_create" -> (Federated.jdbcCreate _),
     "stream_jdbc_sink" -> (Federated.jdbcStreamSink _),
+    "fed_duckdb_q1" -> (Federated.duckQ1 _),
+    "fed_duckdb_q3" -> (Federated.duckQ3 _),
+    "fed_duckdb_x_derby" -> (Federated.duckCrossEngine _),
+    "fed_duckdb_ctas" -> (Federated.duckCtas _),
+    "fed_duckdb_write" -> (Federated.duckWrite _),
     "fed_split_scan" -> (Federated.splitScanJoin _),
     // --- sampling / exact analytics ---
     "samp_hash_10pct" -> (Sampling.hashSample _),
@@ -366,6 +371,11 @@ object SparkEntry {
     "fed_jdbc_update" -> Federated.jdbcUpdateOracle,
     "fed_jdbc_create" -> Federated.jdbcCreateOracle,
     "stream_jdbc_sink" -> Federated.jdbcStreamSinkOracle,
+    "fed_duckdb_q1" -> Federated.duckQ1Oracle,
+    "fed_duckdb_q3" -> Federated.duckQ3Oracle,
+    "fed_duckdb_x_derby" -> Federated.duckCrossEngineOracle,
+    "fed_duckdb_ctas" -> Federated.duckCtasOracle,
+    "fed_duckdb_write" -> Federated.duckWriteOracle,
     "dedup_priority" -> Dedup.priorityKeepOracle,
     "dedup_containment" -> Dedup.containmentOracle,
     "dedup_threshold_curve" -> Dedup.thresholdCurveOracle,

@@ -89,6 +89,26 @@ object BindJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
+  /** Engines with a finite `maxBindRows` (Derby: its VALUES parser dies
+    * past ~1000 rows and chunking degrades past a few thousand) bound the
+    * build by ROWS at planning time — there is no execution-time fallback
+    * once the local join is gone. A known rowCount is checked directly;
+    * without one, a conservative bytes-per-row floor stands in (16 B/row
+    * is below any renderable build row's stats footprint, so the bound
+    * can only over-refuse, never over-admit past cap × 16 bytes). Refused
+    * binds still get a runtime filter (IN-list/range) from
+    * [[RuntimeFilterRule]]. */
+  private def rowsOk(f: FederatedPlan, build: LogicalPlan): Boolean = {
+    val cap = f.provider match {
+      case p: SqlFederationProvider => p.executor.dialect.maxBindRows
+      case _ => Int.MaxValue
+    }
+    cap == Int.MaxValue || (build.stats.rowCount match {
+      case Some(n) => n <= cap
+      case None => build.stats.sizeInBytes <= cap.toLong * 16
+    })
+  }
+
   /** The selectivity bar, looking through a federated build side (its
     * plan is an opaque leaf; the filters live on `inner`). */
   private def selective(build: LogicalPlan): Boolean = build match {
@@ -120,6 +140,7 @@ object BindJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case Some((f, pruned))
           if dialectOk(f) &&
              build.stats.sizeInBytes <= maxBytes &&
+             rowsOk(f, build) &&
              // semi/anti output is a SUBSET of the fragment, so ANY small
              // build profits; inner widens rows, so it must be selective
              (joinType != Inner || selective(build)) &&

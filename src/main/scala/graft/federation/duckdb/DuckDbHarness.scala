@@ -1,0 +1,61 @@
+package graft.federation.duckdb
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.federation.Federation
+
+/** Gate/test harness for the live DuckDB engine: builds a per-(JVM, dir)
+  * DuckDB database FILE from the driver's parquet testdata and registers
+  * the tables as `duck_*` remote views. Unlike the Derby harness (which
+  * streams rows through the driver into JDBC batches), the load is one
+  * `CREATE TABLE … AS SELECT * FROM read_parquet(…)` per table — the
+  * engine ingests the parquet natively, zero rows transit the JVM, which
+  * is also the production bulk path for this engine.
+  *
+  * The executor is split-capable: a splittable fragment fans out to
+  * [[Splits]] subprocesses each opening the file read-only (DuckDB
+  * permits unlimited concurrent read-only opens — the file plays the
+  * role a sharded remote plays for JDBC).
+  */
+object DuckDbHarness {
+
+  val GateTables: Seq[String] =
+    Seq("supplier", "nation", "customer", "orders", "lineitem", "region")
+
+  val Splits = 4
+
+  private val loaded = TrieMap.empty[(Int, String), DuckDbSqlExecutor]
+
+  def executor(spark: SparkSession, dir: String,
+      tables: Seq[String] = GateTables): DuckDbSqlExecutor =
+    loaded.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val root = java.nio.file.Paths.get("target", "duckdb")
+      java.nio.file.Files.createDirectories(root)
+      val db = root.resolve(
+        s"graft_${Math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}.duckdb")
+      java.nio.file.Files.deleteIfExists(db)
+      db.toFile.deleteOnExit()
+      val path = db.toAbsolutePath.toString
+      DuckDbProcess.exec(path, tables.map { t =>
+        s"""CREATE TABLE "$t" AS SELECT * FROM read_parquet('$dir/$t.parquet')"""
+      })
+      new DuckDbSqlExecutor("duck", spark, path, splitCount = Splits)
+    })
+
+  /** Register `duck_<table>` remote views (idempotent). */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Federation.install(spark)
+    val ex = executor(spark, dir)
+    ex.tableNames.foreach { t =>
+      Federation.registerRemoteTable(spark, s"duck_$t", t, ex)
+    }
+  }
+
+  /** Register the views and run a SQL query against them. */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(query)
+  }
+}

@@ -141,11 +141,26 @@ final case class RemoteScanExec(
     val selectList =
       if (bj.buildLeft) (buildCols :+ fragCols).mkString(", ")
       else (fragCols +: buildCols).mkString(", ")
-    def valuesList: String = rows.map { r =>
+    def renderRows(rs: Seq[InternalRow]): String = rs.map { r =>
       types.zipWithIndex.map { case (dt, i) =>
         d.valuesCell(r.get(i, dt), dt)
       }.mkString("(", ", ", ")")
     }.mkString(", ")
+    // engines with recursive VALUES parsing cap the rows one literal may
+    // carry (Derby probed: 1000 rows = StackOverflowError that kills the
+    // connection) — chunk into a UNION ALL of bounded VALUES derived
+    // tables, exact for every join type since only the TABLE is assembled
+    // differently. BindJoinRule's maxBindRows planning bound keeps the
+    // chunk count small.
+    def valuesTable: String = {
+      val colList = bjNames.mkString(", ")
+      if (rows.length <= d.maxInlineValuesRows)
+        s"(VALUES ${renderRows(rows.toSeq)}) AS bj_b($colList)"
+      else rows.grouped(d.maxInlineValuesRows).zipWithIndex.map {
+        case (g, ci) =>
+          s"SELECT * FROM (VALUES ${renderRows(g.toSeq)}) AS bj_c$ci($colList)"
+      }.mkString("(", " UNION ALL ", ") AS bj_b")
+    }
     def onClause: String = bj.keys.map { case (fragCol, buildCol) =>
       val i = bj.buildOutput.indexWhere(_.exprId == buildCol.exprId)
       val left = names.getOrElse(fragCol.exprId, d.quoteIfNeeded(fragCol.name))
@@ -173,15 +188,15 @@ final case class RemoteScanExec(
         if (rows.isEmpty)
           return sql => s"SELECT * FROM ($sql) AS bj_sub WHERE 1=0"
         val cond = existsCond
+        val vt = valuesTable
         return sql => s"SELECT * FROM ($sql) AS bj_sub WHERE EXISTS " +
-          s"(SELECT 1 FROM (VALUES $valuesList) " +
-          s"AS bj_b(${bjNames.mkString(", ")}) WHERE $cond)"
+          s"(SELECT 1 FROM $vt WHERE $cond)"
       case org.apache.spark.sql.catalyst.plans.LeftAnti =>
         if (rows.isEmpty) return identity // nothing to reject: all rows pass
         val cond = existsCond
+        val vt = valuesTable
         return sql => s"SELECT * FROM ($sql) AS bj_sub WHERE NOT EXISTS " +
-          s"(SELECT 1 FROM (VALUES $valuesList) " +
-          s"AS bj_b(${bjNames.mkString(", ")}) WHERE $cond)"
+          s"(SELECT 1 FROM $vt WHERE $cond)"
       case _ => // Inner falls through to the widening VALUES join below
     }
     if (rows.isEmpty) {
@@ -193,14 +208,14 @@ final case class RemoteScanExec(
         else (fragCols +: nulls).mkString(", ")
       sql => s"SELECT $sel FROM ($sql) AS bj_sub WHERE 1=0"
     } else {
-      val rendered = valuesList
+      val vt = valuesTable
       val on = onClause
       val where = residualSql match {
         case Nil => ""
         case rs => rs.mkString(" WHERE ", " AND ", "")
       }
       sql => s"SELECT $selectList FROM ($sql) AS bj_sub " +
-        s"JOIN (VALUES $rendered) AS bj_b(${bjNames.mkString(", ")}) ON $on$where"
+        s"JOIN $vt ON $on$where"
     }
   }
 

@@ -46,7 +46,13 @@ final class JdbcSqlExecutor(
     DriverManager.getConnection(url, p)
   }
 
+  /** Every query SQL shipped (recorded driver-side at RDD construction —
+    * the fetch itself happens in tasks); lets tests assert the exact wire
+    * SQL, e.g. the chunked bind-join VALUES form. */
+  val executedSql = new scala.collection.mutable.ArrayBuffer[String]
+
   override def execute(sql: String, schema: StructType): RDD[InternalRow] = {
+    executedSql.synchronized { executedSql += sql }
     val u = url
     val props = connectionProps
     val fields = schema.fields
@@ -532,4 +538,10 @@ object DerbyDialect extends SqlDialect {
   }
   override def dateDiffDays(end: String, start: String): String =
     s"{fn TIMESTAMPDIFF(SQL_TSI_DAY, $start, $end)}"
+  // recursive-descent VALUES parsing: 500 rows parse, 1000 rows
+  // StackOverflowError that kills the connection (probed live on embedded
+  // 10.16) — chunk at 400, and refuse binds past 2000 total (the chunked
+  // form parses 4000 in ~2.4s but degrades superlinearly beyond)
+  override def maxInlineValuesRows: Int = 400
+  override def maxBindRows: Int = 2000
 }

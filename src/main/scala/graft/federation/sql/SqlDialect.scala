@@ -101,6 +101,21 @@ trait SqlDialect {
   def valuesCell(v: Any, dt: DataType): String =
     if (v == null) s"CAST(NULL AS ${typeName(dt)})" else literal(v, dt)
 
+  /** Max rows ONE inline `VALUES (…), (…)` literal may carry — engines
+    * with recursive-descent VALUES parsing blow the stack beyond a bound
+    * (embedded Derby 10.16, probed live: 500 rows parse, 1000 rows
+    * StackOverflowError that also KILLS the connection). Renderers chunk
+    * larger row sets into a UNION ALL of bounded VALUES derived tables
+    * (probed: 10 × 400 rows parse fine where 4000 flat rows die). */
+  def maxInlineValuesRows: Int = Int.MaxValue
+
+  /** Total bind-join build rows this engine should ever be sent, enforced
+    * at PLANNING time ([[graft.federation.BindJoinRule]]) — past this even
+    * the chunked form gets slow (Derby, probed live: 2000 rows ≈ 1s of
+    * parse+optimize; 20000 rows effectively hang), and a runtime filter
+    * (IN-list/range) is the better ship. */
+  def maxBindRows: Int = Int.MaxValue
+
   /** The null ordering the engine assumes when none is written. ANSI-ish
     * engines (Postgres, DuckDB) treat NULLs as largest: ASC → NULLS LAST.
     * Spark treats NULLs as smallest: ASC → NULLS FIRST. Making this
@@ -268,7 +283,11 @@ object SparkDialect extends SqlDialect {
     Some(s"conv($hex, 16, 10)")
 }
 
-/** DuckDB dialect (JDBC executor target). */
+/** DuckDB dialect — LIVE-probed against the container's DuckDB 1.0.0
+  * through [[graft.federation.duckdb.DuckDbSqlExecutor]] (the same probing
+  * discipline that hardened DerbyDialect in rounds 6-8; the fixes below
+  * are pinned by the UnparserSpec goldens AND exercised end-to-end by the
+  * live fuzz arm in UnparserFuzzSpec / DuckDbFederationSpec). */
 object DuckDbDialect extends SqlDialect {
   override val name = "duckdb"
   override def quote(ident: String): String =
@@ -276,13 +295,38 @@ object DuckDbDialect extends SqlDialect {
   override def regexpMatch(input: String, pattern: String): String =
     s"regexp_matches($input, $pattern)"
   override def arraySize(arraySql: String): String = s"LEN($arraySql)"
+  // DATE + INTERVAL yields a TIMESTAMP on DuckDB (probed live) — re-cast
+  // so a projected date_add keeps Spark's DATE type
   override def dateAddDays(date: String, days: String): String =
-    s"($date + INTERVAL ($days) DAY)"
+    s"CAST(($date + INTERVAL ($days) DAY) AS DATE)"
   override def dateDiffDays(end: String, start: String): String =
     s"DATE_DIFF('day', $start, $end)"
   override def nonFiniteLiteral(d: Double): String = castNonFinite(d)
-  // DuckDB lateral joins make UNNEST left-joinable (drift-pinned form; no
-  // live engine in this sandbox — see SURVEY §8.4)
+  // CONCAT skips NULL arguments on DuckDB (probed live:
+  // CONCAT('a', NULL, 'b') = 'ab') where Spark propagates NULL; the ||
+  // operator chain has Spark's NULL semantics
+  override def concat(args: Seq[String]): String =
+    args.mkString("(", " || ", ")")
+  // CAST to DECIMAL(p,s) TRUNCATES toward zero on DuckDB (probed live:
+  // 2.5→2, -2.5→-2, 1.9999995→1.999999) where Spark rounds HALF_UP —
+  // same nudge-then-truncate emulation as Derby's, with DuckDB's max
+  // precision 38 bounding the two guard digits
+  override def lossyDecimalCast(x: String, p: Int, s: Int): String = {
+    if (p + 2 > 38)
+      throw new UnparseUnsupported(
+        s"decimal($p,$s) too wide to round-cast on duckdb")
+    val half = java.math.BigDecimal.valueOf(5L, s + 1).toPlainString
+    // HALF_UP overflows DECIMAL(p,s) exactly when |x| >= max + 5·10^-(s+1);
+    // Spark's non-ANSI cast yields NULL there while DuckDB raises a
+    // conversion error and fails the whole query — yield NULL explicitly
+    val bound = new java.math.BigDecimal(
+        java.math.BigInteger.TEN.pow(p).subtract(java.math.BigInteger.ONE), s)
+      .add(java.math.BigDecimal.valueOf(5L, s + 1)).toPlainString
+    s"(CASE WHEN ABS($x) >= $bound THEN CAST(NULL AS DECIMAL($p,$s)) " +
+      s"ELSE CAST(CAST($x AS DECIMAL(${p + 2},${s + 1})) + " +
+      s"(CASE WHEN $x >= 0 THEN $half ELSE -$half END) AS DECIMAL($p,$s)) END)"
+  }
+  // DuckDB lateral joins make UNNEST left-joinable (probed live)
   override def unnestJoinOuter(fromText: String, arraySql: String,
       alias: String, elemName: String): String =
     s"$fromText LEFT JOIN UNNEST($arraySql) AS $alias($elemName) ON TRUE"

@@ -771,6 +771,142 @@ object Federated {
        |WHERE keep ORDER BY doc_id""".stripMargin
   }
 
+  // ---- live DuckDB engine (second REAL remote; subprocess line-JSON) ----
+
+  /** q1-class through the LIVE DuckDB engine
+    * ([[graft.federation.duckdb.DuckDbSqlExecutor]]): filter + grouped
+    * aggregate with a FILTER clause + sort federate into ONE DuckDB SQL —
+    * the aggregate pushes where Derby's refused (no FILTER support
+    * there), and the DOUBLE→DECIMAL cast exercises the live-probed
+    * round-vs-truncate emulation ([[graft.federation.sql.DuckDbDialect
+    * .lossyDecimalCast]]). */
+  def duckQ1(s: SparkSession, dir: String): DataFrame =
+    graft.federation.duckdb.DuckDbHarness.sql(s, dir,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        |  COUNT(*) AS n_lines
+        |FROM duck_lineitem
+        |WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  val duckQ1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q3-class through the LIVE DuckDB engine: the three-table join +
+    * aggregate + top-k federates into ONE DuckDB SQL; only ten rows cross
+    * the subprocess boundary. */
+  def duckQ3(s: SparkSession, dir: String): DataFrame =
+    graft.federation.duckdb.DuckDbHarness.sql(s, dir,
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM duck_customer, duck_orders, duck_lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP_NTZ '1998-03-15 00:00:00'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin)
+
+  val duckQ3Oracle: String =
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** The CROSS-ENGINE join the reference's compute-context warning exists
+    * for (src/sql/executor.rs:25-29): customers live in Derby, orders in
+    * DuckDB — two REAL engines with distinct compute contexts. The
+    * lattice must keep them as TWO fragments (merging would send Derby
+    * SQL to DuckDB or vice versa); each side's filters/pruning push into
+    * its own engine, and the join itself is completed by Spark. */
+  def duckCrossEngine(s: SparkSession, dir: String): DataFrame = {
+    graft.federation.jdbc.JdbcHarness.registerViews(s, dir)
+    graft.federation.duckdb.DuckDbHarness.registerViews(s, dir)
+    s.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM jdbc_customer JOIN duck_orders ON c_custkey = o_custkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val duckCrossEngineOracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Remote-to-remote CREATE TABLE AS on the live DuckDB engine: the
+    * source aggregate is the engine's OWN fragment, so the rows land as
+    * ONE `INSERT INTO … (SELECT …)` executed inside DuckDB — zero rows
+    * cross the subprocess boundary in either direction. */
+  def duckCtas(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.duckdb.DuckDbHarness.executor(s, dir)
+    val derived = graft.federation.Federation
+      .remoteDataFrame(s, "nation", ex)
+      .groupBy(col("n_regionkey").cast("long").as("r_key"))
+      .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("top_name"))
+    graft.federation.Federation.createRemoteTableAs(
+      derived, "region_stats", ex)
+    graft.federation.Federation.remoteDataFrame(s, "region_stats", ex)
+      .orderBy(col("r_key"))
+  }
+
+  val duckCtasOracle: String =
+    """SELECT CAST(n_regionkey AS BIGINT) AS r_key, COUNT(*) AS n_nations,
+      |  MAX(n_name) AS top_name
+      |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The distributed write path into a single-writer engine: rows land as
+    * a parquet staging directory written by N parallel Spark tasks (the
+    * cluster-scale half, covered by Spark's own commit protocol), then
+    * ONE driver-side `INSERT INTO … SELECT … FROM read_parquet(…)`
+    * bulk-ingests it — the engine's native bulk path, where the JDBC
+    * executor's per-task INSERT fan-in is impossible by design here. */
+  def duckWrite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.duckdb.DuckDbHarness.executor(s, dir)
+    val ref = graft.federation.sql.RemoteTableRef.parse("cust_stats")
+    ex.createTable(ref, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("segment",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_cust",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("max_bal",
+        org.apache.spark.sql.types.DoubleType))))
+    val derived = graft.sources.Tables.table(s, dir, "customer")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_cust"), max(col("c_acctbal")).as("max_bal"))
+    ex.insertInto(ref, derived)
+    graft.federation.Federation.remoteDataFrame(s, "cust_stats", ex)
+      .orderBy(col("segment"))
+  }
+
+  val duckWriteOracle: String =
+    """SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
+      |  MAX(c_acctbal) AS max_bal
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Window functions federate: rank + windowed count inside the fragment
     * (reference analyzer.rs:410-447 window coverage). */
   def windowPushdown(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,275 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.federation.Federation
+import graft.federation.duckdb.{DuckDbHarness, DuckDbProcess, DuckDbSqlExecutor}
+import graft.federation.plans.FederatedPlan
+import graft.federation.sql.{DuckDbDialect, RemoteTableRef}
+
+/** End-to-end federation against the LIVE DuckDB engine (python duckdb
+  * subprocess speaking line-JSON; reads happen inside tasks as read-only
+  * file opens). This is the second real engine next to Derby — and the
+  * load-bearing one: the DuckDb dialect backs every unparser golden and
+  * the driver's oracle itself runs DuckDB. The capability probes below
+  * pin the dialect's claims against the engine, the same discipline that
+  * hardened DerbyDialect (CHAR padding, FETCH forms, AVG typing) in
+  * rounds 6-8.
+  */
+class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-duckdb-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ex: DuckDbSqlExecutor = DuckDbHarness.executor(spark, dir)
+
+  private def remoteScans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.toString()
+      .linesIterator.filter(_.contains("RemoteScan")).toSeq
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("catalog lists tables and infers schemas through the subprocess") {
+    assert(ex.tableNames.toSet ==
+      DuckDbHarness.GateTables.toSet)
+    val schema = ex.tableSchema(RemoteTableRef.parse("lineitem"))
+    assert(schema("l_orderkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(schema("l_returnflag").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(schema("l_shipdate").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+  }
+
+  test("FILTER-clause aggregate federates into ONE DuckDB SQL") {
+    DuckDbHarness.registerViews(spark, dir)
+    val df = spark.sql(
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25.0) AS big,
+        |  COUNT(*) AS n
+        |FROM duck_lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin)
+    val scans = remoteScans(df)
+    assert(scans.size == 1, s"expected one remote scan: $scans")
+    assert(scans.head.contains("FILTER (WHERE"), scans.head)
+    val want = rows(spark.sql(
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25.0) AS big,
+        |  COUNT(*) AS n
+        |FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+    assert(rows(df) == want)
+  }
+
+  test("live probe: DECIMAL cast rounds like Spark (HALF_UP emulation)") {
+    // DuckDB CAST truncates toward zero (probed: 2.5→2, -2.5→-2); the
+    // dialect's nudge-then-truncate emulation must restore Spark's
+    // HALF_UP for positives, negatives and the carry case — compare the
+    // FEDERATED projection against local Spark on engineered halves
+    DuckDbHarness.registerViews(spark, dir)
+    val proj =
+      """CAST((n_nationkey - 12) * 0.25 AS DECIMAL(4,1)) AS q,
+        |  CAST((n_nationkey - 12) * 1.95 AS DECIMAL(4,0)) AS w,
+        |  CAST(n_nationkey * 0.9999995 AS DECIMAL(9,6)) AS c""".stripMargin
+    val fed = spark.sql(
+      s"SELECT n_nationkey, $proj FROM duck_nation ORDER BY n_nationkey")
+    assert(remoteScans(fed).nonEmpty)
+    val local = spark.sql(
+      s"SELECT n_nationkey, $proj FROM " +
+        s"parquet.`$dir/nation.parquet` ORDER BY n_nationkey")
+    assert(rows(fed) == rows(local))
+  }
+
+  test("live probe: CONCAT propagates NULL (|| chain, not CONCAT())") {
+    DuckDbHarness.registerViews(spark, dir)
+    val proj =
+      """CONCAT(CASE WHEN n_nationkey % 2 = 0 THEN NULL
+        |  ELSE n_name END, '_x') AS c""".stripMargin
+    val fed = spark.sql(
+      s"SELECT n_nationkey, $proj FROM duck_nation ORDER BY n_nationkey")
+    assert(remoteScans(fed).nonEmpty)
+    // even keys must be NULL, not '_x' (DuckDB's CONCAT skips NULLs)
+    val vals = fed.collect().map(r =>
+      (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(vals.filter(_._1 % 2 == 0).forall(_._2 == null),
+      vals.mkString(", "))
+    assert(vals.filter(_._1 % 2 == 1).forall(_._2 != null))
+  }
+
+  test("live probe: date_add stays a DATE through DuckDB") {
+    DuckDbHarness.registerViews(spark, dir)
+    val proj = "date_add(CAST(o_orderdate AS DATE), 31) AS d"
+    val fed = spark.sql(
+      s"SELECT o_orderkey, $proj FROM duck_orders " +
+        "WHERE o_orderkey < 100 ORDER BY o_orderkey")
+    assert(remoteScans(fed).nonEmpty,
+      fed.queryExecution.optimizedPlan.toString)
+    val local = spark.sql(
+      s"SELECT o_orderkey, $proj FROM parquet.`$dir/orders.parquet` " +
+        "WHERE o_orderkey < 100 ORDER BY o_orderkey")
+    assert(fed.schema("d").dataType == org.apache.spark.sql.types.DateType)
+    assert(rows(fed) == rows(local))
+  }
+
+  /** Every compute context a (sub)plan touches; descends through opaque
+    * FederatedPlan leaves and their bind-join build sides. */
+  private def contextsIn(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Set[String] =
+    p.collect {
+      case r: graft.federation.plans.RemoteRelation =>
+        Set(r.executor.computeContext.get)
+      case f: FederatedPlan =>
+        contextsIn(f.inner) ++
+          f.bindJoins.flatMap(b => contextsIn(b.buildPlan))
+    }.flatten.toSet
+
+  test("cross-engine join: both engines participate, no fragment mixes them") {
+    graft.federation.jdbc.JdbcHarness.registerViews(spark, dir)
+    DuckDbHarness.registerViews(spark, dir)
+    val df = spark.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n
+        |FROM jdbc_customer JOIN duck_orders ON c_custkey = o_custkey
+        |WHERE o_totalprice > 100000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    val plan = df.queryExecution.optimizedPlan
+    val frags = plan.collect { case f: FederatedPlan => f }
+    assert(frags.nonEmpty)
+    // the compute-context invariant the reference warns about
+    // (src/sql/executor.rs:25-29): a single fragment's SQL must never
+    // reference tables of two engine instances — contexts may meet only
+    // ABOVE the boundary (a local join, or a bind join whose build side
+    // was EXECUTED on its own engine and inlined as literal VALUES)
+    frags.foreach { f =>
+      assert(contextsIn(f.inner).size == 1,
+        s"fragment mixes engines: ${contextsIn(f.inner)}\n$plan")
+    }
+    // and BOTH engines contribute to the plan (the DuckDB side may ride
+    // as the bind build — still its own engine's execution)
+    val all = frags.flatMap(f => contextsIn(f)).toSet
+    assert(all.size == 2,
+      s"expected both engines in the plan, got $all\n$plan")
+    val want = rows(spark.sql(
+      s"""SELECT c_mktsegment, COUNT(*) AS n
+         |FROM parquet.`$dir/customer.parquet`
+         |JOIN parquet.`$dir/orders.parquet` ON c_custkey = o_custkey
+         |WHERE o_totalprice > 100000
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+    assert(rows(df) == want)
+  }
+
+  test("splittable fragment fans out to 4 read-only subprocess cursors") {
+    DuckDbHarness.registerViews(spark, dir)
+    // approx_count_distinct has no remote spelling, so the aggregate
+    // stays local and the scan-shaped fragment under it fans out to
+    // [[DuckDbHarness.Splits]] parallel read-only subprocesses
+    val df = spark.sql(
+      """SELECT approx_count_distinct(l_orderkey) AS ad,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+        |FROM duck_lineitem WHERE l_quantity < 10.0""".stripMargin)
+    val scans = remoteScans(df)
+    assert(scans.exists(_.contains("splits=4")),
+      s"no 4-way split scan in:\n${scans.mkString("\n")}")
+    val want = spark.sql(
+      s"""SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+         |FROM parquet.`$dir/lineitem.parquet` WHERE l_quantity < 10.0"""
+        .stripMargin).collect().head
+    val got = df.collect().head
+    assert(got.getLong(0) > 0)
+    assert(got.getDecimal(1) == want.getDecimal(0) &&
+      got.getLong(2) == want.getLong(1))
+  }
+
+  test("remote-to-remote INSERT..SELECT ships one statement, no row stream") {
+    Federation.install(spark)
+    val e = ex
+    val derived = Federation.remoteDataFrame(spark, "region", e)
+      .selectExpr("r_regionkey AS k", "r_name AS name")
+    val before = e.dmlLog.size
+    Federation.createRemoteTableAs(derived, "region_copy", e)
+    val dml = e.dmlLog.drop(before)
+    assert(dml.exists(s => s.startsWith("INSERT INTO") &&
+      s.contains("SELECT")), dml.mkString("\n"))
+    // and the round-trip is the identity
+    val back = Federation.remoteDataFrame(spark, "region_copy", e)
+    assert(back.count() ==
+      spark.read.parquet(s"$dir/region.parquet").count())
+  }
+
+  test("parquet-staged ingest + DELETE/UPDATE pushdown round-trip") {
+    Federation.install(spark)
+    val e = ex
+    val ref = RemoteTableRef.parse("nation_rt")
+    e.createTable(ref, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType))))
+    val src = spark.read.parquet(s"$dir/nation.parquet")
+      .selectExpr("CAST(n_nationkey AS BIGINT) AS k", "n_name AS name")
+    e.insertInto(ref, src)
+    import org.apache.spark.sql.functions.col
+    val deleted = Federation.deleteFromRemote(spark, "nation_rt", e,
+      col("k") >= 20L)
+    assert(deleted == 5, s"deleted $deleted")
+    val updated = Federation.updateRemote(spark, "nation_rt", e,
+      Seq("name" -> org.apache.spark.sql.functions.concat(
+        col("name"), org.apache.spark.sql.functions.lit("!"))),
+      col("k") < 2L)
+    assert(updated == 2, s"updated $updated")
+    val got = Federation.remoteDataFrame(spark, "nation_rt", e)
+      .orderBy(col("k")).collect()
+    assert(got.length == 20)
+    assert(got.take(2).forall(_.getString(1).endsWith("!")))
+    assert(!got(2).getString(1).endsWith("!"))
+  }
+
+  test("statistics probe sees fragment-level cardinality") {
+    val e = ex
+    val st = e.statistics(RemoteTableRef.parse("nation"))
+    assert(st.exists(_.rowCount.contains(BigInt(25))), st.toString)
+    val frag = e.fragmentStatistics(
+      """SELECT "n_nationkey" FROM "nation" WHERE "n_regionkey" = 0""",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_nationkey",
+          org.apache.spark.sql.types.IntegerType))))
+    assert(frag.exists(_.rowCount.exists(_ < 25)), frag.toString)
+  }
+
+  test("subprocess surfaces engine errors with the message") {
+    val e = ex
+    val err = intercept[IllegalStateException] {
+      e.runQuery("SELECT * FROM no_such_table_xyz")
+    }
+    assert(err.getMessage.contains("no_such_table_xyz"), err.getMessage)
+  }
+
+  test("dialect VALUES derived table works live (bind-join wire format)") {
+    // the exact shape RemoteScanExec renders for a bind join
+    val e = ex
+    val got = e.runQuery(
+      """SELECT t."a", t."b" FROM (VALUES (1, 'x'), (2, 'y')) AS t("a", "b")
+        |ORDER BY t."a"""".stripMargin)
+    assert(got.map(_.get(1).asText()) == Vector("x", "y"))
+  }
+
+  test("nulls ordering: dialect default matches the engine") {
+    // DuckDbDialect says ASC → NULLS LAST is the engine default; pin it
+    val e = ex
+    val got = e.runQuery(
+      "SELECT x FROM (VALUES (1), (NULL), (2)) AS t(x) ORDER BY x")
+    assert(got.last.get(0).isNull, got.toString)
+  }
+}

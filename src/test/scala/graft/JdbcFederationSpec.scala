@@ -526,4 +526,30 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
         df.queryExecution.executedPlan)
     assert(df.collect().head.getLong(0) == 2L)
   }
+
+  test("700-row bind build chunks into UNION ALL VALUES (Derby parser cap)") {
+    // Derby's recursive VALUES parser dies past ~1000 rows with a
+    // connection-killing StackOverflowError (probed live — found by the
+    // cross-engine DuckDB⋈Derby test in round 9). Builds between
+    // maxInlineValuesRows (400) and maxBindRows (2000) must ship as a
+    // UNION ALL of bounded VALUES chunks and still bind-join remotely.
+    Federation.install(spark)
+    val dataDir = "/root/testdata/sf0.001"
+    val ex = graft.federation.jdbc.JdbcHarness.executor(spark, dataDir)
+    graft.federation.jdbc.JdbcHarness.registerViews(spark, dataDir)
+    spark.range(700).selectExpr("CAST(id * 2 + 1 AS BIGINT) AS k")
+      .createOrReplaceTempView("chunk_dim")
+    val df = spark.sql(
+      """SELECT COUNT(*) AS n FROM jdbc_orders
+        |WHERE o_orderkey IN (SELECT k FROM chunk_dim)""".stripMargin)
+    val before = ex.executedSql.size
+    val got = df.collect().head.getLong(0)
+    val shipped = ex.executedSql.drop(before)
+    assert(shipped.exists(s => s.contains("UNION ALL") &&
+      s.contains("bj_c1") && s.contains("EXISTS")),
+      s"no chunked VALUES in shipped SQL:\n${shipped.mkString("\n---\n")}")
+    val want = spark.read.parquet(s"$dataDir/orders.parquet")
+      .filter("o_orderkey % 2 = 1 AND o_orderkey <= 1399").count()
+    assert(got == want, s"got $got want $want")
+  }
 }

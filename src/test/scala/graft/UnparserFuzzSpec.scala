@@ -546,6 +546,20 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bound >= (total * 9) / 10, s"only $bound/$total bound")
   }
 
+  test("60 random queries against the live DuckDB engine match local") {
+    // second real engine, same differential oracle: whatever the DuckDB
+    // dialect renders is executed by an actual DuckDB subprocess
+    // (read-only file opens inside tasks), so the live-probed dialect
+    // fixes (decimal-cast truncation, CONCAT null-skipping, DATE+INTERVAL
+    // typing) are exercised end-to-end, not just golden-pinned.
+    graft.federation.duckdb.DuckDbHarness.registerViews(spark, dir)
+    graft.sources.Tables.registerAll(spark, dir)
+    val total = nOverride.map(n => math.max(20, n / 2)).getOrElse(60)
+    val federated = runFuzz("duck_", seedBase + 84L, total)
+    assert(federated >= (total * 7) / 10,
+      s"only $federated/$total reached DuckDB — dialect refusal regression")
+  }
+
   test("100 random queries against the real JDBC engine (Derby) match local") {
     // same differential oracle, but the remote is an actual second DBMS:
     // whatever the Derby dialect renders must be TRUE on Derby, not just
