@@ -213,6 +213,7 @@ object SparkEntry {
     "fed_jdbc_update" -> (Federated.jdbcUpdate _),
     "fed_jdbc_create" -> (Federated.jdbcCreate _),
     "stream_jdbc_sink" -> (Federated.jdbcStreamSink _),
+    "fed_jdbc_two_instances" -> (Federated.jdbcTwoInstances _),
     "fed_duckdb_q1" -> (Federated.duckQ1 _),
     "fed_duckdb_q3" -> (Federated.duckQ3 _),
     "fed_duckdb_x_derby" -> (Federated.duckCrossEngine _),
@@ -371,6 +372,7 @@ object SparkEntry {
     "fed_jdbc_update" -> Federated.jdbcUpdateOracle,
     "fed_jdbc_create" -> Federated.jdbcCreateOracle,
     "stream_jdbc_sink" -> Federated.jdbcStreamSinkOracle,
+    "fed_jdbc_two_instances" -> Federated.jdbcTwoInstancesOracle,
     "fed_duckdb_q1" -> Federated.duckQ1Oracle,
     "fed_duckdb_q3" -> Federated.duckQ3Oracle,
     "fed_duckdb_x_derby" -> Federated.duckCrossEngineOracle,

@@ -42,8 +42,21 @@ object JdbcHarness {
     * idempotent. */
   def executor(spark: SparkSession, dir: String,
       tables: Seq[String] = GateTables): JdbcSqlExecutor =
-    loaded.getOrElseUpdate((System.identityHashCode(spark), dir), {
-      val db = s"graft_${Math.abs(dir.hashCode)}_${System.identityHashCode(spark)}"
+    load(spark, dir, tables, suffix = "")
+
+  /** A SECOND embedded Derby instance (different `jdbc:derby:` URL, same
+    * dialect) — the distinct-compute-context case the reference warns
+    * about (src/sql/executor.rs:25-29): same engine KIND is not same
+    * engine INSTANCE, and fragments of the two must never merge. Loads a
+    * small dimension subset; registered as `jdbc2_*`. */
+  def executorB(spark: SparkSession, dir: String,
+      tables: Seq[String] = Seq("nation", "region")): JdbcSqlExecutor =
+    load(spark, dir, tables, suffix = "_b")
+
+  private def load(spark: SparkSession, dir: String,
+      tables: Seq[String], suffix: String): JdbcSqlExecutor =
+    loaded.getOrElseUpdate((System.identityHashCode(spark), dir + suffix), {
+      val db = s"graft_${Math.abs(dir.hashCode)}_${System.identityHashCode(spark)}$suffix"
       val url = s"jdbc:derby:memory:$db;create=true"
       val conn = DriverManager.getConnection(url)
       try {
@@ -120,7 +133,8 @@ object JdbcHarness {
         }
         conn.commit()
       } finally conn.close()
-      urls.put((System.identityHashCode(spark), dir), s"jdbc:derby:memory:$db")
+      urls.put((System.identityHashCode(spark), dir + suffix),
+        s"jdbc:derby:memory:$db")
       new JdbcSqlExecutor("derby", spark, s"jdbc:derby:memory:$db",
         DerbyDialect, splitCount = Splits)
     })
@@ -171,6 +185,15 @@ object JdbcHarness {
     val ex = executor(spark, dir)
     ex.tableNames.foreach { t =>
       Federation.registerRemoteTable(spark, s"jdbc_$t", t, ex)
+    }
+  }
+
+  /** Register `jdbc2_<table>` views over the SECOND Derby instance. */
+  def registerViewsB(spark: SparkSession, dir: String): Unit = {
+    Federation.install(spark)
+    val ex = executorB(spark, dir)
+    ex.tableNames.foreach { t =>
+      Federation.registerRemoteTable(spark, s"jdbc2_$t", t, ex)
     }
   }
 

@@ -771,6 +771,33 @@ object Federated {
        |WHERE keep ORDER BY doc_id""".stripMargin
   }
 
+  /** TWO live Derby INSTANCES (distinct `jdbc:derby:` URLs, same engine
+    * kind): the compute-context separation the reference warns about
+    * (src/sql/executor.rs:25-29) — same dialect does NOT mean same data
+    * location, so the supplier fragment (instance A) and the nation dim
+    * (instance B) must each get their own SQL; the join completes via a
+    * cross-instance bind (B's rows inlined as VALUES into A's query) or
+    * locally, never as one merged fragment. */
+  def jdbcTwoInstances(s: SparkSession, dir: String): DataFrame = {
+    graft.federation.jdbc.JdbcHarness.registerViews(s, dir)
+    graft.federation.jdbc.JdbcHarness.registerViewsB(s, dir)
+    s.sql(
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+        |  CAST(MAX(s_acctbal) AS DOUBLE) AS top_bal
+        |FROM jdbc_supplier JOIN jdbc2_nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey < 3
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  val jdbcTwoInstancesOracle: String =
+    """SELECT n_name, COUNT(*) AS n_suppliers,
+      |  CAST(MAX(s_acctbal) AS DOUBLE) AS top_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_regionkey < 3
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   // ---- live DuckDB engine (second REAL remote; subprocess line-JSON) ----
 
   /** q1-class through the LIVE DuckDB engine

@@ -527,6 +527,86 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().head.getLong(0) == 2L)
   }
 
+  /** Contexts a plan touches, descending through FederatedPlan leaves and
+    * bind-join build sides. */
+  private def contextsIn(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Set[String] =
+    p.collect {
+      case r: graft.federation.plans.RemoteRelation =>
+        Set(r.executor.computeContext.get)
+      case f: graft.federation.plans.FederatedPlan =>
+        contextsIn(f.inner) ++
+          f.bindJoins.flatMap(b => contextsIn(b.buildPlan))
+    }.flatten.toSet
+
+  test("two Derby INSTANCES: same dialect, fragments never merge, bind crosses") {
+    val dataDir = "/root/testdata/sf0.001"
+    graft.federation.jdbc.JdbcHarness.registerViews(spark, dataDir)
+    graft.federation.jdbc.JdbcHarness.registerViewsB(spark, dataDir)
+    val df = spark.sql(
+      """SELECT n_name, COUNT(*) AS n_suppliers
+        |FROM jdbc_supplier JOIN jdbc2_nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey < 3
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    val plan = df.queryExecution.optimizedPlan
+    val frags = plan.collect {
+      case f: graft.federation.plans.FederatedPlan => f
+    }
+    assert(frags.nonEmpty)
+    // the compute-context invariant: one fragment, one instance — a merge
+    // would send instance-B table names to instance A
+    frags.foreach { f =>
+      assert(contextsIn(f.inner).size == 1,
+        s"fragment mixes Derby instances: ${contextsIn(f.inner)}\n$plan")
+    }
+    // both instances participate — B either as its own fragment or as a
+    // bind build side EXECUTED on B and inlined as literals into A's SQL
+    val all = frags.flatMap(f => contextsIn(f)).toSet
+    assert(all.size == 2, s"expected both instances, got $all\n$plan")
+    val want = spark.sql(
+      s"""SELECT n_name, COUNT(*) AS n_suppliers
+         |FROM parquet.`$dataDir/supplier.parquet`
+         |JOIN parquet.`$dataDir/nation.parquet`
+         |  ON s_nationkey = n_nationkey
+         |WHERE n_regionkey < 3
+         |GROUP BY n_name ORDER BY n_name""".stripMargin)
+      .collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq == want)
+  }
+
+  test("two instances, agg-shaped sides: TWO fragments, distinct contexts") {
+    val dataDir = "/root/testdata/sf0.001"
+    graft.federation.jdbc.JdbcHarness.registerViews(spark, dataDir)
+    graft.federation.jdbc.JdbcHarness.registerViewsB(spark, dataDir)
+    // with binds off (the bind rule would otherwise inline even an
+    // aggregate-shaped build), the planner's ONLY correct shape is two
+    // fragments — one per instance — stitched by a local join; a single
+    // merged fragment would ship instance-B table names to instance A
+    spark.conf.set(graft.federation.BindJoinRule.MaxBytesKey, "0")
+    try {
+      val df = spark.sql(
+        """SELECT a.s_nationkey AS k, a.n_supp, b.n_name
+          |FROM (SELECT s_nationkey, COUNT(*) AS n_supp
+          |      FROM jdbc_supplier GROUP BY s_nationkey) a
+          |JOIN (SELECT n_nationkey, MAX(n_name) AS n_name
+          |      FROM jdbc2_nation GROUP BY n_nationkey) b
+          |  ON a.s_nationkey = b.n_nationkey
+          |ORDER BY k""".stripMargin)
+      val frags = df.queryExecution.optimizedPlan.collect {
+        case f: graft.federation.plans.FederatedPlan => f
+      }
+      assert(frags.size == 2, s"expected two fragments:\n" +
+        df.queryExecution.optimizedPlan)
+      val ctx = frags.map(f => contextsIn(f.inner))
+      assert(ctx.forall(_.size == 1) && ctx.flatten.toSet.size == 2,
+        s"contexts: $ctx")
+      val want = spark.read.parquet(s"$dataDir/supplier.parquet")
+        .select("s_nationkey").distinct().count()
+      assert(df.count() == want)
+    } finally spark.conf.unset(graft.federation.BindJoinRule.MaxBytesKey)
+  }
+
   test("700-row bind build chunks into UNION ALL VALUES (Derby parser cap)") {
     // Derby's recursive VALUES parser dies past ~1000 rows with a
     // connection-killing StackOverflowError (probed live — found by the
