@@ -1,6 +1,7 @@
 package graft.federation
 
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
 import graft.federation.exec.RemoteScanExec
@@ -28,8 +29,10 @@ object FederationStrategy extends SparkStrategy {
           throw new IllegalStateException(
             s"cannot plan federation for provider ${other.name}")
       }
-      RemoteScanExec(f.output, provider.unparseSplits(f.inner),
-        provider.executor, f.runtimeFilters, f.bindJoins) :: Nil
+      val sqls = provider.unparseSplits(f.inner)
+      RemoteScanExec(f.output, sqls,
+        provider.executor, f.runtimeFilters, f.bindJoins,
+        remoteOrdering(f, provider, sqls.size)) :: Nil
 
     case r: RemoteRelation =>
       // route through the provider so plan/SQL hooks apply on the
@@ -39,5 +42,89 @@ object FederationStrategy extends SparkStrategy {
         r.executor) :: Nil
 
     case _ => Nil
+  }
+
+  /** The ordering a fragment's remote SQL GUARANTEES on the wire — a
+    * top-level `Sort(global)` (possibly under the LIMIT/OFFSET it was
+    * pushed with, which the unparser renders as the SAME query level's
+    * ORDER BY … LIMIT/FETCH) — admitted only when:
+    *  - ONE cursor, one partition per SQL (split filters would wrap the
+    *    ORDER BY in a derived table, where SQL stops guaranteeing order,
+    *    and the mock's inner-session RDD keeps its own partitioning);
+    *  - no bind joins (the VALUES join wraps the sorted SQL in a derived
+    *    table — same loss of guarantee);
+    *  - every sort key is a bare output attribute whose type the dialect
+    *    probed order-portable (string collation and float NaN placement
+    *    differ by engine).
+    * Runtime filters are fine: their predicates wrap as
+    * `SELECT * FROM (…) WHERE p` — but that too is a derived table, so
+    * refuse those as well; they are join-driven anyway, and the join will
+    * re-shuffle. */
+  private def remoteOrdering(f: FederatedPlan, p: SqlFederationProvider,
+      nSqls: Int): Seq[SortOrder] = {
+    if (nSqls != 1 || !p.executor.singlePartitionPerCursor ||
+        f.bindJoins.nonEmpty || f.runtimeFilters.nonEmpty) return Nil
+    // mirror of SqlUnparser.select's peel: the shapes whose rendered SQL
+    // carries the ORDER BY at the OUTERMOST level (possibly beside
+    // LIMIT/OFFSET). Returns the Sort plus the projection between it and
+    // the fragment output (identity when the Sort is on top).
+    def top(plan: LogicalPlan): Option[(Sort,
+        Option[Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]])] =
+      plan match {
+        case s @ Sort(_, true, _, _) => Some((s, None))
+        case GlobalLimit(_, child) => top(child)
+        case LocalLimit(_, child) => top(child)
+        case org.apache.spark.sql.catalyst.plans.logical.Offset(_, child) =>
+          top(child)
+        case Project(list, s @ Sort(_, true, _, _))
+            if list.forall(_.deterministic) =>
+          Some((s, Some(list)))
+        case _ => None
+      }
+    val d = p.executor.dialect
+    top(f.inner) match {
+      case None => Nil
+      case Some((sort, projection)) =>
+        // exprIds equivalent to a sort key: the key itself, plus any alias
+        // of it DEFINED right under the Sort (ORDER BY a column and ORDER
+        // BY its per-row alias deliver the same stream)
+        def keyIds(a: AttributeReference): Set[
+            org.apache.spark.sql.catalyst.expressions.ExprId] = {
+          val below = sort.child match {
+            case Project(l1, _) => l1.collect {
+              case al: org.apache.spark.sql.catalyst.expressions.Alias
+                  if al.child.semanticEquals(a) => al.exprId
+            }
+            case _ => Nil
+          }
+          below.toSet + a.exprId
+        }
+        // express each sort key as a fragment OUTPUT attribute (ordering
+        // claims are read by EnsureRequirements against this node's
+        // output); a key the projection dropped ends the claimable PREFIX
+        // — a prefix of a delivered ordering is itself delivered
+        sort.order.iterator.map { so =>
+          so.child match {
+            case a: AttributeReference if d.orderingPortable(a.dataType) =>
+              val ids = keyIds(a)
+              projection match {
+                case None =>
+                  if (f.inner.outputSet.contains(a)) Some(so) else None
+                case Some(list) => list.collectFirst {
+                  case out: AttributeReference if ids.contains(out.exprId) =>
+                    so.copy(child = out)
+                  case al: org.apache.spark.sql.catalyst.expressions.Alias
+                      if al.child.semanticEquals(a) ||
+                        (al.child match {
+                          case c: AttributeReference => ids.contains(c.exprId)
+                          case _ => false
+                        }) =>
+                    so.copy(child = al.toAttribute)
+                }
+              }
+            case _ => None
+          }
+        }.takeWhile(_.isDefined).flatten.toSeq
+    }
   }
 }

@@ -40,13 +40,29 @@ final case class RemoteScanExec(
     sqls: Seq[String],
     @transient executor: SqlExecutor,
     @transient runtimeFilters: Seq[RemoteRuntimeFilter] = Nil,
-    @transient bindJoins: Seq[graft.federation.plans.RemoteBindJoin] = Nil)
+    @transient bindJoins: Seq[graft.federation.plans.RemoteBindJoin] = Nil,
+    outputOrder: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] = Nil)
   extends LeafExecNode {
   // @transient: physical plans are captured in task closures (whole-stage
   // codegen, broadcast); the executor is only dereferenced driver-side in
   // doExecute, and remote engines aren't java-serializable.
 
   require(sqls.nonEmpty, "RemoteScanExec needs at least one query")
+
+  /** Remote ORDER BY becomes local ordering knowledge: a single-cursor
+    * fragment whose SQL ends in ORDER BY (strategy-verified, key types
+    * dialect-portable) delivers rows already sorted, so a window or
+    * merge-join above it must not pay a re-sort — and since the one
+    * cursor is one partition, no exchange either. */
+  override def outputOrdering
+      : Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] = outputOrder
+
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    if (outputOrder.nonEmpty && sqls.size == 1 &&
+        executor.singlePartitionPerCursor)
+      org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    else super.outputPartitioning
 
   // The executor-metrics surface of the reference (src/sql/executor.rs:71-75,
   // displayed via the scan node src/sql/mod.rs:412-414) plus the coercion

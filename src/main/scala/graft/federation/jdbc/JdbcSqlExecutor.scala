@@ -149,41 +149,104 @@ final class JdbcSqlExecutor(
     }
 
   /** Distributed append into an existing remote table (reference
-    * `insert_into` fallback, src/table_provider.rs:110-139): each partition
-    * task opens its own connection and writes its rows as batched INSERTs —
-    * at cluster scale, N tasks append in parallel, no driver funnel. The
-    * target's introspected schema directs the binding, so `df` must align
-    * positionally (same arity, compatible types). */
+    * `insert_into` fallback, src/table_provider.rs:110-139), made
+    * RETRY-IDEMPOTENT for cluster execution: each partition task writes
+    * its rows into a per-partition STAGING table (`t__stg_<writeId>_<pid>`,
+    * drop-recreate on entry, ONE commit at the end), then the driver
+    * publishes every staging table into the target in ONE transaction and
+    * drops them. A Spark task retry — routine at 100 TB — re-creates its
+    * own staging table from scratch, so a half-written or even fully
+    * committed earlier attempt contributes nothing; rows reach the target
+    * exactly once per partition. (The pre-r9 protocol committed batched
+    * INSERTs straight into the target mid-task; a retry duplicated every
+    * committed row of that partition.) N tasks still write in parallel —
+    * the driver funnel is only the O(1)-per-partition publish statement. */
   override def insertInto(ref: RemoteTableRef,
-      df: org.apache.spark.sql.DataFrame): Unit = {
+      df: org.apache.spark.sql.DataFrame): Unit =
+    insertStaged(ref, df, epoch = None)
+
+  /** Epoch-fenced variant for streaming `foreachBatch` sinks: re-delivery
+    * of microbatch `epochId` (routine on recovery) is a no-op. The fence
+    * rides in the SAME publish transaction as the rows — committed epochs
+    * imply committed rows and vice versa. Returns false when the epoch
+    * was already committed. The epochs table (`<target>__epochs`) must
+    * exist (see [[ensureEpochTable]]). */
+  def insertIntoEpoch(ref: RemoteTableRef,
+      df: org.apache.spark.sql.DataFrame, epochId: Long): Boolean = {
+    val fence = epochTableRef(ref)
+    val conn = connect()
+    val seen = try {
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT 1 FROM ${fence.sql(dialect)} WHERE \"batch_id\" = $epochId")
+      try rs.next() finally rs.close()
+    } finally conn.close()
+    if (seen) false
+    else { insertStaged(ref, df, epoch = Some(epochId)); true }
+  }
+
+  private def epochTableRef(ref: RemoteTableRef): RemoteTableRef =
+    RemoteTableRef.parse(ref.parts.last + "__epochs")
+
+  /** Create (or reset) the epoch-fence table for `ref`. */
+  def ensureEpochTable(ref: RemoteTableRef): Unit =
+    createTable(epochTableRef(ref), StructType(Seq(
+      StructField("batch_id", LongType))))
+
+  private def insertStaged(ref: RemoteTableRef,
+      df: org.apache.spark.sql.DataFrame, epoch: Option[Long]): Unit = {
     val schema = tableSchema(ref)
     require(df.schema.length == schema.length,
       s"insertInto ${ref}: ${df.schema.length} columns for ${schema.length}-column table")
-    val insertSql = s"INSERT INTO ${ref.sql(dialect)} VALUES " +
-      s"(${schema.fields.map(_ => "?").mkString(", ")})"
+    val stgPrefix = JdbcSqlExecutor.stagePrefix(ref.parts.last)
     val u = url
     val props = connectionProps
     val fields = schema.fields
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
-        val p = new java.util.Properties()
-        props.foreach { case (k, v) => p.setProperty(k, v) }
-        val conn = DriverManager.getConnection(u, p)
-        try {
-          conn.setAutoCommit(false)
-          val ps = conn.prepareStatement(insertSql)
-          var pending = 0
-          rows.foreach { row =>
-            JdbcSqlExecutor.bindRow(ps, row, fields)
-            ps.addBatch()
-            pending += 1
-            if (pending >= 1000) { ps.executeBatch(); conn.commit(); pending = 0 }
-          }
-          if (pending > 0) { ps.executeBatch(); conn.commit() }
-          ps.close()
-        } finally conn.close()
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        JdbcSqlExecutor.stagePartition(u, props, s"$stgPrefix$pid",
+          fields, rows)
       }
     }
+    publishStaged(ref, stgPrefix, epoch)
+  }
+
+  /** Driver-side atomic publish: every staging table of this write lands
+    * in the target (and the epoch fence, when present) in ONE
+    * transaction, then the staging tables drop. A crash mid-publish
+    * rolls back — the target never sees a partial write. */
+  private def publishStaged(ref: RemoteTableRef, stgPrefix: String,
+      epoch: Option[Long]): Unit = {
+    val conn = connect()
+    try {
+      conn.setAutoCommit(false)
+      // '_' is a metadata-pattern wildcard — over-matching is impossible
+      // anyway: the writeId in the prefix is unique to this call
+      val rs = conn.getMetaData.getTables(null, null, s"$stgPrefix%",
+        Array("TABLE"))
+      val stgs = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) stgs += rs.getString("TABLE_NAME")
+      val st = conn.createStatement()
+      stgs.sorted.foreach { s =>
+        val publish =
+          s"INSERT INTO ${ref.sql(dialect)} SELECT * FROM ${dialect.quote(s)}"
+        dmlLog.synchronized { dmlLog += publish }
+        st.executeUpdate(publish)
+        st.executeUpdate(s"DROP TABLE ${dialect.quote(s)}")
+      }
+      epoch.foreach { id =>
+        val fenceSql = s"INSERT INTO ${epochTableRef(ref).sql(dialect)} " +
+          s"VALUES ($id)"
+        dmlLog.synchronized { dmlLog += fenceSql }
+        st.executeUpdate(fenceSql)
+      }
+      st.close()
+      conn.commit()
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: java.sql.SQLException => () }
+        throw e
+    } finally conn.close()
   }
 
   /** Driver-side DML statements this executor has run (INSERT…SELECT
@@ -298,6 +361,74 @@ final class JdbcSqlExecutor(
 }
 
 object JdbcSqlExecutor {
+
+  private val writeCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Unique-per-write staging-table prefix: time + a JVM-wide counter —
+    * two concurrent writes to one target never share staging tables. */
+  def stagePrefix(table: String): String =
+    s"${table}__stg_${java.lang.Long.toHexString(System.currentTimeMillis())}" +
+      s"${writeCounter.incrementAndGet()}_"
+
+  /** Derby DDL type for a staging column (mirror of the executor's
+    * createTable mapping; strings get the engine-max VARCHAR since a
+    * staging table never outlives the write). */
+  private def stageDdlType(dt: DataType): String = dt match {
+    case ByteType | ShortType => "SMALLINT"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case FloatType => "REAL"
+    case DoubleType => "DOUBLE"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampNTZType | TimestampType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case StringType => "VARCHAR(32672)"
+    case other =>
+      throw new UnsupportedOperationException(s"no staging DDL for $other")
+  }
+
+  /** One task attempt's staging write: DROP any previous attempt's table,
+    * CREATE fresh, batched INSERTs, ONE commit at the very end — so this
+    * attempt's rows become visible all-or-nothing, and a retry (this
+    * method running again for the same staging name) replaces rather than
+    * appends. Runs inside the task (`foreachPartition`); also invoked
+    * directly by the retry-simulation spec. */
+  def stagePartition(url: String, props: Map[String, String], stg: String,
+      fields: Array[StructField],
+      rows: Iterator[org.apache.spark.sql.Row]): Unit = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = DriverManager.getConnection(url, p)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try st.executeUpdate(s"""DROP TABLE "$stg"""")
+      catch { case e: java.sql.SQLException
+        if e.getSQLState == "42Y55" => () } // no previous attempt
+      val cols = fields
+        .map(f => s""""${f.name}" ${stageDdlType(f.dataType)}""")
+        .mkString(", ")
+      st.executeUpdate(s"""CREATE TABLE "$stg" ($cols)""")
+      st.close()
+      val ps = conn.prepareStatement(
+        s"""INSERT INTO "$stg" VALUES (${fields.map(_ => "?").mkString(", ")})""")
+      var pending = 0
+      rows.foreach { row =>
+        bindRow(ps, row, fields)
+        ps.addBatch()
+        pending += 1
+        if (pending >= 1000) { ps.executeBatch(); pending = 0 }
+      }
+      if (pending > 0) ps.executeBatch()
+      ps.close()
+      conn.commit() // the ONLY commit: DDL + rows land atomically
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: java.sql.SQLException => () }
+        throw e
+    } finally conn.close()
+  }
 
   def schemaOf(md: ResultSetMetaData): StructType =
     StructType((1 to md.getColumnCount).map { i =>

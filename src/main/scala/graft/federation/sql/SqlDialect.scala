@@ -127,6 +127,20 @@ trait SqlDialect {
   /** Whether the engine accepts an explicit NULLS FIRST/LAST clause. */
   def supportsNullsOrdering: Boolean = true
 
+  /** Whether the engine's ORDER BY over this key type is BIT-IDENTICAL to
+    * Spark's, so a single-cursor fragment ending in ORDER BY may expose
+    * `outputOrdering` and spare the local re-sort. Conservative default:
+    * fixed-point/temporal types only — string collation varies by engine
+    * (Spark compares UTF-8 bytes; Derby compares UCS-2 code units, which
+    * disagree on supplementary planes), and float NaN ordering varies.
+    * Dialects probed to match opt in per type. */
+  def orderingPortable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | BooleanType | _: DecimalType =>
+      true
+    case _ => false
+  }
+
   def limitClause(limit: Option[Long], offset: Option[Long]): String =
     (limit, offset) match {
       case (Some(l), Some(o)) => s" LIMIT $l OFFSET $o"
@@ -279,6 +293,8 @@ object SparkDialect extends SqlDialect {
   override def nonFiniteLiteral(d: Double): String = castNonFinite(d)
   // the remote IS Spark — AVG semantics are identical for every type
   override def avgSafe(dt: DataType): Boolean = true
+  // ...and so is every ordering
+  override def orderingPortable(dt: DataType): Boolean = true
   override def hexToDecimal(hex: String): Option[String] =
     Some(s"conv($hex, 16, 10)")
 }
@@ -325,6 +341,13 @@ object DuckDbDialect extends SqlDialect {
     s"(CASE WHEN ABS($x) >= $bound THEN CAST(NULL AS DECIMAL($p,$s)) " +
       s"ELSE CAST(CAST($x AS DECIMAL(${p + 2},${s + 1})) + " +
       s"(CASE WHEN $x >= 0 THEN $half ELSE -$half END) AS DECIMAL($p,$s)) END)"
+  }
+  // ORDER BY probed bit-identical to Spark beyond the fixed-point
+  // default: strings sort by UTF-8 bytes ('~' < 'é' < '😀', same as
+  // UTF8String), doubles sort NaN greatest with ±0.0 tied
+  override def orderingPortable(dt: DataType): Boolean = dt match {
+    case StringType | FloatType | DoubleType => true
+    case other => super.orderingPortable(other)
   }
   // DuckDB lateral joins make UNNEST left-joinable (probed live)
   override def unnestJoinOuter(fromText: String, arraySql: String,

@@ -56,6 +56,14 @@ trait SqlExecutor {
     * slots, like Spark JDBC's `numPartitions`. */
   def splitCount: Int = 1
 
+  /** True when [[execute]] yields exactly ONE RDD partition per SQL (the
+    * remote-cursor executors: JDBC, DuckDB subprocess) — lets a sorted
+    * single-SQL scan claim `SinglePartition` + `outputOrdering`, so a
+    * window/merge-join above it needs neither exchange nor re-sort. The
+    * mock executor returns the inner session's own partitioning and must
+    * say false. */
+  def singlePartitionPerCursor: Boolean = true
+
   /** Optional write path: append `df`'s rows to an existing remote table —
     * the reference's `insert_into` fallback delegation
     * (src/table_provider.rs:110-139; providers without an inner write path
@@ -152,6 +160,9 @@ final class SparkSqlExecutor(
   extends SqlExecutor {
 
   override def splitCount: Int = numSplits
+
+  // execute() returns the inner session's RDD with ITS partitioning
+  override def singlePartitionPerCursor: Boolean = false
 
   override def planRewriter: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = hookPlan

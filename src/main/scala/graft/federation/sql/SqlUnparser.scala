@@ -289,6 +289,16 @@ class SqlUnparser(dialect: SqlDialect) {
           offset = Some(n); p = child
         case Sort(ord, true, child, _) if order.isEmpty =>
           order = ord; p = child
+        // Sort under a per-row Project hoists to the block's ORDER BY —
+        // SQL's ORDER BY may name FROM columns the projection dropped, so
+        // `SELECT list FROM child ORDER BY k` is exact for Project(Sort)
+        // and keeps the ordering guarantee at the OUTERMOST level (an
+        // ORDER BY inside a derived table stops being guaranteed the
+        // moment anything wraps it). Non-deterministic projections refuse:
+        // hoisting would change their evaluation order.
+        case Project(list, Sort(ord, true, child, _))
+            if order.isEmpty && list.forall(_.deterministic) =>
+          order = ord; p = Project(list, child)
         case _ => peeling = false
       }
     }

@@ -737,6 +737,7 @@ object Federated {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("n_words",
         org.apache.spark.sql.types.IntegerType))))
+    ex.ensureEpochTable(ref) // reset the fence with the target
     val schema = graft.sources.Tables.documents(s, dir).schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -750,8 +751,11 @@ object Federated {
     val q = kept.writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        ex.insertInto(ref, batch)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // epoch-fenced: a re-delivered microbatch (recovery replay) is a
+        // no-op — the fence commits atomically with the rows
+        ex.insertIntoEpoch(ref, batch, batchId)
+        ()
       }
       .start()
     q.processAllAvailable()

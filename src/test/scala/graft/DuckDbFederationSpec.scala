@@ -236,6 +236,34 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got(2).getString(1).endsWith("!"))
   }
 
+  test("sorted fragment on a STRING key: window runs without re-sort") {
+    DuckDbHarness.registerViews(spark, dir)
+    // DuckDB's VARCHAR ordering is probed byte-identical to Spark's
+    // (UTF-8 memcmp), so even a string sort key carries the ordering
+    // claim through — Derby's UCS-2 collation must refuse the same shape.
+    // approx_count_distinct has no remote spelling, so THIS window stays
+    // local (a plain ROW_NUMBER would federate whole — also right, but
+    // then nothing exercises the ordering claim).
+    val df = spark.sql(
+      """SELECT name, bal,
+        |  approx_count_distinct(bal) OVER (ORDER BY name) AS ad
+        |FROM (SELECT s_name AS name, s_acctbal AS bal FROM duck_supplier
+        |      ORDER BY s_name LIMIT 50) t""".stripMargin)
+    val planStr = df.queryExecution.executedPlan.toString()
+    assert(planStr.contains("Window") && planStr.contains("RemoteScan"),
+      planStr)
+    assert(!planStr.contains("Sort "),
+      s"local re-sort above a remotely-sorted fragment:\n$planStr")
+    val want = spark.sql(
+      s"""SELECT name, bal,
+         |  approx_count_distinct(bal) OVER (ORDER BY name) AS ad
+         |FROM (SELECT s_name AS name, s_acctbal AS bal
+         |      FROM parquet.`$dir/supplier.parquet`
+         |      ORDER BY s_name LIMIT 50) t""".stripMargin)
+      .collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq == want)
+  }
+
   test("statistics probe sees fragment-level cardinality") {
     val e = ex
     val st = e.statistics(RemoteTableRef.parse("nation"))

@@ -305,8 +305,12 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val before2 = ex.dmlLog.size
     val pushed2 = Federation.insertIntoRemote(local,
       graft.federation.sql.RemoteTableRef.parse("DEPT_SALARIES"), ex)
-    assert(!pushed2 && ex.dmlLog.size == before2,
-      "local source must fall back to the batched insertInto path")
+    // the fallback is the STAGED append: its log entries are staging
+    // publishes, never a query-shipping INSERT..SELECT against EMP
+    val dml2 = ex.dmlLog.drop(before2)
+    assert(!pushed2 && dml2.forall(_.contains("__stg_")),
+      s"local source must fall back to the staged insertInto path:\n" +
+        dml2.mkString("\n"))
   }
 
   test("delete pushdown: ONE remote DELETE statement, count back, no row stream") {
@@ -605,6 +609,115 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select("s_nationkey").distinct().count()
       assert(df.count() == want)
     } finally spark.conf.unset(graft.federation.BindJoinRule.MaxBytesKey)
+  }
+
+  test("sorted single-cursor fragment: local window re-uses the remote ORDER BY") {
+    val dataDir = "/root/testdata/sf0.001"
+    graft.federation.jdbc.JdbcHarness.registerViews(spark, dataDir)
+    // Derby refuses window functions, so the window stays local — but the
+    // fragment beneath it pushed ORDER BY + FETCH, one cursor, one
+    // partition: the window must run WITHOUT an exchange or a re-sort
+    val df = spark.sql(
+      """SELECT k, price,
+        |  SUM(CAST(price AS DECIMAL(18,2)))
+        |    OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS running
+        |FROM (SELECT o_orderkey AS k, o_totalprice AS price
+        |      FROM jdbc_orders ORDER BY o_orderkey LIMIT 200) t""".stripMargin)
+    val planStr = df.queryExecution.executedPlan.toString()
+    assert(planStr.contains("Window"), planStr)
+    assert(planStr.contains("RemoteScan"), planStr)
+    assert(!planStr.contains("Sort "),
+      s"local re-sort above a remotely-sorted fragment:\n$planStr")
+    assert(!planStr.contains("Exchange"),
+      s"exchange above a single-cursor sorted fragment:\n$planStr")
+    val want = spark.sql(
+      s"""SELECT k, price,
+         |  SUM(CAST(price AS DECIMAL(18,2)))
+         |    OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS running
+         |FROM (SELECT o_orderkey AS k, o_totalprice AS price
+         |      FROM parquet.`$dataDir/orders.parquet`
+         |      ORDER BY o_orderkey LIMIT 200) t""".stripMargin)
+      .collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq == want)
+  }
+
+  test("task retry cannot duplicate rows: staging replaces, publish is atomic") {
+    // the 100 TB correctness trap the r8 verdict flagged: a task retry
+    // (or speculative re-run) after partial committed INSERTs would
+    // duplicate that partition's rows. The staged protocol drops and
+    // re-creates the attempt's OWN staging table, so even a FULLY
+    // COMMITTED earlier attempt contributes nothing.
+    val ex = executor
+    val ref = graft.federation.sql.RemoteTableRef.parse("retry_target")
+    ex.createTable(ref, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType))))
+    val fields = ex.tableSchema(ref).fields
+    val mk = (n: Int) => (0 until n).map(i =>
+      org.apache.spark.sql.Row(i.toLong, s"v$i"))
+    val stg = graft.federation.jdbc.JdbcSqlExecutor.stagePrefix("retry_target") + "0"
+    // attempt 1: writes 60 of 100 rows and COMMITS (worst case — a crash
+    // after commit, before task success was reported)
+    graft.federation.jdbc.JdbcSqlExecutor.stagePartition(
+      url, Map.empty, stg, fields, mk(60).iterator)
+    // attempt 2 (the retry): same partition, full row set
+    graft.federation.jdbc.JdbcSqlExecutor.stagePartition(
+      url, Map.empty, stg, fields, mk(100).iterator)
+    // driver publish: pull the staging table into the target atomically
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      st.executeUpdate(s"""INSERT INTO "retry_target" SELECT * FROM "$stg"""")
+      st.executeUpdate(s"""DROP TABLE "$stg"""")
+      st.close()
+      conn.commit()
+    } finally conn.close()
+    val got = graft.federation.Federation
+      .remoteDataFrame(spark, "retry_target", ex)
+    assert(got.count() == 100, "retry duplicated or lost rows")
+    assert(got.select("k").distinct().count() == 100)
+  }
+
+  test("end-to-end staged insertInto: exact rows, staging protocol in the log") {
+    val ex = executor
+    val ref = graft.federation.sql.RemoteTableRef.parse("stage_e2e")
+    ex.createTable(ref, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType))))
+    val df = spark.range(0, 1000, 1, 4).selectExpr("id AS k")
+    val before = ex.dmlLog.size
+    ex.insertInto(ref, df)
+    val log = ex.dmlLog.drop(before)
+    // publish statements reference the per-partition staging tables
+    assert(log.count(s => s.contains("__stg_") &&
+      s.startsWith("INSERT INTO")) == 4, log.mkString("\n"))
+    val got = graft.federation.Federation.remoteDataFrame(spark, "stage_e2e", ex)
+    assert(got.count() == 1000)
+    // staging tables are gone after the publish
+    assert(!ex.tableNames.exists(_.contains("__stg_")), ex.tableNames)
+  }
+
+  test("epoch fence: a replayed microbatch is a no-op, fence rides the publish") {
+    val ex = executor
+    val ref = graft.federation.sql.RemoteTableRef.parse("epoch_target")
+    ex.createTable(ref, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType))))
+    ex.ensureEpochTable(ref)
+    val batch = spark.range(0, 50).selectExpr("id AS k")
+    assert(ex.insertIntoEpoch(ref, batch, epochId = 7L))
+    // foreachBatch re-delivery after recovery: same epoch id again
+    assert(!ex.insertIntoEpoch(ref, batch, epochId = 7L))
+    val got = graft.federation.Federation
+      .remoteDataFrame(spark, "epoch_target", ex)
+    assert(got.count() == 50, "epoch replay duplicated rows")
+    // a NEW epoch still appends
+    assert(ex.insertIntoEpoch(ref,
+      spark.range(100, 120).selectExpr("id AS k"), epochId = 8L))
+    assert(got.count() == 70)
   }
 
   test("700-row bind build chunks into UNION ALL VALUES (Derby parser cap)") {
