@@ -127,6 +127,104 @@ final class DuckDbSqlExecutor(
     }
   }
 
+  private val colStatsCache =
+    scala.collection.concurrent.TrieMap.empty[String,
+      Map[String, org.apache.spark.sql.catalyst.plans.logical.ColumnStat]]
+
+  /** Per-column CBO probes — ONE engine-side aggregate for every column
+    * (DuckDB has no single-DISTINCT restriction), over the same bounded
+    * sample as the row probe. Same type policy as the JDBC executor:
+    * numeric/temporal min+max, strings ndv+lengths only. */
+  override def columnStatistics(ref: RemoteTableRef): Map[String,
+      org.apache.spark.sql.catalyst.plans.logical.ColumnStat] =
+    colStatsCache.getOrElseUpdate(ref.toString, {
+      import org.apache.spark.sql.catalyst.plans.logical.ColumnStat
+      try {
+        statistics(ref).flatMap(_.rowCount) match {
+          case None => Map.empty
+          case Some(rows) =>
+            val schema = tableSchema(ref)
+            val eligible = schema.fields.filter(f => f.dataType match {
+              case StringType | ByteType | ShortType | IntegerType |
+                   LongType | FloatType | DoubleType | DateType |
+                   TimestampNTZType | _: DecimalType => true
+              case _ => false
+            })
+            if (eligible.isEmpty) return Map.empty
+            val items = eligible.flatMap { f =>
+              val q = dialect.quoteIfNeeded(f.name)
+              f.dataType match {
+                case StringType => Seq(s"COUNT(DISTINCT $q)", s"COUNT($q)",
+                  s"MAX(LENGTH($q))", s"SUM(LENGTH($q))")
+                case _ => Seq(s"COUNT(DISTINCT $q)", s"COUNT($q)",
+                  s"MIN($q)", s"MAX($q)")
+              }
+            }
+            val sql = s"SELECT ${items.mkString(", ")} FROM " +
+              s"(SELECT * FROM ${ref.sql(dialect)} LIMIT $statsRowCap) cs"
+            val row = runQuery(sql).head
+            eligible.zipWithIndex.map { case (f, i) =>
+              val b = i * 4
+              val ndv = row.get(b).asLong()
+              val nonNull = row.get(b + 1).asLong()
+              val stat = f.dataType match {
+                case StringType =>
+                  ColumnStat(
+                    distinctCount = Some(BigInt(ndv)),
+                    nullCount = Some(rows - nonNull),
+                    avgLen = if (nonNull > 0)
+                      Some(row.get(b + 3).asLong() / nonNull) else None,
+                    maxLen = Some(row.get(b + 2).asLong()))
+                case dt =>
+                  val fields = Array(
+                    StructField("mn", dt), StructField("mx", dt))
+                  val mapper = com.fasterxml.jackson.databind.node
+                    .JsonNodeFactory.instance.arrayNode()
+                  mapper.add(row.get(b + 2)); mapper.add(row.get(b + 3))
+                  val mm = DuckDbProcess.convertRow(mapper, fields)
+                  ColumnStat(
+                    distinctCount = Some(BigInt(ndv)),
+                    min = Option(mm.get(0, dt)),
+                    max = Option(mm.get(1, dt)),
+                    nullCount = Some(rows - nonNull),
+                    avgLen = Some(dt.defaultSize.toLong),
+                    maxLen = Some(dt.defaultSize.toLong))
+              }
+              f.name -> stat
+            }.toMap
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    })
+
+  private val boundsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int),
+      Option[Seq[Long]]]
+
+  /** Quantile boundaries for range splits — ONE engine-side
+    * `quantile_disc` aggregate over a bounded prefix sample (DuckDB
+    * computes all n-1 cuts in a single scan, where the JDBC executor
+    * pays n-1 OFFSET point reads). */
+  override def splitBoundaries(fromSql: String, col: String,
+      n: Int): Option[Seq[Long]] =
+    boundsCache.getOrElseUpdate((fromSql, col, n), {
+      try {
+        val qs = (1 until n)
+          .map(i => s"CAST(quantile_disc(sk, ${i.toDouble / n}) AS BIGINT)")
+          .mkString(", ")
+        val rows = runQuery(
+          s"SELECT $qs, COUNT(*) FROM (SELECT $col AS sk FROM ($fromSql) " +
+            s"bnd_src WHERE $col IS NOT NULL LIMIT $statsRowCap) bnd_sample")
+        val row = rows.head
+        val cnt = row.get(n - 1).asLong()
+        if (cnt < n.toLong * 8) None
+        else {
+          val bounds = (0 until n - 1).map(row.get(_).asLong())
+            .distinct.sorted
+          if (bounds.isEmpty) None else Some(bounds)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })
+
   /** Driver-side one-shot read query (planning probes, tests). */
   def runQuery(sql: String): Vector[JsonNode] = {
     executedSql.synchronized { executedSql += sql }

@@ -136,6 +136,121 @@ final class JdbcSqlExecutor(
       schema: StructType): Option[Statistics] =
     probeCached(sql, s"($sql) frag_src", schema)
 
+  private val colStatsCache =
+    scala.collection.concurrent.TrieMap.empty[String,
+      Map[String, org.apache.spark.sql.catalyst.plans.logical.ColumnStat]]
+
+  /** Bounded per-column probes for CBO: one query per column (Derby
+    * permits a single DISTINCT aggregate per query — probed), each over
+    * the same [[statsRowCap]]-bounded sample as the row probe. Numeric /
+    * temporal / decimal columns report ndv + nulls + min/max (read back
+    * through the same schema-directed conversion as scan rows, so the
+    * values land in Catalyst's internal representation); strings report
+    * ndv + nulls + length stats (no cross-engine collation in min/max).
+    * Only relations under the row cap probe at all — CBO on a
+    * billion-row remote must not trigger column scans. */
+  override def columnStatistics(ref: RemoteTableRef): Map[String,
+      org.apache.spark.sql.catalyst.plans.logical.ColumnStat] =
+    colStatsCache.getOrElseUpdate(ref.toString, {
+      try {
+        statistics(ref).flatMap(_.rowCount) match {
+          case None => Map.empty
+          case Some(rows) =>
+            val schema = tableSchema(ref)
+            val sample = s"(SELECT * FROM ${ref.sql(dialect)}" +
+              s"${dialect.limitClause(Some(statsRowCap), None)}) cs_sample"
+            val conn = connect()
+            try {
+              schema.fields.flatMap { f =>
+                colStat(conn, sample, f, rows).map(f.name -> _)
+              }.toMap
+            } finally conn.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    })
+
+  private def colStat(conn: Connection, sample: String, f: StructField,
+      rows: BigInt)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.ColumnStat] = {
+    import org.apache.spark.sql.catalyst.plans.logical.ColumnStat
+    val q = dialect.quoteIfNeeded(f.name)
+    f.dataType match {
+      case StringType =>
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT COUNT(DISTINCT $q), COUNT($q), MAX(LENGTH($q)), " +
+            s"SUM(LENGTH($q)) FROM $sample")
+        rs.next()
+        val ndv = rs.getLong(1); val nonNull = rs.getLong(2)
+        val maxLen = rs.getLong(3); val sumLen = rs.getLong(4)
+        Some(ColumnStat(
+          distinctCount = Some(BigInt(ndv)),
+          nullCount = Some(rows - nonNull),
+          avgLen = if (nonNull > 0) Some(sumLen / nonNull) else None,
+          maxLen = Some(maxLen)))
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | TimestampNTZType | TimestampType |
+           _: DecimalType =>
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT COUNT(DISTINCT $q), COUNT($q), MIN($q), MAX($q) " +
+            s"FROM $sample")
+        rs.next()
+        val ndv = rs.getLong(1); val nonNull = rs.getLong(2)
+        val mm = JdbcSqlExecutor.convertRow(rs, Array(
+          StructField("c1", LongType), StructField("c2", LongType),
+          f.copy(name = "mn"), f.copy(name = "mx")))
+        Some(ColumnStat(
+          distinctCount = Some(BigInt(ndv)),
+          min = Option(mm.get(2, f.dataType)),
+          max = Option(mm.get(3, f.dataType)),
+          nullCount = Some(rows - nonNull),
+          avgLen = Some(f.dataType.defaultSize.toLong),
+          maxLen = Some(f.dataType.defaultSize.toLong)))
+      case _ => None
+    }
+  }
+
+  private val boundsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int),
+      Option[Seq[Long]]]
+
+  /** Quantile boundaries for range splits: `n-1` ORDER BY/OFFSET point
+    * reads over a BOUNDED prefix sample of the fragment ([[statsRowCap]]
+    * rows — the same planning-cost contract as the stats probe; on an
+    * indexed split column each read is an index walk). Exact quantiles
+    * whenever the fragment fits the cap; a biased-but-bounded sample
+    * beyond it — and a WRONG boundary only unbalances cursors, never
+    * rows (the range filters stay disjoint + exhaustive regardless). */
+  override def splitBoundaries(fromSql: String, col: String,
+      n: Int): Option[Seq[Long]] =
+    boundsCache.getOrElseUpdate((fromSql, col, n), {
+      try {
+        val sample = s"(SELECT $col AS sk FROM ($fromSql) bnd_src " +
+          s"WHERE $col IS NOT NULL" +
+          s"${dialect.limitClause(Some(statsRowCap), None)}) bnd_sample"
+        val conn = connect()
+        try {
+          val rs = conn.createStatement()
+            .executeQuery(s"SELECT COUNT(*) FROM $sample")
+          rs.next()
+          val cnt = rs.getLong(1)
+          if (cnt < n.toLong * 8) None // too small to be worth cursors
+          else {
+            val bounds = (1 until n).map { i =>
+              val off = i * cnt / n
+              val q = s"SELECT sk FROM $sample ORDER BY sk" +
+                dialect.limitClause(Some(1L), Some(off))
+              val r = conn.createStatement().executeQuery(q)
+              r.next()
+              val v = r.getLong(1)
+              r.close()
+              v
+            }.distinct.sorted
+            if (bounds.isEmpty) None else Some(bounds)
+          }
+        } finally conn.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })
+
   // schema is by-name: on a cache hit the (remote round-trip) schema
   // introspection must not run at all
   private def probeCached(key: String, fromSql: String,

@@ -27,9 +27,20 @@ final case class RemoteRelation(
   override def newInstance(): RemoteRelation =
     copy(output = output.map(_.newInstance()))
 
-  override def computeStats(): Statistics =
-    executor.statistics(ref).getOrElse(
+  override def computeStats(): Statistics = {
+    val base = executor.statistics(ref).getOrElse(
       Statistics(sizeInBytes = conf.defaultSizeInBytes))
+    // column stats are read only by cost-based optimization — don't pay
+    // the (bounded, cached) per-column probes unless CBO will use them
+    if (!conf.cboEnabled) base
+    else {
+      val byName = executor.columnStatistics(ref)
+      if (byName.isEmpty) base
+      else base.copy(attributeStats =
+        org.apache.spark.sql.catalyst.expressions.AttributeMap(
+          output.flatMap(a => byName.get(a.name).map(a -> _))))
+    }
+  }
 
   def schema2: StructType = org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(output)
 

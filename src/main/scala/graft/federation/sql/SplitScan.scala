@@ -84,4 +84,24 @@ object SplitScan {
     val pred = if (i == 0) Or(eq, IsNull(col)) else eq
     Filter(pred, plan)
   }
+
+  /** The i-th of `bounds.size + 1` RANGE split filters — the skew-aware
+    * alternative to modulo ([[SqlExecutor.splitBoundaries]] supplies the
+    * quantile cuts): split 0 takes `col < b0` plus the NULL arm, middle
+    * splits take half-open `[b(i-1), b(i))` ranges, the last takes
+    * `col >= b(last)`. Disjoint and exhaustive for ANY value distribution
+    * — a column whose values all share a residue class (where modulo-n
+    * leaves n−1 cursors empty) still cuts into near-equal ranges. */
+  def withRangeFilter(plan: LogicalPlan, col: Attribute,
+      bounds: Seq[Long], i: Int): LogicalPlan = {
+    require(bounds.nonEmpty && i >= 0 && i <= bounds.size)
+    val c = if (col.dataType == LongType) col else Cast(col, LongType)
+    def lit(v: Long) = Literal(v, LongType)
+    val pred =
+      if (i == 0) Or(LessThan(c, lit(bounds.head)), IsNull(col))
+      else if (i == bounds.size) GreaterThanOrEqual(c, lit(bounds.last))
+      else And(GreaterThanOrEqual(c, lit(bounds(i - 1))),
+        LessThan(c, lit(bounds(i))))
+    Filter(pred, plan)
+  }
 }

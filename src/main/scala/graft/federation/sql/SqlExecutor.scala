@@ -38,6 +38,16 @@ trait SqlExecutor {
   /** Optional per-table statistics so Spark can plan broadcasts. */
   def statistics(ref: RemoteTableRef): Option[Statistics] = None
 
+  /** Optional PER-COLUMN statistics (ndv / min / max / null count /
+    * lengths), keyed by remote column name — what Catalyst's cost-based
+    * join reorder needs beyond row counts: with ndv on the join keys a
+    * stitched multi-fragment join reorders onto the selective dimension
+    * first. Called by [[graft.federation.plans.RemoteRelation]] only when
+    * CBO is enabled; implementations must bound and cache the probes as
+    * [[statistics]] does. */
+  def columnStatistics(ref: RemoteTableRef): Map[String,
+      org.apache.spark.sql.catalyst.plans.logical.ColumnStat] = Map.empty
+
   /** Optional fragment-level statistics: estimate the result size of a
     * generated fragment SQL without running it to completion. The
     * reference's `statistics` hook takes the *plan*
@@ -55,6 +65,16 @@ trait SqlExecutor {
     * size this from the remote table's row count and the cluster's task
     * slots, like Spark JDBC's `numPartitions`. */
   def splitCount: Int = 1
+
+  /** Split-range boundaries for `col` over the fragment `fromSql`:
+    * `n - 1` ascending values cutting the column's observed distribution
+    * into near-equal slices ([[SplitScan.withRangeFilter]]). None = the
+    * engine can't probe (or the probe isn't worth it) — the caller falls
+    * back to modulo splits, which are exact but skew-blind: a split
+    * column whose values share a residue class puts the whole table on
+    * one cursor. Implementations must cache: planning may ask per plan. */
+  def splitBoundaries(fromSql: String, col: String,
+      n: Int): Option[Seq[Long]] = None
 
   /** True when [[execute]] yields exactly ONE RDD partition per SQL (the
     * remote-cursor executors: JDBC, DuckDB subprocess) — lets a sorted

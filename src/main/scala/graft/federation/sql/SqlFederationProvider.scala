@@ -94,9 +94,28 @@ final class SqlFederationProvider(val executor: SqlExecutor)
     val col = if (n > 1) SplitScan.splitColumn(p) else None
     col match {
       case Some(c) =>
-        (0 until n).map { i =>
-          sqlHooked(plan)(new SqlUnparser(executor.dialect)
-            .unparse(SplitScan.withSplitFilter(p, c, n, i)))
+        // skew-aware preference: quantile-probed RANGE splits (a modulo
+        // split leaves cursors empty whenever the column's values cluster
+        // in a residue class); the probe is bounded + cached by the
+        // executor, and refusal degrades to the exact modulo form
+        val bounds = {
+          val baseSql = sqlHooked(plan)(
+            new SqlUnparser(executor.dialect).unparse(p))
+          try executor.splitBoundaries(baseSql,
+            executor.dialect.quoteIfNeeded(c.name), n)
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.filter(_.nonEmpty)
+        bounds match {
+          case Some(bs) =>
+            (0 to bs.size).map { i =>
+              sqlHooked(plan)(new SqlUnparser(executor.dialect)
+                .unparse(SplitScan.withRangeFilter(p, c, bs, i)))
+            }
+          case None =>
+            (0 until n).map { i =>
+              sqlHooked(plan)(new SqlUnparser(executor.dialect)
+                .unparse(SplitScan.withSplitFilter(p, c, n, i)))
+            }
         }
       case None =>
         // plan hook already applied above — unparse `p` directly, or a

@@ -611,6 +611,147 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(graft.federation.BindJoinRule.MaxBytesKey)
   }
 
+  test("column statistics probe live Derby: ndv, min/max, nulls, lengths") {
+    val ex = executor
+    val stats = ex.columnStatistics(
+      graft.federation.sql.RemoteTableRef.parse("EMP"))
+    val dept = stats("DEPT_ID")
+    assert(dept.distinctCount.contains(BigInt(3)), dept.toString)
+    assert(dept.nullCount.contains(BigInt(1)), dept.toString)
+    assert(dept.min.contains(1) && dept.max.contains(3), dept.toString)
+    val sal = stats("SALARY")
+    assert(sal.distinctCount.contains(BigInt(6)), sal.toString)
+    assert(sal.min.contains(50.0) && sal.max.contains(120.5), sal.toString)
+    val name = stats("EMP_NAME")
+    assert(name.distinctCount.contains(BigInt(6)), name.toString)
+    assert(name.maxLen.contains(3L) && name.avgLen.contains(3L),
+      name.toString)
+  }
+
+  test("CBO join reorder flips on remote ndv column statistics") {
+    // fact(2000 rows, fk1 with 400 distinct values, fk2 with 4) joining
+    // dim_wide(400 rows) and dim_tiny(4 rows): written order joins
+    // dim_wide first; with remote ndv stats + CBO, the cheaper join —
+    // through dim_tiny — must come first (smaller intermediate only via
+    // cardinality estimation, i.e. the probed ndv doing its job)
+    // fact on instance A, dims on instance B: same-instance subtrees
+    // would federate into ONE SQL (no local join order to observe), and
+    // the two dims don't join each other, so B contributes two separate
+    // fragments — three locally stitched join items total
+    val urlB = "jdbc:derby:memory:graftspec_cbo;create=true"
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE cbo_fact (fk1 INT, fk2 INT, m DOUBLE)")
+    val pf = conn.prepareStatement("INSERT INTO cbo_fact VALUES (?, ?, ?)")
+    (0 until 2000).foreach { i =>
+      pf.setInt(1, i % 400); pf.setInt(2, i % 4); pf.setDouble(3, i * 0.5)
+      pf.addBatch()
+    }
+    pf.executeBatch(); pf.close(); st.close(); conn.close()
+    val connB = DriverManager.getConnection(urlB)
+    val stB = connB.createStatement()
+    stB.executeUpdate("CREATE TABLE cbo_wide (w_id INT, w_name VARCHAR(20))")
+    stB.executeUpdate("CREATE TABLE cbo_tiny (t_id INT, t_name VARCHAR(20))")
+    val pw = connB.prepareStatement("INSERT INTO cbo_wide VALUES (?, ?)")
+    (0 until 400).foreach { i =>
+      pw.setInt(1, i); pw.setString(2, s"w$i"); pw.addBatch()
+    }
+    pw.executeBatch(); pw.close()
+    // tiny dim is SELECTIVE: only 2 of the fact's 4 fk2 values match
+    val pt = connB.prepareStatement("INSERT INTO cbo_tiny VALUES (?, ?)")
+    Seq(0, 1).foreach { i =>
+      pt.setInt(1, i); pt.setString(2, s"t$i"); pt.addBatch()
+    }
+    pt.executeBatch(); pt.close(); stB.close(); connB.close()
+    Federation.install(spark)
+    val ex = executor
+    val exB = new JdbcSqlExecutor("derby", spark, urlB, DerbyDialect)
+    Federation.registerRemoteTable(spark, "cb_CBO_FACT", "CBO_FACT", ex)
+    Federation.registerRemoteTable(spark, "cb_CBO_WIDE", "CBO_WIDE", exB)
+    Federation.registerRemoteTable(spark, "cb_CBO_TINY", "CBO_TINY", exB)
+    val sql =
+      """SELECT COUNT(*) AS n
+        |FROM cb_CBO_FACT f
+        |JOIN cb_CBO_WIDE w ON f.FK1 = w.W_ID
+        |JOIN cb_CBO_TINY t ON f.FK2 = t.T_ID""".stripMargin
+    def firstJoinTables(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      // the innermost Join's leaves = the first-executed join pair; with
+      // binds everything may collapse — disable binds so the ORDER is
+      // observable as local joins over fragments
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.nonEmpty, df.queryExecution.optimizedPlan.toString)
+      joins.last.collect {
+        case f: graft.federation.plans.FederatedPlan => f.inner.collect {
+          case r: graft.federation.plans.RemoteRelation => r.ref.toString
+        }
+      }.flatten
+    }
+    spark.conf.set(graft.federation.BindJoinRule.MaxBytesKey, "0")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val without = spark.sql(sql)
+      val baseline = firstJoinTables(without)
+      assert(baseline.exists(_.contains("CBO_WIDE")),
+        s"expected written order (wide first) without CBO: $baseline\n" +
+          without.queryExecution.optimizedPlan)
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val df = spark.sql(sql)
+      val first = firstJoinTables(df)
+      assert(first.exists(_.contains("CBO_TINY")) &&
+        !first.exists(_.contains("CBO_WIDE")),
+        s"CBO did not reorder onto the selective tiny dim: $first\n" +
+          df.queryExecution.optimizedPlan)
+      assert(df.collect().head.getLong(0) == 1000L)
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      spark.conf.unset(graft.federation.BindJoinRule.MaxBytesKey)
+    }
+  }
+
+  test("skewed split column: quantile ranges where modulo would serialize") {
+    // every key ≡ 0 (mod 4): modulo-4 splits put 100% of rows on cursor 0
+    // and leave three cursors empty — the quantile-probed RANGE splits
+    // must cut the same table into near-equal slices
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE skew_t (k BIGINT, v INT)")
+    val ps = conn.prepareStatement("INSERT INTO skew_t VALUES (?, ?)")
+    (0 until 1000).foreach { i =>
+      ps.setLong(1, 4L * i); ps.setInt(2, i); ps.addBatch()
+    }
+    ps.executeBatch(); ps.close(); st.close(); conn.close()
+    Federation.install(spark)
+    val ex = new JdbcSqlExecutor("derby", spark, url, DerbyDialect,
+      splitCount = 4)
+    Federation.registerAll(spark, ex, prefix = "sk_")
+    // approx_count_distinct keeps the aggregate local → scan-shaped
+    // fragment below it fans out to the split cursors
+    val df = spark.sql(
+      "SELECT approx_count_distinct(v) AS ad, COUNT(*) AS n FROM sk_SKEW_T")
+    val before = ex.executedSql.size
+    val row = df.collect().head
+    assert(row.getLong(1) == 1000)
+    val splits = ex.executedSql.drop(before).filter(_.contains("SKEW_T"))
+    assert(splits.size == 4, s"expected 4 split SQLs:\n${splits.mkString("\n")}")
+    assert(splits.forall(s => !s.contains("MOD(")),
+      s"modulo splits on a skewed column:\n${splits.mkString("\n")}")
+    // balance: run each shipped split SQL as a remote COUNT
+    val conn2 = DriverManager.getConnection(url)
+    val counts = try splits.map { s =>
+      val rs = conn2.createStatement()
+        .executeQuery(s"SELECT COUNT(*) FROM ($s) c")
+      rs.next(); rs.getLong(1)
+    } finally conn2.close()
+    assert(counts.sum == 1000, counts.toString)
+    val mean = counts.sum.toDouble / counts.size
+    assert(counts.forall(_ <= 2 * mean),
+      s"unbalanced range splits $counts (modulo would be [1000,0,0,0])")
+  }
+
   test("sorted single-cursor fragment: local window re-uses the remote ORDER BY") {
     val dataDir = "/root/testdata/sf0.001"
     graft.federation.jdbc.JdbcHarness.registerViews(spark, dataDir)
