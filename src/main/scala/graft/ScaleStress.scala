@@ -119,6 +119,35 @@ object ScaleStress {
     // (span dedup, DSIR, Gopher rules) over the same 5M-doc corpus.
     val doDedup = !sys.env.get("SPARK_GRAFT_SCALE_DEDUP").contains("0")
     val doText = sys.env.get("SPARK_GRAFT_SCALE_TEXT").contains("1")
+    val doPipe = sys.env.get("SPARK_GRAFT_SCALE_PIPE").contains("1")
+
+    if (doPipe) {
+      // composed pipelines (r9 judge task 7): the per-operator stress
+      // above measures stages in isolation; these run the 4-stage
+      // screen→dedup→mixture→pack and LM-score→dedup→rollup CHAINS over
+      // the same 5.05M-doc corpus — compositions are where exchange
+      // counts and staging reuse actually get tested. Outputs are small
+      // per-shard/per-source rollups, so counting them forces every
+      // upstream stage.
+      val trainShards = timed("pipe_train_corpus") {
+        val out = graft.operators.Pipeline.trainCorpus(spark, outDir)
+        out.agg(sum(col("n_docs")), sum(col("n_seqs"))).head.getLong(0)
+      }
+      val curatedSources = timed("pipe_curated_corpus") {
+        val out = graft.operators.Pipeline.curatedCorpus(spark, outDir)
+        out.agg(sum(col("n_docs")), sum(col("n_seqs"))).head.getLong(0)
+      }
+      graft.streaming.StreamOps.releaseAllLmModels()
+      val pipeJson = phases
+        .filter(p => Seq("gen", "pipe_train_corpus", "pipe_curated_corpus")
+          .contains(p._1))
+        .map { case (n, p) =>
+          f""""$n":{"sec":${p.sec}%.1f,"shuffle_write_mb":${p.w / 1048576},"shuffle_read_mb":${p.r / 1048576}}"""
+        }.mkString(",")
+      println(
+        s"""{"n_docs":$nDocs,"train_docs":$trainShards,""" +
+        s""""curated_docs":$curatedSources,$pipeJson}""")
+    }
 
     if (doText) {
       val sel = sys.env.getOrElse("SPARK_GRAFT_SCALE_TEXT_PHASES",

