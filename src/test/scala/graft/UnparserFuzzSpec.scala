@@ -560,6 +560,92 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only $federated/$total reached DuckDB — dialect refusal regression")
   }
 
+  test("60 partial-agg unions across TWO REAL ENGINES (DuckDB + Derby) match local") {
+    // the cross-engine version of the partial-agg sweep: each union arm
+    // partializes into ITS OWN live engine (duck_ → DuckDB subprocess,
+    // jdbc_ → embedded Derby, '' → local parquet), and the local final
+    // combine must reproduce plain execution — the widest end-to-end
+    // exercise of dialect-specific partial SQL (Derby's SUM-widening and
+    // no-FILTER hooks vs DuckDB's) against real engines.
+    graft.federation.jdbc.JdbcHarness.registerViews(spark, dir)
+    graft.federation.duckdb.DuckDbHarness.registerViews(spark, dir)
+    graft.sources.Tables.registerAll(spark, dir)
+    val total = nOverride.map(n => math.max(20, n / 2)).getOrElse(60)
+    var partialized = 0
+    val r = new Random(seedBase + 321L)
+    (1 to total).foreach { i =>
+      val sql0 = genPartialAggQuery(r)
+      val fedSql = sql0.replace("fedb_", "jdbc_").replace("fed_", "duck_")
+      val localSql = sql0.replace("fedb_", "").replace("fed_", "")
+        .replace("TIMESTAMP_NTZ", "TIMESTAMP")
+      val fedDf = spark.sql(fedSql)
+      if (fedDf.queryExecution.optimizedPlan.toString.contains("__gp_") ||
+          fedDf.queryExecution.optimizedPlan.toString.contains("__gd_"))
+        partialized += 1
+      val got = try rowsOf(fedDf) catch { case e: Throwable =>
+        throw new AssertionError(
+          s"cross-engine partial-agg #$i EXECUTION FAILED\nSQL:\n$fedSql\n" +
+            s"plan:\n${fedDf.queryExecution.executedPlan}", e)
+      }
+      val want = rowsOf(spark.sql(localSql))
+      assert(got == want,
+        s"cross-engine partial-agg #$i differs\nSQL:\n$fedSql\n" +
+          s"got ${got.size} rows, want ${want.size}\n" +
+          s"first diff: ${got.zip(want).find(p => p._1 != p._2)}\n" +
+          s"plan:\n${fedDf.queryExecution.optimizedPlan}")
+    }
+    info(s"cross-engine: $partialized/$total partialized")
+    assert(partialized * 100 >= total * 70,
+      s"only $partialized/$total partialized across real engines")
+  }
+
+  test("40 bind-join shapes across TWO REAL ENGINES (Derby fragment, DuckDB build)") {
+    // cross-REAL-engine binds: the build side executes on its own engine
+    // and its rows inline as literal VALUES into the OTHER engine's SQL —
+    // with the r9 chunking (maxInlineValuesRows) and planning row caps
+    // (maxBindRows) live on the Derby side.
+    graft.federation.jdbc.JdbcHarness.registerViews(spark, dir)
+    graft.federation.duckdb.DuckDbHarness.registerViews(spark, dir)
+    graft.sources.Tables.registerAll(spark, dir)
+    val total = nOverride.map(n => math.max(15, n / 5)).getOrElse(40)
+    var leftSpark = 0
+    val r = new Random(seedBase + 654L)
+    (1 to total).foreach { i =>
+      val sql0 = genBindJoinQuery(r)
+      val fedSql = sql0.replace("fedb_", "duck_").replace("fed_", "jdbc_")
+      val localSql = sql0.replace("fedb_", "").replace("fed_", "")
+      val fedDf = spark.sql(fedSql)
+      val hasBind = fedDf.queryExecution.optimizedPlan.exists {
+        case f: FederatedPlan => f.bindJoins.nonEmpty
+        case _ => false
+      }
+      val fullyFederated = !fedDf.queryExecution.optimizedPlan.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+        case _ => false
+      } && fedDf.queryExecution.optimizedPlan.exists {
+        case _: FederatedPlan => true
+        case _ => false
+      }
+      if (hasBind || fullyFederated) leftSpark += 1
+      val got = try rowsOf(fedDf) catch { case e: Throwable =>
+        throw new AssertionError(
+          s"cross-engine bind #$i EXECUTION FAILED\nSQL:\n$fedSql\n" +
+            s"plan:\n${fedDf.queryExecution.executedPlan}", e)
+      }
+      val want = rowsOf(spark.sql(localSql))
+      assert(got == want,
+        s"cross-engine bind #$i differs (bound=$hasBind)\nSQL:\n$fedSql\n" +
+          s"got ${got.size} rows, want ${want.size}\n" +
+          s"first diff: ${got.zip(want).find(p => p._1 != p._2)}\n" +
+          s"plan:\n${fedDf.queryExecution.optimizedPlan}")
+    }
+    info(s"cross-engine binds: $leftSpark/$total left Spark")
+    // caps and dialect refusals legitimately keep more shapes local here
+    // than on the mock — the floor guards collapse, not the exact rate
+    assert(leftSpark * 100 >= total * 50,
+      s"only $leftSpark/$total joins left Spark across real engines")
+  }
+
   test("100 random queries against the real JDBC engine (Derby) match local") {
     // same differential oracle, but the remote is an actual second DBMS:
     // whatever the Derby dialect renders must be TRUE on Derby, not just
