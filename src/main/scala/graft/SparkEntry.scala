@@ -219,6 +219,8 @@ object SparkEntry {
     "fed_duckdb_x_derby" -> (Federated.duckCrossEngine _),
     "fed_duckdb_ctas" -> (Federated.duckCtas _),
     "fed_duckdb_write" -> (Federated.duckWrite _),
+    "fed_duckdb_bind" -> (Federated.duckBindJoin _),
+    "fed_duckdb_split" -> (Federated.duckSplitScan _),
     "fed_split_scan" -> (Federated.splitScanJoin _),
     // --- sampling / exact analytics ---
     "samp_hash_10pct" -> (Sampling.hashSample _),
@@ -378,6 +380,9 @@ object SparkEntry {
     "fed_duckdb_x_derby" -> Federated.duckCrossEngineOracle,
     "fed_duckdb_ctas" -> Federated.duckCtasOracle,
     "fed_duckdb_write" -> Federated.duckWriteOracle,
+    "fed_duckdb_bind" -> Federated.bindJoinOracle, // same semantics, live DuckDB
+    "fed_duckdb_split" -> Federated.splitScanOracle, // same query, split cursors
+
     "dedup_priority" -> Dedup.priorityKeepOracle,
     "dedup_containment" -> Dedup.containmentOracle,
     "dedup_threshold_curve" -> Dedup.thresholdCurveOracle,

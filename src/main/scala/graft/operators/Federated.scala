@@ -775,6 +775,43 @@ object Federated {
        |WHERE keep ORDER BY doc_id""".stripMargin
   }
 
+  /** Bind join through the LIVE DuckDB engine: the selective local nation
+    * dim inlines as a VALUES table into the supplier SQL shipped to the
+    * subprocess — the second-engine proof of the bind wire format
+    * (typed-NULL cells, no Derby CHAR quirks here). Same oracle as the
+    * Derby variant: identical semantics, different live engine. */
+  def duckBindJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.federation.duckdb.DuckDbHarness.registerViews(s, dir)
+    graft.sources.Tables.nation(s, dir)
+      .filter("n_regionkey < 2")
+      .selectExpr("n_nationkey", "n_name")
+      .createOrReplaceTempView("local_nations_d")
+    s.sql(
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM duck_supplier JOIN local_nations_d ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  /** Split cursors against the live DuckDB engine: the local join keeps
+    * the aggregate local, so the scan-shaped orders fragment beneath it
+    * fans out to [[graft.federation.duckdb.DuckDbHarness.Splits]]
+    * read-only subprocesses — with the r9 quantile-probed RANGE split
+    * predicates (one `quantile_disc` probe, modulo fallback). */
+  def duckSplitScan(s: SparkSession, dir: String): DataFrame = {
+    graft.federation.duckdb.DuckDbHarness.registerViews(s, dir)
+    graft.sources.Tables.customer(s, dir)
+      .createOrReplaceTempView("local_customer_d")
+    s.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  MAX(o_totalprice) AS max_price
+        |FROM duck_orders JOIN local_customer_d ON o_custkey = c_custkey
+        |WHERE o_totalprice > 1000
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** TWO live Derby INSTANCES (distinct `jdbc:derby:` URLs, same engine
     * kind): the compute-context separation the reference warns about
     * (src/sql/executor.rs:25-29) — same dialect does NOT mean same data
