@@ -391,6 +391,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fed_duckdb_q1: the WHOLE aggregate ships as one DuckDB SQL") {
+    val df = SparkEntry.queries("fed_duckdb_q1")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    val scans = p.linesIterator.filter(_.contains("RemoteScan")).toSeq
+    assert(scans.size == 1, s"one remote scan expected:\n$p")
+    // the pushed SQL carries the grouped aggregate WITH its FILTER clause
+    // and the ORDER BY — nothing but the 4-6 result rows crosses the wire
+    assert(scans.head.contains("GROUP BY") &&
+      scans.head.contains("FILTER (WHERE") &&
+      scans.head.contains("ORDER BY"), scans.head)
+    assert(count(p, "HashAggregate") == 0, s"local aggregate crept in:\n$p")
+  }
+
+  test("fed_duckdb_split: the fragment fans out to 4 range-split cursors") {
+    val df = SparkEntry.queries("fed_duckdb_split")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("splits=4"), s"4-way split scan expected:\n$p")
+    // quantile-probed RANGE predicates, not modulo (the skew-safe form);
+    // the plan shows split 0's SQL: `col < b0 OR col IS NULL` (NULL arm)
+    val scan = p.linesIterator.find(_.contains("RemoteScan")).getOrElse("")
+    assert(scan.contains("o_custkey <") && scan.contains("IS NULL") &&
+      !scan.contains("% 4"), scan)
+  }
+
   test("range join is an equi-join on (epoch, salt), never all-pairs") {
     // disable broadcast so the plan shown is the large-scale shape: with
     // broadcasting on, a small build side hides the nested-loop risk
