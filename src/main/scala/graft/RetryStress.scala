@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.SparkSession
+
+/** One-off REAL-task-retry proof for the staged remote write path
+  * (SURVEY §8.4): the JdbcFederationSpec retry test simulates attempts by
+  * calling `stagePartition` twice; this main runs the genuine article —
+  * a `local[4,2]` master (maxFailures=2, the one thing the shared test
+  * session can't provide), a failure injected INSIDE one partition's
+  * staging write on attempt 0 (after rows have already flowed), and
+  * Spark's own scheduler retrying the task. Exact-once lands iff the
+  * retry's drop-recreate replaces the failed attempt's staging table and
+  * the driver publish sees each partition exactly once.
+  *
+  * Run: `sbt "runMain graft.RetryStress"` — prints one JSON line; exits
+  * nonzero on any duplicate/lost row.
+  */
+object RetryStress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4,2]") // maxFailures=2: task retries are REAL here
+      .appName("graft-retry-stress")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    graft.federation.Federation.install(spark)
+    val url = "jdbc:derby:memory:retrystress;create=true"
+    val ex = new graft.federation.jdbc.JdbcSqlExecutor(
+      "derby", spark, url, graft.federation.jdbc.DerbyDialect)
+    val ref = graft.federation.sql.RemoteTableRef.parse("retry_live")
+    ex.createTable(ref, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType))))
+
+    import spark.implicits._
+    val n = 100000L
+    // the failure fires INSIDE insertInto's staging task: the row
+    // iterator is consumed by the batched INSERT loop, so attempt 0 of
+    // partition 2 dies after ~3000 rows are already addBatch'ed (and at
+    // least two 1000-row executeBatch flushes have hit the staging
+    // table's transaction); the retry must start the partition OVER
+    val df = spark.range(0, n, 1, 4).map { i =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.partitionId() == 2 && tc.attemptNumber() == 0 &&
+          i % 25000L == 3000L)
+        throw new RuntimeException("injected staging failure (attempt 0)")
+      i
+    }.toDF("k")
+
+    ex.insertInto(ref, df)
+
+    val back = graft.federation.Federation
+      .remoteDataFrame(spark, "retry_live", ex)
+    val total = back.count()
+    val distinct = back.select("k").distinct().count()
+    println(s"""{"rows":$total,"distinct":$distinct,"expected":$n,""" +
+      s""""exact_once":${total == n && distinct == n}}""")
+    spark.stop()
+    if (total != n || distinct != n) sys.exit(1)
+  }
+}
