@@ -59,6 +59,7 @@ object SparkEntry {
     "text_quality_buckets" -> ((s, d) => TextOps.qualityBuckets(s, d)),
     "text_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d,
       requiredWords = gopherGateWords)),
+    "text_repetition_rules" -> ((s, d) => TextOps.repetitionRules(s, d)),
     "text_novelty" -> ((s, d) => TextOps.novelty(s, d)),
     "text_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d)),
     "text_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(s, d)),
@@ -274,6 +275,7 @@ object SparkEntry {
     "text_lm_score" -> TextOps.lmScoreOracle,
     "text_quality_buckets" -> TextOps.qualityBucketsOracle,
     "text_gopher_rules" -> TextOps.gopherRulesOracle(30, 90, gopherGateWords),
+    "text_repetition_rules" -> TextOps.repetitionRulesOracle,
     "samp_dsir" -> Sampling.dsirSelectOracle(),
     "stream_gopher_filter" ->
       graft.streaming.StreamOps.gopherFilterOracle(gopherGateWords),

@@ -122,6 +122,73 @@ object TextHashExprs {
       Array[Any](n, tokCounts.size, topTok, topBi))
   }
 
+  /** One-pass repetition signals for the Gopher §A1.2 screens (see
+    * [[graft.operators.TextOps.repetitionRulesFrame]] for the definitions
+    * and the higher-order-function reference formulation this must agree
+    * with): line/paragraph totals, distincts, char sums and duplicate
+    * chars, top {2,3,4}-gram chars under the (count, len)-lexicographic
+    * tie-break, and duplicated {5..10}-gram chars. All lengths are code
+    * points (what Spark `length` and DuckDB `LENGTH` count), tokens are
+    * whitespace splits with empties dropped and NO case folding, and
+    * line/paragraph splits keep trailing empties (Spark `split` keeps
+    * them; `String.split` needs limit -1 to match). */
+  def repetitionSignalsKernel(
+      text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    // (n, distinct, chars, dupChars, topChars) of a string multiset
+    def stats(items: Array[String]): Array[Long] = {
+      val counts = new java.util.HashMap[String, Integer](items.length * 2)
+      var i = 0
+      while (i < items.length) {
+        counts.merge(items(i), Integer.valueOf(1),
+          (a, b) => Integer.valueOf(a.intValue + b.intValue))
+        i += 1
+      }
+      var chars = 0L; var dup = 0L
+      var bestC = 0L; var bestL = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val k = e.getKey
+        val len = k.codePointCount(0, k.length).toLong
+        val c = e.getValue.longValue
+        chars += c * len
+        dup += (c - 1) * len
+        if (c > bestC || (c == bestC && len > bestL)) { bestC = c; bestL = len }
+      }
+      Array(items.length.toLong, counts.size.toLong, chars, dup,
+        bestC * bestL)
+    }
+    def ngramStats(toks: Array[String], n: Int): Array[Long] = {
+      val m = toks.length - n + 1
+      if (m <= 0) return Array(0L, 0L, 0L, 0L, 0L)
+      val grams = new Array[String](m)
+      var i = 0
+      while (i < m) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        grams(i) = sb.toString; i += 1
+      }
+      stats(grams)
+    }
+    val toks = s.split("\\s+").filter(_.nonEmpty)
+    val ls = stats(s.split("\n", -1))
+    val ps = stats(s.split("\n\n", -1))
+    val out = new Array[Any](17)
+    out(0) = ls(0); out(1) = ls(1); out(2) = ls(2); out(3) = ls(3)
+    out(4) = ps(0); out(5) = ps(1); out(6) = ps(2); out(7) = ps(3)
+    var k = 8
+    var n = 2
+    while (n <= 4) { out(k) = ngramStats(toks, n)(4); k += 1; n += 1 }
+    n = 5
+    while (n <= 10) { out(k) = ngramStats(toks, n)(3); k += 1; n += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
   /** MinHash signature over word `shingleWidth`-gram shingles of a text
     * column. Returns array<long> of length `numHashes`. */
   case class MinHashSig(child: Expression, numHashes: Int, shingleWidth: Int)
@@ -182,6 +249,28 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** Struct of the 17 Gopher-repetition signals — see
+    * [[repetitionSignalsKernel]]. */
+  case class RepetitionSignals(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(
+      (Seq("n_lines", "n_lines_d", "line_chars", "dup_line_chars",
+        "n_paras", "n_paras_d", "para_chars", "dup_para_chars") ++
+        (2 to 4).map(n => s"top${n}_chars") ++
+        (5 to 10).map(n => s"dup${n}_chars"))
+        .map(StructField(_, LongType, nullable = false)))
+    override def prettyName: String = "repetition_signals"
+
+    override def nullSafeEval(input: Any): Any =
+      repetitionSignalsKernel(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashExprs.repetitionSignalsKernel($c);")
+    override protected def withNewChildInternal(c: Expression): RepetitionSignals =
+      copy(child = c)
+  }
+
   /** Struct(n_tokens, n_distinct, top_token_n, top_bigram_n) of the token
     * stream — see [[tokenRepetitionKernel]]. */
   case class TokenRepetition(child: Expression)
@@ -217,6 +306,9 @@ object TextHashExprs {
 
   def token_repetition(c: Column): Column =
     column(TokenRepetition(expression(c)))
+
+  def repetition_signals(c: Column): Column =
+    column(RepetitionSignals(expression(c)))
 
   /** Register the kernels for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1540,4 +1540,255 @@ object TextOps {
        |FROM c
        |ORDER BY doc_id""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // Gopher REPETITION rules (Rae et al. 2021, Table A1 §A1.2) — the
+  // within-document repetition screens next to [[gopherRules]]'s
+  // structural ones. [[repetition]] above reports the raw top-token/
+  // bigram counts as ranking signals; THIS family renders the complete
+  // published verdicts (dup line/paragraph + char fractions, top 2/3/4-
+  // gram char fractions, dup 5..10-gram char fractions, and the keep
+  // conjunction). All twelve signals are computed IN-ROW: per-doc
+  // n-gram frequencies come from ONE pass over the SORTED gram array
+  // (equal grams are adjacent after array_sort, so a run-length
+  // accumulator yields exact counts with no explode and no shuffle) —
+  // O(m log m) CPU per doc, which is the shape a 100 TB scan wants. The
+  // oracle deliberately computes the same numbers the OPPOSITE way
+  // (UNNEST + GROUP BY per doc), so the gate is a differential test of
+  // two independent computation strategies.
+  //
+  // Definitions (integer ppm; den=0 → fraction 0):
+  //  - dup_line/para_frac      = (n - n_distinct) / n
+  //  - dup_line/para_char_frac = chars in occurrences 2..k of any
+  //    repeated line (paragraph) / summed line (paragraph) chars
+  //  - top{2,3,4}_char_frac    = count*len of the most frequent word
+  //    n-gram / doc chars; ties on count break to the LONGEST gram (a
+  //    deterministic refinement of the published "most frequent")
+  //  - dup{5..10}_char_frac    = Σ over grams with count>1 of
+  //    (count-1)*len / doc chars — occurrence accounting, not the
+  //    span-cover variant (overlap-aware span marking is not expressible
+  //    as a per-row projection; both sides here implement THIS
+  //    definition exactly, and thresholds are the published ones)
+  //
+  // Thresholds (keep iff NOT exceeded): lines/paras 30%, their char
+  // variants 20%; top 2/3/4-gram 20/18/16%; dup 5..10-gram
+  // 15/14/13/12/11/10%.
+
+  /** One sorted-run pass: given an ascending-sorted array, returns
+    * struct(top_chars, dup_chars) where top_chars = count*len of the
+    * (count, len)-lexicographically maximal element and dup_chars = summed
+    * lengths of all occurrences after each element's first. */
+  private def runStats(sorted: Column): Column = {
+    val zero = struct(lit("").as("p"), lit(0L).as("r"), lit(0L).as("br"),
+      lit(0L).as("bl"), lit(0L).as("dc"))
+    aggregate(sorted, zero,
+      (acc, x) => {
+        val same = x === acc.getField("p")
+        val nr = when(same, acc.getField("r") + 1L).otherwise(lit(1L))
+        val xl = length(x).cast("long")
+        val better = nr > acc.getField("br") ||
+          (nr === acc.getField("br") && xl > acc.getField("bl"))
+        struct(x.as("p"), nr.as("r"),
+          when(better, nr).otherwise(acc.getField("br")).as("br"),
+          when(better, xl).otherwise(acc.getField("bl")).as("bl"),
+          (acc.getField("dc") + when(same, xl).otherwise(lit(0L))).as("dc"))
+      },
+      acc => struct(
+        (acc.getField("br") * acc.getField("bl")).as("top_chars"),
+        acc.getField("dc").as("dup_chars")))
+  }
+
+  /** Word n-grams joined with single spaces; empty for docs shorter than
+    * n tokens (guarded — `sequence` with a negative span would throw). */
+  private def wordNgrams(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
+
+  def repetitionRules(s: SparkSession, dir: String): DataFrame =
+    repetitionRulesOf(documents(s, dir))
+
+  def repetitionRulesOf(docs: DataFrame, useKernel: Boolean = true): DataFrame =
+    repetitionRulesFrame(docs, useKernel).orderBy(col("doc_id"))
+
+  /** The sort-free in-row projection (streaming-safe, like
+    * [[gopherRulesFrame]]). `useKernel = true` (the default, and the gate
+    * path) computes all 17 signals in ONE compiled pass per row
+    * ([[graft.functions.TextHashExprs.RepetitionSignals]] — no gram-array
+    * materialization, no per-element interpreted lambdas); `false` keeps
+    * the higher-order-function formulation (11 sorted-run passes over
+    * materialized gram arrays) as an in-JVM differential reference — the
+    * spec pins kernel == HOF column-for-column, and the DuckDB oracle
+    * computes the same numbers a THIRD way (UNNEST + GROUP BY). */
+  def repetitionRulesFrame(docs: DataFrame,
+      useKernel: Boolean = true): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val sigNames = Seq("n_lines", "n_lines_d", "line_chars",
+      "dup_line_chars", "n_paras", "n_paras_d", "para_chars",
+      "dup_para_chars") ++ topNs.map(n => s"top${n}_chars") ++
+      dupNs.map(n => s"dup${n}_chars")
+    val m = if (useKernel) {
+      docs.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.functions.TextHashExprs.repetition_signals(col("text"))
+          .as("g"))
+        .select(Seq(col("doc_id"), col("source"), col("n_chars")) ++
+          sigNames.map(n => col(s"g.$n").as(n)): _*)
+    } else {
+      val toks = filter(split(trim(col("text")), "\\s+"), x => x =!= "")
+      def seq(d: Column) = runStats(array_sort(d))
+      val base = docs.select(col("doc_id"), col("source"), col("text"),
+        toks.as("t"), split(col("text"), "\n").as("ls"),
+        split(col("text"), "\n\n").as("ps"))
+      base.select(Seq(
+        col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(array_distinct(col("ls"))).cast("long").as("n_lines_d"),
+        aggregate(col("ls"), lit(0L), (a, x) => a + length(x))
+          .as("line_chars"),
+        seq(col("ls")).getField("dup_chars").as("dup_line_chars"),
+        size(col("ps")).cast("long").as("n_paras"),
+        size(array_distinct(col("ps"))).cast("long").as("n_paras_d"),
+        aggregate(col("ps"), lit(0L), (a, x) => a + length(x))
+          .as("para_chars"),
+        seq(col("ps")).getField("dup_chars").as("dup_para_chars")) ++
+        topNs.map(n =>
+          seq(wordNgrams(col("t"), n)).getField("top_chars")
+            .as(s"top${n}_chars")) ++
+        dupNs.map(n =>
+          seq(wordNgrams(col("t"), n)).getField("dup_chars")
+            .as(s"dup${n}_chars")): _*)
+    }
+    def ppm(num: String, den: String) =
+      expr(s"CASE WHEN $den > 0 THEN ($num * 1000000L) DIV $den ELSE 0L END")
+    def rule(num: String, den: String, permil: Int) =
+      expr(s"$num * 1000L <= $den * $permil")
+    val topThr = Map(2 -> 200, 3 -> 180, 4 -> 160)
+    val dupThr = Map(5 -> 150, 6 -> 140, 7 -> 130, 8 -> 120, 9 -> 110,
+      10 -> 100)
+    val rules: Seq[(String, Column)] = Seq(
+      "r_dup_lines" -> rule("(n_lines - n_lines_d)", "n_lines", 300),
+      "r_dup_paras" -> rule("(n_paras - n_paras_d)", "n_paras", 300),
+      "r_dup_line_chars" -> rule("dup_line_chars", "line_chars", 200),
+      "r_dup_para_chars" -> rule("dup_para_chars", "para_chars", 200)) ++
+      topNs.map(n =>
+        s"r_top${n}gram" -> rule(s"top${n}_chars", "n_chars", topThr(n))) ++
+      dupNs.map(n =>
+        s"r_dup${n}gram" -> rule(s"dup${n}_chars", "n_chars", dupThr(n)))
+    m.select(Seq(
+      col("doc_id"), col("source"),
+      ppm("(n_lines - n_lines_d)", "n_lines").as("dup_line_ppm"),
+      ppm("dup_line_chars", "line_chars").as("dup_line_char_ppm"),
+      ppm("(n_paras - n_paras_d)", "n_paras").as("dup_para_ppm"),
+      ppm("dup_para_chars", "para_chars").as("dup_para_char_ppm")) ++
+      topNs.map(n => ppm(s"top${n}_chars", "n_chars")
+        .as(s"top${n}gram_ppm")) ++
+      dupNs.map(n => ppm(s"dup${n}_chars", "n_chars")
+        .as(s"dup${n}gram_ppm")) ++
+      rules.map { case (name, c) => c.as(name) } :+
+      rules.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
+
+  /** DuckDB mirror of [[repetitionRulesFrame]] computed the OPPOSITE way:
+    * UNNEST + GROUP BY per (doc, gram) instead of sorted-run in-row passes.
+    * The packed `c * 1048576 + length(g)` max_by key realizes the same
+    * (count, len)-lexicographic tie-break (doc lengths here are far below
+    * 2^20 chars; the Spark side compares the pair exactly). */
+  def repetitionRulesOracle: String = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val topThr = Map(2 -> 200, 3 -> 180, 4 -> 160)
+    val dupThr = Map(5 -> 150, 6 -> 140, 7 -> 130, 8 -> 120, 9 -> 110,
+      10 -> 100)
+    def gramCtes(n: Int) =
+      s"""g$n AS (
+         |  SELECT doc_id, u.g FROM d, UNNEST(
+         |    [array_to_string(t[i:i+${n - 1}], ' ')
+         |     FOR i IN range(1, len(t) - ${n - 2})]) AS u(g)
+         |), a$n AS (
+         |  SELECT doc_id,
+         |    CAST(max_by(c * length(g), c * 1048576 + length(g)) AS BIGINT)
+         |      AS top_chars,
+         |    CAST(COALESCE(SUM(CASE WHEN c > 1 THEN (c - 1) * length(g)
+         |      END), 0) AS BIGINT) AS dup_chars
+         |  FROM (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM g$n GROUP BY doc_id, g)
+         |  GROUP BY doc_id
+         |)""".stripMargin
+    def seqCtes(tag: String, arr: String) =
+      s"""${tag}c AS (
+         |  SELECT doc_id, x, CAST(COUNT(*) AS BIGINT) AS c,
+         |    CAST(LENGTH(x) AS BIGINT) AS ln
+         |  FROM d, UNNEST($arr) AS u(x) GROUP BY doc_id, x
+         |), ${tag}a AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_$tag,
+         |    CAST(COUNT(*) AS BIGINT) AS n_${tag}_d,
+         |    CAST(SUM(c * ln) AS BIGINT) AS ${tag}_chars,
+         |    CAST(SUM((c - 1) * ln) AS BIGINT) AS dup_${tag}_chars
+         |  FROM ${tag}c GROUP BY doc_id
+         |)""".stripMargin
+    def ppm(num: String, den: String) =
+      s"CASE WHEN $den > 0 THEN ($num * 1000000) // $den ELSE 0 END"
+    def rule(num: String, den: String, permil: Int) =
+      s"$num * 1000 <= $den * $permil"
+    val topCols = topNs.map(n =>
+      s"COALESCE(a$n.top_chars, 0) AS top${n}_chars").mkString(",\n    ")
+    val dupCols = dupNs.map(n =>
+      s"COALESCE(a$n.dup_chars, 0) AS dup${n}_chars").mkString(",\n    ")
+    val joins = (topNs ++ dupNs)
+      .map(n => s"LEFT JOIN a$n ON a$n.doc_id = d.doc_id")
+      .mkString("\n  ")
+    val ruleExprs = Seq(
+      "r_dup_lines" -> rule("(n_line - n_line_d)", "n_line", 300),
+      "r_dup_paras" -> rule("(n_para - n_para_d)", "n_para", 300),
+      "r_dup_line_chars" -> rule("dup_line_chars", "line_chars", 200),
+      "r_dup_para_chars" -> rule("dup_para_chars", "para_chars", 200)) ++
+      topNs.map(n =>
+        s"r_top${n}gram" -> rule(s"top${n}_chars", "n_chars", topThr(n))) ++
+      dupNs.map(n =>
+        s"r_dup${n}gram" -> rule(s"dup${n}_chars", "n_chars", dupThr(n)))
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text,
+       |    [x FOR x IN string_split_regex(TRIM(text), '\\s+') IF x <> '']
+       |      AS t,
+       |    string_split(text, chr(10)) AS ls,
+       |    string_split(text, chr(10) || chr(10)) AS ps,
+       |    CAST(LENGTH(text) AS BIGINT) AS n_chars
+       |  FROM documents
+       |), ${seqCtes("line", "ls")},
+       |${seqCtes("para", "ps")},
+       |${topNs.map(gramCtes).mkString(",\n")},
+       |${dupNs.map(gramCtes).mkString(",\n")},
+       |m AS (
+       |  SELECT d.doc_id, d.source, d.n_chars,
+       |    linea.n_line, linea.n_line_d, linea.line_chars,
+       |    linea.dup_line_chars,
+       |    paraa.n_para, paraa.n_para_d, paraa.para_chars,
+       |    paraa.dup_para_chars,
+       |    $topCols,
+       |    $dupCols
+       |  FROM d
+       |  JOIN linea ON linea.doc_id = d.doc_id
+       |  JOIN paraa ON paraa.doc_id = d.doc_id
+       |  $joins
+       |)
+       |SELECT doc_id, source,
+       |  ${ppm("(n_line - n_line_d)", "n_line")} AS dup_line_ppm,
+       |  ${ppm("dup_line_chars", "line_chars")} AS dup_line_char_ppm,
+       |  ${ppm("(n_para - n_para_d)", "n_para")} AS dup_para_ppm,
+       |  ${ppm("dup_para_chars", "para_chars")} AS dup_para_char_ppm,
+       |  ${topNs.map(n => ppm(s"top${n}_chars", "n_chars") +
+              s" AS top${n}gram_ppm").mkString(",\n  ")},
+       |  ${dupNs.map(n => ppm(s"dup${n}_chars", "n_chars") +
+              s" AS dup${n}gram_ppm").mkString(",\n  ")},
+       |  ${ruleExprs.map { case (nm, e) => s"$e AS $nm" }
+              .mkString(",\n  ")},
+       |  ${ruleExprs.map(r => s"(${r._2})").mkString(" AND ")} AS keep
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1787,4 +1787,85 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.values.map(_.getBoolean(i)).toSet.size == 2,
         s"rule column $i never exercised both ways")
   }
+
+  test("repetition rules: planted dups trip exactly the published screens") {
+    import spark.implicits._
+    val clean = (0 until 30).map(i => f"t$i%02d").mkString(" ")
+    val phrase = (1 to 10).map(i => f"q$i%02d").mkString(" ")
+    val filler = (1 to 30).map(i => f"f$i%02d").mkString(" ")
+    val docs = Seq(
+      // 0: 30 distinct tokens, one line — every fraction ~0, keep
+      (0L, clean, "clean"),
+      // 1: a repeated line — 1/3 lines dup, 5/24 line chars dup
+      (1L, "x1 y1\nx1 y1\nz1 a b c d e f", "dupline"),
+      // 2: a repeated paragraph
+      (2L, "p q r\n\np q r\n\ns t u", "duppara"),
+      // 3: one 2-gram is 20/26 of the chars
+      (3L, "ab cd ab cd ab cd ab cd xx", "gram2"),
+      // 4: a 10-token phrase repeated once in long filler — trips the
+      //    dup 5..10-gram screens while every top-k screen passes
+      (4L, s"$phrase $phrase $filler", "phrasedup"),
+      // 5: empty text — all denominators guard to 0, keep
+      (5L, "", "empty"))
+      .toDF("doc_id", "text", "source")
+    val got = operators.TextOps.repetitionRulesOf(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String) =
+      got(id).getLong(got(id).fieldIndex(c))
+    def r(id: Long, c: String) =
+      got(id).getBoolean(got(id).fieldIndex(c))
+
+    // doc 0: clean — keep, and the top-2-gram fraction is exactly the
+    // longest gram's 7 chars over 119 text chars
+    assert(r(0L, "keep"))
+    assert(f(0L, "top2gram_ppm") == 7L * 1000000L / 119L)
+    assert(f(0L, "dup5gram_ppm") == 0L && f(0L, "dup_line_ppm") == 0L)
+
+    // doc 1: lines [5,5,14] chars with one dup — 333333 ppm lines,
+    // 208333 ppm chars; both line screens trip, para screens don't
+    assert(f(1L, "dup_line_ppm") == 333333L)
+    assert(f(1L, "dup_line_char_ppm") == 208333L)
+    assert(!r(1L, "r_dup_lines") && !r(1L, "r_dup_line_chars"))
+    assert(r(1L, "r_dup_paras") && r(1L, "r_dup_para_chars"))
+
+    // doc 2: 1 of 3 paragraphs duplicated
+    assert(f(2L, "dup_para_ppm") == 333333L)
+    assert(!r(2L, "r_dup_paras") && !r(2L, "r_dup_para_chars"))
+
+    // doc 3: "ab cd" x4 = 20 of 26 chars
+    assert(f(3L, "top2gram_ppm") == 20L * 1000000L / 26L)
+    assert(!r(3L, "r_top2gram"))
+
+    // doc 4: 50 tokens x 3 chars + 49 spaces = 199 chars; the repeated
+    // 10-gram (39 chars) trips dup10 (>10%) while the heaviest 4-gram
+    // (2 x 15 chars = 30) stays under the 16% top-4 screen
+    assert(f(4L, "dup10gram_ppm") == 39L * 1000000L / 199L)
+    assert(r(4L, "r_top2gram") && r(4L, "r_top3gram") && r(4L, "r_top4gram"))
+    (5 to 10).foreach(n => assert(!r(4L, s"r_dup${n}gram"), s"dup$n"))
+    assert(!r(4L, "keep"))
+
+    // doc 5: empty text — zero denominators never divide, doc keeps
+    assert(r(5L, "keep"))
+    (Seq("dup_line_ppm", "dup_line_char_ppm", "top2gram_ppm",
+      "dup10gram_ppm")).foreach(c => assert(f(5L, c) == 0L, c))
+  }
+
+  test("repetition signals kernel equals the HOF reference, both fixtures") {
+    import spark.implicits._
+    val planted = Seq(
+      (0L, (0 until 30).map(i => f"t$i%02d").mkString(" "), "a"),
+      (1L, "x1 y1\nx1 y1\nz1 a b c d e f", "b"),
+      (2L, "p q r\n\np q r\n\ns t u", "c"),
+      (3L, "ab cd ab cd ab cd ab cd xx", "d"),
+      (4L, "", "e"),
+      (5L, "  leading space\ttab\nand a trailing line  ", "f"))
+      .toDF("doc_id", "text", "source")
+    for (docs <- Seq(planted, graft.sources.Tables.documents(spark, dir))) {
+      val kern = operators.TextOps.repetitionRulesOf(docs, useKernel = true)
+      val hof = operators.TextOps.repetitionRulesOf(docs, useKernel = false)
+      assert(kern.columns.sameElements(hof.columns))
+      assert(kern.collect().toSeq == hof.collect().toSeq,
+        "compiled kernel diverged from the sorted-run HOF reference")
+    }
+  }
 }

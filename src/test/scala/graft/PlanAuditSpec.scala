@@ -341,6 +341,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("repetition rules: one in-row scan projection, no joins or shuffles") {
+    val df = SparkEntry.queries("text_repetition_rules")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    // all twelve repetition signals come from sorted-run passes INSIDE the
+    // row; a join, aggregate, or hash exchange here means one stopped
+    // being in-row (the oracle computes the same numbers via UNNEST+GROUP
+    // BY precisely so the gate cross-checks this shape).
+    assert(count(p, "Join") == 0, p)
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    fileScans(p).foreach { scan =>
+      assert(!scan.contains("lang") && !scan.contains("n_chars"),
+        s"lang/n_chars must be pruned: $scan")
+    }
+  }
+
   test("dsir: model joins broadcast, no cartesian beyond the 1-row totals") {
     val df = SparkEntry.queries("samp_dsir")(spark, dir)
     df.count()
