@@ -98,6 +98,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_canonical" -> ((s, d) => Dedup.canonical(s, d)),
     "dedup_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "dedup_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
     // --- similarity search ---
     "sim_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
     "sim_lsh_neighbors" -> (Similarity.lshNearNeighbors _),
@@ -306,6 +307,8 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.incrementalOracle,
     "dedup_canonical" -> Dedup.canonicalOracle,
     "dedup_decontaminate" -> Dedup.decontaminateOracle,
+    // the Bloom prefilter is invisible in the result — same oracle
+    "dedup_decontaminate_bloom" -> Dedup.decontaminateOracle,
     "sim_label_stats" -> Similarity.labelStatsOracle,
     "sim_bruteforce_topk" -> Similarity.bruteForceTopKOracle,
     "sim_lsh_neighbors" -> Similarity.lshNearNeighborsOracle,

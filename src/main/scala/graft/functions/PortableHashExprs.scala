@@ -99,6 +99,64 @@ object PortableHashExprs {
     out
   }
 
+  // ----------------------------------------------------------- Bloom
+  // Build- and probe-side Bloom hashing share THIS one static function,
+  // so the two sides can never disagree on bit positions — that is the
+  // no-false-negative guarantee that lets a Bloom screen act as an EXACT
+  // prefilter (false positives are re-checked; misses are provably
+  // clean). Positions are k double-hashed probes from the two md5
+  // halves of the shingle string (the same portable digest the rest of
+  // the dedup family uses).
+
+  def bloomPositionsKernel(s: String, mBits: Int, k: Int): Array[Long] = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < 8) { h1 = (h1 << 8) | (b(i) & 0xffL); i += 1 }
+    while (i < 16) { h2 = (h2 << 8) | (b(i) & 0xffL); i += 1 }
+    h2 |= 1L // odd step so the probe sequence walks all residues
+    val out = new Array[Long](k)
+    i = 0
+    while (i < k) {
+      out(i) = java.lang.Long.remainderUnsigned(h1 + i.toLong * h2,
+        mBits.toLong)
+      i += 1
+    }
+    out
+  }
+
+  def bloomPositionsExprKernel(s: UTF8String, mBits: Int, k: Int): ArrayData =
+    new GenericArrayData(
+      bloomPositionsKernel(s.toString, mBits, k).asInstanceOf[Array[Long]])
+
+  /** Per-row Bloom screen: distinct shingles of the text, count how many
+    * hit the filter. Returns struct(n_shingles, n_candidates). */
+  def bloomScreenKernel(text: UTF8String, bloom: Array[Byte], mBits: Int,
+      k: Int, shingleWidth: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val sh = shingles(tokenize(text), shingleWidth)
+    val seen = new java.util.HashSet[String](sh.length * 2)
+    var cand = 0L
+    var i = 0
+    while (i < sh.length) {
+      if (seen.add(sh(i))) {
+        val pos = bloomPositionsKernel(sh(i), mBits, k)
+        var hit = true
+        var j = 0
+        while (hit && j < k) {
+          val p = pos(j)
+          if ((bloom((p >>> 3).toInt) & (1 << (p & 7L).toInt)) == 0) hit = false
+          j += 1
+        }
+        if (hit) cand += 1L
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](seen.size.toLong, cand))
+  }
+
   /** Static kernel shared by the interpreted and generated paths. */
   def minhashKernel(text: UTF8String, as: Array[Long], bs: Array[Long],
       shingleWidth: Int): ArrayData = {
@@ -186,6 +244,52 @@ object PortableHashExprs {
     * verify stage's exact-Jaccard joins. The higher-order-function
     * formulation (transform over slices with concat_ws) evaluates an
     * interpreted lambda per (row × shingle); this is one compiled pass. */
+  /** Bit positions a shingle string sets in an m-bit Bloom filter — the
+    * BUILD side of the screen (explode + distinct + a driver collect
+    * bounded by the benchmark's set-bit count, the same bounded-build
+    * contract as a broadcast). */
+  case class BloomPositions(child: Expression, mBits: Int, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "bloom_positions"
+
+    override def nullSafeEval(input: Any): Any =
+      bloomPositionsExprKernel(input.asInstanceOf[UTF8String], mBits, k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.PortableHashExprs." +
+          s"bloomPositionsExprKernel($c, $mBits, $k);")
+    override protected def withNewChildInternal(c: Expression): BloomPositions =
+      copy(child = c)
+  }
+
+  /** In-row Bloom screen of a text's distinct shingle set — the PROBE
+    * side: struct(n_shingles, n_candidates). Shares
+    * [[bloomPositionsKernel]] with the build, so a shingle present at
+    * build time can never miss (zero false negatives). */
+  case class BloomShingleScreen(child: Expression, bloom: Array[Byte],
+      mBits: Int, k: Int, shingleWidth: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_shingles", LongType, nullable = false),
+      StructField("n_candidates", LongType, nullable = false)))
+    override def prettyName: String = "bloom_screen"
+
+    override def nullSafeEval(input: Any): Any =
+      bloomScreenKernel(input.asInstanceOf[UTF8String], bloom, mBits, k,
+        shingleWidth)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomBits", bloom, "byte[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.PortableHashExprs.bloomScreenKernel(" +
+          s"$c, $ref, $mBits, $k, $shingleWidth);")
+    }
+    override protected def withNewChildInternal(c: Expression): BloomShingleScreen =
+      copy(child = c)
+  }
+
   case class PortableShingles(child: Expression, shingleWidth: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -388,6 +492,13 @@ object PortableHashExprs {
 
   def portable_shingles(c: Column, shingleWidth: Int = 3): Column =
     column(PortableShingles(expression(c), shingleWidth))
+
+  def bloom_positions(c: Column, mBits: Int, k: Int): Column =
+    column(BloomPositions(expression(c), mBits, k))
+
+  def bloom_screen(c: Column, bloom: Array[Byte], mBits: Int, k: Int,
+      shingleWidth: Int = 3): Column =
+    column(BloomShingleScreen(expression(c), bloom, mBits, k, shingleWidth))
 
   def sig_agreement(a: Column, b: Column): Column =
     column(SigAgreement(expression(a), expression(b)))

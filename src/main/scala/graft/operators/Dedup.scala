@@ -497,6 +497,56 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** [[decontaminate]] behind a broadcast Bloom prefilter — bitwise the
+    * SAME result (the gate shares [[decontaminateOracle]]), but the
+    * 100 TB cost model changes completely: [[decontaminate]] shuffles one
+    * (doc_id, shingle) row per corpus shingle to build the per-doc
+    * distinct sets, while here the corpus is screened IN-ROW against a
+    * Bloom filter of the benchmark shingles ([[PortableHashExprs
+    * .BloomShingleScreen]] — n_shingles is a row-local distinct count,
+    * and a doc with zero Bloom hits is PROVABLY clean because build and
+    * probe share one hash kernel, so no false negatives exist). Only
+    * Bloom-candidate docs (true overlaps + the fpp tail) explode and
+    * join the broadcast benchmark set for exact confirmation — corpus
+    * shuffle is proportional to the contamination rate, not the corpus.
+    *
+    * The filter builds as explode(bloom_positions) + distinct + a driver
+    * collect bounded by the SET-BIT count (≤ min(|bench|·k, mBits) ints —
+    * eval suites are MBs when the corpus is 100 TB; same bounded-build
+    * contract as a broadcast), then ships inside the screen expression.
+    * A deliberately undersized filter only grows the confirm join
+    * (spec-pinned: mBits=64 still yields exact results). */
+  def decontaminateBloom(s: SparkSession, dir: String,
+      benchSource: String = "src0", n: Int = 3, threshold: Double = 0.2,
+      mBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+    import graft.functions.{PortableHashExprs => P}
+    val docs = documents(s, dir)
+    val bench = docs.filter(col("source") === benchSource)
+      .select(explode(shingles(col("text"), n)).as("shingle")).distinct()
+    val setBits = bench
+      .select(explode(P.bloom_positions(col("shingle"), mBits, k)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val bloom = new Array[Byte]((mBits + 7) / 8)
+    setBits.foreach(p => bloom((p >>> 3).toInt) =
+      (bloom((p >>> 3).toInt) | (1 << (p & 7L).toInt)).toByte)
+    val base = docs.filter(col("source") =!= benchSource)
+      .select(col("doc_id"), col("text"),
+        P.bloom_screen(col("text"), bloom, mBits, k, n).as("sc"))
+    val hits = base.filter(col("sc.n_candidates") > 0L)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), n))).as("shingle"))
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    base.select(col("doc_id"), col("sc.n_shingles").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_shingles")).as("overlap_ratio"))
+      .withColumn("contaminated", col("overlap_ratio") >= threshold)
+      .orderBy(col("doc_id"))
+  }
+
   /** DuckDB mirror: same tokenize/shingle construction as [[sigsCte]]
     * (raw shingle strings — no hashing needed for set overlap). */
   val decontaminateOracle: String =

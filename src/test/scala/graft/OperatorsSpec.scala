@@ -1850,6 +1850,48 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dup10gram_ppm")).foreach(c => assert(f(5L, c) == 0L, c))
   }
 
+  test("bloom decontaminate equals the exact path, even undersized") {
+    import org.apache.spark.sql.functions._
+    val exact = operators.Dedup.decontaminate(spark, dir).collect().toSeq
+    // right-sized filter
+    val bloom = operators.Dedup.decontaminateBloom(spark, dir).collect().toSeq
+    assert(bloom == exact, "bloom-screened result diverged from exact")
+    // a deliberately undersized filter (64 bits, k=2) floods the confirm
+    // join with false positives — the result must STILL be exact, because
+    // the bloom is only ever a prefilter and misses are impossible
+    // (build and probe share one hash kernel)
+    val tiny = operators.Dedup
+      .decontaminateBloom(spark, dir, mBits = 64, k = 2).collect().toSeq
+    assert(tiny == exact, "undersized bloom changed the result")
+  }
+
+  test("bloom screen admits every truly contaminated doc as a candidate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val exact = operators.Dedup.decontaminate(spark, dir)
+      .filter(col("n_overlap") > 0).select("doc_id")
+      .as[Long].collect().toSet
+    // rebuild the screen frame exactly as the operator does
+    val bench = docs.filter(col("source") === "src0")
+      .select(explode(operators.Dedup.shingles(col("text"), 3)).as("shingle"))
+      .distinct()
+    val mBits = 1 << 20
+    val bits = bench.select(explode(graft.functions.PortableHashExprs
+      .bloom_positions(col("shingle"), mBits, 5)).as("p"))
+      .distinct().as[Long].collect()
+    val arr = new Array[Byte]((mBits + 7) / 8)
+    bits.foreach(p => arr((p >>> 3).toInt) =
+      (arr((p >>> 3).toInt) | (1 << (p & 7L).toInt)).toByte)
+    val cands = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), graft.functions.PortableHashExprs
+        .bloom_screen(col("text"), arr, mBits, 5, 3).as("sc"))
+      .filter(col("sc.n_candidates") > 0).select("doc_id")
+      .as[Long].collect().toSet
+    assert(exact.subsetOf(cands),
+      s"false negative: ${exact -- cands} missed by the bloom screen")
+  }
+
   test("repetition signals kernel equals the HOF reference, both fixtures") {
     import spark.implicits._
     val planted = Seq(

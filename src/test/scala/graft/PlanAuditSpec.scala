@@ -357,6 +357,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bloom decontaminate: in-row screen, shuffle only for candidates") {
+    val df = SparkEntry.queries("dedup_decontaminate_bloom")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    // the whole-corpus path must be scan -> bloom_screen projection ->
+    // broadcast join; only the benchmark distinct and the CANDIDATE
+    // overlap count may hash-shuffle. A SortMergeJoin or a third hash
+    // exchange means corpus shingles started traveling again.
+    assert(count(p, "SortMergeJoin") == 0, p)
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+    assert(p.contains("bloom_screen"), p)
+    // the candidate screen is pushed into the scan's data filters, so
+    // clean docs never leave the scan operator on the confirm path
+    assert(p.contains("n_candidates > 0"), p)
+  }
+
   test("dsir: model joins broadcast, no cartesian beyond the 1-row totals") {
     val df = SparkEntry.queries("samp_dsir")(spark, dir)
     df.count()
