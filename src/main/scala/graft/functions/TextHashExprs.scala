@@ -249,6 +249,26 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** Per-doc BPE subword count under a trained merge table. */
+  case class BpeSegmentCount(child: Expression, codec: graft.functions.BpeCodec)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bpe_segment_count"
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        codec.segmentCountText(input.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeCodec", codec,
+        "graft.functions.BpeCodec")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.segmentCountText($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): BpeSegmentCount =
+      copy(child = c)
+  }
+
   /** Struct of the 17 Gopher-repetition signals — see
     * [[repetitionSignalsKernel]]. */
   case class RepetitionSignals(child: Expression)
@@ -310,6 +330,9 @@ object TextHashExprs {
   def repetition_signals(c: Column): Column =
     column(RepetitionSignals(expression(c)))
 
+  def bpe_segment_count(c: Column, codec: graft.functions.BpeCodec): Column =
+    column(BpeSegmentCount(expression(c), codec))
+
   /** Register the kernels for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -319,5 +342,75 @@ object TextHashExprs {
       es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash64",
       es => RollingHash64(es.head), "scala_udf")
+  }
+}
+
+/** The BPE encoder as a shippable object: ranked merges in, subword
+  * counts out. Built once driver-side from
+  * [[graft.operators.TextOps.bpeTrain]]'s merge table and shipped as
+  * an expression reference (merge tables are vocabulary-bounded — KBs
+  * to MBs — the broadcast contract). Word→count results memoize in a
+  * bounded per-executor cache, so a Zipfian token stream hits the
+  * cache for almost every word. Encoding replays merges lowest-rank-
+  * first with greedy left-to-right application — the standard encoder,
+  * which by construction reproduces the trainer's final representation
+  * on every training word (spec-pinned). */
+class BpeCodec(val merges: Array[String]) extends Serializable {
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      m.put(merges(i), Integer.valueOf(i)); i += 1
+    }
+    m
+  }
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val cacheCap = 1 << 20
+
+  def segmentCountText(text: UTF8String): Long = {
+    val toks = PortableHashExprs.tokenize(text)
+    var total = 0L
+    var i = 0
+    while (i < toks.length) { total += wordCount(toks(i)); i += 1 }
+    total
+  }
+
+  private def wordCount(w: String): Int = {
+    val hit = cache.get(w)
+    if (hit != null) return hit.intValue
+    val n = segment(graft.operators.TextOps.bpeInitialSymbols(w)).length
+    if (cache.size < cacheCap) cache.put(w, Integer.valueOf(n))
+    n
+  }
+
+  /** Greedy lowest-rank-first merge replay over a symbol sequence. */
+  def segment(initial: Array[String]): Array[String] = {
+    var sy = initial
+    var continue = true
+    while (continue && sy.length > 1) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < sy.length - 1) {
+        val r = ranks.get(sy(i) + " " + sy(i + 1))
+        if (r != null && r.intValue < bestRank) bestRank = r.intValue
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) continue = false
+      else {
+        val key = merges(bestRank)
+        val sep = key.indexOf(' ')
+        val l = key.substring(0, sep); val rr = key.substring(sep + 1)
+        val nb = Array.newBuilder[String]
+        i = 0
+        while (i < sy.length) {
+          if (i < sy.length - 1 && sy(i) == l && sy(i + 1) == rr) {
+            nb += l + rr; i += 2
+          } else { nb += sy(i); i += 1 }
+        }
+        sy = nb.result()
+      }
+    }
+    sy
   }
 }

@@ -1693,6 +1693,143 @@ object TextOps {
       rules.map(_._2).reduce(_ && _).as("keep"): _*)
   }
 
+  // --------------------------------------------------------------------
+  // BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909) —
+  // the published distributed recipe: the CORPUS pass is one map-side-
+  // combined word-frequency aggregate (corpus-sized input, vocabulary-
+  // sized output), and everything after — pair counting, merge
+  // selection, the merge loop — runs on the compact (word, freq) table.
+  // At 100 TB the corpus is read once; the trainer's working set is the
+  // vocabulary, which is why this is the shape every production BPE
+  // trainer uses. Initial symbols are code-point chars plus the
+  // published `</w>` end-of-word marker; merge ties break to (count
+  // DESC, left ASC, right ASC) so every run and every engine agrees.
+
+  /** Iteration-0 adjacent-pair counts (the distributed primitive the
+    * trainer loop repeats on the shrinking symbol table): top pairs by
+    * weighted frequency. One corpus aggregate + vocab-sized pair math —
+    * the gate shape. */
+  def bpePairCounts(s: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    bpePairCountsOf(documents(s, dir), topK)
+
+  def bpePairCountsOf(docs: DataFrame, topK: Int): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val words = docs.select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val w = col("word")
+    val inner = when(length(w) > 1,
+      transform(sequence(lit(1), length(w) - 1), i => struct(
+        w.substr(i, lit(1)).as("pair_left"),
+        w.substr(i + 1, lit(1)).as("pair_right"))))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pair_left",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pair_right",
+            org.apache.spark.sql.types.StringType))))))
+    val withMarker = concat(inner, array(struct(
+      w.substr(length(w), lit(1)).as("pair_left"),
+      lit("</w>").as("pair_right"))))
+    words.select(explode(withMarker).as("p"), col("freq"))
+      .groupBy(col("p.pair_left").as("pair_left"),
+        col("p.pair_right").as("pair_right"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair_left"), col("pair_right"))
+      .limit(topK)
+  }
+
+  val bpePairCountsOracle: String =
+    """WITH w AS (
+      |  SELECT x AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM documents, UNNEST(
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''])
+      |    AS u(x)
+      |  GROUP BY x
+      |), p AS (
+      |  SELECT substr(word, i, 1) AS pair_left,
+      |    substr(word, i + 1, 1) AS pair_right, freq
+      |  FROM w, UNNEST(range(1, length(word))) AS r(i)
+      |  UNION ALL
+      |  SELECT substr(word, length(word), 1), '</w>', freq FROM w
+      |)
+      |SELECT pair_left, pair_right, CAST(SUM(freq) AS BIGINT) AS cnt
+      |FROM p GROUP BY pair_left, pair_right
+      |ORDER BY cnt DESC, pair_left, pair_right LIMIT 20""".stripMargin
+
+  /** One learned merge: after `rank` prior merges, (left, right) was the
+    * most frequent adjacent symbol pair with weighted count `cnt`. */
+  final case class BpeMerge(rank: Int, left: String, right: String,
+      cnt: Long)
+
+  /** The trainer loop over an in-memory (symbols, freq) vocabulary —
+    * vocabulary-bounded work, exactly what runs driver-side after the
+    * corpus-sized frequency aggregate. Greedy left-to-right pair merge,
+    * (count DESC, left ASC, right ASC) selection. */
+  private[graft] def bpeTrainMerges(vocab: Seq[(Array[String], Long)],
+      numMerges: Int): (Seq[BpeMerge], Seq[(Vector[String], Long)]) = {
+    var words = vocab.map { case (sy, f) => (sy.toVector, f) }
+    val out = Seq.newBuilder[BpeMerge]
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      for ((sy, f) <- words; i <- 0 until sy.length - 1)
+        counts.updateWith((sy(i), sy(i + 1)))(c => Some(c.getOrElse(0L) + f))
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rr), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        out += BpeMerge(r, l, rr, c)
+        val merged = l + rr
+        words = words.map { case (sy, f) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < sy.length) {
+            if (i < sy.length - 1 && sy(i) == l && sy(i + 1) == rr) {
+              nb += merged; i += 2
+            } else { nb += sy(i); i += 1 }
+          }
+          (nb.result(), f)
+        }
+        r += 1
+      }
+    }
+    (out.result(), words)
+  }
+
+  /** Distributed BPE training: ONE corpus pass (map-side-combined word
+    * frequencies), then the vocabulary-bounded merge loop driver-side
+    * (the same bounded-collect contract as a broadcast build — published
+    * trainers are structured identically). Returns the ranked merge
+    * table. */
+  def bpeTrain(s: SparkSession, dir: String,
+      numMerges: Int = 30): Seq[BpeMerge] =
+    bpeTrainOf(documents(s, dir), numMerges)._1
+
+  /** Trainer over an explicit docs frame; also returns the final
+    * vocabulary representation (symbols, freq) so specs can pin the
+    * encoder-trainer consistency property. */
+  def bpeTrainOf(docs: DataFrame, numMerges: Int)
+      : (Seq[BpeMerge], Seq[(Vector[String], Long)]) = {
+    val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val vocab = docs.select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .collect()
+      .map(row => (bpeInitialSymbols(row.getString(0)), row.getLong(1)))
+    bpeTrainMerges(vocab.toSeq, numMerges)
+  }
+
+  private[graft] def bpeInitialSymbols(word: String): Array[String] = {
+    val cps = word.codePoints().toArray
+    val out = new Array[String](cps.length + 1)
+    var i = 0
+    while (i < cps.length) {
+      out(i) = new String(Character.toChars(cps(i))); i += 1
+    }
+    out(cps.length) = "</w>"
+    out
+  }
+
   /** DuckDB mirror of [[repetitionRulesFrame]] computed the OPPOSITE way:
     * UNNEST + GROUP BY per (doc, gram) instead of sorted-run in-row passes.
     * The packed `c * 1048576 + length(g)` max_by key realizes the same

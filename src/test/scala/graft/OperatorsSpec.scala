@@ -1892,6 +1892,56 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"false negative: ${exact -- cands} missed by the bloom screen")
   }
 
+  test("bpe trainer reproduces the published low/lower/newest/widest run") {
+    import spark.implicits._
+    // Sennrich et al. 2016's worked example: with freqs low 5, lower 2,
+    // newest 6, widest 3 the first merges are (e,s) 9, (es,t) 9,
+    // (est,</w>) 9, (l,o) 7, (lo,w) 7 under the deterministic
+    // (count DESC, left ASC, right ASC) tie-break.
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((0L, corpus, "s")).toDF("doc_id", "text", "source")
+    val (merges, finalWords) = operators.TextOps.bpeTrainOf(docs, 5)
+    assert(merges.map(m => (m.left, m.right, m.cnt)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)))
+    // after 5 merges: low = [low </w>] (merge 5 closes it),
+    // newest = [n e w est</w>]
+    val rep = finalWords.map { case (sy, f) =>
+      sy.mkString("").stripSuffix("</w>") -> sy }.toMap
+    assert(rep("low") == Vector("low", "</w>"))
+    assert(rep("newest") == Vector("n", "e", "w", "est</w>"))
+  }
+
+  test("bpe encoder reproduces the trainer's final representation") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val (merges, finalWords) = operators.TextOps.bpeTrainOf(docs, 40)
+    val codec = new graft.functions.BpeCodec(
+      merges.map(m => m.left + " " + m.right).toArray)
+    // property: encoding any TRAINING word with the ranked merge list
+    // yields exactly the symbols the trainer left it with
+    for ((sy, _) <- finalWords) {
+      val word = sy.mkString("").stripSuffix("</w>")
+      val enc = codec.segment(
+        operators.TextOps.bpeInitialSymbols(word)).toVector
+      assert(enc == sy, s"word '$word': $enc != $sy")
+    }
+    // and the compiled per-doc expression agrees with a driver recompute
+    val got = docs
+      .select(col("doc_id"), graft.functions.TextHashExprs
+        .bpe_segment_count(col("text"), codec).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = docs.select("doc_id", "text").collect()
+    for (row <- texts.take(50)) {
+      val want = row.getString(1).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty)
+        .map(w => codec.segment(
+          operators.TextOps.bpeInitialSymbols(w)).length.toLong).sum
+      assert(got(row.getLong(0)) == want, s"doc ${row.getLong(0)}")
+    }
+  }
+
   test("repetition signals kernel equals the HOF reference, both fixtures") {
     import spark.implicits._
     val planted = Seq(
