@@ -153,6 +153,9 @@ object SparkEntry {
     "stream_gopher_filter" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runGopherFilterToMemory(s, d, gopherGateWords)
         .orderBy(col("source"))),
+    "stream_repetition_filter" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runRepetitionFilterToMemory(s, d)
+        .orderBy(col("source"))),
     "stream_packing" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runPackingToMemory(s, d)
         .orderBy(col("doc_id"))),
@@ -282,6 +285,8 @@ object SparkEntry {
     "samp_dsir" -> Sampling.dsirSelectOracle(),
     "stream_gopher_filter" ->
       graft.streaming.StreamOps.gopherFilterOracle(gopherGateWords),
+    "stream_repetition_filter" ->
+      graft.streaming.StreamOps.repetitionFilterOracle,
     "pack_sequences" -> Packing.packSequencesOracle,
     "pack_stats" -> Packing.packStatsOracle,
     "samp_mixture" -> Sampling.mixtureOracle,

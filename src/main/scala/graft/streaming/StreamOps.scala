@@ -298,6 +298,38 @@ object StreamOps {
     runStream(spark, gopherFilterStream(spark, dir, requiredWords),
       "complete", name)
 
+  /** In-flight repetition screening ([[
+    * graft.operators.TextOps.repetitionRules]] on arriving documents):
+    * the twelve §A1.2 screens come from ONE compiled kernel pass per row
+    * (`RepetitionSignals`), stateless like the structural Gopher frame —
+    * zero stream-side shuffle; only the per-source survivor rollup holds
+    * state. The rollup also carries the worst surviving top-2-gram
+    * fraction, showing the signal itself flows through the stream. */
+  def repetitionFilterStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.documents(spark, dir).schema
+    val docs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    graft.operators.TextOps.repetitionRulesFrame(docs)
+      .filter(col("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(col("top2gram_ppm")).as("max_top2_ppm"))
+  }
+
+  def runRepetitionFilterToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_repetition_out"): DataFrame =
+    runStream(spark, repetitionFilterStream(spark, dir), "complete", name)
+
+  /** Batch recompute of the stream rollup over the per-doc rule table. */
+  def repetitionFilterOracle: String =
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |  MAX(top2gram_ppm) AS max_top2_ppm
+       |FROM (${graft.operators.TextOps.repetitionRulesOracle
+            .stripSuffix("ORDER BY doc_id")}) g
+       |WHERE keep GROUP BY source ORDER BY source""".stripMargin
+
   case class PackDoc(doc_id: Long, shard: Long, n_tokens: Long)
   case class PackOut(doc_id: Long, shard: Long, n_tokens: Long,
     tok_start: Long, seq_first: Long, seq_last: Long)

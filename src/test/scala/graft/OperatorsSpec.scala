@@ -1426,6 +1426,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming repetition filter equals the batch screen rollup") {
+    import org.apache.spark.sql.functions._
+    val stream = graft.streaming.StreamOps
+      .runRepetitionFilterToMemory(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = operators.TextOps.repetitionRules(spark, dir)
+      .filter(col("keep")).collect()
+      .groupBy(_.getString(1))
+    assert(stream.keySet == batch.keySet)
+    for ((src, (nKept, maxTop2)) <- stream) {
+      assert(nKept == batch(src).length, s"$src n_kept")
+      assert(maxTop2 == batch(src)
+        .map(r => r.getLong(r.fieldIndex("top2gram_ppm"))).max,
+        s"$src max_top2_ppm")
+    }
+  }
+
   test("jdbc stream sink: admitted set equals the batch screen, rerun replaces") {
     import org.apache.spark.sql.functions.col
     val first = operators.Federated.jdbcStreamSink(spark, dir).collect()
