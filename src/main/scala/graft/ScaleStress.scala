@@ -149,6 +149,69 @@ object ScaleStress {
         s""""curated_docs":$curatedSources,$pipeJson}""")
     }
 
+    val doR9 = sys.env.get("SPARK_GRAFT_SCALE_R9").contains("1")
+    if (doR9) {
+      // r9 battery: the repetition kernel, Bloom-vs-exact decontamination
+      // (the shuffle headline), and the BPE corpus pass + trainer.
+      val corpus = spark.read.parquet(docs.getPath)
+      // summing ppm columns + rule booleans defeats column pruning
+      def forceRep(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(col("top2gram_ppm")) + sum(col("dup5gram_ppm")) +
+          sum(when(col("r_dup_lines"), 1L).otherwise(0L)) +
+          sum(when(col("keep"), 1L).otherwise(0L))).head.getLong(0)
+      val repKernel = timed("repetition_kernel") {
+        forceRep(graft.operators.TextOps
+          .repetitionRulesFrame(corpus, useKernel = true))
+      }
+      // the HOF reference is interpreted per element — measure it on a
+      // deterministic 10% slice and compare per-doc
+      val repHof = timed("repetition_hof_10pct") {
+        forceRep(graft.operators.TextOps.repetitionRulesFrame(
+          corpus.filter(pmod(col("doc_id"), lit(10)) === 0),
+          useKernel = false))
+      }
+      val deconExact = timed("decontaminate_exact") {
+        graft.operators.Dedup.decontaminate(spark, outDir)
+          .agg(sum(col("n_overlap")) + sum(col("n_shingles")) +
+            sum(when(col("contaminated"), 1L).otherwise(0L)))
+          .head.getLong(0)
+      }
+      val deconBloom = timed("decontaminate_bloom") {
+        graft.operators.Dedup
+          .decontaminateBloom(spark, outDir, mBits = 1 << 25, k = 5)
+          .agg(sum(col("n_overlap")) + sum(col("n_shingles")) +
+            sum(when(col("contaminated"), 1L).otherwise(0L)))
+          .head.getLong(0)
+      }
+      val bpePairs = timed("bpe_pair_counts") {
+        graft.operators.TextOps.bpePairCounts(spark, outDir)
+          .agg(sum(col("cnt"))).head.getLong(0)
+      }
+      val merges = timed("bpe_train10") {
+        graft.operators.TextOps.bpeTrain(spark, outDir, numMerges = 10)
+      }
+      val codec = new graft.functions.BpeCodec(
+        merges.map(m => m.left + " " + m.right).toArray)
+      val bpeTokens = timed("bpe_segment") {
+        corpus.select(graft.functions.TextHashExprs
+          .bpe_segment_count(col("text"), codec).as("n"))
+          .agg(sum(col("n"))).head.getLong(0)
+      }
+      val r9Json = phases
+        .filter(p => Seq("gen", "repetition_kernel", "repetition_hof_10pct",
+          "decontaminate_exact", "decontaminate_bloom", "bpe_pair_counts",
+          "bpe_train10", "bpe_segment").contains(p._1))
+        .map { case (n, p) =>
+          f""""$n":{"sec":${p.sec}%.1f,"shuffle_write_mb":${p.w / 1048576},"shuffle_read_mb":${p.r / 1048576}}"""
+        }.mkString(",")
+      println(
+        s"""{"n_docs":$nDocs,"rep_kernel_force":$repKernel,""" +
+        s""""rep_hof_force":$repHof,"decon_exact":$deconExact,""" +
+        s""""decon_bloom":$deconBloom,"decon_equal":${deconExact == deconBloom},""" +
+        s""""bpe_pair_total":$bpePairs,"bpe_merges":${merges.length},""" +
+        s""""bpe_tokens":$bpeTokens,$r9Json}""")
+    }
+
     if (doText) {
       val sel = sys.env.getOrElse("SPARK_GRAFT_SCALE_TEXT_PHASES",
         "span,dsir,gopher").split(",").toSet

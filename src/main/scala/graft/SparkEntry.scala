@@ -61,6 +61,7 @@ object SparkEntry {
       requiredWords = gopherGateWords)),
     "text_repetition_rules" -> ((s, d) => TextOps.repetitionRules(s, d)),
     "text_bpe_top_pairs" -> ((s, d) => TextOps.bpePairCounts(s, d)),
+    "text_winnow_fingerprints" -> ((s, d) => TextOps.winnowFingerprints(s, d)),
     "text_novelty" -> ((s, d) => TextOps.novelty(s, d)),
     "text_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d)),
     "text_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(s, d)),
@@ -282,6 +283,7 @@ object SparkEntry {
     "text_gopher_rules" -> TextOps.gopherRulesOracle(30, 90, gopherGateWords),
     "text_repetition_rules" -> TextOps.repetitionRulesOracle,
     "text_bpe_top_pairs" -> TextOps.bpePairCountsOracle,
+    "text_winnow_fingerprints" -> TextOps.winnowFingerprintsOracle(),
     "samp_dsir" -> Sampling.dsirSelectOracle(),
     "stream_gopher_filter" ->
       graft.streaming.StreamOps.gopherFilterOracle(gopherGateWords),

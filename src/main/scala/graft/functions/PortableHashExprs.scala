@@ -99,6 +99,65 @@ object PortableHashExprs {
     out
   }
 
+  // ------------------------------------------------------- Winnowing
+  // Schleimer, Wilkerson & Aiken 2003 ("Winnowing: Local Algorithms for
+  // Document Fingerprinting" — the MOSS scheme): hash every char k-gram
+  // of the whitespace-stripped lowercased text, slide a w-window over
+  // the hash sequence, record each window's minimum (rightmost on ties).
+  // The guarantee: any shared substring of length ≥ k+w-1 between two
+  // docs yields at least one SHARED fingerprint, with expected density
+  // 2/(w+1) — per-row work, so at 100 TB it is one scan projection and
+  // the cross-doc match is an equi-join on (fp), never a text join.
+  // The rightmost-argmin is non-decreasing as the window slides, so
+  // "record when the selection changes" equals DISTINCT (pos, fp) —
+  // which is what the SQL oracle computes from the window join.
+
+  def winnowKernel(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val norm = text.toString.toLowerCase(Locale.ROOT).replaceAll("\\s+", "")
+    val n = norm.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = hash32(norm.substring(i, i + k)); i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val lastWindow = math.max(n - w, 0)
+    var lastPos = -1
+    var j = 0
+    while (j <= lastWindow) {
+      var best = j
+      var t = j + 1
+      val end = math.min(j + w, n)
+      while (t < end) { if (hs(t) <= hs(best)) best = t; t += 1 }
+      if (best != lastPos) {
+        out += new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](best + 1, hs(best)))
+        lastPos = best
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Winnowing fingerprint set of a text column:
+    * array<struct<pos, fp>> (1-based k-gram position). */
+  case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "winnow_fingerprints"
+
+    override def nullSafeEval(input: Any): Any =
+      winnowKernel(input.asInstanceOf[UTF8String], k, w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.PortableHashExprs.winnowKernel(" +
+          s"$c, $k, $w);")
+    override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+      copy(child = c)
+  }
+
   // ----------------------------------------------------------- Bloom
   // Build- and probe-side Bloom hashing share THIS one static function,
   // so the two sides can never disagree on bit positions — that is the
@@ -492,6 +551,9 @@ object PortableHashExprs {
 
   def portable_shingles(c: Column, shingleWidth: Int = 3): Column =
     column(PortableShingles(expression(c), shingleWidth))
+
+  def winnow_fingerprints(c: Column, k: Int = 5, w: Int = 4): Column =
+    column(WinnowFingerprints(expression(c), k, w))
 
   def bloom_positions(c: Column, mBits: Int, k: Int): Column =
     column(BloomPositions(expression(c), mBits, k))

@@ -1756,6 +1756,59 @@ object TextOps {
       |FROM p GROUP BY pair_left, pair_right
       |ORDER BY cnt DESC, pair_left, pair_right LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Winnowing fingerprints (Schleimer et al. 2003 — see
+  // [[graft.functions.PortableHashExprs.winnowKernel]] for the algorithm
+  // and the shared-substring guarantee). The fingerprint table is the
+  // narrow (doc_id, pos, fp) artifact every downstream overlap check
+  // joins on; the kernel is one compiled pass per row, and the oracle
+  // recomputes the same selections the heavyweight way (k-gram UNNEST +
+  // window join + min/rightmost aggregation).
+
+  def winnowFingerprints(s: SparkSession, dir: String,
+      k: Int = 5, w: Int = 4): DataFrame =
+    winnowFingerprintsOf(documents(s, dir), k, w)
+
+  def winnowFingerprintsOf(docs: DataFrame, k: Int = 5,
+      w: Int = 4): DataFrame = {
+    import graft.functions.{PortableHashExprs => P}
+    docs.select(col("doc_id"),
+      explode(P.winnow_fingerprints(col("text"), k, w)).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** DuckDB mirror: k-gram hash table via UNNEST, windows as a range
+    * join, per-window min hash then rightmost position — DISTINCT of the
+    * selections equals the kernel's record-on-change because the
+    * rightmost argmin never moves left as the window slides. */
+  def winnowFingerprintsOracle(k: Int = 5, w: Int = 4): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lower(regexp_replace(text, '\\s+', '', 'g')) AS s
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+       |    CAST('0x' || substr(md5(substr(s, i, $k)), 1, 8) AS BIGINT) AS h
+       |  FROM d, UNNEST(range(1, length(s) - $k + 2)) AS u(i)
+       |), nn AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+       |), wi AS (
+       |  SELECT doc_id, CAST(j AS INTEGER) AS j
+       |  FROM nn, UNNEST(range(1, GREATEST(n - $w + 1, 1) + 1)) AS u(j)
+       |), sel AS (
+       |  SELECT w.doc_id, w.j, MIN(g.h) AS mh
+       |  FROM wi w JOIN g ON g.doc_id = w.doc_id
+       |    AND g.i BETWEEN w.j AND w.j + ${w - 1}
+       |  GROUP BY w.doc_id, w.j
+       |), pick AS (
+       |  SELECT s.doc_id, s.j, s.mh, MAX(g.i) AS pi
+       |  FROM sel s JOIN g ON g.doc_id = s.doc_id AND g.h = s.mh
+       |    AND g.i BETWEEN s.j AND s.j + ${w - 1}
+       |  GROUP BY s.doc_id, s.j, s.mh
+       |)
+       |SELECT DISTINCT doc_id, CAST(pi AS INTEGER) AS pos, mh AS fp
+       |FROM pick ORDER BY doc_id, pos""".stripMargin
+
   /** One learned merge: after `rank` prior merges, (left, right) was the
     * most frequent adjacent symbol pair with weighted count `cnt`. */
   final case class BpeMerge(rank: Int, left: String, right: String,

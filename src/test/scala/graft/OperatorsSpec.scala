@@ -1960,6 +1960,56 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("winnowing: guarantee, monotone positions, brute-force equality") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = 5; val w = 4
+    // two docs sharing a >= k+w-1 = 8 char run (after whitespace strip)
+    val shared = "xyzquvwt"
+    val docs = Seq(
+      (0L, s"aaa bbb $shared ccc", "a"),
+      (1L, s"ddd $shared eee fff", "b"),
+      (2L, "totally different words here", "c"),
+      (3L, "tiny", "d"), // fewer than k chars after strip? 4 < 5 -> none
+      (4L, "exact", "e")) // exactly k chars -> one k-gram, one fp
+      .toDF("doc_id", "text", "source")
+    val got = operators.TextOps.winnowFingerprintsOf(docs, k, w).collect()
+    val byDoc = got.groupBy(_.getLong(0))
+    // the winnowing guarantee: a shared substring of length k+w-1 must
+    // produce at least one shared fingerprint
+    val f0 = byDoc(0L).map(_.getLong(2)).toSet
+    val f1 = byDoc(1L).map(_.getLong(2)).toSet
+    assert((f0 & f1).nonEmpty, "shared 8-char run produced no shared fp")
+    assert(!byDoc.contains(3L), "sub-k doc must have no fingerprints")
+    assert(byDoc(4L).length == 1, "exactly-k doc has one fingerprint")
+    // positions strictly increase (the rightmost-argmin monotonicity the
+    // oracle's DISTINCT relies on)
+    for ((id, rows) <- byDoc) {
+      val ps = rows.map(_.getInt(1)).toSeq
+      assert(ps == ps.sorted && ps.distinct == ps, s"doc $id positions")
+    }
+    // independent brute-force recompute of the full selection
+    def brute(text: String): Seq[(Int, Long)] = {
+      val norm = text.toLowerCase.replaceAll("\\s+", "")
+      val n = norm.length - k + 1
+      if (n <= 0) return Seq.empty
+      val hs = (0 until n).map(i =>
+        graft.functions.PortableHashExprs.hash32(norm.substring(i, i + k)))
+      (0 to math.max(n - w, 0)).map { j =>
+        val win = (j until math.min(j + w, n))
+        val best = win.minBy(t => (hs(t), -t))
+        (best + 1, hs(best))
+      }.distinct
+    }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    for ((id, t) <- texts) {
+      val want = brute(t)
+      val have = byDoc.getOrElse(id, Array.empty)
+        .map(r => (r.getInt(1), r.getLong(2))).toSeq
+      assert(have == want, s"doc $id: $have != $want")
+    }
+  }
+
   test("repetition signals kernel equals the HOF reference, both fixtures") {
     import spark.implicits._
     val planted = Seq(
