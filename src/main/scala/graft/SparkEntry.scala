@@ -81,6 +81,7 @@ object SparkEntry {
     "text_cdc_dedup" -> ((s, d) => TextOps.cdcDedup(s, d)),
     "pipe_train_corpus" -> ((s, d) => Pipeline.trainCorpus(s, d)),
     "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(s, d)),
+    "pipe_screened_corpus" -> ((s, d) => Pipeline.screenedCorpus(s, d)),
     "pipe_split_manifest" -> ((s, d) => Pipeline.splitManifest(s, d)),
     "text_quality_score" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
@@ -297,6 +298,7 @@ object SparkEntry {
     "text_cdc_dedup" -> TextOps.cdcDedupOracle,
     "pipe_train_corpus" -> Pipeline.trainCorpusOracle,
     "pipe_curated_corpus" -> Pipeline.curatedCorpusOracle,
+    "pipe_screened_corpus" -> Pipeline.screenedCorpusOracle,
     "pipe_split_manifest" -> Pipeline.splitManifestOracle,
     "text_quality_score" -> TextOps.qualityScoreOracle,
     "text_lang_id" -> TextOps.langIdOracle,

@@ -384,4 +384,81 @@ object Pipeline {
          |    ELSE CAST(SUM(bits_sum) // SUM(n_scored) AS BIGINT) END
          |    AS mean_bits_ppm
          |FROM l1 GROUP BY source ORDER BY source""".stripMargin)
+
+  /** The r9 screening chain as ONE scan: Gopher structural rules +
+    * repetition screens + Bloom decontamination composed IN-ROW —
+    * `gopherKeepOf` and `repetitionKeepOf` are single boolean Columns,
+    * the Bloom screen is a compiled expression, so the whole corpus-side
+    * screen is one projection with ZERO text shuffle; only
+    * Bloom-candidate docs explode into the exact confirm join, and the
+    * (tiny) contaminated-id set anti-joins back as a broadcast. The
+    * fifth refactor-guard composition: the gate re-verifies the three
+    * r9 screens chained, against one chained DuckDB oracle. */
+  def screenedCorpus(s: SparkSession, dir: String,
+      benchSource: String = "src0", seqLen: Int = 64,
+      threshold: Double = 0.2, mBits: Int = 1 << 20,
+      k: Int = 5): DataFrame = {
+    import graft.functions.{PortableHashExprs => P}
+    val docs = documents(s, dir)
+    val bench = docs.filter(col("source") === benchSource)
+      .select(explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+      .distinct()
+    val setBits = bench
+      .select(explode(P.bloom_positions(col("shingle"), mBits, k)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val bloom = new Array[Byte]((mBits + 7) / 8)
+    setBits.foreach(p => bloom((p >>> 3).toInt) =
+      (bloom((p >>> 3).toInt) | (1 << (p & 7L).toInt)).toByte)
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val base = docs.filter(col("source") =!= benchSource).select(
+      col("doc_id"), col("source"), col("text"),
+      size(toks).cast("long").as("n_tokens"),
+      TextOps.gopherKeepOf(col("text"),
+        requiredWords = TextOps.gopherFixtureWords).as("g_keep"),
+      TextOps.repetitionKeepOf(col("text")).as("r_keep"),
+      P.bloom_screen(col("text"), bloom, mBits, k, 3).as("sc"))
+    val contaminated = base.filter(col("sc.n_candidates") > 0L)
+      .select(col("doc_id"), col("sc.n_shingles").as("n_shingles"),
+        explode(array_distinct(Dedup.shingles(col("text"), 3)))
+          .as("shingle"))
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap").cast("double") / col("n_shingles") >=
+        threshold)
+      .select(col("doc_id"))
+    base.filter(col("g_keep") && col("r_keep"))
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr(s"(total_tokens + ${seqLen - 1}) div $seqLen").as("n_seqs"))
+      .orderBy(col("source"))
+  }
+
+  /** The screening chain as one DuckDB pipeline, reusing the three
+    * stage oracles as subqueries. */
+  def screenedCorpusOracle: String = {
+    val gopher = TextOps
+      .gopherRulesOracle(30, 90, TextOps.gopherFixtureWords)
+      .stripSuffix("ORDER BY doc_id")
+    val rep = TextOps.repetitionRulesOracle.stripSuffix("ORDER BY doc_id")
+    val decon = Dedup.decontaminateOracle.stripSuffix("ORDER BY t.doc_id")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, CAST(len(
+       |    [x FOR x IN string_split_regex(lower(text), '\\s+') IF x <> '']
+       |  ) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE source <> 'src0'
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST((SUM(n_tokens) + 63) // 64 AS BIGINT) AS n_seqs
+       |FROM d
+       |WHERE doc_id IN (SELECT doc_id FROM ($gopher) g WHERE g.keep)
+       |  AND doc_id IN (SELECT doc_id FROM ($rep) r WHERE r.keep)
+       |  AND doc_id NOT IN (SELECT doc_id FROM ($decon) c
+       |                     WHERE c.contaminated)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
 }

@@ -1496,6 +1496,34 @@ object TextOps {
           col("r_required_words"))
   }
 
+  /** The seven structural rules folded into ONE boolean Column over a
+    * text column — for compositions that keep everything in a single
+    * scan projection ([[graft.operators.Pipeline.screenedCorpus]]).
+    * Spec-pinned equal to [[gopherRulesFrame]]'s `keep`. */
+  def gopherKeepOf(text: Column, minWords: Int = 30, maxWords: Int = 90,
+      requiredWords: Seq[String] = gopherRequiredWords): Column = {
+    val t = filter(split(trim(text), "\\s+"), x => x =!= "")
+    val ls = split(text, "\n")
+    val nWords = size(t).cast("long")
+    val sumLen = aggregate(t, lit(0L), (a, w) => a + length(w))
+    val nSym = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+      .cast("long")
+    val nLines = size(ls).cast("long")
+    val nBullet = size(filter(ls, l => l.startsWith("-") ||
+      l.startsWith("*") || l.startsWith("•"))).cast("long")
+    val nEll = size(filter(ls, l => l.endsWith("..."))).cast("long")
+    val nAlpha = size(filter(t, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nReq = size(array_intersect(array_distinct(t),
+      lit(requiredWords.toArray))).cast("long")
+    (nWords >= minWords && nWords <= maxWords) &&
+      (sumLen >= nWords * 3 && sumLen <= nWords * 10) &&
+      (nSym * 10 <= nWords) &&
+      (nBullet * 10 <= nLines) &&
+      (nEll * 10 <= nLines * 3) &&
+      (nAlpha * 10 >= nWords * 8) &&
+      (nReq >= 2)
+  }
+
   /** Mirror of [[gopherRules]] with the gate's corpus-adapted required list
     * (see `SparkEntry`). */
   def gopherRulesOracle(minWords: Int, maxWords: Int,
@@ -1881,6 +1909,29 @@ object TextOps {
     }
     out(cps.length) = "</w>"
     out
+  }
+
+  /** The twelve repetition screens folded into ONE boolean Column over a
+    * text column (single kernel pass + cross-multiplied comparisons) —
+    * the composition sibling of [[gopherKeepOf]]. Spec-pinned equal to
+    * [[repetitionRulesFrame]]'s `keep`. */
+  def repetitionKeepOf(text: Column): Column = {
+    val g = graft.functions.TextHashExprs.repetition_signals(text)
+    val nChars = length(text).cast("long")
+    def f(n: String) = g.getField(n)
+    val topThr = Map(2 -> 200, 3 -> 180, 4 -> 160)
+    val dupThr = Map(5 -> 150, 6 -> 140, 7 -> 130, 8 -> 120, 9 -> 110,
+      10 -> 100)
+    val base = Seq(
+      (f("n_lines") - f("n_lines_d")) * 1000L <= f("n_lines") * 300L,
+      (f("n_paras") - f("n_paras_d")) * 1000L <= f("n_paras") * 300L,
+      f("dup_line_chars") * 1000L <= f("line_chars") * 200L,
+      f("dup_para_chars") * 1000L <= f("para_chars") * 200L) ++
+      (2 to 4).map(n =>
+        f(s"top${n}_chars") * 1000L <= nChars * topThr(n)) ++
+      (5 to 10).map(n =>
+        f(s"dup${n}_chars") * 1000L <= nChars * dupThr(n))
+    base.reduce(_ && _)
   }
 
   /** DuckDB mirror of [[repetitionRulesFrame]] computed the OPPOSITE way:

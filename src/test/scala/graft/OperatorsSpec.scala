@@ -2010,6 +2010,59 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("single-column keep expressions equal their rule-frame keeps") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val words = operators.TextOps.gopherFixtureWords
+    val gFrame = operators.TextOps
+      .gopherRulesFrame(docs, requiredWords = words)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val gExpr = docs.select(col("doc_id"), operators.TextOps
+      .gopherKeepOf(col("text"), requiredWords = words).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(gExpr == gFrame, "gopherKeepOf diverged from gopherRulesFrame")
+    val rFrame = operators.TextOps.repetitionRulesFrame(docs)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val rExpr = docs.select(col("doc_id"),
+      operators.TextOps.repetitionKeepOf(col("text")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rExpr == rFrame,
+      "repetitionKeepOf diverged from repetitionRulesFrame")
+  }
+
+  test("screened corpus equals the set algebra of its three stages") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val words = operators.TextOps.gopherFixtureWords
+    val gKeep = operators.TextOps
+      .gopherRulesFrame(docs, requiredWords = words)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val rKeep = operators.TextOps.repetitionRulesFrame(docs)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val clean = operators.Dedup.decontaminate(spark, dir)
+      .filter(!col("contaminated")).select("doc_id")
+      .as[Long].collect().toSet
+    val want = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("source"),
+        size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .cast("long").as("n"))
+      .collect()
+      .filter(r => gKeep(r.getLong(0)) && rKeep(r.getLong(0)) &&
+        clean(r.getLong(0)))
+      .groupBy(_.getString(1))
+      .map { case (src, rows) =>
+        val tok = rows.map(_.getLong(2)).sum
+        (src, (rows.length.toLong, tok, (tok + 63) / 64))
+      }
+    val got = operators.Pipeline.screenedCorpus(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
   test("repetition signals kernel equals the HOF reference, both fixtures") {
     import spark.implicits._
     val planted = Seq(

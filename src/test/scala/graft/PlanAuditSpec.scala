@@ -373,6 +373,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("n_candidates > 0"), p)
   }
 
+  test("screened corpus: one in-row screening scan, candidates-only joins") {
+    val df = SparkEntry.queries("pipe_screened_corpus")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    // all three screens (structural, repetition, bloom) ride ONE corpus
+    // projection; only benchmark distinct + candidate confirm shuffle,
+    // plus the final per-source rollup
+    assert(count(p, "SortMergeJoin") == 0, p)
+    assert(p.contains("bloom_screen") && p.contains("repetition_signals"),
+      p)
+    assert(count(p, "Exchange hashpartitioning") <= 3, p)
+  }
+
   test("dsir: model joins broadcast, no cartesian beyond the 1-row totals") {
     val df = SparkEntry.queries("samp_dsir")(spark, dir)
     df.count()
