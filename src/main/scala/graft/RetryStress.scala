@@ -56,9 +56,39 @@ object RetryStress {
       .remoteDataFrame(spark, "retry_live", ex)
     val total = back.count()
     val distinct = back.select("k").distinct().count()
+
+    // ---- READ leg: fail the (single-split) remote read mid-cursor on
+    // attempt 0. The retry must re-execute the remote query from the
+    // start — reads are idempotent, so exact results after a REAL task
+    // retry prove the cursor replay is safe. A listener counts the task
+    // failure so a silently-never-failing run can't pass vacuously.
+    val failedTasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.reason != org.apache.spark.Success)
+            failedTasks.incrementAndGet()
+      })
+    val reread = graft.federation.Federation
+      .remoteDataFrame(spark, "retry_live", ex)
+      .select("k").map { r =>
+        val tc = TaskContext.get()
+        val v = r.getLong(0)
+        if (tc != null && tc.attemptNumber() == 0 && v == 40000L)
+          throw new RuntimeException("injected read failure (attempt 0)")
+        v
+      }
+    val readTotal = reread.count()
+    val readDistinct = reread.distinct().count()
+    Thread.sleep(500) // let the listener bus drain the failed-task event
+    val readFailures = failedTasks.get()
+    val ok = total == n && distinct == n &&
+      readTotal == n && readDistinct == n && readFailures >= 1
     println(s"""{"rows":$total,"distinct":$distinct,"expected":$n,""" +
-      s""""exact_once":${total == n && distinct == n}}""")
+      s""""read_rows":$readTotal,"read_distinct":$readDistinct,""" +
+      s""""read_task_failures":$readFailures,"exact_once":$ok}""")
     spark.stop()
-    if (total != n || distinct != n) sys.exit(1)
+    if (!ok) sys.exit(1)
   }
 }
