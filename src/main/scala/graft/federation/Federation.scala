@@ -43,6 +43,32 @@ object Federation {
       exp.extraOptimizations = exp.extraOptimizations :+ RuntimeFilterRule
   }
 
+  /** The federated EXPLAIN surface: one row per remote fragment of the
+    * query's physical plan — provider, cursor/split count, bind-join and
+    * runtime-filter counts, whether the fragment's ORDER BY is exposed
+    * as local ordering, and the exact SQL that will ship (pre
+    * runtime-filter inlining, which is execution-time by design). What
+    * an operator debugging a 100 TB federated job needs first: "which
+    * engine runs what, and how many cursors does it open". */
+  def explainFederated(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import graft.federation.exec.RemoteScanExec
+    def gather(p: SparkPlan): Seq[RemoteScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => gather(a.executedPlan)
+      case r: RemoteScanExec => Seq(r)
+      case other =>
+        (other.children ++ other.subqueries).flatMap(gather)
+    }
+    val frags = gather(df.queryExecution.executedPlan).zipWithIndex.map {
+      case (r, i) => (i, r.executor.name, r.sqls.size,
+        r.bindJoins.size, r.runtimeFilters.size,
+        r.outputOrdering.nonEmpty, r.sqls.head)
+    }
+    df.sparkSession.createDataFrame(frags).toDF("fragment", "provider",
+      "n_splits", "n_binds", "n_runtime_filters", "sorted", "sql")
+  }
+
   /** Register one remote table under a local name. Schema is inferred
     * eagerly through the executor (once). `hooks` attaches per-table
     * plan/SQL rewriters (reference `SQLTableSource` hooks,

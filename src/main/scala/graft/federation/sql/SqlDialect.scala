@@ -306,6 +306,11 @@ object SparkDialect extends SqlDialect {
   * live fuzz arm in UnparserFuzzSpec / DuckDbFederationSpec). */
 object DuckDbDialect extends SqlDialect {
   override val name = "duckdb"
+  // inline VALUES scale is safe on DuckDB (probed live on 1.0.0: 1k,
+  // 20k, and 100k-row VALUES parse + execute in 0.01/0.09/0.43 s; a
+  // 100k-element IN list in 0.73 s) — the Derby recursive-descent
+  // StackOverflow past ~1000 rows is engine-specific, so the default
+  // unbounded maxInlineValuesRows/maxBindRows stand here with evidence
   override def quote(ident: String): String =
     "\"" + ident.replace("\"", "\"\"") + "\""
   override def regexpMatch(input: String, pattern: String): String =

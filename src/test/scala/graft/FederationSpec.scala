@@ -703,6 +703,27 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("explainFederated lists each fragment's provider and shipped SQL") {
+    setup()
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val df = operators.Federated.partialAggUnion(spark, dir)
+    val ex = graft.federation.Federation.explainFederated(df).collect()
+    assert(ex.length == 2, ex.mkString("\n"))
+    assert(ex.map(_.getString(1)).toSet.subsetOf(Set("alpha", "beta")),
+      ex.mkString("\n"))
+    // the surfaced SQL is the fragment's actual wire SQL: running the
+    // query must execute exactly those statements (modulo split/filter
+    // inlining, absent here)
+    val before = alpha.executedSql.size
+    df.collect()
+    val ran = alpha.executedSql.drop(before)
+    val shown = ex.filter(_.getString(1) == "alpha").map(_.getString(6))
+    assert(shown.forall(sql => ran.contains(sql)),
+      s"shown:\n${shown.mkString("\n")}\nran:\n${ran.mkString("\n")}")
+    // every fragment row reports its cursor count
+    assert(ex.forall(_.getInt(2) >= 1))
+  }
+
   test("partial agg pushdown: multi-provider union aggregates remotely per provider") {
     setup()
     val alpha = FederationHarness.executor(spark, dir, "alpha")
