@@ -60,6 +60,8 @@ object SparkEntry {
     "text_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d,
       requiredWords = gopherGateWords)),
     "text_repetition_rules" -> ((s, d) => TextOps.repetitionRules(s, d)),
+    "text_c4_filters" -> ((s, d) => TextOps.c4FiltersOf(
+      TextOps.c4GateDocs(s, d), badWords = TextOps.c4GateBadWords)),
     "text_bpe_top_pairs" -> ((s, d) => TextOps.bpePairCounts(s, d)),
     "text_winnow_fingerprints" -> ((s, d) => TextOps.winnowFingerprints(s, d)),
     "text_novelty" -> ((s, d) => TextOps.novelty(s, d)),
@@ -157,6 +159,9 @@ object SparkEntry {
         .orderBy(col("source"))),
     "stream_repetition_filter" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runRepetitionFilterToMemory(s, d)
+        .orderBy(col("source"))),
+    "stream_c4_filter" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runC4FilterToMemory(s, d)
         .orderBy(col("source"))),
     "stream_packing" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runPackingToMemory(s, d)
@@ -283,6 +288,7 @@ object SparkEntry {
     "text_quality_buckets" -> TextOps.qualityBucketsOracle,
     "text_gopher_rules" -> TextOps.gopherRulesOracle(30, 90, gopherGateWords),
     "text_repetition_rules" -> TextOps.repetitionRulesOracle,
+    "text_c4_filters" -> TextOps.c4FiltersOracle(),
     "text_bpe_top_pairs" -> TextOps.bpePairCountsOracle,
     "text_winnow_fingerprints" -> TextOps.winnowFingerprintsOracle(),
     "samp_dsir" -> Sampling.dsirSelectOracle(),
@@ -290,6 +296,7 @@ object SparkEntry {
       graft.streaming.StreamOps.gopherFilterOracle(gopherGateWords),
     "stream_repetition_filter" ->
       graft.streaming.StreamOps.repetitionFilterOracle,
+    "stream_c4_filter" -> graft.streaming.StreamOps.c4FilterOracle,
     "pack_sequences" -> Packing.packSequencesOracle,
     "pack_stats" -> Packing.packStatsOracle,
     "samp_mixture" -> Sampling.mixtureOracle,

@@ -2032,4 +2032,174 @@ object TextOps {
        |FROM m
        |ORDER BY doc_id""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // C4 cleaning heuristics (Raffel et al. 2020, "Exploring the Limits of
+  // Transfer Learning with a Unified Text-to-Text Transformer", §2.2) —
+  // the line-level + page-level screens that produced the C4 corpus,
+  // completing the published-filter family next to [[gopherRulesFrame]]
+  // (structural) and [[repetitionRulesFrame]] (repetition):
+  //   line RETAINED iff it ends in terminal punctuation (. ! ? "), has at
+  //   least `minLineWords` (published: 5) words, and does not mention
+  //   "javascript";
+  //   page KEPT iff its retained lines carry at least `minSentences`
+  //   (published: 3) sentences AND the page contains no "lorem ipsum",
+  //   no curly brace, and no word from the deployment blocklist
+  //   (published: the "Dirty, Naughty, Obscene or Otherwise Bad Words"
+  //   list — supplied by the caller, the engine ships no copy; word =
+  //   maximal alphabetic run of the lowercased page).
+  // Every screen is a pure in-row array/regexp expression over the line
+  // array — ONE narrow scan projection, zero shuffle before the output
+  // sort, so at 100 TB the whole C4 pass rides inside the scan's
+  // WholeStageCodegen span. The remaining published C4 step — dropping
+  // repeated three-sentence spans corpus-wide — is [[spanDedup]].
+
+  /** Deployments pass the published blocklist; empty disables the screen. */
+  val c4BadWords: Seq[String] = Seq.empty
+
+  private def c4LineKeep(l: Column, minLineWords: Int): Column =
+    rtrim(l).rlike("[.!?\"]$") &&
+      size(filter(split(trim(l), "\\s+"), w => w =!= "")) >= minLineWords &&
+      !lower(l).contains("javascript")
+
+  def c4Filters(s: SparkSession, dir: String, minLineWords: Int = 5,
+      minSentences: Int = 3, badWords: Seq[String] = c4BadWords): DataFrame =
+    c4FiltersOf(documents(s, dir), minLineWords, minSentences, badWords)
+
+  /** [[c4Filters]] over an explicit (doc_id, source, text) frame — the
+    * spec plants quote-terminated / javascript / lorem-ipsum / brace /
+    * blocklisted pages the fixture lacks. */
+  def c4FiltersOf(docs: DataFrame, minLineWords: Int = 5,
+      minSentences: Int = 3, badWords: Seq[String] = c4BadWords): DataFrame =
+    c4FiltersFrame(docs, minLineWords, minSentences, badWords)
+      .orderBy(col("doc_id"))
+
+  /** The sort-free screen projection — stateless and entirely in-row, so
+    * it applies unchanged to a STREAMING frame ([[
+    * graft.streaming.StreamOps.c4FilterStream]]); batch callers add the
+    * output sort. */
+  def c4FiltersFrame(docs: DataFrame, minLineWords: Int = 5,
+      minSentences: Int = 3, badWords: Seq[String] = c4BadWords): DataFrame = {
+    val kept = filter(split(col("text"), "\n"),
+      l => c4LineKeep(l, minLineWords))
+    val pageWords =
+      filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "")
+    docs.select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), "\n")).as("n_lines"),
+      size(kept).as("n_kept_lines"),
+      size(regexp_extract_all(array_join(kept, "\n"), lit("[.!?]"), lit(0)))
+        .as("n_sentences"),
+      (!lower(col("text")).contains("lorem ipsum")).as("r_no_lorem"),
+      (!col("text").contains("{")).as("r_no_brace"),
+      (if (badWords.isEmpty) lit(true)
+       else size(array_intersect(array_distinct(pageWords),
+         lit(badWords.toArray))) === 0).as("r_no_badwords"))
+      .withColumn("r_min_sentences", col("n_sentences") >= minSentences)
+      .withColumn("keep",
+        col("r_min_sentences") && col("r_no_lorem") && col("r_no_brace") &&
+          col("r_no_badwords"))
+  }
+
+  /** The C4 page verdict folded into ONE boolean Column over a text
+    * column — for compositions that keep everything in a single scan
+    * projection (the [[gopherKeepOf]] shape). Spec-pinned equal to
+    * [[c4FiltersFrame]]'s `keep`. */
+  def c4KeepOf(text: Column, minLineWords: Int = 5, minSentences: Int = 3,
+      badWords: Seq[String] = c4BadWords): Column = {
+    val kept = filter(split(text, "\n"), l => c4LineKeep(l, minLineWords))
+    val nSent = size(regexp_extract_all(array_join(kept, "\n"),
+      lit("[.!?]"), lit(0)))
+    val pageWords = filter(split(lower(text), "[^a-z]+"), w => w =!= "")
+    (nSent >= minSentences) &&
+      !lower(text).contains("lorem ipsum") &&
+      !text.contains("{") &&
+      (if (badWords.isEmpty) lit(true)
+       else size(array_intersect(array_distinct(pageWords),
+         lit(badWords.toArray))) === 0)
+  }
+
+  /** The `text_c4_filters` gate corpus: the synthetic fixture is a
+    * punctuation-free single-line token soup, so the published C4
+    * parameters would be constant on it. Instead of corpus-adapted
+    * thresholds (the [[gopherRules]] route), the gate derives punctuated
+    * multi-line pages from the fixture with SEVEN deterministic literal
+    * replaces — three rare bigrams (20-30 of 500 docs each) become the
+    * page-level violations, one common unigram becomes the javascript
+    * line screen, three common unigrams become sentence-terminated line
+    * breaks. The DuckDB oracle applies the IDENTICAL replaces, so every
+    * screen runs with its PUBLISHED parameters and still varies on the
+    * fixture. All strings are regex-metacharacter-free on the pattern
+    * side, so `regexp_replace` is a literal replace. */
+  val c4GateReplaces: Seq[(String, String)] = Seq(
+    // " dup" (no trailing space): the fixture's rare token is almost
+    // always text-final
+    " dup" -> " lorem ipsum",
+    " big table " -> " big { table ",
+    " the part " -> " the badword part ",
+    " spark " -> " javascript ",
+    " sort " -> ".\n",
+    " query " -> "?\n",
+    " merge " -> "!\n")
+
+  val c4GateBadWords: Seq[String] = Seq("badword")
+
+  /** The derived-page text as a Column (shared by the batch gate and the
+    * streaming variant). */
+  def c4GateTextCol: Column =
+    c4GateReplaces.foldLeft(col("text")) { case (c, (from, to)) =>
+      regexp_replace(c, from, to)
+    }
+
+  def c4GateDocs(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), col("source"), c4GateTextCol.as("text"))
+
+  /** DuckDB mirror of the gate: the same seven replaces feeding the same
+    * published-parameter screens. */
+  def c4FiltersOracle(minLineWords: Int = 5, minSentences: Int = 3,
+      badWords: Seq[String] = c4GateBadWords): String = {
+    val derived = c4GateReplaces.foldLeft("text") { case (e, (from, to)) =>
+      val t = to.replace("\n", "' || chr(10) || '")
+      s"replace($e, '$from', '$t')"
+    }
+    val bw = badWords.map(w => s"'$w'").mkString(", ")
+    val pageWords =
+      "[w FOR w IN string_split_regex(lower(text), '[^a-z]+') IF w <> '']"
+    val noBad =
+      s"len(list_intersect(list_distinct($pageWords), [$bw])) = 0"
+    s"""WITH src AS (
+       |  SELECT doc_id, source, $derived AS text FROM documents
+       |), m AS (
+       |  SELECT doc_id, source, text, string_split(text, chr(10)) AS ls
+       |  FROM src
+       |), c AS (
+       |  SELECT doc_id, source, text, CAST(len(ls) AS INTEGER) AS n_lines,
+       |    [l FOR l IN ls IF regexp_matches(rtrim(l), '[.!?"]$$')
+       |      AND len([w FOR w IN string_split_regex(TRIM(l), '\\s+')
+       |        IF w <> '']) >= $minLineWords
+       |      AND NOT contains(lower(l), 'javascript')] AS kept
+       |  FROM m
+       |), d AS (
+       |  SELECT doc_id, source, text, n_lines,
+       |    CAST(len(kept) AS INTEGER) AS n_kept_lines,
+       |    -- COALESCE: DuckDB's array_to_string([]) is NULL where
+       |    -- Spark's array_join([]) is '' (probed live)
+       |    CAST(len(regexp_extract_all(
+       |      COALESCE(array_to_string(kept, chr(10)), ''),
+       |      '[.!?]')) AS INTEGER) AS n_sentences
+       |  FROM c
+       |)
+       |SELECT doc_id, source, n_lines, n_kept_lines, n_sentences,
+       |  NOT contains(lower(text), 'lorem ipsum') AS r_no_lorem,
+       |  NOT contains(text, '{') AS r_no_brace,
+       |  $noBad AS r_no_badwords,
+       |  n_sentences >= $minSentences AS r_min_sentences,
+       |  (n_sentences >= $minSentences
+       |    AND NOT contains(lower(text), 'lorem ipsum')
+       |    AND NOT contains(text, '{')
+       |    AND $noBad) AS keep
+       |FROM d
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -322,6 +322,42 @@ object StreamOps {
       name: String = "stream_repetition_out"): DataFrame =
     runStream(spark, repetitionFilterStream(spark, dir), "complete", name)
 
+  /** In-flight C4 cleaning ([[graft.operators.TextOps.c4FiltersFrame]] on
+    * arriving documents): line retention, sentence counting and the three
+    * page screens are all stateless in-row array expressions — zero
+    * stream-side shuffle, no per-doc state — so the exact batch screen
+    * applies unchanged in the microbatch scan projection; the only
+    * stateful operator is the per-source kept rollup. Pages are the same
+    * seven-replace gate derivation the batch gate uses
+    * ([[graft.operators.TextOps.c4GateTextCol]]). */
+  def c4FilterStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.documents(spark, dir).schema
+    val docs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), col("source"),
+        graft.operators.TextOps.c4GateTextCol.as("text"))
+    graft.operators.TextOps
+      .c4FiltersFrame(docs, badWords = graft.operators.TextOps.c4GateBadWords)
+      .filter(col("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_sentences").cast("long")).as("kept_sentences"))
+  }
+
+  def runC4FilterToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_c4_out"): DataFrame =
+    runStream(spark, c4FilterStream(spark, dir), "complete", name)
+
+  /** Batch recompute of the stream rollup over the per-page screen table. */
+  def c4FilterOracle: String =
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |  CAST(SUM(n_sentences) AS BIGINT) AS kept_sentences
+       |FROM (${graft.operators.TextOps.c4FiltersOracle()
+            .stripSuffix("ORDER BY doc_id")}) g
+       |WHERE keep GROUP BY source ORDER BY source""".stripMargin
+
   /** Batch recompute of the stream rollup over the per-doc rule table. */
   def repetitionFilterOracle: String =
     s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,

@@ -1806,6 +1806,86 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"rule column $i never exercised both ways")
   }
 
+  test("C4 filters: each screen trips on exactly its planted violation") {
+    import spark.implicits._
+    // The parquet fixture has no newlines/punctuation (the gate derives
+    // them), so the published-parameter screens are exercised here on
+    // planted pages. Published defaults: lines need >=5 words + terminal
+    // punctuation, pages need >=3 sentences.
+    val good = "the quick brown fox jumps over the fence."
+    val docs = Seq(
+      // 0: clean three-sentence page — keep
+      (0L, s"$good\n$good\n$good", "clean"),
+      // 1: a quote-terminated line IS retained (terminal punct incl. ")
+      (1L, s"$good\n$good\nhe said \"the cat sat on the mat.\"", "quote"),
+      // 2: the javascript line drops; three good lines remain — keep
+      (2L, s"$good\nplease enable JavaScript to view this page.\n$good\n$good",
+        "js"),
+      // 3: lorem ipsum anywhere on the page kills it
+      (3L, s"$good\n$good\nlorem ipsum dolor sit amet and so forth on.",
+        "lorem"),
+      // 4: a curly brace anywhere on the page kills it
+      (4L, s"$good\n$good\na brace { appears within this long sentence.",
+        "brace"),
+      // 5: a blocklisted word kills the page
+      (5L, s"$good\n$good\nthe verboten word appears right here today.",
+        "bad"),
+      // 6: blocklist matches WORDS, not substrings — keep
+      (6L, s"$good\n$good\nthe verbotenheit compound is a different word.",
+        "badsub"),
+      // 7: short lines (<5 words) drop; only two sentences survive
+      (7L, s"$good\n$good\ntiny line here.", "short"),
+      // 8: unterminated lines drop entirely
+      (8L, "the quick brown fox jumps over the fence\nno punctuation here" +
+        "\nstill none", "unterminated"))
+      .toDF("doc_id", "text", "source")
+    val got = operators.TextOps
+      .c4FiltersOf(docs, badWords = Seq("verboten"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, c: String) = got(id).getBoolean(got(id).fieldIndex(c))
+    def i(id: Long, c: String) = got(id).getInt(got(id).fieldIndex(c))
+    // clean page: everything passes, all lines retained
+    assert(b(0L, "keep") && i(0L, "n_kept_lines") == 3 &&
+      i(0L, "n_sentences") == 3)
+    // quote-terminated line retained; its embedded '.' counts the sentence
+    assert(b(1L, "keep") && i(1L, "n_kept_lines") == 3 &&
+      i(1L, "n_sentences") == 3)
+    // javascript: ONLY that line dropped, page survives
+    assert(b(2L, "keep") && i(2L, "n_lines") == 4 &&
+      i(2L, "n_kept_lines") == 3)
+    for ((id, rule) <- Seq(3L -> "r_no_lorem", 4L -> "r_no_brace",
+        5L -> "r_no_badwords")) {
+      assert(!b(id, rule), s"doc $id: $rule should trip")
+      assert(!b(id, "keep"), s"doc $id keep should be false")
+      // page screens are independent of the line screens
+      assert(b(id, "r_min_sentences"), s"doc $id sentences unaffected")
+    }
+    // substring of a blocklisted word does NOT trip the word screen
+    assert(b(6L, "r_no_badwords") && b(6L, "keep"))
+    // short/unterminated lines starve the sentence minimum
+    assert(!b(7L, "r_min_sentences") && i(7L, "n_kept_lines") == 2 &&
+      !b(7L, "keep"))
+    assert(i(8L, "n_kept_lines") == 0 && i(8L, "n_sentences") == 0 &&
+      !b(8L, "keep"))
+    // every screen column sees both outcomes across the planted set
+    for (c <- Seq("r_min_sentences", "r_no_lorem", "r_no_brace",
+        "r_no_badwords", "keep"))
+      assert(got.values.map(r => r.getBoolean(r.fieldIndex(c)))
+        .toSet.size == 2, s"screen $c never exercised both ways")
+  }
+
+  test("c4KeepOf equals the frame's keep on the gate corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = operators.TextOps.c4GateDocs(spark, dir)
+    val frame = operators.TextOps.c4FiltersFrame(docs,
+      badWords = operators.TextOps.c4GateBadWords)
+    val folded = docs.select(col("doc_id"), operators.TextOps.c4KeepOf(
+      col("text"), badWords = operators.TextOps.c4GateBadWords).as("k"))
+    val joined = frame.select(col("doc_id"), col("keep")).join(folded, "doc_id")
+    assert(joined.filter(col("keep") =!= col("k")).count() == 0)
+    assert(joined.filter(col("keep")).count() > 0)
+  }
+
   test("repetition rules: planted dups trip exactly the published screens") {
     import spark.implicits._
     val clean = (0 until 30).map(i => f"t$i%02d").mkString(" ")

@@ -341,6 +341,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("C4 filters: one in-row scan projection, no joins or hash shuffles") {
+    val df = SparkEntry.queries("text_c4_filters")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    // line retention, sentence counting and the page screens are all
+    // in-row array expressions: the whole report is scan → project →
+    // output sort. Any join, aggregate, or hash exchange means a screen
+    // stopped being in-row.
+    assert(count(p, "Join") == 0, p)
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    fileScans(p).foreach { scan =>
+      assert(!scan.contains("lang") && !scan.contains("n_chars"),
+        s"lang/n_chars must be pruned: $scan")
+    }
+  }
+
   test("repetition rules: one in-row scan projection, no joins or shuffles") {
     val df = SparkEntry.queries("text_repetition_rules")(spark, dir)
     df.count()
