@@ -241,16 +241,30 @@ object ScaleStress {
             sum(when(col("keep"), 1L).otherwise(0L)))
           .head.getLong(0)
       }
+      // C4 screens over the gate's seven-replace derivation (the salted
+      // soup is single-line/punctuation-free exactly like the fixture);
+      // summing line/sentence counts + keep forces every screen column
+      val nC4 = if (!sel("c4")) -1L else timed("c4_filters") {
+        val derived = spark.read.parquet(docs.getPath)
+          .select(col("doc_id"), col("source"),
+            graft.operators.TextOps.c4GateTextCol.as("text"))
+        graft.operators.TextOps.c4FiltersFrame(derived,
+            badWords = graft.operators.TextOps.c4GateBadWords)
+          .agg(sum(col("n_kept_lines").cast("long")) +
+            sum(col("n_sentences").cast("long")) +
+            sum(when(col("keep"), 1L).otherwise(0L)))
+          .head.getLong(0)
+      }
       val textJson = phases
         .filter(p => Seq("gen", "span_dedup", "dsir_score", "dsir_select",
-          "containment", "gopher_rules").contains(p._1))
+          "containment", "gopher_rules", "c4_filters").contains(p._1))
         .map { case (n, p) =>
           f""""$n":{"sec":${p.sec}%.1f,"shuffle_write_mb":${p.w / 1048576},"shuffle_read_mb":${p.r / 1048576}}"""
         }.mkString(",")
       println(
         s"""{"n_docs":$nDocs,"n_spans":$nSpans,"dsir_scored":$nScored,""" +
         s""""dsir_selected":$nSelected,"n_contained":$nContained,""" +
-        s""""gopher_rows":$nGopherRows,""" +
+        s""""gopher_rows":$nGopherRows,"c4_rows":$nC4,""" +
         s"""$textJson}""")
     }
 

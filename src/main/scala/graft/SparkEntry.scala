@@ -234,6 +234,7 @@ object SparkEntry {
     "fed_duckdb_write" -> (Federated.duckWrite _),
     "fed_duckdb_bind" -> (Federated.duckBindJoin _),
     "fed_duckdb_split" -> (Federated.duckSplitScan _),
+    "fed_etl_duck_to_derby" -> (Federated.duckToDerbyEtl _),
     "fed_split_scan" -> (Federated.splitScanJoin _),
     // --- sampling / exact analytics ---
     "samp_hash_10pct" -> (Sampling.hashSample _),
@@ -405,6 +406,7 @@ object SparkEntry {
     "fed_duckdb_write" -> Federated.duckWriteOracle,
     "fed_duckdb_bind" -> Federated.bindJoinOracle, // same semantics, live DuckDB
     "fed_duckdb_split" -> Federated.splitScanOracle, // same query, split cursors
+    "fed_etl_duck_to_derby" -> Federated.duckToDerbyEtlOracle,
 
     "dedup_priority" -> Dedup.priorityKeepOracle,
     "dedup_containment" -> Dedup.containmentOracle,

@@ -77,7 +77,8 @@ final case class RemoteScanExec(
     "numSplits" -> SQLMetrics.createMetric(sparkContext, "remote cursors (splits)"),
     "remoteFetchTime" -> SQLMetrics.createNanoTimingMetric(sparkContext, "remote fetch time"),
     "remoteBytes" -> SQLMetrics.createSizeMetric(sparkContext, "bytes from remote"),
-    "numCoercedRows" -> SQLMetrics.createMetric(sparkContext, "rows coerced from wire format"))
+    "numCoercedRows" -> SQLMetrics.createMetric(sparkContext, "rows coerced from wire format"),
+    "numFragmentReuses" -> SQLMetrics.createMetric(sparkContext, "identical fragments reused"))
 
   /** The SQLs actually sent: base split SQLs, each wrapped with the
     * runtime-filter predicates resolved at this call, then with the bind
@@ -244,6 +245,10 @@ final case class RemoteScanExec(
       org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(output)
     val sqls2 = effectiveSqls()
     metrics("numSplits").add(sqls2.size)
+    val types = output.map(_.dataType)
+    // deferred: a reused fragment must not even BUILD its executor RDD
+    // (executors may plan/prepare remote work at build time)
+    def build(): RDD[InternalRow] = {
     val rdd = sqls2 match {
       case Seq(one) => executor.execute(one, schema)
       case many => sparkContext.union(many.map(executor.execute(_, schema)))
@@ -251,7 +256,6 @@ final case class RemoteScanExec(
     // executors may emit generic rows (e.g. JDBC conversion); downstream
     // operators require UnsafeRow. Rows that already are unsafe (the mock
     // executor's toRdd) pass through without a copy.
-    val types = output.map(_.dataType)
     rdd.mapPartitions { it =>
       val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(types.toArray)
@@ -278,6 +282,27 @@ final case class RemoteScanExec(
         }
       }
     }
+    }
+    // Identical-fragment reuse: when THE SAME effective SQL on THE SAME
+    // executor appears more than once in one SQL execution (a self-join
+    // or self-union of a federated frame — Spark's ReuseExchange never
+    // sees it because this is a leaf, not an exchange), every occurrence
+    // past the first receives the FIRST occurrence's RDD, persisted at
+    // that moment so downstream stages read Spark's block manager instead
+    // of re-running the remote query. Keyed on the rendered SQLs, so
+    // fragments whose runtime filters/binds rendered differently never
+    // unify. Best-effort by design: a first-consumer task that started
+    // before the persist flag landed streams uncached (its serialized
+    // snapshot has storageLevel NONE and skips caching consistently),
+    // costing at worst today's behavior — one extra remote execution —
+    // and never correctness. Entries unpersist at SQL-execution end.
+    val execId = sparkContext.getLocalProperty("spark.sql.execution.id")
+    if (execId == null) build()
+    else RemoteScanExec.sharedFragment(sparkContext,
+      // same name+compute_context = same engine instance, the reference's
+      // own provider-equality contract (src/sql/executor.rs:25-29)
+      (execId, executor.name + "@" + executor.computeContext, sqls2, types),
+      build _, metrics("numFragmentReuses"))
   }
 
   /** Evaluate one runtime filter's build side and render its predicate:
@@ -350,4 +375,87 @@ object RemoteScanExec {
   def apply(output: Seq[Attribute], sql: String,
       executor: SqlExecutor): RemoteScanExec =
     RemoteScanExec(output, Seq(sql), executor)
+
+  /** The remote boundary of a fragment that MAY be cached: while the RDD
+    * is unpersisted (the only-consumer case) rows stream through with zero
+    * copies; once persisted, compute defensively copies each UnsafeRow
+    * before it reaches the block manager (executors hand out
+    * buffer-reusing iterators — caching aliased rows would corrupt the
+    * stored blocks). The branch reads this RDD's own storage level, which
+    * ships inside each task's serialized snapshot, so a task either caches
+    * copies or streams raw — never a mix. */
+  private final class SharedBoundaryRDD(prev: RDD[InternalRow])
+    extends RDD[InternalRow](prev) {
+    override protected def getPartitions: Array[org.apache.spark.Partition] =
+      firstParent[InternalRow].partitions
+    override def compute(split: org.apache.spark.Partition,
+        context: org.apache.spark.TaskContext): Iterator[InternalRow] = {
+      val it = firstParent[InternalRow].iterator(split, context)
+      if (getStorageLevel == org.apache.spark.storage.StorageLevel.NONE) it
+      else it.map(_.copy())
+    }
+  }
+
+  private type FragmentKey =
+    (String, String, Seq[String], Seq[org.apache.spark.sql.types.DataType])
+
+  /** At-most-once construction under concurrent stage materialization:
+    * AQE materializes leaf stages from a thread pool, so two occurrences
+    * can race into the registry — TrieMap's getOrElseUpdate may evaluate
+    * and DISCARD a loser's thunk, which would still have built (and for
+    * the mock executor, logged) a second remote RDD. The holder defers
+    * construction into a lazy val, so whichever holder wins the insert
+    * builds exactly once and the loser's holder never evaluates. */
+  private final class Holder(build: () => RDD[InternalRow]) {
+    val consumers = new java.util.concurrent.atomic.AtomicInteger(0)
+    lazy val rdd: RDD[InternalRow] = new SharedBoundaryRDD(build())
+  }
+
+  private val sharedRdds =
+    scala.collection.concurrent.TrieMap.empty[FragmentKey, Holder]
+  private val cleanupInstalled =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** First occurrence of `key` registers (and returns) the boundary RDD;
+    * every later occurrence inside the same SQL execution returns that
+    * SAME RDD, persisting it (idempotently) so the remote query body runs
+    * once and later consumers read cached blocks. */
+  private[exec] def sharedFragment(sc: org.apache.spark.SparkContext,
+      key: FragmentKey, build: () => RDD[InternalRow],
+      reuses: SQLMetric): RDD[InternalRow] = {
+    ensureCleanup(sc)
+    val holder = sharedRdds.getOrElseUpdate(key, new Holder(build))
+    val rdd = holder.rdd
+    if (holder.consumers.incrementAndGet() > 1) {
+      reuses.add(1)
+      if (rdd.getStorageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE)
+        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    rdd
+  }
+
+  /** Drop (and unpersist) an execution's shared fragments when Spark
+    * reports the SQL execution finished — installed once per context. */
+  private def ensureCleanup(sc: org.apache.spark.SparkContext): Unit =
+    if (cleanupInstalled.putIfAbsent(sc.applicationId, true).isEmpty)
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(
+            event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+          event match {
+            case e: org.apache.spark.sql.execution.ui
+                .SparkListenerSQLExecutionEnd =>
+              val id = e.executionId.toString
+              sharedRdds.keys.filter(_._1 == id).foreach { k =>
+                sharedRdds.remove(k).foreach { h =>
+                  // unpersist only what was built (touching h.rdd here
+                  // would otherwise CONSTRUCT an unbuilt loser)
+                  if (h.consumers.get() > 0)
+                    try h.rdd.unpersist(blocking = false)
+                    catch { case _: Exception => () }
+                }
+              }
+            case _ => ()
+          }
+      })
 }

@@ -921,6 +921,60 @@ object Federated {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Cross-engine ETL, live end to end: EXTRACT+TRANSFORM federate into
+    * DuckDB as ONE SQL fragment (filter + per-customer aggregate, cents
+    * kept in exact BIGINT arithmetic so three engines agree bitwise),
+    * LOAD lands in Derby through the staged retry-idempotent write path
+    * (per-partition staging tables + one-transaction driver publish),
+    * and the READ-BACK federates a join + rollup against Derby's own
+    * `customer` table as ONE Derby fragment. Spark orchestrates; each
+    * engine does its own heavy lifting, and the wire carries only the
+    * per-customer aggregate between them — the ETL shape a 100 TB
+    * multi-engine deployment runs nightly. */
+  def duckToDerbyEtl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    graft.federation.Federation.install(s)
+    val duck = graft.federation.duckdb.DuckDbHarness.executor(s, dir)
+    val derby = graft.federation.jdbc.JdbcHarness.executor(s, dir)
+    // extract + transform: one remote SQL inside DuckDB
+    val derived = graft.federation.Federation
+      .remoteDataFrame(s, "orders", duck)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").cast("long").as("custkey"))
+      .agg(count(lit(1)).as("n_urgent"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("urgent_cents"))
+    // load: the staged idempotent insert into the OTHER live engine
+    graft.federation.jdbc.JdbcHarness.resetWriteTarget(s, dir, "urgent_cust",
+      """"custkey" BIGINT, "n_urgent" BIGINT, "urgent_cents" BIGINT""")
+    derby.insertInto(
+      graft.federation.sql.RemoteTableRef.parse("urgent_cust"), derived)
+    // read back: join + rollup federate as one Derby fragment
+    val loaded = graft.federation.Federation
+      .remoteDataFrame(s, "urgent_cust", derby)
+    val cust = graft.federation.Federation
+      .remoteDataFrame(s, "customer", derby)
+    loaded.join(cust, col("custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("n_urgent")).as("total_urgent"),
+        sum(col("urgent_cents")).as("total_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val duckToDerbyEtlOracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_cust,
+      |  CAST(SUM(n_urgent) AS BIGINT) AS total_urgent,
+      |  CAST(SUM(urgent_cents) AS BIGINT) AS total_cents
+      |FROM (
+      |  SELECT o_custkey AS custkey, COUNT(*) AS n_urgent,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS urgent_cents
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+      |) u JOIN customer ON c_custkey = custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** Remote-to-remote CREATE TABLE AS on the live DuckDB engine: the
     * source aggregate is the engine's OWN fragment, so the rows land as
     * ONE `INSERT INTO … (SELECT …)` executed inside DuckDB — zero rows

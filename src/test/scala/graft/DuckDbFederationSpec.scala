@@ -192,6 +192,44 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       got.getLong(2) == want.getLong(1))
   }
 
+  test("cross-engine ETL: one DuckDB extract SQL, one Derby read-back fragment") {
+    val df = graft.operators.Federated.duckToDerbyEtl(spark, dir)
+    // read-back leg: join + rollup land in ONE Derby fragment whose wire
+    // SQL carries the JOIN — Spark never re-joins what Derby already did
+    val frags = Federation.explainFederated(df).collect()
+    assert(frags.length == 1, frags.mkString("\n"))
+    assert(frags.head.getAs[String]("provider") == "derby")
+    val sql = frags.head.getAs[String]("sql").toUpperCase
+    assert(sql.contains("JOIN") && sql.contains("GROUP BY"), sql)
+    // extract leg: the same derivation federates into ONE DuckDB SQL
+    // with the filter + aggregate inside it
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    val derived = Federation.remoteDataFrame(spark, "orders", ex)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").cast("long").as("custkey"))
+      .agg(count(lit(1)).as("n_urgent"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("urgent_cents"))
+    val efrags = Federation.explainFederated(derived).collect()
+    assert(efrags.length == 1, efrags.mkString("\n"))
+    assert(efrags.head.getAs[String]("provider") == "duck")
+    val esql = efrags.head.getAs[String]("sql").toUpperCase
+    assert(esql.contains("1-URGENT") && esql.contains("GROUP BY"), esql)
+    // and the full round trip equals the local recompute
+    val want = rows(spark.sql(
+      s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+         |  SUM(n_urgent) AS total_urgent, SUM(urgent_cents) AS total_cents
+         |FROM (
+         |  SELECT o_custkey AS custkey, COUNT(*) AS n_urgent,
+         |    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+         |      AS urgent_cents
+         |  FROM parquet.`$dir/orders.parquet`
+         |  WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+         |) u JOIN parquet.`$dir/customer.parquet` ON c_custkey = custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+    assert(rows(df) == want)
+  }
+
   test("remote-to-remote INSERT..SELECT ships one statement, no row stream") {
     Federation.install(spark)
     val e = ex

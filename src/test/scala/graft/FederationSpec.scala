@@ -480,6 +480,63 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scan below the local dedup did not federate:\n${sub.queryExecution.optimizedPlan}")
   }
 
+  test("identical remote fragments in one plan execute once (leaf reuse)") {
+    setup()
+    import org.apache.spark.sql.functions._
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    // spark_partition_id never unparses, so the fragment boundary sits
+    // UNDER it — and the two consumers aggregate DIFFERENTLY, so Spark's
+    // own ReuseExchange (which needs canonically-equal exchanges) cannot
+    // collapse them: only leaf-level reuse can stop the second remote run.
+    // (A single-provider self-union federates whole as one SQL — pinned
+    // by the fed_union one-fragment test — hence the local barrier here.)
+    def scan = graft.federation.Federation
+      .remoteDataFrame(spark, "orders", alpha)
+      .select(col("o_orderpriority"))
+      .withColumn("pid", spark_partition_id())
+    val a = scan.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), max(col("pid")).as("mpa"))
+    val b = scan.groupBy(col("o_orderpriority"))
+      .agg(sum(col("pid")).as("sp"))
+    // mpa/sp must survive into the output, else column pruning deletes
+    // the nondeterministic barrier and the whole join federates as one
+    // SQL (good — but not what THIS test exercises)
+    val joined = a.join(b, "o_orderpriority")
+      .orderBy(col("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n"), col("mpa"), col("sp"))
+    val before = alpha.executedSql.size
+    val got = joined.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val plan = joined.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.sliding("RemoteScan".length).count(_ == "RemoteScan") == 2,
+      s"expected two RemoteScan leaves:\n$plan")
+    // ...but the remote engine ran the fragment ONCE — the second leaf
+    // received the first's RDD, persisted so its stage reads cache
+    val executed = alpha.executedSql.drop(before)
+    assert(executed.size == 1,
+      s"identical fragment executed ${executed.size}x:\n${executed.mkString("\n")}")
+    // and the join produced the base aggregate exactly
+    val want = spark.sql(
+      """SELECT o_orderpriority, COUNT(*) FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // fragments that render DIFFERENT SQL never unify
+    val b2 = graft.federation.Federation
+      .remoteDataFrame(spark, "orders", alpha)
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select(col("o_orderpriority"))
+      .withColumn("pid", spark_partition_id())
+      .groupBy(col("o_orderpriority")).agg(sum(col("pid")).as("sp"))
+    val mixed = a.join(b2, "o_orderpriority")
+    val before2 = alpha.executedSql.size
+    mixed.collect()
+    val executed2 = alpha.executedSql.drop(before2)
+    assert(executed2.distinct.size == 2,
+      s"distinct fragments wrongly unified:\n${executed2.mkString("\n")}")
+  }
+
   test("per-table hooks: two tables of one provider, each applied once") {
     setup()
     // reference: each SQLTableSource carries its own rewriters
