@@ -241,13 +241,24 @@ object ScaleStress {
             sum(when(col("keep"), 1L).otherwise(0L)))
           .head.getLong(0)
       }
-      // C4 screens over the gate's seven-replace derivation (the salted
-      // soup is single-line/punctuation-free exactly like the fixture);
-      // summing line/sentence counts + keep forces every screen column
+      // C4 screens over a salt-tolerant variant of the gate derivation
+      // (scale-corpus tokens carry per-doc salt suffixes, so the gate's
+      // literal replaces would never fire and every screen would be
+      // constant); summing line/sentence counts + keep forces every
+      // screen column
       val nC4 = if (!sel("c4")) -1L else timed("c4_filters") {
+        val t = Seq(
+          "dup\\w* " -> "lorem ipsum ",
+          "big\\w* table\\w*" -> "big { table",
+          "the\\w* part\\w*" -> "the badword part",
+          "spark\\w*" -> "javascript",
+          "sort\\w*" -> ".\n",
+          "query\\w*" -> "?\n",
+          "merge\\w*" -> "!\n").foldLeft(col("text")) {
+            case (c, (from, to)) => regexp_replace(c, from, to)
+          }
         val derived = spark.read.parquet(docs.getPath)
-          .select(col("doc_id"), col("source"),
-            graft.operators.TextOps.c4GateTextCol.as("text"))
+          .select(col("doc_id"), col("source"), t.as("text"))
         graft.operators.TextOps.c4FiltersFrame(derived,
             badWords = graft.operators.TextOps.c4GateBadWords)
           .agg(sum(col("n_kept_lines").cast("long")) +

@@ -163,6 +163,9 @@ object SparkEntry {
     "stream_c4_filter" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runC4FilterToMemory(s, d)
         .orderBy(col("source"))),
+    "stream_fed_enrich" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runFedEnrichToMemory(s, d)
+        .orderBy(col("c_mktsegment"), col("event_type"))),
     "stream_packing" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runPackingToMemory(s, d)
         .orderBy(col("doc_id"))),
@@ -298,6 +301,7 @@ object SparkEntry {
     "stream_repetition_filter" ->
       graft.streaming.StreamOps.repetitionFilterOracle,
     "stream_c4_filter" -> graft.streaming.StreamOps.c4FilterOracle,
+    "stream_fed_enrich" -> graft.streaming.StreamOps.fedEnrichOracle,
     "pack_sequences" -> Packing.packSequencesOracle,
     "pack_stats" -> Packing.packStatsOracle,
     "samp_mixture" -> Sampling.mixtureOracle,

@@ -322,6 +322,39 @@ object StreamOps {
       name: String = "stream_repetition_out"): DataFrame =
     runStream(spark, repetitionFilterStream(spark, dir), "complete", name)
 
+  /** Streaming enrichment against a LIVE REMOTE dimension: arriving
+    * events stream-static join the `customer` table of the embedded Derby
+    * engine — the federated frame is the static side, re-planned (and
+    * re-fetched) per microbatch by Spark's stream-static contract, so a
+    * dimension UPDATE in the remote engine is visible to the NEXT batch
+    * without restarting the stream. The dimension is broadcast-sized
+    * (remote fragment stats feed the broadcast decision), the join itself
+    * is stateless, and only the per-(segment, event_type) rollup holds
+    * state — at 100 TB the stream never shuffles, and the remote engine
+    * serves one narrow two-column scan per batch. */
+  def fedEnrichStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.federation.Federation.install(spark)
+    val ex = graft.federation.jdbc.JdbcHarness.executor(spark, dir)
+    val dim = graft.federation.Federation
+      .remoteDataFrame(spark, "customer", ex)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    eventStream(spark, dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  def runFedEnrichToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_fed_enrich_out"): DataFrame =
+    runStream(spark, fedEnrichStream(spark, dir), "complete", name)
+
+  /** Batch recompute over the same two tables. */
+  def fedEnrichOracle: String =
+    """SELECT c_mktsegment, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** In-flight C4 cleaning ([[graft.operators.TextOps.c4FiltersFrame]] on
     * arriving documents): line retention, sentence counting and the three
     * page screens are all stateless in-row array expressions — zero

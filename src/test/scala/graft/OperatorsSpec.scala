@@ -1516,6 +1516,56 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stream-static against a live remote dim sees UPDATEs between batches") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.{col, count, lit}
+    graft.federation.Federation.install(spark)
+    val ex = graft.federation.jdbc.JdbcHarness.executor(spark, dir)
+    graft.federation.jdbc.JdbcHarness.resetWriteTarget(spark, dir, "seg_dim",
+      """"k" BIGINT, "seg" VARCHAR(16)""")
+    val ref = graft.federation.sql.RemoteTableRef.parse("seg_dim")
+    ex.insertInto(ref, Seq((0L, "OLD"), (1L, "OLD")).toDF("k", "seg"))
+    // a federated frame as the STATIC side — re-planned (and re-fetched
+    // from Derby) on every microbatch by the stream-static contract
+    val dim = graft.federation.Federation.remoteDataFrame(spark, "seg_dim", ex)
+    val tmp = Files.createTempDirectory("sfed").toString
+    def writeEvents(name: String): Unit = {
+      val scratch = Files.createTempDirectory("sfedw").toString
+      Seq((0L, "click"), (1L, "view"))
+        .toDF("user_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(tmp, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeEvents("e1.parquet")
+    val stream = spark.readStream
+      .schema("user_id LONG, event_type STRING")
+      .parquet(tmp)
+      .join(dim, col("user_id") === col("k"))
+      .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    val ckpt = Files.createTempDirectory("sfedckpt").toString
+    val q = stream.writeStream.outputMode("complete").format("memory")
+      .queryName("sfed_out").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sfed_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap == Map("OLD" -> 2L))
+      // remote UPDATE between batches — the NEXT batch must see it
+      graft.federation.Federation.updateRemote(spark, "seg_dim", ex,
+        Seq("seg" -> lit("NEW")), lit(true))
+      writeEvents("e2.parquet")
+      q.processAllAvailable()
+      // batch-1 rows aggregated under OLD, batch-2 rows under NEW: the
+      // dim was genuinely re-read (stale caching would show OLD -> 4)
+      assert(spark.table("sfed_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap ==
+        Map("OLD" -> 2L, "NEW" -> 2L))
+    } finally q.stop()
+  }
+
   test("streaming packing: offsets continue across microbatches per shard") {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
