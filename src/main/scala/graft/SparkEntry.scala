@@ -68,6 +68,7 @@ object SparkEntry {
     "text_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d)),
     "text_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(s, d)),
     "sim_truncated_topk" -> ((s, d) => Similarity.truncatedTopK(s, d)),
+    "sim_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
     "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
     "pack_stats" -> ((s, d) => Packing.packStats(s, d)),
     "samp_mixture" -> ((s, d) => Sampling.mixture(s, d)),
@@ -84,6 +85,7 @@ object SparkEntry {
     "pipe_train_corpus" -> ((s, d) => Pipeline.trainCorpus(s, d)),
     "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(s, d)),
     "pipe_screened_corpus" -> ((s, d) => Pipeline.screenedCorpus(s, d)),
+    "pipe_web_corpus" -> ((s, d) => Pipeline.webCorpus(s, d)),
     "pipe_split_manifest" -> ((s, d) => Pipeline.splitManifest(s, d)),
     "text_quality_score" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
@@ -311,6 +313,7 @@ object SparkEntry {
     "pipe_train_corpus" -> Pipeline.trainCorpusOracle,
     "pipe_curated_corpus" -> Pipeline.curatedCorpusOracle,
     "pipe_screened_corpus" -> Pipeline.screenedCorpusOracle,
+    "pipe_web_corpus" -> Pipeline.webCorpusOracle,
     "pipe_split_manifest" -> Pipeline.splitManifestOracle,
     "text_quality_score" -> TextOps.qualityScoreOracle,
     "text_lang_id" -> TextOps.langIdOracle,
@@ -426,6 +429,7 @@ object SparkEntry {
     "text_vocab_growth" -> TextOps.vocabGrowthOracle,
     "text_unigram_surprisal" -> TextOps.unigramSurprisalOracle,
     "sim_truncated_topk" -> Similarity.truncatedTopKOracle,
+    "sim_recall_report" -> Similarity.recallReportOracle(),
     "fed_split_scan" -> Federated.splitScanOracle,
     "samp_hash_10pct" -> Sampling.hashSampleOracle,
     "samp_stats" -> Sampling.sampleStatsOracle,

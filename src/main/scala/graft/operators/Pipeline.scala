@@ -437,6 +437,90 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** The published web-corpus recipe chained (the C4 construction order:
+    * page cleaning → structural quality → exact dedup → token budget),
+    * the SIXTH refactor-guard composition: the C4 page screens (over the
+    * gate's derived pages) and the Gopher structural screen (over the
+    * raw text) fold into ONE scan projection via their single-Column
+    * forms; survivors dedup exactly on md5 through one fingerprint
+    * window (canonical = smallest doc_id CORPUS-WIDE, so a duplicate
+    * counts in its canonical's source); per-source stage counts and the
+    * surviving token budget roll up. Two narrow shuffles past the scan
+    * (fingerprint window, source rollup) — no text ever shuffles. */
+  def webCorpus(s: SparkSession, dir: String): DataFrame =
+    webCorpusOf(documents(s, dir))
+
+  /** [[webCorpus]] over an explicit (doc_id, source, text) frame — the
+    * fixture has no exact-duplicate documents, so the spec plants
+    * cross-source duplicates to exercise the canonical-source
+    * accounting the gate's corpus cannot. */
+  def webCorpusOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val base = docs.select(col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_tokens"),
+      md5(col("text")).as("fp"),
+      TextOps.c4KeepOf(TextOps.c4GateTextCol,
+        badWords = TextOps.c4GateBadWords).as("c4_keep"),
+      TextOps.gopherKeepOf(col("text"),
+        requiredWords = TextOps.gopherFixtureWords).as("g_keep"))
+    val perSource = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("c4_keep"), 1L).otherwise(0L)).as("n_c4"),
+      sum(when(col("c4_keep") && col("g_keep"), 1L).otherwise(0L))
+        .as("n_screened"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val uniqAgg = base.filter(col("c4_keep") && col("g_keep"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_unique"),
+        sum(col("n_tokens")).as("kept_tokens"))
+    perSource.join(uniqAgg, Seq("source"), "left")
+      .na.fill(0L, Seq("n_unique", "kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** The web-corpus chain as one DuckDB pipeline, reusing the C4 and
+    * Gopher stage oracles as subqueries. */
+  def webCorpusOracle: String = {
+    val c4 = TextOps.c4FiltersOracle().stripSuffix("ORDER BY doc_id")
+    val gopher = TextOps
+      .gopherRulesOracle(30, 90, TextOps.gopherFixtureWords)
+      .stripSuffix("ORDER BY doc_id")
+    s"""WITH c4k AS (
+       |  SELECT doc_id, keep AS c4_keep FROM ($c4) x
+       |), gk AS (
+       |  SELECT doc_id, keep AS g_keep FROM ($gopher) y
+       |), b AS (
+       |  SELECT d.doc_id, d.source, md5(d.text) AS fp,
+       |    CAST(len([x FOR x IN string_split_regex(lower(d.text), '\\s+')
+       |      IF x <> '']) AS BIGINT) AS n_tokens,
+       |    c4k.c4_keep, gk.g_keep
+       |  FROM documents d
+       |  JOIN c4k USING (doc_id) JOIN gk USING (doc_id)
+       |), surv AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+       |    AS rn
+       |  FROM b WHERE c4_keep AND g_keep
+       |), p AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN c4_keep THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_c4,
+       |    CAST(SUM(CASE WHEN c4_keep AND g_keep THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_screened
+       |  FROM b GROUP BY 1
+       |), u AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_unique,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+       |  FROM surv WHERE rn = 1 GROUP BY 1
+       |)
+       |SELECT p.source, n_docs, n_c4, n_screened,
+       |  COALESCE(n_unique, CAST(0 AS BIGINT)) AS n_unique,
+       |  COALESCE(kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens
+       |FROM p LEFT JOIN u USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   /** The screening chain as one DuckDB pipeline, reusing the three
     * stage oracles as subqueries. */
   def screenedCorpusOracle: String = {

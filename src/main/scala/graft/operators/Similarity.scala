@@ -1102,4 +1102,48 @@ object Similarity {
       |  FROM scored)
       |WHERE rank <= 10
       |ORDER BY q_id, rank""".stripMargin
+
+  /** ANN quality evaluation IN the engine: per-query recall@k of the IVF
+    * probe path and the PQ/ADC path against the exact cosine top-k — the
+    * number an operator actually tunes `nprobe`/codebook size against
+    * before trusting an index at corpus scale. Exact integer ppm (hits ·
+    * 10⁶ div k), so the report is engine-reproducible. All three top-k
+    * frames come from their per-snapshot caches (IVF index, PQ codes, the
+    * broadcast query set), so the evaluation costs the three bounded
+    * top-k queries — never a second corpus pass; output is
+    * (methods × queries) rows. */
+  def recallReport(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val exact = bruteForceTopK(s, dir, k = k)
+      .select(col("q_id"), col("vec_id"))
+    def leg(method: String, approx: DataFrame): DataFrame =
+      exact.join(
+          approx.select(col("q_id"), col("vec_id"), lit(1L).as("hit")),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(method).as("method"), col("q_id"),
+          expr(s"n_hit * 1000000 div $k").as("recall_ppm"))
+    leg("ivf", ivfTopK(s, dir, k = k))
+      .unionByName(leg("pq", pqTopK(s, dir, k = k)))
+      .orderBy(col("method"), col("q_id"))
+  }
+
+  /** Chains the three existing top-k oracles as subqueries — the recall
+    * arithmetic is verified against the SAME exact/approximate sets the
+    * individual gates pin. */
+  def recallReportOracle(k: Int = 10): String = {
+    def leg(method: String, inner: String): String =
+      s"""SELECT '$method' AS method, e.q_id,
+         |  CAST(COUNT(a.vec_id) * 1000000 // $k AS BIGINT) AS recall_ppm
+         |FROM (SELECT q_id, vec_id FROM ($bruteForceTopKOracle)) e
+         |LEFT JOIN (SELECT q_id, vec_id FROM ($inner)) a
+         |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+         |GROUP BY e.q_id""".stripMargin
+    s"""SELECT method, q_id, recall_ppm FROM (
+       |${leg("ivf", ivfTopKOracle)}
+       |UNION ALL
+       |${leg("pq", pqTopKOracle)}
+       |)
+       |ORDER BY method, q_id""".stripMargin
+  }
 }

@@ -1566,6 +1566,58 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("web corpus chain: screens gate, dupes collapse to canonical source") {
+    import spark.implicits._
+    // passes BOTH screens: 'sort'/'query' become sentence breaks in the
+    // C4 derivation (4 retained lines of >=5 words), and the raw text
+    // satisfies every Gopher rule incl. two fixture required words
+    val base = "the table row scan key part sort data line batch join " +
+      "value sort hash window group merge the stream filter scan part " +
+      "query batch value group key table sort row line data join the scan"
+    val variant = base.replace("row", "line")
+    val braced = base + " filter { scan"        // C4 page screen kills it
+    val noreq = base.replace("the", "key").replace("table", "scan")
+      .replace("value", "data").replace(" a ", " key ") // Gopher required-words kills it
+    val docs = Seq(
+      (0L, "s1", base),     // survivor, canonical of the dup pair
+      (1L, "s2", base),     // exact dup -> collapses into s1's canonical
+      (2L, "s1", variant),  // unique survivor
+      (3L, "s2", braced),   // fails C4
+      (4L, "s2", noreq))    // passes C4, fails Gopher
+      .toDF("doc_id", "source", "text")
+    def toks(s: String): Long =
+      s.toLowerCase.split("\\s+").count(_.nonEmpty).toLong
+    val got = operators.Pipeline.webCorpusOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // s1: both docs pass both screens, both unique
+    assert(got("s1") == (2L, 2L, 2L, 2L, toks(base) + toks(variant)))
+    // s2: braced fails C4; noreq passes C4 but fails Gopher; the exact
+    // dup survives the screens but its canonical lives in s1 — the
+    // corpus-wide window charges the kept copy to s1, none to s2
+    assert(got("s2") == (3L, 2L, 1L, 0L, 0L))
+  }
+
+  test("recall report equals per-query set intersection of the top-k gates") {
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(r.fieldIndex("q_id")),
+        r.getLong(r.fieldIndex("vec_id"))))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = sets(operators.Similarity.bruteForceTopK(spark, dir))
+    val approx = Map(
+      "ivf" -> sets(operators.Similarity.ivfTopK(spark, dir)),
+      "pq" -> sets(operators.Similarity.pqTopK(spark, dir)))
+    val got = operators.Similarity.recallReport(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 2 * exact.size)
+    for ((m, byQ) <- approx; (q, ex) <- exact) {
+      val want = ex.intersect(byQ.getOrElse(q, Set.empty)).size * 1000000L / 10
+      assert(got((m, q)) == want, s"$m q=$q")
+    }
+    // the report varies (an all-1e6 or all-0 report measures nothing)
+    assert(got.values.toSet.size > 1)
+  }
+
   test("streaming packing: offsets continue across microbatches per shard") {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}

@@ -357,6 +357,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("web corpus chain: screens in-row, only narrow shuffles, no explode") {
+    val df = SparkEntry.queries("pipe_web_corpus")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    // both screen families fold into the scan projection; the only
+    // exchanges carry (source, fp, counts) — never text — and nothing
+    // explodes or goes quadratic
+    assert(count(p, "Generate") == 0, p)
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(count(p, "Exchange hashpartitioning") <= 4, p)
+    fileScans(p).foreach { scan =>
+      assert(!scan.contains("lang") && !scan.contains("n_chars"),
+        s"lang/n_chars must be pruned: $scan")
+    }
+  }
+
   test("repetition rules: one in-row scan projection, no joins or shuffles") {
     val df = SparkEntry.queries("text_repetition_rules")(spark, dir)
     df.count()
