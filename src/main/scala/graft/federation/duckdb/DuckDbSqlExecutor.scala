@@ -330,14 +330,21 @@ final class DuckDbSqlExecutor(
   */
 object DuckDbProcess {
 
-  /** The entire engine adapter, shipped as `python3 -c <script>`. Values
-    * are JSON-encoded with dates/timestamps in ISO text, decimals as exact
-    * strings, binary as base64; NaN/Infinity ride as bare JSON tokens
-    * (Jackson parses them with ALLOW_NON_NUMERIC_NUMBERS). */
+  /** The entire engine adapter, shipped as `python3 -c <script>` — a
+    * PERSISTENT request loop (one JSON request line in → row lines + one
+    * terminator line out, flushed per request), so the ~130 ms
+    * python+duckdb import is paid once per pooled server, not once per
+    * query. Each request opens and CLOSES its own connection — no file
+    * lock survives between requests, so a pooled server never blocks a
+    * writer. A request-level failure emits an `err` terminator and the
+    * loop keeps serving; only EOF on stdin (or a crash) ends the
+    * process. Values are JSON-encoded with dates/timestamps in ISO
+    * text, decimals as exact strings, binary as base64; NaN/Infinity
+    * ride as bare JSON tokens (Jackson parses them with
+    * ALLOW_NON_NUMERIC_NUMBERS). */
   private val Script =
     """import sys, json, datetime, decimal, base64
       |import duckdb
-      |req = json.loads(sys.stdin.readline())
       |out = sys.stdout
       |def conv(v):
       |    if isinstance(v, datetime.datetime): return v.isoformat(sep=' ')
@@ -346,51 +353,66 @@ object DuckDbProcess {
       |    if isinstance(v, (bytes, bytearray)):
       |        return base64.b64encode(v).decode()
       |    return v
-      |try:
-      |    con = duckdb.connect(req["db"], read_only=req.get("ro", True))
-      |    op = req["op"]
-      |    if op == "query":
-      |        cur = con.execute(req["sql"])
-      |        n = 0
-      |        while True:
-      |            rows = cur.fetchmany(8192)
-      |            if not rows: break
-      |            for r in rows:
-      |                out.write(json.dumps([conv(v) for v in r]))
-      |                out.write("\n")
-      |                n += 1
-      |        out.write(json.dumps({"ok": n}) + "\n")
-      |    elif op == "describe":
-      |        rows = con.execute("DESCRIBE " + req["sql"]).fetchall()
-      |        out.write(json.dumps(
-      |            {"cols": [[r[0], r[1]] for r in rows]}) + "\n")
-      |        out.write(json.dumps({"ok": len(rows)}) + "\n")
-      |    elif op == "tables":
-      |        rows = con.execute(
-      |            "SELECT table_name FROM information_schema.tables "
-      |            "WHERE table_schema = 'main' ORDER BY table_name"
-      |        ).fetchall()
-      |        out.write(json.dumps({"tables": [r[0] for r in rows]}) + "\n")
-      |        out.write(json.dumps({"ok": len(rows)}) + "\n")
-      |    elif op == "exec":
-      |        counts = []
-      |        for s in req["sqls"]:
-      |            cur = con.execute(s)
-      |            try:
-      |                rows = cur.fetchall()
-      |                counts.append(rows[0][0] if rows and
-      |                    isinstance(rows[0][0], int) else -1)
-      |            except Exception:
-      |                counts.append(-1)
-      |        con.commit()
-      |        out.write(json.dumps({"counts": counts}) + "\n")
-      |        out.write(json.dumps({"ok": len(counts)}) + "\n")
-      |    else:
-      |        raise ValueError("unknown op: " + op)
-      |except Exception as e:
-      |    out.write(json.dumps(
-      |        {"err": "%s: %s" % (type(e).__name__, e)}) + "\n")
-      |    sys.exit(3)
+      |while True:
+      |    line = sys.stdin.readline()
+      |    if not line: break
+      |    con = None
+      |    term = None
+      |    try:
+      |        req = json.loads(line)
+      |        con = duckdb.connect(req["db"], read_only=req.get("ro", True))
+      |        op = req["op"]
+      |        if op == "query":
+      |            cur = con.execute(req["sql"])
+      |            n = 0
+      |            while True:
+      |                rows = cur.fetchmany(8192)
+      |                if not rows: break
+      |                for r in rows:
+      |                    out.write(json.dumps([conv(v) for v in r]))
+      |                    out.write("\n")
+      |                    n += 1
+      |            term = {"ok": n}
+      |        elif op == "describe":
+      |            rows = con.execute("DESCRIBE " + req["sql"]).fetchall()
+      |            out.write(json.dumps(
+      |                {"cols": [[r[0], r[1]] for r in rows]}) + "\n")
+      |            term = {"ok": len(rows)}
+      |        elif op == "tables":
+      |            rows = con.execute(
+      |                "SELECT table_name FROM information_schema.tables "
+      |                "WHERE table_schema = 'main' ORDER BY table_name"
+      |            ).fetchall()
+      |            out.write(json.dumps(
+      |                {"tables": [r[0] for r in rows]}) + "\n")
+      |            term = {"ok": len(rows)}
+      |        elif op == "exec":
+      |            counts = []
+      |            for s in req["sqls"]:
+      |                cur = con.execute(s)
+      |                try:
+      |                    rows = cur.fetchall()
+      |                    counts.append(rows[0][0] if rows and
+      |                        isinstance(rows[0][0], int) else -1)
+      |                except Exception:
+      |                    counts.append(-1)
+      |            con.commit()
+      |            out.write(json.dumps({"counts": counts}) + "\n")
+      |            term = {"ok": len(counts)}
+      |        else:
+      |            raise ValueError("unknown op: " + op)
+      |    except Exception as e:
+      |        term = {"err": "%s: %s" % (type(e).__name__, e)}
+      |    finally:
+      |        # close BEFORE the terminator: the client takes the
+      |        # terminator as "request done" and may immediately send a
+      |        # conflicting (e.g. exclusive-write) request to ANOTHER
+      |        # pooled server — the file lock must already be gone
+      |        try:
+      |            if con is not None: con.close()
+      |        except Exception: pass
+      |        out.write(json.dumps(term) + "\n")
+      |        out.flush()
       |""".stripMargin
 
   private val mapper = {
@@ -401,17 +423,16 @@ object DuckDbProcess {
 
   private def jstr(s: String): String = mapper.writeValueAsString(s)
 
-  /** A streaming response: JSON row lines pulled lazily off the process
-    * stdout; the terminator/err line is consumed by `hasNext`. `close()`
-    * kills the subprocess early (task cancellation). */
-  final class ResponseIterator(proc: Process)
-    extends Iterator[JsonNode] with AutoCloseable {
-    private val reader = new java.io.BufferedReader(
+  /** One pooled server process: persistent writer/reader + a stderr
+    * drain thread for its whole lifetime (a blocked stderr pipe would
+    * deadlock the engine; the captured text feeds error messages). */
+  private final class Server(val proc: Process) {
+    val writer = new java.io.OutputStreamWriter(proc.getOutputStream,
+      StandardCharsets.UTF_8)
+    val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream,
         StandardCharsets.UTF_8), 1 << 16)
-    // drain stderr concurrently — a blocked stderr pipe would deadlock the
-    // engine; the captured text feeds error messages
-    private val errBuf = new java.lang.StringBuilder
+    val errBuf = new java.lang.StringBuilder
     private val errThread = new Thread(() => {
       val r = new java.io.BufferedReader(
         new java.io.InputStreamReader(proc.getErrorStream,
@@ -426,33 +447,71 @@ object DuckDbProcess {
     })
     errThread.setDaemon(true)
     errThread.start()
+    def errText(): String = errBuf.synchronized { errBuf.toString.trim }
+    def destroy(): Unit = { proc.destroyForcibly(); () }
+  }
+
+  /** Idle-server pool (the `db` rides in each request, so servers are
+    * database-agnostic and one pool serves every executor/harness).
+    * Borrowing skips dead servers; returning past the cap destroys. A
+    * server goes back to the pool ONLY at a request boundary (terminator
+    * or request-level `err` consumed) — an early close mid-stream (task
+    * cancellation) kills the process instead, because undrained rows
+    * would corrupt the next request. */
+  private val PoolCap = 8
+  private val pool =
+    new java.util.concurrent.ArrayBlockingQueue[Server](PoolCap)
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var s = pool.poll()
+    while (s != null) { s.destroy(); s = pool.poll() }
+  }))
+
+  private def borrow(): Server = {
+    var s = pool.poll()
+    while (s != null && !s.proc.isAlive) { s.destroy(); s = pool.poll() }
+    if (s == null) new Server(new ProcessBuilder("python3", "-c", Script).start())
+    else s
+  }
+
+  private def release(s: Server): Unit =
+    if (!s.proc.isAlive || !pool.offer(s)) s.destroy()
+
+  /** A streaming response: JSON row lines pulled lazily off the pooled
+    * server's stdout; the terminator/err line is consumed by `hasNext`,
+    * which returns the server to the pool. `close()` before the
+    * terminator kills the server (task cancellation mid-stream). */
+  final class ResponseIterator private[DuckDbProcess] (srv: Server)
+    extends Iterator[JsonNode] with AutoCloseable {
 
     private var nextNode: JsonNode = _
     private var done = false
+    private var finished = false // request boundary reached, srv released
 
     /** Control metadata (cols/tables) when the first line was an object. */
     var meta: JsonNode = _
 
     override def hasNext: Boolean = {
       while (nextNode == null && !done) {
-        val line = reader.readLine()
+        val line = srv.reader.readLine()
         if (line == null) {
           done = true
-          proc.waitFor()
+          srv.proc.waitFor()
+          val exit = srv.proc.exitValue()
+          srv.destroy()
           throw new IllegalStateException(
             s"duckdb subprocess died without terminator " +
-              s"(exit ${proc.exitValue()}): ${errText()}")
+              s"(exit $exit): ${srv.errText()}")
         } else {
           val node = mapper.readTree(line)
           if (node.isArray) nextNode = node
           else if (node.has("err")) {
-            done = true
-            proc.waitFor()
+            done = true; finished = true
+            release(srv) // request-level failure: the loop keeps serving
             throw new IllegalStateException(
-              s"duckdb error: ${node.get("err").asText()} ${errText()}")
+              s"duckdb error: ${node.get("err").asText()} ${srv.errText()}")
           } else if (node.has("ok")) {
-            done = true
-            proc.waitFor()
+            done = true; finished = true
+            release(srv)
           } else meta = node // cols / tables / counts metadata line
         }
       }
@@ -466,13 +525,9 @@ object DuckDbProcess {
       n
     }
 
-    private def errText(): String =
-      errBuf.synchronized { errBuf.toString.trim }
-
     override def close(): Unit = {
+      if (!finished) srv.destroy()
       done = true
-      proc.destroyForcibly()
-      ()
     }
 
     /** Drain to the terminator and return the metadata line. */
@@ -485,13 +540,14 @@ object DuckDbProcess {
 
   private def request(db: String, ro: Boolean, op: String,
       extra: String): ResponseIterator = {
-    val pb = new ProcessBuilder("python3", "-c", Script)
-    val proc = pb.start()
+    val srv = borrow()
     val req = s"""{"db":${jstr(db)},"ro":$ro,"op":"$op"$extra}"""
-    val w = new java.io.OutputStreamWriter(proc.getOutputStream,
-      StandardCharsets.UTF_8)
-    w.write(req); w.write("\n"); w.flush(); w.close()
-    new ResponseIterator(proc)
+    try {
+      srv.writer.write(req); srv.writer.write("\n"); srv.writer.flush()
+    } catch {
+      case e: java.io.IOException => srv.destroy(); throw e
+    }
+    new ResponseIterator(srv)
   }
 
   def query(db: String, sql: String): ResponseIterator =
