@@ -240,6 +240,7 @@ object SparkEntry {
     "fed_duckdb_bind" -> (Federated.duckBindJoin _),
     "fed_duckdb_split" -> (Federated.duckSplitScan _),
     "fed_etl_duck_to_derby" -> (Federated.duckToDerbyEtl _),
+    "stream_duckdb_sink" -> (Federated.duckStreamSink _),
     "fed_split_scan" -> (Federated.splitScanJoin _),
     // --- sampling / exact analytics ---
     "samp_hash_10pct" -> (Sampling.hashSample _),
@@ -414,6 +415,7 @@ object SparkEntry {
     "fed_duckdb_bind" -> Federated.bindJoinOracle, // same semantics, live DuckDB
     "fed_duckdb_split" -> Federated.splitScanOracle, // same query, split cursors
     "fed_etl_duck_to_derby" -> Federated.duckToDerbyEtlOracle,
+    "stream_duckdb_sink" -> Federated.duckStreamSinkOracle,
 
     "dedup_priority" -> Dedup.priorityKeepOracle,
     "dedup_containment" -> Dedup.containmentOracle,

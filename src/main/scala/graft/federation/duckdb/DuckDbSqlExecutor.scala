@@ -267,6 +267,54 @@ final class DuckDbSqlExecutor(
     deleteRecursively(new java.io.File(stage))
   }
 
+  /** Epoch-fenced variant for streaming `foreachBatch` sinks — the
+    * DuckDB parallel of [[graft.federation.jdbc.JdbcSqlExecutor
+    * .insertIntoEpoch]]: re-delivery of microbatch `epochId` (routine on
+    * recovery) is a no-op, and the fence row rides the SAME engine
+    * transaction as the bulk ingest (`BEGIN … COMMIT` through one
+    * connection of the request loop; a failure mid-list surfaces as the
+    * request error and the open transaction rolls back on the
+    * per-request connection close) — committed epochs imply committed
+    * rows and vice versa. Returns false when already committed. The
+    * epochs table must exist ([[ensureEpochTable]]). */
+  def insertIntoEpoch(ref: RemoteTableRef,
+      df: org.apache.spark.sql.DataFrame, epochId: Long): Boolean = {
+    val fence = epochTableRef(ref)
+    val seen = runQuery(
+      s"SELECT COUNT(*) FROM ${fence.sql(dialect)} " +
+        s"WHERE ${dialect.quoteIfNeeded("batch_id")} = $epochId")
+      .head.get(0).asLong() > 0
+    if (seen) false
+    else {
+      val schema = tableSchema(ref)
+      require(df.schema.length == schema.length,
+        s"insertIntoEpoch $ref: ${df.schema.length} columns for " +
+          s"${schema.length}-column table")
+      val stage = java.nio.file.Files
+        .createTempDirectory(stagingRoot, "epoch_").toString
+      val renamed = df.toDF(schema.fieldNames.toIndexedSeq: _*)
+      renamed.write.mode("overwrite").parquet(stage)
+      val cols = schema.fieldNames
+        .map(dialect.quoteIfNeeded).mkString(", ")
+      runWrite(Seq(
+        "BEGIN",
+        s"INSERT INTO ${ref.sql(dialect)} ($cols) " +
+          s"SELECT $cols FROM read_parquet('$stage/*.parquet')",
+        s"INSERT INTO ${fence.sql(dialect)} VALUES ($epochId)",
+        "COMMIT"))
+      deleteRecursively(new java.io.File(stage))
+      true
+    }
+  }
+
+  private def epochTableRef(ref: RemoteTableRef): RemoteTableRef =
+    RemoteTableRef.parse(ref.parts.last + "__epochs")
+
+  /** Create (or reset) the epoch-fence table for `ref`. */
+  def ensureEpochTable(ref: RemoteTableRef): Unit =
+    createTable(epochTableRef(ref), StructType(Seq(
+      StructField("batch_id", LongType))))
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)

@@ -921,6 +921,60 @@ object Federated {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Streaming ingest into the LIVE DuckDB engine, epoch-fenced: arriving
+    * pages pass the in-flight C4 screen and survivors land through
+    * [[graft.federation.duckdb.DuckDbSqlExecutor.insertIntoEpoch]] — the
+    * parquet-staged bulk path with the fence row in the SAME engine
+    * transaction, so `foreachBatch` re-delivery (recovery replay) is a
+    * no-op. The read-back is a federated scan of what the stream
+    * admitted; the oracle recomputes the C4 survivors in batch. */
+  def duckStreamSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.duckdb.DuckDbHarness.executor(s, dir)
+    val ref = graft.federation.sql.RemoteTableRef.parse("stream_c4_kept")
+    ex.createTable(ref, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("n_sentences", IntegerType))))
+    ex.ensureEpochTable(ref) // reset the fence with the target
+    val schema = graft.sources.Tables.documents(s, dir).schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("source"),
+        graft.operators.TextOps.c4GateTextCol.as("text"))
+    val kept = graft.operators.TextOps
+      .c4FiltersFrame(stream,
+        badWords = graft.operators.TextOps.c4GateBadWords)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("source"), col("n_sentences"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("duck_sink_ckpt").toString
+    val q = kept.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        ex.insertIntoEpoch(ref, batch, batchId)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.federation.Federation
+      .remoteDataFrame(s, "stream_c4_kept", ex)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Batch recompute of what the stream admitted: the C4 screen's kept
+    * pages. */
+  val duckStreamSinkOracle: String = {
+    val inner = graft.operators.TextOps.c4FiltersOracle()
+      .stripSuffix("ORDER BY doc_id")
+    s"""SELECT doc_id, source, n_sentences FROM ($inner) c
+       |WHERE keep ORDER BY doc_id""".stripMargin
+  }
+
   /** Cross-engine ETL, live end to end: EXTRACT+TRANSFORM federate into
     * DuckDB as ONE SQL fragment (filter + per-customer aggregate, cents
     * kept in exact BIGINT arithmetic so three engines agree bitwise),

@@ -274,6 +274,36 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got(2).getString(1).endsWith("!"))
   }
 
+  test("epoch-fenced ingest: re-delivered microbatch is a no-op") {
+    import spark.implicits._
+    Federation.install(spark)
+    val e = ex
+    val ref = RemoteTableRef.parse("epoch_target")
+    e.createTable(ref, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType))))
+    e.ensureEpochTable(ref)
+    val batch = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    assert(e.insertIntoEpoch(ref, batch, epochId = 7L))
+    // recovery replay of the SAME epoch: no-op, no duplicate rows
+    assert(!e.insertIntoEpoch(ref, batch, epochId = 7L))
+    assert(e.runQuery("SELECT COUNT(*) FROM \"epoch_target\"")
+      .head.get(0).asLong() == 3L)
+    // a NEW epoch appends
+    assert(e.insertIntoEpoch(ref,
+      Seq((4L, "d")).toDF("k", "v"), epochId = 8L))
+    assert(e.runQuery("SELECT COUNT(*) FROM \"epoch_target\"")
+      .head.get(0).asLong() == 4L)
+    // the fence rode the SAME transaction as the rows
+    val log = e.dmlLog.synchronized(e.dmlLog.toVector)
+    val begin = log.lastIndexOf("BEGIN")
+    assert(begin >= 0 && log(begin + 1).contains("read_parquet") &&
+      log(begin + 2).contains("__epochs") && log(begin + 3) == "COMMIT",
+      log.takeRight(6).mkString("\n"))
+  }
+
   test("sorted fragment on a STRING key: window runs without re-sort") {
     DuckDbHarness.registerViews(spark, dir)
     // DuckDB's VARCHAR ordering is probed byte-identical to Spark's
