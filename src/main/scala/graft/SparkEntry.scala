@@ -51,6 +51,8 @@ object SparkEntry {
     "ev_retention" -> (EventOps.retention _),
     // --- text analysis ---
     "text_token_stats" -> (TextOps.tokenStats _),
+    "src_jsonl_roundtrip" -> ((s, d) =>
+      graft.sources.Jsonl.roundTripReport(s, d)),
     "text_pii_report" -> ((s, d) => TextOps.piiReport(s, d)),
     "text_mask" -> ((s, d) => TextOps.maskText(s, d)),
     "text_chunks" -> ((s, d) => TextOps.chunk(s, d)),
@@ -287,6 +289,7 @@ object SparkEntry {
     "stream_incremental" -> graft.streaming.StreamOps.incrementalStreamOracle,
     "stream_lm_quality" -> graft.streaming.StreamOps.lmQualityOracle,
     "text_token_stats" -> TextOps.tokenStatsOracle,
+    "src_jsonl_roundtrip" -> graft.sources.Jsonl.roundTripOracle,
     "text_pii_report" -> TextOps.piiReportOracle,
     "text_mask" -> TextOps.maskTextOracle,
     "text_chunks" -> TextOps.chunkOracle,

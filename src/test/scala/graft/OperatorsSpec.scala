@@ -1598,6 +1598,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("s2") == (3L, 2L, 1L, 0L, 0L))
   }
 
+  test("JSONL round trip preserves hostile text exactly") {
+    import spark.implicits._
+    // the JSON hop must escape what parquet stored verbatim
+    val docs = Seq(
+      (0L, "line one\nline two\ttabbed", "nl"),
+      (1L, "he said \"quote\" and \\backslash\\", "esc"),
+      (2L, "unicode: héllo wörld — em–dash … ellipsis 你好", "uni"),
+      (3L, "", "empty"),
+      (4L, "{\"fake\": \"json\"} [brackets]", "jsonish"))
+      .toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("jsonl").toString
+    graft.sources.Jsonl.write(docs, tmp, maxRecordsPerShard = 2L)
+    val back = graft.sources.Jsonl.read(spark, tmp, docs.schema)
+    val a = docs.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2))).sortBy(_._1).toSeq
+    val b = back.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2))).sortBy(_._1).toSeq
+    assert(a == b)
+    // record budgeting genuinely sharded the write
+    val shards = new java.io.File(tmp).listFiles
+      .count(_.getName.endsWith(".json.gz"))
+    assert(shards >= 2, s"expected >=2 shards, got $shards")
+  }
+
   test("recall report equals per-query set intersection of the top-k gates") {
     def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => (r.getLong(r.fieldIndex("q_id")),
