@@ -1598,6 +1598,61 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("s2") == (3L, 2L, 1L, 0L, 0L))
   }
 
+  test("C4 screens match an independent reference on 300 generated pages") {
+    import spark.implicits._
+    // independent plain-Scala recompute of every screen — any divergence
+    // between the Column expressions and this reference is a real bug
+    val badWords = Set("verboten")
+    def ref(text: String): (Int, Int, Int, Boolean, Boolean, Boolean,
+        Boolean, Boolean) = {
+      val ls = text.split("\n", -1)
+      def rstrip(s: String) = s.reverse.dropWhile(_ == ' ').reverse
+      def words(s: String) =
+        s.trim.split("\\s+").count(_.nonEmpty)
+      val kept = ls.filter { l =>
+        val r = rstrip(l)
+        r.nonEmpty && ".!?\"".contains(r.last) && words(l) >= 5 &&
+          !l.toLowerCase.contains("javascript")
+      }
+      val nSent = kept.mkString("\n").count(".!?".contains(_))
+      val noLorem = !text.toLowerCase.contains("lorem ipsum")
+      val noBrace = !text.contains("{")
+      val noBad = text.toLowerCase.split("[^a-z]+")
+        .filter(_.nonEmpty).toSet.intersect(badWords).isEmpty
+      (ls.length, kept.length, nSent, noLorem, noBrace, noBad,
+        nSent >= 3, nSent >= 3 && noLorem && noBrace && noBad)
+    }
+    val rnd = new scala.util.Random(41)
+    val vocab = Seq("the", "cat", "lorem", "ipsum", "javascript", "Big",
+      "x1", "{", "verboten", "verbotenheit", "wörd", "#", "a")
+    val endings = Seq(".", "!", "?", "\"", "", "...", " .", ".extra")
+    def line(): String = {
+      val n = rnd.nextInt(9)
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ") +
+        endings(rnd.nextInt(endings.size)) + (" " * rnd.nextInt(3))
+    }
+    def page(): String =
+      Seq.fill(rnd.nextInt(7))(line()).mkString("\n")
+    val pages = (0L until 300L).map(i =>
+      (i, if (i == 0) "" else page(), "gen"))
+    val got = operators.TextOps
+      .c4FiltersOf(pages.toDF("doc_id", "text", "source"),
+        badWords = badWords.toSeq)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(r.fieldIndex("n_lines")),
+          r.getInt(r.fieldIndex("n_kept_lines")),
+          r.getInt(r.fieldIndex("n_sentences")),
+          r.getBoolean(r.fieldIndex("r_no_lorem")),
+          r.getBoolean(r.fieldIndex("r_no_brace")),
+          r.getBoolean(r.fieldIndex("r_no_badwords")),
+          r.getBoolean(r.fieldIndex("r_min_sentences")),
+          r.getBoolean(r.fieldIndex("keep")))).toMap
+    for ((id, text, _) <- pages)
+      assert(got(id) == ref(text), s"doc $id text=${text.take(120)}")
+    // both outcomes of keep occurred across the generated corpus
+    assert(got.values.map(_._8).toSet.size == 2)
+  }
+
   test("JSONL round trip preserves hostile text exactly") {
     import spark.implicits._
     // the JSON hop must escape what parquet stored verbatim
