@@ -149,6 +149,36 @@ object ScaleStress {
         s""""curated_docs":$curatedSources,$pipeJson}""")
     }
 
+    val doNb = sys.env.get("SPARK_GRAFT_SCALE_NB").contains("1")
+    if (doNb) {
+      // Classifier at corpus scale: training must fold 5M docs into ≤dim
+      // count rows in one map-side-combined aggregate; serving must stay
+      // a zero-shuffle scan projection. Labels: the generator's "chain"
+      // source vs the salted web corpus — any binary split exercises the
+      // same plan.
+      val corpus = spark.read.parquet(docs.getPath)
+      val dim = 2048
+      var w: Array[Long] = null
+      timed("nb_train") {
+        w = graft.operators.Classifier.nbWeights(
+          corpus, Seq("chain"), dim)
+      }
+      // force every score without collecting per-doc rows
+      val nbForce = timed("nb_serve") {
+        graft.operators.Classifier.nbScoreCols(corpus, w, dim)
+          .agg(sum(col("score_q10")) +
+            sum(when(col("keep"), 1L).otherwise(0L))).head.getLong(0)
+      }
+      val nbJson = phases
+        .filter(p => Seq("gen", "nb_train", "nb_serve").contains(p._1))
+        .map { case (n, p) =>
+          f""""$n":{"sec":${p.sec}%.1f,"shuffle_write_mb":${p.w / 1048576},"shuffle_read_mb":${p.r / 1048576}}"""
+        }.mkString(",")
+      println(
+        s"""{"n_docs":$nDocs,"nb_nonzero_weights":${w.count(_ != 0)},""" +
+        s""""nb_force":$nbForce,$nbJson}""")
+    }
+
     val doR9 = sys.env.get("SPARK_GRAFT_SCALE_R9").contains("1")
     if (doR9) {
       // r9 battery: the repetition kernel, Bloom-vs-exact decontamination

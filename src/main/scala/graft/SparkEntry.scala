@@ -41,6 +41,7 @@ object SparkEntry {
     // --- events / time series ---
     "ev_hourly_rollup" -> (EventOps.hourlyRollup _),
     "ev_sessionize" -> (EventOps.sessionize _),
+    "ev_session_window" -> (EventOps.sessionWindows _),
     "ev_props_histogram" -> (EventOps.propsHistogram _),
     "ev_transitions" -> (EventOps.transitions _),
     "mm_phash_neardup" -> (Multimodal.phashNearDup _),
@@ -53,11 +54,14 @@ object SparkEntry {
     "text_token_stats" -> (TextOps.tokenStats _),
     "src_jsonl_roundtrip" -> ((s, d) =>
       graft.sources.Jsonl.roundTripReport(s, d)),
+    "src_orc_roundtrip" -> ((s, d) =>
+      graft.sources.Orc.roundTripReport(s, d)),
     "text_pii_report" -> ((s, d) => TextOps.piiReport(s, d)),
     "text_mask" -> ((s, d) => TextOps.maskText(s, d)),
     "text_chunks" -> ((s, d) => TextOps.chunk(s, d)),
     "text_bm25" -> ((s, d) => TextOps.bm25(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
+    "text_nb_classifier" -> ((s, d) => Classifier.nbQualityScore(s, d)),
     "text_quality_buckets" -> ((s, d) => TextOps.qualityBuckets(s, d)),
     "text_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d,
       requiredWords = gopherGateWords)),
@@ -140,6 +144,9 @@ object SparkEntry {
     "stream_dedup" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runDedupToMemory(s, d)
         .orderBy(col("content_md5"))),
+    "stream_dedup_bounded" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runDedupBoundedToMemory(s, d)
+        .orderBy(col("user_id"), col("event_type"))),
     "stream_interval_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runIntervalJoinToMemory(s, d)
         .orderBy(col("p_id"), col("s_id"))),
@@ -157,6 +164,9 @@ object SparkEntry {
         .orderBy(col("fp"))),
     "stream_lm_quality" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runLmQualityToMemory(s, d)
+        .orderBy(col("source"))),
+    "stream_nb_quality" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runNbQualityToMemory(s, d)
         .orderBy(col("source"))),
     "stream_gopher_filter" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runGopherFilterToMemory(s, d, gopherGateWords)
@@ -241,6 +251,10 @@ object SparkEntry {
     "fed_duckdb_write" -> (Federated.duckWrite _),
     "fed_duckdb_bind" -> (Federated.duckBindJoin _),
     "fed_duckdb_split" -> (Federated.duckSplitScan _),
+    "fed_duckdb_window" -> (Federated.duckWindow _),
+    "fed_duckdb_grouptopk" -> (Federated.duckGroupTopK _),
+    "fed_duckdb_rollup" -> (Federated.duckRollup _),
+    "fed_xengine_partial_agg" -> (Federated.duckXenginePartialAgg _),
     "fed_etl_duck_to_derby" -> (Federated.duckToDerbyEtl _),
     "stream_duckdb_sink" -> (Federated.duckStreamSink _),
     "fed_split_scan" -> (Federated.splitScanJoin _),
@@ -272,6 +286,7 @@ object SparkEntry {
     "q_union_keys" -> Relational.qUnionKeysOracle,
     "ev_hourly_rollup" -> EventOps.hourlyRollupOracle,
     "ev_sessionize" -> EventOps.sessionizeOracle,
+    "ev_session_window" -> EventOps.sessionWindowsOracle,
     "ev_props_histogram" -> EventOps.propsHistogramOracle,
     "ev_transitions" -> EventOps.transitionsOracle,
     "mm_phash_neardup" -> Multimodal.phashNearDupOracle,
@@ -288,13 +303,16 @@ object SparkEntry {
     "stream_decontaminate" -> graft.streaming.StreamOps.decontaminateOracle,
     "stream_incremental" -> graft.streaming.StreamOps.incrementalStreamOracle,
     "stream_lm_quality" -> graft.streaming.StreamOps.lmQualityOracle,
+    "stream_nb_quality" -> graft.streaming.StreamOps.nbQualityStreamOracle,
     "text_token_stats" -> TextOps.tokenStatsOracle,
     "src_jsonl_roundtrip" -> graft.sources.Jsonl.roundTripOracle,
+    "src_orc_roundtrip" -> graft.sources.Orc.roundTripOracle,
     "text_pii_report" -> TextOps.piiReportOracle,
     "text_mask" -> TextOps.maskTextOracle,
     "text_chunks" -> TextOps.chunkOracle,
     "text_bm25" -> TextOps.bm25Oracle,
     "text_lm_score" -> TextOps.lmScoreOracle,
+    "text_nb_classifier" -> Classifier.nbQualityOracle,
     "text_quality_buckets" -> TextOps.qualityBucketsOracle,
     "text_gopher_rules" -> TextOps.gopherRulesOracle(30, 90, gopherGateWords),
     "text_repetition_rules" -> TextOps.repetitionRulesOracle,
@@ -327,6 +345,7 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT md5(text) AS content_md5 FROM documents
         |ORDER BY content_md5""".stripMargin,
+    "stream_dedup_bounded" -> graft.streaming.StreamOps.dedupBoundedOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_minhash" -> Dedup.minhashOracle,
     "dedup_simhash" -> Dedup.simhashOracle,
@@ -417,6 +436,10 @@ object SparkEntry {
     "fed_duckdb_write" -> Federated.duckWriteOracle,
     "fed_duckdb_bind" -> Federated.bindJoinOracle, // same semantics, live DuckDB
     "fed_duckdb_split" -> Federated.splitScanOracle, // same query, split cursors
+    "fed_duckdb_window" -> Federated.duckWindowOracle,
+    "fed_duckdb_grouptopk" -> Federated.duckGroupTopKOracle,
+    "fed_duckdb_rollup" -> Federated.duckRollupOracle,
+    "fed_xengine_partial_agg" -> Federated.duckXenginePartialAggOracle,
     "fed_etl_duck_to_derby" -> Federated.duckToDerbyEtlOracle,
     "stream_duckdb_sink" -> Federated.duckStreamSinkOracle,
 

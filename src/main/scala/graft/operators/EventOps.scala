@@ -64,6 +64,49 @@ object EventOps {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** The same sessionization through Spark's NATIVE `session_window`
+    * grouping — Catalyst's merging-session aggregate, the declare-it
+    * path next to [[sessionize]]'s hand-built lag+cumsum: no window
+    * function, no per-user sort in user code; the operator is the
+    * standard one a cluster's AQE/codegen pipeline already optimizes,
+    * and the identical grouping runs in Structured Streaming with
+    * watermarked state eviction. Semantics differ from [[sessionize]]
+    * deliberately: windows are [first, last+gap) and the break
+    * comparison is at full microsecond precision (the built-in's
+    * contract), so the oracle mirrors THAT — a boundary event exactly
+    * `gap` after its predecessor starts a new session. */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz")
+          .as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionWindowsOracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |           OR CAST(ts AS TIMESTAMP) >=
+      |              LAG(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged
+      |)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val sessionizeOracle: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -921,6 +921,131 @@ object Federated {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Window functions federate WHOLE into one live DuckDB SQL: a
+    * per-status running revenue (ordered frame) plus LAG navigation over
+    * a filtered scan all unparse into a single remote query — zero local
+    * windowing, only the final rows cross the subprocess boundary.
+    * Derby's dialect refuses this shape (`supportsWindowFunctions` =
+    * false, probed r7); DuckDB's claim is proven here against the real
+    * engine rather than a golden. */
+  def duckWindow(s: SparkSession, dir: String): DataFrame =
+    graft.federation.duckdb.DuckDbHarness.sql(s, dir,
+      """SELECT st, k, price,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY st ORDER BY k) AS DOUBLE) AS run,
+        |  LAG(k) OVER (PARTITION BY st ORDER BY k) AS prev_k
+        |FROM (
+        |  SELECT o_orderstatus AS st, o_orderkey AS k,
+        |    CAST(o_totalprice AS DOUBLE) AS price
+        |  FROM duck_orders WHERE o_totalprice > 200000
+        |) t
+        |ORDER BY st, k""".stripMargin)
+
+  val duckWindowOracle: String =
+    """SELECT st, k, price,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY st ORDER BY k) AS DOUBLE) AS run,
+      |  LAG(k) OVER (PARTITION BY st ORDER BY k) AS prev_k
+      |FROM (
+      |  SELECT o_orderstatus AS st, o_orderkey AS k,
+      |    CAST(o_totalprice AS DOUBLE) AS price
+      |  FROM orders WHERE o_totalprice > 200000
+      |) t
+      |ORDER BY st, k""".stripMargin
+
+  /** Per-group top-k where one union arm is the LIVE DuckDB engine and
+    * the other the mock alpha provider:
+    * [[graft.federation.GroupTopKPushdownRule]] replicates the windowed
+    * rank + truncation into BOTH fragments, so the real engine executes
+    * the `ROW_NUMBER() OVER … <= 3` wrap it has only ever seen in
+    * goldens, shipping ≤3 rows per status; the local merge re-ranks the
+    * truncated union. Tie-deterministic (orderkeys unique, arm filters
+    * disjoint). */
+  def duckGroupTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.federation.duckdb.DuckDbHarness.registerViews(s, dir)
+    FederationHarness.sql(s, dir,
+      """SELECT st, rnk, k, price FROM (
+        |  SELECT o_orderstatus AS st, o_orderkey AS k,
+        |    CAST(o_totalprice AS DOUBLE) AS price,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM (
+        |    SELECT o_orderkey, o_totalprice, o_orderstatus
+        |    FROM duck_orders WHERE o_orderpriority = '1-URGENT'
+        |    UNION ALL
+        |    SELECT o_orderkey, o_totalprice, o_orderstatus
+        |    FROM fed_orders WHERE o_orderpriority = '2-HIGH'
+        |  ) t
+        |) r WHERE rnk <= 3
+        |ORDER BY st, rnk""".stripMargin)
+  }
+
+  /** Same truncated-union shape, so the local recompute is identical —
+    * `def`: [[unionGroupTopKOracle]] is declared later in the file. */
+  def duckGroupTopKOracle: String = unionGroupTopKOracle
+
+  /** ROLLUP federates WHOLE into the live engine: Catalyst lowers ROLLUP
+    * to Expand+Aggregate, the unparser reconstructs `GROUP BY GROUPING
+    * SETS` ([[graft.federation.sql.SqlUnparser]] grouping-set recovery),
+    * and DuckDB executes all three grouping levels remotely — only the
+    * ~O(groups) rollup rows cross the subprocess boundary. Until now the
+    * GROUPING SETS emission ran only against mocks and goldens. */
+  def duckRollup(s: SparkSession, dir: String): DataFrame =
+    graft.federation.duckdb.DuckDbHarness.sql(s, dir,
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  MAX(o_totalprice) AS max_price
+        |FROM duck_orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+
+  /** Identical rollup recomputed by the oracle engine directly —
+    * `def`: [[rollupOracle]] is declared later in the file. */
+  def duckRollupOracle: String = rollupOracle
+
+  /** Partial aggregation with BOTH arms on real engines: a grouped
+    * aggregate over `duck_lineitem UNION ALL jdbc_lineitem` (disjoint
+    * discount slices) is split by [[graft.federation.PartialAggRule]]
+    * into per-engine partial aggregates — DuckDB and Derby each compute
+    * their arm's SUM/COUNT/MAX partials and ship O(groups) rows; the
+    * local final combine stitches them. The rule's cross-engine behavior
+    * was fuzz-swept (UnparserFuzzSpec's DuckDB+Derby union arms) but
+    * this is the named oracle gate. All aggregates exact (decimal sum,
+    * count, max-by-comparison) — no order-dependent FP summation. */
+  def duckXenginePartialAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.federation.jdbc.JdbcHarness.registerViews(s, dir)
+    graft.federation.duckdb.DuckDbHarness.registerViews(s, dir)
+    s.sql(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows,
+        |  MAX(l_extendedprice) AS max_price
+        |FROM (
+        |  SELECT l_returnflag, l_quantity, l_extendedprice
+        |  FROM duck_lineitem WHERE l_discount > 0.05
+        |  UNION ALL
+        |  SELECT l_returnflag, l_quantity, l_extendedprice
+        |  FROM jdbc_lineitem WHERE l_discount <= 0.05
+        |) t
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val duckXenginePartialAggOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows,
+      |  MAX(l_extendedprice) AS max_price
+      |FROM (
+      |  SELECT l_returnflag, l_quantity, l_extendedprice
+      |  FROM lineitem WHERE l_discount > 0.05
+      |  UNION ALL
+      |  SELECT l_returnflag, l_quantity, l_extendedprice
+      |  FROM lineitem WHERE l_discount <= 0.05
+      |) t
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Streaming ingest into the LIVE DuckDB engine, epoch-fenced: arriving
     * pages pass the in-flight C4 screen and survivors land through
     * [[graft.federation.duckdb.DuckDbSqlExecutor.insertIntoEpoch]] — the

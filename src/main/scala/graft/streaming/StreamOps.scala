@@ -24,12 +24,16 @@ object StreamOps {
     * micros) or native microsecond timestamps (parquet NTZ, reinterpreted
     * in the UTC session zone — identical instants). Mirrors the branch in
     * [[Tables.events]] so batch and stream see the same values. */
-  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+  private def eventStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = Tables.eventsRaw(spark, dir).schema
-    val raw = spark.readStream
+    val rd = spark.readStream
       .schema(schema)
       // the file source requires a directory; glob-filter to the events file
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
+    val raw = maxFilesPerTrigger
+      .fold(rd)(n => rd.option("maxFilesPerTrigger", n.toString))
       .parquet(dir)
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -197,6 +201,36 @@ object StreamOps {
   def runDedupToMemory(spark: SparkSession, dir: String,
       name: String = "stream_dedup_out"): DataFrame =
     runStream(spark, dedupStream(spark, dir), "append", name)
+
+  /** Watermark-BOUNDED streaming dedup: `dropDuplicatesWithinWatermark`
+    * holds a key only until event time passes `delay` beyond it, so state
+    * is the last `delay` of distinct keys — where [[dedupStream]]'s exact
+    * `dropDuplicates` state grows forever. That unbounded growth is the
+    * real production failure mode of streaming dedup at 100 TB/day; the
+    * within-horizon contract (exact for duplicates arriving within
+    * `delay` of each other — the overwhelmingly common case for
+    * replays/retries) is the standard trade. Emits only the key columns:
+    * WHICH arrival survives is racy across partitions, so row identity is
+    * deliberately not part of the output contract. On the static fixture
+    * (one microbatch, horizon ≥ span) the output is exactly the distinct
+    * key set — oracle-hashable; the eviction behavior is pinned by the
+    * multi-batch spec, which proves state shrinks as the watermark
+    * advances and a key re-arriving past the horizon re-emits. */
+  def dedupBoundedStream(spark: SparkSession, dir: String,
+      delay: String = "36500 days", glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    eventStream(spark, dir, glob, maxFilesPerTrigger)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
+  def runDedupBoundedToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_dedup_bounded_out"): DataFrame =
+    runStream(spark, dedupBoundedStream(spark, dir), "append", name)
+
+  val dedupBoundedOracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
 
   /** Watermarked stream-stream interval join: each purchase joins the
     * signups of the same user whose window [s_ts, s_ts + 1h) contains it.
@@ -1027,4 +1061,50 @@ object StreamOps {
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |GROUP BY d.source
       |ORDER BY d.source""".stripMargin
+
+  /** In-flight naive-Bayes quality classification
+    * ([[graft.operators.Classifier]]): the fitted weight array — trained
+    * once on the STATIC corpus, a dense ≤16 KB literal — scores each
+    * arriving document INSIDE the microbatch projection (O(1)
+    * `element_at` per token, zero stream-side shuffle); the only
+    * stateful operator is the per-source rollup. The serving path of the
+    * CCNet-style curated-vs-crawl filter, run in the ingest stream. */
+  def nbQualityStream(spark: SparkSession, dir: String,
+      posSources: Seq[String] = Seq("src0", "src1"),
+      dim: Int = 2048): DataFrame = {
+    val w = graft.operators.Classifier
+      .nbWeights(Tables.documents(spark, dir), posSources, dim)
+    val schema = Tables.documents(spark, dir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    graft.operators.Classifier.nbScoreCols(stream, w, dim)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("score_q10")).as("score_sum"))
+  }
+
+  def runNbQualityToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_nb_quality_out"): DataFrame =
+    runStream(spark, nbQualityStream(spark, dir), "complete", name)
+
+  /** Per-source rollup of the batch
+    * [[graft.operators.Classifier.nbQualityOracle]] pipeline — the
+    * stream must agree exactly (same integer weights, same scores). */
+  val nbQualityStreamOracle: String = {
+    val inner = graft.operators.Classifier.nbQualityOracle
+      .replaceFirst("(?s)\\)\\s*SELECT t\\.doc_id.*$", "), ")
+    s"""${inner}doc AS (
+       |  SELECT t.doc_id, t.source,
+       |    CAST(COALESCE(s.score, 0) AS BIGINT) AS score
+       |  FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(score) AS BIGINT) AS score_sum
+       |FROM doc GROUP BY source ORDER BY source""".stripMargin
+  }
 }

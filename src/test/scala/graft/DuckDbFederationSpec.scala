@@ -170,6 +170,36 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(df) == want)
   }
 
+  test("cross-engine partial agg: both real engines ship grouped partials") {
+    graft.federation.jdbc.JdbcHarness.registerViews(spark, dir)
+    DuckDbHarness.registerViews(spark, dir)
+    val duckEx = ex
+    val derbyEx = graft.federation.jdbc.JdbcHarness.executor(spark, dir)
+    val duckBefore = duckEx.executedSql.size
+    val derbyBefore = derbyEx.executedSql.size
+    val df = graft.operators.Federated.duckXenginePartialAgg(spark, dir)
+    val got = rows(df)
+    def partialized(sqls: Iterable[String]): Boolean = sqls.exists(s =>
+      s.contains("__gp_") && s.toUpperCase.contains("GROUP BY"))
+    val duckSqls = duckEx.executedSql.synchronized(
+      duckEx.executedSql.drop(duckBefore))
+    val derbySqls = derbyEx.executedSql.synchronized(
+      derbyEx.executedSql.drop(derbyBefore))
+    assert(partialized(duckSqls),
+      s"DuckDB arm shipped no partial aggregate:\n${duckSqls.mkString("\n")}")
+    assert(partialized(derbySqls),
+      s"Derby arm shipped no partial aggregate:\n${derbySqls.mkString("\n")}")
+    val want = rows(spark.sql(
+      s"""SELECT l_returnflag,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  COUNT(*) AS n_rows,
+         |  MAX(l_extendedprice) AS max_price
+         |FROM parquet.`$dir/lineitem.parquet`
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin))
+    assert(got == want, "cross-engine partial agg differs from local")
+  }
+
   test("splittable fragment fans out to 4 read-only subprocess cursors") {
     DuckDbHarness.registerViews(spark, dir)
     // approx_count_distinct has no remote spelling, so the aggregate
@@ -330,6 +360,92 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
          |      ORDER BY s_name LIMIT 50) t""".stripMargin)
       .collect().map(_.toString).toSeq
     assert(df.collect().map(_.toString).toSeq == want)
+  }
+
+  test("window functions federate whole: OVER executes on the live engine") {
+    DuckDbHarness.registerViews(spark, dir)
+    val e = ex
+    val before = e.executedSql.size
+    val df = graft.operators.Federated.duckWindow(spark, dir)
+    assert(remoteScans(df).size == 1,
+      s"expected one remote scan:\n${df.queryExecution.executedPlan}")
+    val planStr = df.queryExecution.executedPlan.toString()
+    assert(!planStr.contains("Window"),
+      s"window ran locally instead of on the engine:\n$planStr")
+    val got = rows(df)
+    val executed = e.executedSql.synchronized(e.executedSql.drop(before))
+    assert(executed.exists(s =>
+        s.toUpperCase.contains("OVER (PARTITION BY")), executed.mkString("\n"))
+    val want = rows(spark.sql(
+      s"""SELECT st, k, price,
+         |  CAST(SUM(CAST(price AS DECIMAL(18,2)))
+         |    OVER (PARTITION BY st ORDER BY k) AS DOUBLE) AS run,
+         |  LAG(k) OVER (PARTITION BY st ORDER BY k) AS prev_k
+         |FROM (
+         |  SELECT o_orderstatus AS st, o_orderkey AS k,
+         |    CAST(o_totalprice AS DOUBLE) AS price
+         |  FROM parquet.`$dir/orders.parquet` WHERE o_totalprice > 200000
+         |) t
+         |ORDER BY st, k""".stripMargin))
+    assert(got == want)
+  }
+
+  test("per-group top-k truncation executes on the live engine (mixed arms)") {
+    graft.federation.FederationHarness.setup(spark, dir)
+    DuckDbHarness.registerViews(spark, dir)
+    val e = ex
+    val before = e.executedSql.size
+    val df = graft.operators.Federated.duckGroupTopK(spark, dir)
+    val got = rows(df)
+    // the DuckDB arm's wire SQL carries the windowed rank + truncation —
+    // the GroupTopKPushdownRule wrap, previously golden-only, run live
+    val executed = e.executedSql.synchronized(e.executedSql.drop(before))
+    assert(executed.exists(s => s.toLowerCase.contains("row_number() over") &&
+        s.contains("__gtk_rn") && s.contains("<= 3")),
+      s"DuckDB remote SQL carries no per-group truncation:\n" +
+        executed.mkString("\n"))
+    val want = rows(spark.sql(
+      s"""SELECT st, rnk, k, price FROM (
+         |  SELECT o_orderstatus AS st, o_orderkey AS k,
+         |    CAST(o_totalprice AS DOUBLE) AS price,
+         |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+         |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+         |  FROM (
+         |    SELECT o_orderkey, o_totalprice, o_orderstatus
+         |    FROM parquet.`$dir/orders.parquet`
+         |    WHERE o_orderpriority = '1-URGENT'
+         |    UNION ALL
+         |    SELECT o_orderkey, o_totalprice, o_orderstatus
+         |    FROM parquet.`$dir/orders.parquet`
+         |    WHERE o_orderpriority = '2-HIGH'
+         |  ) t
+         |) r WHERE rnk <= 3
+         |ORDER BY st, rnk""".stripMargin))
+    assert(got == want, "mixed-arm per-group top-k differs from local")
+  }
+
+  test("ROLLUP federates whole: GROUPING SETS executes on the live engine") {
+    DuckDbHarness.registerViews(spark, dir)
+    val e = ex
+    val before = e.executedSql.size
+    val df = graft.operators.Federated.duckRollup(spark, dir)
+    assert(remoteScans(df).size == 1,
+      s"expected one remote scan:\n${df.queryExecution.executedPlan}")
+    val planStr = df.queryExecution.executedPlan.toString()
+    assert(!planStr.contains("Expand"),
+      s"rollup expanded locally instead of on the engine:\n$planStr")
+    val got = rows(df)
+    val executed = e.executedSql.synchronized(e.executedSql.drop(before))
+    assert(executed.exists(_.toUpperCase.contains("GROUP BY GROUPING SETS")),
+      executed.mkString("\n"))
+    val want = rows(spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  MAX(o_totalprice) AS max_price
+         |FROM parquet.`$dir/orders.parquet`
+         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST,
+         |  o_orderpriority ASC NULLS FIRST""".stripMargin))
+    assert(got == want)
   }
 
   test("statistics probe sees fragment-level cardinality") {

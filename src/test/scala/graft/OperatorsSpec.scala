@@ -1598,6 +1598,79 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("s2") == (3L, 2L, 1L, 0L, 0L))
   }
 
+  test("NB classifier matches a plain-Scala recompute and separates planted classes") {
+    import spark.implicits._
+    val dim = 256
+    val rnd = new scala.util.Random(7)
+    val good = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val bad = Seq("zeta", "eta", "theta", "iota", "kappa")
+    val shared = Seq("the", "a", "of")
+    def page(pool: Seq[String]): String = {
+      val v = pool ++ shared
+      Seq.fill(20)(v(rnd.nextInt(v.size))).mkString(" ")
+    }
+    val docs = (0 until 40).map { i =>
+      val pos = i % 2 == 0
+      (i.toLong, page(if (pos) good else bad),
+        if (pos) "cur" else "crawl")
+    }
+    val df = docs.toDF("doc_id", "text", "source")
+    val w = operators.Classifier.nbWeights(df, Seq("cur"), dim)
+    // independent recompute: tokenize, md5 bucket, smoothed log-odds
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(6), 16) % dim).toInt
+    }
+    val cp = new Array[Long](dim)
+    val cn = new Array[Long](dim)
+    for ((_, text, src) <- docs;
+        t <- text.toLowerCase.split("\\s+") if t.nonEmpty)
+      if (src == "cur") cp(bucket(t)) += 1 else cn(bucket(t)) += 1
+    import operators.Classifier.log2q10
+    val kp = log2q10(cp.sum + dim)
+    val kn = log2q10(cn.sum + dim)
+    val refW = Array.tabulate(dim)(i =>
+      (log2q10(cp(i) + 1) - kp) - (log2q10(cn(i) + 1) - kn))
+    assert(w.toSeq == refW.toSeq)
+    val scored = operators.Classifier.nbScoreCols(df, w, dim).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(r.fieldIndex("score_q10")),
+          r.getBoolean(r.fieldIndex("keep"))))).toMap
+    for ((id, text, src) <- docs) {
+      val s = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(t => refW(bucket(t))).sum
+      assert(scored(id) == ((s, s > 0)), s"doc $id")
+      // and the planted classes actually separate
+      assert(scored(id)._2 == (src == "cur"), s"doc $id from $src misclassified")
+    }
+  }
+
+  test("logistic trainer: loss descends, planted classes separate") {
+    import spark.implicits._
+    val dim = 256
+    val rnd = new scala.util.Random(11)
+    val good = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val bad = Seq("zeta", "eta", "theta", "iota", "kappa")
+    def page(pool: Seq[String]): String =
+      Seq.fill(15)((pool :+ "the")(rnd.nextInt(pool.size + 1))).mkString(" ")
+    val docs = (0 until 60).map { i =>
+      val pos = i % 2 == 0
+      (i.toLong, page(if (pos) good else bad), if (pos) 1 else 0)
+    }
+    val df = docs.toDF("doc_id", "text", "y")
+    val (w, losses) =
+      operators.Classifier.logregTrain(df, "y", dim = dim, iters = 6, lr = 4.0)
+    assert(losses.head > losses.last,
+      s"loss did not descend: ${losses.mkString(", ")}")
+    val got = operators.Classifier.logregScore(df, w, dim).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    val acc = docs.count { case (id, _, y) => got(id) == (y == 1) } /
+      docs.size.toDouble
+    assert(acc >= 0.95, s"train accuracy $acc")
+  }
+
   test("C4 screens match an independent reference on 300 generated pages") {
     import spark.implicits._
     // independent plain-Scala recompute of every screen — any divergence
@@ -1675,6 +1748,71 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val shards = new java.io.File(tmp).listFiles
       .count(_.getName.endsWith(".json.gz"))
     assert(shards >= 2, s"expected >=2 shards, got $shards")
+  }
+
+  test("native session_window matches a plain-Scala merge of the fixture") {
+    val evs = graft.sources.Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts").cast("timestamp")
+          .cast("long").as("s"),
+        org.apache.spark.sql.functions
+          .unix_micros(org.apache.spark.sql.functions.col("ts")
+            .cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val gapUs = 30L * 60 * 1000000
+    // independent merge: sorted per user, break at diff >= gap
+    val want = evs.groupBy(_._1).flatMap { case (u, xs) =>
+      val ts = xs.map(_._2).sorted
+      val sessions = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      for (t <- ts) {
+        if (sessions.nonEmpty && t < sessions.last.last + gapUs)
+          sessions.last += t
+        else sessions += scala.collection.mutable.ArrayBuffer(t)
+      }
+      sessions.map(s => (u, s.head, s.last + gapUs, s.size.toLong))
+    }.toSet
+    val got = operators.EventOps.sessionWindows(spark, dir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions
+          .unix_micros(org.apache.spark.sql.functions
+            .col("session_start").cast("timestamp")).as("a"),
+        org.apache.spark.sql.functions
+          .unix_micros(org.apache.spark.sql.functions
+            .col("session_end").cast("timestamp")).as("b"),
+        org.apache.spark.sql.functions.col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("ORC round trip is exact and filters push into the ORC scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "line one\nline two\ttabbed", "nl"),
+      (1L, "he said \"quote\" and \\backslash\\", "esc"),
+      (2L, "unicode: héllo wörld — em–dash … ellipsis 你好", "uni"),
+      (3L, "", "empty"),
+      (4L, "{\"fake\": \"json\"} [brackets]", "jsonish"))
+      .toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("orcrt").toString
+    graft.sources.Orc.write(docs, tmp, sortCols = Seq("doc_id"))
+    val back = graft.sources.Orc.read(spark, tmp, docs.schema)
+    val a = docs.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2))).sortBy(_._1).toSeq
+    val b = back.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2))).sortBy(_._1).toSeq
+    assert(a == b)
+    // the format's reason to exist: a predicate reaches the ORC scan as
+    // a pushed filter (stripe-skippable), and projection prunes columns
+    val q = back.filter(col("doc_id") === 2L).select(col("source"))
+    val scan = q.queryExecution.executedPlan.toString()
+      .linesIterator.filter(_.contains("FileScan orc")).mkString
+    assert(scan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,2)]"),
+      scan)
+    assert(!scan.contains("text"), s"projection did not prune text: $scan")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("uni"))
   }
 
   test("recall report equals per-query set intersection of the top-k gates") {
@@ -1756,6 +1894,67 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the continuation genuinely engaged: every file-B doc starts at the
     // offset file A's shard slice left behind (non-zero for used shards)
     assert(b.exists(d => expStart(d._1) > 0), "no cross-batch continuation")
+  }
+
+  test("bounded stream dedup: state evicts past the horizon, re-arrival re-emits") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("sbdedup").toString
+    def ts(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def ev(id: Long, t: String, u: Long, ty: String)
+        : (Long, Timestamp, Long, String, Double, String) =
+      (id, ts(t), u, ty, 1.0, "{}")
+    def writeOne(evs: Seq[(Long, Timestamp, Long, String, Double, String)],
+        name: String, ageMs: Long): Unit = {
+      val scratch = Files.createTempDirectory("sbdw").toString
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(tmp, name),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(tmp, name),
+        java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis - ageMs))
+    }
+    // batch A: 5 distinct keys, one repeated in-batch (dropped exactly);
+    // batch B advances the watermark past A's horizon; batch C's commit
+    // evicts A's expired keys (eviction applies the watermark B
+    // established); batch D re-sends key (1,"a") — its state is gone, so
+    // it must RE-emit (the documented within-horizon contract)
+    writeOne(Seq(ev(1, "10:00", 1, "a"), ev(2, "10:00", 1, "a"),
+      ev(3, "10:00", 2, "a"), ev(4, "10:01", 3, "a"),
+      ev(5, "10:01", 4, "a"), ev(6, "10:02", 5, "a")),
+      "events.parquet", 120000)
+    writeOne(Seq(ev(7, "11:00", 10, "b"), ev(8, "11:00", 11, "b")),
+      "events2.parquet", 90000)
+    writeOne(Seq(ev(9, "12:00", 12, "b")), "events3.parquet", 60000)
+    writeOne(Seq(ev(10, "13:00", 1, "a")), "events4.parquet", 30000)
+    val sdf = graft.streaming.StreamOps.dedupBoundedStream(spark, tmp,
+      delay = "10 minutes", glob = "events*.parquet",
+      maxFilesPerTrigger = Some(1))
+    val ckpt = Files.createTempDirectory("sbdckpt").toString
+    val q = sdf.writeStream.outputMode("append").format("memory")
+      .queryName("sbdedup_out").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    val progress = q.recentProgress.toSeq
+    q.stop()
+    val out = spark.table("sbdedup_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // in-batch duplicate (1,a) in A emitted once; across the evicted
+    // horizon it emits AGAIN in D — exactly twice in total
+    assert(out.count(_ == ((1L, "a"))) == 2, out.sortBy(_._1).toString)
+    assert(out.size == 5 + 2 + 1 + 1, out.sortBy(_._1).toString)
+    // the state store genuinely shrank: A's five keys expired (10:00 +
+    // 10 min < the 10:50 watermark B established), so the final state
+    // holds only B's and C's keys — bounded by the horizon, not history
+    val stateRows = progress.flatMap(_.stateOperators.toSeq)
+      .filter(_.operatorName.contains("dedupe"))
+      .map(_.numRowsTotal)
+    assert(stateRows.nonEmpty, progress.map(_.json).mkString("\n"))
+    assert(stateRows.max >= 5 && stateRows.last <= 4,
+      s"state rows per batch: $stateRows — no eviction happened")
   }
 
   test("datasheet conserves docs/dups/kept across its component reports") {

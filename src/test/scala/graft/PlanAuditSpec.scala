@@ -508,4 +508,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(count(p, "SortMergeJoin") + count(p, "ShuffledHashJoin") >= 1, p)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("NB classifier serving is one in-row pass: no hash shuffle, pruned scan") {
+    // the fitted weights are a literal; scoring = scan → project. The only
+    // exchange is the gate's output-ordering range partition.
+    val p = finalPlan("text_nb_classifier")
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    assert(count(p, "Exchange rangepartitioning") <= 1, p)
+    for (scan <- fileScans(p))
+      assert(!scan.contains("lang") && !scan.contains("n_chars"),
+        s"scoring scan reads unneeded columns: $scan")
+  }
 }
