@@ -179,6 +179,31 @@ object ScaleStress {
         s""""nb_force":$nbForce,$nbJson}""")
     }
 
+    val doEdist = sys.env.get("SPARK_GRAFT_SCALE_EDIST").contains("1")
+    if (doEdist) {
+      // Edit-distance verification at 5M docs: the LSH candidate stage is
+      // the known-dominant cost (measured r8: 293s); this phase measures
+      // what the VERIFY layer adds on top — two id-keyed text joins over
+      // the bounded pair set plus the thresholded banded levenshtein.
+      // Aggregating lev/sim/verified forces every column.
+      val edist = timed("editdist_verify") {
+        graft.operators.Dedup.editDistPairs(spark, outDir)
+          .agg(count(lit(1)), coalesce(sum(col("lev")), lit(0L)),
+            sum(when(col("verified"), 1L).otherwise(0L)))
+          .head
+      }
+      graft.operators.Dedup.releaseSignatures(spark, outDir)
+      val edJson = phases
+        .filter(p => Seq("gen", "editdist_verify").contains(p._1))
+        .map { case (n, p) =>
+          f""""$n":{"sec":${p.sec}%.1f,"shuffle_write_mb":${p.w / 1048576},"shuffle_read_mb":${p.r / 1048576}}"""
+        }.mkString(",")
+      println(
+        s"""{"n_docs":$nDocs,"edist_pairs":${edist.getLong(0)},""" +
+        s""""edist_lev_sum":${edist.getLong(1)},""" +
+        s""""edist_verified":${edist.getLong(2)},$edJson}""")
+    }
+
     val doR9 = sys.env.get("SPARK_GRAFT_SCALE_R9").contains("1")
     if (doR9) {
       // r9 battery: the repetition kernel, Bloom-vs-exact decontamination

@@ -56,12 +56,15 @@ object SparkEntry {
       graft.sources.Jsonl.roundTripReport(s, d)),
     "src_orc_roundtrip" -> ((s, d) =>
       graft.sources.Orc.roundTripReport(s, d)),
+    "src_csv_roundtrip" -> ((s, d) =>
+      graft.sources.Csv.roundTripReport(s, d)),
     "text_pii_report" -> ((s, d) => TextOps.piiReport(s, d)),
     "text_mask" -> ((s, d) => TextOps.maskText(s, d)),
     "text_chunks" -> ((s, d) => TextOps.chunk(s, d)),
     "text_bm25" -> ((s, d) => TextOps.bm25(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "text_nb_classifier" -> ((s, d) => Classifier.nbQualityScore(s, d)),
+    "text_nb_pr_curve" -> ((s, d) => Classifier.nbPrCurve(s, d)),
     "text_quality_buckets" -> ((s, d) => TextOps.qualityBuckets(s, d)),
     "text_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d,
       requiredWords = gopherGateWords)),
@@ -112,6 +115,7 @@ object SparkEntry {
     "dedup_canonical" -> ((s, d) => Dedup.canonical(s, d)),
     "dedup_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "dedup_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
+    "dedup_editdist" -> ((s, d) => Dedup.editDistPairs(s, d)),
     // --- similarity search ---
     "sim_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
     "sim_lsh_neighbors" -> (Similarity.lshNearNeighbors _),
@@ -254,6 +258,10 @@ object SparkEntry {
     "fed_duckdb_window" -> (Federated.duckWindow _),
     "fed_duckdb_grouptopk" -> (Federated.duckGroupTopK _),
     "fed_duckdb_rollup" -> (Federated.duckRollup _),
+    "fed_duckdb_delete" -> (Federated.duckDelete _),
+    "fed_duckdb_update" -> (Federated.duckUpdate _),
+    "fed_duckdb_unnest" -> (Federated.duckUnnest _),
+    "fed_duckdb_unnest_pos" -> (Federated.duckUnnestPos _),
     "fed_xengine_partial_agg" -> (Federated.duckXenginePartialAgg _),
     "fed_etl_duck_to_derby" -> (Federated.duckToDerbyEtl _),
     "stream_duckdb_sink" -> (Federated.duckStreamSink _),
@@ -307,12 +315,14 @@ object SparkEntry {
     "text_token_stats" -> TextOps.tokenStatsOracle,
     "src_jsonl_roundtrip" -> graft.sources.Jsonl.roundTripOracle,
     "src_orc_roundtrip" -> graft.sources.Orc.roundTripOracle,
+    "src_csv_roundtrip" -> graft.sources.Csv.roundTripOracle,
     "text_pii_report" -> TextOps.piiReportOracle,
     "text_mask" -> TextOps.maskTextOracle,
     "text_chunks" -> TextOps.chunkOracle,
     "text_bm25" -> TextOps.bm25Oracle,
     "text_lm_score" -> TextOps.lmScoreOracle,
     "text_nb_classifier" -> Classifier.nbQualityOracle,
+    "text_nb_pr_curve" -> Classifier.nbPrCurveOracle,
     "text_quality_buckets" -> TextOps.qualityBucketsOracle,
     "text_gopher_rules" -> TextOps.gopherRulesOracle(30, 90, gopherGateWords),
     "text_repetition_rules" -> TextOps.repetitionRulesOracle,
@@ -358,6 +368,7 @@ object SparkEntry {
     "dedup_decontaminate" -> Dedup.decontaminateOracle,
     // the Bloom prefilter is invisible in the result — same oracle
     "dedup_decontaminate_bloom" -> Dedup.decontaminateOracle,
+    "dedup_editdist" -> Dedup.editDistOracle,
     "sim_label_stats" -> Similarity.labelStatsOracle,
     "sim_bruteforce_topk" -> Similarity.bruteForceTopKOracle,
     "sim_lsh_neighbors" -> Similarity.lshNearNeighborsOracle,
@@ -439,6 +450,10 @@ object SparkEntry {
     "fed_duckdb_window" -> Federated.duckWindowOracle,
     "fed_duckdb_grouptopk" -> Federated.duckGroupTopKOracle,
     "fed_duckdb_rollup" -> Federated.duckRollupOracle,
+    "fed_duckdb_delete" -> Federated.duckDeleteOracle,
+    "fed_duckdb_update" -> Federated.duckUpdateOracle,
+    "fed_duckdb_unnest" -> Federated.duckUnnestOracle,
+    "fed_duckdb_unnest_pos" -> Federated.duckUnnestPosOracle,
     "fed_xengine_partial_agg" -> Federated.duckXenginePartialAggOracle,
     "fed_etl_duck_to_derby" -> Federated.duckToDerbyEtlOracle,
     "stream_duckdb_sink" -> Federated.duckStreamSinkOracle,

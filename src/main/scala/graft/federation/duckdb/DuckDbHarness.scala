@@ -22,7 +22,8 @@ import graft.federation.Federation
 object DuckDbHarness {
 
   val GateTables: Seq[String] =
-    Seq("supplier", "nation", "customer", "orders", "lineitem", "region")
+    Seq("supplier", "nation", "customer", "orders", "lineitem", "region",
+      "embeddings")
 
   val Splits = 4
 

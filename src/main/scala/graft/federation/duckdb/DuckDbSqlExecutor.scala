@@ -400,6 +400,7 @@ object DuckDbProcess {
       |    if isinstance(v, decimal.Decimal): return str(v)
       |    if isinstance(v, (bytes, bytearray)):
       |        return base64.b64encode(v).decode()
+      |    if isinstance(v, list): return [conv(x) for x in v]
       |    return v
       |while True:
       |    line = sys.stdin.readline()
@@ -646,6 +647,10 @@ object DuckDbProcess {
       case dec if dec.startsWith("DECIMAL(") =>
         val ps = dec.stripPrefix("DECIMAL(").stripSuffix(")").split(",")
         DecimalType(ps(0).trim.toInt, ps(1).trim.toInt)
+      // LIST types render as ELEM[]; elements ride the row line as a
+      // nested JSON array
+      case l if l.endsWith("[]") =>
+        ArrayType(catalystType(l.dropRight(2)), containsNull = true)
       case other =>
         throw new UnsupportedOperationException(s"duckdb type $other")
     }
@@ -657,38 +662,44 @@ object DuckDbProcess {
     val row = new GenericInternalRow(fields.length)
     var i = 0
     while (i < fields.length) {
-      val v = node.get(i)
-      row(i) =
-        if (v == null || v.isNull) null
-        else fields(i).dataType match {
-          case ByteType => v.asInt().toByte
-          case ShortType => v.asInt().toShort
-          case IntegerType => v.asInt()
-          case LongType => v.asLong()
-          case FloatType => v.asDouble().toFloat
-          case DoubleType => v.asDouble()
-          case BooleanType => v.asBoolean()
-          case StringType => UTF8String.fromString(v.asText())
-          case d: DecimalType =>
-            Decimal(new java.math.BigDecimal(v.asText()), d.precision, d.scale)
-          case DateType =>
-            java.time.LocalDate.parse(v.asText()).toEpochDay.toInt
-          case TimestampNTZType | TimestampType =>
-            val t = v.asText()
-            val ldt =
-              if (t.indexOf(' ') >= 0)
-                java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-              else java.time.LocalDate.parse(t).atStartOfDay()
-            ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-              ldt.getNano / 1000L
-          case BinaryType =>
-            java.util.Base64.getDecoder.decode(v.asText())
-          case other =>
-            throw new UnsupportedOperationException(s"duckdb read of $other")
-        }
+      row(i) = convertValue(node.get(i), fields(i).dataType)
       i += 1
     }
     row
   }
+
+  private def convertValue(v: JsonNode, dt: DataType): Any =
+    if (v == null || v.isNull) null
+    else dt match {
+      case ByteType => v.asInt().toByte
+      case ShortType => v.asInt().toShort
+      case IntegerType => v.asInt()
+      case LongType => v.asLong()
+      case FloatType => v.asDouble().toFloat
+      case DoubleType => v.asDouble()
+      case BooleanType => v.asBoolean()
+      case StringType => UTF8String.fromString(v.asText())
+      case d: DecimalType =>
+        Decimal(new java.math.BigDecimal(v.asText()), d.precision, d.scale)
+      case DateType =>
+        java.time.LocalDate.parse(v.asText()).toEpochDay.toInt
+      case TimestampNTZType | TimestampType =>
+        val t = v.asText()
+        val ldt =
+          if (t.indexOf(' ') >= 0)
+            java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          else java.time.LocalDate.parse(t).atStartOfDay()
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+      case BinaryType =>
+        java.util.Base64.getDecoder.decode(v.asText())
+      case ArrayType(et, _) =>
+        val out = new Array[Any](v.size())
+        var j = 0
+        while (j < out.length) { out(j) = convertValue(v.get(j), et); j += 1 }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case other =>
+        throw new UnsupportedOperationException(s"duckdb read of $other")
+    }
 }
 

@@ -358,14 +358,19 @@ object DuckDbDialect extends SqlDialect {
   override def unnestJoinOuter(fromText: String, arraySql: String,
       alias: String, elemName: String): String =
     s"$fromText LEFT JOIN UNNEST($arraySql) AS $alias($elemName) ON TRUE"
+  // WITH ORDINALITY is NOT implemented on DuckDB 1.0 (probed live:
+  // "Not implemented Error" — the ANSI form this dialect first pinned as
+  // a golden would fail on the engine). The working live form is a
+  // LATERAL derived table zipping unnest() with generate_subscripts()
+  // (both 1-row-per-element expressions align positionally in DuckDB).
   override def unnestJoinPos(fromText: String, arraySql: String,
       alias: String, elemName: String, posName: String,
       outer: Boolean): (String, String) = {
     val join = if (outer) "LEFT JOIN" else "CROSS JOIN"
     val on = if (outer) " ON TRUE" else ""
-    (s"$fromText $join UNNEST($arraySql) WITH ORDINALITY " +
-      s"AS $alias($elemName, $posName)$on",
-      s"($alias.$posName - 1)") // ORDINALITY is 1-based; Spark pos is 0-based
+    (s"$fromText $join LATERAL (SELECT UNNEST($arraySql) AS $elemName, " +
+      s"GENERATE_SUBSCRIPTS($arraySql, 1) AS $posName) AS $alias$on",
+      s"($alias.$posName - 1)") // subscripts are 1-based; Spark pos 0-based
   }
   // '0x'-prefixed CAST parses hex; 14 md5 hex digits = 56 bits < BIGINT.
   // Re-rendered as VARCHAR to keep conv()'s string result type.

@@ -121,11 +121,9 @@ object Classifier {
       .orderBy(col("doc_id"))
   }
 
-  /** Mirror of [[nbQualityScore]] in DuckDB SQL: same tokenize / hash /
-    * count / fixed-point-log2 / score chain, integer end to end. */
-  val nbQualityOracle: String = {
-    val dim = 2048
-    val pos = "('src0', 'src1')"
+  /** The tokenize / hash / count / fixed-point-log2 / score CTE chain in
+    * DuckDB SQL — shared by the scoring oracle and the PR-curve oracle. */
+  private def nbCtes(dim: Int, pos: String): String =
     s"""WITH toks AS (
        |  SELECT doc_id, source,
        |    [x FOR x IN string_split_regex(lower(text), '\\s+') IF x <> ''] AS t
@@ -151,12 +149,93 @@ object Classifier {
        |), scored AS (
        |  SELECT tok.doc_id, CAST(SUM(wt.w) AS BIGINT) AS score
        |  FROM tok JOIN wt USING (b) GROUP BY tok.doc_id
-       |)
-       |SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_toks,
-       |  CAST(COALESCE(s.score, 0) AS BIGINT) AS score_q10,
-       |  COALESCE(s.score, 0) > 0 AS keep
-       |FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
-       |ORDER BY t.doc_id""".stripMargin
+       |)""".stripMargin
+
+  /** Mirror of [[nbQualityScore]] in DuckDB SQL: same tokenize / hash /
+    * count / fixed-point-log2 / score chain, integer end to end. */
+  val nbQualityOracle: String =
+    nbCtes(2048, "('src0', 'src1')") +
+      """
+        |SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_toks,
+        |  CAST(COALESCE(s.score, 0) AS BIGINT) AS score_q10,
+        |  COALESCE(s.score, 0) > 0 AS keep
+        |FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+        |ORDER BY t.doc_id""".stripMargin
+
+  /** Operating-point selection for the fitted NB model: the
+    * precision/recall curve over a grid of PER-TOKEN score thresholds —
+    * the table a pipeline owner reads before choosing the keep cut
+    * (CCNet keeps the top third; GPT-3's filter was tuned the same way).
+    * Length-normalized thresholding (`score_q10 > t · n_toks`) is a
+    * multiply-compare, NOT a division — exact integer semantics on both
+    * engines even for negative scores, where floor-vs-truncate division
+    * would diverge.
+    *
+    * Scale shape: scoring is the same zero-shuffle in-row pass as
+    * [[nbQualityScore]]; the whole curve then folds in ONE
+    * map-side-combined aggregate (4·|grid| conditional counters → a
+    * single row), unpivoted driver-side by `stack`. No per-threshold
+    * corpus pass, no explode — the corpus is read exactly once
+    * regardless of grid size. */
+  def nbPrCurve(s: SparkSession, dir: String,
+      posSources: Seq[String] = Seq("src0", "src1"), dim: Int = 2048,
+      thresholds: Seq[Long] =
+        Seq(-700L, -680L, -660L, -640L, -620L, -600L, -580L, -560L))
+      : DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = nbScoreCols(docs, nbWeights(docs, posSources, dim), dim)
+      .withColumn("pos", col("source").isInCollection(posSources))
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      val pred = col("score_q10") > col("n_toks").cast("long") * lit(t)
+      Seq(
+        sum(when(pred && col("pos"), 1L).otherwise(0L)).as(s"tp_$i"),
+        sum(when(pred && !col("pos"), 1L).otherwise(0L)).as(s"fp_$i"),
+        sum(when(!pred && col("pos"), 1L).otherwise(0L)).as(s"fn_$i"),
+        sum(when(!pred && !col("pos"), 1L).otherwise(0L)).as(s"tn_$i"))
+    }
+    val one = scored.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = thresholds.zipWithIndex
+      .map { case (t, i) => s"${t}L, tp_$i, fp_$i, fn_$i, tn_$i" }
+      .mkString(", ")
+    one.select(expr(s"stack(${thresholds.size}, $stackArgs)")
+        .as(Seq("thr_q10", "tp", "fp", "fn", "tn")))
+      .select(col("thr_q10"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 1000000L DIV (tp + fp)")).as("precision_ppm"),
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 1000000L DIV (tp + fn)")).as("recall_ppm"))
+      .orderBy(col("thr_q10"))
+  }
+
+  /** The PR curve in DuckDB SQL off the same scored CTE chain. */
+  val nbPrCurveOracle: String = {
+    val grid = "[-700, -680, -660, -640, -620, -600, -580, -560]"
+    nbCtes(2048, "('src0', 'src1')") +
+      s""", final AS (
+         |  SELECT t.doc_id, t.source IN ('src0', 'src1') AS pos,
+         |    CAST(len(t.t) AS BIGINT) AS n_toks,
+         |    CAST(COALESCE(s.score, 0) AS BIGINT) AS score_q10
+         |  FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+         |), thr AS (
+         |  SELECT CAST(unnest($grid) AS BIGINT) AS thr_q10
+         |), cm AS (
+         |  SELECT thr_q10,
+         |    CAST(SUM(CASE WHEN score_q10 > thr_q10 * n_toks AND pos
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN score_q10 > thr_q10 * n_toks AND NOT pos
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN score_q10 <= thr_q10 * n_toks AND pos
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN score_q10 <= thr_q10 * n_toks AND NOT pos
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM final, thr GROUP BY thr_q10
+         |)
+         |SELECT thr_q10, tp, fp, fn, tn,
+         |  CAST(CASE WHEN tp + fp > 0
+         |    THEN tp * 1000000 // (tp + fp) END AS BIGINT) AS precision_ppm,
+         |  CAST(CASE WHEN tp + fn > 0
+         |    THEN tp * 1000000 // (tp + fn) END AS BIGINT) AS recall_ppm
+         |FROM cm ORDER BY thr_q10""".stripMargin
   }
 
   // ---- distributed logistic regression (spec-verified trainer) -------

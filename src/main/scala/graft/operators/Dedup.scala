@@ -228,6 +228,78 @@ object Dedup {
         |FROM documents d LEFT JOIN better b USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------- edit-distance verification
+
+  /** Edit-distance-VERIFIED near-dup pairs: LSH banding proposes, true
+    * Levenshtein distance disposes — the verification layer a fuzzy-dedup
+    * pipeline runs when MinHash's shingle-set estimate is not evidence
+    * enough (reordered paragraphs shingle-match; a character-level edit
+    * budget does not). Candidates come from the same banded signature
+    * join every dedup gate shares (so the expensive part is already
+    * paid); only the surviving candidate pairs' texts are fetched — two
+    * id-keyed hash joins whose shuffle is O(pairs), never a text
+    * self-join.
+    *
+    * The distance uses Spark's THRESHOLDED `levenshtein(a, b, maxEdits)`:
+    * the banded O(len·maxEdits) algorithm abandons a far pair without
+    * walking the full O(len²) matrix — at 100 TB that cap is what makes
+    * character-level verification affordable; pairs over budget report
+    * NULL distance and `verified = false`. `edit_sim_ppm` is the integer
+    * normalized similarity `1e6 − lev·1e6 DIV max(len)`, exact on both
+    * engines. (DuckDB's `levenshtein` counts byte edits where Spark
+    * counts characters — identical on ASCII corpora like the fixture;
+    * a unicode corpus would verify against the spec's plain-Scala
+    * recompute instead.) */
+  def editDistPairs(s: SparkSession, dir: String,
+      candThreshold: Double = 0.25, simThresholdPpm: Long = 600000L,
+      maxEdits: Int = 256): DataFrame = {
+    val docs = documents(s, dir)
+    val cands = minhashCandidates(s, dir, candThreshold)
+      .select(col("a_id"), col("b_id"),
+        (col("est_jaccard") * 64).cast("int").as("agreement"))
+    cands
+      .join(docs.select(col("doc_id").as("a_id"),
+        col("text").as("a_text")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"),
+        col("text").as("b_text")), Seq("b_id"))
+      .withColumn("d", levenshtein(col("a_text"), col("b_text"), maxEdits))
+      .withColumn("max_len",
+        greatest(length(col("a_text")), length(col("b_text")), lit(1L)))
+      .select(col("a_id"), col("b_id"),
+        expr("agreement * 1000000L DIV 64").as("est_jaccard_ppm"),
+        when(col("d") >= 0, col("d")).as("lev"),
+        when(col("d") >= 0,
+          expr("1000000L - d * 1000000L DIV max_len")).as("edit_sim_ppm"),
+        coalesce(col("d") >= 0 &&
+          expr("1000000L - d * 1000000L DIV max_len") >=
+            lit(simThresholdPpm), lit(false)).as("verified"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def editDistOracle: String =
+    sigsCte +
+      """, cand AS (
+        |  SELECT a_id, b_id, CAST(est_jaccard * 64 AS INTEGER) AS agreement
+        |  FROM scored WHERE est_jaccard >= 0.25
+        |), pairs AS (
+        |  SELECT c.a_id, c.b_id, c.agreement,
+        |    levenshtein(da.text, db.text) AS d,
+        |    GREATEST(length(da.text), length(db.text), 1) AS max_len
+        |  FROM cand c
+        |  JOIN documents da ON da.doc_id = c.a_id
+        |  JOIN documents db ON db.doc_id = c.b_id
+        |)
+        |SELECT a_id, b_id,
+        |  CAST(agreement * 1000000 // 64 AS BIGINT) AS est_jaccard_ppm,
+        |  CAST(CASE WHEN d <= 256 THEN d END AS INTEGER) AS lev,
+        |  CAST(CASE WHEN d <= 256
+        |    THEN 1000000 - d * 1000000 // max_len END AS BIGINT)
+        |    AS edit_sim_ppm,
+        |  COALESCE(d <= 256
+        |    AND (1000000 - d * 1000000 // max_len) >= 600000, FALSE)
+        |    AS verified
+        |FROM pairs ORDER BY a_id, b_id""".stripMargin
+
   // ------------------------------------------------------------- SimHash
 
   /** 32-bit engine-portable SimHash of the token multiset (native kernel;

@@ -704,16 +704,16 @@ object Federated {
     graft.federation.Federation.updateRemote(s, "nation_adj", ex,
       Seq("r_key" -> (col("r_key") + 100L),
         "name" -> concat(col("name"), lit("_X"))),
-      col("name").like("%IA"))
+      col("name").like("%1"))
     graft.federation.Federation.remoteDataFrame(s, "nation_adj", ex)
       .orderBy(col("n_key"))
   }
 
   val jdbcUpdateOracle: String =
     """SELECT CAST(n_nationkey AS BIGINT) AS n_key,
-      |  CASE WHEN n_name LIKE '%IA' THEN n_name || '_X' ELSE n_name END
+      |  CASE WHEN n_name LIKE '%1' THEN n_name || '_X' ELSE n_name END
       |    AS name,
-      |  CAST(CASE WHEN n_name LIKE '%IA' THEN n_regionkey + 100
+      |  CAST(CASE WHEN n_name LIKE '%1' THEN n_regionkey + 100
       |    ELSE n_regionkey END AS BIGINT) AS r_key
       |FROM nation
       |ORDER BY n_key""".stripMargin
@@ -1207,6 +1207,97 @@ object Federated {
     """SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
       |  MAX(c_acctbal) AS max_bal
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Predicate DELETE on the live DuckDB engine — DML parity with the
+    * Derby leg ([[jdbcDelete]]): the condition unparses in DuckDB's
+    * dialect and runs as ONE `DELETE FROM … WHERE …` inside the engine,
+    * zero rows on the wire in either direction. Same predicate and same
+    * oracle as the Derby gate, so the two engines' DML semantics are
+    * directly comparable. */
+  def duckDelete(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.duckdb.DuckDbHarness.executor(s, dir)
+    val ref = graft.federation.sql.RemoteTableRef.parse("nation_trim_duck")
+    ex.createTable(ref, StructType(Seq(
+      StructField("n_key", LongType),
+      StructField("name", StringType),
+      StructField("r_key", LongType))))
+    val rows = graft.sources.Tables.table(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("n_key"),
+      col("n_name").as("name"),
+      col("n_regionkey").cast("long").as("r_key"))
+    ex.insertInto(ref, rows)
+    graft.federation.Federation.deleteFromRemote(s, "nation_trim_duck", ex,
+      col("r_key") >= 3 || col("name").like("%IA"))
+    graft.federation.Federation.remoteDataFrame(s, "nation_trim_duck", ex)
+      .orderBy(col("n_key"))
+  }
+
+  val duckDeleteOracle: String = jdbcDeleteOracle
+
+  /** Predicate UPDATE on the live DuckDB engine — SET expressions
+    * (arithmetic + `||` concatenation) and the WHERE predicate unparse
+    * into ONE remote `UPDATE t SET … WHERE …`; the engine computes the
+    * new values from its own rows. Same statement and oracle as the
+    * Derby gate ([[jdbcUpdate]]). */
+  def duckUpdate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.duckdb.DuckDbHarness.executor(s, dir)
+    val ref = graft.federation.sql.RemoteTableRef.parse("nation_adj_duck")
+    ex.createTable(ref, StructType(Seq(
+      StructField("n_key", LongType),
+      StructField("name", StringType),
+      StructField("r_key", LongType))))
+    val rows = graft.sources.Tables.table(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("n_key"),
+      col("n_name").as("name"),
+      col("n_regionkey").cast("long").as("r_key"))
+    ex.insertInto(ref, rows)
+    graft.federation.Federation.updateRemote(s, "nation_adj_duck", ex,
+      Seq("r_key" -> (col("r_key") + 100L),
+        "name" -> concat(col("name"), lit("_X"))),
+      col("name").like("%1"))
+    graft.federation.Federation.remoteDataFrame(s, "nation_adj_duck", ex)
+      .orderBy(col("n_key"))
+  }
+
+  val duckUpdateOracle: String = jdbcUpdateOracle
+
+  /** UNNEST on the LIVE engine: the array column crosses the subprocess
+    * boundary as a nested JSON array (list wire support), and the explode
+    * + aggregate federate WHOLE — one `CROSS JOIN UNNEST(…) AS t(e)` SQL
+    * (the form the goldens pinned, now executed for real). */
+  def duckUnnest(s: SparkSession, dir: String): DataFrame =
+    graft.federation.duckdb.DuckDbHarness.sql(s, dir,
+      """SELECT label, COUNT(*) AS n_elems,
+        |  CAST(MIN(e) AS DOUBLE) AS min_e, CAST(MAX(e) AS DOUBLE) AS max_e
+        |FROM duck_embeddings LATERAL VIEW EXPLODE(embedding) ex AS e
+        |WHERE vec_id < 200
+        |GROUP BY label
+        |ORDER BY label""".stripMargin)
+
+  val duckUnnestOracle: String = unnestOracle
+
+  /** Positional UNNEST on the LIVE engine — the gate that caught a real
+    * dialect bug: DuckDB 1.0 does NOT implement `WITH ORDINALITY` (the
+    * golden-pinned ANSI form raised "Not implemented" when first run
+    * live); the dialect now emits a LATERAL derived table zipping
+    * `unnest()` with `generate_subscripts()`, rebased −1. */
+  def duckUnnestPos(s: SparkSession, dir: String): DataFrame =
+    graft.federation.duckdb.DuckDbHarness.sql(s, dir,
+      """SELECT label, COUNT(*) AS n_elems,
+        |  CAST(MIN(CASE WHEN p = 0 THEN e END) AS DOUBLE) AS min_first,
+        |  CAST(MAX(p) AS INT) AS max_p
+        |FROM duck_embeddings LATERAL VIEW POSEXPLODE(embedding) ex AS p, e
+        |WHERE vec_id < 200
+        |GROUP BY label
+        |ORDER BY label""".stripMargin)
+
+  val duckUnnestPosOracle: String = unnestPosOracle
 
   /** Window functions federate: rank + windowed count inside the fragment
     * (reference analyzer.rs:410-447 window coverage). */

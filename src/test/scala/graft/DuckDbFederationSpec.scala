@@ -334,6 +334,49 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       log.takeRight(6).mkString("\n"))
   }
 
+  test("DML gates ship ONE DELETE / ONE UPDATE with the unparsed predicate") {
+    val e = ex
+    val before = e.dmlLog.synchronized(e.dmlLog.size)
+    val del = operators.Federated.duckDelete(spark, dir).collect()
+    val upd = operators.Federated.duckUpdate(spark, dir).collect()
+    val log = e.dmlLog.synchronized(e.dmlLog.drop(before).toVector)
+    val deletes = log.filter(_.startsWith("DELETE FROM"))
+    assert(deletes.size == 1, log.mkString("\n"))
+    assert(deletes.head.contains("nation_trim_duck") &&
+      deletes.head.contains("LIKE '%IA'"), deletes.head)
+    val updates = log.filter(_.startsWith("UPDATE"))
+    assert(updates.size == 1, log.mkString("\n"))
+    assert(updates.head.contains("nation_adj_duck") &&
+      updates.head.contains("+ 100") &&
+      updates.head.contains("|| '_X'"), updates.head)
+    // survivors/adjustments visible on read-back
+    assert(del.nonEmpty && del.forall(r =>
+      r.getLong(2) < 3 && !r.getString(1).endsWith("IA")))
+    // the predicate matched: NATION_1/11/21 got the SET applied
+    assert(upd.count(r => r.getString(1).endsWith("_X") &&
+      r.getLong(2) >= 100) == 3, upd.map(_.toString).mkString(", "))
+  }
+
+  test("UNNEST federates whole onto the live engine; posexplode uses the probed form") {
+    val inner = operators.Federated.duckUnnest(spark, dir)
+    assert(remoteScans(inner).size == 1, remoteScans(inner))
+    assert(!inner.queryExecution.executedPlan.toString.contains("Generate"),
+      "explode must run remotely, not as a local Generate")
+    assert(inner.collect().nonEmpty)
+    val wire = ex.executedSql.synchronized(ex.executedSql.toVector)
+    assert(wire.exists(s => s.contains("CROSS JOIN UNNEST(")), wire.lastOption)
+    val pos = operators.Federated.duckUnnestPos(spark, dir)
+    assert(remoteScans(pos).size == 1, remoteScans(pos))
+    // and the rows are right (0-based first element per label present)
+    val rowsPos = pos.collect()
+    assert(rowsPos.nonEmpty && rowsPos.forall(r => !r.isNullAt(2)))
+    val wire2 = ex.executedSql.synchronized(ex.executedSql.toVector)
+    // DuckDB 1.0 has no WITH ORDINALITY (probed live: "Not implemented");
+    // the dialect's working positional form must be on the wire
+    assert(wire2.exists(s => s.contains("GENERATE_SUBSCRIPTS(") &&
+      !s.contains("WITH ORDINALITY")), wire2.lastOption)
+  }
+
   test("sorted fragment on a STRING key: window runs without re-sort") {
     DuckDbHarness.registerViews(spark, dir)
     // DuckDB's VARCHAR ordering is probed byte-identical to Spark's

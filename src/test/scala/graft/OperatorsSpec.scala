@@ -1750,6 +1750,104 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shards >= 2, s"expected >=2 shards, got $shards")
   }
 
+  test("CSV round trip preserves hostile text exactly") {
+    import spark.implicits._
+    // commas, RFC 4180 quote doubling, embedded newlines, unicode — the
+    // cases CSV is hostile to by construction
+    val docs = Seq(
+      (0L, "comma, separated, values", "comma"),
+      (1L, "he said \"quote\" and \\backslash\\", "esc"),
+      (2L, "line one\nline two\r\nwindows line", "nl"),
+      (3L, "unicode: héllo wörld — em–dash … ellipsis 你好", "uni"),
+      (4L, "\"leading quote, trailing\"", "edge"))
+      .toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("csvrt").toString
+    graft.sources.Csv.write(docs, tmp, maxRecordsPerShard = 2L)
+    val back = graft.sources.Csv.read(spark, tmp, docs.schema)
+    val a = docs.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2))).sortBy(_._1).toSeq
+    val b = back.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2))).sortBy(_._1).toSeq
+    assert(a == b)
+    // record budgeting genuinely sharded the write
+    val shards = new java.io.File(tmp).listFiles
+      .count(_.getName.endsWith(".csv"))
+    assert(shards >= 2, s"expected >=2 shards, got $shards")
+  }
+
+  test("edit-distance verification matches a plain-Scala Levenshtein") {
+    // independent DP recompute of every emitted pair — the operator's
+    // thresholded levenshtein + integer normalization must agree exactly
+    def lev(a: String, b: String): Int = {
+      val prev = new Array[Int](b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (j <- 0 to b.length) prev(j) = j
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length)
+    }
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = operators.Dedup.editDistPairs(spark, dir).collect()
+    assert(rows.nonEmpty, "no candidate pairs at the fixture scale")
+    for (r <- rows) {
+      val (a, b) = (texts(r.getLong(0)), texts(r.getLong(1)))
+      val d = lev(a, b)
+      val maxLen = math.max(math.max(a.length, b.length), 1).toLong
+      if (d <= 256) {
+        assert(r.getInt(3) == d, s"pair ${r.getLong(0)}/${r.getLong(1)}")
+        val sim = 1000000L - d * 1000000L / maxLen
+        assert(r.getLong(4) == sim)
+        assert(r.getBoolean(5) == (sim >= 600000L))
+      } else {
+        // over the edit budget: the banded algorithm abandoned the pair
+        assert(r.isNullAt(3) && r.isNullAt(4) && !r.getBoolean(5))
+      }
+    }
+    // the verification layer is not vacuous: est-jaccard candidates exist
+    // whose edit similarity differs from the shingle estimate
+    assert(rows.exists(r => !r.isNullAt(4) &&
+      r.getLong(2) != r.getLong(4)))
+  }
+
+  test("NB PR curve equals a plain-Scala recompute from the scored gate") {
+    val pos = Set("src0", "src1")
+    val scored = operators.Classifier
+      .nbQualityScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+    val srcOf = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grid = Seq(-700L, -680L, -660L, -640L, -620L, -600L, -580L, -560L)
+    val want = grid.map { t =>
+      var (tp, fp, fn, tn) = (0L, 0L, 0L, 0L)
+      for ((id, nToks, score) <- scored) {
+        val isPos = pos(srcOf(id))
+        val keep = score > t * nToks
+        if (keep && isPos) tp += 1 else if (keep) fp += 1
+        else if (isPos) fn += 1 else tn += 1
+      }
+      val p = if (tp + fp > 0) Some(tp * 1000000L / (tp + fp)) else None
+      val rc = if (tp + fn > 0) Some(tp * 1000000L / (tp + fn)) else None
+      (t, tp, fp, fn, tn, p, rc)
+    }
+    val got = operators.Classifier.nbPrCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))).toSeq
+    assert(got == want)
+    // the curve actually sweeps: recall strictly monotone down the grid
+    val recalls = got.flatMap(_._7)
+    assert(recalls == recalls.sorted.reverse && recalls.toSet.size > 1)
+  }
+
   test("native session_window matches a plain-Scala merge of the fixture") {
     val evs = graft.sources.Tables.events(spark, dir)
       .select(org.apache.spark.sql.functions.col("user_id"),

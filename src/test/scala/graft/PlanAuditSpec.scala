@@ -469,6 +469,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("NB PR curve: one map-side-combined aggregate, no explode, no join") {
+    val p = finalPlan("text_nb_pr_curve")
+    // the grid folds as conditional counters inside ONE two-phase
+    // aggregate — never a per-threshold corpus pass or a threshold explode
+    assert(count(p, "HashAggregate") <= 2, p)
+    // the only Generate is the stack() unpivot over the ONE aggregated row
+    assert(count(p, "Generate") <= 1, p)
+    assert(count(p, "Join") == 0, p)
+    assert(count(p, "CartesianProduct") == 0, p)
+  }
+
+  test("edit-distance verify: equi-joins only, texts fetched per pair") {
+    val p = finalPlan("dedup_editdist")
+    assert(count(p, "CartesianProduct") == 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+  }
+
   test("fed_duckdb_q1: the WHOLE aggregate ships as one DuckDB SQL") {
     val df = SparkEntry.queries("fed_duckdb_q1")(spark, dir)
     df.count()

@@ -471,12 +471,15 @@ class UnparserSpec extends AnyFunSuite {
     assert(SqlUnparser.tryUnparse(explodePlan(outer = true), DerbyDialect).isEmpty)
   }
 
-  test("posexplode: WITH ORDINALITY rebased to 0 (DuckDB/Postgres), POSEXPLODE (Spark)") {
-    // ORDINALITY is 1-based; Spark's pos is 0-based — the projected
-    // position must carry the −1 rebase
+  test("posexplode: positional form rebased to 0 (DuckDB/Postgres), POSEXPLODE (Spark)") {
+    // positions are 1-based in SQL; Spark's pos is 0-based — the
+    // projected position must carry the −1 rebase. DuckDB 1.0 has NO
+    // WITH ORDINALITY (probed live): its form is a LATERAL derived table
+    // zipping unnest() with generate_subscripts()
     assert(new SqlUnparser(DuckDbDialect).unparse(posExplodePlan(outer = false)) ==
       "SELECT t1.id AS id, (t2.p - 1) AS p, t2.e AS e FROM u AS t1 " +
-        "CROSS JOIN UNNEST(t1.xs) WITH ORDINALITY AS t2(e, p)")
+        "CROSS JOIN LATERAL (SELECT UNNEST(t1.xs) AS e, " +
+        "GENERATE_SUBSCRIPTS(t1.xs, 1) AS p) AS t2")
     assert(new SqlUnparser(PostgresDialect).unparse(posExplodePlan(outer = false)) ==
       "SELECT t1.id AS id, (t2.p - 1) AS p, t2.e AS e FROM u AS t1 " +
         "CROSS JOIN LATERAL UNNEST(t1.xs) WITH ORDINALITY AS t2(e, p)")
@@ -486,10 +489,11 @@ class UnparserSpec extends AnyFunSuite {
         "LATERAL VIEW POSEXPLODE(t1.xs) t2 AS p, e")
   }
 
-  test("outer posexplode: LEFT JOIN ... WITH ORDINALITY ON TRUE per dialect") {
+  test("outer posexplode: left positional join per dialect") {
     assert(new SqlUnparser(DuckDbDialect).unparse(posExplodePlan(outer = true)) ==
       "SELECT t1.id AS id, (t2.p - 1) AS p, t2.e AS e FROM u AS t1 " +
-        "LEFT JOIN UNNEST(t1.xs) WITH ORDINALITY AS t2(e, p) ON TRUE")
+        "LEFT JOIN LATERAL (SELECT UNNEST(t1.xs) AS e, " +
+        "GENERATE_SUBSCRIPTS(t1.xs, 1) AS p) AS t2 ON TRUE")
     assert(new SqlUnparser(PostgresDialect).unparse(posExplodePlan(outer = true)) ==
       "SELECT t1.id AS id, (t2.p - 1) AS p, t2.e AS e FROM u AS t1 " +
         "LEFT JOIN LATERAL UNNEST(t1.xs) WITH ORDINALITY AS t2(e, p) ON TRUE")
