@@ -81,6 +81,7 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
     "pack_stats" -> ((s, d) => Packing.packStats(s, d)),
     "samp_mixture" -> ((s, d) => Sampling.mixture(s, d)),
+    "samp_temperature" -> ((s, d) => Sampling.temperatureMixture(s, d)),
     "samp_split_leakfree" -> ((s, d) => Sampling.leakFreeSplit(s, d)),
     "samp_dsir" -> ((s, d) => Sampling.dsirSelect(s, d)),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
@@ -151,6 +152,8 @@ object SparkEntry {
     "stream_dedup_bounded" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runDedupBoundedToMemory(s, d)
         .orderBy(col("user_id"), col("event_type"))),
+    "stream_session_window" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runSessionWindowToMemory(s, d)),
     "stream_interval_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runIntervalJoinToMemory(s, d)
         .orderBy(col("p_id"), col("s_id"))),
@@ -263,6 +266,7 @@ object SparkEntry {
     "fed_duckdb_unnest" -> (Federated.duckUnnest _),
     "fed_duckdb_unnest_pos" -> (Federated.duckUnnestPos _),
     "fed_xengine_partial_agg" -> (Federated.duckXenginePartialAgg _),
+    "fed_xengine_partial_avg" -> (Federated.duckXenginePartialAvg _),
     "fed_etl_duck_to_derby" -> (Federated.duckToDerbyEtl _),
     "stream_duckdb_sink" -> (Federated.duckStreamSink _),
     "fed_split_scan" -> (Federated.splitScanJoin _),
@@ -339,6 +343,7 @@ object SparkEntry {
     "pack_sequences" -> Packing.packSequencesOracle,
     "pack_stats" -> Packing.packStatsOracle,
     "samp_mixture" -> Sampling.mixtureOracle,
+    "samp_temperature" -> Sampling.temperatureMixtureOracle,
     "samp_split_leakfree" -> Sampling.leakFreeSplitOracle,
     "text_span_dedup" -> TextOps.spanDedupOracle,
     "text_cdc_dedup" -> TextOps.cdcDedupOracle,
@@ -356,6 +361,7 @@ object SparkEntry {
       """SELECT DISTINCT md5(text) AS content_md5 FROM documents
         |ORDER BY content_md5""".stripMargin,
     "stream_dedup_bounded" -> graft.streaming.StreamOps.dedupBoundedOracle,
+    "stream_session_window" -> EventOps.sessionWindowsOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_minhash" -> Dedup.minhashOracle,
     "dedup_simhash" -> Dedup.simhashOracle,
@@ -455,6 +461,7 @@ object SparkEntry {
     "fed_duckdb_unnest" -> Federated.duckUnnestOracle,
     "fed_duckdb_unnest_pos" -> Federated.duckUnnestPosOracle,
     "fed_xengine_partial_agg" -> Federated.duckXenginePartialAggOracle,
+    "fed_xengine_partial_avg" -> Federated.duckXenginePartialAvgOracle,
     "fed_etl_duck_to_derby" -> Federated.duckToDerbyEtlOracle,
     "stream_duckdb_sink" -> Federated.duckStreamSinkOracle,
 

@@ -1046,6 +1046,47 @@ object Federated {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Cross-engine AVG decomposition, LIVE: an AVG over a union whose arms
+    * live on DuckDB and Derby cannot ship as AVG (averages of averages
+    * are wrong) — `PartialAggRule` decomposes it into SUM+COUNT partials
+    * per engine and recombines locally as `sum/count`. Exactness: the
+    * averaged column is floor-cast to BIGINT so each engine's partial
+    * SUM is integer-exact (no order-dependent FP summation on the wire)
+    * and the single local division is deterministic. The spec asserts
+    * NEITHER engine's wire SQL carries AVG while both carry the grouped
+    * `__gp_` partials. */
+  def duckXenginePartialAvg(s: SparkSession, dir: String): DataFrame = {
+    graft.federation.jdbc.JdbcHarness.registerViews(s, dir)
+    graft.federation.duckdb.DuckDbHarness.registerViews(s, dir)
+    s.sql(
+      """SELECT l_returnflag,
+        |  AVG(CAST(FLOOR(l_quantity) AS BIGINT)) AS avg_qty,
+        |  COUNT(*) AS n_rows
+        |FROM (
+        |  SELECT l_returnflag, l_quantity
+        |  FROM duck_lineitem WHERE l_discount > 0.05
+        |  UNION ALL
+        |  SELECT l_returnflag, l_quantity
+        |  FROM jdbc_lineitem WHERE l_discount <= 0.05
+        |) t
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val duckXenginePartialAvgOracle: String =
+    """SELECT l_returnflag,
+      |  AVG(CAST(FLOOR(l_quantity) AS BIGINT)) AS avg_qty,
+      |  COUNT(*) AS n_rows
+      |FROM (
+      |  SELECT l_returnflag, l_quantity
+      |  FROM lineitem WHERE l_discount > 0.05
+      |  UNION ALL
+      |  SELECT l_returnflag, l_quantity
+      |  FROM lineitem WHERE l_discount <= 0.05
+      |) t
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Streaming ingest into the LIVE DuckDB engine, epoch-fenced: arriving
     * pages pass the in-flight C4 screen and survivors land through
     * [[graft.federation.duckdb.DuckDbSqlExecutor.insertIntoEpoch]] — the

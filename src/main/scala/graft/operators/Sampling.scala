@@ -159,6 +159,74 @@ object Sampling {
       |GROUP BY r.lang, r.n, r.w_ppm, r.quota, r.rate_bp
       |ORDER BY r.lang""".stripMargin
 
+  /** TEMPERATURE-scaled mixture (α = 0.5): stratum weights proportional
+    * to √n instead of hand-set targets — the published multilingual
+    * sampling knob (mBERT/XLM-R exponentiate the empirical distribution
+    * with α < 1 to upweight low-resource strata). The weight derivation
+    * stays exactly reproducible across engines: s = ⌊√n⌋ through an
+    * IEEE-754 `sqrt` (correctly rounded by spec, so Spark and DuckDB
+    * agree bitwise) floored to an integer, then `w_ppm = s·10⁶ DIV Σs` —
+    * integer arithmetic from there down, same feasible-T / quota /
+    * basis-point acceptance chain as [[mixture]] (downsample-only; the
+    * LARGEST corpus realizing the temperature mixture). Plan shape is
+    * [[mixture]]'s: one tiny per-stratum aggregate, a constant-size
+    * window over it, broadcast back, one corpus scan. */
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("s",
+        expr("CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)"))
+    val win = Window.partitionBy(lit(1))
+    val rates = counts
+      .withColumn("s_total", sum(col("s")).over(win))
+      .withColumn("w_ppm", expr("s * 1000000L div s_total"))
+      .withColumn("t_feasible",
+        min(expr("n * 1000000L div w_ppm")).over(win))
+      .withColumn("quota", expr("w_ppm * t_feasible div 1000000L"))
+      .withColumn("rate_bp",
+        least(lit(10000L), expr("quota * 10000L div n")))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 14),
+      16, 10).cast("long") % 10000
+    documents(s, dir)
+      .withColumn("bucket", bucket)
+      .join(broadcast(rates), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        first(col("w_ppm")).as("w_ppm"),
+        first(col("quota")).as("quota"),
+        first(col("rate_bp")).as("rate_bp"),
+        sum(when(col("bucket") < col("rate_bp"), 1L).otherwise(0L))
+          .as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val temperatureMixtureOracle: String =
+    """WITH c AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS sq
+      |  FROM documents GROUP BY lang
+      |), w AS (
+      |  SELECT lang, n, sq * 1000000 // SUM(sq) OVER () AS w_ppm
+      |  FROM c
+      |), t AS (
+      |  SELECT lang, n, w_ppm,
+      |    MIN(n * 1000000 // w_ppm) OVER () AS tf
+      |  FROM w
+      |), r AS (
+      |  SELECT lang, n, w_ppm, (w_ppm * tf) // 1000000 AS quota,
+      |    LEAST(10000, ((w_ppm * tf) // 1000000) * 10000 // n) AS rate_bp
+      |  FROM t
+      |)
+      |SELECT r.lang, r.n AS n_total, CAST(r.w_ppm AS BIGINT) AS w_ppm,
+      |  CAST(r.quota AS BIGINT) AS quota, CAST(r.rate_bp AS BIGINT) AS rate_bp,
+      |  CAST(SUM(CASE WHEN
+      |    CAST('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,14) AS BIGINT)
+      |      % 10000 < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM r JOIN documents d ON d.lang = r.lang
+      |GROUP BY r.lang, r.n, r.w_ppm, r.quota, r.rate_bp
+      |ORDER BY r.lang""".stripMargin
+
   // ------------------------------------------- leakage-free splitting
 
   /** Leakage-free train/valid/test split: the split is assigned to each

@@ -228,6 +228,41 @@ object StreamOps {
       name: String = "stream_dedup_bounded_out"): DataFrame =
     runStream(spark, dedupBoundedStream(spark, dir), "append", name)
 
+  /** Built-in MERGING session windows on the STREAM — the exact
+    * `session_window` grouping of the batch gate (`ev_session_window`),
+    * watermarked. Catalyst's sessionization operator merges
+    * within-watermark sessions in the state store, so the stream needs
+    * no user state code at all (where [[sessionizeStream]] hand-carries
+    * open sessions through `flatMapGroupsWithState`). Output contract
+    * (probed: update mode raises STREAMING_OUTPUT_MODE.UNSUPPORTED for
+    * session windows): COMPLETE mode re-emits the merged session table
+    * per microbatch — on the static single-batch fixture that is exactly
+    * the batch result, so the gate shares the batch oracle verbatim;
+    * under drip-fed batches the FINAL table is the fully-merged
+    * sessionization (pinned by the multi-batch spec). Append mode (the
+    * production shape — emit once the watermark passes a session's end,
+    * then evict) trades completeness of the tail sessions for bounded
+    * state; complete mode keeps all sessions in state, the right trade
+    * for a bounded key space and the only mode that emits the still-open
+    * tail. */
+  def sessionWindowStream(spark: SparkSession, dir: String,
+      delay: String = "1 second", glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    eventStream(spark, dir, glob, maxFilesPerTrigger)
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz")
+          .as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+
+  def runSessionWindowToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_session_window_out"): DataFrame =
+    runStream(spark, sessionWindowStream(spark, dir), "complete", name)
+      .orderBy(col("user_id"), col("session_start"))
+
   val dedupBoundedOracle: String =
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin

@@ -200,6 +200,37 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, "cross-engine partial agg differs from local")
   }
 
+  test("cross-engine AVG decomposes: SUM+COUNT on both wires, never AVG") {
+    graft.federation.jdbc.JdbcHarness.registerViews(spark, dir)
+    DuckDbHarness.registerViews(spark, dir)
+    val duckEx = ex
+    val derbyEx = graft.federation.jdbc.JdbcHarness.executor(spark, dir)
+    val duckBefore = duckEx.executedSql.size
+    val derbyBefore = derbyEx.executedSql.size
+    val df = graft.operators.Federated.duckXenginePartialAvg(spark, dir)
+    val got = rows(df)
+    val duckSqls = duckEx.executedSql.synchronized(
+      duckEx.executedSql.drop(duckBefore))
+    val derbySqls = derbyEx.executedSql.synchronized(
+      derbyEx.executedSql.drop(derbyBefore))
+    for ((name, sqls) <- Seq("duck" -> duckSqls, "derby" -> derbySqls)) {
+      assert(sqls.exists(s => s.contains("__gp_") &&
+        s.toUpperCase.contains("SUM(") &&
+        s.toUpperCase.contains("COUNT(")),
+        s"$name arm shipped no SUM/COUNT partials:\n${sqls.mkString("\n")}")
+      assert(!sqls.exists(_.toUpperCase.contains("AVG(")),
+        s"$name arm must not ship AVG (avg of avgs):\n${sqls.mkString("\n")}")
+    }
+    val want = rows(spark.sql(
+      s"""SELECT l_returnflag,
+         |  AVG(CAST(FLOOR(l_quantity) AS BIGINT)) AS avg_qty,
+         |  COUNT(*) AS n_rows
+         |FROM parquet.`$dir/lineitem.parquet`
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin))
+    assert(got == want, "cross-engine AVG differs from local")
+  }
+
   test("splittable fragment fans out to 4 read-only subprocess cursors") {
     DuckDbHarness.registerViews(spark, dir)
     // approx_count_distinct has no remote spelling, so the aggregate

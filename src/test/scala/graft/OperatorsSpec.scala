@@ -2055,6 +2055,81 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"state rows per batch: $stateRows — no eviction happened")
   }
 
+  test("stream session_window merges a session ACROSS microbatches") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("sswin").toString
+    def ts(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def ev(id: Long, t: String, u: Long)
+        : (Long, Timestamp, Long, String, Double, String) =
+      (id, ts(t), u, "x", 1.0, "{}")
+    def writeOne(evs: Seq[(Long, Timestamp, Long, String, Double, String)],
+        name: String, ageMs: Long): Unit = {
+      val scratch = Files.createTempDirectory("sswinw").toString
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(tmp, name),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(tmp, name),
+        java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis - ageMs))
+    }
+    // batch A: user 1 events 10:00 + 10:10 (one open session), user 2 at
+    // 10:00; batch B: user 1 at 10:30 — within the 30-min gap of 10:10,
+    // so the state-store sessionization must EXTEND A's session — and
+    // user 2 at 12:00, past the gap: a genuinely new session
+    writeOne(Seq(ev(1, "10:00", 1), ev(2, "10:10", 1), ev(3, "10:00", 2)),
+      "events.parquet", 60000)
+    writeOne(Seq(ev(4, "10:30", 1), ev(5, "12:00", 2)),
+      "eventsB.parquet", 30000)
+    val sdf = graft.streaming.StreamOps.sessionWindowStream(spark, tmp,
+      glob = "events*.parquet", maxFilesPerTrigger = Some(1))
+    val ckpt = Files.createTempDirectory("sswinckpt").toString
+    val q = sdf.writeStream.outputMode("complete").format("memory")
+      .queryName("sswin_out").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    val got = spark.table("sswin_out").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toString,
+        r.getAs[java.time.LocalDateTime](2).toString, r.getLong(3))).toSet
+    assert(nBatches >= 2, s"drip-feed did not split batches: $nBatches")
+    assert(got == Set(
+      // user 1: ONE merged session 10:00 → 10:30+gap, 3 events — the
+      // cross-batch extension, not two fragments
+      (1L, "2024-01-01T10:00", "2024-01-01T11:00", 3L),
+      (2L, "2024-01-01T10:00", "2024-01-01T10:30", 1L),
+      (2L, "2024-01-01T12:00", "2024-01-01T12:30", 1L)), got)
+  }
+
+  test("temperature mixture: exact integer weights, flattens the distribution") {
+    val rows = operators.Sampling.temperatureMixture(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length > 1)
+    // independent recompute of the weight chain
+    val sq = rows.map(r => r._1 -> math.floor(math.sqrt(r._2.toDouble)).toLong).toMap
+    val tot = sq.values.sum
+    rows.foreach { case (l, nt, w, quota, bp, samp) =>
+      assert(w == sq(l) * 1000000L / tot, s"$l weight")
+      assert(samp <= nt && quota <= nt && bp <= 10000L)
+    }
+    // the temperature property: √n compresses — a bigger stratum never
+    // gets a smaller weight, and the squared weight ratio stays below
+    // the count ratio up to integer-sqrt flooring slack: sq_a² ≤ n_a and
+    // n_b < (sq_b+1)² give sq_a²·n_b < n_a·(sq_b+1)² unconditionally
+    for (a <- rows; b <- rows if a._2 > b._2) {
+      assert(a._3 >= b._3, s"${a._1} vs ${b._1}: weight order")
+      val (sa, sb) = (sq(a._1), sq(b._1))
+      assert(sa * sa * b._2 < a._2 * (sb + 1) * (sb + 1),
+        s"${a._1}/${b._1}: no flattening")
+    }
+  }
+
   test("datasheet conserves docs/dups/kept across its component reports") {
     import org.apache.spark.sql.functions.col
     val ds = operators.Pipeline.datasheet(spark, dir).collect()
