@@ -222,6 +222,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"errors":$errors,$diagFields"sf":"$sfDir"}""")
     System.out.flush()
     graft.operators.Dedup.releaseAllSignatures()
+    graft.operators.Classifier.releaseAllWeights()
     graft.operators.Sampling.releaseAllDsir()
     graft.streaming.StreamOps.releaseAllDsirModels()
     graft.operators.Similarity.releaseAllCounts()

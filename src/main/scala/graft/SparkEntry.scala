@@ -154,6 +154,8 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))),
     "stream_session_window" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runSessionWindowToMemory(s, d)),
+    "stream_ivf_assign" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runIvfAssignToMemory(s, d)),
     "stream_interval_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runIntervalJoinToMemory(s, d)
         .orderBy(col("p_id"), col("s_id"))),
@@ -267,6 +269,7 @@ object SparkEntry {
     "fed_duckdb_unnest_pos" -> (Federated.duckUnnestPos _),
     "fed_xengine_partial_agg" -> (Federated.duckXenginePartialAgg _),
     "fed_xengine_partial_avg" -> (Federated.duckXenginePartialAvg _),
+    "fed_xengine_partial_distinct" -> (Federated.duckXenginePartialDistinct _),
     "fed_etl_duck_to_derby" -> (Federated.duckToDerbyEtl _),
     "stream_duckdb_sink" -> (Federated.duckStreamSink _),
     "fed_split_scan" -> (Federated.splitScanJoin _),
@@ -362,6 +365,7 @@ object SparkEntry {
         |ORDER BY content_md5""".stripMargin,
     "stream_dedup_bounded" -> graft.streaming.StreamOps.dedupBoundedOracle,
     "stream_session_window" -> EventOps.sessionWindowsOracle,
+    "stream_ivf_assign" -> graft.streaming.StreamOps.ivfAssignStreamOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_minhash" -> Dedup.minhashOracle,
     "dedup_simhash" -> Dedup.simhashOracle,
@@ -462,6 +466,7 @@ object SparkEntry {
     "fed_duckdb_unnest_pos" -> Federated.duckUnnestPosOracle,
     "fed_xengine_partial_agg" -> Federated.duckXenginePartialAggOracle,
     "fed_xengine_partial_avg" -> Federated.duckXenginePartialAvgOracle,
+    "fed_xengine_partial_distinct" -> Federated.duckXenginePartialDistinctOracle,
     "fed_etl_duck_to_derby" -> Federated.duckToDerbyEtlOracle,
     "stream_duckdb_sink" -> Federated.duckStreamSinkOracle,
 

@@ -46,6 +46,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.operators.Dedup.releaseAllSignatures()
+    graft.operators.Classifier.releaseAllWeights()
     graft.operators.Sampling.releaseAllDsir()
     graft.streaming.StreamOps.releaseAllDsirModels()
     graft.operators.Similarity.releaseAllCounts()

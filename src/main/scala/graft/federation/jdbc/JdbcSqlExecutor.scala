@@ -751,16 +751,25 @@ object DerbyDialect extends SqlDialect {
       s"(CASE WHEN $x >= 0 THEN $half ELSE -$half END) AS DECIMAL($p,$s)) END)"
   }
   // Derby has no ANSI keyword literals TIMESTAMP '...' / DATE '...' —
-  // only the function forms TIMESTAMP('...') / DATE('...')
-  override def literal(value: Any, dataType: DataType): String = {
-    val ansi = super.literal(value, dataType)
-    dataType match {
-      case TimestampType | TimestampNTZType =>
-        s"TIMESTAMP(${ansi.stripPrefix("TIMESTAMP ")})"
-      case DateType => s"DATE(${ansi.stripPrefix("DATE ")})"
-      case _ => ansi
+  // only the function forms TIMESTAMP('...') / DATE('...'). And its
+  // parser rejects a bare NULL in almost every expression position
+  // (probed live: `x IS NOT NULL OR NULL`, `1 < NULL`, `COALESCE(NULL,
+  // 5)`, `1 + NULL` are all syntax errors; only CASE ... THEN NULL
+  // parses) — found by fuzz seed 31337 when Catalyst folded
+  // `int_col <> 0.05` into `IsNotNull(col) OR null`. Every typed null
+  // literal renders as CAST(NULL AS <type>), which parses in all probed
+  // positions with standard three-valued semantics.
+  override def literal(value: Any, dataType: DataType): String =
+    if (value == null) s"CAST(NULL AS ${typeName(dataType)})"
+    else {
+      val ansi = super.literal(value, dataType)
+      dataType match {
+        case TimestampType | TimestampNTZType =>
+          s"TIMESTAMP(${ansi.stripPrefix("TIMESTAMP ")})"
+        case DateType => s"DATE(${ansi.stripPrefix("DATE ")})"
+        case _ => ansi
+      }
     }
-  }
   override def limitClause(limit: Option[Long], offset: Option[Long]): String =
     (limit, offset) match {
       case (Some(l), Some(o)) => s" OFFSET $o ROWS FETCH NEXT $l ROWS ONLY"

@@ -1087,6 +1087,43 @@ object Federated {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Cross-engine DISTINCT aggregation, LIVE — the third leg of the
+    * partial-agg family (plain ✓, AVG ✓): COUNT(DISTINCT) over a
+    * DuckDB∪Derby union ships a per-arm DEDUP on (group keys, args) —
+    * the `__gd_` columns — so each engine sends O(groups × distinct
+    * values) rows and the local final rebuilds the exact distinct count
+    * over the re-deduped union. The spec asserts both wires carry the
+    * grouped dedup and neither ships COUNT(DISTINCT. */
+  def duckXenginePartialDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.federation.jdbc.JdbcHarness.registerViews(s, dir)
+    graft.federation.duckdb.DuckDbHarness.registerViews(s, dir)
+    s.sql(
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_custs
+        |FROM (
+        |  SELECT o_orderpriority, o_custkey
+        |  FROM duck_orders WHERE o_totalprice > 150000
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_custkey
+        |  FROM jdbc_orders WHERE o_totalprice <= 150000
+        |) t
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val duckXenginePartialDistinctOracle: String =
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+      |FROM (
+      |  SELECT o_orderpriority, o_custkey
+      |  FROM orders WHERE o_totalprice > 150000
+      |  UNION ALL
+      |  SELECT o_orderpriority, o_custkey
+      |  FROM orders WHERE o_totalprice <= 150000
+      |) t
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Streaming ingest into the LIVE DuckDB engine, epoch-fenced: arriving
     * pages pass the in-flight C4 screen and survivors land through
     * [[graft.federation.duckdb.DuckDbSqlExecutor.insertIntoEpoch]] — the

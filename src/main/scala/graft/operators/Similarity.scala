@@ -405,6 +405,10 @@ object Similarity {
     * one Lloyd pass over the MD5 sample) and the full cell assignment —
     * the DuckDB mirror of [[ivfIndex]], reused by [[ivfTopKOracle]] and
     * [[semanticDedupOracle]]. */
+  /** The assignment CTE chain, shared with the streaming ingest oracle
+    * ([[graft.streaming.StreamOps.ivfAssignStreamOracle]]). */
+  private[graft] def ivfAssignedOracleCte: String = ivfAssignedCte
+
   private val ivfAssignedCte: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

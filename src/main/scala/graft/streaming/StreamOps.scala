@@ -263,6 +263,62 @@ object StreamOps {
     runStream(spark, sessionWindowStream(spark, dir), "complete", name)
       .orderBy(col("user_id"), col("session_start"))
 
+  /** STREAMING ANN index ingestion: arriving embeddings are assigned to
+    * their IVF cell IN-FLIGHT against the cached index's centroids — the
+    * production shape for keeping an ANN index fresh (new vectors join
+    * the inverted file as they land; centroids retrain offline per
+    * snapshot). The centroids (K×dim doubles, a few KB) ride as one
+    * array-of-struct literal and the nearest-cell argmax folds INSIDE
+    * the scan projection — per-row work is the same K dot products the
+    * batch broadcast-join pays, with zero stream-side shuffle; the only
+    * stateful operator is the per-cell rollup. Tie-break matches the
+    * batch assignment exactly: strict `>` over ascending cent_id keeps
+    * the smallest id. */
+  def ivfAssignStream(spark: SparkSession, dir: String): DataFrame = {
+    val cents = graft.operators.Similarity.ivfCentroids(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    val centsLit = typedlit(cents)
+    val schema = Tables.embeddings(spark, dir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+    val best = aggregate(
+      centsLit,
+      struct(lit(Double.NegativeInfinity).as("best"),
+        lit(-1L).as("cell")),
+      (acc, c) => {
+        val cs = graft.operators.Similarity
+          .cosine(col("embedding"), c.getField("_2"))
+        when(cs > acc.getField("best"),
+          struct(cs.as("best"), c.getField("_1").as("cell")))
+          .otherwise(acc)
+      })
+    stream
+      .select(col("vec_id"), best.getField("cell").as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+  }
+
+  def runIvfAssignToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_ivf_assign_out"): DataFrame =
+    runStream(spark, ivfAssignStream(spark, dir), "complete", name)
+      .orderBy(col("cell"))
+
+  /** Per-cell rollup of the full assignment in DuckDB — the stream must
+    * land every vector in the same cell the batch index build does. */
+  val ivfAssignStreamOracle: String =
+    graft.operators.Similarity.ivfAssignedOracleCte +
+      """
+        |SELECT CAST(cell AS BIGINT) AS cell,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+        |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
+
   val dedupBoundedOracle: String =
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
@@ -1108,7 +1164,7 @@ object StreamOps {
       posSources: Seq[String] = Seq("src0", "src1"),
       dim: Int = 2048): DataFrame = {
     val w = graft.operators.Classifier
-      .nbWeights(Tables.documents(spark, dir), posSources, dim)
+      .cachedWeights(spark, dir, posSources, dim)
     val schema = Tables.documents(spark, dir).schema
     val stream = spark.readStream
       .schema(schema)

@@ -231,6 +231,34 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, "cross-engine AVG differs from local")
   }
 
+  test("cross-engine COUNT(DISTINCT): per-arm dedup on both wires") {
+    graft.federation.jdbc.JdbcHarness.registerViews(spark, dir)
+    DuckDbHarness.registerViews(spark, dir)
+    val duckEx = ex
+    val derbyEx = graft.federation.jdbc.JdbcHarness.executor(spark, dir)
+    val duckBefore = duckEx.executedSql.size
+    val derbyBefore = derbyEx.executedSql.size
+    val df = graft.operators.Federated.duckXenginePartialDistinct(spark, dir)
+    val got = rows(df)
+    val duckSqls = duckEx.executedSql.synchronized(
+      duckEx.executedSql.drop(duckBefore))
+    val derbySqls = derbyEx.executedSql.synchronized(
+      derbyEx.executedSql.drop(derbyBefore))
+    for ((name, sqls) <- Seq("duck" -> duckSqls, "derby" -> derbySqls)) {
+      assert(sqls.exists(_.contains("__gd_")),
+        s"$name arm shipped no grouped dedup:\n${sqls.mkString("\n")}")
+      assert(!sqls.exists(_.toUpperCase.replace(" ", "")
+          .contains("COUNT(DISTINCT")),
+        s"$name arm must not ship COUNT(DISTINCT:\n${sqls.mkString("\n")}")
+    }
+    val want = rows(spark.sql(
+      s"""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs
+         |FROM parquet.`$dir/orders.parquet`
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin))
+    assert(got == want, "cross-engine distinct differs from local")
+  }
+
   test("splittable fragment fans out to 4 read-only subprocess cursors") {
     DuckDbHarness.registerViews(spark, dir)
     // approx_count_distinct has no remote spelling, so the aggregate

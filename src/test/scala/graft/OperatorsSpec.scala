@@ -2130,6 +2130,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stream IVF ingest assigns every vector to the batch index's cell") {
+    // the in-row argmax over the centroid literal must agree with the
+    // batch broadcast-join + window top-1, tie-breaks included
+    val want = operators.Similarity.ivfAssignments(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.col("cell"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.col("vec_id")).as("lo"),
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("vec_id")).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val got = graft.streaming.StreamOps.runIvfAssignToMemory(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want)
+    // multiple cells genuinely populated (an all-one-cell index is broken)
+    assert(got.size > 1)
+  }
+
   test("datasheet conserves docs/dups/kept across its component reports") {
     import org.apache.spark.sql.functions.col
     val ds = operators.Pipeline.datasheet(spark, dir).collect()

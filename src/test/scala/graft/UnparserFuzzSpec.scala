@@ -163,19 +163,27 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
            |) t WHERE c2 >= 0 OR c2 < 0 OR c2 IS NULL
            |GROUP BY c1 ORDER BY c1""".stripMargin
       case 4 => // window functions (exact aggregates only; total order)
+        // (l_orderkey, l_linenumber) is NOT unique in the generated
+        // fixture (1161 duplicate pairs at sf0.001) — seed 4242 caught a
+        // ROWS-frame MIN whose result legitimately differed between
+        // Spark and DuckDB under tie reordering. Every order-dependent
+        // window below uses the PROBED-unique 4-column order so the
+        // query itself is deterministic (a nondeterministic query is a
+        // generator bug, not an engine diff).
+        val tot = "l_orderkey, l_linenumber, l_quantity, l_extendedprice"
         val wfn = pick(r,
-          "ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)",
+          s"ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY $tot)",
           "RANK() OVER (PARTITION BY l_linestatus ORDER BY l_quantity, l_orderkey, l_linenumber)",
           "COUNT(*) OVER (PARTITION BY l_returnflag)",
           "MAX(l_quantity) OVER (PARTITION BY l_linestatus)",
           // navigation fns: deterministic under the total per-partition order
-          "FIRST_VALUE(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)",
-          "LAST_VALUE(l_orderkey) OVER (PARTITION BY l_linestatus ORDER BY l_orderkey, l_linenumber)",
-          "NTH_VALUE(l_orderkey, 3) OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)",
-          "PERCENT_RANK() OVER (PARTITION BY l_linestatus ORDER BY l_orderkey, l_linenumber)",
-          "CUME_DIST() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)",
+          s"FIRST_VALUE(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY $tot)",
+          s"LAST_VALUE(l_orderkey) OVER (PARTITION BY l_linestatus ORDER BY $tot)",
+          s"NTH_VALUE(l_orderkey, 3) OVER (PARTITION BY l_returnflag ORDER BY $tot)",
+          s"PERCENT_RANK() OVER (PARTITION BY l_linestatus ORDER BY $tot)",
+          s"CUME_DIST() OVER (PARTITION BY l_returnflag ORDER BY $tot)",
           // explicit sliding frame
-          "MIN(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING)")
+          s"MIN(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY $tot ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING)")
         s"""SELECT l_orderkey, l_linenumber, $wfn AS w
            |FROM fed_lineitem WHERE ${pred(r, d)}
            |ORDER BY l_orderkey, l_linenumber, w LIMIT ${20 + r.nextInt(80)}"""
