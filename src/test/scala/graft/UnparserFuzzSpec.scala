@@ -568,6 +568,42 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only $federated/$total reached DuckDB — dialect refusal regression")
   }
 
+  test("30 random unnest queries against the LIVE DuckDB engine match local") {
+    // the unnest grammar run for real: arrays cross the subprocess wire
+    // as nested JSON, inner/outer explode emit CROSS/LEFT JOIN UNNEST,
+    // and posexplode emits the generate_subscripts LATERAL form that
+    // replaced the (probed-nonexistent) WITH ORDINALITY — differential
+    // against plain local execution, not goldens
+    graft.federation.duckdb.DuckDbHarness.registerViews(spark, dir)
+    graft.sources.Tables.registerAll(spark, dir)
+    val total = nOverride.map(n => math.max(10, n / 10)).getOrElse(30)
+    var federated = 0
+    val r = new Random(seedBase + 202L)
+    (1 to total).foreach { i =>
+      val sql0 = genUnnestQuery(r)
+      val fedSql = sql0.replace("fed_", "duck_")
+      val localSql = sql0.replace("fed_", "")
+      val fedDf = spark.sql(fedSql)
+      val frags = fedDf.queryExecution.optimizedPlan.collect {
+        case f: FederatedPlan => f
+      }
+      if (frags.nonEmpty) federated += 1
+      val got = try rowsOf(fedDf) catch { case e: Throwable =>
+        throw new AssertionError(
+          s"live-DuckDB unnest #$i EXECUTION FAILED\nSQL:\n$fedSql\n" +
+            s"plan:\n${fedDf.queryExecution.executedPlan}", e)
+      }
+      val want = rowsOf(spark.sql(localSql))
+      assert(got == want,
+        s"live-DuckDB unnest #$i differs (federated=${frags.nonEmpty})\n" +
+          s"SQL:\n$fedSql\ngot ${got.size} rows, want ${want.size}\n" +
+          s"first diff: ${got.zip(want).find(p => p._1 != p._2)}\n" +
+          s"plan:\n${fedDf.queryExecution.optimizedPlan}")
+    }
+    assert(federated >= (total * 9) / 10,
+      s"only $federated/$total live unnest queries federated")
+  }
+
   test("60 partial-agg unions across TWO REAL ENGINES (DuckDB + Derby) match local") {
     // the cross-engine version of the partial-agg sweep: each union arm
     // partializes into ITS OWN live engine (duck_ → DuckDB subprocess,
