@@ -73,11 +73,29 @@ final class DuckDbSqlExecutor(
     }
   }
 
-  override def tableNames: Seq[String] =
-    DuckDbProcess.tables(dbPath)
+  // Catalog metadata caches: every remote-view registration resolves the
+  // table's schema, and the gate harness re-registers views per query —
+  // without a cache each gate invocation pays one subprocess DESCRIBE
+  // round-trip PER TABLE (~100 ms each; the r9 bench sweep showed every
+  // fed_duckdb_* gate inflate ~150 ms when a 7th table joined the
+  // harness). Schemas and the table list are stable between DDL, so
+  // [[createTable]] is the only invalidation point.
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+  @volatile private var tableNamesCache: Option[Seq[String]] = None
+
+  override def tableNames: Seq[String] = {
+    val cached = tableNamesCache
+    cached.getOrElse {
+      val names = DuckDbProcess.tables(dbPath)
+      tableNamesCache = Some(names)
+      names
+    }
+  }
 
   override def tableSchema(ref: RemoteTableRef): StructType =
-    DuckDbProcess.describe(dbPath, s"SELECT * FROM ${ref.sql(dialect)}")
+    schemaCache.getOrElseUpdate(ref.toString,
+      DuckDbProcess.describe(dbPath, s"SELECT * FROM ${ref.sql(dialect)}"))
 
   // Option-valued cache: `Some(None)` pins the at-cap "not small" outcome
   // (probe once per executor lifetime); transient failures are not cached.
@@ -365,6 +383,9 @@ final class DuckDbSqlExecutor(
     runWrite(Seq(
       s"DROP TABLE IF EXISTS ${ref.sql(dialect)}",
       s"CREATE TABLE ${ref.sql(dialect)} ($cols)"))
+    // DDL invalidates the catalog caches (new/replaced table schema)
+    schemaCache.remove(ref.toString)
+    tableNamesCache = None
   }
 }
 
