@@ -266,6 +266,8 @@ object SparkEntry {
     "fed_duckdb_delete" -> (Federated.duckDelete _),
     "fed_duckdb_update" -> (Federated.duckUpdate _),
     "fed_duckdb_unnest" -> (Federated.duckUnnest _),
+    "fed_duckdb_intersect_all" -> (Federated.duckIntersectAll _),
+    "fed_duckdb_except_all" -> (Federated.duckExceptAll _),
     "fed_duckdb_unnest_pos" -> (Federated.duckUnnestPos _),
     "fed_xengine_partial_agg" -> (Federated.duckXenginePartialAgg _),
     "fed_xengine_partial_avg" -> (Federated.duckXenginePartialAvg _),
@@ -463,6 +465,8 @@ object SparkEntry {
     "fed_duckdb_delete" -> Federated.duckDeleteOracle,
     "fed_duckdb_update" -> Federated.duckUpdateOracle,
     "fed_duckdb_unnest" -> Federated.duckUnnestOracle,
+    "fed_duckdb_intersect_all" -> Federated.duckIntersectAllOracle,
+    "fed_duckdb_except_all" -> Federated.duckExceptAllOracle,
     "fed_duckdb_unnest_pos" -> Federated.duckUnnestPosOracle,
     "fed_xengine_partial_agg" -> Federated.duckXenginePartialAggOracle,
     "fed_xengine_partial_avg" -> Federated.duckXenginePartialAvgOracle,

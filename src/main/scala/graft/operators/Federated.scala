@@ -1663,6 +1663,32 @@ object Federated {
       |ORDER BY k
       |LIMIT 60""".stripMargin
 
+  /** INTERSECT ALL on the LIVE engine: Catalyst lowers it to a
+    * union + grouped signed counts + `replicaterows`; everything except
+    * the final local replication federates as ONE DuckDB SQL — the
+    * optimal wire split (O(distinct keys) rows cross, with their
+    * multiplicities). Mock-verified in r8; now executed for real. */
+  def duckIntersectAll(s: SparkSession, dir: String): DataFrame =
+    graft.federation.duckdb.DuckDbHarness.sql(s, dir,
+      """SELECT o_custkey AS k FROM duck_orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey AS k FROM duck_orders WHERE o_totalprice > 1000
+        |ORDER BY k
+        |LIMIT 60""".stripMargin)
+
+  val duckIntersectAllOracle: String = intersectAllOracle
+
+  /** EXCEPT ALL, same live lowering with the signed-count sum. */
+  def duckExceptAll(s: SparkSession, dir: String): DataFrame =
+    graft.federation.duckdb.DuckDbHarness.sql(s, dir,
+      """SELECT o_custkey AS k FROM duck_orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey AS k FROM duck_orders WHERE o_totalprice > 150000
+        |ORDER BY k
+        |LIMIT 60""".stripMargin)
+
+  val duckExceptAllOracle: String = exceptAllOracle
+
   /** THREE-provider union aggregate: every prior cross-provider gate uses
     * two engines; the lattice merge, per-arm partial aggregation, and the
     * local combine are all N-ary, so a third provider (gamma) must fall

@@ -259,6 +259,30 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, "cross-engine distinct differs from local")
   }
 
+  test("INTERSECT/EXCEPT ALL: one live SQL ships grouped counts, not rows") {
+    val e = ex
+    val before = e.executedSql.size
+    val ia = operators.Federated.duckIntersectAll(spark, dir)
+    assert(remoteScans(ia).size == 1, remoteScans(ia))
+    val gotIa = ia.collect()
+    val wire = e.executedSql.synchronized(e.executedSql.drop(before))
+    // the fragment carries the union + per-key signed/min counts; the
+    // only local operator is replicaterows
+    assert(wire.exists(s => s.toUpperCase.contains("UNION ALL") &&
+      s.toUpperCase.contains("GROUP BY")), wire.mkString("\n"))
+    val want = spark.sql(
+      s"""SELECT o_custkey AS k FROM parquet.`$dir/orders.parquet`
+         |WHERE o_orderstatus = 'F'
+         |INTERSECT ALL
+         |SELECT o_custkey AS k FROM parquet.`$dir/orders.parquet`
+         |WHERE o_totalprice > 1000
+         |ORDER BY k LIMIT 60""".stripMargin).collect()
+    assert(gotIa.map(_.getLong(0)).toSeq == want.map(_.getLong(0)).toSeq)
+    val ea = operators.Federated.duckExceptAll(spark, dir)
+    assert(remoteScans(ea).size == 1, remoteScans(ea))
+    assert(ea.collect().nonEmpty)
+  }
+
   test("splittable fragment fans out to 4 read-only subprocess cursors") {
     DuckDbHarness.registerViews(spark, dir)
     // approx_count_distinct has no remote spelling, so the aggregate
