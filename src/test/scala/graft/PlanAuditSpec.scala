@@ -487,6 +487,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(count(p, "SortMergeJoin") == 0, p)
   }
 
+  test("temperature mixture: broadcast rate table, corpus scanned once") {
+    val p = finalPlan("samp_temperature")
+    // the √n-weighted rate table is constant-size and broadcasts back
+    // onto the corpus; the corpus itself is scanned once, never joined
+    // wide or re-shuffled beyond the final per-stratum rollup
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+    assert(count(p, "CartesianProduct") == 0, p)
+    val docScans = fileScans(p).count(_.contains("documents"))
+    assert(docScans <= 2, s"corpus scanned $docScans times:\n$p")
+  }
+
   test("fed_duckdb_q1: the WHOLE aggregate ships as one DuckDB SQL") {
     val df = SparkEntry.queries("fed_duckdb_q1")(spark, dir)
     df.count()
