@@ -47,6 +47,15 @@ object Bench {
     }
   }
 
+  /** Repo root for the committed artifacts (calibration pin, per-round
+    * record): the working directory when it holds build.sbt (sbt runMain
+    * always does), else the canonical checkout path. */
+  private[graft] lazy val repoRoot: java.nio.file.Path = {
+    val cwd = java.nio.file.Paths.get("").toAbsolutePath
+    if (java.nio.file.Files.exists(cwd.resolve("build.sbt"))) cwd
+    else java.nio.file.Paths.get("/root/repo")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -162,11 +171,18 @@ object Bench {
     val pinned: Option[Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/root/repo/bench_calibration.json")),
-          "UTF-8")
+          repoRoot.resolve("bench_calibration.json")), "UTF-8")
         s""""$cpus"\\s*:\\s*([0-9.]+)""".r.findFirstMatchIn(txt)
           .map(_.group(1).toDouble)
-      } catch { case scala.util.control.NonFatal(_) => None }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // a silent miss would disable the from-the-start load check the
+          // pin exists for — say so instead
+          System.err.println(
+            s"[bench] WARNING: quiet-box pin unreadable ($e) - " +
+              "from-the-start load detection is OFF for this run")
+          None
+      }
     val pinRatio = pinned.map(p => ms3(calibBase / p))
     val warn = new scala.collection.mutable.ArrayBuffer[String]
     if (calibDrift > 1.5)
@@ -196,7 +212,7 @@ object Bench {
     // committed round record with toy-scale numbers
     if (only.isEmpty && sfDir.contains("sf0.1")) {
       try {
-        val repo = java.nio.file.Paths.get("/root/repo")
+        val repo = repoRoot
         val round = java.nio.file.Files.list(repo).iterator().asScala
           .flatMap { p =>
             "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(p.getFileName.toString)

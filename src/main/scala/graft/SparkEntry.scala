@@ -80,6 +80,7 @@ object SparkEntry {
     "sim_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
     "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
     "pack_stats" -> ((s, d) => Packing.packStats(s, d)),
+    "pack_write_roundtrip" -> ((s, d) => Packing.packWriteRoundtrip(s, d)),
     "samp_mixture" -> ((s, d) => Sampling.mixture(s, d)),
     "samp_temperature" -> ((s, d) => Sampling.temperatureMixture(s, d)),
     "samp_split_leakfree" -> ((s, d) => Sampling.leakFreeSplit(s, d)),
@@ -269,6 +270,8 @@ object SparkEntry {
     "fed_duckdb_intersect_all" -> (Federated.duckIntersectAll _),
     "fed_duckdb_except_all" -> (Federated.duckExceptAll _),
     "fed_duckdb_unnest_pos" -> (Federated.duckUnnestPos _),
+    "fed_duckdb_struct" -> (Federated.duckStruct _),
+    "fed_duckdb_struct_cast" -> (Federated.duckStructCast _),
     "fed_xengine_partial_agg" -> (Federated.duckXenginePartialAgg _),
     "fed_xengine_partial_avg" -> (Federated.duckXenginePartialAvg _),
     "fed_xengine_partial_distinct" -> (Federated.duckXenginePartialDistinct _),
@@ -347,6 +350,7 @@ object SparkEntry {
     "stream_fed_enrich" -> graft.streaming.StreamOps.fedEnrichOracle,
     "pack_sequences" -> Packing.packSequencesOracle,
     "pack_stats" -> Packing.packStatsOracle,
+    "pack_write_roundtrip" -> Packing.packWriteRoundtripOracle,
     "samp_mixture" -> Sampling.mixtureOracle,
     "samp_temperature" -> Sampling.temperatureMixtureOracle,
     "samp_split_leakfree" -> Sampling.leakFreeSplitOracle,
@@ -468,6 +472,8 @@ object SparkEntry {
     "fed_duckdb_intersect_all" -> Federated.duckIntersectAllOracle,
     "fed_duckdb_except_all" -> Federated.duckExceptAllOracle,
     "fed_duckdb_unnest_pos" -> Federated.duckUnnestPosOracle,
+    "fed_duckdb_struct" -> Federated.duckStructOracle,
+    "fed_duckdb_struct_cast" -> Federated.duckStructCastOracle,
     "fed_xengine_partial_agg" -> Federated.duckXenginePartialAggOracle,
     "fed_xengine_partial_avg" -> Federated.duckXenginePartialAvgOracle,
     "fed_xengine_partial_distinct" -> Federated.duckXenginePartialDistinctOracle,

@@ -86,6 +86,25 @@ object Federation {
     GraftShims.ofRows(spark,
       RemoteRelation(RemoteTableRef.parse(remoteRef), executor, hooks))
 
+  /** Like [[remoteDataFrame]] but with a DECLARED schema instead of the
+    * engine-inferred one — the reference's schema-cast contract
+    * (`SQLTableSource::new_with_schema` + schema_cast/, src/sql/table.rs,
+    * struct_cast.rs:12-55): the user asserts richer types than the remote
+    * catalog reports (JSON text columns declared as struct/array, wide
+    * decimals narrowed), and the boundary coerces each wire value to the
+    * declared type as it lands. Field count and names must match the
+    * remote table positionally; types may differ where a coercion
+    * exists — an impossible coercion fails the read, never silently
+    * corrupts. */
+  def remoteDataFrameAs(spark: SparkSession, remoteRef: String,
+      executor: SqlExecutor,
+      schema: org.apache.spark.sql.types.StructType,
+      hooks: Option[TableHooks] = None): DataFrame =
+    GraftShims.ofRows(spark,
+      RemoteRelation(RemoteTableRef.parse(remoteRef), executor,
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+        hooks))
+
   /** Register every table the executor's catalog lists, under its remote
     * name prefixed with `prefix` (reference SQLSchemaProvider::new,
     * src/sql/schema.rs:16-46). `hooks` maps REMOTE table names to their

@@ -29,17 +29,20 @@ object FederationStrategy extends SparkStrategy {
           throw new IllegalStateException(
             s"cannot plan federation for provider ${other.name}")
       }
-      val sqls = provider.unparseSplits(f.inner)
+      val (sqls, rangeIdx) = provider.unparseSplitsInfo(f.inner)
       RemoteScanExec(f.output, sqls,
         provider.executor, f.runtimeFilters, f.bindJoins,
-        remoteOrdering(f, provider, sqls.size)) :: Nil
+        remoteOrdering(f, provider, sqls.size),
+        rangeIdx.map(f.output)) :: Nil
 
     case r: RemoteRelation =>
       // route through the provider so plan/SQL hooks apply on the
       // fallback path exactly as on the federated path
       val provider = SqlFederationProvider.forExecutor(r.executor)
-      RemoteScanExec(r.output, provider.unparseSplits(Project(r.output, r)),
-        r.executor) :: Nil
+      val (sqls, rangeIdx) =
+        provider.unparseSplitsInfo(Project(r.output, r))
+      RemoteScanExec(r.output, sqls, r.executor,
+        rangeSplitCol = rangeIdx.map(r.output)) :: Nil
 
     case _ => Nil
   }

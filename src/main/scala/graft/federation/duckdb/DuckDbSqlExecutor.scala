@@ -168,7 +168,10 @@ final class DuckDbSqlExecutor(
                    TimestampNTZType | _: DecimalType => true
               case _ => false
             })
-            if (eligible.isEmpty) return Map.empty
+            // no early `return` here: a non-local return would unwind
+            // through getOrElseUpdate and skip caching the empty result
+            if (eligible.isEmpty) Map.empty
+            else {
             val items = eligible.flatMap { f =>
               val q = dialect.quoteIfNeeded(f.name)
               f.dataType match {
@@ -210,6 +213,7 @@ final class DuckDbSqlExecutor(
               }
               f.name -> stat
             }.toMap
+            }
         }
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     })
@@ -275,14 +279,15 @@ final class DuckDbSqlExecutor(
       .createTempDirectory(stagingRoot, "ingest_").toString
     // positional alignment: rename to the target's column names so the
     // by-name parquet read cannot mispair
-    val renamed = df.toDF(schema.fieldNames.toIndexedSeq: _*)
-    renamed.write.mode("overwrite").parquet(stage)
-    val cols = schema.fieldNames
-      .map(dialect.quoteIfNeeded).mkString(", ")
-    runWrite(Seq(
-      s"INSERT INTO ${ref.sql(dialect)} ($cols) " +
-        s"SELECT $cols FROM read_parquet('$stage/*.parquet')"))
-    deleteRecursively(new java.io.File(stage))
+    try {
+      val renamed = df.toDF(schema.fieldNames.toIndexedSeq: _*)
+      renamed.write.mode("overwrite").parquet(stage)
+      val cols = schema.fieldNames
+        .map(dialect.quoteIfNeeded).mkString(", ")
+      runWrite(Seq(
+        s"INSERT INTO ${ref.sql(dialect)} ($cols) " +
+          s"SELECT $cols FROM read_parquet('$stage/*.parquet')"))
+    } finally deleteRecursively(new java.io.File(stage))
   }
 
   /** Epoch-fenced variant for streaming `foreachBatch` sinks — the
@@ -310,17 +315,18 @@ final class DuckDbSqlExecutor(
           s"${schema.length}-column table")
       val stage = java.nio.file.Files
         .createTempDirectory(stagingRoot, "epoch_").toString
-      val renamed = df.toDF(schema.fieldNames.toIndexedSeq: _*)
-      renamed.write.mode("overwrite").parquet(stage)
-      val cols = schema.fieldNames
-        .map(dialect.quoteIfNeeded).mkString(", ")
-      runWrite(Seq(
-        "BEGIN",
-        s"INSERT INTO ${ref.sql(dialect)} ($cols) " +
-          s"SELECT $cols FROM read_parquet('$stage/*.parquet')",
-        s"INSERT INTO ${fence.sql(dialect)} VALUES ($epochId)",
-        "COMMIT"))
-      deleteRecursively(new java.io.File(stage))
+      try {
+        val renamed = df.toDF(schema.fieldNames.toIndexedSeq: _*)
+        renamed.write.mode("overwrite").parquet(stage)
+        val cols = schema.fieldNames
+          .map(dialect.quoteIfNeeded).mkString(", ")
+        runWrite(Seq(
+          "BEGIN",
+          s"INSERT INTO ${ref.sql(dialect)} ($cols) " +
+            s"SELECT $cols FROM read_parquet('$stage/*.parquet')",
+          s"INSERT INTO ${fence.sql(dialect)} VALUES ($epochId)",
+          "COMMIT"))
+      } finally deleteRecursively(new java.io.File(stage))
       true
     }
   }
@@ -385,7 +391,22 @@ final class DuckDbSqlExecutor(
       s"CREATE TABLE ${ref.sql(dialect)} ($cols)"))
     // DDL invalidates the catalog caches (new/replaced table schema)
     schemaCache.remove(ref.toString)
+    statsCache.remove(ref.toString)
+    colStatsCache.remove(ref.toString)
     tableNamesCache = None
+  }
+
+  /** Driver-side DDL batch that (re)defines `ref` through arbitrary
+    * engine SQL (CTAS and friends — shapes [[createTable]]'s DDL mapping
+    * can't express, e.g. STRUCT-typed columns), with the same catalog
+    * cache invalidation. */
+  def runDdl(ref: RemoteTableRef, sqls: Seq[String]): Unit = {
+    runWrite(sqls)
+    schemaCache.remove(ref.toString)
+    statsCache.remove(ref.toString)
+    colStatsCache.remove(ref.toString)
+    tableNamesCache = None
+    ()
   }
 }
 
@@ -422,6 +443,7 @@ object DuckDbProcess {
       |    if isinstance(v, (bytes, bytearray)):
       |        return base64.b64encode(v).decode()
       |    if isinstance(v, list): return [conv(x) for x in v]
+      |    if isinstance(v, dict): return {k: conv(x) for k, x in v.items()}
       |    return v
       |while True:
       |    line = sys.stdin.readline()
@@ -665,16 +687,77 @@ object DuckDbProcess {
       case "DATE" => DateType
       case "TIMESTAMP" => TimestampNTZType
       case "BLOB" => BinaryType
+      // JSON reads as text; a declared-schema read
+      // (Federation.remoteDataFrameAs) decodes it at the boundary
+      case "JSON" => StringType
+      // LIST types render as ELEM[]; elements ride the row line as a
+      // nested JSON array. MUST precede the parameterized-type cases:
+      // DECIMAL(2,1)[] starts with "DECIMAL(" too (a latent bug the
+      // struct-wire spec's decimal-list leg caught)
+      // recurse on the ORIGINAL string, not the uppercased match key —
+      // a STRUCT element type carries case-significant field names
+      case l if l.endsWith("[]") =>
+        ArrayType(catalystType(t.dropRight(2)), containsNull = true)
       case dec if dec.startsWith("DECIMAL(") =>
         val ps = dec.stripPrefix("DECIMAL(").stripSuffix(")").split(",")
         DecimalType(ps(0).trim.toInt, ps(1).trim.toInt)
-      // LIST types render as ELEM[]; elements ride the row line as a
-      // nested JSON array
-      case l if l.endsWith("[]") =>
-        ArrayType(catalystType(l.dropRight(2)), containsNull = true)
+      // STRUCT(name TYPE, …): field names quote with doubled-"" escaping
+      // when non-identifier (probed live, v1.0); values ride the row line
+      // as a nested JSON object keyed by field name
+      case s if s.startsWith("STRUCT(") && s.endsWith(")") =>
+        StructType(parseStructFields(t.substring(7, t.length - 1)))
       case other =>
         throw new UnsupportedOperationException(s"duckdb type $other")
     }
+  }
+
+  /** Parse the body of a DESCRIBE-rendered `STRUCT(…)`: `name TYPE`
+    * pairs, comma-separated at paren depth 0; names either bare
+    * identifiers or `"…"`-quoted with `""` escapes; TYPE recurses through
+    * [[catalystType]] (nested structs/lists/decimals all reappear here). */
+  private def parseStructFields(body: String): Seq[StructField] = {
+    val out = Seq.newBuilder[StructField]
+    val n = body.length
+    var i = 0
+    while (i < n) {
+      while (i < n && body.charAt(i) == ' ') i += 1
+      val name = new StringBuilder
+      if (body.charAt(i) == '"') {
+        i += 1
+        var closed = false
+        while (!closed) {
+          val c = body.charAt(i)
+          if (c == '"') {
+            if (i + 1 < n && body.charAt(i + 1) == '"') {
+              name += '"'; i += 2
+            } else { i += 1; closed = true }
+          } else { name += c; i += 1 }
+        }
+      } else
+        while (i < n && body.charAt(i) != ' ') { name += body.charAt(i); i += 1 }
+      require(i < n && body.charAt(i) == ' ',
+        s"malformed STRUCT field at $i in: $body")
+      i += 1
+      val start = i
+      var depth = 0
+      var inQuote = false
+      var stop = false
+      while (i < n && !stop) {
+        val c = body.charAt(i)
+        if (inQuote) { if (c == '"') inQuote = false; i += 1 }
+        else c match {
+          case '"' => inQuote = true; i += 1
+          case '(' => depth += 1; i += 1
+          case ')' => depth -= 1; i += 1
+          case ',' if depth == 0 => stop = true
+          case _ => i += 1
+        }
+      }
+      out += StructField(name.toString,
+        catalystType(body.substring(start, i).trim))
+      if (i < n) i += 1 // the separating comma
+    }
+    out.result()
   }
 
   /** Schema-directed JSON → InternalRow conversion (the duckdb analog of
@@ -715,10 +798,31 @@ object DuckDbProcess {
       case BinaryType =>
         java.util.Base64.getDecoder.decode(v.asText())
       case ArrayType(et, _) =>
-        val out = new Array[Any](v.size())
+        // textual wire value + declared array = JSON-encoded column
+        // (engine VARCHAR, declared ARRAY): decode, then convert — the
+        // same boundary coercion as the struct case below
+        val arr = if (v.isTextual) mapper.readTree(v.asText()) else v
+        val out = new Array[Any](arr.size())
         var j = 0
-        while (j < out.length) { out(j) = convertValue(v.get(j), et); j += 1 }
+        while (j < out.length) {
+          out(j) = convertValue(arr.get(j), et); j += 1
+        }
         new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case st: StructType =>
+        // a native engine STRUCT rides as a JSON object; a VARCHAR column
+        // under a DECLARED struct schema rides as JSON text and decodes
+        // here — the wire-side analog of the reference's string→struct
+        // schema-cast kernel (schema_cast/struct_cast.rs:12-55; the local
+        // path is SchemaCoercion's from_json)
+        val obj = if (v.isTextual) mapper.readTree(v.asText()) else v
+        val row = new GenericInternalRow(st.fields.length)
+        var j = 0
+        while (j < st.fields.length) {
+          row(j) = convertValue(obj.get(st.fields(j).name),
+            st.fields(j).dataType)
+          j += 1
+        }
+        row
       case other =>
         throw new UnsupportedOperationException(s"duckdb read of $other")
     }

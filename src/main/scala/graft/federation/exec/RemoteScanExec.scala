@@ -41,7 +41,8 @@ final case class RemoteScanExec(
     @transient executor: SqlExecutor,
     @transient runtimeFilters: Seq[RemoteRuntimeFilter] = Nil,
     @transient bindJoins: Seq[graft.federation.plans.RemoteBindJoin] = Nil,
-    outputOrder: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] = Nil)
+    outputOrder: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] = Nil,
+    rangeSplitCol: Option[Attribute] = None)
   extends LeafExecNode {
   // @transient: physical plans are captured in task closures (whole-stage
   // codegen, broadcast); the executor is only dereferenced driver-side in
@@ -62,7 +63,22 @@ final case class RemoteScanExec(
     if (outputOrder.nonEmpty && sqls.size == 1 &&
         executor.singlePartitionPerCursor)
       org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-    else super.outputPartitioning
+    else rangeSplitCol match {
+      // Quantile RANGE splits deliver cursor i = range i (ascending,
+      // NULLs riding cursor 0 — exactly ASC NULLS FIRST): with one
+      // partition per cursor that IS RangePartitioning, so an exchange
+      // above a window / merge-join / global sort keyed on the split
+      // column disappears (Spark plans only the cheap per-partition
+      // sort). Claim it whenever true; consumers that don't care still
+      // shuffle as before.
+      case Some(c) if sqls.size > 1 && executor.singlePartitionPerCursor &&
+          bindJoins.isEmpty =>
+        org.apache.spark.sql.catalyst.plans.physical.RangePartitioning(
+          Seq(org.apache.spark.sql.catalyst.expressions.SortOrder(c,
+            org.apache.spark.sql.catalyst.expressions.Ascending)),
+          sqls.size)
+      case _ => super.outputPartitioning
+    }
 
   // The executor-metrics surface of the reference (src/sql/executor.rs:71-75,
   // displayed via the scan node src/sql/mod.rs:412-414) plus the coercion

@@ -335,9 +335,16 @@ final class JdbcSqlExecutor(
     val conn = connect()
     try {
       conn.setAutoCommit(false)
-      // '_' is a metadata-pattern wildcard — over-matching is impossible
-      // anyway: the writeId in the prefix is unique to this call
-      val rs = conn.getMetaData.getTables(null, null, s"$stgPrefix%",
+      // '_' is a single-char wildcard in JDBC metadata patterns; unescaped,
+      // a write whose counter is a decimal prefix of another's (…_stg_<t>1_
+      // vs …_stg_<t>15_) could match — and publish/drop — the other write's
+      // staging tables mid-flight. Escape every metacharacter in the prefix.
+      val esc = conn.getMetaData.getSearchStringEscape
+      val escaped = stgPrefix
+        .replace(esc, esc + esc)
+        .replace("_", esc + "_")
+        .replace("%", esc + "%")
+      val rs = conn.getMetaData.getTables(null, null, s"$escaped%",
         Array("TABLE"))
       val stgs = scala.collection.mutable.ArrayBuffer.empty[String]
       while (rs.next()) stgs += rs.getString("TABLE_NAME")

@@ -88,7 +88,17 @@ final class SqlFederationProvider(val executor: SqlExecutor)
   /** The fragment's final SQL texts, one per remote cursor: a splittable
     * fragment on an executor with `splitCount` n > 1 yields n disjoint
     * split queries ([[SplitScan]]); anything else yields the single SQL. */
-  def unparseSplits(plan: LogicalPlan): Seq[String] = {
+  def unparseSplits(plan: LogicalPlan): Seq[String] =
+    unparseSplitsInfo(plan)._1
+
+  /** [[unparseSplits]] plus the split's partitioning metadata: when the
+    * splits are quantile RANGE cuts, the second element is the position
+    * (in the fragment's output) of the split column — cursor i then holds
+    * exactly the rows of range i, ascending with NULLs in cursor 0, which
+    * the physical scan can surface as `RangePartitioning` (the exchange
+    * above a window/merge-join keyed on that column disappears). Modulo
+    * splits carry no such order and report None. */
+  def unparseSplitsInfo(plan: LogicalPlan): (Seq[String], Option[Int]) = {
     val p = hooked(plan)
     val n = executor.splitCount
     val col = if (n > 1) SplitScan.splitColumn(p) else None
@@ -107,20 +117,23 @@ final class SqlFederationProvider(val executor: SqlExecutor)
         }.filter(_.nonEmpty)
         bounds match {
           case Some(bs) =>
-            (0 to bs.size).map { i =>
+            val sqls = (0 to bs.size).map { i =>
               sqlHooked(plan)(new SqlUnparser(executor.dialect)
                 .unparse(SplitScan.withRangeFilter(p, c, bs, i)))
             }
+            (sqls, Some(p.output.indexWhere(_.exprId == c.exprId))
+              .filter(_ >= 0))
           case None =>
-            (0 until n).map { i =>
+            ((0 until n).map { i =>
               sqlHooked(plan)(new SqlUnparser(executor.dialect)
                 .unparse(SplitScan.withSplitFilter(p, c, n, i)))
-            }
+            }, None)
         }
       case None =>
         // plan hook already applied above — unparse `p` directly, or a
         // side-effecting/expensive planRewriter would run twice
-        Seq(sqlHooked(plan)(new SqlUnparser(executor.dialect).unparse(p)))
+        (Seq(sqlHooked(plan)(new SqlUnparser(executor.dialect).unparse(p))),
+          None)
     }
   }
 }

@@ -384,6 +384,53 @@ class BpeCodec(val merges: Array[String]) extends Serializable {
     n
   }
 
+  /** Stable vocabulary id of a post-segmentation symbol: merge products
+    * take their (lowest) merge rank (0..M-1); base symbols take
+    * M + codepoint — disjoint by construction, since products are
+    * multi-codepoint strings — with the `</w>` marker at M + 0x110000
+    * (one past the codepoint space). Total over every symbol
+    * [[segment]] can emit, and deterministic, so any two executors
+    * agree. */
+  def vocabId(sym: String): Int = {
+    val hit = productIds.get(sym)
+    if (hit != null) hit.intValue
+    else if (sym == "</w>") merges.length + 0x110000
+    else if (sym.codePointCount(0, sym.length) == 1)
+      merges.length + sym.codePointAt(0)
+    else throw new IllegalArgumentException(s"unknown BPE symbol: $sym")
+  }
+
+  @transient private lazy val productIds: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      val key = merges(i)
+      val sep = key.indexOf(' ')
+      val prod = key.substring(0, sep) + key.substring(sep + 1)
+      // first (lowest-rank) wins when two merges yield one product
+      if (!m.containsKey(prod)) m.put(prod, Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+
+  /** Token ids of a whole text: whitespace-tokenize, segment each word,
+    * id each symbol ([[vocabId]] semantics via the precomputed product
+    * table). The id stream a packed-shard writer consumes
+    * ([[graft.operators.Packing.packTokens]]). */
+  def idsText(text: String): Array[Int] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val out = Array.newBuilder[Int]
+    var i = 0
+    while (i < toks.length) {
+      val sy = segment(graft.operators.TextOps.bpeInitialSymbols(toks(i)))
+      var j = 0
+      while (j < sy.length) { out += vocabId(sy(j)); j += 1 }
+      i += 1
+    }
+    out.result()
+  }
+
   /** Greedy lowest-rank-first merge replay over a symbol sequence. */
   def segment(initial: Array[String]): Array[String] = {
     var sy = initial

@@ -1377,6 +1377,83 @@ object Federated {
 
   val duckUnnestPosOracle: String = unnestPosOracle
 
+  /** STRUCT columns cross the LIVE engine wire (round-10 sibling of the
+    * r9 array-wire work, which caught a real dialect bug on first run):
+    * the remote table carries a native nested `STRUCT(…)` column —
+    * DESCRIBE's `STRUCT(name TYPE, …)` string parses to a Catalyst
+    * `StructType`, values ride the subprocess line as nested JSON
+    * objects — and the field projection runs ABOVE the boundary, so
+    * per-row struct integrity (not just an aggregate) is oracle-checked.
+    * Reference schema surface: schema_cast/struct_cast.rs:12-55. */
+  def duckStruct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.duckdb.DuckDbHarness.executor(s, dir)
+    val ref = graft.federation.sql.RemoteTableRef.parse("cust_profile_duck")
+    ex.runDdl(ref, Seq(
+      "DROP TABLE IF EXISTS cust_profile_duck",
+      """CREATE TABLE cust_profile_duck AS
+        |SELECT c_custkey,
+        |  {'segment': c_mktsegment, 'balance': c_acctbal,
+        |   'nation': {'key': c_nationkey, 'label': c_name}} AS profile
+        |FROM customer""".stripMargin))
+    graft.federation.Federation.remoteDataFrame(s, "cust_profile_duck", ex)
+      .where(col("c_custkey") <= 500)
+      .select(col("c_custkey"),
+        col("profile.segment").as("segment"),
+        col("profile.balance").as("balance"),
+        col("profile.nation.key").cast("long").as("n_key"),
+        col("profile.nation.label").as("label"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val duckStructOracle: String =
+    """SELECT c_custkey, c_mktsegment AS segment, c_acctbal AS balance,
+      |  CAST(c_nationkey AS BIGINT) AS n_key, c_name AS label
+      |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin
+
+  /** String→struct coercion on REAL wire data — the reference's
+    * schema-cast contract executed at a live boundary
+    * (struct_cast.rs:12-55): the remote column is JSON TEXT (engine
+    * catalog says JSON/VARCHAR), the registration DECLARES a struct
+    * schema ([[graft.federation.Federation.remoteDataFrameAs]]), and the
+    * boundary decodes each wire value into the declared
+    * struct-with-nested-array as it lands. Until this gate, no declared
+    * schema had ever disagreed with a real engine's catalog. */
+  def duckStructCast(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at}
+    import org.apache.spark.sql.types._
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.duckdb.DuckDbHarness.executor(s, dir)
+    val ref = graft.federation.sql.RemoteTableRef.parse("cust_payload_duck")
+    ex.runDdl(ref, Seq(
+      "DROP TABLE IF EXISTS cust_payload_duck",
+      """CREATE TABLE cust_payload_duck AS
+        |SELECT c_custkey, to_json({'seg': c_mktsegment, 'bal': c_acctbal,
+        |  'tags': [c_nationkey, c_custkey]}) AS payload
+        |FROM customer WHERE c_custkey <= 400""".stripMargin))
+    val declared = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("payload", StructType(Seq(
+        StructField("seg", StringType),
+        StructField("bal", DoubleType),
+        StructField("tags", ArrayType(LongType)))))))
+    graft.federation.Federation
+      .remoteDataFrameAs(s, "cust_payload_duck", ex, declared)
+      .select(col("c_custkey"),
+        col("payload.seg").as("seg"),
+        col("payload.bal").as("bal"),
+        element_at(col("payload.tags"), 1).as("tag0"),
+        element_at(col("payload.tags"), 2).as("tag1"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val duckStructCastOracle: String =
+    """SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal,
+      |  CAST(c_nationkey AS BIGINT) AS tag0,
+      |  CAST(c_custkey AS BIGINT) AS tag1
+      |FROM customer WHERE c_custkey <= 400 ORDER BY c_custkey""".stripMargin
+
   /** Window functions federate: rank + windowed count inside the fragment
     * (reference analyzer.rs:410-447 window coverage). */
   def windowPushdown(s: SparkSession, dir: String): DataFrame =

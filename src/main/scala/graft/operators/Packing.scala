@@ -87,6 +87,135 @@ object Packing {
         expr(s"n_tokens % $seqLen").as("tail_tokens"))
       .orderBy(col("shard"))
 
+  /** The MATERIALIZING packer: turns per-document token-id arrays into
+    * fixed-length packed sequences — the `array<int>` rows a trainer's
+    * data loader actually reads — with one writer task per shard block.
+    *
+    * `ids` is any deterministic per-document token-id Column
+    * (`array<int>`): the production tokenizer is the trained BPE codec
+    * ([[graft.functions.BpeCodec.idsText]]); the oracle gate uses a
+    * hash-id tokenizer so the WHOLE pipeline (routing, ordering,
+    * chopping, id integrity per position) is engine-checkable.
+    *
+    * Scale shape: ONE shuffle (hash partition by shard), then a single
+    * streaming pass per partition — documents arrive shard-contiguous and
+    * doc_id-ordered (`sortWithinPartitions`), the chopper carries at most
+    * `seqLen − 1` buffered tokens across documents, and every shard's
+    * sequences are emitted in order with ids `0..n−1`. Nothing is
+    * collected; at 100 TB, `nShards` is thousands and each task streams
+    * its shards' documents once. The final partial sequence per shard is
+    * emitted SHORT (no padding), matching [[packStats]]'s `tail_tokens`
+    * accounting. */
+  def packTokens(docs: DataFrame, ids: org.apache.spark.sql.Column,
+      seqLen: Int, nShards: Int): DataFrame = {
+    require(seqLen > 0 && nShards > 0,
+      s"packTokens: seqLen=$seqLen nShards=$nShards must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prepared = docs
+      .select(shardOf(nShards).as("shard"),
+        col("doc_id").cast("long").as("doc_id"),
+        ids.cast("array<int>").as("ids"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .as[(Long, Long, Array[Int])]
+    prepared.mapPartitions { docsIt =>
+      new Iterator[(Long, Long, Array[Int])] {
+        private var curShard = Long.MinValue
+        private var nextSeqId = 0L
+        private val buf = new scala.collection.mutable.ArrayBuffer[Int]
+        private val pending =
+          new scala.collection.mutable.Queue[(Long, Long, Array[Int])]
+        private def flushTail(): Unit =
+          if (buf.nonEmpty) {
+            pending.enqueue((curShard, nextSeqId, buf.toArray))
+            buf.clear()
+            nextSeqId += 1
+          }
+        private def fill(): Unit = {
+          while (pending.isEmpty && docsIt.hasNext) {
+            val (shard, _, docIds) = docsIt.next()
+            if (shard != curShard) {
+              flushTail()
+              curShard = shard
+              nextSeqId = 0L
+            }
+            var i = 0
+            while (i < docIds.length) {
+              buf += docIds(i)
+              if (buf.length == seqLen) {
+                pending.enqueue((curShard, nextSeqId, buf.toArray))
+                buf.clear()
+                nextSeqId += 1
+              }
+              i += 1
+            }
+          }
+          if (pending.isEmpty && !docsIt.hasNext) flushTail()
+        }
+        override def hasNext: Boolean = { fill(); pending.nonEmpty }
+        override def next(): (Long, Long, Array[Int]) = {
+          fill(); pending.dequeue()
+        }
+      }
+    }.toDF("shard", "seq_id", "ids")
+  }
+
+  /** Write packed sequences as a per-shard parquet tree
+    * (`shard=N/part-….parquet`) — rows are already shard-contiguous from
+    * [[packTokens]]'s partitioning, so each task writes whole shard
+    * files, no second shuffle. */
+  def packWrite(packed: DataFrame, outDir: String): Unit =
+    packed.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** Round-trip identity gate: pack with a HASH-id tokenizer (28-bit md5
+    * prefix per whitespace token — the engine can recompute every id),
+    * write the per-shard tree, READ IT BACK, and reduce each stored
+    * sequence to order-sensitive invariants (count, sum, position-
+    * weighted sum). The oracle rebuilds the same packing arithmetic from
+    * `documents` alone — any gap, overlap, misroute, reorder, or id
+    * corruption in the written files breaks a position-weighted sum. */
+  def packWriteRoundtrip(s: SparkSession, dir: String, seqLen: Int = 64,
+      nShards: Int = 8): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val hashIds = transform(toks,
+      w => conv(substring(md5(w), 1, 7), 16, 10).cast("int"))
+    val out = s"target/pack-roundtrip-${Math.abs(dir.hashCode)}"
+    packWrite(packTokens(documents(s, dir), hashIds, seqLen, nShards), out)
+    s.read.parquet(out)
+      .select(col("shard").cast("long").as("shard"), col("seq_id"),
+        posexplode(col("ids")).as(Seq("p", "id")))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("id").cast("long")).as("sum_ids"),
+        sum((col("p") + 1).cast("long") * col("id")).as("pos_weighted"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
+  val packWriteRoundtripOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14) AS BIGINT) % 8
+      |      AS shard,
+      |    regexp_split_to_array(TRIM(text), '\s+') AS toks
+      |  FROM documents
+      |), o AS (
+      |  SELECT doc_id, shard, toks,
+      |    CAST(SUM(len(toks)) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      - len(toks) AS tok_start
+      |  FROM d
+      |), t AS (
+      |  SELECT shard, tok_start + i - 1 AS gpos,
+      |    CAST('0x'||substr(md5(toks[i]),1,7) AS BIGINT) AS id
+      |  FROM o, UNNEST(range(1, len(toks) + 1)) AS r(i)
+      |)
+      |SELECT shard, gpos // 64 AS seq_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |  CAST(SUM(id) AS BIGINT) AS sum_ids,
+      |  CAST(SUM((gpos % 64 + 1) * id) AS BIGINT) AS pos_weighted
+      |FROM t GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin
+
   val packStatsOracle: String =
     """SELECT
       |  CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,14) AS BIGINT) % 8

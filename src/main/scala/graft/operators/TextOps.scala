@@ -1887,17 +1887,48 @@ object TextOps {
       numMerges: Int = 30): Seq[BpeMerge] =
     bpeTrainOf(documents(s, dir), numMerges)._1
 
+  /** Hard ceiling on the word-frequency table the trainer will pull to
+    * the driver: 4M entries ≈ a few hundred MB of short strings — the
+    * size class of an ordinary broadcast build. Web-scale corpora hold
+    * 10⁸–10⁹ distinct whitespace tokens (URLs, typos, numerals), so the
+    * UNPRUNED table is a guaranteed driver OOM at 100 TB; the cap turns
+    * that into a loud, actionable failure instead. */
+  val BpeMaxVocab: Int = 4 << 20
+
   /** Trainer over an explicit docs frame; also returns the final
     * vocabulary representation (symbols, freq) so specs can pin the
-    * encoder-trainer consistency property. */
-  def bpeTrainOf(docs: DataFrame, numMerges: Int)
+    * encoder-trainer consistency property.
+    *
+    * The driver-side collect is BOUNDED: words below `minFreq` are
+    * dropped inside the frequency aggregate (engine-side, before any
+    * row reaches the driver — published trainers prune identically, and
+    * `minFreq = 1` is a no-op so the default stays bit-identical), and
+    * the fetch itself is a distributed top-(maxVocab+1) by
+    * (freq DESC, word ASC) — `TakeOrderedAndProject`, so the driver
+    * never holds more than maxVocab+1 rows even when the corpus would
+    * overflow the cap. Overflow (a full cap-sized result with one row to
+    * spare) fails loudly with the knobs to turn rather than silently
+    * truncating the vocabulary. */
+  def bpeTrainOf(docs: DataFrame, numMerges: Int, minFreq: Long = 1L,
+      maxVocab: Int = BpeMaxVocab)
       : (Seq[BpeMerge], Seq[(Vector[String], Long)]) = {
+    require(maxVocab > 0, s"bpeTrainOf: maxVocab must be positive ($maxVocab)")
     val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
-    val vocab = docs.select(explode(toks).as("word"))
+    val pruned = docs.select(explode(toks).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= minFreq)
+    val vocab = pruned
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(maxVocab + 1)
       .collect()
-      .map(row => (bpeInitialSymbols(row.getString(0)), row.getLong(1)))
-    bpeTrainMerges(vocab.toSeq, numMerges)
+    if (vocab.length > maxVocab)
+      throw new IllegalStateException(
+        s"bpeTrainOf: pruned vocabulary exceeds maxVocab=$maxVocab " +
+          s"(minFreq=$minFreq). Raise minFreq (frequency pruning happens " +
+          "engine-side) or maxVocab if the driver can hold more.")
+    bpeTrainMerges(vocab.toSeq
+      .map(row => (bpeInitialSymbols(row.getString(0)), row.getLong(1))),
+      numMerges)
   }
 
   private[graft] def bpeInitialSymbols(word: String): Array[String] = {

@@ -610,4 +610,130 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT x FROM (VALUES (1), (NULL), (2)) AS t(x) ORDER BY x")
     assert(got.last.get(0).isNull, got.toString)
   }
+
+  test("range-split scan claims RangePartitioning: window on the split " +
+      "column pays NO exchange, and no re-sort is ever wrong") {
+    DuckDbHarness.registerViews(spark, dir)
+    // approx_count_distinct has no remote spelling → the window stays
+    // local; the fragment below it is scan-shaped → 4 quantile RANGE
+    // splits. Cursor i = range i (ascending, NULLs in 0) IS
+    // RangePartitioning(o_orderkey ASC, 4), so EnsureRequirements keeps
+    // the window exchange-free: only the cheap per-partition sort runs.
+    val df = spark.sql(
+      """SELECT o_orderkey,
+        |  approx_count_distinct(o_totalprice)
+        |    OVER (PARTITION BY o_orderkey) AS ad
+        |FROM duck_orders""".stripMargin)
+    val got = rows(df)
+    val planStr = df.queryExecution.executedPlan.toString()
+    assert(planStr.contains("Window") && planStr.contains("RemoteScan"),
+      planStr)
+    assert(!planStr.contains("Exchange"),
+      s"window on the range-split column must not shuffle:\n$planStr")
+    val want = rows(spark.sql(
+      s"""SELECT o_orderkey,
+         |  approx_count_distinct(o_totalprice)
+         |    OVER (PARTITION BY o_orderkey) AS ad
+         |FROM parquet.`$dir/orders.parquet`""".stripMargin))
+    assert(got == want)
+
+    // the refusal side stays pinned: when the split column (o_orderkey —
+    // the first "key"-suffixed integral in the output) differs from the
+    // window key, the claim must NOT suppress the needed shuffle
+    val other = spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  approx_count_distinct(o_totalprice)
+        |    OVER (PARTITION BY o_custkey) AS ad
+        |FROM duck_orders""".stripMargin)
+    val got2 = rows(other)
+    val planStr2 = other.queryExecution.executedPlan.toString()
+    assert(planStr2.contains("o_orderkey <") ||
+      planStr2.contains("o_orderkey\" <"),
+      s"expected a range split on o_orderkey:\n$planStr2")
+    assert(planStr2.contains("Exchange"),
+      s"window on a non-split column still needs its shuffle:\n$planStr2")
+    val want2 = rows(spark.sql(
+      s"""SELECT o_orderkey, o_custkey,
+         |  approx_count_distinct(o_totalprice)
+         |    OVER (PARTITION BY o_custkey) AS ad
+         |FROM parquet.`$dir/orders.parquet`""".stripMargin))
+    assert(got2 == want2)
+  }
+
+  test("STRUCT type strings parse: nesting, lists, quoted names") {
+    import org.apache.spark.sql.types._
+    assert(DuckDbProcess.catalystType("STRUCT(a INTEGER, b VARCHAR)") ==
+      StructType(Seq(StructField("a", IntegerType),
+        StructField("b", StringType))))
+    // nested struct + decimal list + struct list, as DESCRIBE renders them
+    assert(DuckDbProcess.catalystType(
+      "STRUCT(a INTEGER, nested STRUCT(c DATE, d DECIMAL(2,1)[]))") ==
+      StructType(Seq(StructField("a", IntegerType),
+        StructField("nested", StructType(Seq(
+          StructField("c", DateType),
+          StructField("d", ArrayType(DecimalType(2, 1),
+            containsNull = true))))))))
+    assert(DuckDbProcess.catalystType("STRUCT(a INTEGER)[]") ==
+      ArrayType(StructType(Seq(StructField("a", IntegerType))),
+        containsNull = true))
+    // quoted field names with the doubled-"" escape (probed live, v1.0)
+    assert(DuckDbProcess.catalystType(
+      """STRUCT("weird name" INTEGER, "q""q" VARCHAR)""") ==
+      StructType(Seq(StructField("weird name", IntegerType),
+        StructField("""q"q""", StringType))))
+  }
+
+  test("native STRUCT values cross the wire: nested objects, null fields") {
+    Federation.install(spark)
+    val e = ex
+    val ref = RemoteTableRef.parse("struct_wire_probe")
+    e.runDdl(ref, Seq(
+      "DROP TABLE IF EXISTS struct_wire_probe",
+      """CREATE TABLE struct_wire_probe AS SELECT * FROM (VALUES
+        |  (1, {'seg': 'A', 'm': {'d': DATE '2020-03-04', 'xs': [1, 2]}}),
+        |  (2, {'seg': NULL, 'm': {'d': NULL, 'xs': []}}),
+        |  (3, NULL)) AS t(id, p)""".stripMargin))
+    val df = Federation.remoteDataFrame(spark, "struct_wire_probe", e)
+    // schema came from DESCRIBE's STRUCT string through the parser
+    assert(df.schema("p").dataType.isInstanceOf[
+      org.apache.spark.sql.types.StructType])
+    val got = df.orderBy("id").collect()
+    assert(got(0).getStruct(1).getString(0) == "A")
+    assert(got(0).getStruct(1).getStruct(1).getDate(0).toString ==
+      "2020-03-04")
+    assert(got(0).getStruct(1).getStruct(1).getSeq[Int](1) == Seq(1, 2))
+    assert(got(1).getStruct(1).isNullAt(0))
+    assert(got(1).getStruct(1).getStruct(1).isNullAt(0))
+    assert(got(1).getStruct(1).getStruct(1).getSeq[Int](1).isEmpty)
+    assert(got(2).isNullAt(1))
+  }
+
+  test("declared struct schema over a JSON text column decodes at the " +
+      "boundary (string→struct cast, live wire)") {
+    import org.apache.spark.sql.types._
+    Federation.install(spark)
+    val e = ex
+    val ref = RemoteTableRef.parse("json_wire_probe")
+    e.runDdl(ref, Seq(
+      "DROP TABLE IF EXISTS json_wire_probe",
+      """CREATE TABLE json_wire_probe AS SELECT * FROM (VALUES
+        |  (1, to_json({'seg': 'B', 'bal': 1.5, 'tags': [7, 8]})),
+        |  (2, NULL)) AS t(id, payload)""".stripMargin))
+    // engine catalog reports JSON text…
+    assert(e.tableSchema(ref)("payload").dataType == StringType)
+    // …but the DECLARED schema asserts a struct, and the wire coerces
+    val declared = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("payload", StructType(Seq(
+        StructField("seg", StringType),
+        StructField("bal", DoubleType),
+        StructField("tags", ArrayType(LongType)))))))
+    val got = Federation
+      .remoteDataFrameAs(spark, "json_wire_probe", e, declared)
+      .orderBy("id").collect()
+    assert(got(0).getStruct(1).getString(0) == "B")
+    assert(got(0).getStruct(1).getDouble(1) == 1.5)
+    assert(got(0).getStruct(1).getSeq[Long](2) == Seq(7L, 8L))
+    assert(got(1).isNullAt(1))
+  }
 }

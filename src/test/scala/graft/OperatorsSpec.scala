@@ -427,6 +427,72 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally df.unpersist()
   }
 
+  test("packed-shard writer: written files tile shards with zero " +
+      "gaps/overlaps, bitwise content") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val seqLen = 5
+    val docs = graft.sources.Tables.documents(spark, dir).limit(200)
+    val ids = transform(split(trim(col("text")), "\\s+"),
+      w => conv(substring(md5(w), 1, 7), 16, 10).cast("int"))
+    val out = java.nio.file.Files
+      .createTempDirectory("packw").toString
+    operators.Packing.packWrite(
+      operators.Packing.packTokens(docs, ids, seqLen, nShards = 4), out)
+    val back = spark.read.parquet(out)
+      .select(col("shard").cast("long"), col("seq_id"), col("ids"))
+      .as[(Long, Long, Array[Int])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+
+    // independent driver-side recompute of each shard's id stream
+    val docRows = docs.select(operators.Packing.shardOf(4).as("shard"),
+        col("doc_id").cast("long"), ids.as("ids"))
+      .as[(Long, Long, Array[Int])].collect()
+    val want = docRows.groupBy(_._1).view.mapValues { rs =>
+      rs.sortBy(_._2).flatMap(_._3) }.toMap
+
+    assert(back.keySet == want.keySet, "shard sets differ")
+    for ((shard, seqs) <- back) {
+      // contiguous ids from 0, full blocks everywhere but the tail
+      assert(seqs.map(_._2).toSeq == (0L until seqs.length.toLong),
+        s"shard $shard seq ids not contiguous")
+      seqs.dropRight(1).foreach { case (_, sid, arr) =>
+        assert(arr.length == seqLen, s"short non-tail seq $shard/$sid") }
+      assert(seqs.last._3.length <= seqLen && seqs.last._3.nonEmpty)
+      // concatenation reproduces the shard stream BITWISE — any gap,
+      // overlap, reorder, or corruption fails here
+      assert(seqs.flatMap(_._3).toSeq == want(shard).toSeq,
+        s"shard $shard stream mismatch")
+    }
+
+    // BPE leg: the PRODUCTION tokenizer's ids survive the writer the
+    // same way (codec ids, not hash ids)
+    val (merges, _) = operators.TextOps.bpeTrainOf(docs, 30)
+    val codec = new graft.functions.BpeCodec(
+      merges.map(m => m.left + " " + m.right).toArray)
+    val bpeIds = udf((t: String) => codec.idsText(t))
+    val out2 = java.nio.file.Files
+      .createTempDirectory("packb").toString
+    operators.Packing.packWrite(
+      operators.Packing.packTokens(docs, bpeIds(col("text")),
+        seqLen = 64, nShards = 4), out2)
+    val back2 = spark.read.parquet(out2)
+      .select(col("shard").cast("long"), col("seq_id"), col("ids"))
+      .as[(Long, Long, Array[Int])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val texts = docs.select(operators.Packing.shardOf(4).as("shard"),
+        col("doc_id").cast("long"), col("text"))
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for ((shard, seqs) <- back2) {
+      assert(seqs.map(_._2).toSeq == (0L until seqs.length.toLong))
+      // stream equals the concatenated codec encoding in doc order
+      val wantStream = texts(shard).flatMap(t => codec.idsText(t._3))
+      assert(seqs.flatMap(_._3).toSeq == wantStream.toSeq,
+        s"BPE shard $shard stream mismatch")
+    }
+  }
+
   test("bm25 ranks saturating tf with idf weighting, integer-exact") {
     import org.apache.spark.sql.functions._
     val df = operators.TextOps.bm25(spark, dir, k = 20)
@@ -2583,6 +2649,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       sy.mkString("").stripSuffix("</w>") -> sy }.toMap
     assert(rep("low") == Vector("low", "</w>"))
     assert(rep("newest") == Vector("n", "e", "w", "est</w>"))
+  }
+
+  test("bpe trainer: bounded collect — cutoff-1 identity, engine-side " +
+      "pruning, loud cap overflow") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    // frequency cutoff 1 prunes nothing: merge list bit-identical to the
+    // default call (the oracle gate pins the same identity end-to-end)
+    val base = operators.TextOps.bpeTrainOf(docs, 8)._1
+    val cut1 = operators.TextOps.bpeTrainOf(docs, 8, minFreq = 1L)._1
+    assert(base == cut1)
+
+    // adversarial long tail: 5000 distinct singleton tokens around a
+    // 3-word frequent core. maxVocab=16 would overflow on the raw
+    // vocabulary — succeeding under minFreq=2 proves the tail was pruned
+    // BEFORE the cap applied (i.e. inside the aggregate, engine-side)
+    val junk = (0 until 5000).map(i => s"zq${i}x").mkString(" ")
+    val core = (Seq.fill(9)("low") ++ Seq.fill(7)("newest") ++
+      Seq.fill(5)("widest")).mkString(" ")
+    val tailDocs = Seq((0L, s"$core $junk", "s")).toDF(
+      "doc_id", "text", "source")
+    val (prunedMerges, prunedWords) =
+      operators.TextOps.bpeTrainOf(tailDocs, 4, minFreq = 2L, maxVocab = 16)
+    assert(prunedWords.length == 3,
+      s"expected the 3-word core, got ${prunedWords.length} entries")
+    // pruned training == training on the core alone
+    val coreOnly = operators.TextOps.bpeTrainOf(
+      Seq((0L, core, "s")).toDF("doc_id", "text", "source"), 4)._1
+    assert(prunedMerges == coreOnly)
+
+    // past the cap: loud failure naming both knobs, not silent truncation
+    val e = intercept[IllegalStateException] {
+      operators.TextOps.bpeTrainOf(tailDocs, 4, minFreq = 1L, maxVocab = 16)
+    }
+    assert(e.getMessage.contains("minFreq") &&
+      e.getMessage.contains("maxVocab"))
   }
 
   test("bpe encoder reproduces the trainer's final representation") {
