@@ -149,6 +149,201 @@ object ScaleStress {
         s""""curated_docs":$curatedSources,$pipeJson}""")
     }
 
+    // r10 judge task 1: scale-stress the FEDERATION BOUNDARY itself —
+    // every prior stress measured local operator pipelines; no remote
+    // boundary had ever carried more than sf0.1. A 15M-row fact table is
+    // parquet-staged into live DuckDB, then the four boundary mechanisms
+    // are measured: 16-way quantile-split scans (wall + per-cursor
+    // balance), a split scan feeding a local broadcast join, a
+    // runtime-filtered fragment (binds disabled to isolate the IN-list
+    // path), a big inline-VALUES bind join, a chunked Derby bind at its
+    // probed maxInlineValuesRows, and a cross-engine partial-agg union
+    // (15M DuckDB arm + 200k Derby arm, groups-only on both wires).
+    val doFed = sys.env.get("SPARK_GRAFT_SCALE_FED").contains("1")
+    if (doFed) {
+      import org.apache.spark.sql.types._
+      graft.federation.Federation.install(spark)
+      val nFact =
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_FED_ROWS", "15000000").toLong
+      val nDerbyRows = sys.env
+        .getOrElse("SPARK_GRAFT_SCALE_FED_DERBY_ROWS", "200000").toLong
+      val db = new java.io.File(s"$outDir/fed-stress.duckdb")
+      val dex = new graft.federation.duckdb.DuckDbSqlExecutor(
+        "duck", spark, db.getAbsolutePath, splitCount = 16)
+      val factRef = graft.federation.sql.RemoteTableRef.parse("fact")
+      val factSchema = StructType(Seq(
+        StructField("k", LongType), StructField("grp", LongType),
+        StructField("v", DoubleType), StructField("cat", StringType)))
+      def factFrame(n: Long) = spark.range(n).select(
+        col("id").as("k"),
+        pmod(col("id"), lit(1000L)).as("grp"),
+        (pmod(col("id"), lit(9973L)).cast("double") / lit(100.0)).as("v"),
+        concat(lit("cat_"), pmod(col("id"), lit(37L)).cast("string"))
+          .as("cat"))
+      if (regen || !db.exists()) timed("fed_ingest_duck") {
+        dex.createTable(factRef, factSchema)
+        dex.insertInto(factRef, factFrame(nFact))
+      }
+      val jex = new graft.federation.jdbc.JdbcSqlExecutor("derby", spark,
+        "jdbc:derby:memory:fedstress;create=true",
+        graft.federation.jdbc.DerbyDialect)
+      if (jex.tableNames.isEmpty) timed("fed_ingest_derby") {
+        jex.createTable(factRef, factSchema)
+        jex.insertInto(factRef, factFrame(nDerbyRows))
+      }
+      graft.federation.Federation
+        .registerRemoteTable(spark, "duck_fact", "fact", dex)
+      graft.federation.Federation
+        .registerRemoteTable(spark, "derby_fact", "fact", jex)
+
+      def remoteStats(df: org.apache.spark.sql.DataFrame): (Long, Int) = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        import graft.federation.exec.RemoteScanExec
+        def gather(p: SparkPlan): Seq[RemoteScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => gather(a.executedPlan)
+          // AQE stages are leaves whose subtree hangs off .plan, and a
+          // reused exchange hides its child — both must be looked through
+          // or every scan under an exchange reads as absent (the r10
+          // stress's first introspection run reported all-zero wire rows)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            gather(q.plan)
+          case e: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            gather(e.child)
+          case r: RemoteScanExec => Seq(r)
+          case other => (other.children ++ other.subqueries).flatMap(gather)
+        }
+        val scans = gather(df.queryExecution.executedPlan)
+        (scans.map(_.metrics("numOutputRows").value).sum,
+          scans.map(_.sqls.size).sum)
+      }
+
+      // (a) 16-way quantile-split scan: wall + per-cursor balance — the
+      // leg that exposed the prefix-sample bias (see splitBoundaries)
+      var cursors: Array[Long] = Array.empty
+      timed("fed_split_scan_16way") {
+        cursors = graft.federation.Federation
+          .remoteDataFrame(spark, "fact", dex)
+          .queryExecution.toRdd.mapPartitions { it =>
+            var c = 0L; while (it.hasNext) { it.next(); c += 1 }
+            Iterator(c)
+          }.collect()
+      }
+
+      // (b) the same split scan feeding a LOCAL broadcast join + local
+      // aggregate: 16 parallel cursors drain the full fact
+      val dimAll = spark.range(1000).select(col("id").as("grp"),
+        (pmod(col("id"), lit(7L))).cast("double").as("w"))
+      var underJoin: (Long, Int) = (0L, 0)
+      val nUnderJoin = timed("fed_split_under_join") {
+        val df = graft.federation.Federation
+          .remoteDataFrame(spark, "fact", dex)
+          .join(broadcast(dimAll), "grp")
+          .groupBy(col("cat")).agg(sum(col("v") * col("w")).as("s"))
+        val n = df.collect().length
+        underJoin = remoteStats(df)
+        n
+      }
+
+      // (c) runtime-filtered fragment: a selective 50-group dim, binds
+      // OFF so the IN-list runtime filter is what crosses — wire rows
+      // must collapse ~20×
+      spark.conf.set(graft.federation.BindJoinRule.EnabledKey, "false")
+      var rtf: (Long, Int) = (0L, 0)
+      val nRtf = timed("fed_runtime_filter") {
+        val dim50 = spark.range(1000)
+          .filter(pmod(col("id"), lit(20L)) === 0L)
+          .select(col("id").as("grp"))
+        val df = graft.federation.Federation
+          .remoteDataFrame(spark, "fact", dex)
+          .join(dim50, "grp")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        val r = df.collect()(0).getLong(0)
+        rtf = remoteStats(df)
+        r
+      }
+      spark.conf.set(graft.federation.BindJoinRule.EnabledKey, "true")
+
+      // (d) big inline-VALUES bind join on DuckDB (dialect probed
+      // unbounded; 20k keys ride as ONE VALUES table and the join
+      // completes remotely — raise the planning byte cap to admit it)
+      spark.conf.set(graft.federation.BindJoinRule.MaxBytesKey, "8388608")
+      var bindSqls = 0
+      var bind: (Long, Int) = (0L, 0)
+      val nBind = timed("fed_bind_20k") {
+        val before = dex.executedSql.synchronized(dex.executedSql.size)
+        // range×step keeps an EXACT rowCount in stats (a Filter would
+        // erase it, and the planner's conservative byte floor then
+        // over-refuses the bind — by design)
+        val keys = spark.range(20000L).select((col("id") * 20L).as("k"))
+        val df = graft.federation.Federation
+          .remoteDataFrame(spark, "fact", dex)
+          .join(keys, "k")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        val r = df.collect()(0).getLong(0)
+        bind = remoteStats(df)
+        bindSqls = dex.executedSql.synchronized(
+          dex.executedSql.drop(before).count(_.contains("VALUES")))
+        r
+      }
+
+      // (e) staged bind past Derby's execution-cost cap (bindStageRows=64
+      // — inline VALUES joins are O(build × fact) on Derby, probed r10):
+      // 1905 build keys materialize as a remote staging table the engine
+      // hash-joins, then drop at execution end
+      var derbyStaged = 0
+      val nDerbyBind = timed("fed_derby_staged_bind") {
+        val before = jex.executedSql.synchronized(jex.executedSql.size)
+        val keys = spark.range(1905L).select((col("id") * 21L).as("k"))
+        val df = graft.federation.Federation
+          .remoteDataFrame(spark, "fact", jex)
+          .join(keys, "k")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        val r = df.collect()(0).getLong(0)
+        derbyStaged = jex.executedSql.synchronized(
+          jex.executedSql.drop(before))
+          .count(_.contains("graft_bind_"))
+        r
+      }
+
+      // (f) cross-engine partial-agg union: the 15M DuckDB arm and the
+      // 200k Derby arm each ship grouped partials — wire rows must be
+      // ~groups per arm, NOT corpus rows
+      var xe: (Long, Int) = (0L, 0)
+      val nXe = timed("fed_xengine_partial") {
+        val df = spark.sql(
+          """SELECT grp, COUNT(*) AS n,
+            |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sv
+            |FROM (
+            |  SELECT grp, v FROM duck_fact
+            |  UNION ALL
+            |  SELECT grp, v FROM derby_fact
+            |) t GROUP BY grp""".stripMargin)
+        val r = df.collect().length
+        xe = remoteStats(df)
+        r
+      }
+
+      val fedJson = phases
+        .filter(p => p._1.startsWith("fed_"))
+        .map { case (n, p) =>
+          f""""$n":{"sec":${p.sec}%.1f,"shuffle_write_mb":${p.w / 1048576},"shuffle_read_mb":${p.r / 1048576}}"""
+        }.mkString(",")
+      println(
+        s"""{"fed_rows":$nFact,"derby_rows":$nDerbyRows,""" +
+        s""""cursors":${cursors.mkString("[", ",", "]")},""" +
+        s""""cursor_max_over_mean":${
+          if (cursors.isEmpty || cursors.sum == 0) -1.0
+          else math.round(cursors.max.toDouble * cursors.length /
+            cursors.sum * 100.0) / 100.0},""" +
+        s""""under_join_cats":$nUnderJoin,"under_join_wire":${underJoin._1},"under_join_cursors":${underJoin._2},""" +
+        s""""rtf_rows":$nRtf,"rtf_wire":${rtf._1},"rtf_cursors":${rtf._2},""" +
+        s""""bind_rows":$nBind,"bind_wire":${bind._1},"bind_values_sqls":$bindSqls,""" +
+        s""""derby_bind_rows":$nDerbyBind,"derby_staged_sqls":$derbyStaged,""" +
+        s""""xengine_groups":$nXe,"xengine_wire":${xe._1},"xengine_cursors":${xe._2},""" +
+        s"""$fedJson}""")
+    }
+
     val doNb = sys.env.get("SPARK_GRAFT_SCALE_NB").contains("1")
     if (doNb) {
       // Classifier at corpus scale: training must fold 5M docs into ≤dim

@@ -103,7 +103,7 @@ object BindJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case p: SqlFederationProvider => p.executor.dialect.maxBindRows
       case _ => Int.MaxValue
     }
-    cap == Int.MaxValue || (build.stats.rowCount match {
+    cap == Int.MaxValue || (RuntimeFilterRule.exactRows(build) match {
       case Some(n) => n <= cap
       case None => build.stats.sizeInBytes <= cap.toLong * 16
     })

@@ -110,17 +110,41 @@ object RuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
         (unwrapNorm(r), unwrapNorm(l))
     }
 
+  /** Builds with an EXACTLY known row count at or under this are admitted
+    * regardless of shape: the shape heuristic below is a stand-in for
+    * "small at runtime", and a stats-exact row count is strictly better
+    * evidence (the r10 boundary stress joined a 15M-row remote fact to a
+    * 20k-row generated key frame — no Filter in the build, so the shape
+    * bar refused and 15M rows crossed the wire for a 20k-key join). The
+    * real size bounding is done in BYTES at each consumer (the broadcast
+    * threshold here, BindJoinRule's maxBytes + the dialect's maxBindRows
+    * there); this cap only stops obviously-fact-sized builds from being
+    * evaluated eagerly at all. */
+  val ExactRowCap: BigInt = BigInt(65536)
+
   /** Same bar as Spark's own runtime-filter injection: only a build side
-    * that prunes something (filter/limit/aggregate in its tree) promises a
-    * selective key set — an unfiltered dimension scan would push a key
-    * range covering the whole fact for nothing. Catalyst infers
+    * that prunes something (filter/limit/aggregate in its tree) — or whose
+    * row count is exactly known and small ([[ExactRowCap]]) — promises a
+    * selective key set; an unfiltered dimension scan of unknown size would
+    * push a key range covering the whole fact for nothing. Catalyst infers
     * IsNotNull(joinKey) on every equi-join build side, so null guards
     * alone do NOT count as selection. */
   def selective(plan: LogicalPlan): Boolean =
     plan.collectFirst {
       case f: Filter if hasRealPredicate(f.condition) => ()
       case _: GlobalLimit | _: LocalLimit | _: Aggregate => ()
-    }.nonEmpty
+    }.nonEmpty || exactRows(plan).exists(_ <= ExactRowCap)
+
+  /** A row count that is exact by construction. Non-CBO stats propagation
+    * (SizeInBytesOnlyStatsPlanVisitor) drops `rowCount` at every unary
+    * node, so a bare Project over a Range/LocalRelation reads as
+    * unknown — but Project is row-preserving, so the child's exact count
+    * IS the plan's. */
+  def exactRows(plan: LogicalPlan): Option[BigInt] = plan match {
+    case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+      exactRows(p.child)
+    case _ => plan.stats.rowCount
+  }
 
   private def hasRealPredicate(cond: Expression): Boolean =
     splitConjunctivePredicates(cond).exists {
@@ -148,6 +172,23 @@ object RuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
             old.buildKey.semanticEquals(rf.buildKey)))
         if (fresh.isEmpty) side
         else f.copy(runtimeFilters = f.runtimeFilters ++ fresh)
+      // A LOCAL Filter/Project wrapper above the leaf must not hide the
+      // fragment (seen in the r10 boundary stress: Catalyst's
+      // InferFiltersFromConstraints derived a pmod predicate the dialect
+      // refuses to unparse, leaving Filter(Project(Federated)) on the
+      // fragment side — and 15M rows crossed unfiltered). Reducing the
+      // leaf by a superset-of-join-matches key set commutes with any
+      // local Filter or Project: dropped rows can only be rows the join
+      // above would drop anyway. NOT safe through multiplicity- or
+      // content-changing nodes (Limit/Aggregate/Window), so only these
+      // two shapes recurse; the inner case re-checks that the join key
+      // is an output of the leaf itself, so renames terminate safely.
+      case flt @ Filter(_, child) =>
+        val nc = attach(child, build, pairs, threshold)
+        if (nc eq child) side else flt.copy(child = nc)
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        val nc = attach(p.child, build, pairs, threshold)
+        if (nc eq p.child) side else p.copy(child = nc)
       case _ => side
     }
 }

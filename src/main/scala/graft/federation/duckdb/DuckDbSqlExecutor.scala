@@ -223,9 +223,26 @@ final class DuckDbSqlExecutor(
       Option[Seq[Long]]]
 
   /** Quantile boundaries for range splits — ONE engine-side
-    * `quantile_disc` aggregate over a bounded prefix sample (DuckDB
-    * computes all n-1 cuts in a single scan, where the JDBC executor
-    * pays n-1 OFFSET point reads). */
+    * `quantile_disc` aggregate over a bounded sample (DuckDB computes
+    * all n-1 cuts in a single scan, where the JDBC executor pays n-1
+    * OFFSET point reads).
+    *
+    * Sampling is two-tier. The first pass is the bounded `LIMIT` prefix:
+    * when the fragment fits `statsRowCap` the sample IS the whole
+    * fragment and the cuts are exact. When the prefix HITS the cap the
+    * sample is biased by physical order — the r10 federation stress
+    * measured it on a 15M-row table whose layout follows the split key
+    * (the normal case for an ingested surrogate key): every cut landed in
+    * the first 1M rows, leaving 15 of 16 cursors near-empty and one
+    * cursor with 14M rows. At-cap fragments therefore re-probe through
+    * engine reservoir row sampling (`USING SAMPLE reservoir(200000 ROWS)
+    * REPEATABLE (42)` — probed live: uniform rows regardless of layout,
+    * ~0.5s on the 15M-row stress table vs 31% quantile error from 1%
+    * block sampling, whose granularity collapses to a handful of row
+    * groups exactly when the table is big; the one-time cost is a
+    * planning probe cached per fragment). Still LIMIT-capped so the
+    * aggregate input stays bounded. A wrong boundary only unbalances
+    * cursors, never rows. Too-small samples fall back tier-by-tier. */
   override def splitBoundaries(fromSql: String, col: String,
       n: Int): Option[Seq[Long]] =
     boundsCache.getOrElseUpdate((fromSql, col, n), {
@@ -233,17 +250,30 @@ final class DuckDbSqlExecutor(
         val qs = (1 until n)
           .map(i => s"CAST(quantile_disc(sk, ${i.toDouble / n}) AS BIGINT)")
           .mkString(", ")
-        val rows = runQuery(
-          s"SELECT $qs, COUNT(*) FROM (SELECT $col AS sk FROM ($fromSql) " +
-            s"bnd_src WHERE $col IS NOT NULL LIMIT $statsRowCap) bnd_sample")
-        val row = rows.head
-        val cnt = row.get(n - 1).asLong()
-        if (cnt < n.toLong * 8) None
-        else {
-          val bounds = (0 until n - 1).map(row.get(_).asLong())
-            .distinct.sorted
-          if (bounds.isEmpty) None else Some(bounds)
+        def probe(src: String): (Long, Seq[Long]) = {
+          val row = runQuery(
+            s"SELECT $qs, COUNT(*) FROM (SELECT $col AS sk FROM $src " +
+              s"WHERE $col IS NOT NULL LIMIT $statsRowCap) bnd_sample").head
+          ((row.get(n - 1).asLong()),
+            (0 until n - 1).filterNot(row.get(_).isNull)
+              .map(row.get(_).asLong()).distinct.sorted)
         }
+        val (prefixCnt, prefixBounds) = probe(s"($fromSql) bnd_src")
+        val (cnt, bounds) =
+          if (prefixCnt < statsRowCap) (prefixCnt, prefixBounds)
+          else {
+            val (sCnt, sBounds) = probe(
+              s"(SELECT * FROM ($fromSql) raw_src " +
+                "USING SAMPLE reservoir(200000 ROWS) REPEATABLE (42)) " +
+                "bnd_src")
+            // a failed/short draw keeps the prefix answer rather than
+            // refusing splits outright
+            if (sCnt >= n.toLong * 8) (sCnt, sBounds)
+            else (prefixCnt, prefixBounds)
+          }
+        if (cnt < n.toLong * 8) None
+        else if (bounds.isEmpty) None
+        else Some(bounds)
       } catch { case scala.util.control.NonFatal(_) => None }
     })
 
@@ -453,6 +483,12 @@ object DuckDbProcess {
       |    try:
       |        req = json.loads(line)
       |        con = duckdb.connect(req["db"], read_only=req.get("ro", True))
+      |        # the progress bar writes "nnn%..." lines to STDOUT once a
+      |        # query runs past its trigger (~2s — first seen on a 15M-row
+      |        # quantile probe in the r10 boundary stress), corrupting the
+      |        # line-JSON framing; stdout belongs to the protocol
+      |        try: con.execute("SET enable_progress_bar = false")
+      |        except Exception: pass
       |        op = req["op"]
       |        if op == "query":
       |            cur = con.execute(req["sql"])
@@ -594,7 +630,16 @@ object DuckDbProcess {
             s"duckdb subprocess died without terminator " +
               s"(exit $exit): ${srv.errText()}")
         } else {
-          val node = mapper.readTree(line)
+          val node =
+            try mapper.readTree(line)
+            catch {
+              case e: com.fasterxml.jackson.core.JacksonException =>
+                srv.destroy() // framing is gone; the server can't be reused
+                done = true
+                throw new IllegalStateException(
+                  s"duckdb wire framing violated — non-JSON stdout line " +
+                    s"'${line.take(200)}': $e ${srv.errText()}")
+            }
           if (node.isArray) nextNode = node
           else if (node.has("err")) {
             done = true; finished = true

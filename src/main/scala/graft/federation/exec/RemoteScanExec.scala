@@ -94,7 +94,8 @@ final case class RemoteScanExec(
     "remoteFetchTime" -> SQLMetrics.createNanoTimingMetric(sparkContext, "remote fetch time"),
     "remoteBytes" -> SQLMetrics.createSizeMetric(sparkContext, "bytes from remote"),
     "numCoercedRows" -> SQLMetrics.createMetric(sparkContext, "rows coerced from wire format"),
-    "numFragmentReuses" -> SQLMetrics.createMetric(sparkContext, "identical fragments reused"))
+    "numFragmentReuses" -> SQLMetrics.createMetric(sparkContext, "identical fragments reused"),
+    "numStagedBinds" -> SQLMetrics.createMetric(sparkContext, "bind builds staged as remote tables"))
 
   /** The SQLs actually sent: base split SQLs, each wrapped with the
     * runtime-filter predicates resolved at this call, then with the bind
@@ -185,14 +186,58 @@ final case class RemoteScanExec(
     // tables, exact for every join type since only the TABLE is assembled
     // differently. BindJoinRule's maxBindRows planning bound keeps the
     // chunk count small.
-    def valuesTable: String = {
-      val colList = bjNames.mkString(", ")
-      if (rows.length <= d.maxInlineValuesRows)
-        s"(VALUES ${renderRows(rows.toSeq)}) AS bj_b($colList)"
-      else rows.grouped(d.maxInlineValuesRows).zipWithIndex.map {
-        case (g, ci) =>
-          s"SELECT * FROM (VALUES ${renderRows(g.toSeq)}) AS bj_c$ci($colList)"
-      }.mkString("(", " UNION ALL ", ") AS bj_b")
+    lazy val valuesTable: String = stagedTable() match {
+      // past the dialect's execution-cost bound the build ships as a
+      // real staging table (engines like Derby execute an inline VALUES
+      // join as an O(build × fact) nested loop over a re-evaluated union
+      // chain — probed r10: 800 keys = 336s inline vs 0.5s staged) and
+      // the engine plans an ordinary join against it
+      case Some(name) => s"$name AS bj_b"
+      case None =>
+        val colList = bjNames.mkString(", ")
+        if (rows.length <= d.maxInlineValuesRows)
+          s"(VALUES ${renderRows(rows.toSeq)}) AS bj_b($colList)"
+        else rows.grouped(d.maxInlineValuesRows).zipWithIndex.map {
+          case (g, ci) =>
+            s"SELECT * FROM (VALUES ${renderRows(g.toSeq)}) AS bj_c$ci($colList)"
+        }.mkString("(", " UNION ALL ", ") AS bj_b")
+    }
+
+    /** Materialize the build rows as a remote staging table and return
+      * its quoted name — or None to keep the inline form (small build,
+      * unsupported executor, no SQL execution to scope cleanup to, or a
+      * staging failure, which degrades gracefully since the inline form
+      * is always still correct). The table registers for DROP at
+      * SQL-execution end BEFORE the insert, so a failed load still gets
+      * cleaned up. */
+    def stagedTable(): Option[String] = {
+      if (rows.length <= d.bindStageRows || !executor.supportsBindStaging)
+        return None
+      if (!session.conf.get(RemoteScanExec.StagingEnabledKey, "true")
+          .toBoolean) return None
+      val execId = sparkContext.getLocalProperty("spark.sql.execution.id")
+      if (execId == null) return None
+      try {
+        val tname = "graft_bind_" + java.util.UUID.randomUUID().toString
+          .replace("-", "").take(16)
+        val ref = graft.federation.sql.RemoteTableRef.parse(tname)
+        val schema = org.apache.spark.sql.types.StructType(
+          bj.buildOutput.zipWithIndex.map { case (a, i) =>
+            org.apache.spark.sql.types.StructField(
+              bindAlias(idx, i), a.dataType, nullable = true)
+          })
+        executor.createTable(ref, schema)
+        RemoteScanExec.registerStagedBind(sparkContext, execId, executor, ref)
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(schema)
+        val ext = rows.toSeq
+          .map(r => conv(r).asInstanceOf[org.apache.spark.sql.Row])
+        executor.insertInto(ref,
+          session.createDataFrame(session.sparkContext
+            .parallelize(ext, 1), schema))
+        metrics.get("numStagedBinds").foreach(_.add(1))
+        Some(ref.sql(d))
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
     def onClause: String = bj.keys.map { case (fragCol, buildCol) =>
       val i = bj.buildOutput.indexWhere(_.exprId == buildCol.exprId)
@@ -432,6 +477,25 @@ object RemoteScanExec {
   private val cleanupInstalled =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  /** Ops switch for bind-build staging (default on; the inline/chunked
+    * VALUES form is always a correct fallback). */
+  val StagingEnabledKey = "spark.graft.federation.bindStaging.enabled"
+
+  /** Staging tables created for bind builds, keyed (executionId, table@
+    * engine) — dropped on the same SQL-execution-end event that releases
+    * shared fragments. Registration happens right after CREATE, before
+    * the bulk INSERT, so a failed load is still cleaned up. */
+  private val stagedBinds = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (SqlExecutor, graft.federation.sql.RemoteTableRef)]
+
+  private[exec] def registerStagedBind(sc: org.apache.spark.SparkContext,
+      execId: String, executor: SqlExecutor,
+      ref: graft.federation.sql.RemoteTableRef): Unit = {
+    ensureCleanup(sc)
+    stagedBinds.put((execId, ref.toString + "@" + executor.name +
+      executor.computeContext), (executor, ref))
+  }
+
   /** First occurrence of `key` registers (and returns) the boundary RDD;
     * every later occurrence inside the same SQL execution returns that
     * SAME RDD, persisting it (idempotently) so the remote query body runs
@@ -469,6 +533,12 @@ object RemoteScanExec {
                   if (h.consumers.get() > 0)
                     try h.rdd.unpersist(blocking = false)
                     catch { case _: Exception => () }
+                }
+              }
+              stagedBinds.keys.filter(_._1 == id).foreach { k =>
+                stagedBinds.remove(k).foreach { case (ex, ref) =>
+                  try ex.dropTable(ref)
+                  catch { case _: Exception => () }
                 }
               }
             case _ => ()

@@ -405,6 +405,21 @@ final class JdbcSqlExecutor(
       whereSql: String): Long =
     runDml(s"UPDATE ${ref.sql(dialect)} SET $setSql WHERE $whereSql")
 
+  override def supportsBindStaging: Boolean = true
+
+  override def dropTable(ref: RemoteTableRef): Unit = {
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      val sql = s"DROP TABLE ${ref.sql(dialect)}"
+      dmlLog.synchronized { dmlLog += sql }
+      try st.executeUpdate(sql)
+      catch { case e: java.sql.SQLException
+        if e.getSQLState == "42Y55" => () } // already gone: idempotent
+      st.close()
+    } finally conn.close()
+  }
+
   /** DDL: create the table, replacing any prior incarnation (DROP is
     * attempted first and its table-not-found failure ignored — Derby has
     * no IF EXISTS). Types map Spark → Derby; strings get a generous
@@ -802,8 +817,15 @@ object DerbyDialect extends SqlDialect {
     s"{fn TIMESTAMPDIFF(SQL_TSI_DAY, $start, $end)}"
   // recursive-descent VALUES parsing: 500 rows parse, 1000 rows
   // StackOverflowError that kills the connection (probed live on embedded
-  // 10.16) — chunk at 400, and refuse binds past 2000 total (the chunked
-  // form parses 4000 in ~2.4s but degrades superlinearly beyond)
+  // 10.16) — chunk at 400
   override def maxInlineValuesRows: Int = 400
-  override def maxBindRows: Int = 2000
+  // EXECUTION cost probe (r10, 200k-row fact): an inline VALUES join is
+  // a nested loop over a per-probe-re-evaluated UnionResultSet chain —
+  // 25 keys 2.3s, 100 keys 15s, 400 keys 219s, 800 keys 336s. Past 64
+  // rows the build ships as a staged table instead (CREATE + batched
+  // INSERT + real join: 20k keys in 0.5s total), which also lifts the
+  // old 2000-row planning refusal — the staged path scales, so the
+  // planner may admit builds up to the byte cap.
+  override def bindStageRows: Int = 64
+  override def maxBindRows: Int = 65536
 }

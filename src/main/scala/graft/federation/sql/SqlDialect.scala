@@ -116,6 +116,18 @@ trait SqlDialect {
     * (IN-list/range) is the better ship. */
   def maxBindRows: Int = Int.MaxValue
 
+  /** Build rows past which a bind join should MATERIALIZE the build as a
+    * remote staging table instead of inline VALUES (executors that
+    * support it — [[SqlExecutor.supportsBindStaging]]). Inline VALUES is
+    * parse-cheap but some engines execute it as a nested-loop over a
+    * re-evaluated union chain: embedded Derby, probed live against a
+    * 200k-row fact, runs a 25-key VALUES join in 2.3s, 100 keys in 15s,
+    * 800 keys in 336s (O(build × fact)) — while the SAME 20,000-key build
+    * staged as a real table joins in 0.5s including the CREATE+INSERT.
+    * Unbounded by default: engines whose VALUES execution scales (DuckDB,
+    * probed) keep the zero-DDL inline form. */
+  def bindStageRows: Int = Int.MaxValue
+
   /** The null ordering the engine assumes when none is written. ANSI-ish
     * engines (Postgres, DuckDB) treat NULLs as largest: ASC → NULLS LAST.
     * Spark treats NULLs as smallest: ASC → NULLS FIRST. Making this

@@ -129,6 +129,21 @@ trait SqlExecutor {
     throw new UnsupportedOperationException(
       s"remote [$name] has no create path")
 
+  /** Optional DDL path: drop a remote table (bind-staging cleanup; a
+    * missing table is not an error — cleanup must be idempotent). */
+  def dropTable(ref: RemoteTableRef): Unit =
+    throw new UnsupportedOperationException(
+      s"remote [$name] has no drop path")
+
+  /** Whether bind-join builds past the dialect's
+    * [[SqlDialect.bindStageRows]] may be MATERIALIZED into a staging
+    * table on this engine (needs [[createTable]], [[insertInto]] and
+    * [[dropTable]]). Engines whose inline-VALUES execution degrades
+    * super-linearly (embedded Derby: O(build × fact) nested loop over a
+    * re-evaluated union chain, probed r10) get a real remote join this
+    * way at the cost of one CREATE + bulk INSERT + DROP per bind. */
+  def supportsBindStaging: Boolean = false
+
   /** Optional hook: rewrite the generated SQL string just before execution
     * (reference `sql_query_rewriter`, src/sql/table.rs:33-45). */
   def sqlRewriter: String => String = identity

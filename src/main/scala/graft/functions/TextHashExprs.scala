@@ -96,7 +96,44 @@ object TextHashExprs {
     * the highest single-token and adjacent-bigram frequencies. Row-local —
     * at 100 TB this runs inside the scan's codegen stage with zero
     * shuffle, unlike the explode + double-groupBy formulation. */
+  /** Per-thread one-row memo for the repetition kernels. Spark's Filter
+    * codegen performs NO subexpression elimination (only Project and
+    * HashAggregate do), so a screen predicate pushed down through the
+    * signal projection re-extracts every struct field from a FRESH
+    * kernel call — the 13-rule repetition filter invokes the 17-signal
+    * kernel 26× per row (measured: the streaming gate ran 33× its batch
+    * sibling until this memo, stream_repetition_filter 7.1s → sibling
+    * level). All duplicate invocations see the same input back-to-back,
+    * so one (cloned — row getters return wrappers over reused buffers)
+    * input + result pair per thread turns them into a byte-compare. The
+    * kernels are pure, so memoization is invisible semantically. */
+  private final class RowMemo {
+    var key: UTF8String = _
+    var value: org.apache.spark.sql.catalyst.InternalRow = _
+  }
+  private val tokMemo =
+    ThreadLocal.withInitial[RowMemo](() => new RowMemo)
+  private val sigMemo =
+    ThreadLocal.withInitial[RowMemo](() => new RowMemo)
+
+  private def memoized(memo: ThreadLocal[RowMemo], text: UTF8String)(
+      compute: UTF8String => org.apache.spark.sql.catalyst.InternalRow)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val m = memo.get()
+    if (m.key != null && m.key.equals(text)) m.value
+    else {
+      val r = compute(text)
+      m.key = text.clone()
+      m.value = r
+      r
+    }
+  }
+
   def tokenRepetitionKernel(
+      text: UTF8String): org.apache.spark.sql.catalyst.InternalRow =
+    memoized(tokMemo, text)(tokenRepetitionCompute)
+
+  private def tokenRepetitionCompute(
       text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val toks = splitWs(text)
     val n = toks.length
@@ -133,6 +170,10 @@ object TextHashExprs {
     * line/paragraph splits keep trailing empties (Spark `split` keeps
     * them; `String.split` needs limit -1 to match). */
   def repetitionSignalsKernel(
+      text: UTF8String): org.apache.spark.sql.catalyst.InternalRow =
+    memoized(sigMemo, text)(repetitionSignalsCompute)
+
+  private def repetitionSignalsCompute(
       text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val s = text.toString
     // (n, distinct, chars, dupChars, topChars) of a string multiset

@@ -1508,6 +1508,71 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"runtime filter rendered despite NaN key:\n${executed.mkString("\n")}")
   }
 
+  test("runtime filter: attaches through a local Filter/Project wrapper") {
+    setup()
+    withoutBindJoin {
+      import org.apache.spark.sql.functions._
+      val alpha = FederationHarness.executor(spark, dir, "alpha")
+      val before = alpha.executedSql.size
+      // a UDF predicate can never unparse, so it stays as a LOCAL Filter
+      // above the federated leaf (the r10 boundary stress hit the same
+      // shape via InferFiltersFromConstraints deriving a pmod predicate)
+      val localOnly = udf((k: Long) => k >= 0L)
+      val frag = spark.table("fed_lineitem")
+        .filter(localOnly(col("l_orderkey")))
+      val dim = graft.sources.Tables.orders(spark, dir)
+        .filter("o_totalprice > 480000")
+        .select(col("o_orderkey").as("l_orderkey"))
+      val df = frag.join(dim, "l_orderkey").agg(count(lit(1)).as("n"))
+      assert(fedFragments(df).exists(_.runtimeFilters.nonEmpty),
+        "runtime filter must reach the leaf under the local Filter:\n" +
+          df.queryExecution.optimizedPlan)
+      val got = df.collect()(0).getLong(0)
+      val want = graft.sources.Tables.lineitem(spark, dir)
+        .join(dim, "l_orderkey").count()
+      assert(got == want, s"wrapped-fragment join wrong: $got vs $want")
+      val executed = alpha.executedSql.drop(before)
+      assert(executed.exists(s =>
+        s.contains("lineitem") && s.contains("l_orderkey IN (")),
+        s"IN-list never crossed the wire:\n${executed.mkString("\n")}")
+    }
+  }
+
+  test("runtime filter + bind: an exact-rowCount build needs no Filter shape") {
+    setup()
+    import org.apache.spark.sql.functions._
+    // build side is Project(Range) — no Filter/Limit/Aggregate anywhere,
+    // but the row count is exactly known and small, which is strictly
+    // better selectivity evidence than shape (stress finding: a 20k-key
+    // generated frame streamed the whole 15M-row remote fact)
+    def keys = spark.range(1L, 101L).select(col("id").as("l_orderkey"))
+    def q = spark.table("fed_lineitem").join(keys, "l_orderkey")
+      .agg(count(lit(1)).as("n"))
+    val want = graft.sources.Tables.lineitem(spark, dir)
+      .join(keys, "l_orderkey").count()
+    withoutBindJoin {
+      val alpha = FederationHarness.executor(spark, dir, "alpha")
+      val before = alpha.executedSql.size
+      val df = q
+      assert(fedFragments(df).exists(_.runtimeFilters.nonEmpty),
+        "runtime filter must admit the exact-rowCount build:\n" +
+          df.queryExecution.optimizedPlan)
+      assert(df.collect()(0).getLong(0) == want)
+      val executed = alpha.executedSql.drop(before)
+      assert(executed.exists(_.contains("l_orderkey IN (")),
+        s"IN-list never crossed the wire:\n${executed.mkString("\n")}")
+    }
+    // with binds enabled the same build inlines as a VALUES join and the
+    // local join disappears entirely
+    val alpha = FederationHarness.executor(spark, dir, "alpha")
+    val before = alpha.executedSql.size
+    val df = q
+    assert(df.collect()(0).getLong(0) == want)
+    val executed = alpha.executedSql.drop(before)
+    assert(executed.exists(_.contains("VALUES")),
+      s"bind VALUES never crossed the wire:\n${executed.mkString("\n")}")
+  }
+
   // ---- flattening semantics: hoisted filters must not cross an outer
   // ---- join's null-extension boundary (results compared against local)
 

@@ -861,29 +861,56 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() == 70)
   }
 
-  test("700-row bind build chunks into UNION ALL VALUES (Derby parser cap)") {
-    // Derby's recursive VALUES parser dies past ~1000 rows with a
-    // connection-killing StackOverflowError (probed live — found by the
-    // cross-engine DuckDB⋈Derby test in round 9). Builds between
-    // maxInlineValuesRows (400) and maxBindRows (2000) must ship as a
-    // UNION ALL of bounded VALUES chunks and still bind-join remotely.
+  test("700-row bind build stages as a remote table; chunked VALUES is the fallback") {
+    // Derby executes an inline VALUES join as an O(build × fact) nested
+    // loop over a re-evaluated union chain (probed r10: 800 keys = 336s
+    // against a 200k-row fact; the SAME 20k keys staged join in 0.5s) —
+    // so past DerbyDialect.bindStageRows (64) the build must materialize
+    // as a staging table the engine can plan a real join against, and
+    // the table must be DROPPED once the SQL execution ends. With
+    // staging disabled the historic chunked-UNION-ALL-VALUES form must
+    // still ship (Derby's recursive VALUES parser dies past ~1000 flat
+    // rows, probed r9), because it is the fallback when staging fails.
     Federation.install(spark)
     val dataDir = "/root/testdata/sf0.001"
     val ex = graft.federation.jdbc.JdbcHarness.executor(spark, dataDir)
     graft.federation.jdbc.JdbcHarness.registerViews(spark, dataDir)
     spark.range(700).selectExpr("CAST(id * 2 + 1 AS BIGINT) AS k")
       .createOrReplaceTempView("chunk_dim")
-    val df = spark.sql(
+    def q = spark.sql(
       """SELECT COUNT(*) AS n FROM jdbc_orders
         |WHERE o_orderkey IN (SELECT k FROM chunk_dim)""".stripMargin)
-    val before = ex.executedSql.size
-    val got = df.collect().head.getLong(0)
-    val shipped = ex.executedSql.drop(before)
-    assert(shipped.exists(s => s.contains("UNION ALL") &&
-      s.contains("bj_c1") && s.contains("EXISTS")),
-      s"no chunked VALUES in shipped SQL:\n${shipped.mkString("\n---\n")}")
     val want = spark.read.parquet(s"$dataDir/orders.parquet")
       .filter("o_orderkey % 2 = 1 AND o_orderkey <= 1399").count()
-    assert(got == want, s"got $got want $want")
+
+    // staged path (default)
+    val before = ex.executedSql.size
+    assert(q.collect().head.getLong(0) == want)
+    val shipped = ex.executedSql.drop(before)
+    assert(shipped.exists(s => s.contains("graft_bind_") &&
+      s.contains("EXISTS")),
+      s"no staged bind table in shipped SQL:\n${shipped.mkString("\n---\n")}")
+    // cleanup: the execution-end listener fires asynchronously — the
+    // staging table must disappear from the engine catalog
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def staleTables() = ex.tableNames.filter(_.toLowerCase
+      .startsWith("graft_bind_"))
+    while (staleTables().nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(staleTables().isEmpty,
+      s"staging tables leaked: ${staleTables().mkString(", ")}")
+
+    // chunked fallback (staging off)
+    spark.conf.set(
+      graft.federation.exec.RemoteScanExec.StagingEnabledKey, "false")
+    try {
+      val b2 = ex.executedSql.size
+      assert(q.collect().head.getLong(0) == want)
+      val shipped2 = ex.executedSql.drop(b2)
+      assert(shipped2.exists(s => s.contains("UNION ALL") &&
+        s.contains("bj_c1") && s.contains("EXISTS")),
+        s"no chunked VALUES in shipped SQL:\n${shipped2.mkString("\n---\n")}")
+    } finally spark.conf.unset(
+      graft.federation.exec.RemoteScanExec.StagingEnabledKey)
   }
 }
