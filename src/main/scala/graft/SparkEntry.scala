@@ -63,6 +63,7 @@ object SparkEntry {
     "text_chunks" -> ((s, d) => TextOps.chunk(s, d)),
     "text_bm25" -> ((s, d) => TextOps.bm25(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
+    "text_lm3_score" -> ((s, d) => TextOps.lm3Score(s, d)),
     "text_nb_classifier" -> ((s, d) => Classifier.nbQualityScore(s, d)),
     "text_nb_pr_curve" -> ((s, d) => Classifier.nbPrCurve(s, d)),
     "text_quality_buckets" -> ((s, d) => TextOps.qualityBuckets(s, d)),
@@ -83,6 +84,7 @@ object SparkEntry {
     "pack_write_roundtrip" -> ((s, d) => Packing.packWriteRoundtrip(s, d)),
     "samp_mixture" -> ((s, d) => Sampling.mixture(s, d)),
     "samp_temperature" -> ((s, d) => Sampling.temperatureMixture(s, d)),
+    "samp_epoch_mixture" -> ((s, d) => Sampling.epochMixture(s, d)),
     "samp_split_leakfree" -> ((s, d) => Sampling.leakFreeSplit(s, d)),
     "samp_dsir" -> ((s, d) => Sampling.dsirSelect(s, d)),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
@@ -272,6 +274,13 @@ object SparkEntry {
     "fed_duckdb_unnest_pos" -> (Federated.duckUnnestPos _),
     "fed_duckdb_struct" -> (Federated.duckStruct _),
     "fed_duckdb_struct_cast" -> (Federated.duckStructCast _),
+    "fed_duckdb_map" -> (Federated.duckMap _),
+    "fed_duckdb_map_cast" -> (Federated.duckMapCast _),
+    "fed_duckdb_wide_types" -> (Federated.duckWideTypes _),
+    "fed_duckdb_exists" -> (Federated.duckExists _),
+    "fed_duckdb_not_in" -> (Federated.duckNotIn _),
+    "fed_duckdb_scalar_sub" -> (Federated.duckScalarSubquery _),
+    "fed_duckdb_fingerprint" -> (Federated.duckRemoteFingerprint _),
     "fed_xengine_partial_agg" -> (Federated.duckXenginePartialAgg _),
     "fed_xengine_partial_avg" -> (Federated.duckXenginePartialAvg _),
     "fed_xengine_partial_distinct" -> (Federated.duckXenginePartialDistinct _),
@@ -333,6 +342,7 @@ object SparkEntry {
     "text_chunks" -> TextOps.chunkOracle,
     "text_bm25" -> TextOps.bm25Oracle,
     "text_lm_score" -> TextOps.lmScoreOracle,
+    "text_lm3_score" -> TextOps.lm3ScoreOracle,
     "text_nb_classifier" -> Classifier.nbQualityOracle,
     "text_nb_pr_curve" -> Classifier.nbPrCurveOracle,
     "text_quality_buckets" -> TextOps.qualityBucketsOracle,
@@ -353,6 +363,7 @@ object SparkEntry {
     "pack_write_roundtrip" -> Packing.packWriteRoundtripOracle,
     "samp_mixture" -> Sampling.mixtureOracle,
     "samp_temperature" -> Sampling.temperatureMixtureOracle,
+    "samp_epoch_mixture" -> Sampling.epochMixtureOracle,
     "samp_split_leakfree" -> Sampling.leakFreeSplitOracle,
     "text_span_dedup" -> TextOps.spanDedupOracle,
     "text_cdc_dedup" -> TextOps.cdcDedupOracle,
@@ -474,6 +485,13 @@ object SparkEntry {
     "fed_duckdb_unnest_pos" -> Federated.duckUnnestPosOracle,
     "fed_duckdb_struct" -> Federated.duckStructOracle,
     "fed_duckdb_struct_cast" -> Federated.duckStructCastOracle,
+    "fed_duckdb_map" -> Federated.duckMapOracle,
+    "fed_duckdb_map_cast" -> Federated.duckMapCastOracle,
+    "fed_duckdb_wide_types" -> Federated.duckWideTypesOracle,
+    "fed_duckdb_exists" -> Federated.existsOracle,
+    "fed_duckdb_not_in" -> Federated.notInOracle,
+    "fed_duckdb_scalar_sub" -> Federated.scalarSubqueryOracle,
+    "fed_duckdb_fingerprint" -> Federated.duckRemoteFingerprintOracle,
     "fed_xengine_partial_agg" -> Federated.duckXenginePartialAggOracle,
     "fed_xengine_partial_avg" -> Federated.duckXenginePartialAvgOracle,
     "fed_xengine_partial_distinct" -> Federated.duckXenginePartialDistinctOracle,

@@ -23,7 +23,7 @@ object DuckDbHarness {
 
   val GateTables: Seq[String] =
     Seq("supplier", "nation", "customer", "orders", "lineitem", "region",
-      "embeddings")
+      "embeddings", "documents")
 
   val Splits = 4
 

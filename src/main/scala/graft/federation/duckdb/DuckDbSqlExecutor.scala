@@ -87,7 +87,10 @@ final class DuckDbSqlExecutor(
   override def tableNames: Seq[String] = {
     val cached = tableNamesCache
     cached.getOrElse {
+      // transient staging artifacts (bind/write staging) never enumerate:
+      // they can be async-dropped between listing and the schema probe
       val names = DuckDbProcess.tables(dbPath)
+        .filterNot(SqlExecutor.isStagingArtifact)
       tableNamesCache = Some(names)
       names
     }
@@ -410,6 +413,12 @@ final class DuckDbSqlExecutor(
       case TimestampNTZType | TimestampType => "TIMESTAMP"
       case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
       case StringType => "VARCHAR"
+      case BinaryType => "BLOB"
+      case ArrayType(e, _) => s"${ddl(e)}[]"
+      case MapType(k, v, _) => s"MAP(${ddl(k)}, ${ddl(v)})"
+      case st: StructType => st.fields
+        .map(f => s"${dialect.quoteIfNeeded(f.name)} ${ddl(f.dataType)}")
+        .mkString("STRUCT(", ", ", ")")
       case other => throw new UnparseUnsupported(
         s"no DuckDB DDL type for $other")
     }
@@ -463,13 +472,15 @@ object DuckDbProcess {
     * ride as bare JSON tokens (Jackson parses them with
     * ALLOW_NON_NUMERIC_NUMBERS). */
   private val Script =
-    """import sys, json, datetime, decimal, base64
+    """import sys, json, datetime, decimal, base64, uuid
       |import duckdb
       |out = sys.stdout
       |def conv(v):
       |    if isinstance(v, datetime.datetime): return v.isoformat(sep=' ')
       |    if isinstance(v, datetime.date): return v.isoformat()
+      |    if isinstance(v, datetime.time): return v.isoformat()
       |    if isinstance(v, decimal.Decimal): return str(v)
+      |    if isinstance(v, uuid.UUID): return str(v)
       |    if isinstance(v, (bytes, bytearray)):
       |        return base64.b64encode(v).decode()
       |    if isinstance(v, list): return [conv(x) for x in v]
@@ -731,6 +742,21 @@ object DuckDbProcess {
       case "BOOLEAN" => BooleanType
       case "DATE" => DateType
       case "TIMESTAMP" => TimestampNTZType
+      // TIMESTAMPTZ values ride the wire with an explicit UTC offset
+      // (python isoformat keeps tzinfo); convertValue parses it
+      case "TIMESTAMP WITH TIME ZONE" => TimestampType
+      // engine types with no Spark analog surface as their ISO/canonical
+      // text form (probed live: the python client yields uuid.UUID and
+      // datetime.time objects, which the wire script renders as str —
+      // without the conv branches json.dumps raised TypeError and the
+      // whole request failed)
+      case "UUID" | "TIME" | "TIME WITH TIME ZONE" => StringType
+      // unsigned widths step up one Spark integral size; UBIGINT has no
+      // signed 64-bit home and rides as DECIMAL(20,0) (exact)
+      case "UTINYINT" => ShortType
+      case "USMALLINT" => IntegerType
+      case "UINTEGER" => LongType
+      case "UBIGINT" => DecimalType(20, 0)
       case "BLOB" => BinaryType
       // JSON reads as text; a declared-schema read
       // (Federation.remoteDataFrameAs) decodes it at the boundary
@@ -751,6 +777,34 @@ object DuckDbProcess {
       // as a nested JSON object keyed by field name
       case s if s.startsWith("STRUCT(") && s.endsWith(")") =>
         StructType(parseStructFields(t.substring(7, t.length - 1)))
+      // MAP(K, V): exactly one depth-0 comma separates the two types (K/V
+      // may carry parens, commas, and quoted names of their own); values
+      // ride the row line as {"key":[…],"value":[…]} parallel lists — the
+      // python client's map form, probed live on v1.0
+      case m if m.startsWith("MAP(") && m.endsWith(")") =>
+        val body = t.substring(4, t.length - 1)
+        var depth = 0
+        var inQuote = false
+        var cut = -1
+        var i = 0
+        while (i < body.length && cut < 0) {
+          val c = body.charAt(i)
+          if (inQuote) { if (c == '"') inQuote = false }
+          else c match {
+            case '"' => inQuote = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 0 => cut = i
+            case _ =>
+          }
+          i += 1
+        }
+        require(cut > 0, s"malformed MAP type: $t")
+        MapType(catalystType(body.substring(0, cut).trim),
+          catalystType(body.substring(cut + 1).trim),
+          valueContainsNull = true)
+      // ENUM('a', 'b', …): a closed string domain — Spark-side it is text
+      case e if e.startsWith("ENUM(") && e.endsWith(")") => StringType
       case other =>
         throw new UnsupportedOperationException(s"duckdb type $other")
     }
@@ -832,7 +886,7 @@ object DuckDbProcess {
         Decimal(new java.math.BigDecimal(v.asText()), d.precision, d.scale)
       case DateType =>
         java.time.LocalDate.parse(v.asText()).toEpochDay.toInt
-      case TimestampNTZType | TimestampType =>
+      case TimestampNTZType =>
         val t = v.asText()
         val ldt =
           if (t.indexOf(' ') >= 0)
@@ -840,6 +894,22 @@ object DuckDbProcess {
           else java.time.LocalDate.parse(t).atStartOfDay()
         ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
           ldt.getNano / 1000L
+      case TimestampType =>
+        // TIMESTAMPTZ rides with an explicit offset (python isoformat
+        // keeps tzinfo — probed: '2024-01-01 08:00:00+00:00'); an
+        // offset-less value (engine session already UTC) falls back to
+        // the NTZ parse, interpreted as UTC
+        val t = v.asText().replace(' ', 'T')
+        val instant =
+          try java.time.OffsetDateTime.parse(t).toInstant
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              val ldt =
+                if (t.indexOf('T') >= 0) java.time.LocalDateTime.parse(t)
+                else java.time.LocalDate.parse(t).atStartOfDay()
+              ldt.toInstant(java.time.ZoneOffset.UTC)
+          }
+        instant.getEpochSecond * 1000000L + instant.getNano / 1000L
       case BinaryType =>
         java.util.Base64.getDecoder.decode(v.asText())
       case ArrayType(et, _) =>
@@ -868,6 +938,48 @@ object DuckDbProcess {
           j += 1
         }
         row
+      case MapType(kt, vt, _) =>
+        // a native engine MAP rides as {"key":[…],"value":[…]} parallel
+        // lists (the python client's map form — keys keep their wire
+        // type, so non-VARCHAR keys survive); a VARCHAR/JSON column
+        // under a DECLARED map schema rides as JSON text in plain
+        // object form {"k": v, …} (to_json output) and decodes here,
+        // keys re-typed from their text
+        val obj = if (v.isTextual) mapper.readTree(v.asText()) else v
+        val kArr = obj.get("key")
+        val vArr = obj.get("value")
+        val (ks, vs) =
+          if (obj.size() == 2 && kArr != null && vArr != null &&
+              kArr.isArray && vArr.isArray && kArr.size() == vArr.size()) {
+            val n = kArr.size()
+            val k = new Array[Any](n)
+            val w = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              k(j) = convertValue(kArr.get(j), kt)
+              w(j) = convertValue(vArr.get(j), vt)
+              j += 1
+            }
+            (k, w)
+          } else {
+            val n = obj.size()
+            val k = new Array[Any](n)
+            val w = new Array[Any](n)
+            val it = obj.fields()
+            var j = 0
+            while (it.hasNext) {
+              val e = it.next()
+              k(j) = convertValue(
+                com.fasterxml.jackson.databind.node.TextNode
+                  .valueOf(e.getKey), kt)
+              w(j) = convertValue(e.getValue, vt)
+              j += 1
+            }
+            (k, w)
+          }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
       case other =>
         throw new UnsupportedOperationException(s"duckdb read of $other")
     }

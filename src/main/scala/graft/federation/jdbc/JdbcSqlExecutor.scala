@@ -93,7 +93,9 @@ final class JdbcSqlExecutor(
       val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
       val names = scala.collection.mutable.ArrayBuffer.empty[String]
       while (rs.next()) names += rs.getString("TABLE_NAME")
-      names.toSeq.sorted
+      // transient staging artifacts (bind/write staging) never enumerate:
+      // they can be async-dropped between listing and the schema probe
+      names.toSeq.filterNot(SqlExecutor.isStagingArtifact).sorted
     } finally conn.close()
   }
 

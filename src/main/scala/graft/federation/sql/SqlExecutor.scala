@@ -273,3 +273,20 @@ final class SparkSqlExecutor(
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 }
+
+object SqlExecutor {
+  /** Internal staging artifacts — bind-join staging tables
+    * (`graft_bind_<hex>`) and per-partition write staging tables
+    * (`<t>__stg_<writeId>_<pid>`) — must never surface in catalog
+    * enumeration: they are transient (dropped asynchronously at
+    * SQL-execution / publish end), so a `tableNames` caller that
+    * enumerates one can lose it before its schema probe runs — a real
+    * race the r10 test suite hit (registerViews enumerated a live
+    * bind table; the async DROP landed; the registration's DESCRIBE
+    * then failed). Epoch-fence tables (`__epochs`) are durable state,
+    * not staging, and stay listed. */
+  def isStagingArtifact(name: String): Boolean = {
+    val n = name.toLowerCase
+    n.startsWith("graft_bind_") || n.contains("__stg_")
+  }
+}

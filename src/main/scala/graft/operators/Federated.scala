@@ -1454,6 +1454,196 @@ object Federated {
       |  CAST(c_custkey AS BIGINT) AS tag1
       |FROM customer WHERE c_custkey <= 400 ORDER BY c_custkey""".stripMargin
 
+  /** MAP columns cross the LIVE engine wire — the third step of the
+    * array→struct→map wire progression, each of which caught a real bug
+    * on first live run (arrays: WITH ORDINALITY; structs: the
+    * DECIMAL-list type-parser hole; maps: uuid/time wire values crashed
+    * the subprocess JSON encoder — see [[duckWideTypes]]). DESCRIBE's
+    * `MAP(K, V)` parses to Catalyst `MapType`; values ride the row line
+    * as the client's `{"key":[…],"value":[…]}` parallel lists. Lookups
+    * run above the boundary, so per-row map integrity (not just an
+    * aggregate) is oracle-checked. */
+  def duckMap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, size}
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.duckdb.DuckDbHarness.executor(s, dir)
+    val ref = graft.federation.sql.RemoteTableRef.parse("cust_tags_duck")
+    ex.runDdl(ref, Seq(
+      "DROP TABLE IF EXISTS cust_tags_duck",
+      """CREATE TABLE cust_tags_duck AS
+        |SELECT c_custkey,
+        |  MAP {'nat': CAST(c_nationkey AS INTEGER),
+        |       'seg_len': CAST(length(c_mktsegment) AS INTEGER),
+        |       'ord7': CAST(c_custkey % 7 AS INTEGER)} AS tags
+        |FROM customer WHERE c_custkey <= 500""".stripMargin))
+    graft.federation.Federation.remoteDataFrame(s, "cust_tags_duck", ex)
+      .select(col("c_custkey"),
+        element_at(col("tags"), "nat").as("nat"),
+        element_at(col("tags"), "seg_len").as("seg_len"),
+        element_at(col("tags"), "ord7").as("ord7"),
+        size(col("tags")).as("n_tags"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val duckMapOracle: String =
+    """SELECT c_custkey, CAST(c_nationkey AS INT) AS nat,
+      |  CAST(length(c_mktsegment) AS INT) AS seg_len,
+      |  CAST(c_custkey % 7 AS INT) AS ord7, 3 AS n_tags
+      |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin
+
+  /** String→map coercion on REAL wire data — the map sibling of
+    * [[duckStructCast]]: the remote column is `to_json(MAP …)` text (a
+    * plain JSON object, probed live), the registration DECLARES a
+    * `MapType` schema, and the boundary decodes each wire value into the
+    * declared map — keys re-typed from their JSON text (reference
+    * schema-cast contract, struct_cast.rs:12-55, map leg). */
+  def duckMapCast(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, size}
+    import org.apache.spark.sql.types._
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.duckdb.DuckDbHarness.executor(s, dir)
+    val ref = graft.federation.sql.RemoteTableRef.parse("cust_kv_duck")
+    ex.runDdl(ref, Seq(
+      "DROP TABLE IF EXISTS cust_kv_duck",
+      """CREATE TABLE cust_kv_duck AS
+        |SELECT c_custkey,
+        |  to_json(MAP {'bal_c': CAST(c_acctbal * 100 AS BIGINT),
+        |               'nat': CAST(c_nationkey AS BIGINT)}) AS kv
+        |FROM customer WHERE c_custkey <= 400""".stripMargin))
+    val declared = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("kv", MapType(StringType, LongType))))
+    graft.federation.Federation
+      .remoteDataFrameAs(s, "cust_kv_duck", ex, declared)
+      .select(col("c_custkey"),
+        element_at(col("kv"), "bal_c").as("bal_c"),
+        element_at(col("kv"), "nat").as("nat"),
+        size(col("kv")).as("n_kv"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val duckMapCastOracle: String =
+    """SELECT c_custkey, CAST(c_acctbal * 100 AS BIGINT) AS bal_c,
+      |  CAST(c_nationkey AS BIGINT) AS nat, 2 AS n_kv
+      |FROM customer WHERE c_custkey <= 400 ORDER BY c_custkey""".stripMargin
+
+  /** The engine-specific scalar types with no Spark analog, live on the
+    * wire: UUID and TIME (the python client yields uuid.UUID /
+    * datetime.time objects — before this gate the wire script's
+    * json.dumps raised TypeError and ANY query touching such a column
+    * failed), TIMESTAMPTZ (arrives with an explicit UTC offset the NTZ
+    * parser rejects), the unsigned widths (each steps up one Spark
+    * integral size; UBIGINT exceeds signed 64-bit and rides as
+    * DECIMAL(20,0)), and ENUM (a closed string domain). All values
+    * derived deterministically from `customer`, so the oracle recomputes
+    * them engine-side. */
+  def duckWideTypes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.duckdb.DuckDbHarness.executor(s, dir)
+    val ref = graft.federation.sql.RemoteTableRef.parse("wide_types_duck")
+    ex.runDdl(ref, Seq(
+      "DROP TABLE IF EXISTS wide_types_duck",
+      "DROP TYPE IF EXISTS graft_seg_enum",
+      """CREATE TYPE graft_seg_enum AS
+        |ENUM ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+        |""".stripMargin,
+      """CREATE TABLE wide_types_duck AS
+        |SELECT c_custkey,
+        |  CAST(md5(c_name) AS UUID) AS uid,
+        |  CAST(TIMESTAMPTZ '2024-01-01 00:00:00+00'
+        |       + c_custkey * INTERVAL 1 MINUTE AS TIMESTAMPTZ) AS tz,
+        |  CAST(TIME '00:00:00'
+        |       + (c_custkey % 86000) * INTERVAL 1 SECOND AS TIME) AS tm,
+        |  CAST(c_custkey % 200 AS UTINYINT) AS u8,
+        |  CAST(c_custkey % 60000 AS USMALLINT) AS u16,
+        |  CAST(c_custkey + 3000000000 AS UINTEGER) AS u32,
+        |  CAST(c_custkey AS UBIGINT) + CAST(9223372036854775807 AS UBIGINT)
+        |    AS u64,
+        |  CAST(c_mktsegment AS graft_seg_enum) AS seg
+        |FROM customer WHERE c_custkey <= 300""".stripMargin))
+    graft.federation.Federation.remoteDataFrame(s, "wide_types_duck", ex)
+      .select(col("c_custkey"), col("uid"),
+        unix_micros(col("tz")).as("tz_us"),
+        col("tm"),
+        col("u8"), col("u16"), col("u32"),
+        col("u64").cast("string").as("u64"),
+        col("seg"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val duckWideTypesOracle: String =
+    """SELECT c_custkey, CAST(CAST(md5(c_name) AS UUID) AS VARCHAR) AS uid,
+      |  epoch_us(TIMESTAMPTZ '2024-01-01 00:00:00+00'
+      |           + c_custkey * INTERVAL 1 MINUTE) AS tz_us,
+      |  CAST(TIME '00:00:00'
+      |       + (c_custkey % 86000) * INTERVAL 1 SECOND AS VARCHAR) AS tm,
+      |  CAST(c_custkey % 200 AS SMALLINT) AS u8,
+      |  CAST(c_custkey % 60000 AS INT) AS u16,
+      |  CAST(c_custkey + 3000000000 AS BIGINT) AS u32,
+      |  CAST(CAST(c_custkey AS HUGEINT) + 9223372036854775807
+      |       AS VARCHAR) AS u64,
+      |  c_mktsegment AS seg
+      |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin
+
+  /** EXISTS subquery executed on the LIVE engine — the (NOT) EXISTS
+    * unparse family previously ran live only on Derby; every construct's
+    * first run on a new real engine has caught dialect drift. */
+  def duckExists(s: SparkSession, dir: String): DataFrame =
+    graft.federation.duckdb.DuckDbHarness.sql(s, dir,
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM duck_customer
+        |WHERE EXISTS (SELECT 1 FROM duck_orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+
+  /** NOT IN (null-aware anti join → NOT EXISTS) live. */
+  def duckNotIn(s: SparkSession, dir: String): DataFrame =
+    graft.federation.duckdb.DuckDbHarness.sql(s, dir,
+      """SELECT c_custkey, c_mktsegment
+        |FROM duck_customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM duck_orders
+        |                        WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey
+        |LIMIT 30""".stripMargin)
+
+  /** Uncorrelated scalar subquery inside the fragment, live. */
+  def duckScalarSubquery(s: SparkSession, dir: String): DataFrame =
+    graft.federation.duckdb.DuckDbHarness.sql(s, dir,
+      """SELECT o_orderkey, o_totalprice
+        |FROM duck_orders
+        |WHERE o_totalprice > (SELECT 0.5 * MAX(o_totalprice)
+        |                      FROM duck_orders)
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25""".stripMargin)
+
+  /** The dedup pipeline's FINGERPRINT STAGE pushed into the remote
+    * engine: the exact-dedup md5 fingerprint and its per-source
+    * distinct/dup accounting compute INSIDE DuckDB as one SQL (Spark's
+    * `md5` and the DISTINCT aggregate both unparse), so the wire carries
+    * one row per source — never the text. This is the "run the pipeline
+    * where the data lives" composition of the federation and pipeline
+    * halves: a corpus resident in an engine gets its dedup datasheet
+    * without ever shipping documents. */
+  def duckRemoteFingerprint(s: SparkSession, dir: String): DataFrame =
+    graft.federation.duckdb.DuckDbHarness.sql(s, dir,
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct_fp,
+        |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+        |FROM duck_documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin)
+
+  val duckRemoteFingerprintOracle: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(text)) AS n_distinct_fp,
+      |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** Window functions federate: rank + windowed count inside the fragment
     * (reference analyzer.rs:410-447 window coverage). */
   def windowPushdown(s: SparkSession, dir: String): DataFrame =

@@ -227,6 +227,107 @@ object Sampling {
       |GROUP BY r.lang, r.n, r.w_ppm, r.quota, r.rate_bp
       |ORDER BY r.lang""".stripMargin
 
+  // --------------------------------------- epoch-repeat (up-sampling)
+
+  /** Epoch-REPEAT mixture: the up-sampling counterpart of [[mixture]]
+    * (which only ever downsamples). Data-constrained pipelines hit
+    * target weights by REPEATING scarce strata for multiple epochs —
+    * published practice caps the repeats (returns diminish measurably
+    * past ~4 epochs), and anything still short after the cap is a
+    * recorded deficit, not silently rebalanced.
+    *
+    * Budget = the corpus's own size N re-allocated by the target
+    * weights; everything integer, so any engine derives the same plan:
+    *
+    *   need_s   = ⌊w_s · N / 10⁶⌋
+    *   epochs_s = min(R, ⌊need_s / n_s⌋)        (full passes)
+    *   rem_s    = min(need_s, R·n_s) − epochs_s·n_s
+    *   rate_bp  = ⌊rem_s · 10⁴ / n_s⌋, fractional-pass membership =
+    *              md5-bucket(doc_id) mod 10⁴ < rate_bp
+    *   copies(doc) = epochs_s + (member ? 1 : 0)
+    *
+    * Plan shape is [[mixture]]'s: one tiny per-stratum aggregate, a
+    * constant-size window over it, broadcast back, ONE corpus scan —
+    * the repeated corpus itself is never materialized here (a writer
+    * consumes `copies`; the summary is what the mixture designer
+    * reads). */
+  def epochMixture(s: SparkSession, dir: String,
+      weights: Seq[(String, Long)] = mixtureWeights,
+      maxEpochs: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = weights.tail.foldLeft(
+      when(col("lang") === weights.head._1, lit(weights.head._2))) {
+      case (acc, (l, p)) => acc.when(col("lang") === l, lit(p))
+    }.otherwise(lit(0L))
+    val win = Window.partitionBy(lit(1))
+    val rates = documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("w_ppm", w)
+      .filter(col("w_ppm") > 0)
+      .withColumn("n_budget", sum(col("n")).over(win))
+      .withColumn("need", expr("w_ppm * n_budget div 1000000L"))
+      .withColumn("epochs",
+        least(lit(maxEpochs.toLong), expr("need div n")))
+      .withColumn("rem",
+        least(col("need"), lit(maxEpochs.toLong) * col("n"))
+          - col("epochs") * col("n"))
+      .withColumn("rate_bp", expr("rem * 10000L div n"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 14),
+      16, 10).cast("long") % 10000
+    documents(s, dir)
+      .withColumn("bucket", bucket)
+      .join(broadcast(rates), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        first(col("w_ppm")).as("w_ppm"),
+        first(col("need")).as("need"),
+        first(col("epochs")).as("epochs"),
+        first(col("rate_bp")).as("rate_bp"),
+        sum(when(col("bucket") < col("rate_bp"), 1L).otherwise(0L))
+          .as("n_extra"))
+      .withColumn("n_copies",
+        col("epochs") * col("n_total") + col("n_extra"))
+      // the cap's honesty column: how far the stratum still falls short
+      .withColumn("deficit",
+        greatest(lit(0L), col("need") - col("n_copies")))
+      .orderBy(col("lang"))
+  }
+
+  val epochMixtureOracle: String =
+    """WITH c AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CASE lang WHEN 'en' THEN 400000 WHEN 'de' THEN 150000
+      |      WHEN 'fr' THEN 150000 WHEN 'es' THEN 150000
+      |      WHEN 'zh' THEN 150000 ELSE 0 END AS w_ppm
+      |  FROM documents GROUP BY lang
+      |), b AS (
+      |  SELECT lang, n, w_ppm, SUM(n) OVER () AS n_budget
+      |  FROM c WHERE w_ppm > 0
+      |), r AS (
+      |  SELECT lang, n, w_ppm,
+      |    (w_ppm * n_budget) // 1000000 AS need,
+      |    LEAST(4, ((w_ppm * n_budget) // 1000000) // n) AS epochs,
+      |    (LEAST((w_ppm * n_budget) // 1000000, 4 * n)
+      |      - LEAST(4, ((w_ppm * n_budget) // 1000000) // n) * n)
+      |      * 10000 // n AS rate_bp
+      |  FROM b
+      |), agg AS (
+      |  SELECT r.lang, r.n AS n_total, r.w_ppm, r.need, r.epochs,
+      |    r.rate_bp,
+      |    CAST(SUM(CASE WHEN
+      |      CAST('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,14) AS BIGINT)
+      |        % 10000 < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
+      |  FROM r JOIN documents d ON d.lang = r.lang
+      |  GROUP BY r.lang, r.n, r.w_ppm, r.need, r.epochs, r.rate_bp
+      |)
+      |SELECT lang, n_total, CAST(w_ppm AS BIGINT) AS w_ppm,
+      |  CAST(need AS BIGINT) AS need, CAST(epochs AS BIGINT) AS epochs,
+      |  CAST(rate_bp AS BIGINT) AS rate_bp, n_extra,
+      |  CAST(epochs * n_total + n_extra AS BIGINT) AS n_copies,
+      |  CAST(GREATEST(0, need - (epochs * n_total + n_extra)) AS BIGINT)
+      |    AS deficit
+      |FROM agg ORDER BY lang""".stripMargin
+
   // ------------------------------------------- leakage-free splitting
 
   /** Leakage-free train/valid/test split: the split is assigned to each

@@ -650,6 +650,143 @@ object TextOps {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** TRIGRAM stupid-backoff LM scoring — the order-3 sibling of
+    * [[lmScore]], using the backoff scheme published for web-scale LMs
+    * (score the trigram if the reference corpus has seen it, else back
+    * off to the bigram, else to the add-one unigram, paying a fixed
+    * penalty per backoff level; the scheme's virtue is that it needs NO
+    * discounting pass — counts are used raw, which is what makes it
+    * feasible at corpus scale).
+    *
+    * Exactness across engines: α is fixed at 1/4 so each backoff level
+    * costs exactly 2 integer bits, and each level's surprisal is the
+    * floor-log2 of its inverse raw probability via the same
+    * `length(bin(den DIV num)) - 1` identity as [[lmScore]]:
+    * {{{
+    *   c123 > 0:  bits = fl2(c12 / c123)            (trigram)
+    *   c23  > 0:  bits = 2 + fl2(c2 / c23)          (backoff to bigram)
+    *   else:      bits = 4 + fl2((T + V)/(c3 + 1))  (add-one unigram)
+    * }}}
+    * every `den ≥ num ≥ 1` by count containment (a trigram occurrence
+    * contains its bigram prefix; a bigram occurrence contains its head
+    * unigram), so the DIV is always ≥ 1 and `bin` is defined. Doc score
+    * = `sum(bits)·10⁶ DIV n_trigrams` — integer ppm, hash-stable.
+    *
+    * Scale shape: model tables (trigram/bigram/unigram counts over the
+    * REFERENCE slice) are reference-corpus-sized and hash-join the
+    * scored trigram stream (AQE broadcasts when small); the scored side
+    * is one generate + four model joins + one map-side-combined
+    * aggregate; docs under 3 tokens keep a NULL score via the final
+    * `documents` left join. */
+  def lm3Score(s: SparkSession, dir: String,
+      trainSource: String = "src0"): DataFrame = {
+    val toks = documents(s, dir).select(col("doc_id"), col("source"),
+      filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
+    val n = size(col("t"))
+    val tri = toks.filter(n >= 3).select(col("doc_id"), col("source"),
+      explode(transform(sequence(lit(1), n - 2),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2"),
+          element_at(col("t"), i + 2).as("w3")))).as("tg"))
+      .select(col("doc_id"), col("source"), col("tg.w1").as("w1"),
+        col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+    val bi = toks.select(col("doc_id"), col("source"),
+      explode(zip_with(
+        slice(col("t"), lit(1), greatest(n - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(n - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val trainToks = toks.filter(col("source") === trainSource)
+      .select(explode(col("t")).as("w"))
+    val uni = trainToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val totals = trainToks.agg(count(lit(1)).as("tt"),
+      countDistinct(col("w")).as("v"))
+    val bic = bi.filter(col("source") === trainSource)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val tric = tri.filter(col("source") === trainSource)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+    val scored = tri
+      .join(tric, Seq("w1", "w2", "w3"), "left")
+      .join(bic.withColumnRenamed("cb", "c12"), Seq("w1", "w2"), "left")
+      .join(bic.toDF("w2", "w3", "c23"), Seq("w2", "w3"), "left")
+      .join(uni.toDF("w2", "c2"), Seq("w2"), "left")
+      .join(uni.toDF("w3", "c3"), Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        when(col("c123").isNotNull,
+          length(bin(expr("c12 DIV c123"))) - 1)
+          .when(col("c23").isNotNull,
+            length(bin(expr("c2 DIV c23"))) + 1)
+          .otherwise(length(bin(
+            expr("(tt + v) DIV (coalesce(c3, 0L) + 1)"))) + 3)
+          .as("bits"))
+    val agg = scored.groupBy(col("doc_id")).agg(
+      count(lit(1)).cast("int").as("nt"),
+      sum(col("bits")).as("bits_sum"))
+    documents(s, dir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nt"), lit(0)).as("n_trigrams"),
+        when(col("nt").isNull, lit(null).cast("long"))
+          .otherwise(expr("bits_sum * 1000000L DIV nt")).as("bits_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mirror of [[lm3Score]] in DuckDB SQL. */
+  val lm3ScoreOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    [x FOR x IN string_split_regex(lower(text), '\s+') IF x <> ''] AS t
+      |  FROM documents
+      |), tg AS (
+      |  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+      |  WHERE len(t) >= 3
+      |), bg AS (
+      |  SELECT source, t[i] AS w1, t[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+      |  WHERE len(t) >= 2
+      |), train_toks AS (
+      |  SELECT unnest(t) AS w FROM toks WHERE source = 'src0'
+      |), uni AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM train_toks GROUP BY w
+      |), totals AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS tt,
+      |    CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM train_toks
+      |), bic AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+      |  FROM bg WHERE source = 'src0' GROUP BY w1, w2
+      |), tric AS (
+      |  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+      |  FROM tg WHERE source = 'src0' GROUP BY w1, w2, w3
+      |), scored AS (
+      |  SELECT tg.doc_id,
+      |    CASE WHEN t3.c123 IS NOT NULL
+      |      THEN length(bin(b12.cb // t3.c123)) - 1
+      |    WHEN b23.cb IS NOT NULL
+      |      THEN length(bin(u2.cu // b23.cb)) + 1
+      |    ELSE length(bin((tot.tt + tot.v) // (COALESCE(u3.cu, 0) + 1))) + 3
+      |    END AS bits
+      |  FROM tg
+      |  LEFT JOIN tric t3 ON tg.w1 = t3.w1 AND tg.w2 = t3.w2
+      |    AND tg.w3 = t3.w3
+      |  LEFT JOIN bic b12 ON tg.w1 = b12.w1 AND tg.w2 = b12.w2
+      |  LEFT JOIN bic b23 ON tg.w2 = b23.w1 AND tg.w3 = b23.w2
+      |  LEFT JOIN uni u2 ON tg.w2 = u2.w
+      |  LEFT JOIN uni u3 ON tg.w3 = u3.w
+      |  CROSS JOIN totals tot
+      |), agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS nt,
+      |    CAST(SUM(bits) AS BIGINT) AS bits_sum
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, COALESCE(a.nt, 0) AS n_trigrams,
+      |  CASE WHEN a.nt IS NULL THEN NULL
+      |    ELSE CAST(a.bits_sum * 1000000 // a.nt AS BIGINT) END AS bits_ppm
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** CCNet's head/middle/tail split: per source, scored documents are
     * ranked by LM surprisal ([[lmScore]]) and cut into `nBuckets` equal
     * tiles — bucket 1 ("head") is the most reference-like text, the last

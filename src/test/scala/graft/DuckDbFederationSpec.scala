@@ -736,4 +736,122 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0).getStruct(1).getSeq[Long](2) == Seq(7L, 8L))
     assert(got(1).isNullAt(1))
   }
+
+  test("MAP / ENUM / unsigned / UUID / TIME / TIMESTAMPTZ type strings " +
+      "parse") {
+    import org.apache.spark.sql.types._
+    assert(DuckDbProcess.catalystType("MAP(VARCHAR, INTEGER)") ==
+      MapType(StringType, IntegerType, valueContainsNull = true))
+    // the key/value types may themselves carry commas and parens
+    assert(DuckDbProcess.catalystType("MAP(INTEGER, DECIMAL(2,1)[])") ==
+      MapType(IntegerType, ArrayType(DecimalType(2, 1),
+        containsNull = true), valueContainsNull = true))
+    assert(DuckDbProcess.catalystType(
+      "MAP(VARCHAR, STRUCT(k INTEGER, v VARCHAR))") ==
+      MapType(StringType, StructType(Seq(StructField("k", IntegerType),
+        StructField("v", StringType))), valueContainsNull = true))
+    // a map nested INSIDE a struct rides the struct-field parser
+    assert(DuckDbProcess.catalystType(
+      "STRUCT(m MAP(VARCHAR, BIGINT), n INTEGER)") ==
+      StructType(Seq(
+        StructField("m", MapType(StringType, LongType,
+          valueContainsNull = true)),
+        StructField("n", IntegerType))))
+    assert(DuckDbProcess.catalystType("ENUM('sad', 'ok', 'happy')") ==
+      StringType)
+    assert(DuckDbProcess.catalystType("UTINYINT") == ShortType)
+    assert(DuckDbProcess.catalystType("USMALLINT") == IntegerType)
+    assert(DuckDbProcess.catalystType("UINTEGER") == LongType)
+    assert(DuckDbProcess.catalystType("UBIGINT") == DecimalType(20, 0))
+    assert(DuckDbProcess.catalystType("UUID") == StringType)
+    assert(DuckDbProcess.catalystType("TIME") == StringType)
+    assert(DuckDbProcess.catalystType("TIMESTAMP WITH TIME ZONE") ==
+      TimestampType)
+  }
+
+  test("native MAP values cross the wire: typed keys, null values, " +
+      "empty and NULL maps") {
+    Federation.install(spark)
+    val e = ex
+    val ref = RemoteTableRef.parse("map_wire_probe")
+    e.runDdl(ref, Seq(
+      "DROP TABLE IF EXISTS map_wire_probe",
+      """CREATE TABLE map_wire_probe AS SELECT * FROM (VALUES
+        |  (1, MAP {'a': 10, 'b': 20}, MAP {7: 'x'}),
+        |  (2, MAP {'only': NULL}, MAP(CAST([] AS INT[]),
+        |      CAST([] AS VARCHAR[]))),
+        |  (3, NULL, NULL)) AS t(id, m, ik)""".stripMargin))
+    val df = Federation.remoteDataFrame(spark, "map_wire_probe", e)
+    assert(df.schema("m").dataType ==
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType, valueContainsNull = true))
+    val got = df.orderBy("id").collect()
+    assert(got(0).getMap[String, Int](1) == Map("a" -> 10, "b" -> 20))
+    // non-VARCHAR keys keep their wire type through the parallel-list form
+    assert(got(0).getMap[Int, String](2) == Map(7 -> "x"))
+    val withNull = got(1).getMap[String, Any](1)
+    assert(withNull.keySet == Set("only") && withNull("only") == null)
+    assert(got(1).getMap[Int, String](2).isEmpty)
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2))
+  }
+
+  test("declared map schema over a JSON text column decodes at the " +
+      "boundary (string→map cast, live wire)") {
+    import org.apache.spark.sql.types._
+    Federation.install(spark)
+    val e = ex
+    val ref = RemoteTableRef.parse("json_map_probe")
+    e.runDdl(ref, Seq(
+      "DROP TABLE IF EXISTS json_map_probe",
+      """CREATE TABLE json_map_probe AS SELECT * FROM (VALUES
+        |  (1, to_json(MAP {'x': 100, 'y': 200})),
+        |  (2, NULL)) AS t(id, kv)""".stripMargin))
+    assert(e.tableSchema(ref)("kv").dataType == StringType)
+    val declared = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("kv", MapType(StringType, LongType))))
+    val got = Federation
+      .remoteDataFrameAs(spark, "json_map_probe", e, declared)
+      .orderBy("id").collect()
+    assert(got(0).getMap[String, Long](1) == Map("x" -> 100L, "y" -> 200L))
+    assert(got(1).isNullAt(1))
+  }
+
+  test("UUID / TIME / TIMESTAMPTZ / unsigned / ENUM values cross the " +
+      "wire (before the conv fix, uuid and time crashed the JSON " +
+      "encoder)") {
+    Federation.install(spark)
+    val e = ex
+    val ref = RemoteTableRef.parse("wide_wire_probe")
+    e.runDdl(ref, Seq(
+      "DROP TABLE IF EXISTS wide_wire_probe",
+      "DROP TYPE IF EXISTS wire_probe_enum",
+      "CREATE TYPE wire_probe_enum AS ENUM ('lo', 'hi')",
+      """CREATE TABLE wide_wire_probe AS SELECT
+        |  1 AS id,
+        |  CAST(md5('k') AS UUID) AS uid,
+        |  TIMESTAMPTZ '2024-06-01 10:30:00+02' AS tz,
+        |  TIME '23:59:58' AS tm,
+        |  CAST(250 AS UTINYINT) AS u8,
+        |  CAST(65000 AS USMALLINT) AS u16,
+        |  CAST(4000000000 AS UINTEGER) AS u32,
+        |  CAST(9223372036854775807 AS UBIGINT)
+        |    + CAST(5 AS UBIGINT) AS u64,
+        |  CAST('hi' AS wire_probe_enum) AS mood""".stripMargin))
+    val got = Federation.remoteDataFrame(spark, "wide_wire_probe", e)
+      .collect().head
+    // deterministic md5-derived UUID, canonical lowercase text form
+    assert(got.getString(1).length == 36 && got.getString(1).count(_ == '-') == 4)
+    // +02 offset normalizes to the 08:30 UTC instant
+    assert(got.getTimestamp(2).toInstant ==
+      java.time.Instant.parse("2024-06-01T08:30:00Z"))
+    assert(got.getString(3) == "23:59:58")
+    assert(got.getShort(4) == 250.toShort)
+    assert(got.getInt(5) == 65000)
+    assert(got.getLong(6) == 4000000000L)
+    assert(got.getDecimal(7).compareTo(
+      new java.math.BigDecimal("9223372036854775812")) == 0)
+    assert(got.getString(8) == "hi")
+  }
 }

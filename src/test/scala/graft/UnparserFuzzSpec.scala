@@ -129,7 +129,7 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** One random query over fed_lineitem (join shape adds fed_orders). */
   private def genQuery(r: Random): String = {
     val d = 1 + r.nextInt(2)
-    r.nextInt(11) match {
+    r.nextInt(13) match {
       case 0 => // plain scan: project + filter, totally-ordered limit.
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
         // so the ORDER BY covers every output column — boundary ties are
@@ -240,6 +240,25 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
            |GROUP BY l_returnflag, l_linestatus
            |HAVING COUNT(*) > ${r.nextInt(40)}
            |ORDER BY l_returnflag, l_linestatus""".stripMargin
+      case 11 => // ROLLUP / CUBE: Expand+Aggregate back to GROUP BY
+        // ROLLUP/CUBE SQL (Derby has neither → clean refusal, runs local;
+        // mock and live DuckDB execute it remotely). No ORDER BY needed —
+        // the differential sorts rows — and exact aggregates only.
+        val op = pick(r, "ROLLUP", "CUBE")
+        s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           |  ${agg(r, d)} AS a1
+           |FROM fed_lineitem WHERE ${pred(r, d)}
+           |GROUP BY $op(l_returnflag, l_linestatus)""".stripMargin
+      case 12 => // uncorrelated scalar subquery in the predicate + IN list
+        // (MAX, not AVG: the subquery result must be order-insensitive —
+        // an FP mean could flip boundary rows between engines)
+        val frac = pick(r, "0.25", "0.5", "0.75")
+        s"""SELECT l_returnflag, COUNT(*) AS n, MIN(l_quantity) AS lo
+           |FROM fed_lineitem
+           |WHERE l_extendedprice > (SELECT $frac * MAX(o_totalprice)
+           |                         FROM fed_orders WHERE ${predO(r)})
+           |  AND l_linestatus IN ('O', 'F')
+           |GROUP BY l_returnflag""".stripMargin
     }
   }
 
