@@ -374,6 +374,33 @@ object ScaleStress {
         s""""nb_force":$nbForce,$nbJson}""")
     }
 
+    val doLm3 = sys.env.get("SPARK_GRAFT_SCALE_LM3").contains("1")
+    if (doLm3) {
+      // Trigram backoff LM at 5M docs: the model trains on the
+      // fixed-size 'chain' slice (reference-corpus-sized, independent of
+      // the scored corpus — the production shape, so its count tables
+      // stay broadcastable at ANY corpus size) and the scored side is
+      // one generate + four model joins + one map-side-combined
+      // aggregate over the full trigram stream. Aggregating count +
+      // score forces every doc's path through the backoff CASE.
+      val lm3 = timed("lm3_score") {
+        graft.operators.TextOps.lm3Score(spark, outDir,
+            trainSource = "chain")
+          .agg(count(lit(1)), coalesce(sum(col("bits_ppm")), lit(0L)),
+            sum(col("n_trigrams")))
+          .head
+      }
+      val lmJson = phases
+        .filter(p => Seq("gen", "lm3_score").contains(p._1))
+        .map { case (n, p) =>
+          f""""$n":{"sec":${p.sec}%.1f,"shuffle_write_mb":${p.w / 1048576},"shuffle_read_mb":${p.r / 1048576}}"""
+        }.mkString(",")
+      println(
+        s"""{"n_docs":$nDocs,"lm3_docs":${lm3.getLong(0)},""" +
+        s""""lm3_bits_ppm_sum":${lm3.getLong(1)},""" +
+        s""""lm3_trigrams":${lm3.getLong(2)},$lmJson}""")
+    }
+
     val doEdist = sys.env.get("SPARK_GRAFT_SCALE_EDIST").contains("1")
     if (doEdist) {
       // Edit-distance verification at 5M docs: the LSH candidate stage is

@@ -281,6 +281,7 @@ object SparkEntry {
     "fed_duckdb_not_in" -> (Federated.duckNotIn _),
     "fed_duckdb_scalar_sub" -> (Federated.duckScalarSubquery _),
     "fed_duckdb_fingerprint" -> (Federated.duckRemoteFingerprint _),
+    "fed_duckdb_two_instances" -> (Federated.duckTwoInstances _),
     "fed_xengine_partial_agg" -> (Federated.duckXenginePartialAgg _),
     "fed_xengine_partial_avg" -> (Federated.duckXenginePartialAvg _),
     "fed_xengine_partial_distinct" -> (Federated.duckXenginePartialDistinct _),
@@ -492,6 +493,7 @@ object SparkEntry {
     "fed_duckdb_not_in" -> Federated.notInOracle,
     "fed_duckdb_scalar_sub" -> Federated.scalarSubqueryOracle,
     "fed_duckdb_fingerprint" -> Federated.duckRemoteFingerprintOracle,
+    "fed_duckdb_two_instances" -> Federated.duckTwoInstancesOracle,
     "fed_xengine_partial_agg" -> Federated.duckXenginePartialAggOracle,
     "fed_xengine_partial_avg" -> Federated.duckXenginePartialAvgOracle,
     "fed_xengine_partial_distinct" -> Federated.duckXenginePartialDistinctOracle,

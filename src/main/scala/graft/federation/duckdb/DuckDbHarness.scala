@@ -59,4 +59,34 @@ object DuckDbHarness {
     registerViews(spark, dir)
     spark.sql(query)
   }
+
+  private val loadedB = TrieMap.empty[(Int, String), DuckDbSqlExecutor]
+
+  /** A SECOND live DuckDB instance — its own database file, so its
+    * computeContext differs and the no-mixing invariant applies between
+    * two instances of the SAME engine type (the jdbc harness proves this
+    * with two Derby instances; this is the subprocess-engine parallel). */
+  def executorB(spark: SparkSession, dir: String): DuckDbSqlExecutor =
+    loadedB.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val root = java.nio.file.Paths.get("target", "duckdb")
+      java.nio.file.Files.createDirectories(root)
+      val db = root.resolve(
+        s"graftb_${Math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}.duckdb")
+      java.nio.file.Files.deleteIfExists(db)
+      db.toFile.deleteOnExit()
+      val path = db.toAbsolutePath.toString
+      DuckDbProcess.exec(path, Seq("nation", "region").map { t =>
+        s"""CREATE TABLE "$t" AS SELECT * FROM read_parquet('$dir/$t.parquet')"""
+      })
+      new DuckDbSqlExecutor("duckb", spark, path, splitCount = Splits)
+    })
+
+  /** Register `duck2_<table>` views on the second instance (idempotent). */
+  def registerViewsB(spark: SparkSession, dir: String): Unit = {
+    Federation.install(spark)
+    val ex = executorB(spark, dir)
+    ex.tableNames.foreach { t =>
+      Federation.registerRemoteTable(spark, s"duck2_$t", t, ex)
+    }
+  }
 }

@@ -758,6 +758,9 @@ object DerbyDialect extends SqlDialect {
       "THEN TRUE ELSE FALSE END)"
   // Derby only parses ROW_NUMBER() OVER () — no PARTITION BY/ORDER BY
   override def supportsWindowFunctions: Boolean = false
+  // no grouping analytics at all: GROUP BY GROUPING SETS raises
+  // 'Encountered "SETS"' (caught live by the ROLLUP fuzz case)
+  override def supportsGroupingSets: Boolean = false
   override def lossyDecimalCast(x: String, p: Int, s: Int): String = {
     if (p + 2 > 31) // Derby's max decimal precision; no room for the guard
       throw new UnparseUnsupported(s"decimal($p,$s) too wide to round-cast on derby")

@@ -208,6 +208,14 @@ trait SqlDialect {
     * refuse there. */
   def supportsWindowFunctions: Boolean = true
 
+  /** `GROUP BY GROUPING SETS (…)` (the lowered form of ROLLUP/CUBE).
+    * Derby has no grouping analytics at all ("Encountered \"SETS\"" —
+    * caught live by the r10 ROLLUP fuzz case on its FIRST Derby run;
+    * the mock and DuckDB runs had always accepted it) and SQLite
+    * likewise lacks the clause, so both refuse and the Expand+Aggregate
+    * stays local. */
+  def supportsGroupingSets: Boolean = true
+
   /** SUBSTRING with constant pos ≥ 1 and len ≥ 0. Spark clamps
     * out-of-range arguments; engines whose substring RAISES on them
     * (Derby: start past the end, or length past the remainder, even on
@@ -428,6 +436,8 @@ object PostgresDialect extends SqlDialect {
 object SqliteDialect extends SqlDialect {
   override val name = "sqlite"
   override def supportsInlineValues: Boolean = false
+  // SQLite has no GROUPING SETS / ROLLUP / CUBE clause
+  override def supportsGroupingSets: Boolean = false
   override def quote(ident: String): String =
     "\"" + ident.replace("\"", "\"\"") + "\""
   override def typeName(dt: DataType): String = dt match {

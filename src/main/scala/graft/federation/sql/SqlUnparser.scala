@@ -443,6 +443,8 @@ class SqlUnparser(dialect: SqlDialect) {
     * left local — the bit order is Spark-specific. */
   private def unparseGroupingSets(groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], e: Expand): (Sel, Map[ExprId, String]) = {
+    if (!dialect.supportsGroupingSets)
+      fail(s"no GROUPING SETS support on ${dialect.name}")
     val gid = e.output.last
     if (aggExprs.exists(_.exists {
       case a: AttributeReference => a.exprId == gid.exprId
@@ -475,8 +477,15 @@ class SqlUnparser(dialect: SqlDialect) {
     val setsSql = sets.map(s => s.mkString("(", ", ", ")")).mkString(", ")
 
     val (items, names) = renderItems(aggExprs, f.scope ++ scope2)
+    // Empty-input divergence (fuzz seed 271828, live DuckDB): standard
+    // SQL GROUPING SETS emits the grand-total () row even over ZERO
+    // input rows (COUNT=0, aggregates NULL), while Spark's
+    // Expand+Aggregate lowering emits no rows at all. On non-empty
+    // input every grouping-set row aggregates ≥ 1 row, so
+    // HAVING COUNT(*) > 0 drops exactly the empty-input phantom row
+    // and nothing else — Spark semantics, engine-exact.
     val sql = s"SELECT ${itemsSql(items)} FROM ${f.text}" + whereSql(where) +
-      s" GROUP BY GROUPING SETS ($setsSql)"
+      s" GROUP BY GROUPING SETS ($setsSql) HAVING COUNT(*) > 0"
     (Sel(sql, names), f.scope ++ scope2 ++ aliasScope(aggExprs, names))
   }
 

@@ -1644,6 +1644,26 @@ object Federated {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** TWO live DuckDB instances (distinct database files = distinct
+    * computeContexts): each side of the join federates into ITS OWN
+    * instance and the stitch happens locally — the same-engine-type
+    * no-mixing invariant the two-Derby gate proves, now on the
+    * subprocess engine (reference compute-context discriminator,
+    * src/sql/executor.rs:25-29). */
+  def duckTwoInstances(s: SparkSession, dir: String): DataFrame = {
+    graft.federation.duckdb.DuckDbHarness.registerViews(s, dir)
+    graft.federation.duckdb.DuckDbHarness.registerViewsB(s, dir)
+    s.sql(
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+        |  CAST(MAX(s_acctbal) AS DOUBLE) AS top_bal
+        |FROM duck_supplier JOIN duck2_nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey < 3
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  val duckTwoInstancesOracle: String = jdbcTwoInstancesOracle
+
   /** Window functions federate: rank + windowed count inside the fragment
     * (reference analyzer.rs:410-447 window coverage). */
   def windowPushdown(s: SparkSession, dir: String): DataFrame =

@@ -574,6 +574,26 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("ROLLUP over EMPTY input returns no rows (SQL emits the () " +
+      "grand-total row there; Spark's Expand lowering does not — the " +
+      "HAVING COUNT(*) > 0 guard reproduces Spark exactly)") {
+    DuckDbHarness.registerViews(spark, dir)
+    val df = spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM duck_orders WHERE o_totalprice < -1
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)
+    assert(remoteScans(df).size == 1,
+      s"expected the rollup remote:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().isEmpty,
+      "empty-input rollup must emit NO rows (Spark semantics)")
+    // and the non-empty grand total still appears exactly once
+    val full = spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n
+        |FROM duck_orders GROUP BY ROLLUP (o_orderstatus)""".stripMargin)
+    val nulls = full.collect().filter(_.isNullAt(0))
+    assert(nulls.length == 1 && nulls.head.getLong(1) > 0)
+  }
+
   test("statistics probe sees fragment-level cardinality") {
     val e = ex
     val st = e.statistics(RemoteTableRef.parse("nation"))
@@ -816,6 +836,83 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("id").collect()
     assert(got(0).getMap[String, Long](1) == Map("x" -> 100L, "y" -> 200L))
     assert(got(1).isNullAt(1))
+  }
+
+  test("insertInto stages nested types through parquet: " +
+      "array / struct / map write round-trip") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    Federation.install(spark)
+    val e = ex
+    val ref = RemoteTableRef.parse("nested_write_probe")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("xs", ArrayType(IntegerType)),
+      StructField("st", StructType(Seq(
+        StructField("a", StringType), StructField("b", LongType)))),
+      StructField("kv", MapType(StringType, LongType))))
+    e.createTable(ref, schema)
+    // the DDL mapping must have produced native nested engine types
+    assert(e.tableSchema(ref)("xs").dataType ==
+      ArrayType(IntegerType, containsNull = true))
+    assert(e.tableSchema(ref)("kv").dataType ==
+      MapType(StringType, LongType, valueContainsNull = true))
+    val rows = Seq(
+      Row(1, Seq(1, 2, 3), Row("x", 10L), Map("k1" -> 1L, "k2" -> 2L)),
+      Row(2, Seq.empty[Int], Row(null, 0L), Map.empty[String, Long]),
+      Row(3, null, null, null))
+    e.insertInto(ref, spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema))
+    val got = Federation.remoteDataFrame(spark, "nested_write_probe", e)
+      .orderBy("id").collect()
+    assert(got(0).getSeq[Int](1) == Seq(1, 2, 3))
+    assert(got(0).getStruct(2).getString(0) == "x")
+    assert(got(0).getStruct(2).getLong(1) == 10L)
+    assert(got(0).getMap[String, Long](3) == Map("k1" -> 1L, "k2" -> 2L))
+    assert(got(1).getSeq[Int](1).isEmpty)
+    assert(got(1).getStruct(2).isNullAt(0))
+    assert(got(1).getMap[String, Long](3).isEmpty)
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2) && got(2).isNullAt(3))
+  }
+
+  test("two DuckDB instances: fragments never mix, both participate") {
+    def contextsIn(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Set[String] =
+      p.collect {
+        case r: graft.federation.plans.RemoteRelation =>
+          Set(r.executor.computeContext.get)
+        case f: graft.federation.plans.FederatedPlan =>
+          contextsIn(f.inner) ++
+            f.bindJoins.flatMap(b => contextsIn(b.buildPlan))
+      }.flatten.toSet
+    graft.federation.duckdb.DuckDbHarness.registerViews(spark, dir)
+    graft.federation.duckdb.DuckDbHarness.registerViewsB(spark, dir)
+    val df = spark.sql(
+      """SELECT n_name, COUNT(*) AS n
+        |FROM duck_supplier JOIN duck2_nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    val plan = df.queryExecution.optimizedPlan
+    val frags = plan.collect {
+      case f: graft.federation.plans.FederatedPlan => f
+    }
+    assert(frags.nonEmpty)
+    // the compute-context invariant: a fragment's SCAN side is one
+    // instance only — a merge would send instance-B names to instance A
+    frags.foreach { f =>
+      assert(contextsIn(f.inner).size == 1,
+        s"fragment mixes DuckDB instances: ${contextsIn(f.inner)}\n$plan")
+    }
+    // both instances participate — B as its own fragment or as a bind
+    // build executed on B and inlined into A's SQL
+    assert(frags.flatMap(f => contextsIn(f)).toSet.size == 2,
+      s"expected both instances:\n$plan")
+    val want = spark.sql(
+      s"""SELECT n_name, COUNT(*) AS n
+         |FROM parquet.`$dir/supplier.parquet`
+         |JOIN parquet.`$dir/nation.parquet` ON s_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin).collect().toSeq
+    assert(df.collect().toSeq == want)
   }
 
   test("UUID / TIME / TIMESTAMPTZ / unsigned / ENUM values cross the " +
