@@ -282,6 +282,7 @@ object SparkEntry {
     "fed_duckdb_scalar_sub" -> (Federated.duckScalarSubquery _),
     "fed_duckdb_fingerprint" -> (Federated.duckRemoteFingerprint _),
     "fed_duckdb_two_instances" -> (Federated.duckTwoInstances _),
+    "fed_duckdb_runtime_filter" -> (Federated.duckRuntimeFilter _),
     "fed_xengine_partial_agg" -> (Federated.duckXenginePartialAgg _),
     "fed_xengine_partial_avg" -> (Federated.duckXenginePartialAvg _),
     "fed_xengine_partial_distinct" -> (Federated.duckXenginePartialDistinct _),
@@ -494,6 +495,7 @@ object SparkEntry {
     "fed_duckdb_scalar_sub" -> Federated.scalarSubqueryOracle,
     "fed_duckdb_fingerprint" -> Federated.duckRemoteFingerprintOracle,
     "fed_duckdb_two_instances" -> Federated.duckTwoInstancesOracle,
+    "fed_duckdb_runtime_filter" -> Federated.duckRuntimeFilterOracle,
     "fed_xengine_partial_agg" -> Federated.duckXenginePartialAggOracle,
     "fed_xengine_partial_avg" -> Federated.duckXenginePartialAvgOracle,
     "fed_xengine_partial_distinct" -> Federated.duckXenginePartialDistinctOracle,

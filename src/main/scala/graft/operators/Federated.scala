@@ -1664,6 +1664,36 @@ object Federated {
 
   val duckTwoInstancesOracle: String = jdbcTwoInstancesOracle
 
+  /** Runtime-filter pushdown against the LIVE engine: a selective LOCAL
+    * build side whose output carries an FP column (bind joins refuse FP
+    * payloads — no portable literal for non-finite values), so the
+    * planner's remaining wire reduction is the execution-time runtime
+    * filter: broadcast-side keys inlined into the DuckDB fragment SQL as
+    * an IN-list / min-max range. The r10 boundary stress measured this
+    * mechanism live at 15M rows (750k wire rows, 20× cut); this gate
+    * keeps it oracle-checked at every round. */
+  def duckRuntimeFilter(s: SparkSession, dir: String): DataFrame = {
+    graft.federation.duckdb.DuckDbHarness.registerViews(s, dir)
+    graft.sources.Tables.orders(s, dir)
+      .filter("o_totalprice > 480000")
+      .createOrReplaceTempView("local_big_orders_duck")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+        |FROM duck_lineitem JOIN local_big_orders_duck
+        |  ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val duckRuntimeFilterOracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+      |FROM lineitem JOIN (SELECT * FROM orders WHERE o_totalprice > 480000) o
+      |  ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Window functions federate: rank + windowed count inside the fragment
     * (reference analyzer.rs:410-447 window coverage). */
   def windowPushdown(s: SparkSession, dir: String): DataFrame =

@@ -594,6 +594,20 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nulls.length == 1 && nulls.head.getLong(1) > 0)
   }
 
+  test("runtime filter reaches the live engine's wire SQL") {
+    DuckDbHarness.registerViews(spark, dir)
+    val e = ex
+    val before = e.executedSql.size
+    val df = graft.operators.Federated.duckRuntimeFilter(spark, dir)
+    df.collect()
+    val executed = e.executedSql.synchronized(e.executedSql.drop(before))
+    // the FP build payload refuses the bind path, so the wire reduction
+    // must be the execution-time runtime filter on the join key
+    assert(executed.exists(s => s.contains("l_orderkey") &&
+      (s.contains(" IN (") || s.contains(">="))),
+      executed.mkString("\n"))
+  }
+
   test("statistics probe sees fragment-level cardinality") {
     val e = ex
     val st = e.statistics(RemoteTableRef.parse("nation"))
