@@ -198,6 +198,9 @@ object SparkEntry {
     "stream_dsir" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runDsirToMemory(s, d)
         .orderBy(col("source"))),
+    "stream_epoch_mixture" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runEpochMixtureToMemory(s, d)
+        .orderBy(col("lang"))),
     "stream_novelty" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runNoveltyToMemory(s, d)
         .orderBy(col("source"))),
@@ -509,6 +512,8 @@ object SparkEntry {
     // single-batch streaming packing reproduces the batch packer bitwise
     "stream_packing" -> Packing.packSequencesOracle,
     "stream_dsir" -> graft.streaming.StreamOps.dsirStreamOracle,
+    "stream_epoch_mixture" ->
+      graft.streaming.StreamOps.epochMixtureStreamOracle,
     "stream_novelty" -> graft.streaming.StreamOps.noveltyStreamOracle,
     "sim_pq_topk" -> Similarity.pqTopKOracle,
     "sim_ivfpq_topk" -> Similarity.ivfPqTopKOracle,

@@ -251,7 +251,10 @@ object Sampling {
     * the repeated corpus itself is never materialized here (a writer
     * consumes `copies`; the summary is what the mixture designer
     * reads). */
-  def epochMixture(s: SparkSession, dir: String,
+  /** The per-stratum epoch/rate table [[epochMixture]] derives and the
+    * streaming serving leg broadcasts (a corpus-datasheet-sized frame:
+    * one row per weighted stratum at ANY corpus size). */
+  def epochRates(s: SparkSession, dir: String,
       weights: Seq[(String, Long)] = mixtureWeights,
       maxEpochs: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -260,7 +263,7 @@ object Sampling {
       case (acc, (l, p)) => acc.when(col("lang") === l, lit(p))
     }.otherwise(lit(0L))
     val win = Window.partitionBy(lit(1))
-    val rates = documents(s, dir)
+    documents(s, dir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .withColumn("w_ppm", w)
       .filter(col("w_ppm") > 0)
@@ -272,6 +275,12 @@ object Sampling {
         least(col("need"), lit(maxEpochs.toLong) * col("n"))
           - col("epochs") * col("n"))
       .withColumn("rate_bp", expr("rem * 10000L div n"))
+  }
+
+  def epochMixture(s: SparkSession, dir: String,
+      weights: Seq[(String, Long)] = mixtureWeights,
+      maxEpochs: Int = 4): DataFrame = {
+    val rates = epochRates(s, dir, weights, maxEpochs)
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 14),
       16, 10).cast("long") % 10000
     documents(s, dir)

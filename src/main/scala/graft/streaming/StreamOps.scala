@@ -953,6 +953,75 @@ object StreamOps {
       name: String = "stream_dsir_out"): DataFrame =
     runStream(spark, dsirStream(spark, dir), "complete", name)
 
+  /** STREAMING epoch-repeat serving: arriving documents are assigned
+    * their repeat count against the STATIC per-stratum epoch/rate table
+    * ([[graft.operators.Sampling.epochRates]] — derived once per corpus
+    * snapshot from the datasheet, one row per weighted stratum at ANY
+    * corpus size, so the broadcast is constant). The copy decision is
+    * the same md5-bucket arithmetic as the batch operator — a stateless
+    * in-row projection; the only stateful operator is the per-lang
+    * rollup. A writer consuming the stream materializes `copies` per
+    * doc; the rollup here is what the mixture designer monitors, and it
+    * hash-matches the batch [[graft.operators.Sampling.epochMixture]]
+    * accounting over the same snapshot. */
+  def epochMixtureStream(spark: SparkSession, dir: String): DataFrame = {
+    val rates = graft.operators.Sampling.epochRates(spark, dir)
+      .select(col("lang"), col("epochs"), col("rate_bp"))
+    val schema = Tables.documents(spark, dir).schema
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 14),
+      16, 10).cast("long") % 10000
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("lang"), bucket.as("bucket"))
+      .join(broadcast(rates), Seq("lang"))
+      .select(col("lang"), col("epochs"),
+        (col("epochs") +
+          when(col("bucket") < col("rate_bp"), 1L).otherwise(0L))
+          .as("copies"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("epochs")).as("epochs"),
+        sum(col("copies") - col("epochs")).as("n_extra"),
+        sum(col("copies")).as("n_copies"))
+  }
+
+  def runEpochMixtureToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_epoch_out"): DataFrame =
+    runStream(spark, epochMixtureStream(spark, dir), "complete", name)
+
+  /** DuckDB mirror of [[epochMixtureStream]]'s rollup. */
+  val epochMixtureStreamOracle: String =
+    """WITH c AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CASE lang WHEN 'en' THEN 400000 WHEN 'de' THEN 150000
+      |      WHEN 'fr' THEN 150000 WHEN 'es' THEN 150000
+      |      WHEN 'zh' THEN 150000 ELSE 0 END AS w_ppm
+      |  FROM documents GROUP BY lang
+      |), b AS (
+      |  SELECT lang, n, w_ppm, SUM(n) OVER () AS n_budget
+      |  FROM c WHERE w_ppm > 0
+      |), r AS (
+      |  SELECT lang, n,
+      |    LEAST(4, ((w_ppm * n_budget) // 1000000) // n) AS epochs,
+      |    (LEAST((w_ppm * n_budget) // 1000000, 4 * n)
+      |      - LEAST(4, ((w_ppm * n_budget) // 1000000) // n) * n)
+      |      * 10000 // n AS rate_bp
+      |  FROM b
+      |)
+      |SELECT r.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(r.epochs AS BIGINT) AS epochs,
+      |  CAST(SUM(CASE WHEN
+      |    CAST('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,14) AS BIGINT)
+      |      % 10000 < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_extra,
+      |  CAST(r.epochs * COUNT(*) + SUM(CASE WHEN
+      |    CAST('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,14) AS BIGINT)
+      |      % 10000 < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+      |FROM r JOIN documents d ON d.lang = r.lang
+      |GROUP BY r.lang, r.epochs
+      |ORDER BY r.lang""".stripMargin
+
   /** STREAMING novelty — the in-flight sibling of
     * [[graft.operators.TextOps.novelty]]: arriving documents' distinct
     * shingle hashes check against the STATIC index of a prior corpus

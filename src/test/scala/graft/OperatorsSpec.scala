@@ -1582,6 +1582,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming epoch-repeat rollup agrees with the batch mixture " +
+      "accounting") {
+    val stream = graft.streaming.StreamOps
+      .runEpochMixtureToMemory(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val batch = operators.Sampling.epochMixture(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(stream.keySet == batch.keySet)
+    for ((lang, b) <- batch) {
+      val s0 = stream(lang)
+      assert(s0.getAs[Long]("n_docs") == b.getAs[Long]("n_total"),
+        s"$lang n_docs")
+      assert(s0.getAs[Long]("epochs") == b.getAs[Long]("epochs"),
+        s"$lang epochs")
+      assert(s0.getAs[Long]("n_extra") == b.getAs[Long]("n_extra"),
+        s"$lang n_extra")
+      assert(s0.getAs[Long]("n_copies") == b.getAs[Long]("n_copies"),
+        s"$lang n_copies")
+    }
+    // the corpus must exercise BOTH directions of the knob: at least one
+    // stratum repeats (epochs ≥ 1) and at least one downsamples
+    assert(batch.values.exists(_.getAs[Long]("epochs") >= 1L))
+    assert(batch.values.exists(r => r.getAs[Long]("epochs") == 0L &&
+      r.getAs[Long]("rate_bp") < 10000L))
+  }
+
   test("stream-static against a live remote dim sees UPDATEs between batches") {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
