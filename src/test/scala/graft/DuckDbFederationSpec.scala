@@ -929,6 +929,161 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().toSeq == want)
   }
 
+  test("nested-value wire fuzz: random struct/list/map compositions " +
+      "cross the boundary bit-exactly") {
+    // Differential oracle for the nested wire: a random TYPE TREE is
+    // rendered as a DuckDB literal (crosses the subprocess wire) AND as
+    // the equivalent Spark SQL literal (never leaves the JVM); the
+    // collected rows must be identical. Exercises the type parser, the
+    // JSON wire forms, and convertValue recursion on shapes no
+    // hand-written spec enumerates. FP kept out (textual round-trip is
+    // a separate concern); DECIMAL/DATE/BOOL/VARCHAR/INT/BIGINT in.
+    import scala.util.Random
+    Federation.install(spark)
+    val e = ex
+    val r = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong)
+      .getOrElse(20260815L) + 505L)
+
+    sealed trait Ty
+    case object TInt extends Ty
+    case object TLong extends Ty
+    case object TBool extends Ty
+    case object TStr extends Ty
+    case object TDate extends Ty
+    case class TDec(p: Int, s: Int) extends Ty
+    case class TList(e: Ty) extends Ty
+    case class TStruct(fs: Seq[(String, Ty)]) extends Ty
+    case class TMap(v: Ty) extends Ty // VARCHAR keys
+
+    def genTy(depth: Int): Ty = {
+      val scalar = r.nextInt(6) match {
+        case 0 => TInt
+        case 1 => TLong
+        case 2 => TBool
+        case 3 => TStr
+        case 4 => TDate
+        case 5 => TDec(2 + r.nextInt(8), r.nextInt(3))
+      }
+      if (depth == 0 || r.nextInt(3) == 0) scalar
+      else r.nextInt(3) match {
+        case 0 => TList(genTy(depth - 1))
+        case 1 => TStruct((0 until 1 + r.nextInt(3)).map(i =>
+          s"f$i" -> genTy(depth - 1)))
+        case 2 => TMap(genTy(depth - 1))
+      }
+    }
+    def duckTy(t: Ty): String = t match {
+      case TInt => "INTEGER"
+      case TLong => "BIGINT"
+      case TBool => "BOOLEAN"
+      case TStr => "VARCHAR"
+      case TDate => "DATE"
+      case TDec(p, s) => s"DECIMAL($p,$s)"
+      case TList(el) => s"${duckTy(el)}[]"
+      case TStruct(fs) =>
+        fs.map { case (n, f) => s"$n ${duckTy(f)}" }
+          .mkString("STRUCT(", ", ", ")")
+      case TMap(v) => s"MAP(VARCHAR, ${duckTy(v)})"
+    }
+    def sparkTy(t: Ty): String = t match {
+      case TInt => "INT"
+      case TLong => "BIGINT"
+      case TBool => "BOOLEAN"
+      case TStr => "STRING"
+      case TDate => "DATE"
+      case TDec(p, s) => s"DECIMAL($p,$s)"
+      case TList(el) => s"ARRAY<${sparkTy(el)}>"
+      case TStruct(fs) =>
+        fs.map { case (n, f) => s"$n: ${sparkTy(f)}" }
+          .mkString("STRUCT<", ", ", ">")
+      case TMap(v) => s"MAP<STRING, ${sparkTy(v)}>"
+    }
+    // one random value of type t, rendered for both engines
+    def genVal(t: Ty, depth: Int): (String, String) = {
+      if (r.nextInt(6) == 0)
+        return (s"CAST(NULL AS ${duckTy(t)})", s"CAST(NULL AS ${sparkTy(t)})")
+      t match {
+        case TInt =>
+          val v = r.nextInt(2000) - 1000
+          (s"CAST($v AS INTEGER)", s"CAST($v AS INT)")
+        case TLong =>
+          val v = r.nextLong() % 1000000000000L
+          (s"CAST($v AS BIGINT)", s"CAST($v AS BIGINT)")
+        case TBool =>
+          val v = r.nextBoolean()
+          (v.toString, v.toString)
+        case TStr =>
+          val alphabet = "abXY 7Ωé'_%"
+          val s0 = (0 until r.nextInt(8))
+            .map(_ => alphabet(r.nextInt(alphabet.length))).mkString
+          val esc = s0.replace("'", "''")
+          (s"'$esc'", s"'$esc'")
+        case TDate =>
+          val d = java.time.LocalDate.of(1990 + r.nextInt(60),
+            1 + r.nextInt(12), 1 + r.nextInt(28))
+          (s"DATE '$d'", s"DATE '$d'")
+        case TDec(p, s) =>
+          // keep one digit short of the integral-digit cap; p == s means
+          // NO integral digits (0.xx only)
+          val intDigits = p - s - 1
+          val ip = if (intDigits <= 0) 0L
+            else math.abs(r.nextLong()) % math.pow(10, intDigits).toLong
+          val fp = (math.abs(r.nextLong()) % math.pow(10, s).toLong)
+          val lit = if (s == 0) s"$ip"
+            else s"$ip.${fp.toString.reverse.padTo(s, '0').reverse}"
+          (s"CAST($lit AS DECIMAL($p,$s))", s"CAST($lit AS DECIMAL($p,$s))")
+        case TList(el) =>
+          val n = r.nextInt(4)
+          if (n == 0)
+            (s"CAST([] AS ${duckTy(t)})", s"CAST(array() AS ${sparkTy(t)})")
+          else {
+            val vs = (0 until n).map(_ => genVal(el, depth - 1))
+            (vs.map(_._1).mkString("[", ", ", "]"),
+              vs.map(_._2).mkString("array(", ", ", ")"))
+          }
+        case TStruct(fs) =>
+          val vs = fs.map { case (n, f) => n -> genVal(f, depth - 1) }
+          (vs.map { case (n, v) => s"'$n': ${v._1}" }
+            .mkString("{", ", ", "}"),
+            vs.map { case (n, v) => s"'$n', ${v._2}" }
+              .mkString("named_struct(", ", ", ")"))
+        case TMap(v) =>
+          val n = r.nextInt(4)
+          if (n == 0)
+            (s"MAP(CAST([] AS VARCHAR[]), CAST([] AS ${duckTy(v)}[]))",
+              s"CAST(map() AS ${sparkTy(t)})")
+          else {
+            val ks = (0 until n).map(i => s"k$i${r.nextInt(10)}").distinct
+            val vs = ks.map(_ => genVal(v, depth - 1))
+            (ks.zip(vs).map { case (k, w) => s"'$k': ${w._1}" }
+              .mkString("MAP {", ", ", "}"),
+              ks.zip(vs).flatMap { case (k, w) => Seq(s"'$k'", w._2) }
+                .mkString("map(", ", ", ")"))
+          }
+      }
+    }
+
+    val total = 40
+    (1 to total).foreach { i =>
+      val ty = genTy(2 + r.nextInt(2))
+      val rows = (0 until 1 + r.nextInt(3)).map(j => (j, genVal(ty, 3)))
+      val ref = RemoteTableRef.parse("nested_fuzz_probe")
+      e.runDdl(ref, Seq(
+        "DROP TABLE IF EXISTS nested_fuzz_probe",
+        s"""CREATE TABLE nested_fuzz_probe AS ${rows.map { case (j, v) =>
+          s"SELECT $j AS id, ${v._1} AS v" }.mkString(" UNION ALL ")}"""))
+      val got = Federation
+        .remoteDataFrame(spark, "nested_fuzz_probe", e)
+        .orderBy("id").collect().map(_.toString).toSeq
+      val want = spark.sql(rows.map { case (j, v) =>
+        s"SELECT $j AS id, ${v._2} AS v" }.mkString(" UNION ALL "))
+        .orderBy("id").collect().map(_.toString).toSeq
+      assert(got == want,
+        s"nested wire #$i type=${duckTy(ty)}\nduck: ${rows.map(_._2._1)}\n" +
+          s"spark: ${rows.map(_._2._2)}\ngot  $got\nwant $want")
+    }
+  }
+
   test("UUID / TIME / TIMESTAMPTZ / unsigned / ENUM values cross the " +
       "wire (before the conv fix, uuid and time crashed the JSON " +
       "encoder)") {
