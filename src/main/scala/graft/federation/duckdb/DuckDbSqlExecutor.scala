@@ -944,7 +944,11 @@ object DuckDbProcess {
         // type, so non-VARCHAR keys survive); a VARCHAR/JSON column
         // under a DECLARED map schema rides as JSON text in plain
         // object form {"k": v, …} (to_json output) and decodes here,
-        // keys re-typed from their text
+        // keys re-typed from their text. Known ambiguity, parallel form
+        // wins: declared-JSON text whose object is exactly two
+        // equal-length ARRAY fields named "key"/"value" decodes as the
+        // native form — that shape can only arise from a map serialized
+        // in the wire form itself, where this IS the right reading
         val obj = if (v.isTextual) mapper.readTree(v.asText()) else v
         val kArr = obj.get("key")
         val vArr = obj.get("value")

@@ -166,6 +166,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
   }
 
+  test("lm3 score: ALL model-table joins broadcast — the scored trigram " +
+      "stream never shuffles for a join") {
+    // load-bearing for the 5M-doc measurement (75.3s / 137 MB after the
+    // explicit hints vs 181.4s / 18.5 GB under AQE's late conversion):
+    // the five model joins must be broadcast hash joins and the stream
+    // side must pay no join exchange
+    val p = finalPlan("text_lm3_score")
+    assert(count(p, "BroadcastHashJoin") >= 5, p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+    assert(count(p, "CartesianProduct") == 0, p)
+    // the only nested-loop is the 1-row totals broadcast
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+  }
+
+  test("epoch mixture: rate table broadcasts back, one corpus scan pair") {
+    val p = finalPlan("samp_epoch_mixture")
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+    assert(count(p, "CartesianProduct") == 0, p)
+  }
+
   test("curated pipeline: no cartesian beyond the vocab broadcast, bounded exchanges") {
     val p = finalPlan("pipe_curated_corpus")
     assert(count(p, "CartesianProduct") == 0, p)
