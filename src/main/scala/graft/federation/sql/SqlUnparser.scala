@@ -202,17 +202,60 @@ class SqlUnparser(dialect: SqlDialect) {
           val fl = from(left)
           val fr = from(right)
           val scope = fl.scope ++ fr.scope
-          val condSql = (fr.preds :+
-            cond.map(c => render(c, scope)).getOrElse("TRUE"))
-            .mkString(" AND ")
           val existsKw = if (joinType == LeftSemi) "EXISTS" else "NOT EXISTS"
+
+          def conjuncts(e: Expression): Seq[Expression] = e match {
+            case And(a, b) => conjuncts(a) ++ conjuncts(b)
+            case other => Seq(other)
+          }
+          val condConjuncts = cond.map(conjuncts).getOrElse(Nil)
+          // Catalyst's null-aware NOT IN condition — `x = y OR
+          // (x = y) IS NULL` — rendered wholesale defeats engine hash
+          // anti-joins (probed live on DuckDB at sf0.1: 12 ms as a pure
+          // equi NOT EXISTS vs 1.5 s with the OR form, a nested loop
+          // that would be fatal at scale). Matched(row) distributes over
+          // the OR (ISNULL(x=y) ⟺ x IS NULL ∨ y IS NULL), so the anti
+          // predicate decomposes into three hash/decorrelation-friendly
+          // pieces:  NOT EXISTS(B: rest ∧ x = y)
+          //        ∧ NOT EXISTS(B: rest ∧ y IS NULL)
+          //        ∧ (x IS NOT NULL ∨ NOT EXISTS(B: rest))
+          val nullAware =
+            if (joinType != LeftAnti) None
+            else condConjuncts.collectFirst {
+              case o @ Or(eq @ EqualTo(a, b), IsNull(eq2: EqualTo))
+                  if eq2.semanticEquals(eq) &&
+                    a.references.subsetOf(left.outputSet) &&
+                    b.references.subsetOf(right.outputSet) => (o, a, b)
+              case o @ Or(eq @ EqualTo(a, b), IsNull(eq2: EqualTo))
+                  if eq2.semanticEquals(eq) &&
+                    b.references.subsetOf(left.outputSet) &&
+                    a.references.subsetOf(right.outputSet) => (o, b, a)
+            }
+          val antiPred = nullAware match {
+            case Some((orConj, x, y)) =>
+              val rest = condConjuncts.filterNot(_ eq orConj)
+                .map(c => render(c, scope))
+              def notEx(extra: Seq[String]): String = {
+                val cs = fr.preds ++ rest ++ extra
+                val w = if (cs.isEmpty) "TRUE" else cs.mkString(" AND ")
+                s"NOT EXISTS (SELECT 1 FROM ${fr.text} WHERE $w)"
+              }
+              val xs = render(x, scope)
+              val ys = render(y, scope)
+              s"(${notEx(Seq(s"$xs = $ys"))} AND " +
+                s"${notEx(Seq(s"$ys IS NULL"))} AND " +
+                s"($xs IS NOT NULL OR ${notEx(Nil)}))"
+            case None =>
+              val condSql = (fr.preds :+
+                cond.map(c => render(c, scope)).getOrElse("TRUE"))
+                .mkString(" AND ")
+              s"$existsKw (SELECT 1 FROM ${fr.text} WHERE $condSql)"
+          }
           val names = dedupNames(left.output.map(_.name))
           val items = left.output.zip(names)
             .map { case (a, n) => s"${fl.scope(a.exprId)} AS ${q(n)}" }
           val alias = freshAlias()
-          val outerWhere = (fl.preds :+
-            s"$existsKw (SELECT 1 FROM ${fr.text} WHERE $condSql)")
-            .mkString(" AND ")
+          val outerWhere = (fl.preds :+ antiPred).mkString(" AND ")
           val sql = s"(SELECT ${itemsSql(items)} FROM ${fl.text} " +
             s"WHERE $outerWhere) AS ${q(alias)}"
           From(sql, left.output.zip(names).map { case (a, n) =>
