@@ -259,6 +259,7 @@ object SparkEntry {
     "fed_jdbc_create" -> (Federated.jdbcCreate _),
     "stream_jdbc_sink" -> (Federated.jdbcStreamSink _),
     "fed_jdbc_two_instances" -> (Federated.jdbcTwoInstances _),
+    "fed_jdbc_not_in" -> (Federated.jdbcNotIn _),
     "fed_duckdb_q1" -> (Federated.duckQ1 _),
     "fed_duckdb_q3" -> (Federated.duckQ3 _),
     "fed_duckdb_x_derby" -> (Federated.duckCrossEngine _),
@@ -495,6 +496,7 @@ object SparkEntry {
     "fed_duckdb_wide_types" -> Federated.duckWideTypesOracle,
     "fed_duckdb_exists" -> Federated.existsOracle,
     "fed_duckdb_not_in" -> Federated.notInOracle,
+    "fed_jdbc_not_in" -> Federated.notInOracle,
     "fed_duckdb_scalar_sub" -> Federated.scalarSubqueryOracle,
     "fed_duckdb_fingerprint" -> Federated.duckRemoteFingerprintOracle,
     "fed_duckdb_two_instances" -> Federated.duckTwoInstancesOracle,

@@ -839,6 +839,20 @@ object Federated {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** NOT IN on LIVE Derby: the null-aware anti join's DECOMPOSED
+    * three-piece NOT EXISTS form (see the unparser's null-aware path)
+    * executed by a second real engine — the decomposition was born from
+    * a DuckDB probe, and a form that only ever ran there would be a
+    * golden in disguise. */
+  def jdbcNotIn(s: SparkSession, dir: String): DataFrame =
+    graft.federation.jdbc.JdbcHarness.sql(s, dir,
+      """SELECT c_custkey, c_mktsegment
+        |FROM jdbc_customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM jdbc_orders
+        |                        WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey
+        |LIMIT 30""".stripMargin)
+
   // ---- live DuckDB engine (second REAL remote; subprocess line-JSON) ----
 
   /** q1-class through the LIVE DuckDB engine

@@ -129,7 +129,7 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** One random query over fed_lineitem (join shape adds fed_orders). */
   private def genQuery(r: Random): String = {
     val d = 1 + r.nextInt(2)
-    r.nextInt(13) match {
+    r.nextInt(14) match {
       case 0 => // plain scan: project + filter, totally-ordered limit.
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
         // so the ORDER BY covers every output column — boundary ties are
@@ -258,6 +258,18 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
            |WHERE l_extendedprice > (SELECT $frac * MAX(o_totalprice)
            |                         FROM fed_orders WHERE ${predO(r)})
            |  AND l_linestatus IN ('O', 'F')
+           |GROUP BY l_returnflag""".stripMargin
+      case 13 => // NOT IN subquery: Catalyst's null-aware anti join, which
+        // the unparser decomposes into three NOT EXISTS pieces (nullable
+        // parquet columns keep the plan null-aware) — swept through every
+        // engine arm so the decomposed SQL is differentially proven, not
+        // just golden-shaped
+        val key = pick(r, "l_orderkey", "l_partkey")
+        s"""SELECT l_returnflag, COUNT(*) AS n
+           |FROM fed_lineitem
+           |WHERE $key NOT IN (SELECT o_orderkey FROM fed_orders
+           |                   WHERE ${predO(r)})
+           |  AND ${pred(r, d)}
            |GROUP BY l_returnflag""".stripMargin
     }
   }
