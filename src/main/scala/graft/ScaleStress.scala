@@ -492,8 +492,16 @@ object ScaleStress {
     if (doText) {
       val sel = sys.env.getOrElse("SPARK_GRAFT_SCALE_TEXT_PHASES",
         "span,dsir,gopher").split(",").toSet
-      val nSpans = if (!sel("span")) -1L else timed("span_dedup") {
-        graft.operators.TextOps.spanDedup(spark, outDir).count()
+      // width sweeps both the paper's production setting (50, Lee et al.
+      // ExactSubstr) and the gate's 8 — window count per doc is
+      // len-width+1, so small widths maximize rows while large widths
+      // maximize per-hash text hashing cost
+      val spanWidth =
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_SPAN_WIDTH", "8").toInt
+      val nSpans = if (!sel("span")) -1L
+      else timed(s"span_dedup_w$spanWidth") {
+        graft.operators.TextOps
+          .spanDedupOf(spark.read.parquet(docs.getPath), spanWidth).count()
       }
       val nScored = if (!sel("dsir")) -1L else timed("dsir_score") {
         graft.operators.Sampling.dsirScore(spark, outDir).count()
@@ -544,8 +552,9 @@ object ScaleStress {
           .head.getLong(0)
       }
       val textJson = phases
-        .filter(p => Seq("gen", "span_dedup", "dsir_score", "dsir_select",
-          "containment", "gopher_rules", "c4_filters").contains(p._1))
+        .filter(p => Seq("gen", s"span_dedup_w$spanWidth", "dsir_score",
+          "dsir_select", "containment", "gopher_rules", "c4_filters")
+          .contains(p._1))
         .map { case (n, p) =>
           f""""$n":{"sec":${p.sec}%.1f,"shuffle_write_mb":${p.w / 1048576},"shuffle_read_mb":${p.r / 1048576}}"""
         }.mkString(",")

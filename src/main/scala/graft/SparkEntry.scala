@@ -281,6 +281,9 @@ object SparkEntry {
     "fed_duckdb_map" -> (Federated.duckMap _),
     "fed_duckdb_map_cast" -> (Federated.duckMapCast _),
     "fed_duckdb_wide_types" -> (Federated.duckWideTypes _),
+    "fed_duckdb_interval" -> (Federated.duckInterval _),
+    "fed_duckdb_zero_rows" -> (Federated.duckZeroRows _),
+    "fed_jdbc_zero_rows" -> (Federated.jdbcZeroRows _),
     "fed_duckdb_exists" -> (Federated.duckExists _),
     "fed_duckdb_not_in" -> (Federated.duckNotIn _),
     "fed_duckdb_scalar_sub" -> (Federated.duckScalarSubquery _),
@@ -494,6 +497,9 @@ object SparkEntry {
     "fed_duckdb_map" -> Federated.duckMapOracle,
     "fed_duckdb_map_cast" -> Federated.duckMapCastOracle,
     "fed_duckdb_wide_types" -> Federated.duckWideTypesOracle,
+    "fed_duckdb_interval" -> Federated.duckIntervalOracle,
+    "fed_duckdb_zero_rows" -> Federated.duckZeroRowsOracle,
+    "fed_jdbc_zero_rows" -> Federated.jdbcZeroRowsOracle,
     "fed_duckdb_exists" -> Federated.existsOracle,
     "fed_duckdb_not_in" -> Federated.notInOracle,
     "fed_jdbc_not_in" -> Federated.notInOracle,

@@ -62,13 +62,28 @@ final class DuckDbSqlExecutor(
     executedSql.synchronized { executedSql += sql }
     val db = dbPath
     val fields = schema.fields
+    val execName = name
     session.sparkContext.parallelize(Seq(sql), 1).mapPartitions { sqls =>
       sqls.flatMap { q =>
         val it = DuckDbProcess.query(db, q)
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] {
           _ => it.close()
         })
-        it.map(node => DuckDbProcess.convertRow(node, fields))
+        // task kill → destroy the in-flight subprocess: the blocked pipe
+        // read EOFs immediately and the server is never returned to the
+        // pool (an undrained stream would corrupt the next request)
+        graft.federation.sql.RemoteCancel.watch(() => it.close())
+        // the leading {"desc":…} wire line carries the plan's live output
+        // types; hasNext consumes it into `it.meta` before the first row,
+        // so the drift guard runs once, before any value decodes
+        var drifted = false
+        it.map { node =>
+          if (!drifted) {
+            drifted = true
+            DuckDbProcess.driftCheck(it.meta, fields, execName, q)
+          }
+          DuckDbProcess.convertRow(node, fields)
+        }
       }
     }
   }
@@ -479,6 +494,10 @@ object DuckDbProcess {
       |    if isinstance(v, datetime.datetime): return v.isoformat(sep=' ')
       |    if isinstance(v, datetime.date): return v.isoformat()
       |    if isinstance(v, datetime.time): return v.isoformat()
+      |    if isinstance(v, datetime.timedelta):
+      |        raise ValueError("INTERVAL nested inside list/struct/map is "
+      |            "unsupported on the wire: the client API collapses the "
+      |            "month component into days (lossy)")
       |    if isinstance(v, decimal.Decimal): return str(v)
       |    if isinstance(v, uuid.UUID): return str(v)
       |    if isinstance(v, (bytes, bytearray)):
@@ -502,9 +521,34 @@ object DuckDbProcess {
       |        except Exception: pass
       |        op = req["op"]
       |        if op == "query":
-      |            cur = con.execute(req["sql"])
+      |            q = req["sql"]
+      |            # lazy-bind: the plan's output names/types feed the
+      |            # leading {"desc":…} metadata line (the client's remote
+      |            # schema-drift guard) and decide the INTERVAL text wrap;
+      |            # execution starts at the first fetchmany, so the common
+      |            # path binds exactly once
+      |            cur = con.sql(q)
+      |            names = cur.columns if cur is not None else []
+      |            ts = [str(t) for t in cur.types] if cur is not None else []
+      |            out.write(json.dumps({"desc":
+      |                [[names[i], ts[i]] for i in range(len(ts))]}) + "\n")
+      |            if any(t == "INTERVAL" for t in ts):
+      |                # fetchall() collapses INTERVAL months into timedelta
+      |                # days (1 month -> 30 days, probed live) -- lossy, so
+      |                # ship the engine's exact text rendering instead and
+      |                # let the client parse it back to a calendar interval
+      |                if len(set(names)) != len(names):
+      |                    raise ValueError(
+      |                        "INTERVAL columns need unique names: %s" % names)
+      |                rep = ", ".join(
+      |                    'CAST("%s" AS VARCHAR) AS "%s"'
+      |                    % ((n.replace('"', '""'),) * 2)
+      |                    for n, t in zip(names, ts) if t == "INTERVAL")
+      |                cur = con.sql(
+      |                    "SELECT * REPLACE (%s) FROM (%s) __graft_iv"
+      |                    % (rep, q))
       |            n = 0
-      |            while True:
+      |            while cur is not None:
       |                rows = cur.fetchmany(8192)
       |                if not rows: break
       |                for r in rows:
@@ -623,8 +667,10 @@ object DuckDbProcess {
     extends Iterator[JsonNode] with AutoCloseable {
 
     private var nextNode: JsonNode = _
-    private var done = false
-    private var finished = false // request boundary reached, srv released
+    @volatile private var done = false
+    // request boundary reached, srv released; volatile because the
+    // cancellation watchdog reads it from its own thread
+    @volatile private var finished = false
 
     /** Control metadata (cols/tables) when the first line was an object. */
     var meta: JsonNode = _
@@ -751,6 +797,14 @@ object DuckDbProcess {
       // without the conv branches json.dumps raised TypeError and the
       // whole request failed)
       case "UUID" | "TIME" | "TIME WITH TIME ZONE" => StringType
+      // month-day-time intervals surface as Spark's CalendarIntervalType
+      // and narrow to the ANSI YearMonth/DayTime types through the
+      // boundary's strict IntervalCast kernels (the reference's
+      // intervals_cast.rs:11-75). The wire ships the engine's exact text
+      // rendering — the python client's native timedelta is LOSSY (months
+      // collapse to 30-day blocks, probed live), so the subprocess wraps
+      // interval columns in CAST(… AS VARCHAR) before fetching
+      case "INTERVAL" => CalendarIntervalType
       // unsigned widths step up one Spark integral size; UBIGINT has no
       // signed 64-bit home and rides as DECIMAL(20,0) (exact)
       case "UTINYINT" => ShortType
@@ -784,14 +838,17 @@ object DuckDbProcess {
       case m if m.startsWith("MAP(") && m.endsWith(")") =>
         val body = t.substring(4, t.length - 1)
         var depth = 0
-        var inQuote = false
+        var inQuote = false   // "…"-quoted identifier ("" escapes)
+        var inSingle = false  // '…'-quoted literal ('' escapes), e.g. ENUM
         var cut = -1
         var i = 0
         while (i < body.length && cut < 0) {
           val c = body.charAt(i)
           if (inQuote) { if (c == '"') inQuote = false }
+          else if (inSingle) { if (c == '\'') inSingle = false }
           else c match {
             case '"' => inQuote = true
+            case '\'' => inSingle = true
             case '(' => depth += 1
             case ')' => depth -= 1
             case ',' if depth == 0 => cut = i
@@ -840,12 +897,15 @@ object DuckDbProcess {
       val start = i
       var depth = 0
       var inQuote = false
+      var inSingle = false // ENUM value literals are single-quoted
       var stop = false
       while (i < n && !stop) {
         val c = body.charAt(i)
         if (inQuote) { if (c == '"') inQuote = false; i += 1 }
+        else if (inSingle) { if (c == '\'') inSingle = false; i += 1 }
         else c match {
           case '"' => inQuote = true; i += 1
+          case '\'' => inSingle = true; i += 1
           case '(' => depth += 1; i += 1
           case ')' => depth -= 1; i += 1
           case ',' if depth == 0 => stop = true
@@ -857,6 +917,23 @@ object DuckDbProcess {
       if (i < n) i += 1 // the separating comma
     }
     out.result()
+  }
+
+  /** Execution-time drift guard over the wire's leading `{"desc":…}`
+    * metadata line (the bound plan's output names + DuckDB type strings).
+    * Types the parser doesn't know are skipped — best-effort by design
+    * (see [[graft.federation.sql.SchemaDrift]]). */
+  def driftCheck(meta: JsonNode, fields: Array[StructField],
+      execName: String, sql: String): Unit = {
+    if (meta == null || !meta.has("desc")) return
+    val desc = meta.get("desc")
+    val live = (0 until desc.size()).map { i =>
+      val t = desc.get(i).get(1).asText()
+      (t, scala.util.Try(
+        graft.federation.sql.SchemaDrift.family(catalystType(t))).toOption)
+    }
+    graft.federation.sql.SchemaDrift.check(
+      fields.toIndexedSeq, live, execName, sql)
   }
 
   /** Schema-directed JSON → InternalRow conversion (the duckdb analog of
@@ -871,7 +948,62 @@ object DuckDbProcess {
     row
   }
 
-  private def convertValue(v: JsonNode, dt: DataType): Any =
+  /** DuckDB's canonical interval text (`CAST(iv AS VARCHAR)`) → Spark
+    * [[org.apache.spark.unsafe.types.CalendarInterval]]. Probed live:
+    * `[-]N year[s]` / `[-]N month[s]` / `[-]N day[s]` components in that
+    * order, then an optional `[-]HH:MM:SS[.ffffff]` tail whose leading
+    * sign applies to the whole time part (hours may exceed 23, e.g.
+    * `26:00:00`); a pure-zero interval renders as `00:00:00`. */
+  def parseIntervalText(s: String): org.apache.spark.unsafe.types.CalendarInterval = {
+    var months = 0L
+    var days = 0L
+    var micros = 0L
+    val toks = s.trim.split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.indexOf(':') >= 0) {
+        val neg = t.startsWith("-")
+        val parts = (if (neg) t.substring(1) else t).split(":")
+        require(parts.length == 3, s"malformed interval time in '$s'")
+        val secDot = parts(2).indexOf('.')
+        val sec = (if (secDot < 0) parts(2) else parts(2).take(secDot)).toLong
+        val frac =
+          if (secDot < 0) 0L
+          else (parts(2).drop(secDot + 1) + "000000").take(6).toLong
+        val tus = ((parts(0).toLong * 60 + parts(1).toLong) * 60 + sec) *
+          1000000L + frac
+        micros += (if (neg) -tus else tus)
+        i += 1
+      } else {
+        require(i + 1 < toks.length, s"malformed interval '$s'")
+        val n = t.toLong
+        toks(i + 1).stripSuffix("s") match {
+          case "year" => months += n * 12
+          case "month" => months += n
+          case "day" => days += n
+          case u =>
+            throw new IllegalArgumentException(
+              s"unknown interval unit '$u' in '$s'")
+        }
+        i += 2
+      }
+    }
+    new org.apache.spark.unsafe.types.CalendarInterval(
+      math.toIntExact(months), math.toIntExact(days), micros)
+  }
+
+  /** `jsonWorld` tracks which serialization produced `v`'s subtree:
+    * `false` = the python client's native value forms (maps as
+    * {"key":[…],"value":[…]} parallel lists), `true` = a `to_json`-style
+    * JSON text column decoded under a DECLARED schema (maps as plain
+    * objects). It flips to true exactly where a textual value is parsed,
+    * and propagates down — so a map nested inside a declared-JSON struct
+    * decodes as a plain object even when its shape happens to look like
+    * the parallel-list wire form (was: silent mis-decode of a legitimate
+    * 2-entry {"key":[…],"value":[…]} user object). */
+  private def convertValue(v: JsonNode, dt: DataType,
+      jsonWorld: Boolean = false): Any =
     if (v == null || v.isNull) null
     else dt match {
       case ByteType => v.asInt().toByte
@@ -912,15 +1044,36 @@ object DuckDbProcess {
         instant.getEpochSecond * 1000000L + instant.getNano / 1000L
       case BinaryType =>
         java.util.Base64.getDecoder.decode(v.asText())
+      case CalendarIntervalType => parseIntervalText(v.asText())
+      // DECLARED ANSI interval over an engine INTERVAL column: the strict
+      // narrowing of IntervalCast applied as the value lands (reference
+      // intervals_cast.rs:11-75 — discarded components must be zero)
+      case _: YearMonthIntervalType =>
+        val ci = parseIntervalText(v.asText())
+        if (ci.days != 0 || ci.microseconds != 0)
+          throw new IllegalArgumentException(
+            s"cannot cast interval '$ci' to YEAR TO MONTH: " +
+              "day/time components present")
+        java.lang.Integer.valueOf(ci.months)
+      case _: DayTimeIntervalType =>
+        val ci = parseIntervalText(v.asText())
+        if (ci.months != 0)
+          throw new IllegalArgumentException(
+            s"cannot cast interval '$ci' to DAY TO SECOND: " +
+              "month component present")
+        java.lang.Long.valueOf(
+          ci.days * (24L * 60 * 60 * 1000 * 1000) +
+            (ci.microseconds / 1000L) * 1000L)
       case ArrayType(et, _) =>
         // textual wire value + declared array = JSON-encoded column
         // (engine VARCHAR, declared ARRAY): decode, then convert — the
         // same boundary coercion as the struct case below
         val arr = if (v.isTextual) mapper.readTree(v.asText()) else v
+        val world = jsonWorld || v.isTextual
         val out = new Array[Any](arr.size())
         var j = 0
         while (j < out.length) {
-          out(j) = convertValue(arr.get(j), et); j += 1
+          out(j) = convertValue(arr.get(j), et, world); j += 1
         }
         new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
       case st: StructType =>
@@ -930,11 +1083,12 @@ object DuckDbProcess {
         // schema-cast kernel (schema_cast/struct_cast.rs:12-55; the local
         // path is SchemaCoercion's from_json)
         val obj = if (v.isTextual) mapper.readTree(v.asText()) else v
+        val world = jsonWorld || v.isTextual
         val row = new GenericInternalRow(st.fields.length)
         var j = 0
         while (j < st.fields.length) {
           row(j) = convertValue(obj.get(st.fields(j).name),
-            st.fields(j).dataType)
+            st.fields(j).dataType, world)
           j += 1
         }
         row
@@ -944,24 +1098,26 @@ object DuckDbProcess {
         // type, so non-VARCHAR keys survive); a VARCHAR/JSON column
         // under a DECLARED map schema rides as JSON text in plain
         // object form {"k": v, …} (to_json output) and decodes here,
-        // keys re-typed from their text. Known ambiguity, parallel form
-        // wins: declared-JSON text whose object is exactly two
-        // equal-length ARRAY fields named "key"/"value" decodes as the
-        // native form — that shape can only arise from a map serialized
-        // in the wire form itself, where this IS the right reading
+        // keys re-typed from their text. The two forms are told apart by
+        // PROVENANCE, not shape: to_json never emits the parallel-list
+        // form, the native client never emits the plain-object form — so
+        // once a subtree entered through JSON text (`jsonWorld`), a
+        // 2-entry {"key":[…],"value":[…]} user object decodes as the
+        // plain map it is
         val obj = if (v.isTextual) mapper.readTree(v.asText()) else v
+        val world = jsonWorld || v.isTextual
         val kArr = obj.get("key")
         val vArr = obj.get("value")
         val (ks, vs) =
-          if (obj.size() == 2 && kArr != null && vArr != null &&
+          if (!world && obj.size() == 2 && kArr != null && vArr != null &&
               kArr.isArray && vArr.isArray && kArr.size() == vArr.size()) {
             val n = kArr.size()
             val k = new Array[Any](n)
             val w = new Array[Any](n)
             var j = 0
             while (j < n) {
-              k(j) = convertValue(kArr.get(j), kt)
-              w(j) = convertValue(vArr.get(j), vt)
+              k(j) = convertValue(kArr.get(j), kt, world)
+              w(j) = convertValue(vArr.get(j), vt, world)
               j += 1
             }
             (k, w)
@@ -975,8 +1131,8 @@ object DuckDbProcess {
               val e = it.next()
               k(j) = convertValue(
                 com.fasterxml.jackson.databind.node.TextNode
-                  .valueOf(e.getKey), kt)
-              w(j) = convertValue(e.getValue, vt)
+                  .valueOf(e.getKey), kt, world)
+              w(j) = convertValue(e.getValue, vt, world)
               j += 1
             }
             (k, w)

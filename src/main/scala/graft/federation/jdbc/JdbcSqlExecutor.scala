@@ -56,6 +56,7 @@ final class JdbcSqlExecutor(
     val u = url
     val props = connectionProps
     val fields = schema.fields
+    val execName = name
     session.sparkContext.parallelize(Seq(sql), 1).mapPartitions { sqls =>
       sqls.flatMap { q =>
         val p = new java.util.Properties()
@@ -69,7 +70,27 @@ final class JdbcSqlExecutor(
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
           try stmt.close() finally conn.close()
         })
+        // task kill → interrupt this thread: the ONLY prompt cancel this
+        // engine supports (probed live: Statement.cancel unimplemented,
+        // cross-thread conn.close() lets the query run to completion, a
+        // thread interrupt aborts it in milliseconds)
+        locally {
+          val taskThread = Thread.currentThread()
+          graft.federation.sql.RemoteCancel.watch(() => taskThread.interrupt())
+        }
         val rs = stmt.executeQuery(q)
+        // execution-time drift guard: the registered schema directs the
+        // row decode, so a remote retype to text would otherwise corrupt
+        // silently (getInt-on-VARCHAR semantics vary by driver)
+        locally {
+          val md = rs.getMetaData
+          val live = (1 to md.getColumnCount).map { i =>
+            (md.getColumnTypeName(i),
+              graft.federation.sql.SchemaDrift.jdbcFamily(md.getColumnType(i)))
+          }
+          graft.federation.sql.SchemaDrift.check(
+            fields.toIndexedSeq, live, execName, q)
+        }
         new Iterator[InternalRow] {
           private var ready = false
           private var done = false

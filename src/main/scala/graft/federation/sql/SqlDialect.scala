@@ -19,6 +19,14 @@ trait SqlDialect {
 
   def escapeString(s: String): String = s.replace("'", "''")
 
+  /** Whether a derived-table subquery may open with its own WITH clause
+    * (`(WITH c AS (…) SELECT …) AS a`) — used to emit a large NOT IN
+    * build side once instead of inlining it into each of the three
+    * decomposed NOT EXISTS probes. Derby has no CTE support at all, so
+    * the default is off; DuckDB accepts subquery-level WITH (probed
+    * live), as do Spark, Postgres and SQLite. */
+  def supportsSubqueryCte: Boolean = false
+
   def literal(value: Any, dataType: DataType): String = (value, dataType) match {
     case (null, _) => "NULL"
     case (v, StringType) => s"'${escapeString(v.toString)}'"
@@ -287,6 +295,7 @@ object AnsiDialect extends SqlDialect {
   * executor (a second SparkSession) speaks. */
 object SparkDialect extends SqlDialect {
   override val name = "spark"
+  override val supportsSubqueryCte = true
   override def quote(ident: String): String =
     "`" + ident.replace("`", "``") + "`"
   override def typeName(dt: DataType): String = dt.sql
@@ -326,6 +335,7 @@ object SparkDialect extends SqlDialect {
   * live fuzz arm in UnparserFuzzSpec / DuckDbFederationSpec). */
 object DuckDbDialect extends SqlDialect {
   override val name = "duckdb"
+  override val supportsSubqueryCte = true
   // inline VALUES scale is safe on DuckDB (probed live on 1.0.0: 1k,
   // 20k, and 100k-row VALUES parse + execute in 0.01/0.09/0.43 s; a
   // 100k-element IN list in 0.73 s) — the Derby recursive-descent
@@ -401,6 +411,7 @@ object DuckDbDialect extends SqlDialect {
 /** PostgreSQL dialect. */
 object PostgresDialect extends SqlDialect {
   override val name = "postgres"
+  override val supportsSubqueryCte = true
   override def quote(ident: String): String =
     "\"" + ident.replace("\"", "\"\"") + "\""
   override def typeName(dt: DataType): String = dt match {
@@ -435,6 +446,7 @@ object PostgresDialect extends SqlDialect {
   * loaded extension, so regexp fragments stay local. */
 object SqliteDialect extends SqlDialect {
   override val name = "sqlite"
+  override val supportsSubqueryCte = true
   override def supportsInlineValues: Boolean = false
   // SQLite has no GROUPING SETS / ROLLUP / CUBE clause
   override def supportsGroupingSets: Boolean = false

@@ -285,8 +285,14 @@ object SqlExecutor {
     * bind table; the async DROP landed; the registration's DESCRIBE
     * then failed). Epoch-fence tables (`__epochs`) are durable state,
     * not staging, and stay listed. */
+  private val StagingName =
+    java.util.regex.Pattern.compile(".*__stg_[0-9a-f]+_[0-9]+$")
+
   def isStagingArtifact(name: String): Boolean = {
     val n = name.toLowerCase
-    n.startsWith("graft_bind_") || n.contains("__stg_")
+    // anchored to the exact generated shape (<t>__stg_<hexmillis+ctr>_<pid>,
+    // JdbcSqlExecutor.stagePrefix) — a legitimate user table that merely
+    // CONTAINS "__stg_" must keep enumerating
+    n.startsWith("graft_bind_") || StagingName.matcher(n).matches()
   }
 }

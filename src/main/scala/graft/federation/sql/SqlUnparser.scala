@@ -33,6 +33,26 @@ class SqlUnparser(dialect: SqlDialect) {
 
   private def q(ident: String): String = dialect.quoteIfNeeded(ident)
 
+  /** The (possibly quoted) alias part of a rendered scope value
+    * (`alias.col` / `"alias"."col"`): everything before the first
+    * separator dot outside quotes. */
+  private def aliasPrefix(v: String): String = {
+    var i = 0
+    var inQ = false
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < v.length && v.charAt(i + 1) == '"') i += 1
+          else inQ = false
+        }
+      } else if (c == '"') inQ = true
+      else if (c == '.') return v.substring(0, i)
+      i += 1
+    }
+    fail(s"no alias prefix in scope value '$v'")
+  }
+
   /** A rendered FROM item with the attribute scope it exposes and any
     * hoisted filter conjuncts not yet attached to a WHERE. Flattening
     * Filters (and bare-attribute Projects) out of derived tables keeps
@@ -231,6 +251,22 @@ class SqlUnparser(dialect: SqlDialect) {
                     b.references.subsetOf(left.outputSet) &&
                     a.references.subsetOf(right.outputSet) => (o, b, a)
             }
+          // The decomposition references the build side THREE times; a
+          // large derived build (an inlined VALUES dim, a deep subquery)
+          // would triple the statement size and can hit engine
+          // statement-length limits at scale. Dialects with
+          // subquery-level WITH emit the build ONCE as a CTE, re-aliased
+          // to the build's original (machine-generated) alias so every
+          // already-rendered predicate binds unchanged.
+          val useCte = nullAware.isDefined && dialect.supportsSubqueryCte &&
+            fr.text.length > 512 && fr.scope.nonEmpty
+          val (ctePrefix, buildItem) =
+            if (!useCte) ("", fr.text)
+            else {
+              val cte = q(freshAlias())
+              (s"WITH $cte AS (SELECT * FROM ${fr.text}) ",
+                s"$cte AS ${aliasPrefix(fr.scope.head._2)}")
+            }
           val antiPred = nullAware match {
             case Some((orConj, x, y)) =>
               val rest = condConjuncts.filterNot(_ eq orConj)
@@ -238,7 +274,7 @@ class SqlUnparser(dialect: SqlDialect) {
               def notEx(extra: Seq[String]): String = {
                 val cs = fr.preds ++ rest ++ extra
                 val w = if (cs.isEmpty) "TRUE" else cs.mkString(" AND ")
-                s"NOT EXISTS (SELECT 1 FROM ${fr.text} WHERE $w)"
+                s"NOT EXISTS (SELECT 1 FROM $buildItem WHERE $w)"
               }
               val xs = render(x, scope)
               val ys = render(y, scope)
@@ -256,7 +292,7 @@ class SqlUnparser(dialect: SqlDialect) {
             .map { case (a, n) => s"${fl.scope(a.exprId)} AS ${q(n)}" }
           val alias = freshAlias()
           val outerWhere = (fl.preds :+ antiPred).mkString(" AND ")
-          val sql = s"(SELECT ${itemsSql(items)} FROM ${fl.text} " +
+          val sql = s"($ctePrefix" + s"SELECT ${itemsSql(items)} FROM ${fl.text} " +
             s"WHERE $outerWhere) AS ${q(alias)}"
           From(sql, left.output.zip(names).map { case (a, n) =>
             a.exprId -> s"${q(alias)}.${q(n)}" }.toMap)

@@ -1600,6 +1600,107 @@ object Federated {
       |  c_mktsegment AS seg
       |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin
 
+  /** INTERVAL columns over the LIVE engine wire — the last schema-cast
+    * kernel of the reference never proven on real wire data (reference
+    * intervals_cast.rs:11-75 treats MonthDayNano→YearMonth/DayTime
+    * narrowing as core coercion). Probing the real wire found real
+    * breakage BEFORE this gate existed, like every wide-type round
+    * before it: the engine's python client collapses INTERVAL months
+    * into timedelta days (1 month → 30 days — silent data corruption,
+    * and nested intervals crashed the JSON encoder outright). The wire
+    * now ships the engine's exact text rendering (subprocess-side
+    * `CAST(… AS VARCHAR)` wrap), parsed back to a CalendarInterval, and
+    * the strict [[graft.federation.sql.IntervalCast]] kernels narrow to
+    * the ANSI types; EXTRACT above the boundary makes the values
+    * oracle-comparable as plain ints. */
+  def duckInterval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.duckdb.DuckDbHarness.executor(s, dir)
+    val ref = graft.federation.sql.RemoteTableRef.parse("interval_facts_duck")
+    ex.runDdl(ref, Seq(
+      "DROP TABLE IF EXISTS interval_facts_duck",
+      """CREATE TABLE interval_facts_duck AS
+        |SELECT o_orderkey,
+        |  to_months(CAST(o_orderkey % 25 AS INTEGER))
+        |    + to_years(CAST(o_orderkey % 3 AS INTEGER)) AS ym_iv,
+        |  to_days(CAST(o_orderkey % 5 AS INTEGER))
+        |    + to_hours(CAST(o_orderkey % 30 AS INTEGER))
+        |    + to_seconds(CAST(o_orderkey % 45 AS INTEGER)) AS dt_iv
+        |FROM read_parquet('__DIR__/orders.parquet')
+        |WHERE o_orderkey <= 2000""".stripMargin
+        .replace("__DIR__", dir)))
+    graft.federation.Federation
+      .remoteDataFrame(s, "interval_facts_duck", ex)
+      .select(col("o_orderkey"),
+        graft.federation.sql.IntervalCast.toYearMonth(col("ym_iv")).as("ym"),
+        graft.federation.sql.IntervalCast.toDayTime(col("dt_iv")).as("dt"))
+      .selectExpr("o_orderkey",
+        "CAST(extract(YEAR FROM ym) * 12 + extract(MONTH FROM ym) AS INT)" +
+          " AS ym_months",
+        ("CAST(extract(DAY FROM dt) * 86400 + extract(HOUR FROM dt) * 3600" +
+          " + extract(MINUTE FROM dt) * 60" +
+          " + CAST(extract(SECOND FROM dt) AS BIGINT) AS BIGINT) AS dt_secs"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val duckIntervalOracle: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderkey % 25 + (o_orderkey % 3) * 12 AS INT) AS ym_months,
+      |  CAST((o_orderkey % 5) * 86400 + (o_orderkey % 30) * 3600
+      |       + (o_orderkey % 45) AS BIGINT) AS dt_secs
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+
+  /** ZERO-ROW remote results through the declared-schema decode path —
+    * the reference explicitly preserves empty batches with their row
+    * counts and schemas (record_convert.rs:127-129); until this gate the
+    * port's equivalent was implicit. The filter pushes into the fragment,
+    * the engine answers 0 rows, and the boundary must surface an empty
+    * frame with the exact DECLARED struct schema (not a decode error, not
+    * a schemaless empty). */
+  def duckZeroRows(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    graft.federation.Federation.install(s)
+    val ex = graft.federation.duckdb.DuckDbHarness.executor(s, dir)
+    val ref = graft.federation.sql.RemoteTableRef.parse("zero_payload_duck")
+    ex.runDdl(ref, Seq(
+      "DROP TABLE IF EXISTS zero_payload_duck",
+      """CREATE TABLE zero_payload_duck AS
+        |SELECT c_custkey,
+        |  to_json({'seg': c_mktsegment, 'bal': c_acctbal}) AS payload
+        |FROM customer WHERE c_custkey <= 100""".stripMargin))
+    val declared = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("payload", StructType(Seq(
+        StructField("seg", StringType),
+        StructField("bal", DoubleType))))))
+    graft.federation.Federation
+      .remoteDataFrameAs(s, "zero_payload_duck", ex, declared)
+      .where(col("c_custkey") < 0)
+      .select(col("c_custkey"), col("payload.seg").as("seg"),
+        col("payload.bal").as("bal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val duckZeroRowsOracle: String =
+    """SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal
+      |FROM customer WHERE c_custkey < 0 ORDER BY c_custkey""".stripMargin
+
+  /** The Derby leg of the zero-row play: an empty remote fragment under
+    * a grouped aggregate — the 0-row wire result must flow through the
+    * JDBC decode and leave the local aggregate empty (not a NULL row). */
+  def jdbcZeroRows(s: SparkSession, dir: String): DataFrame =
+    graft.federation.jdbc.JdbcHarness.sql(s, dir,
+      """SELECT n_regionkey, COUNT(*) AS n
+        |FROM jdbc_nation WHERE n_nationkey < 0
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+
+  val jdbcZeroRowsOracle: String =
+    """SELECT n_regionkey, COUNT(*) AS n
+      |FROM nation WHERE n_nationkey < 0
+      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   /** EXISTS subquery executed on the LIVE engine — the (NOT) EXISTS
     * unparse family previously ran live only on Derby; every construct's
     * first run on a new real engine has caught dialect drift. */

@@ -1120,4 +1120,229 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       new java.math.BigDecimal("9223372036854775812")) == 0)
     assert(got.getString(8) == "hi")
   }
+
+  test("interval text parses: engine's canonical rendering → CalendarInterval") {
+    import org.apache.spark.unsafe.types.CalendarInterval
+    def p(s: String) = DuckDbProcess.parseIntervalText(s)
+    assert(p("3 months") == new CalendarInterval(3, 0, 0L))
+    assert(p("2 years 3 months") == new CalendarInterval(27, 0, 0L))
+    assert(p("14 days") == new CalendarInterval(0, 14, 0L))
+    assert(p("1 day 02:03:04.5678") ==
+      new CalendarInterval(0, 1, ((2L * 60 + 3) * 60 + 4) * 1000000L + 567800L))
+    assert(p("-3 months") == new CalendarInterval(-3, 0, 0L))
+    assert(p("00:00:00") == new CalendarInterval(0, 0, 0L))
+    // the time part's leading sign applies to the whole HH:MM:SS tail
+    assert(p("-1 day -02:00:00") ==
+      new CalendarInterval(0, -1, -2L * 3600 * 1000000L))
+    assert(p("26:00:00") == new CalendarInterval(0, 0, 26L * 3600 * 1000000L))
+    assert(p("-00:00:00.5") == new CalendarInterval(0, 0, -500000L))
+    assert(p("1 month -2 days 03:00:00") ==
+      new CalendarInterval(1, -2, 3L * 3600 * 1000000L))
+  }
+
+  test("INTERVAL columns cross the live wire losslessly (the client's " +
+      "native timedelta collapses months to 30-day blocks)") {
+    Federation.install(spark)
+    val e = ex
+    e.runDdl(RemoteTableRef.parse("iv_wire_probe"), Seq(
+      "DROP TABLE IF EXISTS iv_wire_probe",
+      """CREATE TABLE iv_wire_probe AS SELECT * FROM (VALUES
+        |  (1, INTERVAL '1' MONTH),
+        |  (2, INTERVAL '2 years 3 months'),
+        |  (3, INTERVAL '30' DAY),
+        |  (4, NULL)) t(id, iv)""".stripMargin))
+    val got = Federation.remoteDataFrame(spark, "iv_wire_probe", e)
+      .orderBy("id").collect()
+    import org.apache.spark.unsafe.types.CalendarInterval
+    // 1 month vs 30 days MUST stay distinct — the timedelta path equated them
+    assert(got(0).get(1) == new CalendarInterval(1, 0, 0L))
+    assert(got(1).get(1) == new CalendarInterval(27, 0, 0L))
+    assert(got(2).get(1) == new CalendarInterval(0, 30, 0L))
+    assert(got(3).isNullAt(1))
+  }
+
+  test("declared ANSI interval schema narrows strictly at the wire " +
+      "(reference intervals_cast.rs:11-75)") {
+    import org.apache.spark.sql.types._
+    Federation.install(spark)
+    val e = ex
+    e.runDdl(RemoteTableRef.parse("iv_declared_probe"), Seq(
+      "DROP TABLE IF EXISTS iv_declared_probe",
+      """CREATE TABLE iv_declared_probe AS SELECT * FROM (VALUES
+        |  (1, to_months(5), to_days(2) + to_hours(3)),
+        |  (2, to_years(1) + to_months(1), to_seconds(90))) t(id, ym, dt)""".stripMargin))
+    val declared = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("ym", YearMonthIntervalType()),
+      StructField("dt", DayTimeIntervalType())))
+    val rows = Federation
+      .remoteDataFrameAs(spark, "iv_declared_probe", e, declared)
+      .selectExpr("id",
+        "CAST(extract(YEAR FROM ym) * 12 + extract(MONTH FROM ym) AS INT) AS m",
+        "CAST(extract(DAY FROM dt) * 86400 + extract(HOUR FROM dt) * 3600 " +
+          "+ extract(MINUTE FROM dt) * 60 " +
+          "+ CAST(extract(SECOND FROM dt) AS BIGINT) AS BIGINT) AS secs")
+      .orderBy("id").collect()
+    assert(rows(0).getInt(1) == 5 && rows(0).getLong(2) == 2 * 86400L + 3 * 3600L)
+    assert(rows(1).getInt(1) == 13 && rows(1).getLong(2) == 90L)
+  }
+
+  test("impossible interval narrowing fails LOUD, never silently drops " +
+      "components (live error-path probe)") {
+    import org.apache.spark.sql.types._
+    Federation.install(spark)
+    val e = ex
+    e.runDdl(RemoteTableRef.parse("iv_mixed_probe"), Seq(
+      "DROP TABLE IF EXISTS iv_mixed_probe",
+      """CREATE TABLE iv_mixed_probe AS
+        |SELECT 1 AS id, to_months(1) + to_days(2) AS mixed""".stripMargin))
+    def messageOf(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    val asYm = intercept[Throwable] {
+      Federation.remoteDataFrameAs(spark, "iv_mixed_probe", e,
+        StructType(Seq(StructField("id", IntegerType),
+          StructField("mixed", YearMonthIntervalType())))).collect()
+    }
+    assert(messageOf(asYm).contains("YEAR TO MONTH"))
+    val asDt = intercept[Throwable] {
+      Federation.remoteDataFrameAs(spark, "iv_mixed_probe", e,
+        StructType(Seq(StructField("id", IntegerType),
+          StructField("mixed", DayTimeIntervalType())))).collect()
+    }
+    assert(messageOf(asDt).contains("DAY TO SECOND"))
+  }
+
+  test("empty insertInto is a clean no-op: zero rows staged, target " +
+      "unchanged, no staging leftovers") {
+    import org.apache.spark.sql.types._
+    Federation.install(spark)
+    val e = ex
+    val ref = RemoteTableRef.parse("empty_write_probe")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType)))
+    e.createTable(ref, schema)
+    e.insertInto(ref, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    assert(e.runQuery("SELECT COUNT(*) FROM empty_write_probe")
+      .head.get(0).asLong() == 0L)
+    // a second, non-empty insert still lands (the empty pass poisoned
+    // nothing)
+    import spark.implicits._
+    e.insertInto(ref, Seq((1, "a")).toDF("id", "v"))
+    assert(e.runQuery("SELECT COUNT(*) FROM empty_write_probe")
+      .head.get(0).asLong() == 1L)
+    assert(!e.tableNames.exists(_.contains("__stg_")), "staging leftovers")
+  }
+
+  test("staging-artifact filter is anchored: a user table merely " +
+      "containing __stg_ still enumerates") {
+    import graft.federation.sql.SqlExecutor
+    assert(SqlExecutor.isStagingArtifact("emp__stg_18f3a2b4c127_0"))
+    assert(SqlExecutor.isStagingArtifact("graft_bind_0a1b"))
+    assert(!SqlExecutor.isStagingArtifact("audit__stg_history"))
+    assert(!SqlExecutor.isStagingArtifact("my__stg_2024_notes"))
+    val e = ex
+    e.runDdl(RemoteTableRef.parse("user__stg_keeper"), Seq(
+      "DROP TABLE IF EXISTS user__stg_keeper",
+      "CREATE TABLE user__stg_keeper AS SELECT 1 AS id"))
+    assert(e.tableNames.contains("user__stg_keeper"))
+    e.runDdl(RemoteTableRef.parse("user__stg_keeper"),
+      Seq("DROP TABLE user__stg_keeper"))
+  }
+
+  test("large NOT IN build side ships ONCE as a subquery CTE, not inlined " +
+      "into each of the three decomposed NOT EXISTS probes") {
+    Federation.install(spark)
+    DuckDbHarness.registerViews(spark, dir)
+    import spark.implicits._
+    // nullable build column keeps Catalyst's anti join null-aware; a
+    // ~100-row inline VALUES makes the build text large enough that
+    // triple inlining would blow up the statement
+    (1L to 100L).map(i => Some(i * 3)).toDF("k")
+      .createOrReplaceTempView("big_notin_dim")
+    val e = ex
+    val before = e.executedSql.size
+    val df = spark.sql(
+      """SELECT c_custkey FROM duck_customer
+        |WHERE c_custkey NOT IN (SELECT k FROM big_notin_dim)
+        |ORDER BY c_custkey""".stripMargin)
+    val got = df.collect().map(_.getLong(0)).toSeq
+    val expect = spark.sql(
+      "SELECT c_custkey FROM parquet.`" + dir + "/customer.parquet` " +
+        "WHERE c_custkey NOT IN (SELECT k FROM big_notin_dim) " +
+        "ORDER BY c_custkey").collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+    val shipped = e.executedSql.drop(before).filter(_.contains("NOT EXISTS"))
+    assert(shipped.nonEmpty, "no decomposed anti join shipped")
+    val sql = shipped.head
+    assert(sql.contains("WITH "), s"expected a CTE build:\n$sql")
+    // the VALUES literal appears exactly once (in the CTE body)
+    assert("VALUES".r.findAllIn(sql).size == 1,
+      s"build side inlined more than once:\n$sql")
+  }
+
+  test("schema drift, retype: column ALTERed to text after registration " +
+      "fails LOUD (was: silent zeros)") {
+    Federation.install(spark)
+    val e = ex
+    e.runDdl(RemoteTableRef.parse("drift_retype_duck"), Seq(
+      "DROP TABLE IF EXISTS drift_retype_duck",
+      "CREATE TABLE drift_retype_duck AS SELECT 1 AS id, 10 AS v"))
+    val df = Federation.remoteDataFrame(spark, "drift_retype_duck", e)
+    assert(df.collect().head.getInt(1) == 10)
+    // live ALTER between registration and execution — the real user
+    // failure mode; bypasses runDdl so the registered schema stays stale
+    e.runWrite(Seq("ALTER TABLE drift_retype_duck ALTER v TYPE VARCHAR"))
+    val err = intercept[Throwable] { df.collect() }
+    def msgs(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    assert(msgs(err).contains("remote schema drift"))
+    assert(msgs(err).contains("'v'"))
+  }
+
+  test("schema drift, column added: invisible (fragments select explicit " +
+      "columns, never *)") {
+    Federation.install(spark)
+    val e = ex
+    e.runDdl(RemoteTableRef.parse("drift_add_duck"), Seq(
+      "DROP TABLE IF EXISTS drift_add_duck",
+      "CREATE TABLE drift_add_duck AS SELECT 1 AS id, 10 AS v"))
+    val df = Federation.remoteDataFrame(spark, "drift_add_duck", e)
+    e.runWrite(Seq("ALTER TABLE drift_add_duck ADD COLUMN extra VARCHAR"))
+    val got = df.collect()
+    assert(got.length == 1 && got.head.getInt(1) == 10)
+  }
+
+  test("schema drift, column dropped: the engine's own binder fails the " +
+      "fragment loudly") {
+    Federation.install(spark)
+    val e = ex
+    e.runDdl(RemoteTableRef.parse("drift_drop_duck"), Seq(
+      "DROP TABLE IF EXISTS drift_drop_duck",
+      "CREATE TABLE drift_drop_duck AS SELECT 1 AS id, 10 AS v"))
+    val df = Federation.remoteDataFrame(spark, "drift_drop_duck", e)
+    e.runWrite(Seq("ALTER TABLE drift_drop_duck DROP COLUMN v"))
+    val err = intercept[Throwable] { df.collect() }
+    def msgs(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    assert(msgs(err).toLowerCase.contains("duckdb error"))
+  }
+
+  test("nested INTERVAL (inside list/struct) fails loud at the wire — " +
+      "the lossy timedelta never reaches a row") {
+    val err = intercept[IllegalStateException] {
+      ex.runQuery("SELECT [to_months(3)] AS ivs")
+    }
+    assert(err.getMessage.contains("INTERVAL nested"))
+  }
 }

@@ -1838,4 +1838,30 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .tryUnparse(plan, graft.federation.sql.SparkDialect)
     assert(sparkSql.isDefined && !sparkSql.get.contains("NULLS"), sparkSql.get)
   }
+
+  test("boundary metric names are a stable operator-facing contract " +
+      "(SURVEY documents how to read them)") {
+    FederationHarness.setup(spark, dir)
+    val df = spark.sql(
+      "SELECT o_orderpriority, COUNT(*) AS n FROM fed_orders " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    assert(df.collect().nonEmpty)
+    val scans = df.queryExecution.executedPlan.collect {
+      case r: graft.federation.exec.RemoteScanExec => r
+    }
+    assert(scans.nonEmpty)
+    // renaming/removing any of these breaks dashboards built on the Spark
+    // UI's SQL metrics — additions are fine, these nine are the contract
+    val contract = Set("numOutputRows", "numRuntimeFilters", "numBindRows",
+      "numSplits", "remoteFetchTime", "remoteBytes", "numCoercedRows",
+      "numFragmentReuses", "numStagedBinds")
+    assert(contract.subsetOf(scans.head.metrics.keySet),
+      s"missing metrics: ${contract -- scans.head.metrics.keySet}")
+    assert(scans.head.metrics("numOutputRows").value > 0)
+    // explainFederated: the one-row-per-fragment operator surface
+    val ex = graft.federation.Federation.explainFederated(df)
+    assert(ex.columns.toSeq == Seq("fragment", "provider", "n_splits",
+      "n_binds", "n_runtime_filters", "sorted", "sql"))
+    assert(ex.collect().length == 1)
+  }
 }

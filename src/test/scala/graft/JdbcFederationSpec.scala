@@ -913,4 +913,58 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(
       graft.federation.exec.RemoteScanExec.StagingEnabledKey)
   }
+
+  private def ddl(sqls: String*): Unit = {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    try sqls.foreach(st.executeUpdate) finally { st.close(); conn.close() }
+  }
+
+  private def msgs(t: Throwable): String = {
+    var c: Throwable = t; val sb = new StringBuilder
+    while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+    sb.toString
+  }
+
+  test("schema drift, retype: table recreated with a text column after " +
+      "registration fails LOUD before any value decodes") {
+    graft.federation.Federation.install(spark)
+    ddl("CREATE TABLE drift_retype (id INT, v INT)",
+      "INSERT INTO drift_retype VALUES (1, 10)")
+    val df = graft.federation.Federation
+      .remoteDataFrame(spark, "DRIFT_RETYPE", executor)
+    assert(df.collect().head.getInt(1) == 10)
+    // Derby can't ALTER a column's type across families; drop-and-recreate
+    // is the equivalent live drift between registration and execution
+    ddl("DROP TABLE drift_retype",
+      "CREATE TABLE drift_retype (id INT, v VARCHAR(10))",
+      "INSERT INTO drift_retype VALUES (1, 'ten')")
+    val err = intercept[Throwable] { df.collect() }
+    assert(msgs(err).contains("remote schema drift"))
+    assert(msgs(err).contains("'V'"))
+  }
+
+  test("schema drift, column added: invisible to registered fragments") {
+    graft.federation.Federation.install(spark)
+    ddl("CREATE TABLE drift_add (id INT, v INT)",
+      "INSERT INTO drift_add VALUES (1, 10)")
+    val df = graft.federation.Federation
+      .remoteDataFrame(spark, "DRIFT_ADD", executor)
+    ddl("ALTER TABLE drift_add ADD COLUMN extra VARCHAR(8)")
+    val got = df.collect()
+    assert(got.length == 1 && got.head.getInt(1) == 10)
+  }
+
+  test("schema drift, column dropped: Derby's binder fails the fragment " +
+      "loudly") {
+    graft.federation.Federation.install(spark)
+    ddl("CREATE TABLE drift_drop (id INT, v INT)",
+      "INSERT INTO drift_drop VALUES (1, 10)")
+    val df = graft.federation.Federation
+      .remoteDataFrame(spark, "DRIFT_DROP", executor)
+    ddl("ALTER TABLE drift_drop DROP COLUMN v")
+    val err = intercept[Throwable] { df.collect() }
+    // Derby 42X04: column not in any table in the FROM list
+    assert(msgs(err).contains("42X04") || msgs(err).toLowerCase.contains("column"))
+  }
 }

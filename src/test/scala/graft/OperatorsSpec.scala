@@ -30,11 +30,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(qs.contains(k), s"oracle '$k' has no query"))
   }
 
+  // gates whose CONTRACT is an empty result (the zero-row boundary play,
+  // reference record_convert.rs:127-129) — the smoke asserts they run and
+  // keep their declared schema instead
+  private val emptyByDesign = Set("fed_duckdb_zero_rows", "fed_jdbc_zero_rows")
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"query $name runs and returns rows at sf0.001") {
       val df = fn(spark, dir)
       val n = df.count()
-      assert(n > 0, s"$name returned no rows")
+      if (emptyByDesign(name))
+        assert(n == 0 && df.schema.nonEmpty, s"$name should be empty-by-design")
+      else assert(n > 0, s"$name returned no rows")
     }
   }
 

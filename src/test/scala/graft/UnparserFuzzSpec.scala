@@ -129,7 +129,7 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** One random query over fed_lineitem (join shape adds fed_orders). */
   private def genQuery(r: Random): String = {
     val d = 1 + r.nextInt(2)
-    r.nextInt(14) match {
+    r.nextInt(15) match {
       case 0 => // plain scan: project + filter, totally-ordered limit.
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
         // so the ORDER BY covers every output column — boundary ties are
@@ -271,6 +271,37 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
            |                   WHERE ${predO(r)})
            |  AND ${pred(r, d)}
            |GROUP BY l_returnflag""".stripMargin
+      case 14 => // window FRAMES: ROWS vs value-offset RANGE, swept through
+        // every engine arm (ROWS-only coverage before this case; engines
+        // disagree on range-frame typing rules, so refusals must be
+        // dialect-pinned, not discovered by users). RANGE bounds are
+        // VALUE-based — the frame is deterministic even under order-key
+        // ties, but Spark's analyzer demands exactly ONE numeric ORDER BY
+        // key, so the RANGE leg orders by a single int column (ASC and
+        // DESC both swept); the ROWS leg keeps the probed-unique
+        // 4-column total order that tie-safety requires.
+        val tot = "l_orderkey, l_linenumber, l_quantity, l_extendedprice"
+        val lo = pick(r, "UNBOUNDED PRECEDING", s"${1 + r.nextInt(5)} PRECEDING",
+          "CURRENT ROW")
+        val hi = pick(r, s"${1 + r.nextInt(5)} FOLLOWING", "CURRENT ROW",
+          "UNBOUNDED FOLLOWING")
+        val frame =
+          if (lo == "CURRENT ROW" && hi == "CURRENT ROW")
+            "BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+          else s"BETWEEN $lo AND $hi"
+        val aggf = pick(r, "COUNT(*)", "SUM(l_linenumber)",
+          "MIN(l_quantity)", "MAX(l_partkey)")
+        val wfn =
+          if (r.nextBoolean()) {
+            val key = pick(r, "l_partkey", "l_orderkey", "l_suppkey")
+            val dir = pick(r, "", " DESC")
+            s"$aggf OVER (PARTITION BY l_returnflag ORDER BY $key$dir RANGE $frame)"
+          } else
+            s"$aggf OVER (PARTITION BY l_returnflag ORDER BY $tot ROWS $frame)"
+        s"""SELECT l_orderkey, l_linenumber, $wfn AS w
+           |FROM fed_lineitem WHERE ${pred(r, d)}
+           |ORDER BY l_orderkey, l_linenumber, w LIMIT ${20 + r.nextInt(80)}"""
+          .stripMargin
     }
   }
 
