@@ -683,11 +683,16 @@ object TextOps {
     val toks = documents(s, dir).select(col("doc_id"), col("source"),
       filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
     val n = size(col("t"))
+    // the when() guard repeats the n >= 3 filter INSIDE the expression:
+    // filter merging + eager subexpression evaluation can run the
+    // transform on shorter docs first, where sequence(1, n-2) descends
+    // through 0 and element_at(t, 0) throws (same shape as the
+    // spanDedupOf guard — see the comment there)
     val tri = toks.filter(n >= 3).select(col("doc_id"), col("source"),
-      explode(transform(sequence(lit(1), n - 2),
+      explode(when(n >= 3, transform(sequence(lit(1), n - 2),
         i => struct(element_at(col("t"), i).as("w1"),
           element_at(col("t"), i + 1).as("w2"),
-          element_at(col("t"), i + 2).as("w3")))).as("tg"))
+          element_at(col("t"), i + 2).as("w3"))))).as("tg"))
       .select(col("doc_id"), col("source"), col("tg.w1").as("w1"),
         col("tg.w2").as("w2"), col("tg.w3").as("w3"))
     val bi = toks.select(col("doc_id"), col("source"),
@@ -1379,9 +1384,24 @@ object TextOps {
   def spanDedupOf(docs: DataFrame, width: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
-    val starts = sequence(lit(1), size(col("toks")) - (width - 1))
+    // size >= width is ALSO enforced by the filter below, but the window
+    // expression must be total on its own: Catalyst merges that filter
+    // with the generator's implicit size(hs) > 0 pre-filter, and codegen's
+    // subexpression elimination evaluates the merged predicate's common
+    // subexpression EAGERLY, before the short-circuit — an unguarded
+    // sequence(1, size-width+1) then DESCENDS through 0 on short docs and
+    // slice(toks, 0, …) throws (found by the width=50 5M-doc ScaleStress;
+    // latent for every width)
+    val starts = when(size(col("toks")) >= width,
+      sequence(lit(1), size(col("toks")) - (width - 1)))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType)))
+    // the hash is a SHUFFLE KEY on len-width+1 rows per doc — binary md5
+    // (16 bytes) instead of its 32-char hex text: same exactness, and the
+    // 5M-doc ScaleStress measured the hex form paying 51 B/window-row of
+    // shuffle (10.1 GB at 207M windows), most of it the key itself
     val hashes = transform(starts,
-      i => md5(array_join(slice(col("toks"), i, lit(width)), " ")))
+      i => unhex(md5(array_join(slice(col("toks"), i, lit(width)), " "))))
     val w = docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= width)

@@ -1229,6 +1229,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSet == Set((2L, 1L, 10L, 3L), (3L, 9L, 16L, 1L)), got.mkString(", "))
   }
 
+  test("span dedup window expression is total: docs one token short of " +
+      "the width never throw, any width") {
+    // the width=50 5M-doc ScaleStress found the latent failure: Catalyst
+    // merges the size>=width filter with the generator's implicit
+    // size(hs)>0 pre-filter and codegen's subexpression elimination
+    // evaluates the merged predicate eagerly — an unguarded
+    // sequence(1, size-width+1) descends through 0 on short docs and
+    // slice(toks, 0, …) throws at RUNTIME, filter notwithstanding
+    import spark.implicits._
+    val long = (1 to 60).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, long), (2L, long),          // a real width-50 duplicate pair
+      (3L, (1 to 49).map(i => s"s$i").mkString(" ")), // one short of width
+      (4L, "a b"), (5L, "")).toDF("doc_id", "text")
+    val got = operators.TextOps.spanDedupOf(docs, 50).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("span dedup: first occurrence retained, spans maximal and disjoint") {
     import org.apache.spark.sql.functions._
     val width = 8
