@@ -284,6 +284,7 @@ object SparkEntry {
     "fed_duckdb_interval" -> (Federated.duckInterval _),
     "fed_duckdb_zero_rows" -> (Federated.duckZeroRows _),
     "fed_jdbc_zero_rows" -> (Federated.jdbcZeroRows _),
+    "fed_duckdb_date_arith" -> (Federated.duckDateArith _),
     "fed_duckdb_exists" -> (Federated.duckExists _),
     "fed_duckdb_not_in" -> (Federated.duckNotIn _),
     "fed_duckdb_scalar_sub" -> (Federated.duckScalarSubquery _),
@@ -500,6 +501,7 @@ object SparkEntry {
     "fed_duckdb_interval" -> Federated.duckIntervalOracle,
     "fed_duckdb_zero_rows" -> Federated.duckZeroRowsOracle,
     "fed_jdbc_zero_rows" -> Federated.jdbcZeroRowsOracle,
+    "fed_duckdb_date_arith" -> Federated.duckDateArithOracle,
     "fed_duckdb_exists" -> Federated.existsOracle,
     "fed_duckdb_not_in" -> Federated.notInOracle,
     "fed_jdbc_not_in" -> Federated.notInOracle,

@@ -27,8 +27,27 @@ trait SqlDialect {
     * live), as do Spark, Postgres and SQLite. */
   def supportsSubqueryCte: Boolean = false
 
+  /** Whether the engine evaluates `ts/date + INTERVAL` with Spark's
+    * semantics — month-end clamping (Jan 31 + 1 month = Feb 29),
+    * negative intervals, fractional seconds; probed live on DuckDB,
+    * trivially true on the Spark mock, documented for Postgres. Derby
+    * and SQLite have no INTERVAL type at all, so the default refusal
+    * keeps the arithmetic local (a degradation, never a wrong answer). */
+  def supportsIntervalArithmetic: Boolean = false
+
   def literal(value: Any, dataType: DataType): String = (value, dataType) match {
     case (null, _) => "NULL"
+    // ANSI interval literals: YM carries total months (Int), DT carries
+    // total microseconds (Long) — both render in a single unit, which
+    // every interval-capable engine normalizes internally (probed:
+    // INTERVAL '26' MONTH, negative and fractional SECOND forms).
+    // Only reachable behind supportsIntervalArithmetic.
+    case (v, _: YearMonthIntervalType) => s"INTERVAL '$v' MONTH"
+    case (v, _: DayTimeIntervalType) =>
+      val us = v.asInstanceOf[Long]
+      val sign = if (us < 0) "-" else ""
+      val a = math.abs(us)
+      s"INTERVAL '$sign${a / 1000000L}.${"%06d".format(a % 1000000L)}' SECOND"
     case (v, StringType) => s"'${escapeString(v.toString)}'"
     case (v, BooleanType) => if (v.asInstanceOf[Boolean]) "TRUE" else "FALSE"
     case (v, DateType) =>
@@ -296,6 +315,7 @@ object AnsiDialect extends SqlDialect {
 object SparkDialect extends SqlDialect {
   override val name = "spark"
   override val supportsSubqueryCte = true
+  override val supportsIntervalArithmetic = true
   override def quote(ident: String): String =
     "`" + ident.replace("`", "``") + "`"
   override def typeName(dt: DataType): String = dt.sql
@@ -336,6 +356,7 @@ object SparkDialect extends SqlDialect {
 object DuckDbDialect extends SqlDialect {
   override val name = "duckdb"
   override val supportsSubqueryCte = true
+  override val supportsIntervalArithmetic = true
   // inline VALUES scale is safe on DuckDB (probed live on 1.0.0: 1k,
   // 20k, and 100k-row VALUES parse + execute in 0.01/0.09/0.43 s; a
   // 100k-element IN list in 0.73 s) — the Derby recursive-descent
@@ -412,6 +433,7 @@ object DuckDbDialect extends SqlDialect {
 object PostgresDialect extends SqlDialect {
   override val name = "postgres"
   override val supportsSubqueryCte = true
+  override val supportsIntervalArithmetic = true
   override def quote(ident: String): String =
     "\"" + ident.replace("\"", "\"\"") + "\""
   override def typeName(dt: DataType): String = dt match {

@@ -848,6 +848,30 @@ class SqlUnparser(dialect: SqlDialect) {
       case DateAdd(d, n) => dialect.dateAddDays(r(d), r(n))
       case DateSub(d, n) => dialect.dateAddDays(r(d), s"(- ${r(n)})")
       case DateDiff(end, start) => dialect.dateDiffDays(r(end), r(start))
+
+      // ANSI interval arithmetic (`ts/date ± INTERVAL 'n' unit`): probed
+      // for Spark parity on the live engine — month-end clamping,
+      // negative intervals, fractional seconds. Year-month addition on a
+      // tz-AWARE timestamp is session-zone-dependent while the remote
+      // engine computes naive, so that one case is admitted only under
+      // UTC (TimestampNTZ is zone-free and always safe); duration (DT)
+      // addition is pure micros arithmetic, zone-irrelevant under UTC
+      // sessions (no DST).
+      case e: TimestampAddYMInterval
+          if dialect.supportsIntervalArithmetic &&
+            (e.left.dataType == TimestampNTZType ||
+              e.timeZoneId.forall(tz => tz == "UTC" || tz == "Etc/UTC")) =>
+        s"(${r(e.left)} + ${r(e.right)})"
+      case e: TimestampAddInterval
+          if dialect.supportsIntervalArithmetic &&
+            (e.left.dataType == TimestampNTZType ||
+              e.timeZoneId.forall(tz => tz == "UTC" || tz == "Etc/UTC")) =>
+        s"(${r(e.left)} + ${r(e.right)})"
+      // DATE + YM stays a DATE for Spark; interval-capable engines widen
+      // to TIMESTAMP (probed), so cast back
+      case e: DateAddYMInterval if dialect.supportsIntervalArithmetic =>
+        s"CAST((${r(e.left)} + ${r(e.right)}) AS " +
+          s"${dialect.typeName(org.apache.spark.sql.types.DateType)})"
       case Quarter(c) => fn1("quarter", c)
       case DayOfWeek(c) => fn1("dayofweek", c)
       case DayOfYear(c) => fn1("dayofyear", c)

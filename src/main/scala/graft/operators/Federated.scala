@@ -1701,6 +1701,30 @@ object Federated {
       |FROM nation WHERE n_nationkey < 0
       |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** ANSI interval ARITHMETIC pushed to the live engine — `ts ± INTERVAL`
+    * renders as native interval addition where the dialect's semantics
+    * were probed to match Spark's (month-end clamping, negatives,
+    * fractional seconds); Derby has no INTERVAL type, so there the same
+    * expressions stay local (dialect refusal, never a wrong answer). */
+  def duckDateArith(s: SparkSession, dir: String): DataFrame =
+    graft.federation.duckdb.DuckDbHarness.sql(s, dir,
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL '2' MONTH AS plus2m,
+        |  o_orderdate - INTERVAL '1' YEAR AS minus1y,
+        |  o_orderdate + INTERVAL '36' HOUR AS plus36h,
+        |  o_orderdate - INTERVAL '90.5' SECOND AS minus90s
+        |FROM duck_orders WHERE o_orderkey <= 1200
+        |ORDER BY o_orderkey""".stripMargin)
+
+  val duckDateArithOracle: String =
+    """SELECT o_orderkey,
+      |  o_orderdate + INTERVAL 2 MONTH AS plus2m,
+      |  o_orderdate - INTERVAL 1 YEAR AS minus1y,
+      |  o_orderdate + INTERVAL 36 HOUR AS plus36h,
+      |  o_orderdate - INTERVAL '90.5' SECOND AS minus90s
+      |FROM orders WHERE o_orderkey <= 1200
+      |ORDER BY o_orderkey""".stripMargin
+
   /** EXISTS subquery executed on the LIVE engine — the (NOT) EXISTS
     * unparse family previously ran live only on Derby; every construct's
     * first run on a new real engine has caught dialect drift. */

@@ -1285,6 +1285,27 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"build side inlined more than once:\n$sql")
   }
 
+  test("interval arithmetic federates whole: ts ± INTERVAL executes on " +
+      "the live engine as native interval addition") {
+    Federation.install(spark)
+    DuckDbHarness.registerViews(spark, dir)
+    val df = spark.sql(
+      """SELECT o_orderkey, o_orderdate + INTERVAL '2' MONTH AS m2,
+        |  o_orderdate - INTERVAL '36' HOUR AS h36
+        |FROM duck_orders WHERE o_orderkey <= 100
+        |ORDER BY o_orderkey""".stripMargin)
+    val scans = remoteScans(df)
+    assert(scans.size == 1, s"expected one remote scan: $scans")
+    assert(scans.head.contains("INTERVAL '2' MONTH") &&
+      scans.head.contains("INTERVAL '-129600.000000' SECOND"), scans.head)
+    val local = spark.sql(
+      """SELECT o_orderkey, o_orderdate + INTERVAL '2' MONTH AS m2,
+        |  o_orderdate - INTERVAL '36' HOUR AS h36
+        |FROM parquet.`""".stripMargin + dir + """/orders.parquet`
+        |WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin)
+    assert(df.collect().toSeq == local.collect().toSeq)
+  }
+
   test("schema drift, retype: column ALTERed to text after registration " +
       "fails LOUD (was: silent zeros)") {
     Federation.install(spark)

@@ -129,7 +129,7 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** One random query over fed_lineitem (join shape adds fed_orders). */
   private def genQuery(r: Random): String = {
     val d = 1 + r.nextInt(2)
-    r.nextInt(15) match {
+    r.nextInt(16) match {
       case 0 => // plain scan: project + filter, totally-ordered limit.
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
         // so the ORDER BY covers every output column — boundary ties are
@@ -301,6 +301,20 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"""SELECT l_orderkey, l_linenumber, $wfn AS w
            |FROM fed_lineitem WHERE ${pred(r, d)}
            |ORDER BY l_orderkey, l_linenumber, w LIMIT ${20 + r.nextInt(80)}"""
+          .stripMargin
+      case 15 => // ANSI interval arithmetic on the timestamp column —
+        // native interval addition on interval-capable arms (month-end
+        // clamping, negatives, fractional seconds all probed); Derby has
+        // no INTERVAL type, so there the projection stays local and the
+        // differential still checks the degraded plan's answer
+        val iv = pick(r, "INTERVAL '1' MONTH", "INTERVAL '-3' MONTH",
+          "INTERVAL '2' YEAR", "INTERVAL '10' DAY", "INTERVAL '-36' HOUR",
+          "INTERVAL '90' MINUTE", "INTERVAL '0.5' SECOND",
+          "INTERVAL '-2' DAY")
+        val op = pick(r, "+", "-")
+        s"""SELECT l_orderkey, l_linenumber, l_shipdate $op $iv AS x
+           |FROM fed_lineitem WHERE ${pred(r, d)}
+           |ORDER BY l_orderkey, l_linenumber, x LIMIT ${20 + r.nextInt(80)}"""
           .stripMargin
     }
   }
