@@ -1003,6 +1003,20 @@ class SqlUnparser(dialect: SqlDialect) {
       case CurrentRow => "CURRENT ROW"
       case IntLit(n) if n < 0 => s"${-n} PRECEDING"
       case IntLit(n) => s"$n FOLLOWING"
+      // RANGE frames over a timestamp ORDER BY carry ANSI interval
+      // bounds (negative = PRECEDING); probed for engine parity like
+      // the interval arithmetic cases
+      case Literal(v, _: YearMonthIntervalType)
+          if dialect.supportsIntervalArithmetic =>
+        val m = v.asInstanceOf[Int]
+        if (m < 0) s"INTERVAL '${-m}' MONTH PRECEDING"
+        else s"INTERVAL '$m' MONTH FOLLOWING"
+      case Literal(v, _: DayTimeIntervalType)
+          if dialect.supportsIntervalArithmetic =>
+        val us = v.asInstanceOf[Long]
+        val a = math.abs(us)
+        val lit = s"INTERVAL '${a / 1000000L}.${"%06d".format(a % 1000000L)}' SECOND"
+        if (us < 0) s"$lit PRECEDING" else s"$lit FOLLOWING"
       case other => fail(s"frame bound $other")
     }
     val t = f.frameType match {

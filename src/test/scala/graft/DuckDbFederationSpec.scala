@@ -1306,6 +1306,25 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().toSeq == local.collect().toSeq)
   }
 
+  test("RANGE frame with interval offsets federates: value-based frame " +
+      "over a timestamp key executes on the live engine") {
+    Federation.install(spark)
+    DuckDbHarness.registerViews(spark, dir)
+    val sql =
+      """SELECT o_orderkey,
+        |  COUNT(*) OVER (ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW) AS c
+        |FROM %s WHERE o_orderkey <= 200
+        |ORDER BY o_orderkey""".stripMargin
+    val df = spark.sql(sql.format("duck_orders"))
+    val scans = remoteScans(df)
+    assert(scans.size == 1, s"expected one remote scan: $scans")
+    assert(scans.head.contains("RANGE BETWEEN INTERVAL"), scans.head)
+    val local = spark.sql(
+      sql.format("parquet.`" + dir + "/orders.parquet`"))
+    assert(df.collect().toSeq == local.collect().toSeq)
+  }
+
   test("schema drift, retype: column ALTERed to text after registration " +
       "fails LOUD (was: silent zeros)") {
     Federation.install(spark)

@@ -291,13 +291,34 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           else s"BETWEEN $lo AND $hi"
         val aggf = pick(r, "COUNT(*)", "SUM(l_linenumber)",
           "MIN(l_quantity)", "MAX(l_partkey)")
-        val wfn =
-          if (r.nextBoolean()) {
+        val wfn = r.nextInt(3) match {
+          case 0 =>
             val key = pick(r, "l_partkey", "l_orderkey", "l_suppkey")
             val dir = pick(r, "", " DESC")
             s"$aggf OVER (PARTITION BY l_returnflag ORDER BY $key$dir RANGE $frame)"
-          } else
+          case 1 =>
+            // timestamp ORDER BY with ANSI-interval value offsets — the
+            // RANGE variant engines disagree on most (typing rules);
+            // interval bounds are value-defined, tie-safe like the int
+            // leg. Both bounds must be the SAME interval field type:
+            // Spark's analyzer rejects not just DT-vs-YM mixes but
+            // YEAR-vs-MONTH and DAY-vs-HOUR too
+            // (SPECIFIED_WINDOW_FRAME_DIFF_TYPES — this generator's first
+            // two drafts were caught by its own seed sweeps)
+            val (ivLo, ivHi) = pick(r,
+              ("INTERVAL '30' DAY", "INTERVAL '10' DAY"),
+              ("INTERVAL '36' HOUR", "INTERVAL '12' HOUR"),
+              ("INTERVAL '6' MONTH", "INTERVAL '1' MONTH"),
+              ("INTERVAL '1' YEAR", "INTERVAL '2' YEAR"))
+            val f2 = pick(r,
+              s"BETWEEN $ivLo PRECEDING AND CURRENT ROW",
+              s"BETWEEN $ivLo PRECEDING AND $ivHi FOLLOWING",
+              s"BETWEEN CURRENT ROW AND $ivHi FOLLOWING",
+              s"BETWEEN UNBOUNDED PRECEDING AND $ivHi FOLLOWING")
+            s"$aggf OVER (PARTITION BY l_returnflag ORDER BY l_shipdate RANGE $f2)"
+          case _ =>
             s"$aggf OVER (PARTITION BY l_returnflag ORDER BY $tot ROWS $frame)"
+        }
         s"""SELECT l_orderkey, l_linenumber, $wfn AS w
            |FROM fed_lineitem WHERE ${pred(r, d)}
            |ORDER BY l_orderkey, l_linenumber, w LIMIT ${20 + r.nextInt(80)}"""
