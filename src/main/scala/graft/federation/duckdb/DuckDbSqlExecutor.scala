@@ -74,15 +74,23 @@ final class DuckDbSqlExecutor(
         // pool (an undrained stream would corrupt the next request)
         graft.federation.sql.RemoteCancel.watch(() => it.close())
         // the leading {"desc":…} wire line carries the plan's live output
-        // types; hasNext consumes it into `it.meta` before the first row,
-        // so the drift guard runs once, before any value decodes
-        var drifted = false
-        it.map { node =>
-          if (!drifted) {
-            drifted = true
-            DuckDbProcess.driftCheck(it.meta, fields, execName, q)
+        // types; the FIRST hasNext consumes it into `it.meta` whether or
+        // not any row follows, so the guard anchors there — a zero-row
+        // response still gets the column-count protocol check and the
+        // text-in-numeric-slot check (the JDBC leg validates
+        // ResultSetMetaData before any row for the same reason)
+        new Iterator[InternalRow] {
+          private var checked = false
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!checked) {
+              checked = true
+              DuckDbProcess.driftCheck(it.meta, fields, execName, q)
+            }
+            h
           }
-          DuckDbProcess.convertRow(node, fields)
+          override def next(): InternalRow =
+            DuckDbProcess.convertRow(it.next(), fields)
         }
       }
     }
@@ -505,6 +513,48 @@ object DuckDbProcess {
       |    if isinstance(v, list): return [conv(x) for x in v]
       |    if isinstance(v, dict): return {k: conv(x) for k, x in v.items()}
       |    return v
+      |def skip_quoted(t, i):
+      |    # t[i] is ' or '"'; returns the index just past the closing
+      |    # quote; doubled quotes escape
+      |    qc = t[i]; i += 1; n = len(t)
+      |    while i < n:
+      |        if t[i] == qc:
+      |            if i + 1 < n and t[i + 1] == qc: i += 2; continue
+      |            return i + 1
+      |        i += 1
+      |    return n
+      |def split_order_tail(q):
+      |    # (head, tail) at the LAST top-level ORDER BY: depth 0, outside
+      |    # string/identifier quotes. The tail includes any trailing
+      |    # LIMIT/OFFSET (the client unparser emits them after ORDER BY);
+      |    # they hoist with it -- projection is 1:1 per row, so
+      |    # wrap(order+limit(core)) == order+limit(wrap(core)).
+      |    i = 0; depth = 0; idx = -1; n = len(q)
+      |    while i < n:
+      |        c = q[i]
+      |        if c in "'\"": i = skip_quoted(q, i); continue
+      |        if c == '(': depth += 1
+      |        elif c == ')': depth -= 1
+      |        elif depth == 0 and q[i:i+8].upper() == 'ORDER BY': idx = i
+      |        i += 1
+      |    if idx < 0: return q, ''
+      |    return q[:idx], q[idx:]
+      |def hoistable(tail):
+      |    # True when the tail references only output-name columns: the
+      |    # client unparser renders select-list sort keys as bare output
+      |    # aliases, so they bind above the wrap too. A dot followed by
+      |    # an identifier start or a quote is an inner-alias-qualified
+      |    # ref (numeric literals have a digit after the dot) -- those
+      |    # bind only INSIDE the query, so the tail must stay put.
+      |    i = 0; n = len(tail)
+      |    while i < n:
+      |        c = tail[i]
+      |        if c in "'\"": i = skip_quoted(tail, i); continue
+      |        if c == '.' and i + 1 < n and (tail[i+1].isalpha()
+      |                or tail[i+1] in '_"'):
+      |            return False
+      |        i += 1
+      |    return True
       |while True:
       |    line = sys.stdin.readline()
       |    if not line: break
@@ -544,9 +594,25 @@ object DuckDbProcess {
       |                    'CAST("%s" AS VARCHAR) AS "%s"'
       |                    % ((n.replace('"', '""'),) * 2)
       |                    for n, t in zip(names, ts) if t == "INTERVAL")
-      |                cur = con.sql(
-      |                    "SELECT * REPLACE (%s) FROM (%s) __graft_iv"
-      |                    % (rep, q))
+      |                # a pushed top-level ORDER BY must keep its SQL-level
+      |                # guarantee through the wrap (the client may report
+      |                # outputOrdering): hoist the tail outside when it
+      |                # binds there; otherwise (dropped-column sort keys)
+      |                # keep it inside and pin the engine's order
+      |                # preservation explicitly instead of relying on the
+      |                # session default
+      |                head, tail = split_order_tail(q)
+      |                if tail and hoistable(tail):
+      |                    cur = con.sql(
+      |                        "SELECT * REPLACE (%s) FROM (%s) __graft_iv %s"
+      |                        % (rep, head, tail))
+      |                else:
+      |                    if tail:
+      |                        con.execute(
+      |                            "SET preserve_insertion_order = true")
+      |                    cur = con.sql(
+      |                        "SELECT * REPLACE (%s) FROM (%s) __graft_iv"
+      |                        % (rep, q))
       |            n = 0
       |            while cur is not None:
       |                rows = cur.fetchmany(8192)

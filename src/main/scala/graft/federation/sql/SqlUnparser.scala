@@ -258,14 +258,24 @@ class SqlUnparser(dialect: SqlDialect) {
           // subquery-level WITH emit the build ONCE as a CTE, re-aliased
           // to the build's original (machine-generated) alias so every
           // already-rendered predicate binds unchanged.
+          // The CTE re-alias only works when the whole build renders under
+          // ONE alias: from() flattens bare-attribute Projects through
+          // Joins, so a multi-relation build exposes several alias
+          // prefixes — re-aliasing the CTE to any single one would leave
+          // predicates referencing the others unbound, and `SELECT *`
+          // could expose duplicate column names. Those builds keep the
+          // (valid) triple-inline form.
+          val buildAliases =
+            if (fr.scope.isEmpty) Set.empty[String]
+            else fr.scope.values.map(aliasPrefix).toSet
           val useCte = nullAware.isDefined && dialect.supportsSubqueryCte &&
-            fr.text.length > 512 && fr.scope.nonEmpty
+            fr.text.length > 512 && buildAliases.size == 1
           val (ctePrefix, buildItem) =
             if (!useCte) ("", fr.text)
             else {
               val cte = q(freshAlias())
               (s"WITH $cte AS (SELECT * FROM ${fr.text}) ",
-                s"$cte AS ${aliasPrefix(fr.scope.head._2)}")
+                s"$cte AS ${buildAliases.head}")
             }
           val antiPred = nullAware match {
             case Some((orConj, x, y)) =>

@@ -1161,6 +1161,28 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3).isNullAt(1))
   }
 
+  test("pushed ORDER BY survives the INTERVAL text wrap: hoistable tails " +
+      "move outside the wrap, alias-qualified tails keep engine order") {
+    val e = ex
+    e.runDdl(RemoteTableRef.parse("iv_order_probe"), Seq(
+      "DROP TABLE IF EXISTS iv_order_probe",
+      "CREATE TABLE iv_order_probe AS SELECT range AS id, " +
+        "to_days(CAST(range AS INT)) AS iv FROM range(1, 1001)"))
+    // output-name sort key: the tail hoists outside the wrap, so the
+    // SQL-level ordering guarantee is structural, not insertion-order luck
+    val rows = e.runQuery(
+      "SELECT id, iv FROM iv_order_probe ORDER BY id DESC")
+    assert(rows.map(_.get(0).asLong()) == (1000L to 1L by -1L).toVector)
+    // alias-qualified sort key DROPPED from the output: the tail cannot
+    // bind outside the wrap; it stays inside with order preservation
+    // pinned engine-side — every one of the 1000 rows must arrive in order
+    val rows2 = e.runQuery(
+      "SELECT t1.iv AS iv FROM iv_order_probe t1 ORDER BY t1.id DESC")
+    val expect = (1000L to 1L by -1L).map(d =>
+      if (d == 1L) "1 day" else s"$d days").toVector
+    assert(rows2.map(_.get(0).asText()) == expect)
+  }
+
   test("declared ANSI interval schema narrows strictly at the wire " +
       "(reference intervals_cast.rs:11-75)") {
     import org.apache.spark.sql.types._
@@ -1345,6 +1367,27 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(msgs(err).contains("remote schema drift"))
     assert(msgs(err).contains("'v'"))
+  }
+
+  test("schema drift, retype: a ZERO-ROW response still fails loud — the " +
+      "guard anchors on the desc line, not the first row") {
+    Federation.install(spark)
+    val e = ex
+    e.runDdl(RemoteTableRef.parse("drift_zero_duck"), Seq(
+      "DROP TABLE IF EXISTS drift_zero_duck",
+      "CREATE TABLE drift_zero_duck AS SELECT 1 AS id, 10 AS v"))
+    val df = Federation.remoteDataFrame(spark, "drift_zero_duck", e)
+      .where("id > 1000") // remote predicate: the fragment returns 0 rows
+    assert(df.collect().isEmpty)
+    e.runWrite(Seq("ALTER TABLE drift_zero_duck ALTER v TYPE VARCHAR"))
+    val err = intercept[Throwable] { df.collect() }
+    def msgs(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    assert(msgs(err).contains("remote schema drift"), msgs(err))
+    assert(msgs(err).contains("'v'"), msgs(err))
   }
 
   test("schema drift, column added: invisible (fragments select explicit " +

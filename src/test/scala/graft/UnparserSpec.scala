@@ -503,4 +503,52 @@ class UnparserSpec extends AnyFunSuite {
     assert(SqlUnparser.tryUnparse(posExplodePlan(outer = true), AnsiDialect).isEmpty)
     assert(SqlUnparser.tryUnparse(posExplodePlan(outer = true), SqliteDialect).isEmpty)
   }
+
+  // --- NOT IN CTE rewrite alias guard -----------------------------------
+  // The CTE form re-aliases the build to its ONE rendered alias; from()
+  // flattens bare-attribute Projects through Joins, so a multi-relation
+  // build exposes several alias prefixes — re-aliasing to any single one
+  // leaves predicates on the others unbound inside NOT EXISTS. Such
+  // builds must keep the (always-valid) triple-inline form.
+
+  private def notInPlan(build: LogicalPlan, buildKey: Attribute) = {
+    val eq = EqualTo(a, buildKey)
+    Project(Seq(a),
+      Join(t, build, LeftAnti, Some(Or(eq, IsNull(EqualTo(a, buildKey)))),
+        JoinHint.NONE))
+  }
+
+  test("large single-alias NOT IN build ships once as a CTE") {
+    val longName = "build_" + ("x" * 600)
+    val r1 = rel(longName, "k" -> IntegerType, "j" -> IntegerType)
+    val s = new SqlUnparser(DuckDbDialect).unparse(
+      notInPlan(Project(Seq(r1.output.head),
+        Filter(GreaterThan(r1.output(1), Literal(0)), r1)), r1.output.head))
+    assert(s.contains("WITH "), s)
+    assert(longName.r.findAllIn(s).size == 1,
+      s"single-alias build should inline exactly once (in the CTE):\n$s")
+  }
+
+  test("multi-alias NOT IN build falls back to inlining: the CTE " +
+      "re-alias cannot bind two flattened relations") {
+    val longA = "build_left_" + ("x" * 600)
+    val r1 = rel(longA, "k" -> IntegerType, "j" -> IntegerType)
+    val r2 = rel("build_right_dim", "m" -> IntegerType, "f" -> IntegerType)
+    // bare-attribute Project over a Join flattens: fr.scope exposes BOTH
+    // relation aliases, and a pushed filter on r2 pends a predicate that
+    // must bind against r2's alias inside every NOT EXISTS probe
+    val build = Project(Seq(r1.output.head),
+      Join(Filter(GreaterThan(r2.output(1), Literal(7)), r2).select(r2.output: _*),
+        r1, Inner, Some(EqualTo(r1.output(1), r2.output.head)), JoinHint.NONE)
+        .select(r1.output.head))
+    val s = new SqlUnparser(DuckDbDialect).unparse(
+      notInPlan(build, r1.output.head))
+    assert(!s.contains("WITH "), s)
+    // the decomposed anti predicate re-inlines the build in each of the
+    // three NOT EXISTS probes
+    assert(longA.r.findAllIn(s).size == 3, s)
+    assert("build_right_dim".r.findAllIn(s).size == 3, s)
+    assert("> 7".r.findAllIn(s).size == 3,
+      s"the r2-alias predicate must bind inside every probe:\n$s")
+  }
 }
