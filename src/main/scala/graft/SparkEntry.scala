@@ -270,6 +270,7 @@ object SparkEntry {
     "fed_duckdb_window" -> (Federated.duckWindow _),
     "fed_duckdb_grouptopk" -> (Federated.duckGroupTopK _),
     "fed_duckdb_rollup" -> (Federated.duckRollup _),
+    "fed_catalog_sql" -> (Federated.duckCatalogSql _),
     "fed_duckdb_delete" -> (Federated.duckDelete _),
     "fed_duckdb_update" -> (Federated.duckUpdate _),
     "fed_duckdb_unnest" -> (Federated.duckUnnest _),
@@ -487,6 +488,7 @@ object SparkEntry {
     "fed_duckdb_window" -> Federated.duckWindowOracle,
     "fed_duckdb_grouptopk" -> Federated.duckGroupTopKOracle,
     "fed_duckdb_rollup" -> Federated.duckRollupOracle,
+    "fed_catalog_sql" -> Federated.duckCatalogSqlOracle,
     "fed_duckdb_delete" -> Federated.duckDeleteOracle,
     "fed_duckdb_update" -> Federated.duckUpdateOracle,
     "fed_duckdb_unnest" -> Federated.duckUnnestOracle,

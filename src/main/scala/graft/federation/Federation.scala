@@ -16,6 +16,10 @@ object Federation {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(FederationStrategy))
       exp.extraStrategies = exp.extraStrategies :+ FederationStrategy
+    // catalog-resolved remote tables must become RemoteRelation before
+    // any other federation rule looks at the plan
+    if (!exp.extraOptimizations.contains(CatalogRemoteTableRule))
+      exp.extraOptimizations = CatalogRemoteTableRule +: exp.extraOptimizations
     // PartialAggRule must PRECEDE FederationRule within each batch
     // iteration: once the union's children are wrapped as FederatedPlan,
     // per-provider eligibility is no longer observable
@@ -264,6 +268,27 @@ object Federation {
     for (ex <- executors; t <- ex.tableNames if seen.add(t))
       registerRemoteTable(spark, prefix + t, t, ex)
   }
+
+  /** Mount `executors` as the session catalog `name`: afterwards
+    * `SELECT * FROM <name>.<ns>.<table>` (and `SHOW TABLES IN <name>`,
+    * `USE <name>`) resolve with no per-table registration — the DSv2
+    * face of [[registerAll]] (reference `SQLSchemaProvider`,
+    * src/sql/schema.rs:12-108). Several executors chain first-match-wins
+    * like [[registerAllChained]]. Schema inference is lazy per table and
+    * cached inside each executor; `REFRESH TABLE` re-probes. Requires
+    * [[install]] (done here) so catalog-resolved tables take the normal
+    * federation path. */
+  def registerCatalog(spark: SparkSession, name: String,
+      executors: Seq[SqlExecutor],
+      defaultNamespace: Seq[String] = Seq("main"),
+      hooks: Map[String, graft.federation.sql.TableHooks] = Map.empty): Unit = {
+    require(executors.nonEmpty, "registerCatalog needs at least one executor")
+    RemoteEngineCatalog.registry(name) = RemoteEngineCatalog.Spec(
+      executors, defaultNamespace.toArray, hooks)
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[RemoteEngineCatalog].getName)
+    install(spark)
+  }
 }
 
 /** `SparkSessionExtensions` installer for
@@ -272,6 +297,7 @@ object Federation {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => CatalogRemoteTableRule)
     e.injectOptimizerRule(_ => TopKPushdownRule)
     e.injectOptimizerRule(_ => GroupTopKPushdownRule)
     e.injectOptimizerRule(_ => JoinUnionDistributeRule)

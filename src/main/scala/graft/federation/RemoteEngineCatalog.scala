@@ -1,0 +1,284 @@
+package graft.federation
+
+import java.util.Collections
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.federation.plans.RemoteRelation
+import graft.federation.sql.{RemoteTableRef, SqlExecutor, TableHooks}
+
+/** DataSource-v2 `TableCatalog` over one or more remote [[SqlExecutor]]s —
+  * the idiomatic Spark surface of the reference's `SQLSchemaProvider`
+  * (src/sql/schema.rs:12-108): remote tables become first-class catalog
+  * citizens (`SELECT * FROM duck.main.customer`, `SHOW TABLES IN duck`,
+  * `USE duck`) with NO per-table registration step. Several executors
+  * chain first-match-wins, mirroring `MultiSchemaProvider`
+  * (src/sql/schema.rs:110-143).
+  *
+  * Resolution stays METADATA-ONLY here: the catalog's `Table` claims
+  * batch-read capability so analysis succeeds, and
+  * [[CatalogRemoteTableRule]] (installed with the other federation rules)
+  * swaps the resolved v2 relation for the same [[RemoteRelation]] leaf a
+  * `registerRemoteTable` view produces — so catalog-resolved tables take
+  * the exact same federation path (fragment grouping, pushdown, bind
+  * joins, split scans) as registered ones, not a second, weaker DSv2 read
+  * path. Schema inference is lazy (first `loadTable`) and cached by the
+  * executor's own schema cache, which the execution-time drift guard
+  * protects against going stale silently.
+  *
+  * Wire-up: either programmatic —
+  * `Federation.registerCatalog(spark, "duck", Seq(executor))` — or pure
+  * config for simple engines:
+  * `spark.sql.catalog.duck=graft.federation.RemoteEngineCatalog` plus
+  * `spark.sql.catalog.duck.engine=duckdb` and
+  * `spark.sql.catalog.duck.path=/data/x.db`.
+  */
+class RemoteEngineCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var spec: RemoteEngineCatalog.Spec = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    spec = RemoteEngineCatalog.registry.get(name) match {
+      case Some(s) => s
+      case None => RemoteEngineCatalog.fromOptions(name, options)
+    }
+  }
+
+  override def name(): String = catalogName
+
+  override def defaultNamespace(): Array[String] = spec.defaultNamespace
+
+  private def isDefaultNs(ns: Array[String]): Boolean =
+    ns.isEmpty || ns.sameElements(spec.defaultNamespace)
+
+  /** Default-namespace tables address the remote by BARE name — that is
+    * the namespace `tableNames` enumerates in (DuckDB `main`, Derby the
+    * connection schema), so the bare form works on every executor. A
+    * non-default namespace is an explicit engine schema: keep it. */
+  private def refFor(ident: Identifier): RemoteTableRef =
+    if (isDefaultNs(ident.namespace)) RemoteTableRef(Seq(ident.name))
+    else RemoteTableRef(ident.namespace.toIndexedSeq :+ ident.name)
+
+  /** First-match-wins executor resolution (reference MultiSchemaProvider):
+    * the default namespace resolves against the cached remote listing; a
+    * non-default namespace (an engine schema the listing doesn't
+    * enumerate) falls back to a cached schema probe per executor. */
+  private def ownerOf(ident: Identifier): Option[SqlExecutor] =
+    if (isDefaultNs(ident.namespace))
+      spec.executors.find(_.tableNames.contains(ident.name))
+    else
+      spec.executors.find { e =>
+        try { e.tableSchema(refFor(ident)); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!isDefaultNs(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    // first-match-wins applies to listing too: a name owned by an earlier
+    // executor shadows the same name in a later one
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    spec.executors.foreach(e => e.tableNames.foreach(seen += _))
+    seen.toArray.map(Identifier.of(namespace, _))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ownerOf(ident).isDefined
+
+  override def loadTable(ident: Identifier): Table =
+    ownerOf(ident) match {
+      case Some(e) =>
+        RemoteCatalogTable(refFor(ident), e,
+          s"$catalogName.${ident.toString}", spec.hooks.get(ident.name))
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  override def invalidateTable(ident: Identifier): Unit =
+    spec.executors.foreach(_.invalidateCaches())
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"remote catalog [$catalogName] cannot create partitioned tables")
+    val e = spec.executors.head // creation always targets the first engine
+    e.createTable(refFor(ident), schema)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    ownerOf(ident) match {
+      case Some(e) => e.dropTable(refFor(ident)); true
+      case None => false
+    }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"remote catalog [$catalogName] does not alter remote tables")
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"remote catalog [$catalogName] does not rename remote tables")
+
+  // ------------------------------------------------------- namespaces
+  override def listNamespaces(): Array[Array[String]] =
+    if (spec.defaultNamespace.isEmpty) Array(Array.empty[String])
+    else Array(spec.defaultNamespace)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (isDefaultNs(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    isDefaultNs(namespace)
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] =
+    if (isDefaultNs(namespace)) Collections.emptyMap()
+    else throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"remote catalog [$catalogName] does not create namespaces")
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"remote catalog [$catalogName] does not alter namespaces")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      s"remote catalog [$catalogName] does not drop namespaces")
+}
+
+object RemoteEngineCatalog {
+  final case class Spec(
+      executors: Seq[SqlExecutor],
+      defaultNamespace: Array[String],
+      hooks: Map[String, TableHooks])
+
+  /** Catalog name → executors, shared JVM-wide: Spark instantiates the
+    * plugin reflectively per session, and executors are live objects
+    * (connection pools, caches) that cannot ride the string-only options
+    * map. Populated by [[Federation.registerCatalog]]. */
+  private[federation] val registry =
+    scala.collection.concurrent.TrieMap.empty[String, Spec]
+
+  /** Config-only construction for engines expressible as strings. */
+  private def fromOptions(name: String,
+      options: CaseInsensitiveStringMap): Spec = {
+    val spark = SparkSession.active
+    options.get("engine") match {
+      case "duckdb" =>
+        val path = Option(options.get("path")).getOrElse(
+          throw new IllegalArgumentException(
+            s"catalog $name: engine=duckdb needs option 'path'"))
+        Spec(Seq(new graft.federation.duckdb.DuckDbSqlExecutor(
+            name, spark, path)), Array("main"), Map.empty)
+      case "derby" =>
+        val url = Option(options.get("url")).getOrElse(
+          throw new IllegalArgumentException(
+            s"catalog $name: engine=derby needs option 'url'"))
+        Spec(Seq(new graft.federation.jdbc.JdbcSqlExecutor(
+            name, spark, url, graft.federation.jdbc.DerbyDialect)),
+          Array.empty, Map.empty)
+      case other =>
+        throw new IllegalArgumentException(
+          s"catalog $name: no registered executors and unknown " +
+            s"engine '$other' — call Federation.registerCatalog first " +
+            "or set engine=duckdb|derby")
+    }
+  }
+}
+
+/** Catalog metadata for one remote table. Claims batch-read so analysis
+  * accepts a SELECT; actual reads NEVER go through the v2 scan — the
+  * substitution rule rewrites to [[RemoteRelation]] before planning. */
+final case class RemoteCatalogTable(
+    ref: RemoteTableRef,
+    executor: SqlExecutor,
+    fullName: String,
+    hooks: Option[TableHooks]) extends Table with SupportsRead {
+
+  override def name(): String = fullName
+
+  override def schema(): StructType = executor.tableSchema(ref)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      // column pruning arrives before the substitution rule runs; honoring
+      // it narrows the RemoteRelation (and so the remote SELECT list).
+      // Filters deliberately do NOT push here: the federation rule pushes
+      // full Catalyst expressions into the fragment SQL, far beyond the
+      // v2 Filter API's vocabulary.
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = RemoteCatalogScan(ref, executor,
+        required, hooks)
+    }
+}
+
+/** Placeholder v2 scan — only its metadata is ever consumed. */
+final case class RemoteCatalogScan(
+    ref: RemoteTableRef,
+    executor: SqlExecutor,
+    override val readSchema: StructType,
+    hooks: Option[TableHooks]) extends Scan {
+
+  override def toBatch: Batch =
+    throw new IllegalStateException(
+      s"remote table $ref resolved through the catalog but the " +
+        "federation rules are not installed — call " +
+        "Federation.install(spark) (or set spark.sql.extensions=" +
+        "graft.federation.GraftExtensions)")
+
+  override def description(): String =
+    s"RemoteCatalogScan [${executor.name}] $ref"
+}
+
+/** Swaps catalog-resolved remote tables for [[RemoteRelation]] leaves, so
+  * every downstream federation rule sees the same plan shape as with
+  * registered temp views. Runs in the same fixed-point batch as
+  * [[FederationRule]], ahead of it in install order. */
+object CatalogRemoteTableRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      // normal SELECT path: early scan pushdown already built the v2 scan
+      // (with pruned columns); reuse its output attributes verbatim so
+      // parent references keep binding
+      case s: DataSourceV2ScanRelation
+          if s.scan.isInstanceOf[RemoteCatalogScan] =>
+        val sc = s.scan.asInstanceOf[RemoteCatalogScan]
+        RemoteRelation(sc.ref, sc.executor, s.output, sc.hooks)
+      // paths that reach the optimizer unconverted (e.g. CACHE TABLE)
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[RemoteCatalogTable] =>
+        val t = r.table.asInstanceOf[RemoteCatalogTable]
+        RemoteRelation(t.ref, t.executor, r.output, t.hooks)
+    }
+}

@@ -458,6 +458,21 @@ final class DuckDbSqlExecutor(
     tableNamesCache = None
   }
 
+  override def dropTable(ref: RemoteTableRef): Unit = {
+    runWrite(Seq(s"DROP TABLE IF EXISTS ${ref.sql(dialect)}"))
+    schemaCache.remove(ref.toString)
+    statsCache.remove(ref.toString)
+    colStatsCache.remove(ref.toString)
+    tableNamesCache = None
+  }
+
+  override def invalidateCaches(): Unit = {
+    schemaCache.clear()
+    statsCache.clear()
+    colStatsCache.clear()
+    tableNamesCache = None
+  }
+
   /** Driver-side DDL batch that (re)defines `ref` through arbitrary
     * engine SQL (CTAS and friends — shapes [[createTable]]'s DDL mapping
     * can't express, e.g. STRUCT-typed columns), with the same catalog

@@ -138,6 +138,8 @@ final class JdbcSqlExecutor(
   private val statsCache =
     scala.collection.concurrent.TrieMap.empty[String, Option[Statistics]]
 
+  override def invalidateCaches(): Unit = statsCache.clear()
+
   /** Bounded statistics probe — the reference's executor `statistics` hook
     * (src/sql/executor.rs:61-63); without it Spark assumes every remote
     * table is huge and never broadcasts a federated fragment.

@@ -144,6 +144,12 @@ trait SqlExecutor {
     * way at the cost of one CREATE + bulk INSERT + DROP per bind. */
   def supportsBindStaging: Boolean = false
 
+  /** Drop every cached catalog probe (table list, schemas, statistics) so
+    * the next ask re-reads the live remote catalog — the hook behind
+    * `REFRESH TABLE` / `TableCatalog.invalidateTable` on catalog-resolved
+    * remote tables. Default no-op for executors that cache nothing. */
+  def invalidateCaches(): Unit = ()
+
   /** Optional hook: rewrite the generated SQL string just before execution
     * (reference `sql_query_rewriter`, src/sql/table.rs:33-45). */
   def sqlRewriter: String => String = identity

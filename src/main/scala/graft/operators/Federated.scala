@@ -1017,6 +1017,35 @@ object Federated {
     * `def`: [[rollupOracle]] is declared later in the file. */
   def duckRollupOracle: String = rollupOracle
 
+  /** Remote tables as first-class catalog citizens: the live engine is
+    * mounted as Spark catalog `duckcat` (DSv2 `TableCatalog` — the
+    * idiomatic surface of the reference's `SQLSchemaProvider`,
+    * src/sql/schema.rs:12-108), and a 3-part-name join + aggregate over
+    * `duckcat.main.customer` × `duckcat.main.nation` must still federate
+    * as ONE remote fragment: catalog resolution feeds the exact same
+    * RemoteRelation path as registered views, with lazy (first-touch)
+    * schema inference and no registration step. */
+  def duckCatalogSql(s: SparkSession, dir: String): DataFrame = {
+    val ex = graft.federation.duckdb.DuckDbHarness.executor(s, dir)
+    graft.federation.Federation.registerCatalog(s, "duckcat", Seq(ex))
+    s.sql(
+      """SELECT n.n_name, c.c_mktsegment, COUNT(*) AS n_cust,
+        |  MIN(c.c_custkey) AS min_key
+        |FROM duckcat.main.customer c
+        |JOIN duckcat.main.nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal > 0
+        |GROUP BY n.n_name, c.c_mktsegment
+        |ORDER BY n.n_name, c.c_mktsegment""".stripMargin)
+  }
+
+  def duckCatalogSqlOracle: String =
+    """SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,
+      |  MIN(c_custkey) AS min_key
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > 0
+      |GROUP BY n_name, c_mktsegment
+      |ORDER BY n_name, c_mktsegment""".stripMargin
+
   /** Partial aggregation with BOTH arms on real engines: a grouped
     * aggregate over `duck_lineitem UNION ALL jdbc_lineitem` (disjoint
     * discount slices) is split by [[graft.federation.PartialAggRule]]

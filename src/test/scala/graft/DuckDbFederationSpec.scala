@@ -1428,4 +1428,147 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(err.getMessage.contains("INTERVAL nested"))
   }
+
+  // ---------------------------------------------- DSv2 TableCatalog
+
+  test("DSv2 catalog: 3-part names resolve with no registration and " +
+      "federate as ONE remote fragment") {
+    Federation.registerCatalog(spark, "duckcat", Seq(ex))
+    val df = spark.sql(
+      """SELECT n.n_name, COUNT(*) AS n_cust
+        |FROM duckcat.main.customer c
+        |JOIN duckcat.main.nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+    val scans = remoteScans(df)
+    assert(scans.size == 1, s"expected one remote scan:\n$scans")
+    val want = rows(spark.sql(
+      s"""SELECT n.n_name, COUNT(*) AS n_cust
+         |FROM parquet.`$dir/customer.parquet` c
+         |JOIN parquet.`$dir/nation.parquet` n
+         |  ON c.c_nationkey = n.n_nationkey
+         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin))
+    assert(rows(df) == want)
+  }
+
+  test("DSv2 catalog: SHOW TABLES lists the remote catalog; USE works") {
+    Federation.registerCatalog(spark, "duckcat", Seq(ex))
+    val names = spark.sql("SHOW TABLES IN duckcat")
+      .collect().map(_.getString(1)).toSet
+    assert(names == DuckDbHarness.GateTables.toSet)
+    try {
+      spark.sql("USE duckcat")
+      val n = spark.sql("SELECT COUNT(*) AS n FROM region")
+        .collect().head.getLong(0)
+      assert(n == 5L)
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
+  test("DSv2 catalog: schema inference is lazy and touches only the " +
+      "queried table") {
+    val probes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val e = ex
+    val counting = new graft.federation.sql.SqlExecutor {
+      override def name = e.name
+      override def computeContext = e.computeContext
+      override def dialect = e.dialect
+      override def execute(sql: String,
+          schema: org.apache.spark.sql.types.StructType) =
+        e.execute(sql, schema)
+      override def tableNames = e.tableNames
+      override def tableSchema(ref: RemoteTableRef) = {
+        probes.synchronized { probes += ref.toString }
+        e.tableSchema(ref)
+      }
+    }
+    Federation.registerCatalog(spark, "lazycat", Seq(counting))
+    assert(probes.isEmpty, s"registration must not probe schemas: $probes")
+    val n = spark.sql("SELECT COUNT(*) AS n FROM lazycat.main.region")
+      .collect().head.getLong(0)
+    assert(n == 5L)
+    assert(probes.toSet == Set("region"),
+      s"only the queried table may be probed: $probes")
+  }
+
+  test("DSv2 catalog: executors chain first-match-wins, later executors " +
+      "fill tables the first lacks") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val mock = graft.federation.FederationHarness.executor(spark, dir, "gamma")
+    Federation.registerCatalog(spark, "chaincat", Seq(ex, mock))
+    val cat = spark.sessionState.catalogManager.catalog("chaincat")
+      .asInstanceOf[TableCatalog]
+    // customer exists in both engines: the FIRST executor owns it
+    val c = cat.loadTable(Identifier.of(Array("main"), "customer"))
+      .asInstanceOf[graft.federation.RemoteCatalogTable]
+    assert(c.executor eq ex)
+    // part exists only in the mock: the chain falls through to it
+    val p = cat.loadTable(Identifier.of(Array.empty[String], "part"))
+      .asInstanceOf[graft.federation.RemoteCatalogTable]
+    assert(p.executor eq mock)
+    val n = spark.sql("SELECT COUNT(*) AS n FROM chaincat.part")
+      .collect().head.getLong(0)
+    val want = spark.read.parquet(s"$dir/part.parquet").count()
+    assert(n == want)
+  }
+
+  test("DSv2 catalog: reads prune columns and push predicates into the " +
+      "wire SQL (same federation path as registered views)") {
+    Federation.registerCatalog(spark, "duckcat", Seq(ex))
+    val e = ex
+    val before = e.executedSql.size
+    val df = spark.sql(
+      """SELECT o_orderkey FROM duckcat.main.orders
+        |WHERE o_orderkey <= 50 ORDER BY o_orderkey""".stripMargin)
+    val got = df.collect().map(_.getLong(0)).toSeq
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .where("o_orderkey <= 50").select("o_orderkey")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == want)
+    val shipped = e.executedSql.synchronized {
+      e.executedSql.drop(before).filter(_.contains("orders")) }
+    assert(shipped.nonEmpty, "no wire SQL recorded")
+    val s = shipped.head
+    assert(s.contains("o_orderkey") && s.contains("<= 50"), s)
+    assert(!s.contains("o_comment") && !s.contains("o_totalprice"),
+      s"column pruning must reach the remote SELECT list:\n$s")
+  }
+
+  test("DSv2 catalog: catalog tables and registered views of the same " +
+      "executor federate into one fragment together") {
+    Federation.registerCatalog(spark, "duckcat", Seq(ex))
+    DuckDbHarness.registerViews(spark, dir)
+    val df = spark.sql(
+      """SELECT o.o_orderstatus, COUNT(*) AS n
+        |FROM duckcat.main.orders o
+        |JOIN duck_customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin)
+    val scans = remoteScans(df)
+    assert(scans.size == 1,
+      s"catalog table + view must share a fragment:\n$scans")
+    val want = rows(spark.sql(
+      s"""SELECT o.o_orderstatus, COUNT(*) AS n
+         |FROM parquet.`$dir/orders.parquet` o
+         |JOIN parquet.`$dir/customer.parquet` c
+         |  ON o.o_custkey = c.c_custkey
+         |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin))
+    assert(rows(df) == want)
+  }
+
+  test("DSv2 catalog: CREATE TABLE and DROP TABLE reach the remote " +
+      "engine; unknown tables raise NoSuchTableException") {
+    import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+    Federation.registerCatalog(spark, "duckcat", Seq(ex))
+    val e = ex
+    spark.sql("DROP TABLE IF EXISTS duckcat.main.cat_made")
+    spark.sql("CREATE TABLE duckcat.main.cat_made (id INT, v STRING)")
+    assert(e.tableNames.contains("cat_made"))
+    e.runWrite(Seq("INSERT INTO cat_made VALUES (1, 'a'), (2, 'b')"))
+    val n = spark.sql("SELECT COUNT(*) AS n FROM duckcat.main.cat_made")
+      .collect().head.getLong(0)
+    assert(n == 2L)
+    spark.sql("DROP TABLE duckcat.main.cat_made")
+    assert(!e.tableNames.contains("cat_made"))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM duckcat.main.no_such_table_xyz").collect()
+    }
+  }
 }
