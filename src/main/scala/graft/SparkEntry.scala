@@ -192,6 +192,9 @@ object SparkEntry {
     "stream_fed_enrich" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runFedEnrichToMemory(s, d)
         .orderBy(col("c_mktsegment"), col("event_type"))),
+    "stream_fed_source" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.runFedSourceToMemory(s, d)
+        .orderBy(col("o_orderstatus"))),
     "stream_packing" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamOps.runPackingToMemory(s, d)
         .orderBy(col("doc_id"))),
@@ -369,6 +372,7 @@ object SparkEntry {
       graft.streaming.StreamOps.repetitionFilterOracle,
     "stream_c4_filter" -> graft.streaming.StreamOps.c4FilterOracle,
     "stream_fed_enrich" -> graft.streaming.StreamOps.fedEnrichOracle,
+    "stream_fed_source" -> graft.streaming.StreamOps.fedSourceOracle,
     "pack_sequences" -> Packing.packSequencesOracle,
     "pack_stats" -> Packing.packStatsOracle,
     "pack_write_roundtrip" -> Packing.packWriteRoundtripOracle,

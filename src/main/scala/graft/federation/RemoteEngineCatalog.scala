@@ -181,7 +181,7 @@ object RemoteEngineCatalog {
     * plugin reflectively per session, and executors are live objects
     * (connection pools, caches) that cannot ride the string-only options
     * map. Populated by [[Federation.registerCatalog]]. */
-  private[federation] val registry =
+  private[graft] val registry =
     scala.collection.concurrent.TrieMap.empty[String, Spec]
 
   /** Config-only construction for engines expressible as strings. */

@@ -510,7 +510,7 @@ object DuckDbProcess {
     * ride as bare JSON tokens (Jackson parses them with
     * ALLOW_NON_NUMERIC_NUMBERS). */
   private val Script =
-    """import sys, json, datetime, decimal, base64, uuid
+    """import sys, json, datetime, decimal, base64, uuid, time
       |import duckdb
       |out = sys.stdout
       |def conv(v):
@@ -577,7 +577,22 @@ object DuckDbProcess {
       |    term = None
       |    try:
       |        req = json.loads(line)
-      |        con = duckdb.connect(req["db"], read_only=req.get("ro", True))
+      |        # cross-process locking is single-writer XOR multi-reader;
+      |        # a live workload overlaps them (a streaming source polls
+      |        # the table while a writer ingests), so lock conflicts are
+      |        # TRANSIENT — connections live only for one request. Retry
+      |        # the connect with a bound instead of failing the request.
+      |        deadline = time.monotonic() + 30.0
+      |        while True:
+      |            try:
+      |                con = duckdb.connect(req["db"],
+      |                                     read_only=req.get("ro", True))
+      |                break
+      |            except Exception as ce:
+      |                if ("lock" not in str(ce).lower()
+      |                        or time.monotonic() > deadline):
+      |                    raise
+      |                time.sleep(0.05)
       |        # the progress bar writes "nnn%..." lines to STDOUT once a
       |        # query runs past its trigger (~2s — first seen on a 15M-row
       |        # quantile probe in the r10 boundary stress), corrupting the

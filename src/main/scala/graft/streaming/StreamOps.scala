@@ -473,6 +473,41 @@ object StreamOps {
       name: String = "stream_fed_enrich_out"): DataFrame =
     runStream(spark, fedEnrichStream(spark, dir), "complete", name)
 
+  /** Streaming INGESTION from a live remote engine ([[FedStreamSource]]):
+    * the `orders` table of the live DuckDB engine is read as a microbatch
+    * stream by monotone `o_orderkey` cursor — each trigger probes the
+    * remote max (one 1-row federated aggregate) and fetches only the new
+    * `(lastMax, newMax]` cursor range, with the range predicate pushed
+    * into the remote SQL. `cursorStep` paces the backfill into several
+    * bounded microbatches (the production shape: a first attach to a huge
+    * live table must not fetch it as one batch). Downstream is a plain
+    * streaming aggregation — the source composes with the existing
+    * streaming operators unchanged. */
+  def fedSourceStream(spark: SparkSession, dir: String): DataFrame = {
+    val ex = graft.federation.duckdb.DuckDbHarness.executor(spark, dir)
+    graft.federation.Federation.registerCatalog(spark, "duckcat", Seq(ex))
+    val orders = spark.readStream
+      .format(classOf[FedStreamSourceProvider].getName)
+      .option("catalog", "duckcat")
+      .option("table", "orders")
+      .option("cursor", "o_orderkey")
+      .option("cursorStep", "20000")
+      .load()
+    orders.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  def runFedSourceToMemory(spark: SparkSession, dir: String,
+      name: String = "stream_fed_source_out"): DataFrame =
+    runStream(spark, fedSourceStream(spark, dir), "complete", name)
+
+  /** Batch recompute over the same remote table's source parquet. */
+  def fedSourceOracle: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  MAX(o_orderkey) AS max_key
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** Batch recompute over the same two tables. */
   def fedEnrichOracle: String =
     """SELECT c_mktsegment, event_type, CAST(COUNT(*) AS BIGINT) AS n_events

@@ -1553,6 +1553,165 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(df) == want)
   }
 
+  // ------------------------------------------- streaming federated source
+
+  private def fedSourceStream(catalog: String, table: String,
+      cursor: String, step: Option[Int] = None) = {
+    val rd = spark.readStream
+      .format("graft-fed")
+      .option("catalog", catalog)
+      .option("table", table)
+      .option("cursor", cursor)
+    step.fold(rd)(s => rd.option("cursorStep", s.toString)).load()
+  }
+
+  test("streaming fed source: incremental cursor ingestion from the live " +
+      "engine, exactly-once across a checkpoint restart") {
+    val e = ex
+    Federation.registerCatalog(spark, "srccat", Seq(e))
+    e.runDdl(RemoteTableRef.parse("stream_src_probe"), Seq(
+      "DROP TABLE IF EXISTS stream_src_probe",
+      "CREATE TABLE stream_src_probe (id BIGINT, v VARCHAR)"))
+    def insert(lo: Int, hi: Int): Unit = e.runWrite(Seq(
+      s"INSERT INTO stream_src_probe SELECT range, 'v' || range " +
+        s"FROM range($lo, ${hi + 1})"))
+    val ckpt = java.nio.file.Files.createTempDirectory("fed_src_ck").toString
+    // foreachBatch: the memory sink refuses checkpoint RECOVERY, and the
+    // restart leg is the point of this test
+    def start(into: scala.collection.mutable.ArrayBuffer[Long]) =
+      fedSourceStream("srccat", "stream_src_probe", "id")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = df.select("id").collect().map(_.getLong(0))
+          into.synchronized { into ++= ids }
+          ()
+        }
+        // a breathing trigger: with the default 0ms trigger the offset
+        // probe polls the engine back-to-back and a concurrent writer
+        // only wins the file lock through the connect-retry loop
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+        .option("checkpointLocation", ckpt).start()
+    try {
+      val got1 = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q1 = start(got1)
+      try {
+        q1.processAllAvailable() // empty remote table: no batch, no rows
+        assert(got1.isEmpty)
+        insert(1, 100)
+        q1.processAllAvailable()
+        assert(got1.synchronized(got1.size) == 100)
+        insert(101, 150) // live inserts while the query runs
+        q1.processAllAvailable()
+        val run1 = got1.synchronized(got1.sorted.toSeq)
+        assert(run1 == (1L to 150L), s"run1 got ${run1.size} rows")
+      } finally q1.stop()
+      insert(151, 160) // arrives while the stream is DOWN
+      val got2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q2 = start(got2)
+      try {
+        q2.processAllAvailable()
+        val run2 = got2.synchronized(got2.sorted.toSeq)
+        assert(run2 == (151L to 160L),
+          s"restart must deliver ONLY the delta, got $run2")
+      } finally q2.stop()
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+  }
+
+  test("streaming fed source: a replayed batch ships the IDENTICAL cursor " +
+      "range (re-delivery mirror of the sink's epoch fence)") {
+    val e = ex
+    Federation.registerCatalog(spark, "srccat", Seq(e))
+    e.runDdl(RemoteTableRef.parse("redelivery_probe"), Seq(
+      "DROP TABLE IF EXISTS redelivery_probe",
+      "CREATE TABLE redelivery_probe AS " +
+        "SELECT range AS id, 'x' AS v FROM range(1, 41)"))
+    val src = new graft.streaming.FedStreamSource(spark, e,
+      RemoteTableRef.parse("redelivery_probe"), "id", None)
+    val o1 = src.getOffset.get
+    assert(o1.json == "40")
+    // fragment FETCHES only — the first batch also fires one-time
+    // (cached) stats and split-boundary probes
+    def shippedAfter(n: Int) = e.executedSql.synchronized {
+      e.executedSql.drop(n).filter(s => s.contains("redelivery_probe") &&
+        s.startsWith("SELECT t1.")) }
+    // crash between offset WAL and sink commit → the engine re-calls
+    // getBatch with the SAME end offset: the wire range must be identical
+    val b0 = e.executedSql.size
+    src.getBatch(None, o1)
+    val first = shippedAfter(b0)
+    val b1 = e.executedSql.size
+    src.getBatch(None, o1)
+    val replay = shippedAfter(b1)
+    assert(first.nonEmpty && first == replay,
+      s"replayed batch must ship identical SQL:\n$first\nvs\n$replay")
+    assert(first.head.contains("<= 40"), first.head)
+    // new remote rows move the offset; the next batch reads ONLY (40, 55]
+    e.runWrite(Seq("INSERT INTO redelivery_probe " +
+      "SELECT range, 'y' FROM range(41, 56)"))
+    val o2 = src.getOffset.get
+    assert(o2.json == "55")
+    val b2 = e.executedSql.size
+    src.getBatch(Some(o1), o2)
+    val delta = shippedAfter(b2)
+    assert(delta.exists(s => s.contains("> 40") && s.contains("<= 55")),
+      s"delta batch must carry the half-open range:\n$delta")
+  }
+
+  test("streaming fed source: cursorStep paces the backfill into bounded " +
+      "microbatches") {
+    val e = ex
+    Federation.registerCatalog(spark, "srccat", Seq(e))
+    e.runDdl(RemoteTableRef.parse("paced_probe"), Seq(
+      "DROP TABLE IF EXISTS paced_probe",
+      "CREATE TABLE paced_probe AS " +
+        "SELECT range AS id, 'x' AS v FROM range(1, 101)"))
+    val ckpt = java.nio.file.Files.createTempDirectory("fed_pace_ck").toString
+    val q = fedSourceStream("srccat", "paced_probe", "id", step = Some(30))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fed_src_paced").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fed_src_paced").count() == 100)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3,
+        s"a 100-row backfill at step 30 needs >= 3 data batches, " +
+          s"saw $dataBatches")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
+  test("streaming fed source: timestamp cursor columns work (offset = " +
+      "epoch micros)") {
+    val e = ex
+    Federation.registerCatalog(spark, "srccat", Seq(e))
+    e.runDdl(RemoteTableRef.parse("ts_src_probe"), Seq(
+      "DROP TABLE IF EXISTS ts_src_probe",
+      """CREATE TABLE ts_src_probe AS SELECT * FROM (VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00', 1),
+        |  (TIMESTAMP '2024-01-01 06:30:00', 2)) t(ts, v)""".stripMargin))
+    val ckpt = java.nio.file.Files.createTempDirectory("fed_ts_ck").toString
+    val q = fedSourceStream("srccat", "ts_src_probe", "ts")
+      .writeStream.outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .queryName("fed_src_ts").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fed_src_ts").count() == 2)
+      e.runWrite(Seq("INSERT INTO ts_src_probe VALUES " +
+        "(TIMESTAMP '2024-01-02 12:00:00', 3)"))
+      q.processAllAvailable()
+      val got = spark.table("fed_src_ts")
+        .select("v").collect().map(_.getInt(0)).sorted.toSeq
+      assert(got == Seq(1, 2, 3))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   test("DSv2 catalog: CREATE TABLE and DROP TABLE reach the remote " +
       "engine; unknown tables raise NoSuchTableException") {
     import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
