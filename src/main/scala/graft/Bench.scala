@@ -56,6 +56,25 @@ object Bench {
     else java.nio.file.Paths.get("/root/repo")
   }
 
+  /** The `"mins":{...}` map out of a committed per-round record (the
+    * format this file itself writes). */
+  private[graft] def parseMins(txt: String): Map[String, Double] =
+    """"mins"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+      .map { body =>
+        """"([^"]+)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+
+  /** Gates whose sweep median reads >1.5x their last committed
+    * cross-sweep minimum — the loaded-box requeue set. Sub-50ms minima
+    * are skipped (pure noise at that granularity). */
+  private[graft] def requeueSuspects(medians: Seq[(String, Double)],
+      committed: Map[String, Double]): Seq[String] =
+    medians.collect {
+      case (name, med) if med >= 0 &&
+        committed.get(name).exists(p => p > 0.05 && med > p * 1.5) => name
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -192,7 +211,62 @@ object Bench {
     if (maxIterHits > 0)
       warn += s"OPTIMIZER FIXPOINT FAILURE: 'Max iterations reached' logged $maxIterHits time(s) - a RULE BUG (see FederationSpec fixpoint pins), not load"
     warn.foreach(w => System.err.println(s"[bench] WARNING: $w"))
-    val diagFields =
+
+    // --- loaded-box auto-requeue ------------------------------------
+    // The manual disposition dance (five commits in r11) as code: when
+    // the sweep self-flags as loaded, every gate reading >1.5x its last
+    // committed cross-sweep minimum re-runs at 7 iterations in this same
+    // process tail, and the record carries BOTH readings plus a
+    // calibration pair bracketing the tail — so a flagged record arrives
+    // WITH its own disposition evidence instead of demanding a human
+    // re-run. Full sweeps only: spot re-runs are already targeted.
+    val loadedFlag = calibDrift > 1.5 || pinRatio.exists(_ > 1.5)
+    // sf0.1 only: committed minima are sf0.1 numbers, comparing another
+    // scale against them would requeue (or clear) gates meaninglessly
+    val committedMins: Map[String, Double] =
+      if (!loadedFlag || only.nonEmpty || !sfDir.contains("sf0.1")) Map.empty
+      else try {
+        java.nio.file.Files.list(repoRoot).iterator().asScala
+          .filter(_.getFileName.toString.matches("bench_queries_r\\d+\\.json"))
+          .toSeq.sortBy(_.getFileName.toString).lastOption
+          .map(p => parseMins(new String(
+            java.nio.file.Files.readAllBytes(p), "UTF-8")))
+          .getOrElse(Map.empty)
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val suspectsAll =
+      requeueSuspects(results.map { case (n, med, _) => (n, med) },
+        committedMins)
+    val RequeueCap = 20
+    if (suspectsAll.size > RequeueCap)
+      System.err.println(s"[bench] requeue capped at $RequeueCap of " +
+        s"${suspectsAll.size} flagged gates - the box is too loaded for " +
+        "per-gate dispositions, re-run the whole sweep quiet")
+    val suspects = suspectsAll.take(RequeueCap)
+    val requeueCalib0 = if (suspects.isEmpty) -1.0 else ms3(calibOnce())
+    val requeued = suspects.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to 7).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }.sorted
+      val med =
+        if (times.isEmpty) -1.0
+        else if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+      System.err.println(f"[bench] requeue $name: sweep ${
+        results.find(_._1 == name).map(_._2).getOrElse(-1.0)}%.3f -> " +
+        f"tail ${ms3(med)}%.3f (committed min ${committedMins(name)}%.3f)")
+      (name, ms3(med))
+    }
+    val requeueCalib1 = if (suspects.isEmpty) -1.0 else ms3(calibOnce())
+    val requeueFields =
+      if (requeued.isEmpty) ""
+      else s""""requeue":${requeued.map { case (k, v) =>
+          "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
+        s""""requeue_calib":[$requeueCalib0,$requeueCalib1],"""
+
+    val diagFields = requeueFields +
       s""""calibration":{"baseline":${ms3(calibBase)},"samples":[${
         calibSamples.map(ms3).mkString(",")}],"drift":$calibDrift${
         pinRatio.map(r => s""","pin_ratio":$r""").getOrElse("")}},""" +

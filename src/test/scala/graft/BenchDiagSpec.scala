@@ -26,6 +26,26 @@ class BenchDiagSpec extends AnyFunSuite {
     assert(Bench.MaxIterWatch.hits.get() == before + 1)
   }
 
+  test("loaded-box requeue: mins parse from the committed record format " +
+      "and only >1.5x-vs-committed gates with real minima re-run") {
+    val record =
+      """{"metric":"total","value":9.9,"unit":"sec",
+        |"queries":{"a":0.5,"b":1.0},
+        |"mins":{"a":0.4,"b":0.9,"c":0.03,"d":2.0}}""".stripMargin
+    val mins = Bench.parseMins(record)
+    assert(mins == Map("a" -> 0.4, "b" -> 0.9, "c" -> 0.03, "d" -> 2.0))
+    val medians = Seq(
+      "a" -> 0.9, // 2.25x its 0.4 min -> requeue
+      "b" -> 1.2, // 1.33x -> fine
+      "c" -> 0.5, // 16x, but the min is sub-50ms noise -> skip
+      "d" -> -1.0, // errored in the sweep -> skip
+      "e" -> 9.0) // no committed min (new gate) -> skip
+    assert(Bench.requeueSuspects(medians, mins) == Seq("a"))
+    // a record without mins (pre-r11 format) parses to empty, so the
+    // requeue degrades to a no-op instead of throwing mid-record
+    assert(Bench.parseMins("""{"metric":"total","value":1}""").isEmpty)
+  }
+
   test("quiet-box calibration pins exist for the driver's cpu counts") {
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/repo/bench_calibration.json")), "UTF-8")
