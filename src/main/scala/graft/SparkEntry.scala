@@ -274,6 +274,7 @@ object SparkEntry {
     "fed_duckdb_grouptopk" -> (Federated.duckGroupTopK _),
     "fed_duckdb_rollup" -> (Federated.duckRollup _),
     "fed_catalog_sql" -> (Federated.duckCatalogSql _),
+    "fed_limit_split" -> (Federated.duckLimitSplit _),
     "fed_duckdb_delete" -> (Federated.duckDelete _),
     "fed_duckdb_update" -> (Federated.duckUpdate _),
     "fed_duckdb_unnest" -> (Federated.duckUnnest _),
@@ -493,6 +494,7 @@ object SparkEntry {
     "fed_duckdb_grouptopk" -> Federated.duckGroupTopKOracle,
     "fed_duckdb_rollup" -> Federated.duckRollupOracle,
     "fed_catalog_sql" -> Federated.duckCatalogSqlOracle,
+    "fed_limit_split" -> Federated.duckLimitSplitOracle,
     "fed_duckdb_delete" -> Federated.duckDeleteOracle,
     "fed_duckdb_update" -> Federated.duckUpdateOracle,
     "fed_duckdb_unnest" -> Federated.duckUnnestOracle,

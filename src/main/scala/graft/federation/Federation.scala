@@ -56,10 +56,14 @@ object Federation {
     * engine runs what, and how many cursors does it open". */
   def explainFederated(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import graft.federation.exec.RemoteScanExec
     def gather(p: SparkPlan): Seq[RemoteScanExec] = p match {
       case a: AdaptiveSparkPlanExec => gather(a.executedPlan)
+      // a materialized AQE stage hides its subtree behind `plan`
+      // (children = Nil) — an ALREADY-RUN query would report no
+      // fragments without this arm
+      case q: QueryStageExec => gather(q.plan)
       case r: RemoteScanExec => Seq(r)
       case other =>
         (other.children ++ other.subqueries).flatMap(gather)
@@ -278,6 +282,15 @@ object Federation {
     * cached inside each executor; `REFRESH TABLE` re-probes. Requires
     * [[install]] (done here) so catalog-resolved tables take the normal
     * federation path. */
+  /** GC staging leftovers of crashed writes on a remote engine — see
+    * [[graft.federation.sql.SqlExecutor.vacuumStaging]]. Call it from a
+    * maintenance window; `includeBindTables = true` additionally drops
+    * untimestamped bind-staging tables and asserts no query is in
+    * flight. Returns the dropped table names. */
+  def vacuum(executor: SqlExecutor, olderThanMillis: Long = 3600000L,
+      includeBindTables: Boolean = false): Seq[String] =
+    executor.vacuumStaging(olderThanMillis, includeBindTables)
+
   def registerCatalog(spark: SparkSession, name: String,
       executors: Seq[SqlExecutor],
       defaultNamespace: Seq[String] = Seq("main"),

@@ -21,6 +21,30 @@ import graft.federation.sql.{SqlFederationProvider, SqlUnparser}
   */
 object FederationStrategy extends SparkStrategy {
 
+  /** Unsorted-LIMIT fragment: `GlobalLimit(k, [LocalLimit(k,]core)` with
+    * no Sort/Offset at the limit's child — the shape where any k rows are
+    * a valid answer, so each split cursor may truncate at k
+    * ([[graft.federation.sql.SqlFederationProvider.unparseSplitsInfo]]).
+    * Past the cap shipping k rows per cursor stops being obviously
+    * better than the plain single-cursor LIMIT (mirrors TopKPushdownRule's
+    * MaxPushedK). */
+  private val MaxPerCursorLimit = 100000L
+  private object SplitLimit {
+    import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
+    def unapply(p: LogicalPlan): Option[(Int, LogicalPlan)] = p match {
+      case GlobalLimit(IntegerLiteral(k), LocalLimit(IntegerLiteral(k2), core))
+          if k == k2 && unordered(core) => Some((k, core))
+      case GlobalLimit(IntegerLiteral(k), core) if unordered(core) =>
+        Some((k, core))
+      case _ => None
+    }
+    private def unordered(core: LogicalPlan): Boolean = core match {
+      case _: Sort => false
+      case _: org.apache.spark.sql.catalyst.plans.logical.Offset => false
+      case _ => true
+    }
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case f: FederatedPlan =>
       val provider = f.provider match {
@@ -29,11 +53,28 @@ object FederationStrategy extends SparkStrategy {
           throw new IllegalStateException(
             s"cannot plan federation for provider ${other.name}")
       }
-      val (sqls, rangeIdx) = provider.unparseSplitsInfo(f.inner)
-      RemoteScanExec(f.output, sqls,
-        provider.executor, f.runtimeFilters, f.bindJoins,
-        remoteOrdering(f, provider, sqls.size),
-        rangeIdx.map(f.output)) :: Nil
+      f.inner match {
+        // Per-cursor LIMIT truncation on split scans: n cursors EACH stop
+        // at k engine-side (instead of one cursor, or n draining fully);
+        // the exact global cut happens locally — GlobalLimitExec over the
+        // ≤ n·k union (EnsureRequirements inserts its single-partition
+        // exchange). Runtime filters / bind joins wrap the fragment SQL
+        // OUTSIDE a pushed LIMIT, which would change row counts — those
+        // fragments keep the single-cursor form.
+        case SplitLimit(k, core)
+            if k <= MaxPerCursorLimit && provider.executor.splitCount > 1 &&
+              f.runtimeFilters.isEmpty && f.bindJoins.isEmpty =>
+          val (sqls, rangeIdx) =
+            provider.unparseSplitsInfo(core, Some(k.toLong))
+          if (sqls.size <= 1) defaultScan(f, provider) :: Nil
+          else {
+            val scan = RemoteScanExec(f.output, sqls, provider.executor,
+              Nil, Nil, Nil, rangeIdx.map(f.output))
+            org.apache.spark.sql.execution.GlobalLimitExec(k,
+              org.apache.spark.sql.execution.LocalLimitExec(k, scan)) :: Nil
+          }
+        case _ => defaultScan(f, provider) :: Nil
+      }
 
     case r: RemoteRelation =>
       // route through the provider so plan/SQL hooks apply on the
@@ -45,6 +86,15 @@ object FederationStrategy extends SparkStrategy {
         rangeSplitCol = rangeIdx.map(r.output)) :: Nil
 
     case _ => Nil
+  }
+
+  private def defaultScan(f: FederatedPlan,
+      provider: SqlFederationProvider): SparkPlan = {
+    val (sqls, rangeIdx) = provider.unparseSplitsInfo(f.inner)
+    RemoteScanExec(f.output, sqls,
+      provider.executor, f.runtimeFilters, f.bindJoins,
+      remoteOrdering(f, provider, sqls.size),
+      rangeIdx.map(f.output))
   }
 
   /** The ordering a fragment's remote SQL GUARANTEES on the wire — a

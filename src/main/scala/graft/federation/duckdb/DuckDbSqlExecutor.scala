@@ -458,6 +458,17 @@ final class DuckDbSqlExecutor(
     tableNamesCache = None
   }
 
+  override def vacuumStaging(olderThanMillis: Long,
+      includeBindTables: Boolean): Seq[String] = {
+    val victims = graft.federation.sql.SqlExecutor.vacuumCandidates(
+      DuckDbProcess.tables(dbPath), System.currentTimeMillis(),
+      olderThanMillis, includeBindTables)
+    if (victims.nonEmpty)
+      runWrite(victims.map(v =>
+        s"DROP TABLE IF EXISTS ${dialect.quoteIfNeeded(v)}"))
+    victims
+  }
+
   override def dropTable(ref: RemoteTableRef): Unit = {
     runWrite(Seq(s"DROP TABLE IF EXISTS ${ref.sql(dialect)}"))
     schemaCache.remove(ref.toString)

@@ -432,6 +432,23 @@ final class JdbcSqlExecutor(
 
   override def supportsBindStaging: Boolean = true
 
+  override def vacuumStaging(olderThanMillis: Long,
+      includeBindTables: Boolean): Seq[String] = {
+    val all = {
+      val conn = connect()
+      try {
+        val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+        val names = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (rs.next()) names += rs.getString("TABLE_NAME")
+        names.toSeq
+      } finally conn.close()
+    }
+    val victims = SqlExecutor.vacuumCandidates(all,
+      System.currentTimeMillis(), olderThanMillis, includeBindTables)
+    victims.foreach(v => dropTable(RemoteTableRef(Seq(v))))
+    victims
+  }
+
   override def dropTable(ref: RemoteTableRef): Unit = {
     val conn = connect()
     try {

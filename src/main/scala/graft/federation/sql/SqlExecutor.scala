@@ -144,6 +144,18 @@ trait SqlExecutor {
     * way at the cost of one CREATE + bulk INSERT + DROP per bind. */
   def supportsBindStaging: Boolean = false
 
+  /** Best-effort GC of staging leftovers from CRASHED writes: a died
+    * `insertInto` leaves `<t>__stg_…` tables behind, and the enumeration
+    * filter hides them forever. Staging names embed their creation
+    * millis, so `olderThanMillis` (default 1 h) protects the staging
+    * tables of writes still in flight in OTHER processes. Bind-staging
+    * tables (`graft_bind_…`) carry no timestamp and are dropped only
+    * under `includeBindTables = true` — an explicit "nothing is running"
+    * assertion by the caller. Returns the dropped names. Default no-op
+    * for executors that never stage. */
+  def vacuumStaging(olderThanMillis: Long = 3600000L,
+      includeBindTables: Boolean = false): Seq[String] = Nil
+
   /** Drop every cached catalog probe (table list, schemas, statistics) so
     * the next ask re-reads the live remote catalog — the hook behind
     * `REFRESH TABLE` / `TableCatalog.invalidateTable` on catalog-resolved
@@ -301,4 +313,34 @@ object SqlExecutor {
     // CONTAINS "__stg_" must keep enumerating
     n.startsWith("graft_bind_") || StagingName.matcher(n).matches()
   }
+
+  private val StagingStamp =
+    java.util.regex.Pattern.compile(".*__stg_([0-9a-f]+)_[0-9]+$")
+
+  /** Creation millis embedded in a write-staging name. The hex group is
+    * `<hexmillis><counter>` with no separator, but epoch millis render as
+    * exactly 11 hex digits from 2004 through 2527 — the leading 11 are
+    * the timestamp. */
+  def stagingTimestamp(name: String): Option[Long] = {
+    val m = StagingStamp.matcher(name.toLowerCase)
+    if (!m.matches()) None
+    else {
+      val g = m.group(1)
+      if (g.length < 11) None
+      else try Some(java.lang.Long.parseLong(g.substring(0, 11), 16))
+      catch { case _: NumberFormatException => None }
+    }
+  }
+
+  /** The staging artifacts in `all` that [[SqlExecutor.vacuumStaging]]
+    * should drop at `nowMs`: write-staging tables older than the guard
+    * window, plus (opt-in) untimestamped bind tables. */
+  def vacuumCandidates(all: Seq[String], nowMs: Long,
+      olderThanMs: Long, includeBind: Boolean): Seq[String] =
+    all.filter { n =>
+      val ln = n.toLowerCase
+      if (!isStagingArtifact(ln)) false
+      else if (ln.startsWith("graft_bind_")) includeBind
+      else stagingTimestamp(ln).exists(ts => nowMs - ts > olderThanMs)
+    }
 }

@@ -98,9 +98,23 @@ final class SqlFederationProvider(val executor: SqlExecutor)
     * the physical scan can surface as `RangePartitioning` (the exchange
     * above a window/merge-join keyed on that column disappears). Modulo
     * splits carry no such order and report None. */
-  def unparseSplitsInfo(plan: LogicalPlan): (Seq[String], Option[Int]) = {
+  def unparseSplitsInfo(plan: LogicalPlan): (Seq[String], Option[Int]) =
+    unparseSplitsInfo(plan, None)
+
+  /** As [[unparseSplitsInfo]], with an optional PER-CURSOR limit: each
+    * split SQL truncates at `k` rows engine-side (`… WHERE split_i
+    * LIMIT k`) — the unsorted-limit analog of TopKPushdownRule's
+    * containment argument: any k rows of the union are a valid answer,
+    * so every cursor stops after k and the caller's local GlobalLimit
+    * takes the exact k. Callers own that local cut. */
+  def unparseSplitsInfo(plan: LogicalPlan,
+      perCursorLimit: Option[Long]): (Seq[String], Option[Int]) = {
     val p = hooked(plan)
     val n = executor.splitCount
+    def limited(split: LogicalPlan): LogicalPlan =
+      perCursorLimit.fold(split)(k =>
+        org.apache.spark.sql.catalyst.plans.logical.LocalLimit(
+          org.apache.spark.sql.catalyst.expressions.Literal(k.toInt), split))
     val col = if (n > 1) SplitScan.splitColumn(p) else None
     col match {
       case Some(c) =>
@@ -119,21 +133,21 @@ final class SqlFederationProvider(val executor: SqlExecutor)
           case Some(bs) =>
             val sqls = (0 to bs.size).map { i =>
               sqlHooked(plan)(new SqlUnparser(executor.dialect)
-                .unparse(SplitScan.withRangeFilter(p, c, bs, i)))
+                .unparse(limited(SplitScan.withRangeFilter(p, c, bs, i))))
             }
             (sqls, Some(p.output.indexWhere(_.exprId == c.exprId))
               .filter(_ >= 0))
           case None =>
             ((0 until n).map { i =>
               sqlHooked(plan)(new SqlUnparser(executor.dialect)
-                .unparse(SplitScan.withSplitFilter(p, c, n, i)))
+                .unparse(limited(SplitScan.withSplitFilter(p, c, n, i))))
             }, None)
         }
       case None =>
         // plan hook already applied above — unparse `p` directly, or a
         // side-effecting/expensive planRewriter would run twice
-        (Seq(sqlHooked(plan)(new SqlUnparser(executor.dialect).unparse(p))),
-          None)
+        (Seq(sqlHooked(plan)(new SqlUnparser(executor.dialect)
+          .unparse(limited(p)))), None)
     }
   }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, md5}
+import org.apache.spark.sql.functions.{col, count, lit, md5, monotonically_increasing_id}
 
 import graft.federation.FederationHarness
 
@@ -1037,6 +1037,27 @@ object Federated {
         |GROUP BY n.n_name, c.c_mktsegment
         |ORDER BY n.n_name, c.c_mktsegment""".stripMargin)
   }
+
+  /** Per-cursor LIMIT truncation: an UNSORTED `LIMIT k` over a splittable
+    * fragment ships as n split cursors EACH truncating at k engine-side,
+    * with the exact global cut taken locally (GlobalLimitExec) — n-way
+    * parallel early-terminating remote reads instead of one serial
+    * cursor. The non-deterministic local projection above the limit
+    * (monotonically_increasing_id, kept alive by the filter) pins the
+    * fragment boundary AT the limit, so the gate exercises the split
+    * path; the count proves the local cut is exact (250, not ≤ n·250). */
+  def duckLimitSplit(s: SparkSession, dir: String): DataFrame = {
+    graft.federation.Federation.install(s)
+    graft.federation.duckdb.DuckDbHarness.registerViews(s, dir)
+    s.table("duck_orders").select(col("o_orderkey")).limit(250)
+      .withColumn("rid", monotonically_increasing_id())
+      .where(col("rid") >= 0)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def duckLimitSplitOracle: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT * FROM orders LIMIT 250) t""".stripMargin
 
   def duckCatalogSqlOracle: String =
     """SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,

@@ -1260,6 +1260,35 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!e.tableNames.exists(_.contains("__stg_")), "staging leftovers")
   }
 
+  test("vacuum drops orphaned staging tables of crashed writes, sparing " +
+      "in-flight staging, bind tables (unless asserted idle) and user " +
+      "tables") {
+    val e = ex
+    val oldStamp = java.lang.Long.toHexString(
+      System.currentTimeMillis() - 7200000L) // a write that died 2h ago
+    val newStamp = java.lang.Long.toHexString(System.currentTimeMillis())
+    val orphan = s"emp__stg_${oldStamp}7_0"
+    val fresh = s"emp__stg_${newStamp}8_0" // another process, in flight
+    e.runWrite(Seq(
+      s"CREATE TABLE $orphan AS SELECT 1 AS x",
+      s"CREATE TABLE $fresh AS SELECT 1 AS x",
+      "CREATE TABLE graft_bind_dead AS SELECT 1 AS x",
+      "CREATE TABLE audit__stg_history AS SELECT 1 AS x"))
+    try {
+      val dropped = Federation.vacuum(e)
+      assert(dropped.toSet == Set(orphan), s"dropped $dropped")
+      // bind tables carry no timestamp: only the explicit idle assertion
+      // may take them
+      val dropped2 = Federation.vacuum(e, includeBindTables = true)
+      assert(dropped2.toSet == Set("graft_bind_dead"), s"dropped $dropped2")
+      val all = DuckDbProcess.tables(e.dbPath)
+      assert(all.contains(fresh), "in-flight staging table must survive")
+      assert(all.contains("audit__stg_history"), "user table must survive")
+    } finally e.runWrite(Seq(
+      s"DROP TABLE IF EXISTS $fresh",
+      "DROP TABLE IF EXISTS audit__stg_history"))
+  }
+
   test("staging-artifact filter is anchored: a user table merely " +
       "containing __stg_ still enumerates") {
     import graft.federation.sql.SqlExecutor
@@ -1551,6 +1580,52 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
          |  ON o.o_custkey = c.c_custkey
          |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin))
     assert(rows(df) == want)
+  }
+
+  test("unsorted LIMIT over a splittable fragment truncates per cursor " +
+      "and the local GlobalLimit takes the exact k") {
+    Federation.install(spark)
+    DuckDbHarness.registerViews(spark, dir)
+    val e = ex
+    val before = e.executedSql.size
+    // the non-deterministic projection above the limit is local-only, so
+    // the fragment boundary sits exactly at the LIMIT; the filter keeps
+    // the projection from being pruned away
+    val df = spark.table("duck_orders").select("o_orderkey").limit(250)
+      .withColumn("rid",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+      .where("rid >= 0")
+    val got = df.collect()
+    assert(got.length == 250, s"exact k locally, got ${got.length}")
+    val shipped = e.executedSql.synchronized {
+      e.executedSql.drop(before)
+        .filter(s => s.startsWith("SELECT") && s.contains("LIMIT 250")) }
+    assert(shipped.size == DuckDbHarness.Splits,
+      s"expected ${DuckDbHarness.Splits} per-cursor-limited splits:\n" +
+        shipped.mkString("\n"))
+    // every cursor carries BOTH a split predicate and its own truncation
+    shipped.foreach { s =>
+      assert(s.contains("WHERE") && s.contains("LIMIT 250"), s)
+    }
+    assert(df.queryExecution.executedPlan.toString.contains("GlobalLimit"),
+      "the exact cut must be a local GlobalLimit")
+    // sorted limits must NOT take this path: per-cursor truncation of an
+    // ordered stream would need a local merge the plan doesn't do
+    val sortedBefore = e.executedSql.size
+    val sorted = spark.table("duck_orders").select("o_orderkey")
+      .orderBy("o_orderkey").limit(7)
+    assert(sorted.collect().map(_.getLong(0)).toSeq == (0L to 6L))
+    val sortedShipped = e.executedSql.synchronized {
+      e.executedSql.drop(sortedBefore).filter(_.contains("LIMIT 7")) }
+    assert(sortedShipped.size == 1,
+      s"ordered limit stays single-cursor:\n$sortedShipped")
+    // a fully-pruned fragment rides the zero-column `SELECT 1` convention
+    // — its single constant column must not trip the drift guard (found
+    // by the fed_limit_split gate: count() over the limited fragment)
+    val cnt = spark.table("duck_orders").limit(250).count()
+    assert(cnt == 250)
+    graft.federation.sql.SchemaDrift.check(Nil,
+      Seq(("INTEGER", Some("numeric"))), "duck", "SELECT 1 FROM t")
   }
 
   // ------------------------------------------- streaming federated source

@@ -967,4 +967,37 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Derby 42X04: column not in any table in the FROM list
     assert(msgs(err).contains("42X04") || msgs(err).toLowerCase.contains("column"))
   }
+
+  test("vacuum drops orphaned staging tables, sparing in-flight staging " +
+      "and user tables (Derby leg)") {
+    val e = executor
+    val oldStamp = java.lang.Long.toHexString(
+      System.currentTimeMillis() - 7200000L)
+    val newStamp = java.lang.Long.toHexString(System.currentTimeMillis())
+    val orphan = s"emp__stg_${oldStamp}7_0"
+    val fresh = s"emp__stg_${newStamp}8_0"
+    ddl(
+      s"CREATE TABLE $orphan (x INT)",
+      s"CREATE TABLE $fresh (x INT)",
+      "CREATE TABLE graft_bind_dead (x INT)",
+      "CREATE TABLE audit__stg_history (x INT)")
+    try {
+      val dropped = graft.federation.Federation.vacuum(e)
+      assert(dropped.map(_.toLowerCase).toSet == Set(orphan),
+        s"dropped $dropped")
+      val dropped2 =
+        graft.federation.Federation.vacuum(e, includeBindTables = true)
+      assert(dropped2.map(_.toLowerCase).toSet == Set("graft_bind_dead"),
+        s"dropped $dropped2")
+      // the survivors: fresh staging (hidden from enumeration) + the
+      // user table (enumerated)
+      assert(e.tableNames.contains("AUDIT__STG_HISTORY"))
+      val err = intercept[Throwable] { ddl(s"CREATE TABLE $fresh (x INT)") }
+      assert(err.getMessage.toLowerCase.contains("exist"),
+        s"fresh staging table must survive: ${err.getMessage}")
+    } finally {
+      try ddl(s"DROP TABLE $fresh") catch { case _: Throwable => () }
+      try ddl("DROP TABLE audit__stg_history") catch { case _: Throwable => () }
+    }
+  }
 }
