@@ -218,6 +218,28 @@ object ScaleStress {
           scans.map(_.sqls.size).sum)
       }
 
+      /** Wire rows + cursor count + wire BYTES (r12: the byte column is
+        * what capacity planning actually needs). */
+      def remoteStats3(
+          df: org.apache.spark.sql.DataFrame): (Long, Int, Long) = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        import graft.federation.exec.RemoteScanExec
+        def gather(p: SparkPlan): Seq[RemoteScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => gather(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            gather(q.plan)
+          case e: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            gather(e.child)
+          case r: RemoteScanExec => Seq(r)
+          case other => (other.children ++ other.subqueries).flatMap(gather)
+        }
+        val scans = gather(df.queryExecution.executedPlan)
+        (scans.map(_.metrics("numOutputRows").value).sum,
+          scans.map(_.sqls.size).sum,
+          scans.map(_.metrics("remoteBytes").value).sum)
+      }
+
       // (a) 16-way quantile-split scan: wall + per-cursor balance — the
       // leg that exposed the prefix-sample bias (see splitBoundaries)
       var cursors: Array[Long] = Array.empty
@@ -324,6 +346,49 @@ object ScaleStress {
         r
       }
 
+      // (g) r12: group-top-k pushdown over the 50M arm of a
+      // multi-provider union — GroupTopKPushdownRule truncates the
+      // remote arm to its own per-group top-3 INSIDE the fragment, so
+      // the wire must carry O(k × groups) rows, not the corpus
+      spark.range(1000L).select(
+        col("id").as("k"), pmod(col("id"), lit(1000L)).as("grp"),
+        (col("id").cast("double") / 10.0).as("v"))
+        .createOrReplaceTempView("local_arm")
+      var gtk: (Long, Int, Long) = (0L, 0, 0L)
+      val nGtk = timed("fed_group_topk_50m") {
+        val df = spark.sql(
+          """SELECT grp, k, v FROM (
+            |  SELECT grp, k, v,
+            |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v DESC, k) AS rn
+            |  FROM (SELECT grp, k, v FROM duck_fact
+            |        UNION ALL SELECT grp, k, v FROM local_arm) u
+            |) t WHERE rn <= 3""".stripMargin)
+        val n = df.collect().length
+        gtk = remoteStats3(df)
+        n
+      }
+
+      // (h) r12: per-cursor LIMIT truncation — an unsorted LIMIT 100k
+      // over the 50M splittable fact fans out as 16 cursors EACH
+      // stopping at 100k engine-side; wall must be fetch-of-100k-scale,
+      // wire ≤ 16 × 100k, answer exactly 100k
+      var lim: (Long, Int, Long) = (0L, 0, 0L)
+      val nLim = timed("fed_limit_split_50m") {
+        // sum(k) keeps k in the fragment output: a count-only shape
+        // prunes to zero columns, and a zero-column core has no split
+        // column (it degrades to the single-cursor LIMIT — still fast,
+        // but not the path under test)
+        val df = graft.federation.Federation
+          .remoteDataFrame(spark, "fact", dex)
+          .select(col("k")).limit(100000)
+          .withColumn("rid", monotonically_increasing_id())
+          .where(col("rid") >= 0)
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("s"))
+        val r = df.collect()(0).getLong(0)
+        lim = remoteStats3(df)
+        r
+      }
+
       val fedJson = phases
         .filter(p => p._1.startsWith("fed_"))
         .map { case (n, p) =>
@@ -341,6 +406,8 @@ object ScaleStress {
         s""""bind_rows":$nBind,"bind_wire":${bind._1},"bind_values_sqls":$bindSqls,""" +
         s""""derby_bind_rows":$nDerbyBind,"derby_staged_sqls":$derbyStaged,""" +
         s""""xengine_groups":$nXe,"xengine_wire":${xe._1},"xengine_cursors":${xe._2},""" +
+        s""""gtk_rows":$nGtk,"gtk_wire":${gtk._1},"gtk_cursors":${gtk._2},"gtk_wire_mb":${gtk._3 / 1048576},""" +
+        s""""limit_rows":$nLim,"limit_wire":${lim._1},"limit_cursors":${lim._2},"limit_wire_mb":${lim._3 / 1048576},""" +
         s"""$fedJson}""")
     }
 

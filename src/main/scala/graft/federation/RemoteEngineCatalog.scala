@@ -213,19 +213,45 @@ object RemoteEngineCatalog {
 
 /** Catalog metadata for one remote table. Claims batch-read so analysis
   * accepts a SELECT; actual reads NEVER go through the v2 scan — the
-  * substitution rule rewrites to [[RemoteRelation]] before planning. */
+  * substitution rule rewrites to [[RemoteRelation]] before planning.
+  * Writes (`INSERT INTO cat.ns.t …`) take the V1 fallback into
+  * [[Federation.insertIntoRemote]]: a same-engine SELECT source copies
+  * entirely remotely (`INSERT INTO … SELECT …`, zero wire rows), anything
+  * else streams through the executor's idempotent staged append. */
 final case class RemoteCatalogTable(
     ref: RemoteTableRef,
     executor: SqlExecutor,
     fullName: String,
-    hooks: Option[TableHooks]) extends Table with SupportsRead {
+    hooks: Option[TableHooks]) extends Table with SupportsRead
+    with SupportsWrite {
 
   override def name(): String = fullName
 
   override def schema(): StructType = executor.tableSchema(ref)
 
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation:
+              org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                if (overwrite) throw new UnsupportedOperationException(
+                  s"remote table $fullName supports INSERT INTO (append) " +
+                    "only — no INSERT OVERWRITE")
+                Federation.insertIntoRemote(data, ref, executor)
+                ()
+              }
+            }
+        }
+    }
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =

@@ -58,14 +58,29 @@ final class DuckDbSqlExecutor(
     * executor's `dmlLog`. */
   val dmlLog = new scala.collection.mutable.ArrayBuffer[String]
 
-  override def execute(sql: String, schema: StructType): RDD[InternalRow] = {
+  override def execute(sql: String, schema: StructType): RDD[InternalRow] =
+    executeWith(sql, schema, threads = 0)
+
+  /** Split cursors cap the embedded engine to a fair thread share: n
+    * subprocess instances each defaulting to every core OVERSUBSCRIBE
+    * n×cores-fold — measured on the 50M window-split stress, 16
+    * all-core cursors ran 4× SLOWER than one cursor, while 16 × (cores
+    * ÷ 16) beat it 1.7×. */
+  override def executeSplit(sql: String, schema: StructType,
+      siblings: Int): RDD[InternalRow] =
+    executeWith(sql, schema,
+      if (siblings <= 1) 0
+      else math.max(1, Runtime.getRuntime.availableProcessors() / siblings))
+
+  private def executeWith(sql: String, schema: StructType,
+      threads: Int): RDD[InternalRow] = {
     executedSql.synchronized { executedSql += sql }
     val db = dbPath
     val fields = schema.fields
     val execName = name
     session.sparkContext.parallelize(Seq(sql), 1).mapPartitions { sqls =>
       sqls.flatMap { q =>
-        val it = DuckDbProcess.query(db, q)
+        val it = DuckDbProcess.query(db, q, threads)
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] {
           _ => it.close()
         })
@@ -611,6 +626,13 @@ object DuckDbProcess {
       |        try: con.execute("SET enable_progress_bar = false")
       |        except Exception: pass
       |        op = req["op"]
+      |        # split cursors ask for a fair thread share (see
+      |        # executeSplit) so n concurrent instances parallelize
+      |        # instead of oversubscribing n*cores threads
+      |        th = req.get("threads")
+      |        if th:
+      |            try: con.execute("SET threads TO %d" % int(th))
+      |            except Exception: pass
       |        if op == "query":
       |            q = req["sql"]
       |            # lazy-bind: the plan's output names/types feed the
@@ -851,8 +873,9 @@ object DuckDbProcess {
     new ResponseIterator(srv)
   }
 
-  def query(db: String, sql: String): ResponseIterator =
-    request(db, ro = true, "query", s""","sql":${jstr(sql)}""")
+  def query(db: String, sql: String, threads: Int = 0): ResponseIterator =
+    request(db, ro = true, "query", s""","sql":${jstr(sql)}""" +
+      (if (threads > 0) s""","threads":$threads""" else ""))
 
   def describe(db: String, sql: String): StructType = {
     val meta = request(db, ro = true, "describe",

@@ -312,7 +312,8 @@ final case class RemoteScanExec(
     def build(): RDD[InternalRow] = {
     val rdd = sqls2 match {
       case Seq(one) => executor.execute(one, schema)
-      case many => sparkContext.union(many.map(executor.execute(_, schema)))
+      case many => sparkContext.union(
+        many.map(executor.executeSplit(_, schema, many.size)))
     }
     // executors may emit generic rows (e.g. JDBC conversion); downstream
     // operators require UnsafeRow. Rows that already are unsafe (the mock

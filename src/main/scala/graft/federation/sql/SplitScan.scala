@@ -62,6 +62,70 @@ object SplitScan {
     case _ => false
   }
 
+  /** Window-aware splittability (r12): a fragment whose spine is
+    * Project/Filter/SubqueryAlias/Window over a scan-shaped core splits
+    * on a column that is a PARTITION key of EVERY window — each split's
+    * filter keeps whole groups, and filtering a window's input to
+    * complete groups commutes with the window (and with the per-row
+    * Project/Filter above it). The filter must inject BELOW the lowest
+    * window: engines do not push predicates through window operators
+    * (probed on DuckDB — even `grp = 3` stays above WINDOW), so an
+    * outer-wrapped split would recompute the FULL window per cursor.
+    * Returns the split attribute and the lowest Window node (the
+    * injection point); None when the shape or keys do not allow it. */
+  def windowSplit(plan: LogicalPlan): Option[(Attribute, LogicalPlan)] = {
+    // every group-local node on the spine with its partition keys; the
+    // LAST one is the injection point (WindowGroupLimit — the optimizer's
+    // per-group truncation under rank<=k filters — counts: it keeps
+    // whole groups exactly like the Window above it)
+    val grouped =
+      scala.collection.mutable.ArrayBuffer.empty[(LogicalPlan, Seq[Expression])]
+    def spine(p: LogicalPlan): Boolean = p match {
+      case w: Window if w.expressions.forall(_.deterministic) =>
+        grouped += ((w, w.partitionSpec)); spine(w.child)
+      case wgl: WindowGroupLimit =>
+        grouped += ((wgl, wgl.partitionSpec)); spine(wgl.child)
+      case pr: Project if pr.projectList.forall(_.deterministic) =>
+        spine(pr.child)
+      case f: Filter if f.condition.deterministic => spine(f.child)
+      case s: SubqueryAlias => spine(s.child)
+      case core => scanShaped(core)
+    }
+    if (!spine(plan) || !grouped.exists(_._1.isInstanceOf[Window]))
+      return None
+    val lowest = grouped.last._1
+    // candidate = bare integral attr in EVERY group-local node's partition
+    val keySets = grouped.map(_._2.collect {
+      case a: AttributeReference if integral(a.dataType) => a.exprId
+    }.toSet)
+    val shared = keySets.reduce(_ intersect _)
+    if (shared.isEmpty) return None
+    val candidates =
+      lowest.children.head.output.filter(a => shared.contains(a.exprId))
+    if (candidates.isEmpty) return None
+    val pick = candidates.find(_.name.toLowerCase.endsWith("key"))
+      .getOrElse(candidates.head)
+    Some((pick, lowest))
+  }
+
+  /** Inject the i-th modulo split filter BELOW the lowest group-local
+    * node (see [[windowSplit]] for why the filter cannot wrap the whole
+    * plan). */
+  def withWindowSplitFilter(plan: LogicalPlan, lowest: LogicalPlan,
+      col: Attribute, n: Int, i: Int): LogicalPlan =
+    plan.transform {
+      case p if p eq lowest =>
+        p.mapChildren(c => withSplitFilter(c, col, n, i))
+    }
+
+  /** Range-split sibling of [[withWindowSplitFilter]]. */
+  def withWindowRangeFilter(plan: LogicalPlan, lowest: LogicalPlan,
+      col: Attribute, bounds: Seq[Long], i: Int): LogicalPlan =
+    plan.transform {
+      case p if p eq lowest =>
+        p.mapChildren(c => withRangeFilter(c, col, bounds, i))
+    }
+
   private def scanShaped(plan: LogicalPlan): Boolean = plan match {
     case _: RemoteRelation => true
     case p @ (_: Project | _: Filter | _: Join | _: SubqueryAlias) =>

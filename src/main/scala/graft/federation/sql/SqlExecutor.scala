@@ -28,6 +28,16 @@ trait SqlExecutor {
   /** Run `sql` remotely; rows must match `schema` positionally. */
   def execute(sql: String, schema: StructType): RDD[InternalRow]
 
+  /** [[execute]] for one of `siblings` concurrently-opened split cursors
+    * of the same fragment. Engines that spin up their own compute per
+    * cursor should cap it to a fair share — n embedded engine instances
+    * each grabbing every core thrash instead of parallelize (measured on
+    * the 50M window-split stress: 16 cursors × all-cores quadrupled the
+    * single-cursor wall; 16 × cores/16 beat it 1.7×). A remote SERVER
+    * engine does its own admission control — the default just delegates. */
+  def executeSplit(sql: String, schema: StructType,
+      siblings: Int): RDD[InternalRow] = execute(sql, schema)
+
   /** Remote catalog listing. */
   def tableNames: Seq[String]
 

@@ -144,10 +144,42 @@ final class SqlFederationProvider(val executor: SqlExecutor)
             }, None)
         }
       case None =>
-        // plan hook already applied above — unparse `p` directly, or a
-        // side-effecting/expensive planRewriter would run twice
-        (Seq(sqlHooked(plan)(new SqlUnparser(executor.dialect)
-          .unparse(limited(p)))), None)
+        val winSplit =
+          if (n > 1) SplitScan.windowSplit(p).filter(_ => perCursorLimit.isEmpty)
+          else None
+        winSplit match {
+          case Some((c, lowest)) =>
+            // windowed fragment split on its PARTITION key, filter
+            // injected BELOW the window (engines don't push predicates
+            // through windows — probed); boundaries probe the CORE under
+            // the window, not the windowed query itself
+            val bounds = {
+              val coreSql = new SqlUnparser(executor.dialect)
+                .unparse(lowest.children.head)
+              try executor.splitBoundaries(coreSql,
+                executor.dialect.quoteIfNeeded(c.name), n)
+              catch { case scala.util.control.NonFatal(_) => None }
+            }.filter(_.nonEmpty)
+            val sqls = bounds match {
+              case Some(bs) => (0 to bs.size).map { i =>
+                sqlHooked(plan)(new SqlUnparser(executor.dialect)
+                  .unparse(SplitScan.withWindowRangeFilter(p, lowest, c, bs, i)))
+              }
+              case None => (0 until n).map { i =>
+                sqlHooked(plan)(new SqlUnparser(executor.dialect)
+                  .unparse(SplitScan.withWindowSplitFilter(p, lowest, c, n, i)))
+              }
+            }
+            // no RangePartitioning claim: the fragment's own ORDER
+            // guarantees sit above the window, and the split col may not
+            // even be in the output
+            (sqls, None)
+          case None =>
+            // plan hook already applied above — unparse `p` directly, or
+            // a side-effecting/expensive planRewriter would run twice
+            (Seq(sqlHooked(plan)(new SqlUnparser(executor.dialect)
+              .unparse(limited(p)))), None)
+        }
     }
   }
 }

@@ -1483,7 +1483,10 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     Federation.registerCatalog(spark, "duckcat", Seq(ex))
     val names = spark.sql("SHOW TABLES IN duckcat")
       .collect().map(_.getString(1)).toSet
-    assert(names == DuckDbHarness.GateTables.toSet)
+    // superset: sibling tests plant probe tables in the shared engine
+    assert(DuckDbHarness.GateTables.toSet.subsetOf(names), names)
+    assert(!names.exists(graft.federation.sql.SqlExecutor.isStagingArtifact),
+      s"staging artifacts must never enumerate: $names")
     try {
       spark.sql("USE duckcat")
       val n = spark.sql("SELECT COUNT(*) AS n FROM region")
@@ -1626,6 +1629,58 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cnt == 250)
     graft.federation.sql.SchemaDrift.check(Nil,
       Seq(("INTEGER", Some("numeric"))), "duck", "SELECT 1 FROM t")
+  }
+
+  test("windowed fragment splits on its PARTITION key with the filter " +
+      "injected BELOW the window: groups stay whole per cursor") {
+    Federation.install(spark)
+    DuckDbHarness.registerViews(spark, dir)
+    val e = ex
+    val before = e.executedSql.size
+    val df = spark.sql(
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM duck_orders) t WHERE rn <= 2""".stripMargin)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = spark.sql(
+      s"""SELECT o_custkey, o_orderkey FROM (
+         |  SELECT o_custkey, o_orderkey,
+         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |  FROM parquet.`$dir/orders.parquet`) t WHERE rn <= 2"""
+        .stripMargin).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(got == want)
+    val shipped = e.executedSql.synchronized {
+      e.executedSql.drop(before)
+        .filter(s => s.contains("row_number") && s.startsWith("SELECT")) }
+    assert(shipped.size == DuckDbHarness.Splits,
+      s"windowed fragment must fan out ${DuckDbHarness.Splits} cursors:\n" +
+        shipped.mkString("\n"))
+    // the split predicate sits INSIDE the windowed derived table — the
+    // injected-below proof: `FROM orders AS t1 WHERE …` within the inner
+    // block (probed: the engine would NOT push an outer wrap through the
+    // window, so each cursor would otherwise recompute the full window)
+    shipped.foreach { s =>
+      assert(s.contains("FROM orders AS t1 WHERE"), s)
+    }
+    // order-sensitive shapes refuse: a sorted windowed fragment stays ONE
+    // cursor so the SQL-level ORDER BY guarantee survives
+    val before2 = e.executedSql.size
+    val sorted = spark.sql(
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM duck_orders) t WHERE rn = 1
+        |ORDER BY o_custkey LIMIT 20""".stripMargin).collect()
+    assert(sorted.length == 20)
+    val shipped2 = e.executedSql.synchronized {
+      e.executedSql.drop(before2).filter(_.contains("row_number")) }
+    assert(shipped2.size == 1,
+      s"sorted windowed fragment must stay single-cursor:\n$shipped2")
   }
 
   // ------------------------------------------- streaming federated source
@@ -1804,5 +1859,48 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] {
       spark.sql("SELECT * FROM duckcat.main.no_such_table_xyz").collect()
     }
+  }
+
+  test("DSv2 catalog: INSERT INTO appends through the staged write path; " +
+      "a same-engine SELECT source copies entirely remotely") {
+    Federation.registerCatalog(spark, "duckcat", Seq(ex))
+    val e = ex
+    spark.sql("DROP TABLE IF EXISTS duckcat.main.cat_sink")
+    spark.sql("CREATE TABLE duckcat.main.cat_sink (id BIGINT, v STRING)")
+    // local source: streams through the executor's idempotent append
+    spark.sql("INSERT INTO duckcat.main.cat_sink " +
+      "SELECT id, CAST(id AS STRING) FROM range(100)")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM duckcat.main.cat_sink")
+      .collect().head.getLong(0) == 100L)
+    // same-engine source: the whole copy must execute remotely — the
+    // INSERT INTO … SELECT ships as one statement, no VALUES staging
+    val dmlBefore = e.dmlLog.synchronized(e.dmlLog.size)
+    spark.sql("INSERT INTO duckcat.main.cat_sink " +
+      "SELECT o_orderkey, o_orderstatus FROM duckcat.main.orders " +
+      "WHERE o_orderkey <= 50")
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .where("o_orderkey <= 50").count()
+    assert(spark.sql("SELECT COUNT(*) AS n FROM duckcat.main.cat_sink")
+      .collect().head.getLong(0) == 100L + want)
+    val dml = e.dmlLog.synchronized(e.dmlLog.drop(dmlBefore))
+    assert(dml.exists(s => s.startsWith("INSERT INTO") &&
+      s.contains("SELECT") && s.contains("orders")),
+      s"same-engine copy must push INSERT INTO … SELECT:\n$dml")
+    assert(!dml.exists(_.contains("__stg_")),
+      s"no staging for the remote-to-remote copy:\n$dml")
+    // INSERT OVERWRITE refuses loudly (append-only contract)
+    val err = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE duckcat.main.cat_sink " +
+        "SELECT id, CAST(id AS STRING) FROM range(5)")
+    }
+    def msgs(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    assert(msgs(err).toLowerCase.contains("insert into") ||
+      msgs(err).toLowerCase.contains("truncate") ||
+      msgs(err).toLowerCase.contains("overwrite"), msgs(err))
+    spark.sql("DROP TABLE duckcat.main.cat_sink")
   }
 }
