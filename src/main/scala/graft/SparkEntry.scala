@@ -275,6 +275,7 @@ object SparkEntry {
     "fed_duckdb_rollup" -> (Federated.duckRollup _),
     "fed_catalog_sql" -> (Federated.duckCatalogSql _),
     "fed_limit_split" -> (Federated.duckLimitSplit _),
+    "fed_window_split" -> (Federated.duckWindowSplit _),
     "fed_duckdb_delete" -> (Federated.duckDelete _),
     "fed_duckdb_update" -> (Federated.duckUpdate _),
     "fed_duckdb_unnest" -> (Federated.duckUnnest _),
@@ -495,6 +496,7 @@ object SparkEntry {
     "fed_duckdb_rollup" -> Federated.duckRollupOracle,
     "fed_catalog_sql" -> Federated.duckCatalogSqlOracle,
     "fed_limit_split" -> Federated.duckLimitSplitOracle,
+    "fed_window_split" -> Federated.duckWindowSplitOracle,
     "fed_duckdb_delete" -> Federated.duckDeleteOracle,
     "fed_duckdb_update" -> Federated.duckUpdateOracle,
     "fed_duckdb_unnest" -> Federated.duckUnnestOracle,

@@ -1059,6 +1059,34 @@ object Federated {
     """SELECT CAST(COUNT(*) AS BIGINT) AS n
       |FROM (SELECT * FROM orders LIMIT 250) t""".stripMargin
 
+  /** Window-split execution gate: a per-group top-2 whose fragment has no
+    * ORDER BY at the top (the local barrier keeps Spark's sort OUT of the
+    * fragment) fans out as n split cursors on the PARTITION key with the
+    * split filter below the window ([[graft.federation.sql.SplitScan
+    * .windowSplit]]); the total window order (price DESC, key) makes the
+    * row set deterministic for the oracle. */
+  def duckWindowSplit(s: SparkSession, dir: String): DataFrame = {
+    graft.federation.Federation.install(s)
+    graft.federation.duckdb.DuckDbHarness.registerViews(s, dir)
+    s.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM duck_orders) t WHERE rn <= 2""".stripMargin)
+      .withColumn("rid", monotonically_increasing_id())
+      .where(col("rid") >= 0).drop("rid")
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  def duckWindowSplitOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t WHERE rn <= 2
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   def duckCatalogSqlOracle: String =
     """SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,
       |  MIN(c_custkey) AS min_key
