@@ -91,7 +91,13 @@ object Bench {
       // reuses a repeated query's compiled stages, so size the cache to
       // the suite — per-query medians then measure execution, not other
       // queries' cache evictions.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // r12: raised 2000 → 5000. The r12 sweep's tail requeue read
+      // fed_window/fed_unnest_* at 10-20× while a fresh process ran them
+      // fine, and 600 isolated executions showed no degradation — the
+      // signature of cache eviction under the FULL 221-gate × 3-iter
+      // working set (window/generate stages generate the largest
+      // classes, the costliest to recompile per iteration).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -491,7 +491,10 @@ object StreamOps {
       .option("catalog", "duckcat")
       .option("table", "orders")
       .option("cursor", "o_orderkey")
-      .option("cursorStep", "20000")
+      // ~3 batches at sf0.1 (max key ≈ 600k): proves the pacing loop
+      // without paying 30 microbatch fixed costs in the bench sweep —
+      // multi-batch incrementality itself is spec-pinned separately
+      .option("cursorStep", "200000")
       .load()
     orders.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
