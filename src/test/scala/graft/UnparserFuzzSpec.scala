@@ -129,7 +129,7 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** One random query over fed_lineitem (join shape adds fed_orders). */
   private def genQuery(r: Random): String = {
     val d = 1 + r.nextInt(2)
-    r.nextInt(16) match {
+    r.nextInt(17) match {
       case 0 => // plain scan: project + filter, totally-ordered limit.
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
         // so the ORDER BY covers every output column — boundary ties are
@@ -337,6 +337,40 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
            |FROM fed_lineitem WHERE ${pred(r, d)}
            |ORDER BY l_orderkey, l_linenumber, x LIMIT ${20 + r.nextInt(80)}"""
           .stripMargin
+      case 16 => // UNSORTED windows over an INTEGRAL partition key — the
+        // r12 window-split shape: no top-level ORDER BY, so on a
+        // split-capable arm (the live-DuckDB sweep, splitCount=4) the
+        // fragment fans out per partition-key range with the filter
+        // injected below the window. Window values are deterministic by
+        // construction (whole-partition frames, or rank under the
+        // globally-unique (l_orderkey, l_linenumber) order), and the
+        // differential compares SORTED row sets, so no outer ORDER BY is
+        // needed — exactly the shape the gate queries avoid.
+        val pk = pick(r, "l_suppkey", "l_partkey", "l_orderkey")
+        val w = r.nextInt(4) match {
+          case 0 => s"SUM(l_quantity) OVER (PARTITION BY $pk)"
+          case 1 => s"COUNT(*) OVER (PARTITION BY $pk)"
+          case 2 => s"MAX(l_extendedprice) OVER (PARTITION BY $pk)"
+          case _ => s"ROW_NUMBER() OVER (PARTITION BY $pk " +
+            "ORDER BY l_orderkey, l_linenumber)"
+        }
+        val shape = r.nextInt(3) match {
+          case 0 => // bare projection
+            s"""SELECT l_orderkey, l_linenumber, $w AS w
+               |FROM fed_lineitem WHERE ${pred(r, d)}"""
+          case 1 => // rank filter above the window (WindowGroupLimit path)
+            s"""SELECT l_orderkey, l_linenumber FROM (
+               |  SELECT l_orderkey, l_linenumber,
+               |    ROW_NUMBER() OVER (PARTITION BY $pk
+               |      ORDER BY l_orderkey, l_linenumber) AS rn
+               |  FROM fed_lineitem WHERE ${pred(r, d)}) t
+               |WHERE rn <= ${1 + r.nextInt(3)}"""
+          case _ => // window value consumed by a per-row expression
+            s"""SELECT l_orderkey, l_linenumber,
+               |  CAST($w AS DOUBLE) / ${1 + r.nextInt(9)} AS w
+               |FROM fed_lineitem WHERE ${pred(r, d)}"""
+        }
+        shape.stripMargin
     }
   }
 
