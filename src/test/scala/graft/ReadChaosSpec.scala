@@ -67,9 +67,13 @@ class ReadChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** Run `mkAnswer` while `chaos()` fires mid-flight; retry the scenario
     * until the chaos provably landed (a task failed) AND the job still
-    * answered. Returns the answer of the landing attempt. */
+    * answered. The chaos VOLLEYS up to 3 times per attempt, `delayMs`
+    * apart, while the job runs — a single timed shot misses whenever
+    * driver-side planning (stats probes) outlasts the delay, which it
+    * does under full-suite load. Three volleys stay under the 4-failure
+    * task budget. Returns the answer of the landing attempt. */
   private def untilChaosLands[A](chaos: () => Int, delayMs: Long,
-      maxAttempts: Int = 5)(mkAnswer: () => A): A = {
+      maxAttempts: Int = 6)(mkAnswer: () => A): A = {
     var landed: Option[A] = None
     var lastErr: Throwable = null
     var attempt = 0
@@ -82,8 +86,12 @@ class ReadChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
         try res = Some(mkAnswer()) catch { case e: Throwable => err = e }
       })
       t.start()
-      Thread.sleep(delayMs)
-      chaos()
+      var volleys = 0
+      while (t.isAlive && volleys < 3 &&
+          failedTasks.get() == failuresBefore) {
+        Thread.sleep(delayMs)
+        if (t.isAlive) { chaos(); volleys += 1 }
+      }
       t.join(180000)
       assert(!t.isAlive, "chaos attempt hung")
       if (err != null) lastErr = err
