@@ -580,7 +580,28 @@ object DuckDbProcess {
       |        i += 1
       |    if idx < 0: return q, ''
       |    return q[:idx], q[idx:]
-      |def hoistable(tail):
+      |def tail_idents(tail):
+      |    # identifier tokens in the tail: bare words case-folded (DuckDB
+      |    # folds unquoted identifiers), '"'-quoted exact ('""' unescaped);
+      |    # '...'-quoted string literals are skipped (values, not refs)
+      |    bare = set(); quoted = set()
+      |    i = 0; n = len(tail)
+      |    while i < n:
+      |        c = tail[i]
+      |        if c == "'": i = skip_quoted(tail, i); continue
+      |        if c == '"':
+      |            j = skip_quoted(tail, i)
+      |            quoted.add(tail[i+1:j-1].replace('""', '"'))
+      |            i = j; continue
+      |        if c.isalpha() or c == '_':
+      |            j = i
+      |            while j < n and (tail[j].isalnum() or tail[j] == '_'):
+      |                j += 1
+      |            bare.add(tail[i:j].lower())
+      |            i = j; continue
+      |        i += 1
+      |    return bare, quoted
+      |def hoistable(tail, ivnames):
       |    # True when the tail references only output-name columns: the
       |    # client unparser renders select-list sort keys as bare output
       |    # aliases, so they bind above the wrap too. A dot followed by
@@ -595,7 +616,17 @@ object DuckDbProcess {
       |                or tail[i+1] in '_"'):
       |            return False
       |        i += 1
-      |    return True
+      |    # a tail that references any REPLACEd interval column must NOT
+      |    # hoist: outside the wrap the name binds to the VARCHAR cast, so
+      |    # the engine would sort the interval's TEXT rendering ('9 days' >
+      |    # '15 days') -- wrong rows under LIMIT, wrong order without it.
+      |    # Keep-inside sorts the native interval, which DuckDB compares by
+      |    # normalized duration (probed: 25h > 1 day, 1 month = 30 days) --
+      |    # for DECLARED ANSI intervals the excluded components are zero by
+      |    # the strict narrowing contract, so engine order == Spark order.
+      |    bare, quoted = tail_idents(tail)
+      |    return not any(nm.lower() in bare or nm in quoted
+      |                   for nm in ivnames)
       |while True:
       |    line = sys.stdin.readline()
       |    if not line: break
@@ -664,15 +695,25 @@ object DuckDbProcess {
       |                # keep it inside and pin the engine's order
       |                # preservation explicitly instead of relying on the
       |                # session default
+      |                ivnames = [n2 for n2, t2 in zip(names, ts)
+      |                           if t2 == "INTERVAL"]
       |                head, tail = split_order_tail(q)
-      |                if tail and hoistable(tail):
+      |                if tail and hoistable(tail, ivnames):
       |                    cur = con.sql(
       |                        "SELECT * REPLACE (%s) FROM (%s) __graft_iv %s"
       |                        % (rep, head, tail))
       |                else:
       |                    if tail:
+      |                        # the tail stays inside the wrap; the wrap's
+      |                        # outer projection must not reorder it. The
+      |                        # session flag alone is not a contractual
+      |                        # guarantee under parallel execution, so pin
+      |                        # single-threaded too -- this shape (interval
+      |                        # outputs + non-hoistable ORDER BY) is rare
+      |                        # and correctness beats cursor parallelism
       |                        con.execute(
       |                            "SET preserve_insertion_order = true")
+      |                        con.execute("SET threads TO 1")
       |                    cur = con.sql(
       |                        "SELECT * REPLACE (%s) FROM (%s) __graft_iv"
       |                        % (rep, q))

@@ -130,6 +130,27 @@ class UnparserSpec extends AnyFunSuite {
       "SELECT t1.a AS a FROM t AS t1 ORDER BY a DESC NULLS LAST LIMIT 10 OFFSET 5")
   }
 
+  test("ORDER BY on a declared ANSI interval key is ADMITTED (policy)") {
+    // Policy, decided r13: remote interval ordering ships. Engine interval
+    // comparison is normalized-duration (probed on DuckDB: 25h > 1 day,
+    // 1 month = 30 days), which matches Spark's ANSI interval ordering
+    // exactly BECAUSE the declared types guarantee the divergent component
+    // is zero — DayTimeInterval has no months (strict IntervalCast refuses
+    // at the wire), YearMonthInterval has no days/micros. The mixed
+    // CalendarIntervalType can never reach here: Spark's analyzer rejects
+    // sorting it. The DuckDB wire leg keeps such ORDER BY on the NATIVE
+    // interval inside the text wrap (DuckDbSqlExecutor hoistable refusal);
+    // ordering claims stay refused via orderingPortable.
+    val iv = rel("tv", "id" -> LongType, "dt" -> DayTimeIntervalType())
+    val plan = GlobalLimit(Literal(3),
+      LocalLimit(Literal(3),
+        Sort(Seq(SortOrder(iv.output(1), Descending)), global = true,
+          Project(Seq(iv.output.head, iv.output(1)), iv))))
+    assert(sql(plan) ==
+      "SELECT t1.id AS id, t1.dt AS dt FROM tv AS t1 " +
+        "ORDER BY dt DESC NULLS LAST LIMIT 3")
+  }
+
   test("sort above limit keeps the limit in a derived table") {
     val inner = GlobalLimit(Literal(7), Project(Seq(a), t))
     val plan = Sort(Seq(SortOrder(a, Ascending)), global = true, inner)
