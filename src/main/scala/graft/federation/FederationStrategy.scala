@@ -1,7 +1,7 @@
 package graft.federation
 
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, SortOrder}
-import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort, SubqueryAlias}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
 import graft.federation.exec.RemoteScanExec
@@ -38,9 +38,21 @@ object FederationStrategy extends SparkStrategy {
         Some((k, core))
       case _ => None
     }
+    // A Sort/Offset anywhere on the deterministic per-row spine under the
+    // limit makes it ORDERED: per-cursor truncation would keep arbitrary
+    // rows instead of the top-k. Catalyst normally normalizes Project
+    // above a limit or below a Sort before federation cuts the plan, so
+    // the direct child is a Sort when ordered — but that is a
+    // normalization invariant this code must OWN, not assume: recurse
+    // through order-preserving nodes (deterministic Project/Filter/
+    // SubqueryAlias) to find a hidden global Sort (r12 verdict item 2).
     private def unordered(core: LogicalPlan): Boolean = core match {
       case _: Sort => false
       case _: org.apache.spark.sql.catalyst.plans.logical.Offset => false
+      case p: Project if p.projectList.forall(_.deterministic) =>
+        unordered(p.child)
+      case f: Filter if f.condition.deterministic => unordered(f.child)
+      case s: SubqueryAlias => unordered(s.child)
       case _ => true
     }
   }

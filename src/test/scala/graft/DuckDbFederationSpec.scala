@@ -1712,6 +1712,56 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("INTEGER", Some("numeric"))), "duck", "SELECT 1 FROM t")
   }
 
+  test("ordered limit under a Project stays single-cursor exact top-k " +
+      "(the SplitLimit invariant is owned, not borrowed from Catalyst " +
+      "normalization)") {
+    Federation.install(spark)
+    DuckDbHarness.registerViews(spark, dir)
+    val e = ex
+    // kept sort key: orderBy().select(keeps key).limit(k)
+    val b1 = e.executedSql.size
+    val kept = spark.table("duck_orders")
+      .orderBy("o_orderkey").select("o_orderkey", "o_orderstatus").limit(5)
+    assert(kept.collect().map(_.getLong(0)).toSeq == (0L to 4L))
+    val s1 = e.executedSql.synchronized {
+      e.executedSql.drop(b1).filter(_.contains("LIMIT 5")) }
+    assert(s1.size == 1, s"ordered limit split into cursors:\n$s1")
+    // dropped sort key: orderBy(totalprice).select(other cols).limit(k) —
+    // the Project prunes the key; the answer is still the global top-k
+    val b2 = e.executedSql.size
+    val dropped = spark.table("duck_orders")
+      .orderBy(org.apache.spark.sql.functions.col("o_totalprice").desc,
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      .select("o_orderkey").limit(6)
+    val want = rows(spark.read.parquet(s"$dir/orders.parquet")
+      .orderBy(org.apache.spark.sql.functions.col("o_totalprice").desc,
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      .select("o_orderkey").limit(6))
+    assert(rows(dropped) == want)
+    val s2 = e.executedSql.synchronized {
+      e.executedSql.drop(b2).filter(_.contains("LIMIT 6")) }
+    assert(s2.size == 1, s"ordered limit split into cursors:\n$s2")
+    // the invariant itself, on the EXACT dangerous shape the strategy
+    // could see if Catalyst ever stops normalizing Project above limits:
+    // GlobalLimit(LocalLimit(Project(Sort))) must NOT match SplitLimit —
+    // pinned via the planner on a hand-built plan
+    import org.apache.spark.sql.catalyst.expressions.{Literal, SortOrder, Ascending}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val rel = graft.federation.plans.RemoteRelation(
+      graft.federation.sql.RemoteTableRef(Seq("orders")), e, None)
+    val okey = rel.output.head
+    val hidden = GlobalLimit(Literal(3), LocalLimit(Literal(3),
+      Project(Seq(okey),
+        Sort(Seq(SortOrder(okey, Ascending)), global = true, rel))))
+    val planned = graft.federation.FederationStrategy(
+      graft.federation.plans.FederatedPlan(hidden,
+        graft.federation.sql.SqlFederationProvider.forExecutor(e)))
+    val scan = planned.head.collect {
+      case r: graft.federation.exec.RemoteScanExec => r }
+    assert(scan.nonEmpty && scan.head.sqls.size == 1,
+      s"hidden Sort under Project split into cursors:\n${planned.head}")
+  }
+
   test("windowed fragment splits on its PARTITION key with the filter " +
       "injected BELOW the window: groups stay whole per cursor") {
     Federation.install(spark)
