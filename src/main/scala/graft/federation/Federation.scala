@@ -273,15 +273,6 @@ object Federation {
       registerRemoteTable(spark, prefix + t, t, ex)
   }
 
-  /** Mount `executors` as the session catalog `name`: afterwards
-    * `SELECT * FROM <name>.<ns>.<table>` (and `SHOW TABLES IN <name>`,
-    * `USE <name>`) resolve with no per-table registration — the DSv2
-    * face of [[registerAll]] (reference `SQLSchemaProvider`,
-    * src/sql/schema.rs:12-108). Several executors chain first-match-wins
-    * like [[registerAllChained]]. Schema inference is lazy per table and
-    * cached inside each executor; `REFRESH TABLE` re-probes. Requires
-    * [[install]] (done here) so catalog-resolved tables take the normal
-    * federation path. */
   /** GC staging leftovers of crashed writes on a remote engine — see
     * [[graft.federation.sql.SqlExecutor.vacuumStaging]]. Call it from a
     * maintenance window; `includeBindTables = true` additionally drops
@@ -291,6 +282,15 @@ object Federation {
       includeBindTables: Boolean = false): Seq[String] =
     executor.vacuumStaging(olderThanMillis, includeBindTables)
 
+  /** Mount `executors` as the session catalog `name`: afterwards
+    * `SELECT * FROM <name>.<ns>.<table>` (and `SHOW TABLES IN <name>`,
+    * `USE <name>`) resolve with no per-table registration — the DSv2
+    * face of [[registerAll]] (reference `SQLSchemaProvider`,
+    * src/sql/schema.rs:12-108). Several executors chain first-match-wins
+    * like [[registerAllChained]]. Schema inference is lazy per table and
+    * cached inside each executor; `REFRESH TABLE` re-probes just that
+    * table. Requires [[install]] (done here) so catalog-resolved tables
+    * take the normal federation path. */
   def registerCatalog(spark: SparkSession, name: String,
       executors: Seq[SqlExecutor],
       defaultNamespace: Seq[String] = Seq("main"),

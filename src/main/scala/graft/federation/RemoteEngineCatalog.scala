@@ -65,50 +65,87 @@ class RemoteEngineCatalog extends TableCatalog with SupportsNamespaces {
   private def isDefaultNs(ns: Array[String]): Boolean =
     ns.isEmpty || ns.sameElements(spec.defaultNamespace)
 
+  /** Spark's default analysis is case-INsensitive: `duck.main.CUSTOMER`
+    * must resolve the remote's `customer` (honoring
+    * `spark.sql.caseSensitive` when the user flips it). */
+  private def caseSensitive: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis
+    catch { case scala.util.control.NonFatal(_) => false }
+
+  private def nameMatch(listed: String, asked: String): Boolean =
+    if (caseSensitive) listed == asked else listed.equalsIgnoreCase(asked)
+
   /** Default-namespace tables address the remote by BARE name — that is
     * the namespace `tableNames` enumerates in (DuckDB `main`, Derby the
     * connection schema), so the bare form works on every executor. A
-    * non-default namespace is an explicit engine schema: keep it. */
+    * non-default namespace is an explicit engine schema: keep it. The
+    * ref carries the REMOTE's listed spelling, not the identifier's —
+    * the wire SQL must address the engine's actual name. */
   private def refFor(ident: Identifier): RemoteTableRef =
     if (isDefaultNs(ident.namespace)) RemoteTableRef(Seq(ident.name))
     else RemoteTableRef(ident.namespace.toIndexedSeq :+ ident.name)
 
   /** First-match-wins executor resolution (reference MultiSchemaProvider):
-    * the default namespace resolves against the cached remote listing; a
-    * non-default namespace (an engine schema the listing doesn't
-    * enumerate) falls back to a cached schema probe per executor. */
-  private def ownerOf(ident: Identifier): Option[SqlExecutor] =
+    * the default namespace resolves against the cached remote listing
+    * (case-folded per session config); a non-default namespace is an
+    * explicit engine schema — its own listing when the executor
+    * enumerates schemas, a cached schema probe otherwise. */
+  private def resolve(ident: Identifier): Option[(SqlExecutor, RemoteTableRef)] =
     if (isDefaultNs(ident.namespace))
-      spec.executors.find(_.tableNames.contains(ident.name))
-    else
-      spec.executors.find { e =>
-        try { e.tableSchema(refFor(ident)); true }
-        catch { case scala.util.control.NonFatal(_) => false }
-      }
+      spec.executors.iterator.flatMap { e =>
+        e.tableNames.find(nameMatch(_, ident.name))
+          .map(actual => (e, RemoteTableRef(Seq(actual))))
+      }.nextOption()
+    else {
+      val ns = ident.namespace.toIndexedSeq
+      spec.executors.iterator.flatMap { e =>
+        val listed =
+          if (ns.size == 1) e.tableNames(ns.head).find(nameMatch(_, ident.name))
+          else None
+        listed.map(actual => (e, RemoteTableRef(ns :+ actual))).orElse {
+          val ref = refFor(ident)
+          try { e.tableSchema(ref); Some((e, ref)) }
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }.nextOption()
+    }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    if (!isDefaultNs(namespace))
-      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
     // first-match-wins applies to listing too: a name owned by an earlier
     // executor shadows the same name in a later one
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-    spec.executors.foreach(e => e.tableNames.foreach(seen += _))
+    if (isDefaultNs(namespace))
+      spec.executors.foreach(e => e.tableNames.foreach(seen += _))
+    else if (namespace.length == 1 &&
+        spec.executors.exists(_.schemaNames.exists(nameMatch(_, namespace.head))))
+      spec.executors.foreach(e => e.tableNames(namespace.head).foreach(seen += _))
+    else
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
     seen.toArray.map(Identifier.of(namespace, _))
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    ownerOf(ident).isDefined
+    resolve(ident).isDefined
 
   override def loadTable(ident: Identifier): Table =
-    ownerOf(ident) match {
-      case Some(e) =>
-        RemoteCatalogTable(refFor(ident), e,
-          s"$catalogName.${ident.toString}", spec.hooks.get(ident.name))
+    resolve(ident) match {
+      case Some((e, ref)) =>
+        RemoteCatalogTable(ref, e,
+          s"$catalogName.${ident.toString}",
+          spec.hooks.get(ref.parts.last)
+            .orElse(spec.hooks.get(ident.name)))
       case None => throw new NoSuchTableException(ident)
     }
 
+  /** Per-TABLE refresh: only the owning executor re-probes, and only this
+    * table's caches drop (r12 nuked every executor's caches). An ident no
+    * listing resolves may still have just APPEARED remotely behind a
+    * stale listing — that one case flushes the listings everywhere. */
   override def invalidateTable(ident: Identifier): Unit =
-    spec.executors.foreach(_.invalidateCaches())
+    resolve(ident) match {
+      case Some((e, ref)) => e.invalidateTable(ref)
+      case None => spec.executors.foreach(_.invalidateCaches())
+    }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -122,8 +159,8 @@ class RemoteEngineCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    ownerOf(ident) match {
-      case Some(e) => e.dropTable(refFor(ident)); true
+    resolve(ident) match {
+      case Some((e, ref)) => e.dropTable(ref); true
       case None => false
     }
 
@@ -138,21 +175,29 @@ class RemoteEngineCatalog extends TableCatalog with SupportsNamespaces {
       s"remote catalog [$catalogName] does not rename remote tables")
 
   // ------------------------------------------------------- namespaces
-  override def listNamespaces(): Array[Array[String]] =
-    if (spec.defaultNamespace.isEmpty) Array(Array.empty[String])
-    else Array(spec.defaultNamespace)
+  /** Default namespace first, then every engine schema the executors
+    * enumerate (reference schema.rs:16-46; executors without schema
+    * introspection contribute nothing). */
+  override def listNamespaces(): Array[Array[String]] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[String]]
+    seen += (if (spec.defaultNamespace.isEmpty) Nil
+      else spec.defaultNamespace.toSeq)
+    spec.executors.foreach(_.schemaNames.foreach(s => seen += Seq(s)))
+    seen.toArray.map(_.toArray)
+  }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
-    else if (isDefaultNs(namespace)) Array.empty
+    else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    isDefaultNs(namespace)
+    isDefaultNs(namespace) || (namespace.length == 1 &&
+      spec.executors.exists(_.schemaNames.exists(nameMatch(_, namespace.head))))
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): java.util.Map[String, String] =
-    if (isDefaultNs(namespace)) Collections.emptyMap()
+    if (namespaceExists(namespace)) Collections.emptyMap()
     else throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
 
   override def createNamespace(namespace: Array[String],

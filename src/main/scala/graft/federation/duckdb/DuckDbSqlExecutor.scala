@@ -134,6 +134,37 @@ final class DuckDbSqlExecutor(
     }
   }
 
+  private val schemaTableNamesCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
+  /** Named-schema listing (`SHOW TABLES IN duck.analytics`) — one
+    * driver-side information_schema read, cached like [[tableNames]]. */
+  override def tableNames(schema: String): Seq[String] =
+    schemaTableNamesCache.getOrElseUpdate(schema,
+      runQuery(
+        "SELECT table_name FROM information_schema.tables " +
+          s"WHERE table_catalog = current_database() AND table_schema = " +
+          s"'${dialect.escapeString(schema)}' ORDER BY table_name")
+        .map(_.get(0).asText())
+        .filterNot(SqlExecutor.isStagingArtifact))
+
+  @volatile private var schemaNamesCache: Option[Seq[String]] = None
+
+  /** Engine schemas beyond the default `main` (internal catalogs and
+    * pg-compat schemas excluded). */
+  override def schemaNames: Seq[String] = {
+    val cached = schemaNamesCache
+    cached.getOrElse {
+      val names = runQuery(
+        "SELECT schema_name FROM information_schema.schemata " +
+          "WHERE catalog_name = current_database() AND schema_name NOT IN " +
+          "('information_schema', 'pg_catalog') ORDER BY schema_name")
+        .map(_.get(0).asText())
+      schemaNamesCache = Some(names)
+      names
+    }
+  }
+
   override def tableSchema(ref: RemoteTableRef): StructType =
     schemaCache.getOrElseUpdate(ref.toString,
       DuckDbProcess.describe(dbPath, s"SELECT * FROM ${ref.sql(dialect)}"))
@@ -497,6 +528,21 @@ final class DuckDbSqlExecutor(
     statsCache.clear()
     colStatsCache.clear()
     tableNamesCache = None
+    schemaTableNamesCache.clear()
+    schemaNamesCache = None
+  }
+
+  /** Per-table REFRESH: only this ref's probes re-read; sibling tables'
+    * caches stay warm (the r12 catalog nuked every executor's caches). The
+    * LISTINGS drop too — the refresh may be about the table appearing or
+    * disappearing remotely. */
+  override def invalidateTable(ref: RemoteTableRef): Unit = {
+    schemaCache.remove(ref.toString)
+    statsCache.remove(ref.toString)
+    colStatsCache.remove(ref.toString)
+    tableNamesCache = None
+    if (ref.parts.size > 1) schemaTableNamesCache.remove(ref.parts.head)
+    ()
   }
 
   /** Driver-side DDL batch that (re)defines `ref` through arbitrary

@@ -138,7 +138,40 @@ final class JdbcSqlExecutor(
   private val statsCache =
     scala.collection.concurrent.TrieMap.empty[String, Option[Statistics]]
 
-  override def invalidateCaches(): Unit = statsCache.clear()
+  override def invalidateCaches(): Unit = {
+    statsCache.clear()
+    colStatsCache.clear()
+  }
+
+  /** Per-table REFRESH: drop just this ref's stat probes (schemas are not
+    * cached here — [[tableSchema]] is a zero-row metadata read). */
+  override def invalidateTable(ref: RemoteTableRef): Unit = {
+    statsCache.remove(ref.toString)
+    colStatsCache.remove(ref.toString)
+    ()
+  }
+
+  /** Named-schema listing through JDBC metadata — backs
+    * `SHOW TABLES IN <catalog>.<schema>`. */
+  override def tableNames(schema: String): Seq[String] = {
+    val conn = connect()
+    try {
+      val rs = conn.getMetaData.getTables(null, schema, "%", Array("TABLE"))
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) names += rs.getString("TABLE_NAME")
+      names.toSeq.filterNot(SqlExecutor.isStagingArtifact).sorted
+    } finally conn.close()
+  }
+
+  override def schemaNames: Seq[String] = {
+    val conn = connect()
+    try {
+      val rs = conn.getMetaData.getSchemas()
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) names += rs.getString("TABLE_SCHEM")
+      names.toSeq.sorted
+    } finally conn.close()
+  }
 
   /** Bounded statistics probe — the reference's executor `statistics` hook
     * (src/sql/executor.rs:61-63); without it Spark assumes every remote

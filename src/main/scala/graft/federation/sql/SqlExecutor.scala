@@ -38,8 +38,18 @@ trait SqlExecutor {
   def executeSplit(sql: String, schema: StructType,
       siblings: Int): RDD[InternalRow] = execute(sql, schema)
 
-  /** Remote catalog listing. */
+  /** Remote catalog listing (the engine's default schema). */
   def tableNames: Seq[String]
+
+  /** Listing of one NAMED engine schema — the reference's
+    * `SQLSchemaProvider` enumerates per schema (src/sql/schema.rs:16-46);
+    * this backs `SHOW TABLES IN <catalog>.<schema>`. Default: nothing
+    * known (executors without schema introspection). */
+  def tableNames(schema: String): Seq[String] = Nil
+
+  /** The engine's schema (namespace) names, for catalog namespace
+    * enumeration. Default: none beyond the implicit default namespace. */
+  def schemaNames: Seq[String] = Nil
 
   /** Eager one-shot schema inference at registration time (reference
     * `get_table_schema`, src/sql/table.rs:126-133). */
@@ -167,10 +177,15 @@ trait SqlExecutor {
       includeBindTables: Boolean = false): Seq[String] = Nil
 
   /** Drop every cached catalog probe (table list, schemas, statistics) so
-    * the next ask re-reads the live remote catalog — the hook behind
-    * `REFRESH TABLE` / `TableCatalog.invalidateTable` on catalog-resolved
-    * remote tables. Default no-op for executors that cache nothing. */
+    * the next ask re-reads the live remote catalog. Default no-op for
+    * executors that cache nothing. */
   def invalidateCaches(): Unit = ()
+
+  /** Drop the cached probes of ONE table — the hook behind
+    * `REFRESH TABLE` / `TableCatalog.invalidateTable` on catalog-resolved
+    * remote tables; other tables' caches stay warm. Executors with
+    * undifferentiated caches fall back to the full flush. */
+  def invalidateTable(ref: RemoteTableRef): Unit = invalidateCaches()
 
   /** Optional hook: rewrite the generated SQL string just before execution
     * (reference `sql_query_rewriter`, src/sql/table.rs:33-45). */

@@ -1576,6 +1576,91 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("USE spark_catalog.default")
   }
 
+  test("DSv2 catalog: identifiers resolve case-insensitively under " +
+      "Spark's default analysis (honoring spark.sql.caseSensitive)") {
+    Federation.registerCatalog(spark, "duckcat", Seq(ex))
+    // the remote lists lowercase 'region'; default analysis must match
+    val n = spark.sql("SELECT COUNT(*) AS n FROM duckcat.main.REGION")
+      .collect().head.getLong(0)
+    assert(n == 5L)
+    assert(spark.sql("SELECT r_name FROM duckcat.main.Region LIMIT 1")
+      .collect().nonEmpty)
+    // the wire SQL must address the engine's ACTUAL spelling, and the
+    // fragment still federates (same path as the exact-case name)
+    val df = spark.sql(
+      "SELECT COUNT(*) AS n FROM duckcat.main.NATION WHERE n_regionkey = 0")
+    assert(df.collect().head.getLong(0) == 5L)
+    assert(remoteScans(df).size == 1)
+    // with case-sensitive analysis ON, the wrong-case name must refuse
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT COUNT(*) FROM duckcat.main.REGION").collect()
+    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+  }
+
+  test("DSv2 catalog: engine schemas list and resolve as namespaces " +
+      "(SHOW TABLES IN duckcat.analytics; reference schema.rs:16-46)") {
+    val e = ex
+    Federation.registerCatalog(spark, "duckcat", Seq(e))
+    e.runWrite(Seq(
+      "CREATE SCHEMA IF NOT EXISTS analytics",
+      "DROP TABLE IF EXISTS analytics.daily_rollup",
+      "CREATE TABLE analytics.daily_rollup AS " +
+        "SELECT range AS day_id, range * 10 AS clicks FROM range(0, 7)"))
+    e.invalidateCaches() // the schema was planted behind the listings
+    val namespaces = spark.sql("SHOW NAMESPACES IN duckcat")
+      .collect().map(_.getString(0)).toSet
+    assert(namespaces.contains("main") && namespaces.contains("analytics"),
+      namespaces)
+    val listed = spark.sql("SHOW TABLES IN duckcat.analytics")
+      .collect().map(_.getString(1)).toSet
+    assert(listed == Set("daily_rollup"), listed)
+    // resolution + federation through the explicit schema, case-folded
+    val df = spark.sql(
+      "SELECT SUM(clicks) AS s FROM duckcat.analytics.DAILY_ROLLUP " +
+        "WHERE day_id < 5")
+    assert(df.collect().head.getLong(0) == 100L)
+    assert(remoteScans(df).size == 1)
+    // an unknown schema still refuses loudly
+    intercept[Exception] {
+      spark.sql("SHOW TABLES IN duckcat.no_such_schema").collect()
+    }
+  }
+
+  test("DSv2 catalog: REFRESH TABLE re-probes ONE table; sibling caches " +
+      "stay warm (r12 nuked every executor cache)") {
+    val e = ex
+    Federation.registerCatalog(spark, "duckcat", Seq(e))
+    e.runDdl(RemoteTableRef.parse("refresh_t1"), Seq(
+      "DROP TABLE IF EXISTS refresh_t1",
+      "CREATE TABLE refresh_t1 AS SELECT 1 AS a"))
+    e.runDdl(RemoteTableRef.parse("refresh_t2"), Seq(
+      "DROP TABLE IF EXISTS refresh_t2",
+      "CREATE TABLE refresh_t2 AS SELECT 2 AS b"))
+    // warm both schema caches through the catalog
+    assert(spark.table("duckcat.main.refresh_t1").schema.fieldNames
+      .toSeq == Seq("a"))
+    assert(spark.table("duckcat.main.refresh_t2").schema.fieldNames
+      .toSeq == Seq("b"))
+    // mutate BOTH tables behind the caches (raw wire, no invalidation)
+    DuckDbProcess.exec(e.dbPath, Seq(
+      "ALTER TABLE refresh_t1 ADD COLUMN extra1 INTEGER",
+      "ALTER TABLE refresh_t2 ADD COLUMN extra2 INTEGER"))
+    spark.sql("REFRESH TABLE duckcat.main.refresh_t1")
+    // t1 re-probed fresh; t2's cache must still be warm (stale by design)
+    assert(spark.table("duckcat.main.refresh_t1").schema.fieldNames
+      .toSeq == Seq("a", "extra1"))
+    assert(spark.table("duckcat.main.refresh_t2").schema.fieldNames
+      .toSeq == Seq("b"),
+      "REFRESH of t1 must not flush t2's schema cache")
+    spark.sql("REFRESH TABLE duckcat.main.refresh_t2")
+    assert(spark.table("duckcat.main.refresh_t2").schema.fieldNames
+      .toSeq == Seq("b", "extra2"))
+    e.runWrite(Seq("DROP TABLE IF EXISTS refresh_t1",
+      "DROP TABLE IF EXISTS refresh_t2"))
+    e.invalidateCaches()
+  }
+
   test("DSv2 catalog: schema inference is lazy and touches only the " +
       "queried table") {
     val probes = scala.collection.mutable.ArrayBuffer.empty[String]
