@@ -20,6 +20,12 @@ object Federation {
     // any other federation rule looks at the plan
     if (!exp.extraOptimizations.contains(CatalogRemoteTableRule))
       exp.extraOptimizations = CatalogRemoteTableRule +: exp.extraOptimizations
+    // same precedence for the streaming sibling: each microbatch's v2
+    // scan relation becomes a range-filtered RemoteRelation here
+    if (!exp.extraOptimizations.contains(
+        graft.streaming.FedStreamScanRule))
+      exp.extraOptimizations =
+        graft.streaming.FedStreamScanRule +: exp.extraOptimizations
     // PartialAggRule must PRECEDE FederationRule within each batch
     // iteration: once the union's children are wrapped as FederatedPlan,
     // per-provider eligibility is no longer observable

@@ -275,7 +275,8 @@ final case class RemoteCatalogTable(
   override def schema(): StructType = executor.tableSchema(ref)
 
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE).asJava
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
@@ -310,16 +311,24 @@ final case class RemoteCatalogTable(
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan = RemoteCatalogScan(ref, executor,
-        required, hooks)
+        required, hooks,
+        cursor = Option(options.get("cursor")),
+        cursorStep =
+          graft.streaming.FedStreamSourceProvider.parseStep(options))
     }
 }
 
-/** Placeholder v2 scan — only its metadata is ever consumed. */
+/** Placeholder v2 scan — only its metadata is ever consumed (batch reads
+  * substitute to [[RemoteRelation]]; streaming reads hand off to
+  * [[graft.streaming.FedMicroBatchStream]], whose per-batch scans
+  * substitute the same way). */
 final case class RemoteCatalogScan(
     ref: RemoteTableRef,
     executor: SqlExecutor,
     override val readSchema: StructType,
-    hooks: Option[TableHooks]) extends Scan {
+    hooks: Option[TableHooks],
+    cursor: Option[String] = None,
+    cursorStep: Option[Long] = None) extends Scan {
 
   override def toBatch: Batch =
     throw new IllegalStateException(
@@ -327,6 +336,17 @@ final case class RemoteCatalogScan(
         "federation rules are not installed — call " +
         "Federation.install(spark) (or set spark.sql.extensions=" +
         "graft.federation.GraftExtensions)")
+
+  /** `spark.readStream.option("cursor", …).table("cat.ns.t")` — the DSv2
+    * catalog face of the graft-fed source. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val c = cursor.getOrElse(throw new IllegalArgumentException(
+      s"streaming read of remote table $ref needs .option(\"cursor\", " +
+        "<monotone column>) (optionally .option(\"cursorStep\", n))"))
+    new graft.streaming.FedMicroBatchStream(SparkSession.active,
+      executor, ref, c, cursorStep)
+  }
 
   override def description(): String =
     s"RemoteCatalogScan [${executor.name}] $ref"

@@ -21,7 +21,12 @@ final case class RemoteRelation(
     ref: RemoteTableRef,
     executor: SqlExecutor,
     output: Seq[AttributeReference],
-    hooks: Option[graft.federation.sql.TableHooks] = None)
+    hooks: Option[graft.federation.sql.TableHooks] = None,
+    // the streaming fed source substitutes this leaf into a microbatch
+    // plan (FedStreamScanRule): the flag must survive so stateful
+    // operators above keep planning incrementally (StateStore placement
+    // keys off Aggregate.isStreaming)
+    override val isStreaming: Boolean = false)
   extends LeafNode with MultiInstanceRelation {
 
   override def newInstance(): RemoteRelation =
@@ -131,6 +136,11 @@ final case class FederatedPlan(
     runtimeFilters: Seq[RemoteRuntimeFilter] = Nil,
     bindJoins: Seq[RemoteBindJoin] = Nil)
   extends LeafNode {
+
+  // streaming fragments (FedStreamScanRule substitutions) must keep the
+  // flag through the opaque wrap, or stateful operators above would
+  // silently plan as batch
+  override def isStreaming: Boolean = inner.isStreaming
 
   /** Output widens per bind in wrap order: each successive inner bind's
     * build columns append on its own side of the previous layer's output

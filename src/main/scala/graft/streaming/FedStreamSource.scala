@@ -1,23 +1,47 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.{DataFrame, GraftShims, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, SerializedOffset, Source}
-import org.apache.spark.sql.functions.{col, lit, max}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, GreaterThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsAdmissionControl, Offset => OffsetV2}
+import org.apache.spark.sql.execution.datasources.v2.StreamingDataSourceV2ScanRelation
+import org.apache.spark.sql.functions.{col, lit, max, min}
+import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.federation.{Federation, RemoteEngineCatalog}
+import graft.federation.plans.RemoteRelation
 import graft.federation.sql.{RemoteTableRef, SqlExecutor}
 
 /** Streaming federated SOURCE — the ingestion direction remote → stream,
-  * the counterpart of the epoch-fenced remote sinks: a V1 microbatch
-  * source that incrementally reads a LIVE remote table by a monotone
-  * cursor column. Each trigger probes the remote high-water mark (one
-  * federated `SELECT MAX(cursor)`, a 1-row wire fetch) and the batch
+  * the counterpart of the epoch-fenced remote sinks: a DSv2
+  * `MicroBatchStream` that incrementally reads a LIVE remote table by a
+  * monotone cursor column. Each trigger probes the remote high-water mark
+  * (one federated `SELECT MAX(cursor)`, a 1-row wire fetch) and the batch
   * reads exactly the half-open cursor range `(lastMax, newMax]` — the
   * range predicate rides the normal federation path, so it is PUSHED
   * into the remote SQL and the wire carries only the new rows.
+  *
+  * The v2 surface (replacing the r12 V1 `Source`) buys three things:
+  *  - `SupportsAdmissionControl.latestOffset(start, limit)` receives the
+  *    engine-restored START offset every trigger, so pacing bases off the
+  *    durable offset log — the V1 form kept the floor in memory and a
+  *    restart under `cursorStep` could re-read committed ranges;
+  *  - `readStream.table("cat.ns.t")` composes with the DSv2 catalog
+  *    ([[graft.federation.RemoteEngineCatalog]]) — no registry lookup;
+  *  - the V1 `isStreaming` DataFrame shim is gone: the microbatch scan
+  *    relation is swapped for the SAME [[RemoteRelation]] leaf every
+  *    federated batch read uses ([[FedStreamScanRule]]), range filter
+  *    applied below it, so split scans / pushdown / runtime filters
+  *    compose with streaming reads exactly as with batch ones.
   *
   * Exactly-once contract (mirrors the sink's epoch fence, from the other
   * side): offsets are cursor values, durably WAL-ed by the streaming
@@ -33,34 +57,68 @@ import graft.federation.sql.{RemoteTableRef, SqlExecutor}
   *
   * Scale shape: per trigger, ONE 1-row probe + one range-filtered
   * fetch (split scans apply to it like any fragment). The source reads
-  * full rows (V1 sources see no downstream pruning) — cursor ingestion
-  * is row-shaped by nature; prune in the remote VIEW if columns are fat.
+  * full rows — cursor ingestion is row-shaped by nature; prune in the
+  * remote VIEW if columns are fat.
   *
-  * Wire-up:
+  * Wire-up (both forms need `Federation.install` / `registerCatalog`):
   * {{{
-  *   Federation.registerCatalog(spark, "duck", Seq(executor))
   *   spark.readStream.format("graft-fed")
   *     .option("catalog", "duck")        // executor chain to read from
   *     .option("table", "events_live")   // remote table (first match wins)
   *     .option("cursor", "event_id")     // monotone BIGINT/INT/timestamp
   *     .option("cursorStep", "20000")    // optional: cap cursor advance
   *     .load()                           //   per batch (paced backfill)
+  *   // or through the catalog, no registry indirection:
+  *   spark.readStream.option("cursor", "event_id")
+  *     .table("duck.main.events_live")
   * }}}
   */
-class FedStreamSourceProvider extends StreamSourceProvider
-    with DataSourceRegister {
+class FedStreamSourceProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-fed"
 
-  private def resolve(params: Map[String, String]):
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (ex, ref, cursor, _) = FedStreamSourceProvider.resolve(options)
+    val s = ex.tableSchema(ref)
+    require(s.fieldNames.contains(cursor),
+      s"cursor column '$cursor' not in remote schema ${s.fieldNames.toSeq}")
+    s
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val (ex, ref, cursor, step) = FedStreamSourceProvider.resolve(
+      new CaseInsensitiveStringMap(properties))
+    FedStreamTable(ex, ref, cursor, step)
+  }
+}
+
+object FedStreamSourceProvider {
+
+  /** Parse + validate the step option: must be a positive long. */
+  private[graft] def parseStep(params: CaseInsensitiveStringMap):
+      Option[Long] =
+    Option(params.get("cursorStep")).map { raw =>
+      val v =
+        try raw.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"option 'cursorStep' must be a positive integer, got '$raw'")
+        }
+      require(v > 0,
+        s"option 'cursorStep' must be > 0, got $v — a non-positive step " +
+          "would pin the stream at its base offset forever")
+      v
+    }
+
+  private def resolve(params: CaseInsensitiveStringMap):
       (SqlExecutor, RemoteTableRef, String, Option[Long]) = {
-    val cat = params.getOrElse("catalog", throw new IllegalArgumentException(
-      "graft-fed source needs option 'catalog' (a name passed to " +
-        "Federation.registerCatalog)"))
-    val table = params.getOrElse("table", throw new IllegalArgumentException(
-      "graft-fed source needs option 'table'"))
-    val cursor = params.getOrElse("cursor", throw new IllegalArgumentException(
-      "graft-fed source needs option 'cursor' (a monotone column)"))
+    def req(k: String, hint: String): String =
+      Option(params.get(k)).getOrElse(throw new IllegalArgumentException(
+        s"graft-fed source needs option '$k' ($hint)"))
+    val cat = req("catalog", "a name passed to Federation.registerCatalog")
+    val table = req("table", "the remote table name")
+    val cursor = req("cursor", "a monotone column")
     val spec = RemoteEngineCatalog.registry.getOrElse(cat,
       throw new IllegalArgumentException(s"no catalog '$cat' registered"))
     val ref = RemoteTableRef.parse(table)
@@ -73,38 +131,68 @@ class FedStreamSourceProvider extends StreamSourceProvider
       })
       .getOrElse(throw new IllegalArgumentException(
         s"table '$table' not found in any executor of catalog '$cat'"))
-    (ex, ref, cursor, params.get("cursorStep").map(_.toLong))
-  }
-
-  override def sourceSchema(sqlContext: SQLContext,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) = {
-    val (ex, ref, cursor, _) = resolve(parameters)
-    val s = ex.tableSchema(ref)
-    require(s.fieldNames.contains(cursor),
-      s"cursor column '$cursor' not in remote schema ${s.fieldNames.toSeq}")
-    (s"graft-fed:${ex.name}:$ref", s)
-  }
-
-  override def createSource(sqlContext: SQLContext,
-      metadataPath: String, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): Source = {
-    val (ex, ref, cursor, step) = resolve(parameters)
-    new FedStreamSource(sqlContext.sparkSession, ex, ref, cursor, step)
+    (ex, ref, cursor, parseStep(params))
   }
 }
 
+/** Catalog metadata for one remote streaming read. */
+final case class FedStreamTable(
+    executor: SqlExecutor,
+    ref: RemoteTableRef,
+    cursorCol: String,
+    cursorStep: Option[Long]) extends Table with SupportsRead {
+
+  override def name(): String = s"graft-fed:${executor.name}:$ref"
+
+  override def schema(): StructType = executor.tableSchema(ref)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        FedStreamScan(executor, ref, cursorCol, cursorStep, schema())
+    }
+}
+
+/** Metadata-only scan, the streaming sibling of
+  * [[graft.federation.RemoteEngineCatalog]]'s batch placeholder: actual
+  * reads never go through v2 partitions — [[FedStreamScanRule]] swaps the
+  * per-batch scan relation for a range-filtered [[RemoteRelation]]. */
+final case class FedStreamScan(
+    executor: SqlExecutor,
+    ref: RemoteTableRef,
+    cursorCol: String,
+    cursorStep: Option[Long],
+    override val readSchema: StructType) extends Scan {
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new FedMicroBatchStream(SparkSession.active, executor, ref,
+      cursorCol, cursorStep)
+
+  override def description(): String =
+    s"FedStreamScan [${executor.name}] $ref by $cursorCol"
+}
+
 /** One instance per running query; all progress state lives in the
-  * engine's offset log, so the source itself is stateless across
-  * restarts (the exactly-once property). */
-class FedStreamSource(
+  * engine's offset log — `latestOffset(start, limit)` receives the
+  * restored offset every trigger, so the stream itself is stateless
+  * across restarts (the exactly-once property, now structural). */
+class FedMicroBatchStream(
     spark: SparkSession,
     val executor: SqlExecutor,
     val ref: RemoteTableRef,
     cursorCol: String,
-    cursorStep: Option[Long]) extends Source with Logging {
+    cursorStep: Option[Long]) extends MicroBatchStream
+    with SupportsAdmissionControl with Logging {
 
-  override val schema: StructType = executor.tableSchema(ref)
+  val schema: StructType = executor.tableSchema(ref)
+  require(schema.fieldNames.contains(cursorCol),
+    s"cursor column '$cursorCol' not in remote schema " +
+      schema.fieldNames.toSeq)
 
   private val cursorType = schema(cursorCol).dataType
   require(cursorType match {
@@ -130,71 +218,142 @@ class FedStreamSource(
       s"unexpected cursor value $other (${other.getClass})")
   }
 
-  private def cursorLit(v: Long) = cursorType match {
-    case TimestampType | TimestampNTZType =>
-      org.apache.spark.sql.functions.timestamp_micros(lit(v))
-        .cast(cursorType)
-    case DateType =>
-      org.apache.spark.sql.functions.date_from_unix_date(lit(v.toInt))
-    case _ => lit(v).cast(cursorType)
+  /** Catalyst literal of the cursor's type from its long offset form —
+    * the internal representations line up exactly (micros / days / the
+    * integral value itself). */
+  private def litOf(v: Long): Literal = cursorType match {
+    case LongType => Literal(v, LongType)
+    case IntegerType => Literal(v.toInt, IntegerType)
+    case ShortType => Literal(v.toShort, ShortType)
+    case DateType => Literal(v.toInt, DateType)
+    case TimestampType => Literal(v, TimestampType)
+    case TimestampNTZType => Literal(v, TimestampNTZType)
+    case other => throw new IllegalStateException(s"cursor type $other")
   }
 
-  private def table: DataFrame =
+  private def table =
     Federation.remoteDataFrame(spark, ref.toString, executor)
 
-  // monotone guard: a remote max that moves BACKWARD (rows deleted at the
-  // head) must not rewind the stream — keep the high-water mark
-  @volatile private var seenMax: Option[Long] = None
-
-  override def getOffset: Option[OffsetV1] = {
-    // one federated 1-row aggregate: `SELECT MAX(cursor) FROM ref`
-    // executes on the remote engine, the wire carries one value
-    val row = table.agg(max(col(cursorCol)).as("m")).collect().head
-    val remote = if (row.isNullAt(0)) None else Some(toLong(row.get(0)))
-    val capped = (remote, seenMax, cursorStep) match {
-      case (Some(r), last, Some(s)) =>
-        // paced backfill: advance at most `s` cursor units per batch so a
-        // huge first read splits into bounded microbatches; the first
-        // batch bases off the remote MIN (one more 1-row probe)
-        val base = last.getOrElse {
-          val m = table.agg(org.apache.spark.sql.functions
-            .min(col(cursorCol)).as("m")).collect().head
-          toLong(m.get(0)) - 1L
-        }
-        Some(math.max(base, math.min(r, base + s)))
-      case (Some(r), Some(last), None) => Some(math.max(r, last))
-      case (Some(r), None, None) => Some(r)
-      case (None, last, _) => last
-    }
-    capped.foreach(c => seenMax = Some(seenMax.fold(c)(math.max(_, c))))
-    seenMax.map(FedOffset)
+  /** One federated 1-row aggregate: executes on the remote engine, the
+    * wire carries one value. */
+  private def probe(agg: org.apache.spark.sql.Column): Option[Long] = {
+    val row = table.agg(agg.as("m")).collect().head
+    if (row.isNullAt(0)) None else Some(toLong(row.get(0)))
   }
 
-  private def valueOf(o: OffsetV1): Long = o match {
+  /** Sentinel for "stream started on an empty remote table": no real
+    * cursor can practically equal it, and [[rangePlan]] drops the lower
+    * bound for it entirely. */
+  private val EmptyBase = Long.MinValue
+
+  override def initialOffset(): OffsetV2 =
+    FedOffset(probe(min(col(cursorCol))).map(_ - 1L).getOrElse(EmptyBase))
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    FedOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  private def valueOf(o: OffsetV2): Long = o match {
     case FedOffset(v) => v
-    case other => other.json().trim.toLong // SerializedOffset after restart
+    case other => other.json().trim.toLong
   }
 
-  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val hi = valueOf(end)
-    seenMax = Some(seenMax.fold(hi)(math.max(_, hi))) // restart path
-    val lo = start.map(valueOf)
-    val ranged = lo.foldLeft(table.where(col(cursorCol) <= cursorLit(hi)))(
-      (df, l) => df.where(col(cursorCol) > cursorLit(l)))
-    logInfo(s"graft-fed batch $ref $cursorCol in (${lo.getOrElse("-inf")}, $hi]")
-    // plan now (the range predicate federates into the wire SQL); execute
-    // lazily when the microbatch runs
-    GraftShims.streamingDataFrame(spark, ranged.queryExecution.toRdd, schema)
+  /** Admission control: `start` is the engine-restored durable offset
+    * (the pacing floor — never an in-memory guess), the returned offset
+    * never moves below it (a remote max that moves BACKWARD — rows
+    * deleted at the head — must not rewind the stream). */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val base = valueOf(start)
+    probe(max(col(cursorCol))) match {
+      case None => start
+      case Some(remote) =>
+        val hi = cursorStep match {
+          case Some(s) =>
+            // paced backfill: advance at most `s` cursor units per batch
+            // so a huge first read splits into bounded microbatches; on
+            // the empty-start sentinel the pace bases off the remote MIN
+            // (one more 1-row probe)
+            val floor =
+              if (base == EmptyBase)
+                probe(min(col(cursorCol))).map(_ - 1L).getOrElse(base)
+              else base
+            // saturating add: a timestamp cursor near Long.MaxValue
+            // micros must not wrap negative
+            val paced =
+              if (floor > 0 && s > Long.MaxValue - floor) Long.MaxValue
+              else floor + s
+            math.min(remote, paced)
+          case None => remote
+        }
+        FedOffset(math.max(base, hi))
+    }
   }
 
-  override def commit(end: OffsetV1): Unit = ()
+  override def latestOffset(): OffsetV2 =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control form")
+
+  /** The federated batch for one committed cursor range — the SAME leaf
+    * and range shape every federated batch read uses, so pushdown /
+    * split scans / runtime filters all apply. `isStreaming` rides the
+    * leaf: stateful operators above must keep planning incrementally. */
+  def rangePlan(output: Seq[AttributeReference], lo: Option[Long],
+      hi: Long): LogicalPlan = {
+    val cursor = output.find(_.name == cursorCol).getOrElse(
+      throw new IllegalStateException(
+        s"cursor '$cursorCol' missing from scan output ${output.map(_.name)}"))
+    logInfo(s"graft-fed batch $ref $cursorCol in " +
+      s"(${lo.filter(_ != EmptyBase).getOrElse("-inf")}, $hi]")
+    val upper = LessThanOrEqual(cursor, litOf(hi))
+    val pred = lo.filter(_ != EmptyBase)
+      .map(l => And(GreaterThan(cursor, litOf(l)), upper))
+      .getOrElse(upper)
+    Filter(pred, RemoteRelation(ref, executor,
+      output.map(_.asInstanceOf[AttributeReference]), None,
+      isStreaming = true))
+  }
+
+  override def planInputPartitions(start: OffsetV2,
+      end: OffsetV2): Array[InputPartition] =
+    throw new IllegalStateException(
+      s"graft-fed stream $ref reached v2 partition planning — the " +
+        "federation rules are not installed; call Federation.install " +
+        "(or Federation.registerCatalog) before starting the query")
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    throw new IllegalStateException(
+      s"graft-fed stream $ref has no v2 reader — reads go through the " +
+        "federation path (FedStreamScanRule)")
+
+  override def commit(end: OffsetV2): Unit = ()
 
   override def stop(): Unit = ()
 
   override def toString: String =
-    s"FedStreamSource[${executor.name}] $ref by $cursorCol"
+    s"FedMicroBatchStream[${executor.name}] $ref by $cursorCol"
 }
 
-case class FedOffset(value: Long) extends OffsetV1 {
+case class FedOffset(value: Long) extends OffsetV2 {
   override def json: String = value.toString
+}
+
+/** Swaps each microbatch's streaming v2 scan relation for the federated
+  * range fetch: the offsets the engine planned (WAL-ed before the batch
+  * runs) become a cursor-range [[Filter]] over the standard
+  * [[RemoteRelation]] leaf, which the downstream federation rules push
+  * into the remote SQL — the streaming sibling of
+  * [[graft.federation.CatalogRemoteTableRule]]. Installed with the other
+  * federation rules; runs inside each microbatch's IncrementalExecution. */
+object FedStreamScanRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case s: StreamingDataSourceV2ScanRelation
+          if s.stream.isInstanceOf[FedMicroBatchStream] &&
+            s.endOffset.isDefined =>
+        val st = s.stream.asInstanceOf[FedMicroBatchStream]
+        st.rangePlan(s.output,
+          s.startOffset.map(o => o.json().trim.toLong),
+          s.endOffset.get.json().trim.toLong)
+    }
 }

@@ -473,7 +473,8 @@ object StreamOps {
       name: String = "stream_fed_enrich_out"): DataFrame =
     runStream(spark, fedEnrichStream(spark, dir), "complete", name)
 
-  /** Streaming INGESTION from a live remote engine ([[FedStreamSource]]):
+  /** Streaming INGESTION from a live remote engine
+    * ([[FedMicroBatchStream]]):
     * the `orders` table of the live DuckDB engine is read as a microbatch
     * stream by monotone `o_orderkey` cursor — each trigger probes the
     * remote max (one 1-row federated aggregate) and fetches only the new

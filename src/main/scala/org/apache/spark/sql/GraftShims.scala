@@ -19,13 +19,4 @@ object GraftShims {
 
   def logicalPlan(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
-
-  /** A DataFrame over `rdd` with `isStreaming = true` — what a V1
-    * streaming `Source.getBatch` must return (MicroBatchExecution asserts
-    * the flag). Same mechanism as Spark's own FileStreamSource. */
-  def streamingDataFrame(spark: SparkSession,
-      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.asInstanceOf[classic.SparkSession]
-      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

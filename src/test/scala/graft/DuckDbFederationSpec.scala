@@ -1972,22 +1972,36 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "DROP TABLE IF EXISTS redelivery_probe",
       "CREATE TABLE redelivery_probe AS " +
         "SELECT range AS id, 'x' AS v FROM range(1, 41)"))
-    val src = new graft.streaming.FedStreamSource(spark, e,
+    Federation.install(spark)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val src = new graft.streaming.FedMicroBatchStream(spark, e,
       RemoteTableRef.parse("redelivery_probe"), "id", None)
-    val o1 = src.getOffset.get
+    val init = src.initialOffset()
+    assert(init.json == "0", "initial offset = remote MIN - 1")
+    val o1 = src.latestOffset(init, ReadLimit.allAvailable())
     assert(o1.json == "40")
     // fragment FETCHES only — the first batch also fires one-time
     // (cached) stats and split-boundary probes
     def shippedAfter(n: Int) = e.executedSql.synchronized {
       e.executedSql.drop(n).filter(s => s.contains("redelivery_probe") &&
         s.startsWith("SELECT t1.")) }
-    // crash between offset WAL and sink commit → the engine re-calls
-    // getBatch with the SAME end offset: the wire range must be identical
+    val output = graft.federation.plans.RemoteRelation(
+      RemoteTableRef.parse("redelivery_probe"), e, None).output
+    def runBatch(lo: Option[Long], hi: Long): Unit =
+      org.apache.spark.sql.GraftShims.ofRows(spark,
+        src.rangePlan(output.map(_.newInstance()), lo, hi).transform {
+          // batch-execute the microbatch's plan shape outside a streaming
+          // query: drop the leaf's streaming flag for the harness
+          case r: graft.federation.plans.RemoteRelation =>
+            r.copy(isStreaming = false)
+        }).collect()
+    // crash between offset WAL and sink commit → the engine replans the
+    // batch with the SAME offsets: the wire range must be identical
     val b0 = e.executedSql.size
-    src.getBatch(None, o1)
+    runBatch(Some(0L), 40L)
     val first = shippedAfter(b0)
     val b1 = e.executedSql.size
-    src.getBatch(None, o1)
+    runBatch(Some(0L), 40L)
     val replay = shippedAfter(b1)
     assert(first.nonEmpty && first == replay,
       s"replayed batch must ship identical SQL:\n$first\nvs\n$replay")
@@ -1995,13 +2009,26 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // new remote rows move the offset; the next batch reads ONLY (40, 55]
     e.runWrite(Seq("INSERT INTO redelivery_probe " +
       "SELECT range, 'y' FROM range(41, 56)"))
-    val o2 = src.getOffset.get
+    val o2 = src.latestOffset(o1, ReadLimit.allAvailable())
     assert(o2.json == "55")
     val b2 = e.executedSql.size
-    src.getBatch(Some(o1), o2)
+    runBatch(Some(40L), 55L)
     val delta = shippedAfter(b2)
     assert(delta.exists(s => s.contains("> 40") && s.contains("<= 55")),
       s"delta batch must carry the half-open range:\n$delta")
+    // the ADVICE r12 restart defect, structurally impossible now: pacing
+    // bases off the ENGINE-RESTORED offset — a fresh stream instance
+    // (post-restart) given the committed offset must not move backward
+    val restarted = new graft.streaming.FedMicroBatchStream(spark, e,
+      RemoteTableRef.parse("redelivery_probe"), "id", Some(10L))
+    val resumed = restarted.latestOffset(
+      graft.streaming.FedOffset(55L), ReadLimit.allAvailable())
+    assert(resumed.json == "55",
+      s"paced restart at committed 55 must hold 55, got ${resumed.json}")
+    val advance = restarted.latestOffset(
+      graft.streaming.FedOffset(30L), ReadLimit.allAvailable())
+    assert(advance.json == "40",
+      s"paced advance from 30 by 10 caps at 40, got ${advance.json}")
   }
 
   test("streaming fed source: cursorStep paces the backfill into bounded " +
@@ -2019,13 +2046,123 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       q.processAllAvailable()
       assert(spark.table("fed_src_paced").count() == 100)
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      // pacing proof from the offset log itself: batches whose source
+      // offset ADVANCED (numInputRows does not flow through the
+      // substituted federation plan — no MicroBatchScanExec to meter)
+      val dataBatches = q.recentProgress.count(p =>
+        p.sources.nonEmpty && p.sources.head.startOffset !=
+          p.sources.head.endOffset)
       assert(dataBatches >= 3,
         s"a 100-row backfill at step 30 needs >= 3 data batches, " +
           s"saw $dataBatches")
     } finally {
       q.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
+  test("streaming fed source: readStream.table through the DSv2 catalog " +
+      "(no registry indirection) ingests incrementally") {
+    val e = ex
+    Federation.registerCatalog(spark, "duckcat", Seq(e))
+    e.runDdl(RemoteTableRef.parse("cat_stream_probe"), Seq(
+      "DROP TABLE IF EXISTS cat_stream_probe",
+      "CREATE TABLE cat_stream_probe AS " +
+        "SELECT range AS id, 'a' AS v FROM range(1, 21)"))
+    val ckpt = java.nio.file.Files.createTempDirectory("fed_cat_ck").toString
+    val q = spark.readStream
+      .option("cursor", "id")
+      .table("duckcat.main.cat_stream_probe")
+      .writeStream.outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .queryName("fed_src_cat").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fed_src_cat").count() == 20)
+      e.runWrite(Seq("INSERT INTO cat_stream_probe " +
+        "SELECT range, 'b' FROM range(21, 26)"))
+      q.processAllAvailable()
+      val got = spark.table("fed_src_cat")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (1L to 25L), s"got ${got.size} rows")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+    // a streaming read without the cursor option refuses LOUDLY at start
+    val err = intercept[Exception] {
+      val q2 = spark.readStream.table("duckcat.main.cat_stream_probe")
+        .writeStream.format("memory").queryName("fed_src_nocursor").start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def messages(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    assert(messages(err).contains("cursor"), messages(err))
+  }
+
+  test("streaming fed source: paced restart never re-reads committed " +
+      "ranges (the r12 ADVICE offset-regression defect, end-to-end)") {
+    val e = ex
+    Federation.registerCatalog(spark, "srccat", Seq(e))
+    e.runDdl(RemoteTableRef.parse("paced_restart_probe"), Seq(
+      "DROP TABLE IF EXISTS paced_restart_probe",
+      "CREATE TABLE paced_restart_probe AS " +
+        "SELECT range AS id, 'x' AS v FROM range(1, 101)"))
+    val ckpt = java.nio.file.Files.createTempDirectory("fed_prs_ck").toString
+    // one buffer across BOTH runs: any offset regression after restart
+    // shows up as a duplicate id
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def start() =
+      fedSourceStream("srccat", "paced_restart_probe", "id", step = Some(30))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = df.select("id").collect().map(_.getLong(0))
+          got.synchronized { got ++= ids }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+        .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable() // full paced backfill commits through 100
+    } finally q1.stop()
+    assert(got.synchronized(got.sorted.toSeq) == (1L to 100L))
+    e.runWrite(Seq("INSERT INTO paced_restart_probe " +
+      "SELECT range, 'y' FROM range(101, 131)"))
+    val q2 = start() // restart with cursorStep set: the V1 source's
+    try {            // in-memory floor reset here and re-read (1, 100]
+      q2.processAllAvailable()
+      val all = got.synchronized(got.sorted.toSeq)
+      assert(all == (1L to 130L),
+        s"restart re-read committed ranges: ${all.size} rows, " +
+          s"dupes=${all.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted}")
+    } finally {
+      q2.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
+  test("streaming fed source: cursorStep is validated up front (zero, " +
+      "negative, non-numeric all refuse with the option named)") {
+    val e = ex
+    Federation.registerCatalog(spark, "srccat", Seq(e))
+    Seq("0", "-5", "abc").foreach { bad =>
+      val err = intercept[Exception] {
+        spark.readStream.format("graft-fed")
+          .option("catalog", "srccat").option("table", "orders")
+          .option("cursor", "o_orderkey").option("cursorStep", bad)
+          .load()
+      }
+      def messages(t: Throwable): String = {
+        var c: Throwable = t; val sb = new StringBuilder
+        while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+        sb.toString
+      }
+      assert(messages(err).contains("cursorStep"),
+        s"'$bad' must refuse naming the option: ${messages(err)}")
     }
   }
 

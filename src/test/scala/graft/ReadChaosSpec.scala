@@ -155,6 +155,100 @@ class ReadChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("DuckDB worker killed mid-MICROBATCH: the streaming source's task " +
+      "retry re-ships the identical cursor range, rows delivered exactly " +
+      "once (the offset-WAL claim under task failure)") {
+    val e = DuckDbHarness.executor(spark, dir)
+    Federation.registerCatalog(spark, "chaoscat", Seq(e))
+    spark.sparkContext.addSparkListener(chaosListener)
+    val N = 1500000L
+    e.runDdl(RemoteTableRef.parse("chaos_stream"), Seq(
+      "DROP TABLE IF EXISTS chaos_stream",
+      s"CREATE TABLE chaos_stream AS SELECT range AS id, " +
+        s"md5(CAST(range AS VARCHAR)) AS v FROM range(1, ${N + 1})"))
+    try {
+      var attempt = 0
+      var landed = false
+      while (!landed && attempt < 4) {
+        attempt += 1
+        val failuresBefore = failedTasks.get()
+        val seen = new java.util.concurrent.ConcurrentHashMap[Long, Integer]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("fed_chaos_ck").toString
+        val sqlBefore = e.executedSql.size
+        val q = spark.readStream.format("graft-fed")
+          .option("catalog", "chaoscat").option("table", "chaos_stream")
+          .option("cursor", "id").option("cursorStep", "250000")
+          .load()
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.select("id").collect().foreach(r =>
+              seen.merge(r.getLong(0), Integer.valueOf(1), (a, b) =>
+                Integer.valueOf(a.intValue() + b.intValue())))
+            ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        try {
+          // volley kills while the paced backfill streams (3 shots stay
+          // under the 4-failure task budget, as the batch chaos does)
+          var volleys = 0
+          while (q.isActive && volleys < 3 && seen.size() < N) {
+            Thread.sleep(500)
+            if (q.isActive) { killDuckWorkers(); volleys += 1 }
+          }
+          q.processAllAvailable()
+        } finally {
+          q.stop()
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(ckpt))
+        }
+        if (failedTasks.get() > failuresBefore) {
+          landed = true
+          // exactly-once across the retries: every id once, none lost
+          assert(seen.size() == N,
+            s"expected $N distinct ids, got ${seen.size()}")
+          val dupes = seen.asScala.filter(_._2.intValue() > 1)
+          assert(dupes.isEmpty,
+            s"${dupes.size} duplicated ids, e.g. ${dupes.take(5)}")
+          // the retried task re-runs its captured SQL by construction
+          // (the RDD closure holds the text; executedSql records once at
+          // plan time) — the OBSERVABLE offset-WAL claim is that the
+          // planned cursor ranges stayed exactly the committed ones:
+          // parse every range fetch and assert the (lo, hi] ranges
+          // partition (0, N] with no overlap and no gap, failures or not
+          val fetches = e.executedSql.synchronized {
+            e.executedSql.drop(sqlBefore).filter(s =>
+              s.contains("chaos_stream") && s.contains("WHERE") &&
+                s.contains("<=") && !s.toLowerCase.contains("max(") &&
+                !s.toLowerCase.contains("quantile_disc")).toList }
+          val loRe = """id > (\d+)\b""".r
+          val hiRe = """id <= (\d+)\b""".r
+          val ranges = fetches.flatMap { s =>
+            for {
+              lo <- loRe.findFirstMatchIn(s).map(_.group(1).toLong)
+              hi <- hiRe.findFirstMatchIn(s).map(_.group(1).toLong)
+            } yield (lo, hi)
+          }.distinct.sortBy(_._1)
+          assert(ranges.nonEmpty, s"no parsable ranges in:\n$fetches")
+          assert(ranges.head._1 == 0L && ranges.last._2 == N &&
+            ranges.sliding(2).forall {
+              case Seq((_, h), (l, _)) => h == l
+              case _ => true
+            },
+            s"cursor ranges must partition (0, $N] exactly: $ranges")
+        }
+        // else: the backfill outran the volleys — run the scenario again
+      }
+      assert(landed, "chaos never landed on a surviving stream in 4 attempts")
+      // pool hygiene: the engine still serves after the kills
+      assert(e.runQuery("SELECT COUNT(*) FROM chaos_stream")
+        .head.get(0).asLong() == N)
+    } finally {
+      spark.sparkContext.removeSparkListener(chaosListener)
+      e.runWrite(Seq("DROP TABLE IF EXISTS chaos_stream"))
+    }
+  }
+
   test("Derby task threads interrupted mid-fetch: the connection dies, " +
       "the retried task opens a fresh one, answer exact") {
     val url = "jdbc:derby:memory:readchaos;create=true"
