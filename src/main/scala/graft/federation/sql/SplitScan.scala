@@ -41,20 +41,27 @@ object SplitScan {
     *   3. fallback — the first integral attribute (previous behavior). */
   def splitColumn(plan: LogicalPlan): Option[Attribute] = {
     if (!scanShaped(plan)) return None
-    val integrals = plan.output.filter(a => integral(a.dataType))
-    if (integrals.isEmpty) return None
+    pickInformed(plan.output.filter(a => integral(a.dataType)), plan)
+  }
+
+  /** Shared candidate chooser: statistics-informed (highest known
+    * distinctCount — balance tracks cardinality) → `*key` name heuristic
+    * (TPC-H-style surrogate keys are dense) → first candidate. */
+  private def pickInformed(candidates: Seq[Attribute],
+      statsSource: LogicalPlan): Option[Attribute] = {
+    if (candidates.isEmpty) return None
     val colStats =
-      try plan.stats.attributeStats
+      try statsSource.stats.attributeStats
       catch { case scala.util.control.NonFatal(_) =>
         org.apache.spark.sql.catalyst.expressions.AttributeMap.empty[
           org.apache.spark.sql.catalyst.plans.logical.ColumnStat]
       }
-    val byDistinct = integrals.flatMap { a =>
+    val byDistinct = candidates.flatMap { a =>
       colStats.get(a).flatMap(_.distinctCount).map(a -> _)
     }
     if (byDistinct.nonEmpty) Some(byDistinct.maxBy(_._2)._1)
-    else integrals.find(_.name.toLowerCase.endsWith("key"))
-      .orElse(integrals.headOption)
+    else candidates.find(_.name.toLowerCase.endsWith("key"))
+      .orElse(candidates.headOption)
   }
 
   private def integral(dt: DataType): Boolean = dt match {
@@ -100,12 +107,14 @@ object SplitScan {
     }.toSet)
     val shared = keySets.reduce(_ intersect _)
     if (shared.isEmpty) return None
-    val candidates =
-      lowest.children.head.output.filter(a => shared.contains(a.exprId))
-    if (candidates.isEmpty) return None
-    val pick = candidates.find(_.name.toLowerCase.endsWith("key"))
-      .getOrElse(candidates.head)
-    Some((pick, lowest))
+    val core = lowest.children.head
+    val candidates = core.output.filter(a => shared.contains(a.exprId))
+    // same stats-informed → *key → first choice as plain splits (r12
+    // verdict item 6: the heuristic alone picked the FIRST integral
+    // partition key regardless of cardinality — a 3-value key next to a
+    // dense one left cursors 30× skewed); stats come from the CORE under
+    // the window, where the split filter injects
+    pickInformed(candidates, core).map((_, lowest))
   }
 
   /** Inject the i-th modulo split filter BELOW the lowest group-local

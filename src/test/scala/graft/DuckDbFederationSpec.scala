@@ -1899,6 +1899,61 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sorted windowed fragment must stay single-cursor:\n$shipped2")
   }
 
+  test("window split chooses its PARTITION key stats-informed and the " +
+      "cursors balance (r12 picked the first integral key blind)") {
+    Federation.install(spark)
+    val e = ex
+    val N = 120000L
+    // grp_few: 3 values (a modulo-4 split leaves a cursor empty and the
+    // rest 30x skewed); grp_many: dense — the right split key. Column
+    // order puts grp_few first so the old first-candidate pick is wrong.
+    e.runDdl(RemoteTableRef.parse("win_skew"), Seq(
+      "DROP TABLE IF EXISTS win_skew",
+      s"CREATE TABLE win_skew AS SELECT range AS id, " +
+        s"CAST(range % 3 AS INT) AS grp_few, " +
+        s"CAST(range % 24001 AS INT) AS grp_many, " +
+        s"CAST(range % 7 AS INT) AS v FROM range($N)"))
+    Federation.registerRemoteTable(spark, "duck_win_skew", "win_skew", e)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val before = e.executedSql.size
+      val df = spark.sql(
+        """SELECT id, SUM(v) OVER (PARTITION BY grp_few, grp_many) AS w
+          |FROM duck_win_skew""".stripMargin)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      // local oracle from the same formulas
+      val local = spark.range(N).selectExpr("id",
+          "CAST(id % 3 AS INT) AS grp_few",
+          "CAST(id % 24001 AS INT) AS grp_many", "CAST(id % 7 AS INT) AS v")
+        .selectExpr("id",
+          "SUM(v) OVER (PARTITION BY grp_few, grp_many) AS w")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == local.toSeq)
+      val splits = e.executedSql.synchronized {
+        e.executedSql.drop(before).filter(s =>
+          s.contains("win_skew") && s.contains("sum") && s.contains("WHERE")) }
+      assert(splits.size == DuckDbHarness.Splits,
+        s"windowed fragment must fan out:\n${splits.mkString("\n")}")
+      // the split filter keys on the DENSE partition column
+      assert(splits.forall(_.contains("grp_many")),
+        s"stats-informed choice must pick grp_many:\n${splits.head}")
+      assert(!splits.head.substring(splits.head.indexOf("WHERE"))
+        .contains("grp_few"),
+        s"split filter must not key on the 3-value column:\n${splits.head}")
+      // balance: run each shipped split SQL as a remote COUNT
+      val counts = splits.map(s =>
+        e.runQuery(s"SELECT COUNT(*) FROM ($s) c").head.get(0).asLong())
+      assert(counts.sum == N, counts.toString)
+      val mean = counts.sum.toDouble / counts.size
+      assert(counts.forall(_ <= 2 * mean),
+        s"unbalanced window-split cursors $counts (mean $mean)")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      e.runWrite(Seq("DROP TABLE IF EXISTS win_skew"))
+      e.invalidateCaches()
+    }
+  }
+
   // ------------------------------------------- streaming federated source
 
   private def fedSourceStream(catalog: String, table: String,

@@ -73,7 +73,7 @@ class ReadChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     * does under full-suite load. Three volleys stay under the 4-failure
     * task budget. Returns the answer of the landing attempt. */
   private def untilChaosLands[A](chaos: () => Int, delayMs: Long,
-      maxAttempts: Int = 6)(mkAnswer: () => A): A = {
+      maxAttempts: Int = 12)(mkAnswer: () => A): A = {
     var landed: Option[A] = None
     var lastErr: Throwable = null
     var attempt = 0
