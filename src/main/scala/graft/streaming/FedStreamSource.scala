@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsAdmissionControl, Offset => OffsetV2}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.datasources.v2.StreamingDataSourceV2ScanRelation
 import org.apache.spark.sql.functions.{col, lit, max, min}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -187,7 +187,7 @@ class FedMicroBatchStream(
     val ref: RemoteTableRef,
     cursorCol: String,
     cursorStep: Option[Long]) extends MicroBatchStream
-    with SupportsAdmissionControl with Logging {
+    with SupportsTriggerAvailableNow with Logging {
 
   val schema: StructType = executor.tableSchema(ref)
   require(schema.fieldNames.contains(cursorCol),
@@ -259,13 +259,31 @@ class FedMicroBatchStream(
     case other => other.json().trim.toLong
   }
 
+  /** Trigger.AvailableNow: freeze "available" at the remote MAX observed
+    * when the trigger starts — the engine then runs PACED batches until
+    * the offset reaches this bound and terminates, so a first-attach
+    * backfill drains fully in bounded microbatches and stops, with rows
+    * a concurrent writer keeps appending left for the next run. */
+  @volatile private var availableNowBound: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = probe(max(col(cursorCol)))
+
+  /** The high-water mark for progress reporting: the frozen AvailableNow
+    * bound when one is set; otherwise unknown (null per the contract —
+    * a live probe per progress report would pay a wire roundtrip per
+    * batch for a log line). */
+  override def reportLatestOffset(): OffsetV2 =
+    availableNowBound.map(FedOffset(_): OffsetV2).orNull
+
   /** Admission control: `start` is the engine-restored durable offset
     * (the pacing floor — never an in-memory guess), the returned offset
     * never moves below it (a remote max that moves BACKWARD — rows
     * deleted at the head — must not rewind the stream). */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val base = valueOf(start)
-    probe(max(col(cursorCol))) match {
+    probe(max(col(cursorCol))).map(r =>
+        availableNowBound.fold(r)(math.min(r, _))) match {
       case None => start
       case Some(remote) =>
         val hi = cursorStep match {

@@ -2221,6 +2221,39 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming fed source: Trigger.AvailableNow drains a paced " +
+      "backfill in bounded batches and terminates on its own") {
+    val e = ex
+    Federation.registerCatalog(spark, "srccat", Seq(e))
+    e.runDdl(RemoteTableRef.parse("avail_now_probe"), Seq(
+      "DROP TABLE IF EXISTS avail_now_probe",
+      "CREATE TABLE avail_now_probe AS " +
+        "SELECT range AS id, 'x' AS v FROM range(1, 101)"))
+    val ckpt = java.nio.file.Files.createTempDirectory("fed_an_ck").toString
+    val q = fedSourceStream("srccat", "avail_now_probe", "id",
+        step = Some(30))
+      .writeStream.outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .queryName("fed_src_an").option("checkpointLocation", ckpt).start()
+    try {
+      // AvailableNow must terminate BY ITSELF once the frozen bound is
+      // reached — a paced source without SupportsTriggerAvailableNow
+      // would stop after ONE 30-unit batch (70 rows lost) or never stop
+      assert(q.awaitTermination(120000), "AvailableNow did not terminate")
+      val got = spark.table("fed_src_an")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (1L to 100L), s"partial drain: ${got.size} rows")
+      val advancing = q.recentProgress.count(p =>
+        p.sources.nonEmpty && p.sources.head.startOffset !=
+          p.sources.head.endOffset)
+      assert(advancing >= 3,
+        s"the drain must stay PACED (>= 3 advancing batches), saw $advancing")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   test("streaming fed source: timestamp cursor columns work (offset = " +
       "epoch micros)") {
     val e = ex
