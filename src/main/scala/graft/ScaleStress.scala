@@ -389,6 +389,50 @@ object ScaleStress {
         r
       }
 
+      // (i) r13: stats-informed window-split key at 50M — a second fact
+      // whose FIRST integral partition candidate has 3 values (the r12
+      // first-candidate pick left modulo cursors empty/30x skewed). The
+      // 50M table is past the stats row cap, so the chooser exercises
+      // the at-cap SAMPLE-ndv path through the executor (CBO off — the
+      // default), and the cursors must still balance.
+      val factwRef = graft.federation.sql.RemoteTableRef.parse("factw")
+      if (regen || !dex.tableNames.contains("factw")) timed("fed_ingest_factw") {
+        dex.createTable(factwRef, StructType(Seq(
+          StructField("gf", LongType), StructField("gm", LongType),
+          StructField("k", LongType), StructField("v", DoubleType))))
+        dex.insertInto(factwRef, spark.range(nFact).select(
+          pmod(col("id"), lit(3L)).as("gf"),
+          pmod(col("id"), lit(50021L)).as("gm"),
+          col("id").as("k"),
+          (pmod(col("id"), lit(9973L)).cast("double") / lit(100.0)).as("v")))
+      }
+      graft.federation.Federation
+        .registerRemoteTable(spark, "duck_factw", "factw", dex)
+      var winCursorCounts: Seq[Long] = Nil
+      var win: (Long, Int, Long) = (0L, 0, 0L)
+      val nWin = timed("fed_window_split_skewcand_50m") {
+        val before = dex.executedSql.synchronized(dex.executedSql.size)
+        val df = spark.sql(
+          """SELECT gf, gm, k FROM (
+            |  SELECT gf, gm, k,
+            |    ROW_NUMBER() OVER (PARTITION BY gf, gm
+            |      ORDER BY v DESC, k) AS rn
+            |  FROM duck_factw) t WHERE rn <= 1""".stripMargin)
+        val n = df.collect().length
+        win = remoteStats3(df)
+        val splits = dex.executedSql.synchronized(
+          dex.executedSql.drop(before)).filter(s =>
+          s.contains("factw") && s.contains("row_number") &&
+            s.contains("WHERE"))
+        require(splits.forall(_.contains("gm")) &&
+          splits.forall(s =>
+            !s.substring(s.indexOf("WHERE")).contains("gf")),
+          s"window split must key on the dense gm:\n${splits.headOption}")
+        winCursorCounts = splits.map(s => dex.runQuery(
+          s"SELECT COUNT(*) FROM ($s) c").head.get(0).asLong()).toSeq
+        n
+      }
+
       val fedJson = phases
         .filter(p => p._1.startsWith("fed_"))
         .map { case (n, p) =>
@@ -408,6 +452,12 @@ object ScaleStress {
         s""""xengine_groups":$nXe,"xengine_wire":${xe._1},"xengine_cursors":${xe._2},""" +
         s""""gtk_rows":$nGtk,"gtk_wire":${gtk._1},"gtk_cursors":${gtk._2},"gtk_wire_mb":${gtk._3 / 1048576},""" +
         s""""limit_rows":$nLim,"limit_wire":${lim._1},"limit_cursors":${lim._2},"limit_wire_mb":${lim._3 / 1048576},""" +
+        s""""win_rows":$nWin,"win_wire":${win._1},"win_cursors":${win._2},""" +
+        s""""win_cursor_counts":${winCursorCounts.mkString("[", ",", "]")},""" +
+        s""""win_cursor_max_over_mean":${
+          if (winCursorCounts.isEmpty || winCursorCounts.sum == 0) -1.0
+          else math.round(winCursorCounts.max.toDouble *
+            winCursorCounts.length / winCursorCounts.sum * 100.0) / 100.0},""" +
         s"""$fedJson}""")
     }
 

@@ -231,7 +231,29 @@ final class DuckDbSqlExecutor(
       import org.apache.spark.sql.catalyst.plans.logical.ColumnStat
       try {
         statistics(ref).flatMap(_.rowCount) match {
-          case None => Map.empty
+          case None =>
+            // at the row cap the TOTALS are unknown, but per-column ndv
+            // over the bounded sample still RANKS columns by cardinality
+            // — which is all the split-key chooser needs (a 3-value key
+            // vs a dense one keeps its order under any sampling). One
+            // engine aggregate, cached for the executor lifetime.
+            val schema = tableSchema(ref)
+            val eligible = schema.fields.filter(f => f.dataType match {
+              case ByteType | ShortType | IntegerType | LongType => true
+              case _ => false
+            })
+            if (eligible.isEmpty) Map.empty
+            else {
+              val items = eligible.map(f =>
+                s"COUNT(DISTINCT ${dialect.quoteIfNeeded(f.name)})")
+              val sql = s"SELECT ${items.mkString(", ")} FROM " +
+                s"(SELECT * FROM ${ref.sql(dialect)} LIMIT $statsRowCap) cs"
+              val row = runQuery(sql).head
+              eligible.zipWithIndex.map { case (f, i) =>
+                f.name -> org.apache.spark.sql.catalyst.plans.logical
+                  .ColumnStat(distinctCount = Some(BigInt(row.get(i).asLong())))
+              }.toMap
+            }
           case Some(rows) =>
             val schema = tableSchema(ref)
             val eligible = schema.fields.filter(f => f.dataType match {

@@ -212,7 +212,33 @@ final class JdbcSqlExecutor(
     colStatsCache.getOrElseUpdate(ref.toString, {
       try {
         statistics(ref).flatMap(_.rowCount) match {
-          case None => Map.empty
+          case None =>
+            // at-cap: totals unknown, but sample ndv still RANKS columns
+            // by cardinality for the split-key chooser (one bounded
+            // DISTINCT query per integral column — Derby permits a single
+            // DISTINCT aggregate per query, probed — cached for the
+            // executor lifetime)
+            val schema = tableSchema(ref)
+            val sample = s"(SELECT * FROM ${ref.sql(dialect)}" +
+              s"${dialect.limitClause(Some(statsRowCap), None)}) cs_sample"
+            val integral = schema.fields.filter(f => f.dataType match {
+              case ByteType | ShortType | IntegerType | LongType => true
+              case _ => false
+            })
+            if (integral.isEmpty) Map.empty
+            else {
+              val conn = connect()
+              try {
+                integral.map { f =>
+                  val rs = conn.createStatement().executeQuery(
+                    s"SELECT COUNT(DISTINCT " +
+                      s"${dialect.quoteIfNeeded(f.name)}) FROM $sample")
+                  rs.next()
+                  f.name -> org.apache.spark.sql.catalyst.plans.logical
+                    .ColumnStat(distinctCount = Some(BigInt(rs.getLong(1))))
+                }.toMap
+              } finally conn.close()
+            }
           case Some(rows) =>
             val schema = tableSchema(ref)
             val sample = s"(SELECT * FROM ${ref.sql(dialect)}" +

@@ -46,18 +46,35 @@ object SplitScan {
 
   /** Shared candidate chooser: statistics-informed (highest known
     * distinctCount — balance tracks cardinality) → `*key` name heuristic
-    * (TPC-H-style surrogate keys are dense) → first candidate. */
+    * (TPC-H-style surrogate keys are dense) → first candidate.
+    *
+    * Cardinality comes from `plan.stats.attributeStats` when CBO filled
+    * them, and otherwise from the executor's own (bounded, cached)
+    * column probes through the fragment's [[RemoteRelation]] leaves — a
+    * 16-cursor split that lands on a 3-value column costs far more than
+    * one sample aggregate, and at 100 TB the chooser is exactly the
+    * place that must not run blind. At-cap tables report sample ndv
+    * (ranking survives sampling even when totals are unknown). */
   private def pickInformed(candidates: Seq[Attribute],
       statsSource: LogicalPlan): Option[Attribute] = {
     if (candidates.isEmpty) return None
+    if (candidates.size == 1) return candidates.headOption
     val colStats =
       try statsSource.stats.attributeStats
       catch { case scala.util.control.NonFatal(_) =>
         org.apache.spark.sql.catalyst.expressions.AttributeMap.empty[
           org.apache.spark.sql.catalyst.plans.logical.ColumnStat]
       }
+    def executorNdv(a: Attribute): Option[BigInt] =
+      statsSource.collectFirst {
+        case r: RemoteRelation if r.outputSet.contains(a) =>
+          try r.executor.columnStatistics(r.ref)
+            .get(a.name).flatMap(_.distinctCount)
+          catch { case scala.util.control.NonFatal(_) => None }
+      }.flatten
     val byDistinct = candidates.flatMap { a =>
-      colStats.get(a).flatMap(_.distinctCount).map(a -> _)
+      colStats.get(a).flatMap(_.distinctCount).orElse(executorNdv(a))
+        .map(a -> _)
     }
     if (byDistinct.nonEmpty) Some(byDistinct.maxBy(_._2)._1)
     else candidates.find(_.name.toLowerCase.endsWith("key"))

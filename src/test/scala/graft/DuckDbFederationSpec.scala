@@ -1947,6 +1947,23 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       val mean = counts.sum.toDouble / counts.size
       assert(counts.forall(_ <= 2 * mean),
         s"unbalanced window-split cursors $counts (mean $mean)")
+      // CBO OFF (the default gate configuration): plan.stats carries no
+      // column stats, so the chooser must fall back to the executor's
+      // own bounded ndv probes through the RemoteRelation leaf — at
+      // 100 TB this is the path that actually runs
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val before2 = e.executedSql.size
+      spark.sql(
+        """SELECT id, SUM(v) OVER (PARTITION BY grp_few, grp_many) AS w
+          |FROM duck_win_skew""".stripMargin).collect()
+      val splits2 = e.executedSql.synchronized {
+        e.executedSql.drop(before2).filter(s =>
+          s.contains("win_skew") && s.contains("sum") && s.contains("WHERE")) }
+      assert(splits2.nonEmpty &&
+        splits2.forall(_.contains("grp_many")) &&
+        !splits2.head.substring(splits2.head.indexOf("WHERE"))
+          .contains("grp_few"),
+        s"CBO-off chooser must use executor ndv:\n${splits2.headOption}")
     } finally {
       spark.conf.set("spark.sql.cbo.enabled", "false")
       e.runWrite(Seq("DROP TABLE IF EXISTS win_skew"))
