@@ -85,12 +85,36 @@ class RemoteEngineCatalog extends TableCatalog with SupportsNamespaces {
     if (isDefaultNs(ident.namespace)) RemoteTableRef(Seq(ident.name))
     else RemoteTableRef(ident.namespace.toIndexedSeq :+ ident.name)
 
+  /** A quoted table-FUNCTION identifier — `` duck.main.`range(6)` `` —
+    * parses to a ref with args (reference `table_reference.rs:47-92`);
+    * no listing enumerates these, so resolution is a schema probe (the
+    * engine can DESCRIBE a table-function select like any query). */
+  private def fnRef(ident: Identifier): Option[RemoteTableRef] =
+    if (!ident.name.contains("(")) None
+    else scala.util.Try(RemoteTableRef.parse(ident.name)).toOption
+      .filter(_.args.isDefined)
+      .map { r =>
+        if (isDefaultNs(ident.namespace)) r
+        else RemoteTableRef(ident.namespace.toIndexedSeq ++ r.parts, r.args)
+      }
+
   /** First-match-wins executor resolution (reference MultiSchemaProvider):
     * the default namespace resolves against the cached remote listing
     * (case-folded per session config); a non-default namespace is an
     * explicit engine schema — its own listing when the executor
-    * enumerates schemas, a cached schema probe otherwise. */
+    * enumerates schemas, a cached schema probe otherwise. Table-function
+    * identifiers probe directly. */
   private def resolve(ident: Identifier): Option[(SqlExecutor, RemoteTableRef)] =
+    fnRef(ident) match {
+      case Some(fn) =>
+        spec.executors.iterator.flatMap { e =>
+          try { e.tableSchema(fn); Some((e, fn)) }
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.nextOption()
+      case None => resolvePlain(ident)
+    }
+
+  private def resolvePlain(ident: Identifier): Option[(SqlExecutor, RemoteTableRef)] =
     if (isDefaultNs(ident.namespace))
       spec.executors.iterator.flatMap { e =>
         e.tableNames.find(nameMatch(_, ident.name))

@@ -1627,6 +1627,31 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("DSv2 catalog: table-FUNCTION identifiers resolve and federate " +
+      "(reference table_reference.rs:47-92 through the catalog)") {
+    Federation.registerCatalog(spark, "duckcat", Seq(ex))
+    // schema probes through DESCRIBE of the table-function select; the
+    // ref's args survive into the wire SQL and the filter pushes down
+    val df = spark.sql(
+      "SELECT range AS r FROM duckcat.main.`range(6)` WHERE range >= 2")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 4L, 5L))
+    val scans = remoteScans(df)
+    assert(scans.size == 1 && scans.head.contains("range(6)"),
+      s"table args lost through the catalog:\n$scans")
+    // generate_series with two args, joined against a plain catalog table
+    val joined = spark.sql(
+      """SELECT COUNT(*) AS n FROM duckcat.main.`generate_series(0, 4)` g
+        |JOIN duckcat.main.region r ON g.generate_series = r.r_regionkey"""
+        .stripMargin)
+    assert(joined.collect().head.getLong(0) == 5L)
+    assert(remoteScans(joined).size == 1,
+      "fn ref + plain table of one engine must share a fragment")
+    // unknown function still refuses loudly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM duckcat.main.`no_such_fn(1)`").collect()
+    }
+  }
+
   test("DSv2 catalog: REFRESH TABLE re-probes ONE table; sibling caches " +
       "stay warm (r12 nuked every executor cache)") {
     val e = ex
