@@ -852,8 +852,10 @@ object DerbyDialect extends SqlDialect {
   // generated expression code hits NoSuchMethodError
   // DataValueDescriptor.equals(boolean) evaluating that shape inside
   // (NOT) EXISTS under a join — probed live, fuzz seed 777 query #16.
+  // operand parens match the base dialect's: a predicate-typed operand
+  // must not chain with `=` / `IS NULL` (r13 fuzz, seed 4242)
   override def nullSafeEq(l: String, r: String): String =
-    s"(CASE WHEN ($l = $r) OR ($l IS NULL AND $r IS NULL) " +
+    s"(CASE WHEN (($l) = ($r)) OR (($l) IS NULL AND ($r) IS NULL) " +
       "THEN TRUE ELSE FALSE END)"
   // Derby only parses ROW_NUMBER() OVER () — no PARTITION BY/ORDER BY
   override def supportsWindowFunctions: Boolean = false

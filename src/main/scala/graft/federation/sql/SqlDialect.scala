@@ -226,9 +226,12 @@ trait SqlDialect {
   /** Null-safe equality (Spark `<=>`). Engines without IS NOT DISTINCT
     * FROM emulate with COALESCE — exact in every context, including
     * projections, where bare OR-of-IS-NULLs would yield NULL instead of
-    * FALSE. */
+    * FALSE. Operands parenthesize: a predicate-typed operand (Catalyst
+    * produces `like <=> true` shapes the simplifier cannot fold) would
+    * otherwise chain as `x LIKE p IS NOT DISTINCT FROM TRUE`, which SQL
+    * parsers reject — found by the r13 fuzz at seed 4242. */
   def nullSafeEq(l: String, r: String): String =
-    s"($l IS NOT DISTINCT FROM $r)"
+    s"(($l) IS NOT DISTINCT FROM ($r))"
 
   /** Windowed OVER(...) clauses — Derby only parses the bare
     * `ROW_NUMBER() OVER ()` form (probed), so the whole Window node must

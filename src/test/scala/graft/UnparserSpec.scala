@@ -130,6 +130,17 @@ class UnparserSpec extends AnyFunSuite {
       "SELECT t1.a AS a FROM t AS t1 ORDER BY a DESC NULLS LAST LIMIT 10 OFFSET 5")
   }
 
+  test("null-safe equality parenthesizes predicate operands (fuzz seed " +
+      "4242: `x LIKE p IS NOT DISTINCT FROM TRUE` does not parse)") {
+    // Catalyst produces `like <=> true` from constant-folded CASE
+    // predicates and the simplifier cannot fold through the tri-state
+    val plan = Project(Seq(a),
+      Filter(EqualNullSafe(Like(b, Literal("_"), '\\'), Literal(true)), t))
+    assert(sql(plan) ==
+      "SELECT t1.a AS a FROM t AS t1 " +
+        "WHERE ((t1.b LIKE '_') IS NOT DISTINCT FROM (TRUE))")
+  }
+
   test("ORDER BY on a declared ANSI interval key is ADMITTED (policy)") {
     // Policy, decided r13: remote interval ordering ships. Engine interval
     // comparison is normalized-duration (probed on DuckDB: 25h > 1 day,
