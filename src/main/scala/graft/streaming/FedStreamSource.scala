@@ -56,9 +56,10 @@ import graft.federation.sql.{RemoteTableRef, SqlExecutor}
   * emitted maximum.
   *
   * Scale shape: per trigger, ONE 1-row probe + one range-filtered
-  * fetch (split scans apply to it like any fragment). The source reads
-  * full rows — cursor ingestion is row-shaped by nature; prune in the
-  * remote VIEW if columns are fat.
+  * fetch (split scans apply to it like any fragment). Because the
+  * microbatch plan federates like any batch plan, a projected stream
+  * PRUNES the wire SELECT list — unprojected fat columns never cross
+  * (spec-pinned; the V1 form read full rows).
   *
   * Wire-up (both forms need `Federation.install` / `registerCatalog`):
   * {{{

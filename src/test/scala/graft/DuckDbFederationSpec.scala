@@ -2263,6 +2263,37 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming fed source: a projected stream PRUNES the wire SELECT " +
+      "list (the microbatch fragment is a normal federated fragment)") {
+    val e = ex
+    Federation.registerCatalog(spark, "srccat", Seq(e))
+    e.runDdl(RemoteTableRef.parse("prune_stream_probe"), Seq(
+      "DROP TABLE IF EXISTS prune_stream_probe",
+      "CREATE TABLE prune_stream_probe AS SELECT range AS id, " +
+        "'fat' || range AS fat_a, 'fat' || range AS fat_b FROM range(1, 31)"))
+    val ckpt = java.nio.file.Files.createTempDirectory("fed_pr_ck").toString
+    val before = e.executedSql.size
+    val q = fedSourceStream("srccat", "prune_stream_probe", "id")
+      .select("id") // the fat columns must never cross the wire
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fed_src_prune").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fed_src_prune").count() == 30)
+      val fetches = e.executedSql.synchronized {
+        e.executedSql.drop(before).filter(s =>
+          s.contains("prune_stream_probe") && s.contains("WHERE")) }
+      assert(fetches.nonEmpty)
+      fetches.foreach { s =>
+        assert(!s.contains("fat_a") && !s.contains("fat_b"),
+          s"unprojected columns crossed the wire:\n$s")
+      }
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   test("streaming fed source: Trigger.AvailableNow drains a paced " +
       "backfill in bounded batches and terminates on its own") {
     val e = ex
