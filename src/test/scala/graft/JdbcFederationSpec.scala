@@ -782,6 +782,43 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(_.toString).toSeq == want)
   }
 
+  test("streaming fed source over the JDBC engine: the source is " +
+      "executor-generic, not a DuckDB special") {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    try st.executeUpdate("DROP TABLE stream_src") catch { case _: Exception => () }
+    st.executeUpdate("CREATE TABLE stream_src (id BIGINT, v VARCHAR(16))")
+    st.executeUpdate(
+      "INSERT INTO stream_src VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    st.close(); conn.close()
+    val e = new JdbcSqlExecutor("derby", spark, url, DerbyDialect)
+    Federation.registerCatalog(spark, "jstreamcat", Seq(e))
+    val ckpt = java.nio.file.Files.createTempDirectory("fed_jdbc_ck").toString
+    val q = spark.readStream.format("graft-fed")
+      .option("catalog", "jstreamcat")
+      .option("table", "STREAM_SRC") // Derby metadata uppercases
+      .option("cursor", "ID")
+      .load()
+      .writeStream.outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .queryName("fed_src_jdbc").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fed_src_jdbc").count() == 3)
+      val c2 = DriverManager.getConnection(url)
+      c2.createStatement().executeUpdate(
+        "INSERT INTO stream_src VALUES (4, 'd'), (5, 'e')")
+      c2.close()
+      q.processAllAvailable()
+      val got = spark.table("fed_src_jdbc")
+        .select("ID").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (1L to 5L), s"incremental JDBC ingest broke: $got")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   test("task retry cannot duplicate rows: staging replaces, publish is atomic") {
     // the 100 TB correctness trap the r8 verdict flagged: a task retry
     // (or speculative re-run) after partial committed INSERTs would
