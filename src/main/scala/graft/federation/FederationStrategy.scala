@@ -81,7 +81,7 @@ object FederationStrategy extends SparkStrategy {
           if (sqls.size <= 1) defaultScan(f, provider) :: Nil
           else {
             val scan = RemoteScanExec(f.output, sqls, provider.executor,
-              Nil, Nil, Nil, rangeIdx.map(f.output))
+              Nil, Nil, Nil, rangeIdx.map(f.output), streamOf(f.inner))
             org.apache.spark.sql.execution.GlobalLimitExec(k,
               org.apache.spark.sql.execution.LocalLimitExec(k, scan)) :: Nil
           }
@@ -95,10 +95,19 @@ object FederationStrategy extends SparkStrategy {
       val (sqls, rangeIdx) =
         provider.unparseSplitsInfo(Project(r.output, r))
       RemoteScanExec(r.output, sqls, r.executor,
-        rangeSplitCol = rangeIdx.map(r.output)) :: Nil
+        rangeSplitCol = rangeIdx.map(r.output), stream = r.stream) :: Nil
 
     case _ => Nil
   }
+
+  /** The SparkDataStream whose microbatch this fragment reads, if any —
+    * set by FedStreamScanRule's substituted leaf; surfaces on the physical
+    * scan so streaming progress meters numInputRows. */
+  private def streamOf(inner: LogicalPlan): Option[
+      org.apache.spark.sql.connector.read.streaming.SparkDataStream] =
+    inner.collectFirst {
+      case r: RemoteRelation if r.stream.isDefined => r.stream.get
+    }
 
   private def defaultScan(f: FederatedPlan,
       provider: SqlFederationProvider): SparkPlan = {
@@ -106,7 +115,7 @@ object FederationStrategy extends SparkStrategy {
     RemoteScanExec(f.output, sqls,
       provider.executor, f.runtimeFilters, f.bindJoins,
       remoteOrdering(f, provider, sqls.size),
-      rangeIdx.map(f.output))
+      rangeIdx.map(f.output), streamOf(f.inner))
   }
 
   /** The ordering a fragment's remote SQL GUARANTEES on the wire — a

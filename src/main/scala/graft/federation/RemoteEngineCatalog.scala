@@ -123,16 +123,29 @@ class RemoteEngineCatalog extends TableCatalog with SupportsNamespaces {
     else {
       val ns = ident.namespace.toIndexedSeq
       spec.executors.iterator.flatMap { e =>
+        // resolve the ENGINE's listed schema spelling first: tableNames
+        // does an exact information_schema / JDBC-metadata match, so the
+        // asked-case spelling (`IN duck.ANALYTICS` under case-insensitive
+        // analysis) must fold to the engine's actual one before listing
         val listed =
-          if (ns.size == 1) e.tableNames(ns.head).find(nameMatch(_, ident.name))
+          if (ns.size == 1)
+            schemaSpelling(e, ns.head)
+              .flatMap(s => e.tableNames(s).find(nameMatch(_, ident.name))
+                .map(t => RemoteTableRef(Seq(s, t))))
           else None
-        listed.map(actual => (e, RemoteTableRef(ns :+ actual))).orElse {
+        listed.map(r => (e, r)).orElse {
           val ref = refFor(ident)
           try { e.tableSchema(ref); Some((e, ref)) }
           catch { case scala.util.control.NonFatal(_) => None }
         }
       }.nextOption()
     }
+
+  /** The engine's OWN spelling of an asked schema name (exact-match
+    * listings like information_schema / JDBC metadata need the engine's
+    * case, not the identifier's). */
+  private def schemaSpelling(e: SqlExecutor, asked: String): Option[String] =
+    e.schemaNames.find(nameMatch(_, asked))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     // first-match-wins applies to listing too: a name owned by an earlier
@@ -142,7 +155,9 @@ class RemoteEngineCatalog extends TableCatalog with SupportsNamespaces {
       spec.executors.foreach(e => e.tableNames.foreach(seen += _))
     else if (namespace.length == 1 &&
         spec.executors.exists(_.schemaNames.exists(nameMatch(_, namespace.head))))
-      spec.executors.foreach(e => e.tableNames(namespace.head).foreach(seen += _))
+      // list under each engine's own spelling of the asked schema
+      spec.executors.foreach(e => schemaSpelling(e, namespace.head)
+        .foreach(s => e.tableNames(s).foreach(seen += _)))
     else
       throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
     seen.toArray.map(Identifier.of(namespace, _))
@@ -338,7 +353,9 @@ final case class RemoteCatalogTable(
         required, hooks,
         cursor = Option(options.get("cursor")),
         cursorStep =
-          graft.streaming.FedStreamSourceProvider.parseStep(options))
+          graft.streaming.FedStreamSourceProvider.parseStep(options),
+        cursorHorizon =
+          graft.streaming.FedStreamSourceProvider.parseHorizon(options))
     }
 }
 
@@ -352,7 +369,8 @@ final case class RemoteCatalogScan(
     override val readSchema: StructType,
     hooks: Option[TableHooks],
     cursor: Option[String] = None,
-    cursorStep: Option[Long] = None) extends Scan {
+    cursorStep: Option[Long] = None,
+    cursorHorizon: Long = 0L) extends Scan {
 
   override def toBatch: Batch =
     throw new IllegalStateException(
@@ -368,8 +386,11 @@ final case class RemoteCatalogScan(
     val c = cursor.getOrElse(throw new IllegalArgumentException(
       s"streaming read of remote table $ref needs .option(\"cursor\", " +
         "<monotone column>) (optionally .option(\"cursorStep\", n))"))
+    // hooks thread through: a hooked catalog table read as a stream must
+    // see the same plan/SQL rewrites (and probe the same rewritten
+    // extrema) as its batch reads
     new graft.streaming.FedMicroBatchStream(SparkSession.active,
-      executor, ref, c, cursorStep)
+      executor, ref, c, cursorStep, cursorHorizon, hooks)
   }
 
   override def description(): String =

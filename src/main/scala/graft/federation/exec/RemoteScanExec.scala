@@ -42,8 +42,19 @@ final case class RemoteScanExec(
     @transient runtimeFilters: Seq[RemoteRuntimeFilter] = Nil,
     @transient bindJoins: Seq[graft.federation.plans.RemoteBindJoin] = Nil,
     outputOrder: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] = Nil,
-    rangeSplitCol: Option[Attribute] = None)
-  extends LeafExecNode {
+    rangeSplitCol: Option[Attribute] = None,
+    @transient stream: Option[
+      org.apache.spark.sql.connector.read.streaming.SparkDataStream] = None)
+  extends LeafExecNode
+    with org.apache.spark.sql.execution.StreamSourceAwareSparkPlan {
+
+  /** Streaming-progress metering: when this scan executes a microbatch of
+    * a [[graft.streaming.FedMicroBatchStream]] (FedStreamScanRule swaps the
+    * v2 scan relation away, so no MicroBatchScanExec exists to meter),
+    * declaring the stream here lets ProgressContext read this node's
+    * `numOutputRows` as the source's `numInputRows`. */
+  override def getStream: Option[
+      org.apache.spark.sql.connector.read.streaming.SparkDataStream] = stream
   // @transient: physical plans are captured in task closures (whole-stage
   // codegen, broadcast); the executor is only dereferenced driver-side in
   // doExecute, and remote engines aren't java-serializable.

@@ -152,13 +152,26 @@ final class JdbcSqlExecutor(
   }
 
   /** Named-schema listing through JDBC metadata — backs
-    * `SHOW TABLES IN <catalog>.<schema>`. */
+    * `SHOW TABLES IN <catalog>.<schema>`. The schema argument of
+    * `getTables` is a PATTERN ('_'/'%' are wildcards — MY_SCHEMA would
+    * also match MYXSCHEMA): escape metacharacters with the driver's own
+    * escape string, and belt-and-braces post-filter rows by exact
+    * TABLE_SCHEM equality for drivers whose escape handling is spotty. */
   override def tableNames(schema: String): Seq[String] = {
     val conn = connect()
     try {
-      val rs = conn.getMetaData.getTables(null, schema, "%", Array("TABLE"))
+      val md = conn.getMetaData
+      val esc = Option(md.getSearchStringEscape).filter(_.nonEmpty)
+      val pattern = esc match {
+        case Some(e) => schema
+          .replace(e, e + e).replace("_", e + "_").replace("%", e + "%")
+        case None => schema
+      }
+      val rs = md.getTables(null, pattern, "%", Array("TABLE"))
       val names = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (rs.next()) names += rs.getString("TABLE_NAME")
+      while (rs.next())
+        if (rs.getString("TABLE_SCHEM") == schema)
+          names += rs.getString("TABLE_NAME")
       names.toSeq.filterNot(SqlExecutor.isStagingArtifact).sorted
     } finally conn.close()
   }

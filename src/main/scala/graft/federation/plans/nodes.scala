@@ -2,7 +2,8 @@ package graft.federation.plans
 
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
-import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Statistics}
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Statistics, StreamSourceAwareLogicalPlan}
+import org.apache.spark.sql.connector.read.streaming.SparkDataStream
 import org.apache.spark.sql.types.StructType
 
 import graft.federation.FederationProvider
@@ -26,8 +27,19 @@ final case class RemoteRelation(
     // plan (FedStreamScanRule): the flag must survive so stateful
     // operators above keep planning incrementally (StateStore placement
     // keys off Aggregate.isStreaming)
-    override val isStreaming: Boolean = false)
-  extends LeafNode with MultiInstanceRelation {
+    override val isStreaming: Boolean = false,
+    // the SparkDataStream this leaf reads a microbatch of, when it came
+    // from FedStreamScanRule — threaded to RemoteScanExec so the engine's
+    // ProgressContext meters the scan's numOutputRows as the source's
+    // numInputRows (StreamSourceAwareSparkPlan contract)
+    stream: Option[SparkDataStream] = None)
+  extends LeafNode with MultiInstanceRelation
+    with StreamSourceAwareLogicalPlan {
+
+  override def withStream(s: SparkDataStream): LogicalPlan =
+    copy(stream = Some(s))
+
+  override def getStream: Option[SparkDataStream] = stream
 
   override def newInstance(): RemoteRelation =
     copy(output = output.map(_.newInstance()))

@@ -213,7 +213,14 @@ trait SqlExecutor {
   * copies share the hooks reference) applies its hooks once.
   *
   * `planRewriter` must preserve the fragment's output schema (same
-  * contract, and the same loud failure, as the executor-level hook). */
+  * contract, and the same loud failure, as the executor-level hook).
+  * Note that the fragment handed in is COLUMN-PRUNED: a hook whose
+  * rewrite needs a column the query didn't read (e.g. a row screen on a
+  * flag column under a COUNT(*)) must re-derive it from a fresh
+  * full-schema `RemoteRelation(ref, executor)` and project back to the
+  * pruned output attributes (keeping their exprIds). Hooks apply to
+  * STREAMING reads of the table too — microbatch fragments and the
+  * cursor MIN/MAX probes both see the rewritten plan. */
 final class TableHooks(
     val planRewriter: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = identity,

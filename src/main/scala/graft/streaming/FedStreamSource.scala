@@ -55,6 +55,17 @@ import graft.federation.sql.{RemoteTableRef, SqlExecutor}
   * because a batch can never later contain rows at-or-below an already
   * emitted maximum.
   *
+  * Tie-safety (`cursorHorizon`): the bare MAX probe is tie-UNSAFE for
+  * cursors real writers produce — two rows committed with the SAME
+  * timestamp straddling a trigger boundary mean the probe observes the
+  * first, the batch reads it, and the second (inserted at-or-below the
+  * observed maximum) is silently lost. `.option("cursorHorizon", h)`
+  * makes the stream read only to `MAX - h` (saturating): rows within the
+  * horizon of the head stay unread until the head moves past them, so any
+  * writer whose ties span less than `h` cursor units (e.g. h = max commit
+  * skew in micros for a timestamp cursor) is read exactly once, loss-free.
+  * The production CDC "read to MAX - epsilon" pattern.
+  *
   * Scale shape: per trigger, ONE 1-row probe + one range-filtered
   * fetch (split scans apply to it like any fragment). Because the
   * microbatch plan federates like any batch plan, a projected stream
@@ -79,22 +90,27 @@ class FedStreamSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-fed"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (ex, ref, cursor, _) = FedStreamSourceProvider.resolve(options)
-    val s = ex.tableSchema(ref)
-    require(s.fieldNames.contains(cursor),
-      s"cursor column '$cursor' not in remote schema ${s.fieldNames.toSeq}")
+    val r = FedStreamSourceProvider.resolve(options)
+    val s = r.executor.tableSchema(r.ref)
+    require(s.fieldNames.contains(r.cursor),
+      s"cursor column '${r.cursor}' not in remote schema ${s.fieldNames.toSeq}")
     s
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val (ex, ref, cursor, step) = FedStreamSourceProvider.resolve(
+    val r = FedStreamSourceProvider.resolve(
       new CaseInsensitiveStringMap(properties))
-    FedStreamTable(ex, ref, cursor, step)
+    FedStreamTable(r.executor, r.ref, r.cursor, r.step, r.horizon, r.hooks)
   }
 }
 
 object FedStreamSourceProvider {
+
+  private[graft] final case class Resolved(
+      executor: SqlExecutor, ref: RemoteTableRef, cursor: String,
+      step: Option[Long], horizon: Long,
+      hooks: Option[graft.federation.sql.TableHooks])
 
   /** Parse + validate the step option: must be a positive long. */
   private[graft] def parseStep(params: CaseInsensitiveStringMap):
@@ -112,8 +128,20 @@ object FedStreamSourceProvider {
       v
     }
 
-  private def resolve(params: CaseInsensitiveStringMap):
-      (SqlExecutor, RemoteTableRef, String, Option[Long]) = {
+  /** Parse + validate the tie-safety horizon: non-negative (0 = off). */
+  private[graft] def parseHorizon(params: CaseInsensitiveStringMap): Long =
+    Option(params.get("cursorHorizon")).map { raw =>
+      val v =
+        try raw.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"option 'cursorHorizon' must be a non-negative integer, got '$raw'")
+        }
+      require(v >= 0, s"option 'cursorHorizon' must be >= 0, got $v")
+      v
+    }.getOrElse(0L)
+
+  private def resolve(params: CaseInsensitiveStringMap): Resolved = {
     def req(k: String, hint: String): String =
       Option(params.get(k)).getOrElse(throw new IllegalArgumentException(
         s"graft-fed source needs option '$k' ($hint)"))
@@ -132,7 +160,10 @@ object FedStreamSourceProvider {
       })
       .getOrElse(throw new IllegalArgumentException(
         s"table '$table' not found in any executor of catalog '$cat'"))
-    (ex, ref, cursor, parseStep(params))
+    // same per-table hooks the catalog path attaches (loadTable): a hooked
+    // table must behave identically through format("graft-fed")
+    val hooks = spec.hooks.get(ref.parts.last)
+    Resolved(ex, ref, cursor, parseStep(params), parseHorizon(params), hooks)
   }
 }
 
@@ -141,7 +172,10 @@ final case class FedStreamTable(
     executor: SqlExecutor,
     ref: RemoteTableRef,
     cursorCol: String,
-    cursorStep: Option[Long]) extends Table with SupportsRead {
+    cursorStep: Option[Long],
+    cursorHorizon: Long = 0L,
+    hooks: Option[graft.federation.sql.TableHooks] = None)
+  extends Table with SupportsRead {
 
   override def name(): String = s"graft-fed:${executor.name}:$ref"
 
@@ -154,7 +188,8 @@ final case class FedStreamTable(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
-        FedStreamScan(executor, ref, cursorCol, cursorStep, schema())
+        FedStreamScan(executor, ref, cursorCol, cursorStep, schema(),
+          cursorHorizon, hooks)
     }
 }
 
@@ -167,12 +202,14 @@ final case class FedStreamScan(
     ref: RemoteTableRef,
     cursorCol: String,
     cursorStep: Option[Long],
-    override val readSchema: StructType) extends Scan {
+    override val readSchema: StructType,
+    cursorHorizon: Long = 0L,
+    hooks: Option[graft.federation.sql.TableHooks] = None) extends Scan {
 
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
     new FedMicroBatchStream(SparkSession.active, executor, ref,
-      cursorCol, cursorStep)
+      cursorCol, cursorStep, cursorHorizon, hooks)
 
   override def description(): String =
     s"FedStreamScan [${executor.name}] $ref by $cursorCol"
@@ -187,8 +224,13 @@ class FedMicroBatchStream(
     val executor: SqlExecutor,
     val ref: RemoteTableRef,
     cursorCol: String,
-    cursorStep: Option[Long]) extends MicroBatchStream
+    cursorStep: Option[Long],
+    cursorHorizon: Long = 0L,
+    hooks: Option[graft.federation.sql.TableHooks] = None)
+    extends MicroBatchStream
     with SupportsTriggerAvailableNow with Logging {
+
+  require(cursorHorizon >= 0, s"cursorHorizon must be >= 0, got $cursorHorizon")
 
   val schema: StructType = executor.tableSchema(ref)
   require(schema.fieldNames.contains(cursorCol),
@@ -233,10 +275,12 @@ class FedMicroBatchStream(
   }
 
   private def table =
-    Federation.remoteDataFrame(spark, ref.toString, executor)
+    Federation.remoteDataFrame(spark, ref.toString, executor, hooks)
 
   /** One federated 1-row aggregate: executes on the remote engine, the
-    * wire carries one value. */
+    * wire carries one value. Hooks apply to probes exactly as to batch
+    * reads — a plan-rewritten (e.g. row-filtered) table must pace off ITS
+    * extrema, not the raw table's. */
   private def probe(agg: org.apache.spark.sql.Column): Option[Long] = {
     val row = table.agg(agg.as("m")).collect().head
     if (row.isNullAt(0)) None else Some(toLong(row.get(0)))
@@ -247,8 +291,26 @@ class FedMicroBatchStream(
     * bound for it entirely. */
   private val EmptyBase = Long.MinValue
 
+  /** Exclusive base offset one below `m`, guarded against underflow: a
+    * cursor min at (or one above) Long.MinValue cannot be bounded from
+    * below by any long — collapse to the sentinel, which drops the lower
+    * bound entirely (reads everything up to the batch end; exactly right
+    * at the type's floor, where nothing can precede the min). */
+  private def baseBelow(m: Long): Long =
+    if (m <= EmptyBase + 1) EmptyBase else m - 1L
+
+  /** The readable high-water mark: remote MAX held back by the tie-safety
+    * horizon (saturating — a horizon wider than the value range means
+    * nothing is safely readable yet, the sentinel). */
+  private def probeHigh(): Option[Long] =
+    probe(max(col(cursorCol))).map { m =>
+      if (cursorHorizon == 0L) m
+      else if (m < EmptyBase + cursorHorizon) EmptyBase
+      else m - cursorHorizon
+    }
+
   override def initialOffset(): OffsetV2 =
-    FedOffset(probe(min(col(cursorCol))).map(_ - 1L).getOrElse(EmptyBase))
+    FedOffset(probe(min(col(cursorCol))).map(baseBelow).getOrElse(EmptyBase))
 
   override def deserializeOffset(json: String): OffsetV2 =
     FedOffset(json.trim.toLong)
@@ -267,8 +329,12 @@ class FedMicroBatchStream(
     * a concurrent writer keeps appending left for the next run. */
   @volatile private var availableNowBound: Option[Long] = None
 
+  /** Freeze an EXPLICIT bound even when the table is empty at prepare
+    * time (the sentinel: nothing available) — leaving None would let a
+    * concurrent writer extend the run forever, and AvailableNow's whole
+    * contract is self-termination. */
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowBound = probe(max(col(cursorCol)))
+    availableNowBound = Some(probeHigh().getOrElse(EmptyBase))
 
   /** The high-water mark for progress reporting: the frozen AvailableNow
     * bound when one is set; otherwise unknown (null per the contract —
@@ -283,7 +349,7 @@ class FedMicroBatchStream(
     * deleted at the head — must not rewind the stream). */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val base = valueOf(start)
-    probe(max(col(cursorCol))).map(r =>
+    probeHigh().map(r =>
         availableNowBound.fold(r)(math.min(r, _))) match {
       case None => start
       case Some(remote) =>
@@ -295,7 +361,7 @@ class FedMicroBatchStream(
             // (one more 1-row probe)
             val floor =
               if (base == EmptyBase)
-                probe(min(col(cursorCol))).map(_ - 1L).getOrElse(base)
+                probe(min(col(cursorCol))).map(baseBelow).getOrElse(base)
               else base
             // saturating add: a timestamp cursor near Long.MaxValue
             // micros must not wrap negative
@@ -328,9 +394,12 @@ class FedMicroBatchStream(
     val pred = lo.filter(_ != EmptyBase)
       .map(l => And(GreaterThan(cursor, litOf(l)), upper))
       .getOrElse(upper)
+    // hooks ride the leaf exactly as on batch reads of the same catalog
+    // table; `stream = this` marks the physical scan stream-source-aware,
+    // so progress reports meter its numOutputRows as numInputRows
     Filter(pred, RemoteRelation(ref, executor,
-      output.map(_.asInstanceOf[AttributeReference]), None,
-      isStreaming = true))
+      output.map(_.asInstanceOf[AttributeReference]), hooks,
+      isStreaming = true, stream = Some(this)))
   }
 
   override def planInputPartitions(start: OffsetV2,

@@ -1615,6 +1615,14 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val listed = spark.sql("SHOW TABLES IN duckcat.analytics")
       .collect().map(_.getString(1)).toSet
     assert(listed == Set("daily_rollup"), listed)
+    // asked-case spelling: the LISTING must fold to the engine's actual
+    // schema spelling too (tableNames is an exact information_schema
+    // match — the r13 ADVICE defect returned an empty listing here)
+    val listedUpper = spark.sql("SHOW TABLES IN duckcat.ANALYTICS")
+      .collect().map(_.getString(1)).toSet
+    assert(listedUpper == Set("daily_rollup"), s"asked-case listing: $listedUpper")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM duckcat.ANALYTICS.daily_rollup")
+      .collect().head.getLong(0) == 7L)
     // resolution + federation through the explicit schema, case-folded
     val df = spark.sql(
       "SELECT SUM(clicks) AS s FROM duckcat.analytics.DAILY_ROLLUP " +
@@ -2350,6 +2358,220 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = spark.table("fed_src_ts")
         .select("v").collect().map(_.getInt(0)).sorted.toSeq
       assert(got == Seq(1, 2, 3))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
+  test("streaming fed source: progress meters numInputRows (the scan is " +
+      "StreamSourceAware — no MicroBatchScanExec survives federation)") {
+    val e = ex
+    Federation.registerCatalog(spark, "srccat", Seq(e))
+    e.runDdl(RemoteTableRef.parse("meter_probe"), Seq(
+      "DROP TABLE IF EXISTS meter_probe",
+      "CREATE TABLE meter_probe AS " +
+        "SELECT range AS id, 'x' AS v FROM range(1, 21)"))
+    val ckpt = java.nio.file.Files.createTempDirectory("fed_mt_ck").toString
+    val q = fedSourceStream("srccat", "meter_probe", "id")
+      .writeStream.outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .queryName("fed_src_meter").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fed_src_meter").count() == 20)
+      val metered = q.recentProgress.map(_.numInputRows).sum
+      assert(metered == 20,
+        s"numInputRows must meter the federated wire rows, got $metered " +
+          s"(progress: ${q.recentProgress.map(_.numInputRows).toSeq})")
+      e.runWrite(Seq("INSERT INTO meter_probe " +
+        "SELECT range, 'y' FROM range(21, 31)"))
+      q.processAllAvailable()
+      val total = q.recentProgress.map(_.numInputRows).sum
+      assert(total == 30, s"delta batch unmetered: $total")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
+  test("streaming fed source: cursorHorizon reads to MAX - h, so equal-" +
+      "cursor rows committed around a trigger boundary are never lost") {
+    val e = ex
+    Federation.registerCatalog(spark, "srccat", Seq(e))
+    e.runDdl(RemoteTableRef.parse("tie_probe"), Seq(
+      "DROP TABLE IF EXISTS tie_probe",
+      "CREATE TABLE tie_probe (ts BIGINT, v VARCHAR)"))
+    e.runWrite(Seq("INSERT INTO tie_probe " +
+      "SELECT range, 'w' || range FROM range(1, 11)")) // ts 1..10
+    val ckpt = java.nio.file.Files.createTempDirectory("fed_tie_ck").toString
+    val q = spark.readStream.format("graft-fed")
+      .option("catalog", "srccat").option("table", "tie_probe")
+      .option("cursor", "ts").option("cursorHorizon", "3")
+      .load()
+      .writeStream.outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .queryName("fed_src_tie").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // the horizon holds back the head: only ts <= 10-3 committed
+      val first = spark.table("fed_src_tie")
+        .select("ts").collect().map(_.getLong(0)).sorted.toSeq
+      assert(first == (1L to 7L), s"horizon must hold back the head: $first")
+      // the tie-unsafe write: a second row AT the already-observed max —
+      // without the horizon the first trigger would have committed
+      // through 10 and this row would be silently lost forever
+      e.runWrite(Seq("INSERT INTO tie_probe VALUES (10, 'late-tie')"))
+      e.runWrite(Seq("INSERT INTO tie_probe " +
+        "SELECT range, 'n' || range FROM range(11, 16)")) // head -> 15
+      q.processAllAvailable()
+      val rows = spark.table("fed_src_tie").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val ts = rows.map(_._1).sorted
+      assert(ts == ((1L to 10L) ++ Seq(10L) ++ (11L to 12L)),
+        s"readable is ts <= 15-3 with BOTH ts=10 rows exactly once: $ts")
+      assert(rows.count(_._2 == "late-tie") == 1, rows.mkString(","))
+      assert(rows.distinct.size == rows.size, s"duplicates: $rows")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
+  test("streaming reads of a hooked catalog table apply its TableHooks — " +
+      "microbatches AND cursor probes see the rewritten plan") {
+    val e = ex
+    // schema-preserving per-table rewrite: screen rows at the LEAF (the
+    // hook receives the whole fragment plan, whose output may be an
+    // aggregate's — wrap the table's relation, not the fragment). A
+    // fragment may have PRUNED the screen column away (COUNT(*) reads
+    // zero columns; the cursor probes read only the cursor): re-derive
+    // it from a fresh full-schema leaf and project back to the pruned
+    // attributes, keeping the fragment's output ids intact.
+    val hooks = new graft.federation.sql.TableHooks(
+      planRewriter = { p =>
+        import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Literal}
+        import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+        p.transformUp {
+          case r: graft.federation.plans.RemoteRelation
+              if r.ref.parts.last == "hooked_stream_probe" =>
+            r.output.find(_.name == "v") match {
+              case Some(v) => Filter(EqualTo(v, Literal("keep")), r)
+              case None =>
+                val full = graft.federation.plans.RemoteRelation(
+                  r.ref, r.executor)
+                def fullCol(n: String) = full.output.find(_.name == n).get
+                Project(r.output.map(a =>
+                    Alias(fullCol(a.name), a.name)(exprId = a.exprId)),
+                  Filter(EqualTo(fullCol("v"), Literal("keep")), full))
+            }
+        }
+      }, name = "rowscreen")
+    Federation.registerCatalog(spark, "hookcat", Seq(e),
+      hooks = Map("hooked_stream_probe" -> hooks))
+    e.runDdl(RemoteTableRef.parse("hooked_stream_probe"), Seq(
+      "DROP TABLE IF EXISTS hooked_stream_probe",
+      "CREATE TABLE hooked_stream_probe AS SELECT range AS id, " +
+        "CASE WHEN range % 5 = 0 THEN 'drop' ELSE 'keep' END AS v " +
+        "FROM range(1, 21)"))
+    // batch read screens: 1..20 minus {5,10,15,20}
+    assert(spark.table("hookcat.main.hooked_stream_probe").count() == 16)
+    val ckpt = java.nio.file.Files.createTempDirectory("fed_hk_ck").toString
+    val q = spark.readStream
+      .option("cursor", "id")
+      .table("hookcat.main.hooked_stream_probe")
+      .writeStream.outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .queryName("fed_src_hooked").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val got1 = spark.table("fed_src_hooked")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got1 == (1L to 20L).filterNot(_ % 5 == 0),
+        s"streaming read must apply the same hook as batch: $got1")
+      // probes see the HOOKED table too: a screened head row must not
+      // advance the offset (id 21 is invisible; 22 arrives and is read)
+      e.runWrite(Seq("INSERT INTO hooked_stream_probe VALUES (21, 'drop')"))
+      q.processAllAvailable()
+      assert(spark.table("fed_src_hooked").count() == 16,
+        "a screened-out head row must not surface")
+      e.runWrite(Seq("INSERT INTO hooked_stream_probe VALUES (22, 'keep')"))
+      q.processAllAvailable()
+      val got2 = spark.table("fed_src_hooked")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got2 == ((1L to 20L).filterNot(_ % 5 == 0) :+ 22L),
+        s"hook must screen the wire range as well: $got2")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
+  test("streaming fed source: AvailableNow on a table EMPTY at prepare " +
+      "freezes an explicit bound — a concurrent writer cannot unbound it") {
+    val e = ex
+    Federation.registerCatalog(spark, "srccat", Seq(e))
+    e.runDdl(RemoteTableRef.parse("an_empty_probe"), Seq(
+      "DROP TABLE IF EXISTS an_empty_probe",
+      "CREATE TABLE an_empty_probe (id BIGINT, v VARCHAR)"))
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val src = new graft.streaming.FedMicroBatchStream(spark, e,
+      RemoteTableRef.parse("an_empty_probe"), "id", Some(10L))
+    src.prepareForTriggerAvailableNow() // frozen while EMPTY
+    e.runWrite(Seq("INSERT INTO an_empty_probe " +
+      "SELECT range, 'x' FROM range(1, 101)")) // concurrent writer
+    val init = src.initialOffset()
+    val o = src.latestOffset(init, ReadLimit.allAvailable())
+    assert(o.json == init.json,
+      s"the frozen empty bound must not advance: ${init.json} -> ${o.json}")
+    // end-to-end: AvailableNow over a STAYING-empty table terminates clean
+    e.runDdl(RemoteTableRef.parse("an_empty2"), Seq(
+      "DROP TABLE IF EXISTS an_empty2",
+      "CREATE TABLE an_empty2 (id BIGINT, v VARCHAR)"))
+    val ckpt = java.nio.file.Files.createTempDirectory("fed_ae_ck").toString
+    val q = fedSourceStream("srccat", "an_empty2", "id", step = Some(10))
+      .writeStream.outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .queryName("fed_src_an_empty")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      assert(q.awaitTermination(120000),
+        "AvailableNow on an empty table did not terminate")
+      assert(spark.table("fed_src_an_empty").count() == 0)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
+  test("streaming fed source: a cursor min at the BIGINT floor cannot " +
+      "underflow the base offset — floor rows are read, not skipped") {
+    val e = ex
+    Federation.registerCatalog(spark, "srccat", Seq(e))
+    e.runDdl(RemoteTableRef.parse("floor_probe"), Seq(
+      "DROP TABLE IF EXISTS floor_probe",
+      "CREATE TABLE floor_probe AS SELECT * FROM (VALUES " +
+        "(CAST(-9223372036854775807 AS BIGINT) - 1, 'min'), " +
+        "(CAST(-9223372036854775807 AS BIGINT), 'min+1'), " +
+        "(CAST(0 AS BIGINT), 'zero')) t(id, v)"))
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val src = new graft.streaming.FedMicroBatchStream(spark, e,
+      RemoteTableRef.parse("floor_probe"), "id", None)
+    val init = src.initialOffset()
+    // MIN - 1 would wrap to Long.MaxValue (stream reads nothing, ever);
+    // the base collapses to the no-lower-bound sentinel instead
+    assert(init.json.toLong == Long.MinValue, init.json)
+    assert(src.latestOffset(init, ReadLimit.allAvailable()).json == "0")
+    val ckpt = java.nio.file.Files.createTempDirectory("fed_fl_ck").toString
+    val q = fedSourceStream("srccat", "floor_probe", "id")
+      .writeStream.outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .queryName("fed_src_floor").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("fed_src_floor")
+        .select("v").collect().map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("min", "min+1", "zero"), s"floor rows lost: $got")
     } finally {
       q.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))

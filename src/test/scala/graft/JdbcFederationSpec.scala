@@ -71,6 +71,32 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.types.DoubleType)
   }
 
+  test("named-schema listing escapes JDBC pattern metacharacters: " +
+      "MY_SCHEMA must not also list MYXSCHEMA's tables") {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    def quietly(sql: String): Unit =
+      try { st.executeUpdate(sql); () }
+      catch { case _: java.sql.SQLException => () } // already exists
+    // '_' is a single-char wildcard in getTables' schemaPattern: an
+    // unescaped MY_SCHEMA matches both
+    quietly("CREATE SCHEMA MY_SCHEMA")
+    quietly("CREATE SCHEMA MYXSCHEMA")
+    quietly("CREATE TABLE MY_SCHEMA.REAL_T (a INT)")
+    quietly("CREATE TABLE MYXSCHEMA.IMPOSTOR_T (a INT)")
+    st.close(); conn.close()
+    val ex = executor
+    assert(ex.tableNames("MY_SCHEMA") == Seq("REAL_T"),
+      s"wildcard leak: ${ex.tableNames("MY_SCHEMA")}")
+    assert(ex.tableNames("MYXSCHEMA") == Seq("IMPOSTOR_T"))
+    // and resolution through the catalog stays schema-exact
+    Federation.registerCatalog(spark, "derbyns", Seq(ex),
+      defaultNamespace = Nil)
+    val listed = spark.sql("SHOW TABLES IN derbyns.MY_SCHEMA")
+      .collect().map(_.getString(1)).toSet
+    assert(listed == Set("REAL_T"), listed)
+  }
+
   test("filter + aggregate + join federate into ONE Derby SQL") {
     Federation.install(spark)
     Federation.registerAll(spark, executor, prefix = "db_")
