@@ -461,6 +461,108 @@ object ScaleStress {
         s"""$fedJson}""")
     }
 
+    // r14: (1) the boundary FETCH format at 50M — the same fragment
+    // drained through the line-JSON pipe vs the adaptive parquet-staged
+    // path (VERDICT r13 item 2: staged must be ≥3× the JSON pipe); (2)
+    // the streaming source's Trigger.AvailableNow against the 50M fact —
+    // paced backfill in bounded batches, self-termination (item 7).
+    val doFetch = sys.env.get("SPARK_GRAFT_SCALE_FETCH").contains("1")
+    if (doFetch) {
+      import org.apache.spark.sql.types._
+      graft.federation.Federation.install(spark)
+      val nFact =
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_FED_ROWS", "15000000").toLong
+      val db = new java.io.File(s"$outDir/fed-stress.duckdb")
+      val mkRef = graft.federation.sql.RemoteTableRef.parse("fact")
+      def mk(nm: String, stageRows: Int) =
+        new graft.federation.duckdb.DuckDbSqlExecutor(nm, spark,
+          db.getAbsolutePath, splitCount = 16, fetchStageRows = stageRows)
+      val dexIngest = mk("duck", 0)
+      if (regen || !db.exists() || !dexIngest.tableNames.contains("fact")) {
+        timed("fed_ingest_duck") {
+          dexIngest.createTable(mkRef, StructType(Seq(
+            StructField("k", LongType), StructField("grp", LongType),
+            StructField("v", DoubleType), StructField("cat", StringType))))
+          dexIngest.insertInto(mkRef, spark.range(nFact).select(
+            col("id").as("k"),
+            pmod(col("id"), lit(1000L)).as("grp"),
+            (pmod(col("id"), lit(9973L)).cast("double") / lit(100.0)).as("v"),
+            concat(lit("cat_"), pmod(col("id"), lit(37L)).cast("string"))
+              .as("cat")))
+        }
+      }
+      // full-corpus drain through 16 split cursors; counting inside
+      // mapPartitions forces every row across the boundary (an agg would
+      // federate and ship one row)
+      def drain(e: graft.federation.duckdb.DuckDbSqlExecutor): Long =
+        graft.federation.Federation.remoteDataFrame(spark, "fact", e)
+          .queryExecution.toRdd.mapPartitions { it =>
+            var c = 0L; while (it.hasNext) { it.next(); c += 1 }
+            Iterator(c)
+          }.collect().sum
+      val s0 =
+        graft.federation.duckdb.DuckDbProcess.stagedFetches.get()
+      // staged first: the JSON leg then runs against a page-cache-warm
+      // db file, so the reported ratio is conservative
+      val nStaged = timed("fetch_staged") { drain(mk("duckstage", 65536)) }
+      val stagedFiles =
+        graft.federation.duckdb.DuckDbProcess.stagedFetches.get() - s0
+      val nJson = timed("fetch_json") { drain(mk("duckjson", 0)) }
+      require(nStaged == nFact && nJson == nFact,
+        s"fetch drains must carry the corpus: staged=$nStaged json=$nJson")
+      require(stagedFiles > 0, "the staged path was not exercised")
+
+      // streaming AvailableNow backfill: paced at 1/10 of the corpus per
+      // batch, must drain fully in bounded advancing batches and stop
+      graft.federation.Federation.registerCatalog(spark, "fetchcat",
+        Seq(mk("duckan", 65536)))
+      val step = math.max(1L, nFact / 10L)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("fed_an50_ck").toString
+      val batchRows = new java.util.concurrent.atomic.AtomicLong
+      val maxBatch = new java.util.concurrent.atomic.AtomicLong
+      val nBatches = new java.util.concurrent.atomic.AtomicLong
+      var anTerminated = false
+      timed("stream_available_now_backfill") {
+        val q = spark.readStream
+          .format("graft-fed")
+          .option("catalog", "fetchcat").option("table", "fact")
+          .option("cursor", "k").option("cursorStep", step.toString)
+          .load()
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val n = df.count()
+            batchRows.addAndGet(n)
+            maxBatch.getAndAccumulate(n, math.max)
+            nBatches.incrementAndGet()
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt).start()
+        anTerminated = q.awaitTermination(1800000)
+        q.stop()
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      require(anTerminated, "AvailableNow did not self-terminate")
+      require(batchRows.get() == nFact,
+        s"backfill lost rows: ${batchRows.get()} of $nFact")
+
+      val fetchJson = phases
+        .filter(p => p._1.startsWith("fetch_") || p._1.startsWith("stream_")
+          || p._1 == "fed_ingest_duck")
+        .map { case (n, p) =>
+          f""""$n":{"sec":${p.sec}%.1f,"shuffle_write_mb":${p.w / 1048576},"shuffle_read_mb":${p.r / 1048576}}"""
+        }.mkString(",")
+      println(
+        s"""{"fetch_rows":$nFact,"staged_files":$stagedFiles,""" +
+        s""""fetch_speedup":${
+          math.round(phases("fetch_json").sec /
+            math.max(0.001, phases("fetch_staged").sec) * 100.0) / 100.0},""" +
+        s""""an_batches":${nBatches.get()},"an_rows":${batchRows.get()},""" +
+        s""""an_max_batch":${maxBatch.get()},"an_terminated":$anTerminated,""" +
+        s"""$fetchJson}""")
+    }
+
     val doNb = sys.env.get("SPARK_GRAFT_SCALE_NB").contains("1")
     if (doNb) {
       // Classifier at corpus scale: training must fold 5M docs into ≤dim

@@ -295,6 +295,7 @@ object SparkEntry {
     "fed_duckdb_not_in" -> (Federated.duckNotIn _),
     "fed_duckdb_scalar_sub" -> (Federated.duckScalarSubquery _),
     "fed_duckdb_fingerprint" -> (Federated.duckRemoteFingerprint _),
+    "pipe_web_corpus_fed" -> (Federated.duckWebCorpusFed _),
     "fed_duckdb_two_instances" -> (Federated.duckTwoInstances _),
     "fed_duckdb_runtime_filter" -> (Federated.duckRuntimeFilter _),
     "fed_xengine_partial_agg" -> (Federated.duckXenginePartialAgg _),
@@ -517,6 +518,7 @@ object SparkEntry {
     "fed_jdbc_not_in" -> Federated.notInOracle,
     "fed_duckdb_scalar_sub" -> Federated.scalarSubqueryOracle,
     "fed_duckdb_fingerprint" -> Federated.duckRemoteFingerprintOracle,
+    "pipe_web_corpus_fed" -> Federated.duckWebCorpusFedOracle,
     "fed_duckdb_two_instances" -> Federated.duckTwoInstancesOracle,
     "fed_duckdb_runtime_filter" -> Federated.duckRuntimeFilterOracle,
     "fed_xengine_partial_agg" -> Federated.duckXenginePartialAggOracle,

@@ -43,7 +43,18 @@ final class DuckDbSqlExecutor(
     session: SparkSession,
     val dbPath: String,
     override val splitCount: Int = 1,
-    val statsRowCap: Long = 1000000L)
+    val statsRowCap: Long = 1000000L,
+    // Boundary-fetch format switch: results up to this many rows stream
+    // as line-JSON (zero file overhead for the common small fragment);
+    // rows PAST it spill engine-side to a parquet file the task reads
+    // through Spark's vectorized reader — a text pipe caps a cursor at
+    // tens of MB/s where the columnar file runs at hundreds (the
+    // reference executor contract streams Arrow for the same reason,
+    // src/sql/executor.rs:51-56). 0 disables staging. Applies only to
+    // fragments whose declared schema is parquet-exact (see
+    // [[parquetStageable]]); everything else keeps the lossless JSON
+    // wire with its type-faithful conversions.
+    val fetchStageRows: Int = 65536)
   extends SqlExecutor {
 
   override def computeContext: Option[String] = Some(s"duckdb:$dbPath")
@@ -72,29 +83,68 @@ final class DuckDbSqlExecutor(
       if (siblings <= 1) 0
       else math.max(1, Runtime.getRuntime.availableProcessors() / siblings))
 
+  /** Declared schemas a staged parquet fetch reproduces EXACTLY (probed
+    * against the engine's arrow/parquet writers): plain primitives plus
+    * decimals — EXCEPT DECIMAL(38,0)/(20,0), which are indistinguishable
+    * from HUGEINT/UBIGINT declarations, and those the engine writes to
+    * parquet as lossy DOUBLE (probed live). Everything else (intervals,
+    * nested types, UUID-as-text, JSON) keeps the type-faithful JSON wire. */
+  private def parquetStageable(schema: StructType): Boolean =
+    schema.fields.nonEmpty && schema.fields.forall { f =>
+      f.dataType match {
+        case BooleanType | ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | StringType | BinaryType | DateType |
+             TimestampType | TimestampNTZType => true
+        case d: DecimalType =>
+          !(d.precision == 38 && d.scale == 0) &&
+            !(d.precision == 20 && d.scale == 0)
+        case _ => false
+      }
+    }
+
   private def executeWith(sql: String, schema: StructType,
       threads: Int): RDD[InternalRow] = {
     executedSql.synchronized { executedSql += sql }
     val db = dbPath
     val fields = schema.fields
     val execName = name
+    val stageRows = if (parquetStageable(schema)) fetchStageRows else 0
     session.sparkContext.parallelize(Seq(sql), 1).mapPartitions { sqls =>
       sqls.flatMap { q =>
-        val it = DuckDbProcess.query(db, q, threads)
+        // the stage dir is task-local: the wire worker runs on this host
+        // and writes the spill file here; deleted at task completion
+        val stageDir =
+          if (stageRows <= 0) None
+          else Some(java.nio.file.Files
+            .createTempDirectory("graft_fetch_").toString)
+        val it = DuckDbProcess.query(db, q, threads,
+          stageDir.map((_, stageRows)))
+        // the staged tail opens lazily AFTER the JSON prefix drains (the
+        // {"staged": …} marker precedes the terminator); cleanup must
+        // reach it wherever the task stops
+        var stagedTailReader: StagedParquetRows = null
+        def cleanup(): Unit = {
+          it.close()
+          if (stagedTailReader != null) stagedTailReader.close()
+          stageDir.foreach { d =>
+            org.apache.commons.io.FileUtils
+              .deleteQuietly(new java.io.File(d)); ()
+          }
+        }
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] {
-          _ => it.close()
+          _ => cleanup()
         })
         // task kill → destroy the in-flight subprocess: the blocked pipe
         // read EOFs immediately and the server is never returned to the
         // pool (an undrained stream would corrupt the next request)
-        graft.federation.sql.RemoteCancel.watch(() => it.close())
+        graft.federation.sql.RemoteCancel.watch(() => cleanup())
         // the leading {"desc":…} wire line carries the plan's live output
         // types; the FIRST hasNext consumes it into `it.meta` whether or
         // not any row follows, so the guard anchors there — a zero-row
         // response still gets the column-count protocol check and the
         // text-in-numeric-slot check (the JDBC leg validates
         // ResultSetMetaData before any row for the same reason)
-        new Iterator[InternalRow] {
+        val jsonPrefix = new Iterator[InternalRow] {
           private var checked = false
           override def hasNext: Boolean = {
             val h = it.hasNext
@@ -106,6 +156,21 @@ final class DuckDbSqlExecutor(
           }
           override def next(): InternalRow =
             DuckDbProcess.convertRow(it.next(), fields)
+        }
+        if (stageRows <= 0) jsonPrefix
+        else jsonPrefix ++ new Iterator[InternalRow] {
+          // evaluated only once the prefix (and so the full wire
+          // response) is drained; it.staged is final by then
+          private lazy val tail: Iterator[InternalRow] =
+            if (it.staged == null) Iterator.empty
+            else {
+              stagedTailReader = new StagedParquetRows(
+                it.staged.get("staged").asText(),
+                org.apache.spark.sql.types.StructType(fields))
+              stagedTailReader
+            }
+          override def hasNext: Boolean = tail.hasNext
+          override def next(): InternalRow = tail.next()
         }
       }
     }
@@ -744,7 +809,50 @@ object DuckDbProcess {
       |            ts = [str(t) for t in cur.types] if cur is not None else []
       |            out.write(json.dumps({"desc":
       |                [[names[i], ts[i]] for i in range(len(ts))]}) + "\n")
-      |            if any(t == "INTERVAL" for t in ts):
+      |            sd = req.get("stage_dir")
+      |            if sd and cur is not None \
+      |                    and not any(t == "INTERVAL" for t in ts):
+      |                # Adaptive staged fetch: stream the first stage_rows
+      |                # rows as JSON lines (small results pay no file), and
+      |                # spill everything PAST the threshold to a parquet
+      |                # file the client reads natively — line-JSON text
+      |                # caps a cursor at tens of MB/s, the columnar file
+      |                # runs at engine speed. One pass over one cursor:
+      |                # arrow record batches, never a re-execution (a
+      |                # re-run COPY could return different rows for
+      |                # non-deterministic fragments, e.g. unordered LIMIT).
+      |                import os, uuid as uuid_mod
+      |                import pyarrow.parquet as pq_mod
+      |                rdr = cur.fetch_arrow_reader(int(req["stage_rows"]))
+      |                first = next(rdr, None)
+      |                n = 0
+      |                if first is not None:
+      |                    cols = [c.to_pylist() for c in first.columns]
+      |                    for i in range(first.num_rows):
+      |                        out.write(json.dumps(
+      |                            [conv(cols[j][i])
+      |                             for j in range(len(cols))]))
+      |                        out.write("\n")
+      |                        n += 1
+      |                second = next(rdr, None)
+      |                if second is not None:
+      |                    path = os.path.join(sd,
+      |                        "staged-%s.parquet" % uuid_mod.uuid4().hex)
+      |                    w = pq_mod.ParquetWriter(path, rdr.schema)
+      |                    staged = 0
+      |                    try:
+      |                        w.write_batch(second)
+      |                        staged += second.num_rows
+      |                        for b in rdr:
+      |                            w.write_batch(b)
+      |                            staged += b.num_rows
+      |                    finally:
+      |                        w.close()
+      |                    out.write(json.dumps(
+      |                        {"staged": path, "rows": staged}) + "\n")
+      |                    n += staged
+      |                term = {"ok": n}
+      |            elif any(t == "INTERVAL" for t in ts):
       |                # fetchall() collapses INTERVAL months into timedelta
       |                # days (1 month -> 30 days, probed live) -- lossy, so
       |                # ship the engine's exact text rendering instead and
@@ -785,15 +893,16 @@ object DuckDbProcess {
       |                    cur = con.sql(
       |                        "SELECT * REPLACE (%s) FROM (%s) __graft_iv"
       |                        % (rep, q))
-      |            n = 0
-      |            while cur is not None:
-      |                rows = cur.fetchmany(8192)
-      |                if not rows: break
-      |                for r in rows:
-      |                    out.write(json.dumps([conv(v) for v in r]))
-      |                    out.write("\n")
-      |                    n += 1
-      |            term = {"ok": n}
+      |            if term is None:  # staged fetch already terminated
+      |                n = 0
+      |                while cur is not None:
+      |                    rows = cur.fetchmany(8192)
+      |                    if not rows: break
+      |                    for r in rows:
+      |                        out.write(json.dumps([conv(v) for v in r]))
+      |                        out.write("\n")
+      |                        n += 1
+      |                term = {"ok": n}
       |        elif op == "describe":
       |            rows = con.execute("DESCRIBE " + req["sql"]).fetchall()
       |            out.write(json.dumps(
@@ -913,6 +1022,12 @@ object DuckDbProcess {
     /** Control metadata (cols/tables) when the first line was an object. */
     var meta: JsonNode = _
 
+    /** Staged-fetch marker (`{"staged": path, "rows": n}`): the server
+      * spilled rows past the stage threshold to a parquet file. Set only
+      * once the stream is fully drained (the marker follows the JSON
+      * row prefix). */
+    var staged: JsonNode = _
+
     override def hasNext: Boolean = {
       while (nextNode == null && !done) {
         val line = srv.reader.readLine()
@@ -944,7 +1059,8 @@ object DuckDbProcess {
           } else if (node.has("ok")) {
             done = true; finished = true
             release(srv)
-          } else meta = node // cols / tables / counts metadata line
+          } else if (node.has("staged")) staged = node
+          else meta = node // cols / tables / counts metadata line
         }
       }
       nextNode != null
@@ -982,9 +1098,19 @@ object DuckDbProcess {
     new ResponseIterator(srv)
   }
 
-  def query(db: String, sql: String, threads: Int = 0): ResponseIterator =
+  /** `stage` = Some((dir, rows)): ask the server to spill rows past the
+    * threshold to a parquet file under `dir` (adaptive staged fetch). */
+  def query(db: String, sql: String, threads: Int = 0,
+      stage: Option[(String, Int)] = None): ResponseIterator =
     request(db, ro = true, "query", s""","sql":${jstr(sql)}""" +
-      (if (threads > 0) s""","threads":$threads""" else ""))
+      (if (threads > 0) s""","threads":$threads""" else "") +
+      stage.map { case (dir, rows) =>
+        s""","stage_dir":${jstr(dir)},"stage_rows":$rows"""
+      }.getOrElse(""))
+
+  /** Staged parquet files opened by fetch tasks, JVM-wide — observability
+    * for specs and the stress harness (local mode shares the JVM). */
+  val stagedFetches = new java.util.concurrent.atomic.AtomicLong
 
   def describe(db: String, sql: String): StructType = {
     val meta = request(db, ro = true, "describe",

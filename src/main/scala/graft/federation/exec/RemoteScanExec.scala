@@ -386,9 +386,15 @@ final case class RemoteScanExec(
   private def renderFilter(rf: RemoteRuntimeFilter): Option[String] =
     try {
       val session = SparkSession.active
+      // cap = session override when set, else the ENGINE's probed IN-list
+      // capacity — a one-size cap degraded dense-keyed filters to a
+      // min/max range that filtered nothing (r14 audit: the full 600k-row
+      // fact crossed the wire for a 5,951-key build on an engine probed
+      // fine at 100k-element IN lists)
       val maxKeys = session.conf
-        .get(graft.federation.RuntimeFilterRule.MaxKeysKey,
-          graft.federation.RuntimeFilterRule.DefaultMaxKeys.toString).toInt
+        .getOption(graft.federation.RuntimeFilterRule.MaxKeysKey)
+        .map(_.toInt)
+        .getOrElse(executor.dialect.maxRuntimeFilterKeys)
       val d = executor.dialect
       val colSql = d.quoteIfNeeded(rf.column.name)
       val dt = rf.buildKey.dataType

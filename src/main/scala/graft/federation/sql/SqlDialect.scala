@@ -191,6 +191,21 @@ trait SqlDialect {
   /** Dialect-specific scalar function name mapping (Spark name → remote). */
   def functionName(sparkName: String): String = sparkName
 
+  /** Whether the engine has an `md5(text) → lowercase hex` scalar (not
+    * SQL-standard: present on DuckDB/Postgres/Spark, absent on Derby/
+    * SQLite). Conservative default keeps fingerprint expressions local. */
+  def supportsMd5: Boolean = false
+
+  /** Distinct build-side keys a RUNTIME FILTER may inline as an IN list
+    * before degrading to a min/max range (which over a dense uniform key
+    * space filters NOTHING — the r14 audit caught fed_duckdb_runtime_filter
+    * shipping the full 600k-row fact because its 5,951 keys overflowed a
+    * one-size cap of 1024 and the range spanned the table). Engines that
+    * execute large IN lists well raise it: DuckDB probed live at 100k
+    * elements in 0.73 s; the conservative default protects parse-fragile
+    * engines (Derby's recursive-descent parser, probed r8). */
+  def maxRuntimeFilterKeys: Int = 1024
+
   /** String concatenation — a function on most engines, the `||` operator
     * only on e.g. Derby (NULL-propagation is identical either way). */
   def concat(args: Seq[String]): String = s"CONCAT(${args.mkString(", ")})"
@@ -317,6 +332,9 @@ object AnsiDialect extends SqlDialect {
   * executor (a second SparkSession) speaks. */
 object SparkDialect extends SqlDialect {
   override val name = "spark"
+  override def supportsMd5: Boolean = true
+  // the mock re-parses the IN list into Catalyst InSet — scale-safe
+  override def maxRuntimeFilterKeys: Int = 65536
   override val supportsSubqueryCte = true
   override val supportsIntervalArithmetic = true
   override def quote(ident: String): String =
@@ -358,6 +376,9 @@ object SparkDialect extends SqlDialect {
   * live fuzz arm in UnparserFuzzSpec / DuckDbFederationSpec). */
 object DuckDbDialect extends SqlDialect {
   override val name = "duckdb"
+  override def supportsMd5: Boolean = true
+  // probed live on 1.0.0: a 100k-element IN list executes in 0.73 s
+  override def maxRuntimeFilterKeys: Int = 65536
   override val supportsSubqueryCte = true
   override val supportsIntervalArithmetic = true
   // inline VALUES scale is safe on DuckDB (probed live on 1.0.0: 1k,
@@ -435,6 +456,7 @@ object DuckDbDialect extends SqlDialect {
 /** PostgreSQL dialect. */
 object PostgresDialect extends SqlDialect {
   override val name = "postgres"
+  override def supportsMd5: Boolean = true
   override val supportsSubqueryCte = true
   override val supportsIntervalArithmetic = true
   override def quote(ident: String): String =

@@ -901,7 +901,17 @@ class SqlUnparser(dialect: SqlDialect) {
       case InitCap(c) => fn1("initcap", c)
       case StringTranslate(s2, m, rep) => fnN("translate", Seq(s2, m, rep))
       case ConcatWs(cs) => fnN("concat_ws", cs)
-      case Md5(c) => fn1("md5", c)
+      // Spark's analyzer wraps Md5's string child in a Cast to BINARY;
+      // SQL md5() hashes the text's UTF-8 bytes directly — the SAME bytes
+      // (Spark's string→binary cast IS the UTF-8 encoding), so the cast
+      // strips. Gated per dialect: md5 is not SQL-standard (absent on
+      // Derby/SQLite — refusal keeps the fingerprint local there).
+      case Md5(Cast(c, BinaryType, _, _))
+          if c.dataType == StringType && dialect.supportsMd5 =>
+        fn1("md5", c)
+      case Md5(c) if dialect.supportsMd5 => fn1("md5", c)
+      case _: Md5 =>
+        fail(s"md5: no ${dialect.name} function")
       // only the hex→dec shape (the MD5-bucket sampling rule); arbitrary
       // base pairs have no portable SQL spelling
       case Conv(num, Literal(16, IntegerType), Literal(10, IntegerType), _) =>

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, md5, monotonically_increasing_id}
+import org.apache.spark.sql.functions.{col, count, filter, lit, lower, md5, monotonically_increasing_id, size, split, sum, when}
 
 import graft.federation.FederationHarness
 
@@ -1860,6 +1860,69 @@ object Federated {
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin
+
+  /** The two halves COMPOSED: an LLM web-corpus pipeline over a corpus
+    * that LIVES in the remote engine (the reference's push-compute-to-
+    * storage thesis, README.md:6-19). The dialect-portable stages — the
+    * length pre-screen predicate, the md5 fingerprint, and the exact-dedup
+    * ROW_NUMBER window — execute INSIDE DuckDB as one fragment (wire
+    * carries only pre-screened canonical docs); the custom C4/Gopher
+    * screen kernels (codegen expressions, not SQL-expressible) and the
+    * token rollup stitch locally. The companion spec pins the executed
+    * wire SQL: screens present remotely, kernels absent. */
+  def duckWebCorpusFed(s: SparkSession, dir: String): DataFrame = {
+    graft.federation.duckdb.DuckDbHarness.registerViews(s, dir)
+    val survivors = s.sql(
+      """SELECT doc_id, source, text FROM (
+        |  SELECT doc_id, source, text,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        |      AS rn
+        |  FROM duck_documents
+        |  WHERE length(text) >= 150 AND length(text) <= 1200) t
+        |WHERE rn = 1""".stripMargin)
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    survivors.select(col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        TextOps.c4KeepOf(TextOps.c4GateTextCol,
+          badWords = TextOps.c4GateBadWords).as("c4_keep"),
+        TextOps.gopherKeepOf(col("text"),
+          requiredWords = TextOps.gopherFixtureWords).as("g_keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pre"),
+        sum(when(col("c4_keep") && col("g_keep"), 1L).otherwise(0L))
+          .as("n_screened"),
+        sum(when(col("c4_keep") && col("g_keep"), col("n_tokens"))
+          .otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  def duckWebCorpusFedOracle: String = {
+    val c4 = TextOps.c4FiltersOracle().stripSuffix("ORDER BY doc_id")
+    val gopher = TextOps
+      .gopherRulesOracle(30, 90, TextOps.gopherFixtureWords)
+      .stripSuffix("ORDER BY doc_id")
+    s"""WITH pre AS (
+       |  SELECT doc_id, source, text,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+       |      AS rn
+       |  FROM documents
+       |  WHERE length(text) >= 150 AND length(text) <= 1200
+       |), surv AS (
+       |  SELECT doc_id, source,
+       |    CAST(len([x FOR x IN string_split_regex(lower(text), '\\s+')
+       |      IF x <> '']) AS BIGINT) AS n_tokens
+       |  FROM pre WHERE rn = 1
+       |), c4k AS (SELECT doc_id, keep AS c4_keep FROM ($c4) x),
+       |gk AS (SELECT doc_id, keep AS g_keep FROM ($gopher) y)
+       |SELECT surv.source, CAST(COUNT(*) AS BIGINT) AS n_pre,
+       |  CAST(SUM(CASE WHEN c4_keep AND g_keep THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_screened,
+       |  CAST(SUM(CASE WHEN c4_keep AND g_keep THEN n_tokens ELSE 0 END)
+       |    AS BIGINT) AS kept_tokens
+       |FROM surv JOIN c4k USING (doc_id) JOIN gk USING (doc_id)
+       |GROUP BY surv.source
+       |ORDER BY surv.source""".stripMargin
+  }
 
   /** TWO live DuckDB instances (distinct database files = distinct
     * computeContexts): each side of the join federates into ITS OWN

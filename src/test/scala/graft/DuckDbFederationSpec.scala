@@ -2578,6 +2578,101 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pipe_web_corpus_fed: the portable screens execute INSIDE the " +
+      "engine — wire SQL carries the length pre-screen + md5 dedup " +
+      "window; the custom kernels stay local") {
+    val e = ex
+    val before = e.executedSql.synchronized(e.executedSql.size)
+    val out = graft.operators.Federated.duckWebCorpusFed(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) <= rows.map(_.getLong(1)).max))
+    val shipped = e.executedSql.synchronized(
+      e.executedSql.drop(before).toList)
+    val frag = shipped.filter(s =>
+      s.contains("documents") && s.toLowerCase.contains("row_number"))
+    assert(frag.size == 1,
+      s"the dedup window must ship as ONE fragment:\n${shipped.mkString("\n")}")
+    val sql = frag.head.toLowerCase
+    assert(sql.contains("md5") && sql.contains("length") &&
+      sql.contains("150") && sql.contains("1200"),
+      s"the screens must ride the wire: $sql")
+    // the non-portable screen kernels never appear remotely
+    shipped.foreach(s => assert(
+      !s.toLowerCase.contains("gopher") && !s.toLowerCase.contains("c4"),
+      s"kernel leaked to the wire: $s"))
+  }
+
+  test("staged boundary fetch: rows past the stage threshold spill to " +
+      "parquet and reproduce the JSON wire EXACTLY (all stageable types, " +
+      "NaN/Inf, pre-1582 dates, nulls, blobs)") {
+    Federation.install(spark)
+    val base = ex
+    base.runDdl(RemoteTableRef.parse("staged_probe"), Seq(
+      "DROP TABLE IF EXISTS staged_probe",
+      """CREATE TABLE staged_probe AS SELECT
+        |  range AS id,
+        |  CASE WHEN range % 7 = 0 THEN NULL ELSE 'v' || range END AS s,
+        |  (range % 2 = 0) AS b,
+        |  CAST(range % 120 AS TINYINT) AS i8,
+        |  CAST(range * 3 AS SMALLINT) AS i16,
+        |  CAST(range * 7 AS INTEGER) AS i32,
+        |  CASE WHEN range % 11 = 0 THEN 'NaN'::DOUBLE
+        |       WHEN range % 13 = 0 THEN 'Infinity'::DOUBLE
+        |       ELSE range / 7.0 END AS d,
+        |  CAST(range AS FLOAT) / 3 AS f,
+        |  CAST(range / 100.0 AS DECIMAL(12,3)) AS dec,
+        |  DATE '1500-01-03' + CAST(range AS INTEGER) AS dt,
+        |  TIMESTAMP '1500-01-03 04:05:06' + INTERVAL (range) SECOND AS tsn,
+        |  TIMESTAMPTZ '2024-06-01 12:00:00+00' + INTERVAL (range) MINUTE AS tsz,
+        |  CASE WHEN range % 5 = 0 THEN NULL ELSE encode('b' || range) END AS bin
+        |FROM range(500)""".stripMargin))
+    val exStage = new DuckDbSqlExecutor("duckstage", spark, base.dbPath,
+      fetchStageRows = 64)
+    val exJson = new DuckDbSqlExecutor("duckjson", spark, base.dbPath,
+      fetchStageRows = 0)
+    // bitwise-comparable row images: NaN != NaN under ==, byte arrays
+    // compare by reference — normalize both
+    def rows(e: DuckDbSqlExecutor): Array[Seq[Any]] =
+      Federation.remoteDataFrame(spark, "staged_probe", e)
+        .orderBy("id").collect().map(_.toSeq.map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case f: Float => java.lang.Float.floatToIntBits(f)
+          case a: Array[Byte] => a.toSeq
+          case x => x
+        })
+    val c0 = DuckDbProcess.stagedFetches.get()
+    val viaJson = rows(exJson)
+    assert(DuckDbProcess.stagedFetches.get() == c0,
+      "fetchStageRows=0 must never open a staged file")
+    val viaStage = rows(exStage)
+    assert(DuckDbProcess.stagedFetches.get() > c0,
+      "the staged path was not exercised (threshold 64 over 500 rows)")
+    assert(viaJson.length == 500 && viaStage.length == 500)
+    viaStage.zip(viaJson).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i diverges:\n staged=$a\n json  =$b")
+    }
+    // a result UNDER the threshold stays pure JSON — no file overhead
+    val c1 = DuckDbProcess.stagedFetches.get()
+    val small = Federation.remoteDataFrame(spark, "staged_probe", exStage)
+      .filter("id < 10").collect()
+    assert(small.length == 10)
+    assert(DuckDbProcess.stagedFetches.get() == c1,
+      "a 10-row result must not stage")
+    // a non-stageable declared schema (LIST column) falls back to the
+    // type-faithful JSON wire silently
+    base.runDdl(RemoteTableRef.parse("staged_probe_list"), Seq(
+      "DROP TABLE IF EXISTS staged_probe_list",
+      "CREATE TABLE staged_probe_list AS " +
+        "SELECT range AS id, [range, range + 1] AS lst FROM range(200)"))
+    val c2 = DuckDbProcess.stagedFetches.get()
+    val lst = Federation.remoteDataFrame(spark, "staged_probe_list", exStage)
+      .collect()
+    assert(lst.length == 200 &&
+      lst.map(_.getSeq[Long](1).sum).sum == (0L until 200L).map(2 * _ + 1).sum)
+    assert(DuckDbProcess.stagedFetches.get() == c2,
+      "nested types must keep the JSON wire")
+  }
+
   test("DSv2 catalog: CREATE TABLE and DROP TABLE reach the remote " +
       "engine; unknown tables raise NoSuchTableException") {
     import org.apache.spark.sql.catalyst.analysis.NoSuchTableException

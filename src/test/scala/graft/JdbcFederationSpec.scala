@@ -73,7 +73,11 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("named-schema listing escapes JDBC pattern metacharacters: " +
       "MY_SCHEMA must not also list MYXSCHEMA's tables") {
-    val conn = DriverManager.getConnection(url)
+    // an ISOLATED database: these schemas must not leak into the shared
+    // db's bare-name listings (first-match-wins resolution would try a
+    // schema-less reference to them)
+    val nsUrl = "jdbc:derby:memory:graftns;create=true"
+    val conn = DriverManager.getConnection(nsUrl)
     val st = conn.createStatement()
     def quietly(sql: String): Unit =
       try { st.executeUpdate(sql); () }
@@ -85,16 +89,21 @@ class JdbcFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     quietly("CREATE TABLE MY_SCHEMA.REAL_T (a INT)")
     quietly("CREATE TABLE MYXSCHEMA.IMPOSTOR_T (a INT)")
     st.close(); conn.close()
-    val ex = executor
-    assert(ex.tableNames("MY_SCHEMA") == Seq("REAL_T"),
-      s"wildcard leak: ${ex.tableNames("MY_SCHEMA")}")
-    assert(ex.tableNames("MYXSCHEMA") == Seq("IMPOSTOR_T"))
-    // and resolution through the catalog stays schema-exact
-    Federation.registerCatalog(spark, "derbyns", Seq(ex),
-      defaultNamespace = Nil)
-    val listed = spark.sql("SHOW TABLES IN derbyns.MY_SCHEMA")
-      .collect().map(_.getString(1)).toSet
-    assert(listed == Set("REAL_T"), listed)
+    try {
+      val ex = new JdbcSqlExecutor("derbyns", spark, nsUrl, DerbyDialect)
+      assert(ex.tableNames("MY_SCHEMA") == Seq("REAL_T"),
+        s"wildcard leak: ${ex.tableNames("MY_SCHEMA")}")
+      assert(ex.tableNames("MYXSCHEMA") == Seq("IMPOSTOR_T"))
+      // and resolution through the catalog stays schema-exact
+      Federation.registerCatalog(spark, "derbyns", Seq(ex),
+        defaultNamespace = Nil)
+      val listed = spark.sql("SHOW TABLES IN derbyns.MY_SCHEMA")
+        .collect().map(_.getString(1)).toSet
+      assert(listed == Set("REAL_T"), listed)
+    } finally {
+      try DriverManager.getConnection("jdbc:derby:memory:graftns;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
   }
 
   test("filter + aggregate + join federate into ONE Derby SQL") {
