@@ -296,6 +296,7 @@ object SparkEntry {
     "fed_duckdb_scalar_sub" -> (Federated.duckScalarSubquery _),
     "fed_duckdb_fingerprint" -> (Federated.duckRemoteFingerprint _),
     "pipe_web_corpus_fed" -> (Federated.duckWebCorpusFed _),
+    "fed_ann_quantized" -> (Federated.duckAnnQuantized _),
     "fed_duckdb_two_instances" -> (Federated.duckTwoInstances _),
     "fed_duckdb_runtime_filter" -> (Federated.duckRuntimeFilter _),
     "fed_xengine_partial_agg" -> (Federated.duckXenginePartialAgg _),
@@ -519,6 +520,7 @@ object SparkEntry {
     "fed_duckdb_scalar_sub" -> Federated.scalarSubqueryOracle,
     "fed_duckdb_fingerprint" -> Federated.duckRemoteFingerprintOracle,
     "pipe_web_corpus_fed" -> Federated.duckWebCorpusFedOracle,
+    "fed_ann_quantized" -> Federated.duckAnnQuantizedOracle,
     "fed_duckdb_two_instances" -> Federated.duckTwoInstancesOracle,
     "fed_duckdb_runtime_filter" -> Federated.duckRuntimeFilterOracle,
     "fed_xengine_partial_agg" -> Federated.duckXenginePartialAggOracle,

@@ -196,6 +196,44 @@ trait SqlDialect {
     * SQLite). Conservative default keeps fingerprint expressions local. */
   def supportsMd5: Boolean = false
 
+  /** Higher-order array lambdas — `transform(arr, x -> body)` /
+    * `filter(arr, x -> body)`: `Some(remoteFn)` admits with the engine's
+    * native `param -> body` lambda syntax (Spark `transform`, DuckDB
+    * `list_transform` — probed live on 1.0.0: NULL array → NULL, NULL
+    * elements map through the body, nested lambdas scope lexically).
+    * Default `None` keeps every lambda-bearing expression local. NOTE:
+    * Spark evaluates these expressions as `CodegenFallback` — pushing
+    * them to the engine is a perf WIN, not just a federation nicety. */
+  def arrayTransformFn: Option[String] = None
+  def arrayFilterFn: Option[String] = None
+
+  /** Whether the engine's 2-parameter element lambda `(x, i) -> body`
+    * indexes 1-based (DuckDB, probed) where Spark's `transform` index is
+    * 0-based — the unparser rebases references to the index parameter. */
+  def lambdaIndexIsOneBased: Boolean = false
+
+  /** `aggregate(arr, zero, (acc, x) -> body)` rendering style (see
+    * [[SqlDialect.ArrayAggStyle]]); None refuses. */
+  def arrayAggregateStyle: Option[SqlDialect.ArrayAggStyle] = None
+
+  /** `zip_with(a, b, (x, y) -> body)` rendering style (see
+    * [[SqlDialect.ZipWithStyle]]); None refuses. */
+  def zipWithStyle: Option[SqlDialect.ZipWithStyle] = None
+
+  /** Array constructor `array(e1, …)` → engine spelling (DuckDB `[e1, …]`
+    * — probed, incl. NULL cells and quoted strings; Spark `array(…)`).
+    * None (default) keeps expressions building arrays local. */
+  def arrayConstructor: Option[Seq[String] => String] = None
+
+  /** Whether the engine ROUNDS on `CAST(fractional AS integral)` where
+    * Spark truncates toward zero — probed live on DuckDB
+    * (`CAST(2.7::DOUBLE AS BIGINT)` = 3, `CAST(2.7::DECIMAL(5,2) AS
+    * BIGINT)` = 3, negatives mirror) and documented for Postgres. When
+    * true the unparser wraps the source in `trunc()` (probed: exact
+    * toward-zero on DOUBLE, FLOAT and DECIMAL), restoring Spark's value
+    * bit-for-bit. Engines that truncate natively leave the cast bare. */
+  def integralCastRounds: Boolean = false
+
   /** Distinct build-side keys a RUNTIME FILTER may inline as an IN list
     * before degrading to a min/max range (which over a dense uniform key
     * space filters NOTHING — the r14 audit caught fed_duckdb_runtime_filter
@@ -321,6 +359,35 @@ trait SqlDialect {
     s"DATEDIFF($end, $start)"
 }
 
+object SqlDialect {
+  /** How `aggregate(arr, zero, (acc, x) -> body)` renders remotely. */
+  sealed trait ArrayAggStyle
+  /** The engine has Spark's native 3-arg form: `fn(arr, zero, lambda)`. */
+  case class AggNative(fn: String) extends ArrayAggStyle
+  /** `CASE WHEN arr IS NULL THEN NULL ELSE
+    *   list_reduce(list_prepend(zero, arr), (acc, x) -> body) END` —
+    * DuckDB (probed live on 1.0.0): list_reduce takes NO initial value
+    * (first element seeds the fold, so prepending the zero reproduces
+    * Spark exactly, including `aggregate([], zero) = zero`); the NULL
+    * guard is REQUIRED because `list_prepend(zero, NULL)` yields `[zero]`
+    * where Spark's aggregate(NULL, …) is NULL. Integer overflow in the
+    * body errors LOUDLY on the engine where non-ANSI Spark would wrap —
+    * fail-loud, never silent divergence. */
+  case object AggReducePrepend extends ArrayAggStyle
+
+  /** How `zip_with(a, b, (x, y) -> body)` renders remotely. */
+  sealed trait ZipWithStyle
+  /** The engine has Spark's native form: `fn(a, b, (x, y) -> body)`. */
+  case class ZipNative(fn: String) extends ZipWithStyle
+  /** `CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE
+    *   [body(a[i], b[i]) FOR i IN range(1, greatest(len(a), len(b)) + 1)]
+    * END` — DuckDB (probed live on 1.0.0): out-of-range list indexing
+    * yields NULL, which reproduces Spark's shorter-side NULL padding
+    * bit-for-bit; the NULL guard is required because `greatest` skips
+    * NULLs and a NULL side would otherwise comprehend over the other. */
+  case object ZipIndexComprehension extends ZipWithStyle
+}
+
 /** ANSI-ish default used for golden tests. */
 object AnsiDialect extends SqlDialect {
   override val name = "ansi"
@@ -333,6 +400,15 @@ object AnsiDialect extends SqlDialect {
 object SparkDialect extends SqlDialect {
   override val name = "spark"
   override def supportsMd5: Boolean = true
+  // higher-order lambdas: the remote IS Spark — native spellings
+  override def arrayTransformFn: Option[String] = Some("transform")
+  override def arrayFilterFn: Option[String] = Some("filter")
+  override def arrayAggregateStyle: Option[SqlDialect.ArrayAggStyle] =
+    Some(SqlDialect.AggNative("aggregate"))
+  override def zipWithStyle: Option[SqlDialect.ZipWithStyle] =
+    Some(SqlDialect.ZipNative("zip_with"))
+  override def arrayConstructor: Option[Seq[String] => String] =
+    Some(items => s"array(${items.mkString(", ")})")
   // the mock re-parses the IN list into Catalyst InSet — scale-safe
   override def maxRuntimeFilterKeys: Int = 65536
   override val supportsSubqueryCte = true
@@ -377,6 +453,25 @@ object SparkDialect extends SqlDialect {
 object DuckDbDialect extends SqlDialect {
   override val name = "duckdb"
   override def supportsMd5: Boolean = true
+  // probed: CAST(2.7::DOUBLE AS BIGINT) = 3 (Spark: 2) — see trait doc
+  override def integralCastRounds: Boolean = true
+  // higher-order lambdas, each probed live on 1.0.0 (NULL array → NULL,
+  // NULL elements map through, nested lambdas scope lexically, OOB index
+  // → NULL, 2-param lambda index is 1-BASED where Spark's is 0-based)
+  override def arrayTransformFn: Option[String] = Some("list_transform")
+  override def arrayFilterFn: Option[String] = Some("list_filter")
+  override def lambdaIndexIsOneBased: Boolean = true
+  override def arrayAggregateStyle: Option[SqlDialect.ArrayAggStyle] =
+    Some(SqlDialect.AggReducePrepend)
+  override def zipWithStyle: Option[SqlDialect.ZipWithStyle] =
+    Some(SqlDialect.ZipIndexComprehension)
+  override def arrayConstructor: Option[Seq[String] => String] =
+    Some(items => s"[${items.mkString(", ")}]")
+  override def functionName(sparkName: String): String = sparkName match {
+    case "array_max" => "list_max"
+    case "array_min" => "list_min"
+    case other => other
+  }
   // probed live on 1.0.0: a 100k-element IN list executes in 0.73 s
   override def maxRuntimeFilterKeys: Int = 65536
   override val supportsSubqueryCte = true
@@ -457,6 +552,8 @@ object DuckDbDialect extends SqlDialect {
 object PostgresDialect extends SqlDialect {
   override val name = "postgres"
   override def supportsMd5: Boolean = true
+  // round(), documented: float/numeric→int casts round half away
+  override def integralCastRounds: Boolean = true
   override val supportsSubqueryCte = true
   override val supportsIntervalArithmetic = true
   override def quote(ident: String): String =

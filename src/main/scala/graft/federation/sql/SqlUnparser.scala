@@ -756,6 +756,18 @@ class SqlUnparser(dialect: SqlDialect) {
         }
         if (excessScale) dialect.lossyDecimalCast(r(c), dt.precision, dt.scale)
         else s"CAST(${r(c)} AS ${dialect.typeName(dt)})"
+      // fractional → integral: Spark truncates toward zero; engines that
+      // ROUND instead (DuckDB probed: CAST(2.7 AS BIGINT) = 3 for DOUBLE,
+      // FLOAT and DECIMAL sources; Postgres documented) get the source
+      // wrapped in trunc() — probed exact toward-zero, restoring Spark's
+      // value bit-for-bit
+      case Cast(c, dt @ (ByteType | ShortType | IntegerType | LongType),
+          _, _) if dialect.integralCastRounds && (c.dataType match {
+            case DoubleType | FloatType | _: DecimalType => true
+            case _ => false
+          }) =>
+        s"CAST(${dialect.functionName("trunc")}(${r(c)}) AS " +
+          s"${dialect.typeName(dt)})"
       case Cast(c, dt, _, _) => s"CAST(${r(c)} AS ${dialect.typeName(dt)})"
       case e if e.getClass.getSimpleName == "CheckOverflow" =>
         // decimal-bound bookkeeping; re-emit as an explicit cast, routed
@@ -808,8 +820,17 @@ class SqlUnparser(dialect: SqlDialect) {
       case Length(c) => fn1("length", c)
       case Abs(c, _) => fn1("abs", c)
       case Sqrt(c) => fn1("sqrt", c)
-      case Floor(c) => fn1("floor", c)
-      case Ceil(c) => fn1("ceiling", c)
+      // Spark types floor/ceil(DOUBLE) as BIGINT (and DECIMAL(p-s+1, 0)
+      // for decimal input); SQL floor keeps the input type (DuckDB/
+      // Postgres return DOUBLE — probed) — cast to the Catalyst result
+      // type so the fragment's declared schema holds and downstream
+      // integer arithmetic keeps integer semantics. Exact: |floor(x)| of
+      // any finite double is integral, and the cast is identity on
+      // engines already returning the integral type.
+      case f @ Floor(c) =>
+        s"CAST(${fn1("floor", c)} AS ${dialect.typeName(f.dataType)})"
+      case f @ Ceil(c) =>
+        s"CAST(${fn1("ceiling", c)} AS ${dialect.typeName(f.dataType)})"
       case Exp(c) => fn1("exp", c)
       case Log(c) => fn1("ln", c)
       case Year(c) => fn1("year", c)
@@ -912,6 +933,123 @@ class SqlUnparser(dialect: SqlDialect) {
       case Md5(c) if dialect.supportsMd5 => fn1("md5", c)
       case _: Md5 =>
         fail(s"md5: no ${dialect.name} function")
+
+      // ------------- higher-order array lambdas (transform / filter /
+      // aggregate / zip_with). Lambda parameters are NamedLambdaVariables
+      // with globally-unique exprIds: bind each to its dialect-chosen
+      // SPELLING in the body's scope and render the body through the same
+      // pipeline — nested lambdas compose and shadowing cannot collide
+      // (every parameter renders as l<exprId>). Spark evaluates all four
+      // as CodegenFallback, so shipping them to the engine is a perf win
+      // on top of the fragment-merging one.
+      case v: NamedLambdaVariable =>
+        scope.getOrElse(v.exprId,
+          fail(s"lambda variable ${v.name} referenced outside its lambda"))
+
+      case ArrayTransform(arr, LambdaFunction(body, args, _)) =>
+        val fn = dialect.arrayTransformFn.getOrElse(
+          fail(s"${dialect.name}: no array-lambda transform"))
+        args match {
+          case Seq(x) =>
+            val xn = s"l${x.exprId.id}"
+            val b = render(body, scope + (x.exprId -> xn))
+            s"$fn(${r(arr)}, $xn -> $b)"
+          case Seq(x, i) =>
+            // Spark's element index is 0-based; engines whose 2-param
+            // lambda index is 1-based (DuckDB, probed) get references to
+            // the index parameter rebased at the spelling
+            val xn = s"l${x.exprId.id}"
+            val in = s"l${i.exprId.id}"
+            val iRef = if (dialect.lambdaIndexIsOneBased) s"($in - 1)" else in
+            val b = render(body,
+              scope + (x.exprId -> xn) + (i.exprId -> iRef))
+            s"$fn(${r(arr)}, ($xn, $in) -> $b)"
+          case _ => fail("transform lambda arity")
+        }
+
+      case ArrayFilter(arr, LambdaFunction(body, Seq(x), _)) =>
+        // 1-arg form only: the (x, i) filter's index behavior is unprobed
+        // off-Spark, and Spark-side uses are rare — refusal keeps it local
+        val fn = dialect.arrayFilterFn.getOrElse(
+          fail(s"${dialect.name}: no array-lambda filter"))
+        val xn = s"l${x.exprId.id}"
+        val b = render(body, scope + (x.exprId -> xn))
+        s"$fn(${r(arr)}, $xn -> $b)"
+
+      case ZipWith(a, b, LambdaFunction(body, Seq(x, y), _)) =>
+        dialect.zipWithStyle match {
+          case Some(SqlDialect.ZipNative(fn)) =>
+            val xn = s"l${x.exprId.id}"
+            val yn = s"l${y.exprId.id}"
+            val bb = render(body,
+              scope + (x.exprId -> xn) + (y.exprId -> yn))
+            s"$fn(${r(a)}, ${r(b)}, ($xn, $yn) -> $bb)"
+          case Some(SqlDialect.ZipIndexComprehension) =>
+            // [body(a[i], b[i]) FOR i IN range(1, greatest(len(a), len(b))
+            // + 1)] — OOB indexing yields NULL (probed), reproducing
+            // Spark's shorter-side NULL padding exactly; the NULL guard is
+            // required because greatest() SKIPS a NULL operand and the
+            // comprehension would run over the non-null side
+            val asql = r(a)
+            val bsql = r(b)
+            val iv = s"i${x.exprId.id}"
+            val bb = render(body,
+              scope + (x.exprId -> s"($asql)[$iv]") +
+                (y.exprId -> s"($bsql)[$iv]"))
+            s"(CASE WHEN ($asql) IS NULL OR ($bsql) IS NULL THEN NULL " +
+              s"ELSE [$bb FOR $iv IN " +
+              s"range(1, greatest(len($asql), len($bsql)) + 1)] END)"
+          case None => fail(s"${dialect.name}: no zip_with form")
+        }
+
+      case ArrayAggregate(arr, zero,
+          LambdaFunction(mbody, Seq(acc, x), _), finish) =>
+        // only an identity finish lambda federates (no engine has the
+        // 4-arg form); Spark's 3-arg aggregate() builds exactly that
+        val finishIsIdentity = finish match {
+          case LambdaFunction(fb: NamedLambdaVariable, Seq(fa), _) =>
+            fa.exprId == fb.exprId
+          case _ => false
+        }
+        if (!finishIsIdentity) fail("aggregate finish lambda not identity")
+        val an = s"l${acc.exprId.id}"
+        val xn = s"l${x.exprId.id}"
+        val mb = render(mbody, scope + (acc.exprId -> an) + (x.exprId -> xn))
+        // the zero anchors the accumulator TYPE on re-parse: a bare
+        // integral literal re-reads as INT and a BIGINT-valued merge then
+        // fails the engine's aggregate typecheck (fuzz-caught on the
+        // mock: Catalyst folds CAST(1 AS BIGINT) to Literal(1L), which
+        // rendered bare) — always re-cast to the Catalyst zero type
+        val zeroSql = s"CAST(${r(zero)} AS ${dialect.typeName(zero.dataType)})"
+        dialect.arrayAggregateStyle match {
+          case Some(SqlDialect.AggNative(fn)) =>
+            s"$fn(${r(arr)}, $zeroSql, ($an, $xn) -> $mb)"
+          case Some(SqlDialect.AggReducePrepend) =>
+            // list_reduce has no initial value (first element seeds the
+            // fold) — prepending the zero reproduces Spark exactly, incl.
+            // aggregate([], zero) = zero; the NULL guard is required:
+            // list_prepend(zero, NULL) is [zero] where Spark yields NULL.
+            // Integer overflow in the body errors LOUDLY on the engine
+            // where non-ANSI Spark wraps — fail-loud, never silent drift.
+            val asql = r(arr)
+            s"(CASE WHEN ($asql) IS NULL THEN NULL ELSE " +
+              s"list_reduce(list_prepend($zeroSql, ($asql)), " +
+              s"($an, $xn) -> $mb) END)"
+          case None => fail(s"${dialect.name}: no aggregate(array) form")
+        }
+
+      case CreateArray(items, _) =>
+        val ctor = dialect.arrayConstructor.getOrElse(
+          fail(s"${dialect.name}: no array constructor"))
+        ctor(items.map(r))
+
+      // NULL-skipping max/min over an array: probed identical on DuckDB
+      // (list_max([1, NULL, 3]) = 3, empty/NULL list → NULL); gated on the
+      // lambda capability as the proxy for "engine has list kernels"
+      case ArrayMax(c) if dialect.arrayTransformFn.nonEmpty =>
+        fn1("array_max", c)
+      case ArrayMin(c) if dialect.arrayTransformFn.nonEmpty =>
+        fn1("array_min", c)
       // only the hex→dec shape (the MD5-bucket sampling rule); arbitrary
       // base pairs have no portable SQL spelling
       case Conv(num, Literal(16, IntegerType), Literal(10, IntegerType), _) =>

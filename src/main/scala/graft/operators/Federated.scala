@@ -1924,6 +1924,41 @@ object Federated {
        |ORDER BY surv.source""".stripMargin
   }
 
+  /** Quantized ANN over embeddings LIVING in the remote engine — the
+    * similarity family composed with federation: the int8 scalar
+    * quantization (`Similarity.quantize8` — per-vector scale, round-half-
+    * up floor), the exact integer dot product (`zip_with` + `aggregate`
+    * higher-order lambdas), the non-equi self-join, the per-query
+    * ROW_NUMBER top-k window and the final sort ALL execute inside DuckDB
+    * as ONE fragment; the wire carries exactly q×k result rows. Beyond
+    * the fragment-merging win, Spark evaluates every higher-order array
+    * expression as CodegenFallback — the engine's vectorized list kernels
+    * replace interpreted per-row eval. The companion spec pins the single
+    * fragment and the `list_transform`/`list_reduce` wire SQL. */
+  def duckAnnQuantized(s: SparkSession, dir: String): DataFrame = {
+    graft.federation.duckdb.DuckDbHarness.registerViews(s, dir)
+    val codes = s.table("duck_embeddings")
+      .select(col("vec_id"), Similarity.quantize8(col("embedding")).as("q"))
+    val queries = codes.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("q_id"), col("q").as("q_vec"))
+    val scored = codes.join(queries, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Similarity.quantizedDot(col("q_vec"), col("q")).as("qdot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("qdot").desc, col("vec_id"))
+    scored
+      .withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("qdot"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Same recipe as `Similarity.quantizedTopKOracle` (the local gate's
+    * oracle — identical quantization and integer dot), reused verbatim:
+    * the federated plan must agree with the local plan AND the oracle. */
+  def duckAnnQuantizedOracle: String = Similarity.quantizedTopKOracle
+
   /** TWO live DuckDB instances (distinct database files = distinct
     * computeContexts): each side of the join federates into ITS OWN
     * instance and the stitch happens locally — the same-engine-type

@@ -2602,6 +2602,47 @@ class DuckDbFederationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"kernel leaked to the wire: $s"))
   }
 
+  test("fed_ann_quantized: int8 quantization, exact integer dot " +
+      "(zip_with + aggregate lambdas), non-equi self-join, top-k window " +
+      "and final sort ALL execute inside the engine as ONE fragment; " +
+      "rows equal the local quantizedTopK bit-for-bit") {
+    val e = ex
+    val before = e.executedSql.synchronized(e.executedSql.size)
+    val fed = graft.operators.Federated.duckAnnQuantized(spark, dir)
+    val fedRows = fed.collect().map(_.toString).toSeq
+    val local = graft.operators.Similarity.quantizedTopK(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(fedRows.nonEmpty, "empty ANN result")
+    assert(fedRows == local,
+      s"federated != local quantizedTopK\nfed:   ${fedRows.take(3)}\n" +
+        s"local: ${local.take(3)}")
+    val shipped = e.executedSql.synchronized(
+      e.executedSql.drop(before).toList)
+    val frags = shipped.filter(_.toLowerCase.contains("list_transform"))
+    assert(frags.nonEmpty, s"no lambda-bearing fragment shipped:\n" +
+      shipped.mkString("\n"))
+    assert(frags.map(_.toLowerCase).distinct.size == 1,
+      s"quantization must ship as ONE fragment shape:\n${frags.mkString("\n")}")
+    val sql = frags.head.toLowerCase
+    assert(sql.contains("list_reduce") && sql.contains("list_prepend"),
+      s"the integer dot must fold remotely: $sql")
+    assert(sql.contains("row_number"), s"the top-k window must ship: $sql")
+    assert(sql.contains("greatest("),
+      s"the zip padding guard must ship: $sql")
+    // nothing evaluates locally: above the remote scan there is no local
+    // Window and no local higher-order eval (CodegenFallback) — judge the
+    // NON-RemoteScan plan lines (the scan line carries the remote SQL,
+    // which legitimately contains the lambda spellings)
+    val plan = fed.queryExecution.executedPlan.toString()
+    assert(remoteScans(fed).nonEmpty, s"no remote scan in:\n$plan")
+    val localLines = plan.linesIterator
+      .filterNot(_.contains("RemoteScan")).mkString("\n")
+    assert(!localLines.contains("Window"),
+      s"the rank window leaked to a local operator:\n$plan")
+    assert(!localLines.contains("transform("),
+      s"a lambda leaked to local eval:\n$plan")
+  }
+
   test("staged boundary fetch: rows past the stage threshold spill to " +
       "parquet and reproduce the JSON wire EXACTLY (all stageable types, " +
       "NaN/Inf, pre-1582 dates, nulls, blobs)") {

@@ -60,7 +60,7 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Numeric-valued expression; depth-bounded. */
   private def numExpr(r: Random, d: Int): String =
     if (d <= 0) pick(r, pick(r, numCols: _*), numLit(r))
-    else r.nextInt(8) match {
+    else r.nextInt(9) match {
       case 0 => s"(${numExpr(r, d - 1)} + ${numExpr(r, d - 1)})"
       case 1 => s"(${numExpr(r, d - 1)} - ${numExpr(r, d - 1)})"
       case 2 => s"(${numExpr(r, d - 1)} * ${numExpr(r, d - 1)})"
@@ -70,6 +70,10 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       case 6 => s"CASE WHEN ${pred(r, d - 1)} THEN ${numExpr(r, d - 1)} " +
         s"ELSE ${numExpr(r, d - 1)} END"
       case 7 => s"LENGTH(${strExpr(r, d - 1)})"
+      // fractional → integral cast: Spark truncates toward zero where
+      // some engines round (the r14 integralCastRounds guard) — the
+      // multiplier guarantees a fractional part either sign
+      case 8 => s"CAST((${numExpr(r, d - 1)} * 0.3) AS BIGINT)"
     }
 
   /** String-valued expression; depth-bounded. */
@@ -522,6 +526,93 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   // -0.0 and 0.0 are equal under IEEE and SQL comparison but engines may
   // surface either from expressions like MIN(0.0 * x * -1) — compare
   // modulo zero sign (boundary guard: must not touch "-0.01")
+  // ---- higher-order array-lambda grammar (r14): constructed BIGINT
+  // arrays over lineitem columns, transform / filter / zip_with /
+  // aggregate / array_max|min over them. Integer-exact everywhere (no FP
+  // accumulation ambiguity); small moduli keep every fold far from
+  // overflow, where engine behavior legitimately diverges (loud vs wrap).
+  // Lambda variable names deliberately COLLIDE across nesting levels —
+  // exprId-based rendering must keep scopes straight.
+
+  private def lamVar(r: Random): String = pick(r, "x", "y", "v")
+
+  /** Integer-valued lambda body over the in-scope lambda vars + an outer
+    * column (correlated into the comprehension/lambda — the hard case). */
+  private def lamBody(r: Random, vars: Seq[String], d: Int): String =
+    if (d <= 0) pick(r, pick(r, vars: _*),
+      pick(r, vars: _*), "CAST(l_linenumber AS BIGINT)", "2", "-1")
+    else r.nextInt(5) match {
+      case 0 => s"(${lamBody(r, vars, d - 1)} + ${lamBody(r, vars, d - 1)})"
+      case 1 => s"(${lamBody(r, vars, d - 1)} - ${lamBody(r, vars, d - 1)})"
+      case 2 => s"(${lamBody(r, vars, d - 1)} * 2)"
+      case 3 => s"ABS(${lamBody(r, vars, d - 1)})"
+      case 4 => s"CASE WHEN ${pick(r, vars: _*)} IS NULL THEN -7 " +
+        s"ELSE ${lamBody(r, vars, d - 1)} END"
+    }
+
+  /** BIGINT-array-valued expression; depth-bounded, length 2-4 at the
+    * leaves (so zip_with regularly sees UNEQUAL lengths → NULL padding). */
+  private def arrExpr(r: Random, d: Int): String =
+    if (d <= 0) pick(r,
+      "array(CAST(l_linenumber AS BIGINT), CAST(l_partkey % 37 AS BIGINT))",
+      "array(CAST(l_quantity AS BIGINT), CAST(l_suppkey % 11 AS BIGINT), " +
+        "CAST(l_linenumber AS BIGINT))",
+      "array(CAST(l_partkey % 23 AS BIGINT), " +
+        "CASE WHEN l_quantity > 25 THEN CAST(NULL AS BIGINT) " +
+        "ELSE CAST(l_quantity AS BIGINT) END, " +
+        "CAST(l_linenumber AS BIGINT), CAST(2 AS BIGINT))")
+    else r.nextInt(4) match {
+      case 0 =>
+        val v = lamVar(r)
+        s"transform(${arrExpr(r, d - 1)}, $v -> ${lamBody(r, Seq(v), 1)})"
+      case 1 =>
+        val v = lamVar(r)
+        val i = "i"
+        // 2-arg transform: the index param (0-based on Spark) rides too
+        s"transform(${arrExpr(r, d - 1)}, ($v, $i) -> " +
+          s"(${lamBody(r, Seq(v), 0)} + $i))"
+      case 2 =>
+        val v = lamVar(r)
+        s"filter(${arrExpr(r, d - 1)}, $v -> " +
+          pick(r, s"$v > 3", s"$v IS NOT NULL", s"($v % 2) = 0") + ")"
+      case 3 =>
+        // distinct names WITHIN one lambda head (Spark rejects duplicate
+        // parameter names); collisions ACROSS nesting levels stay in the
+        // grammar — exprIds must disambiguate those
+        val v = lamVar(r)
+        val w = pick(r, Seq("x", "y", "v").filterNot(_ == v): _*)
+        s"zip_with(${arrExpr(r, d - 1)}, ${arrExpr(r, d - 1)}, " +
+          s"($v, $w) -> ${lamBody(r, Seq(v, w), 1)})"
+    }
+
+  /** One scalar over arrays: a left fold (non-commutative bodies pin the
+    * fold ORDER), or a NULL-skipping array_max/min. */
+  private def lamScalar(r: Random): String = r.nextInt(4) match {
+    case 0 =>
+      val a = lamVar(r)
+      val x = pick(r, Seq("x", "y", "v").filterNot(_ == a): _*)
+      s"aggregate(${arrExpr(r, 1 + r.nextInt(2))}, CAST(0 AS BIGINT), " +
+        s"($a, $x) -> ${pick(r, s"($a + $x)", s"($a - $x)",
+          s"(($a * 2) + $x)",
+          s"CASE WHEN $x IS NULL THEN $a ELSE ($a + $x) END")})"
+    case 1 => s"array_max(${arrExpr(r, 1 + r.nextInt(2))})"
+    case 2 => s"array_min(${arrExpr(r, 1 + r.nextInt(2))})"
+    case 3 =>
+      val a = lamVar(r)
+      val x = pick(r, Seq("x", "y", "v").filterNot(_ == a): _*)
+      s"aggregate(${arrExpr(r, 1)}, CAST(1 AS BIGINT), " +
+        s"($a, $x) -> (($a * 3) - CASE WHEN $x IS NULL THEN 1 ELSE $x END))"
+  }
+
+  private def genLambdaQuery(r: Random): String = {
+    val scalars = (1 to (1 + r.nextInt(2)))
+      .map(i => s"${lamScalar(r)} AS s$i").mkString(", ")
+    val where = pick(r, "l_orderkey <= 300", "l_linenumber <= 3",
+      "l_quantity BETWEEN 5 AND 45")
+    s"""SELECT l_orderkey, l_linenumber, $scalars
+       |FROM fed_lineitem WHERE $where""".stripMargin
+  }
+
   private def rowsOf(df: DataFrame): Seq[String] =
     df.collect().map(_.toString.replaceAll("-0\\.0(?![0-9])", "0.0"))
       .sorted.toSeq
@@ -733,6 +824,58 @@ class UnparserFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(federated >= (total * 9) / 10,
       s"only $federated/$total live unnest queries federated")
+  }
+
+  /** Differential loop for the array-lambda grammar (r14): the generated
+    * SQL runs federated (prefix tables) and plain-local; integer-exact so
+    * any row diff is a rendering bug — fold order, padding, NULL guards,
+    * lambda scoping, index rebasing. */
+  private def runLambdaFuzz(prefix: String, seed: Long, total: Int): Int = {
+    var federated = 0
+    val r = new Random(seed)
+    (1 to total).foreach { i =>
+      val sql0 = genLambdaQuery(r)
+      val fedSql = sql0.replace("fed_", prefix)
+      val localSql = sql0.replace("fed_", "")
+      val fedDf = spark.sql(fedSql)
+      val frags = fedDf.queryExecution.optimizedPlan.collect {
+        case f: FederatedPlan => f
+      }
+      if (frags.nonEmpty) federated += 1
+      val got = try rowsOf(fedDf) catch { case e: Throwable =>
+        throw new AssertionError(
+          s"lambda query #$i EXECUTION FAILED\nSQL:\n$fedSql\n" +
+            s"plan:\n${fedDf.queryExecution.executedPlan}", e)
+      }
+      val want = rowsOf(spark.sql(localSql))
+      assert(got == want,
+        s"lambda query #$i differs (federated=${frags.nonEmpty})\n" +
+          s"SQL:\n$fedSql\ngot ${got.size} rows, want ${want.size}\n" +
+          s"first diff: ${got.zip(want).find(p => p._1 != p._2)}\n" +
+          s"plan:\n${fedDf.queryExecution.optimizedPlan}")
+    }
+    federated
+  }
+
+  test("60 random array-lambda queries: transform/filter/zip_with/" +
+      "aggregate federate on the mock and match local") {
+    FederationHarness.setup(spark, dir)
+    graft.sources.Tables.registerAll(spark, dir)
+    val total = nOverride.map(n => math.max(10, n / 3)).getOrElse(60)
+    val federated = runLambdaFuzz("fed_", seedBase + 4040L, total)
+    assert(federated >= (total * 9) / 10,
+      s"only $federated/$total lambda queries federated")
+  }
+
+  test("40 random array-lambda queries against the LIVE DuckDB engine " +
+      "match local (list_transform/list_filter/list_reduce/index " +
+      "comprehension on the real wire)") {
+    graft.federation.duckdb.DuckDbHarness.registerViews(spark, dir)
+    graft.sources.Tables.registerAll(spark, dir)
+    val total = nOverride.map(n => math.max(10, n / 5)).getOrElse(40)
+    val federated = runLambdaFuzz("duck_", seedBase + 5050L, total)
+    assert(federated >= (total * 9) / 10,
+      s"only $federated/$total live lambda queries federated")
   }
 
   test("60 partial-agg unions across TWO REAL ENGINES (DuckDB + Derby) match local") {

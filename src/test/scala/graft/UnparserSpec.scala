@@ -583,4 +583,99 @@ class UnparserSpec extends AnyFunSuite {
     assert("> 7".r.findAllIn(s).size == 3,
       s"the r2-alias predicate must bind inside every probe:\n$s")
   }
+
+  test("higher-order array lambdas: transform / filter / zip_with / " +
+      "aggregate per dialect (DuckDB list kernels, Spark native); " +
+      "engines without list lambdas refuse") {
+    val v = rel("v", "xs" -> ArrayType(LongType), "ys" -> ArrayType(LongType))
+    val xs = v.output.head
+    val ys = v.output(1)
+    def lv(n: String, id: Long) =
+      NamedLambdaVariable(n, LongType, nullable = true, exprId = ExprId(id))
+
+    // transform: DuckDB list_transform, Spark transform, others refuse
+    val x1 = lv("x", 901)
+    val tr = Project(Seq(Alias(ArrayTransform(xs,
+      LambdaFunction(Multiply(x1, Literal(2L)), Seq(x1))), "o")()), v)
+    val trDuck = new SqlUnparser(DuckDbDialect).unparse(tr)
+    assert(trDuck.contains("list_transform(t1.xs, l901 -> (l901 * 2))"),
+      trDuck)
+    assert(new SqlUnparser(SparkDialect).unparse(tr)
+      .contains("transform(t1.xs, l901 -> (l901 * 2))"))
+    assert(SqlUnparser.tryUnparse(tr, DerbyDialect).isEmpty)
+    assert(SqlUnparser.tryUnparse(tr, AnsiDialect).isEmpty)
+    assert(SqlUnparser.tryUnparse(tr, PostgresDialect).isEmpty)
+
+    // 2-arg transform: the element index rebases on 1-based engines
+    val x2 = lv("x", 902)
+    val i2 = lv("i", 903)
+    val tri = Project(Seq(Alias(ArrayTransform(xs,
+      LambdaFunction(Add(x2, i2), Seq(x2, i2))), "o")()), v)
+    val triDuck = new SqlUnparser(DuckDbDialect).unparse(tri)
+    assert(triDuck.contains(
+      "list_transform(t1.xs, (l902, l903) -> (l902 + (l903 - 1)))"), triDuck)
+    assert(new SqlUnparser(SparkDialect).unparse(tri)
+      .contains("transform(t1.xs, (l902, l903) -> (l902 + l903))"))
+
+    // filter (1-arg only)
+    val x3 = lv("x", 904)
+    val fl = Project(Seq(Alias(ArrayFilter(xs,
+      LambdaFunction(GreaterThan(x3, Literal(0L)), Seq(x3))), "o")()), v)
+    assert(new SqlUnparser(DuckDbDialect).unparse(fl)
+      .contains("list_filter(t1.xs, l904 -> (l904 > 0))"))
+    assert(SqlUnparser.tryUnparse(fl, DerbyDialect).isEmpty)
+
+    // zip_with: index comprehension with OOB-NULL padding + NULL guard
+    // on DuckDB, native on Spark
+    val x4 = lv("x", 905)
+    val y4 = lv("y", 906)
+    val zw = Project(Seq(Alias(ZipWith(xs, ys,
+      LambdaFunction(Multiply(x4, y4), Seq(x4, y4))), "o")()), v)
+    val zwDuck = new SqlUnparser(DuckDbDialect).unparse(zw)
+    assert(zwDuck.contains("CASE WHEN (t1.xs) IS NULL OR (t1.ys) IS NULL " +
+      "THEN NULL ELSE [((t1.xs)[i905] * (t1.ys)[i905]) FOR i905 IN " +
+      "range(1, greatest(len(t1.xs), len(t1.ys)) + 1)] END"), zwDuck)
+    assert(new SqlUnparser(SparkDialect).unparse(zw)
+      .contains("zip_with(t1.xs, t1.ys, (l905, l906) -> (l905 * l906))"))
+    assert(SqlUnparser.tryUnparse(zw, AnsiDialect).isEmpty)
+
+    // aggregate: list_reduce(list_prepend(zero, arr)) with a NULL guard
+    // on DuckDB (probed: prepend-to-NULL would yield [zero], Spark NULL),
+    // native 3-arg on Spark; a non-identity finish refuses everywhere
+    val a5 = lv("acc", 907)
+    val x5 = lv("x", 908)
+    def aggOf(finish: Expression, finishArg: NamedLambdaVariable) =
+      Project(Seq(Alias(ArrayAggregate(xs, Literal(0L),
+        LambdaFunction(Add(a5, x5), Seq(a5, x5)),
+        LambdaFunction(finish, Seq(finishArg))), "o")()), v)
+    val f6 = lv("id", 909)
+    val ag = aggOf(f6, f6)
+    val agDuck = new SqlUnparser(DuckDbDialect).unparse(ag)
+    assert(agDuck.contains("CASE WHEN (t1.xs) IS NULL THEN NULL ELSE " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), (t1.xs)), " +
+      "(l907, l908) -> (l907 + l908)) END"), agDuck)
+    assert(new SqlUnparser(SparkDialect).unparse(ag)
+      .contains("aggregate(t1.xs, CAST(0 AS BIGINT), " +
+        "(l907, l908) -> (l907 + l908))"))
+    assert(SqlUnparser.tryUnparse(ag, DerbyDialect).isEmpty)
+    val f7 = lv("z", 910)
+    val agBad = aggOf(Multiply(f7, Literal(3L)), f7)
+    assert(SqlUnparser.tryUnparse(agBad, DuckDbDialect).isEmpty,
+      "non-identity finish must refuse")
+    assert(SqlUnparser.tryUnparse(agBad, SparkDialect).isEmpty)
+
+    // array_max/min ride the lambda capability; Spark's BIGINT-typed
+    // floor gains an explicit cast on engines whose floor stays DOUBLE
+    val mx = Project(Seq(Alias(ArrayMax(xs), "m")()), v)
+    assert(new SqlUnparser(DuckDbDialect).unparse(mx)
+      .contains("list_max(t1.xs)"))
+    assert(new SqlUnparser(SparkDialect).unparse(mx)
+      .contains("array_max(t1.xs)"))
+    assert(SqlUnparser.tryUnparse(mx, DerbyDialect).isEmpty)
+
+    val d = rel("d", "c" -> DoubleType)
+    val fc = Project(Seq(Alias(Floor(d.output.head), "f")()), d)
+    assert(new SqlUnparser(DuckDbDialect).unparse(fc)
+      .contains("CAST(floor(t1.c) AS BIGINT)"))
+  }
 }
