@@ -156,14 +156,26 @@ object StreamOps {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val ckpt = scratchCheckpoint(name)
     try {
-      val q = df.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      def timed[A](seg: String)(f: => A): A =
+        if (!StreamProbeHook.isOn) f
+        else {
+          val t0 = System.nanoTime()
+          try f finally
+            StreamProbeHook.segment(seg, (System.nanoTime() - t0) / 1e6)
+        }
+      val q = timed("start") {
+        df.writeStream
+          .outputMode(mode)
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .start()
+      }
+      try timed("drain")(q.processAllAvailable())
+      finally {
+        StreamProbeHook.progress(q)
+        timed("stop")(q.stop())
+      }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.conf
@@ -510,7 +522,7 @@ object StreamOps {
   def fedSourceOracle: String =
     """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
       |  MAX(o_orderkey) AS max_key
-      |FROM orders GROUP BY 1""".stripMargin
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Batch recompute over the same two tables. */
   def fedEnrichOracle: String =
