@@ -137,9 +137,22 @@ object Bench {
     // calibration plan pay codegen + C2 compilation — r13 measured
     // 0.31-0.40s cold vs 0.15-0.21s warm against the 0.19s quiet pin,
     // so an unwarmed baseline flagged every sweep "LOADED (from the
-    // start)" regardless of actual box load. Two discarded runs keep
-    // that flag measuring CO-TENANCY, not JVM warmup.
-    calibOnce(); calibOnce()
+    // start)" regardless of actual box load. r13 used two fixed discard
+    // runs; r14's heavier harness setup (staged DuckDB parquet ingest)
+    // queues enough background C2 work that two no longer reach steady
+    // state — every quiet sweep still self-flagged at pin ratios
+    // 1.7-2.8 while its in-sweep samples sat AT the pin. Warm through
+    // until two consecutive runs agree within 20% (cap 10), so the
+    // baseline measures co-tenancy, not the JVM settling.
+    var warmPrev = calibOnce()
+    var warmTries = 1
+    var warmStable = false
+    while (!warmStable && warmTries < 10) {
+      val c = calibOnce()
+      warmStable = math.abs(c - warmPrev) <= 0.2 * math.min(c, warmPrev)
+      warmPrev = c
+      warmTries += 1
+    }
     val calibBase = Seq(calibOnce(), calibOnce(), calibOnce()).sorted.apply(1)
     val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
 

@@ -440,6 +440,27 @@ object Dedup {
   /** The propagation core over an explicit node/edge set (edges are
     * undirected pairs with a_id < b_id; symmetrized here). */
   def componentsOf(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    // Scale-adaptive parallelism for the fixpoint: every round shuffles
+    // label tables of |nodes| rows (two longs each), and the loop runs
+    // O(log diameter) blocking rounds — at the configured session
+    // parallelism each tiny round pays full per-partition scheduling
+    // overhead (measured: the sf0.1 cold build spent 7-30 s in ~15 rounds
+    // of KB-sized 32-partition shuffles). Partitions derive from the
+    // label-table size (≈500k rows per partition, floor 4) and are capped
+    // at the session setting, so cluster-scale graphs keep cluster-scale
+    // parallelism; the conf is restored even on failure.
+    val spark = nodes.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val nNodes = nodes.count()
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, math.min(prevParts.toLong, nNodes / 500000L + 4L))
+        .toString)
+    try componentsOfAt(nodes, pairs)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def componentsOfAt(nodes: DataFrame,
+      pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -874,9 +895,21 @@ object Dedup {
         conv(substring(md5(col("shg")), 1, 14), 16, 10).cast("long")
           .as("h"))
       .distinct()
-    val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select(col("h"))
-    val shk = sh.join(keep, Seq("h"))
+    // document frequency folded into ONE window pass over the distinct
+    // (doc_id, h) set instead of a groupBy + join back: the r14 plan audit
+    // showed the shingle kernel + distinct subtree evaluated SIX times
+    // (keep re-derived sh, and shk was recomputed for sizes and both
+    // self-join sides — 51 exchanges, 15 joins). The window shares the
+    // h-exchange the self-join needs anyway, and localCheckpoint
+    // materializes the kept set once PER INVOCATION (a within-query
+    // staging table — every run still computes it from the parquet input)
+    // so the kernel runs once, not six times.
+    import org.apache.spark.sql.expressions.Window
+    val shk = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= dfCap)
+      .select(col("doc_id"), col("h"))
+      .localCheckpoint()
     val sizes = shk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = shk.select(col("h"), col("doc_id").as("contained_id"))
       .join(shk.select(col("h"), col("doc_id").as("container_id")),

@@ -400,9 +400,14 @@ object Pipeline {
       k: Int = 5): DataFrame = {
     import graft.functions.{PortableHashExprs => P}
     val docs = documents(s, dir)
+    // the bench shingle set feeds BOTH the driver-side Bloom build and
+    // the exact confirm join; without materialization the explode +
+    // distinct ran twice per invocation (r14 plan audit) — checkpoint it
+    // once (within-query staging; every run recomputes from parquet)
     val bench = docs.filter(col("source") === benchSource)
       .select(explode(Dedup.shingles(col("text"), 3)).as("shingle"))
       .distinct()
+      .localCheckpoint()
     val setBits = bench
       .select(explode(P.bloom_positions(col("shingle"), mBits, k)).as("p"))
       .distinct().collect().map(_.getLong(0))
@@ -410,15 +415,25 @@ object Pipeline {
     setBits.foreach(p => bloom((p >>> 3).toInt) =
       (bloom((p >>> 3).toInt) | (1 << (p & 7L).toInt)).toByte)
     val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    // the screen frame is consumed twice (candidate confirm + final
+    // rollup), which re-ran all three screen kernels per consumer;
+    // checkpoint it NARROW (no text — per-doc flags and counters only,
+    // the scale-sane staging shape) so the kernels run once, and
+    // re-attach text for the few Bloom-candidate docs by broadcasting
+    // their ids back into a pruned documents scan
     val base = docs.filter(col("source") =!= benchSource).select(
-      col("doc_id"), col("source"), col("text"),
+      col("doc_id"), col("source"),
       size(toks).cast("long").as("n_tokens"),
       TextOps.gopherKeepOf(col("text"),
         requiredWords = TextOps.gopherFixtureWords).as("g_keep"),
       TextOps.repetitionKeepOf(col("text")).as("r_keep"),
       P.bloom_screen(col("text"), bloom, mBits, k, 3).as("sc"))
-    val contaminated = base.filter(col("sc.n_candidates") > 0L)
-      .select(col("doc_id"), col("sc.n_shingles").as("n_shingles"),
+      .localCheckpoint()
+    val candidates = base.filter(col("sc.n_candidates") > 0L)
+      .select(col("doc_id"), col("sc.n_shingles").as("n_shingles"))
+    val contaminated = docs
+      .join(broadcast(candidates), Seq("doc_id"))
+      .select(col("doc_id"), col("n_shingles"),
         explode(array_distinct(Dedup.shingles(col("text"), 3)))
           .as("shingle"))
       .join(broadcast(bench), Seq("shingle"))

@@ -366,6 +366,15 @@ object Similarity {
         c.unpersist(blocking = false); a.unpersist(blocking = false)
     })
 
+  /** The cached index's centroid table (see [[ivfIndex]]) — for consumers
+    * that assign against the index without probing it, e.g. the streaming
+    * in-flight assignment: rebuilding the centroid refinement per call
+    * (as the pre-r14 stream did) bills the once-per-snapshot index build
+    * to every read. */
+  def ivfIndexCentroids(s: SparkSession, dir: String,
+      kCells: Int = IvfK): DataFrame =
+    ivfIndex(s, dir, kCells)._1
+
   def ivfScored(s: SparkSession, dir: String, kCells: Int = IvfK): DataFrame =
     scoredAgainst(embeddings(s, dir), ivfIndex(s, dir, kCells)._1)
 

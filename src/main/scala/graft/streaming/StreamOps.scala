@@ -287,7 +287,7 @@ object StreamOps {
     * batch assignment exactly: strict `>` over ascending cent_id keeps
     * the smallest id. */
   def ivfAssignStream(spark: SparkSession, dir: String): DataFrame = {
-    val cents = graft.operators.Similarity.ivfCentroids(spark, dir)
+    val cents = graft.operators.Similarity.ivfIndexCentroids(spark, dir)
       .collect()
       .map(r => (r.getLong(0),
         r.getSeq[Double](1).toSeq))
@@ -864,6 +864,10 @@ object StreamOps {
     * whole model aggregation re-runs each time (measured 8.5 s/query at
     * sf0.1; the model is a once-per-corpus-snapshot staging table, the
     * same pattern as `Dedup.sigCache` / the IVF index). */
+  /** Outer fan-out of the bucketed LM model arrays (md5 3-hex-char
+    * prefix). */
+  private val LmBuckets = 4096
+
   private val lmModelCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
 
@@ -880,29 +884,37 @@ object StreamOps {
         val train = Tables.documents(spark, dir)
           .filter(col("source") === trainSource)
           .select(toks(col("text")).as("t"))
-        // two-level maps (md5-prefix bucket → small inner map): Spark's
-        // map element_at is a LINEAR scan of the entries array, so one
-        // flat 40k-entry model map costs O(|model|) per lookup — measured
-        // 8 s/query at sf0.1. Bucketing caps the scan at
-        // O(buckets + |model|/buckets) per lookup, model-size-independent
-        // in practice (an md5 prefix distributes uniformly).
-        val uniRow = train.select(explode(col("t")).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as("c"))
-          .withColumn("b", substring(md5(col("w")), 1, 2))
-          .groupBy(col("b"))
-          .agg(map_from_entries(collect_list(struct(col("w"), col("c"))))
-            .as("m"))
-          .agg(map_from_entries(collect_list(struct(col("b"), col("m"))))
-            .as("um"))
-        val bgRow = train.select(explode(zip_with(heads(col("t")),
-            tails(col("t")), (a, b) => concat(a, lit(" "), b))).as("k"))
-          .groupBy(col("k")).agg(count(lit(1)).as("c"))
-          .withColumn("b", substring(md5(col("k")), 1, 2))
-          .groupBy(col("b"))
-          .agg(map_from_entries(collect_list(struct(col("k"), col("c"))))
-            .as("m"))
-          .agg(map_from_entries(collect_list(struct(col("b"), col("m"))))
-            .as("bm"))
+        // bucketed model, outer level an ARRAY indexed by the md5-prefix
+        // bucket: Spark's map element_at is a LINEAR scan of the entries
+        // array, so one flat 40k-entry model map costs O(|model|) per
+        // lookup — measured 8 s/query at sf0.1. The r13 form bucketed
+        // into a map<hex-pair, inner-map> (256 buckets), which still paid
+        // an O(256) string-compare outer scan PLUS an O(|model|/256)
+        // inner scan per lookup (StreamProbe: 3.7 s warm addBatch, all
+        // scoring). Array element_at is O(1) by index, so the outer level
+        // is free and the fan-out can widen to 4096 (3 hex chars),
+        // shrinking the inner scan ~16x. Same counts, same scores — only
+        // the lookup-table layout changes.
+        def bucketed(pairs: DataFrame, key: String): DataFrame =
+          pairs
+            .withColumn("b",
+              conv(substring(md5(col(key)), 1, 3), 16, 10).cast("int"))
+            .groupBy(col("b"))
+            .agg(map_from_entries(collect_list(struct(col(key), col("c"))))
+              .as("m"))
+            .agg(map_from_entries(collect_list(struct(col("b"), col("m"))))
+              .as("bm0"))
+            .select(transform(sequence(lit(0), lit(LmBuckets - 1)),
+              i => element_at(col("bm0"), i)).as("arr"))
+        val uniRow = bucketed(
+          train.select(explode(col("t")).as("w"))
+            .groupBy(col("w")).agg(count(lit(1)).as("c")), "w")
+          .withColumnRenamed("arr", "um")
+        val bgRow = bucketed(
+          train.select(explode(zip_with(heads(col("t")),
+              tails(col("t")), (a, b) => concat(a, lit(" "), b))).as("k"))
+            .groupBy(col("k")).agg(count(lit(1)).as("c")), "k")
+          .withColumnRenamed("arr", "bm")
         val vRow = train.select(explode(col("t")).as("w"))
           .agg(countDistinct(col("w")).as("v"))
         val m = uniRow.crossJoin(bgRow).crossJoin(vRow)
@@ -936,12 +948,19 @@ object StreamOps {
       targetSource: String, buckets: Int): DataFrame =
     dsirModelCache.getOrElseUpdate(
       (System.identityHashCode(spark), dir, targetSource, buckets),
+      // delta table as an ARRAY indexed by bucket (element_at on a map is
+      // a linear scan — O(buckets) per bigram; on an array it is O(1));
+      // missing buckets hold null, so the scorer's coalesce fallback is
+      // unchanged
       graft.operators.Sampling.dsirModel(spark, dir, targetSource, buckets)
         .agg(
-          map_from_entries(collect_list(struct(col("b"),
+          map_from_entries(collect_list(struct(col("b").cast("int"),
             (col("bits_raw") - col("bits_tgt") + lit(64)).cast("long"))))
-            .as("dm"),
+            .as("dm0"),
           first(col("tr")).as("tr"), first(col("tt")).as("tt"))
+        .select(transform(sequence(lit(0), lit(buckets - 1)),
+            i => element_at(col("dm0"), i)).as("dm"),
+          col("tr"), col("tt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Release every cached DSIR model row (end-of-run cleanup). */
@@ -979,8 +998,8 @@ object StreamOps {
            |           slice(t, 2, greatest(size(t) - 1, 0)),
            |           (a, b) -> concat(a, ' ', b)),
            |  g -> coalesce(
-           |    element_at(dm, CAST(conv(substring(md5(g), 1, 14), 16, 10)
-           |      AS BIGINT) % $buckets),
+           |    element_at(dm, CAST(CAST(conv(substring(md5(g), 1, 14), 16, 10)
+           |      AS BIGINT) % $buckets AS INT) + 1),
            |    (length(bin((tr + $buckets) DIV 1)) - 1)
            |      - (length(bin((tt + $buckets) DIV 1)) - 1) + 64L))
            |""".stripMargin).as("deltas"))
@@ -1206,14 +1225,16 @@ object StreamOps {
       .select(col("source"), toks(col("text")).as("t"))
       .crossJoin(broadcast(model))
       .select(col("source"),
-        expr("""zip_with(
+        expr(s"""zip_with(
           |  slice(t, 1, greatest(size(t) - 1, 0)),
           |  zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
           |           slice(t, 2, greatest(size(t) - 1, 0)),
           |           (a, b) -> concat(a, ' ', b)),
           |  (w1, k) -> length(bin(
-          |    (coalesce(element_at(element_at(um, substring(md5(w1), 1, 2)), w1), 0L) + v)
-          |      DIV (coalesce(element_at(element_at(bm, substring(md5(k), 1, 2)), k), 0L) + 1))) - 1)
+          |    (coalesce(element_at(element_at(um,
+          |       CAST(conv(substring(md5(w1), 1, 3), 16, 10) AS INT) + 1), w1), 0L) + v)
+          |      DIV (coalesce(element_at(element_at(bm,
+          |       CAST(conv(substring(md5(k), 1, 3), 16, 10) AS INT) + 1), k), 0L) + 1))) - 1)
           |""".stripMargin).as("bits"))
       .select(col("source"), size(col("bits")).as("nb"),
         expr("aggregate(bits, 0L, (acc, x) -> acc + x)").as("bits_sum"))

@@ -432,11 +432,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.count()
     val p = df.queryExecution.executedPlan.toString()
     // all three screens (structural, repetition, bloom) ride ONE corpus
-    // projection; only benchmark distinct + candidate confirm shuffle,
-    // plus the final per-source rollup
+    // projection, materialized once as the narrow checkpointed screen
+    // frame (r14: previously the kernel projection was re-evaluated by
+    // both the candidate-confirm branch and the final rollup); the final
+    // plan reads that staging frame (ExistingRDD), re-reads document
+    // text ONLY for the broadcast-pruned Bloom candidates, and shuffles
+    // only the candidate confirm + the per-source rollup
     assert(count(p, "SortMergeJoin") == 0, p)
-    assert(p.contains("bloom_screen") && p.contains("repetition_signals"),
-      p)
+    assert(count(p, "Scan ExistingRDD") >= 2,
+      s"checkpointed screen frame / bench set not reused:\n$p")
+    assert(!p.contains("bloom_screen"),
+      s"screen kernels re-evaluated outside the staging frame:\n$p")
+    val docScans = fileScans(p).count(_.contains("text"))
+    assert(docScans == 1,
+      s"expected one candidates-only text re-read, got $docScans:\n$p")
     assert(count(p, "Exchange hashpartitioning") <= 3, p)
   }
 
