@@ -26,7 +26,7 @@ object FederationHarness {
   def executor(spark: SparkSession, dir: String,
       name: String): SparkSqlExecutor =
     executors.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, name), {
+      (graft.SessionKeys.id(spark), dir, name), {
         val inner = spark.newSession()
         new SparkSqlExecutor(name, inner,
           tpch.map(t => t -> s"$dir/$t.parquet").toMap,
@@ -38,7 +38,7 @@ object FederationHarness {
   def splitExecutor(spark: SparkSession, dir: String,
       name: String, n: Int): SparkSqlExecutor =
     executors.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, s"$name#$n"), {
+      (graft.SessionKeys.id(spark), dir, s"$name#$n"), {
         val inner = spark.newSession()
         new SparkSqlExecutor(name, inner,
           tpch.map(t => t -> s"$dir/$t.parquet").toMap,

@@ -31,7 +31,7 @@ object DuckDbHarness {
 
   def executor(spark: SparkSession, dir: String,
       tables: Seq[String] = GateTables): DuckDbSqlExecutor =
-    loaded.getOrElseUpdate((System.identityHashCode(spark), dir), {
+    loaded.getOrElseUpdate((graft.SessionKeys.id(spark), dir), {
       val root = java.nio.file.Paths.get("target", "duckdb")
       java.nio.file.Files.createDirectories(root)
       val db = root.resolve(
@@ -67,7 +67,7 @@ object DuckDbHarness {
     * two instances of the SAME engine type (the jdbc harness proves this
     * with two Derby instances; this is the subprocess-engine parallel). */
   def executorB(spark: SparkSession, dir: String): DuckDbSqlExecutor =
-    loadedB.getOrElseUpdate((System.identityHashCode(spark), dir), {
+    loadedB.getOrElseUpdate((graft.SessionKeys.id(spark), dir), {
       val root = java.nio.file.Paths.get("target", "duckdb")
       java.nio.file.Files.createDirectories(root)
       val db = root.resolve(

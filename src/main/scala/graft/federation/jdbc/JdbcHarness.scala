@@ -55,8 +55,8 @@ object JdbcHarness {
 
   private def load(spark: SparkSession, dir: String,
       tables: Seq[String], suffix: String): JdbcSqlExecutor =
-    loaded.getOrElseUpdate((System.identityHashCode(spark), dir + suffix), {
-      val db = s"graft_${Math.abs(dir.hashCode)}_${System.identityHashCode(spark)}$suffix"
+    loaded.getOrElseUpdate((graft.SessionKeys.id(spark), dir + suffix), {
+      val db = s"graft_${Math.abs(dir.hashCode)}_${graft.SessionKeys.id(spark)}$suffix"
       val url = s"jdbc:derby:memory:$db;create=true"
       val conn = DriverManager.getConnection(url)
       try {
@@ -133,7 +133,7 @@ object JdbcHarness {
         }
         conn.commit()
       } finally conn.close()
-      urls.put((System.identityHashCode(spark), dir + suffix),
+      urls.put((graft.SessionKeys.id(spark), dir + suffix),
         s"jdbc:derby:memory:$db")
       new JdbcSqlExecutor("derby", spark, s"jdbc:derby:memory:$db",
         DerbyDialect, splitCount = Splits)
@@ -147,7 +147,7 @@ object JdbcHarness {
   def resetWriteTarget(spark: SparkSession, dir: String, table: String,
       columnsDdl: String): Unit = {
     executor(spark, dir) // ensure the database exists
-    val url = urls((System.identityHashCode(spark), dir))
+    val url = urls((graft.SessionKeys.id(spark), dir))
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()

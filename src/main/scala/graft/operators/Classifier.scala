@@ -121,7 +121,7 @@ object Classifier {
   private[graft] def cachedWeights(s: SparkSession, dir: String,
       posSources: Seq[String], dim: Int): Array[Long] =
     weightCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir, posSources, dim),
+      (graft.SessionKeys.id(s), dir, posSources, dim),
       nbWeights(Tables.documents(s, dir), posSources, dim))
 
   /** Release every cached fitted model (end-of-run cleanup hook). */

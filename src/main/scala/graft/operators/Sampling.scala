@@ -416,7 +416,7 @@ object Sampling {
     * transparently rebuilds). */
   def releaseDsir(s: SparkSession, dir: String): Unit =
     dsirCache.keys.toSeq
-      .filter(k => k._1 == System.identityHashCode(s) && k._2 == dir)
+      .filter(k => k._1 == graft.SessionKeys.id(s) && k._2 == dir)
       .foreach(k => dsirCache.remove(k).foreach(_.unpersist(blocking = false)))
 
   /** Release every cached DSIR score table (end-of-run cleanup). */
@@ -463,7 +463,7 @@ object Sampling {
   def dsirScore(s: SparkSession, dir: String,
       targetSource: String = "src0", buckets: Int = 256): DataFrame =
     dsirCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir, targetSource, buckets), {
+      (graft.SessionKeys.id(s), dir, targetSource, buckets), {
         val bits = dsirModel(s, dir, targetSource, buckets)
           .select(col("b"), col("bits_raw"), col("bits_tgt"))
         // every gram's bucket exists in the model by construction → inner

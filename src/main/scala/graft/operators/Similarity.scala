@@ -162,7 +162,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
 
   private def corpusCount(s: SparkSession, dir: String): Long =
-    countCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    countCache.getOrElseUpdate((graft.SessionKeys.id(s), dir), {
       // tagged so monitoring (and the cache spec) can pin this job
       val sc = s.sparkContext
       val prev = sc.getLocalProperty("spark.job.description")
@@ -175,7 +175,7 @@ object Similarity {
     * `Dedup.releaseSignatures` evict hook, for sessions that rewrite the
     * corpus under the same path. */
   def releaseCount(s: SparkSession, dir: String): Unit =
-    countCache.remove((System.identityHashCode(s), dir))
+    countCache.remove((graft.SessionKeys.id(s), dir))
 
   /** Drop every cached corpus count (end-of-run cleanup). */
   def releaseAllCounts(): Unit = countCache.clear()
@@ -341,7 +341,7 @@ object Similarity {
 
   private def ivfIndex(s: SparkSession, dir: String,
       kCells: Int): (DataFrame, DataFrame) =
-    ivfCache.getOrElseUpdate((System.identityHashCode(s), dir, kCells), {
+    ivfCache.getOrElseUpdate((graft.SessionKeys.id(s), dir, kCells), {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val cents = ivfCentroids(s, dir, kCells).persist(lvl)
       val assigned =
@@ -354,7 +354,7 @@ object Similarity {
     * The next call over the same dir transparently rebuilds. */
   def releaseIvfIndex(s: SparkSession, dir: String): Unit =
     ivfCache.keys.toSeq
-      .filter(k => k._1 == System.identityHashCode(s) && k._2 == dir)
+      .filter(k => k._1 == graft.SessionKeys.id(s) && k._2 == dir)
       .foreach(k => ivfCache.remove(k).foreach { case (c, a) =>
         c.unpersist(blocking = false); a.unpersist(blocking = false)
       })
@@ -519,7 +519,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   private def quantizedCodes(s: SparkSession, dir: String): DataFrame =
-    codesCache.getOrElseUpdate((System.identityHashCode(s), dir),
+    codesCache.getOrElseUpdate((graft.SessionKeys.id(s), dir),
       embeddings(s, dir)
         .select(col("vec_id"), quantize8(col("embedding")).as("q"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -527,7 +527,7 @@ object Similarity {
   /** Release the persisted code table for one corpus (pair of
     * [[releaseIvfIndex]]); the next call transparently rebuilds. */
   def releaseCodes(s: SparkSession, dir: String): Unit =
-    codesCache.remove((System.identityHashCode(s), dir))
+    codesCache.remove((graft.SessionKeys.id(s), dir))
       .foreach(_.unpersist(blocking = false))
 
   /** Release every cached code table (end-of-run cleanup). */
@@ -848,7 +848,7 @@ object Similarity {
     * (keyed cache + evict hook, the [[ivfIndex]] pattern). */
   private def pqIndex(s: SparkSession,
       dir: String): (DataFrame, DataFrame) =
-    pqCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    pqCache.getOrElseUpdate((graft.SessionKeys.id(s), dir), {
       import org.apache.spark.sql.expressions.Window
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val books = pqCodebooks(s, dir).persist(lvl)
@@ -872,7 +872,7 @@ object Similarity {
 
   /** Release the cached PQ index for one corpus (next call rebuilds). */
   def releasePq(s: SparkSession, dir: String): Unit =
-    pqCache.remove((System.identityHashCode(s), dir)).foreach {
+    pqCache.remove((graft.SessionKeys.id(s), dir)).foreach {
       case (b, c) =>
         b.unpersist(blocking = false); c.unpersist(blocking = false)
     }

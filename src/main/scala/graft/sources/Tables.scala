@@ -2,6 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import scala.jdk.CollectionConverters._
+
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
   * All operators take `(spark, sfDir)` and resolve tables here so the same
@@ -30,19 +32,51 @@ object Tables {
     * table): it is an immutable logical plan (relation + file index),
     * not data — every query composed on top still scans parquet. This
     * drops the per-build file-index setup (~40 ms measured) on top of
-    * the inference job the schema cache removes. */
-  private val frameCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String), DataFrame]
+    * the inference job the schema cache removes.
+    *
+    * Keyed WEAKLY on the session OBJECT (not an identity hash, which
+    * recycles after GC and once handed a later test suite a DataFrame
+    * whose SparkContext was already stopped): a stopped, dereferenced
+    * session's entry is collected with the session, and a live entry can
+    * only ever be served back to the exact session that built it. The
+    * per-session map is still re-validated against `isStopped` so a
+    * caller holding a stopped session never gets a stale plan either. */
+  private val frameCache = new java.util.WeakHashMap[
+    SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   private def readCached(spark: SparkSession, dir: String,
-      name: String): DataFrame =
-    frameCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, name), {
-        val path = s"$dir/$name.parquet"
-        val schema = schemaCache.getOrElseUpdate((dir, name),
-          spark.read.parquet(path).schema)
-        spark.read.schema(schema).parquet(path)
-      })
+      name: String): DataFrame = {
+    val perSession = frameCache.synchronized {
+      var m = frameCache.get(spark)
+      if (m == null || spark.sparkContext.isStopped) {
+        m = scala.collection.concurrent.TrieMap
+          .empty[(String, String), DataFrame]
+        frameCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((dir, name), {
+      val path = s"$dir/$name.parquet"
+      val schema = schemaCache.getOrElseUpdate((dir, name),
+        spark.read.parquet(path).schema)
+      spark.read.schema(schema).parquet(path)
+    })
+  }
+
+  /** Evict the cached schema and reader plans for a data directory —
+    * the release hook every other keyed cache in the repo provides
+    * (Similarity.releaseIvfIndex, Dedup.releaseComponents): a corpus
+    * rewritten under the same path must not be served a stale schema or
+    * file index. */
+  def releaseTables(dir: String): Unit = {
+    schemaCache.keys.filter(_._1 == dir).foreach(schemaCache.remove)
+    frameCache.synchronized {
+      frameCache.values.asScala.foreach { m =>
+        m.keys.filter(_._1 == dir).foreach(m.remove)
+      }
+    }
+  }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)

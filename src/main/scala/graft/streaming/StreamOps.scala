@@ -874,7 +874,7 @@ object StreamOps {
   private def lmModel(spark: SparkSession, dir: String,
       trainSource: String): DataFrame =
     lmModelCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, trainSource), {
+      (graft.SessionKeys.id(spark), dir, trainSource), {
         def toks(c: org.apache.spark.sql.Column) =
           filter(split(lower(c), "\\s+"), t => t =!= "")
         def heads(t: org.apache.spark.sql.Column) =
@@ -927,7 +927,7 @@ object StreamOps {
   def releaseLmModel(spark: SparkSession, dir: String,
       trainSource: String = "src0"): Unit =
     lmModelCache.remove(
-      (System.identityHashCode(spark), dir, trainSource))
+      (graft.SessionKeys.id(spark), dir, trainSource))
       .foreach(_.unpersist(blocking = false))
 
   /** Release every cached LM model (end-of-run cleanup). */
@@ -947,7 +947,7 @@ object StreamOps {
   private def dsirModelRow(spark: SparkSession, dir: String,
       targetSource: String, buckets: Int): DataFrame =
     dsirModelCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, targetSource, buckets),
+      (graft.SessionKeys.id(spark), dir, targetSource, buckets),
       // delta table as an ARRAY indexed by bucket (element_at on a map is
       // a linear scan — O(buckets) per bigram; on an array it is O(1));
       // missing buckets hold null, so the scorer's coalesce fallback is
