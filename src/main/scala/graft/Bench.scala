@@ -293,7 +293,7 @@ object Bench {
         s""""requeue_calib":[$requeueCalib0,$requeueCalib1],"""
 
     val diagFields = requeueFields +
-      s""""calibration":{"baseline":${ms3(calibBase)},"samples":[${
+      s""""calibration":{"baseline":${ms3(calibBase)},"warm_tries":$warmTries,"warm_last":${ms3(warmPrev)},"samples":[${
         calibSamples.map(ms3).mkString(",")}],"drift":$calibDrift${
         pinRatio.map(r => s""","pin_ratio":$r""").getOrElse("")}},""" +
       s""""ratio_p90":$ratioP90,"max_iterations_hits":$maxIterHits,""" +

@@ -45,9 +45,20 @@ object FederationHarness {
           context = s"$name@$dir", numSplits = n)
       })
 
+  /** Last dir whose fed_/fedb_ views were registered, per session:
+    * setup() runs on EVERY federated gate build (93 gates × bench
+    * iterations), and re-registering 18 remote views each time was pure
+    * catalog churn (r15 FedProbe: DataFrame build 45-780 ms vs ~20 ms of
+    * optimize). Views are re-registered only when the session is new or
+    * the data dir changes (so switching dirs still repoints them). */
+  private val registeredDir = TrieMap.empty[Int, String]
+
   /** Install federation into `spark` and register the fed_* / fedb_*
-    * remote views for `dir` (idempotent). */
+    * remote views for `dir` (idempotent, and a no-op when this session
+    * already has this dir's views). */
   def setup(spark: SparkSession, dir: String): Unit = {
+    val id = graft.SessionKeys.id(spark)
+    if (registeredDir.get(id).contains(dir)) return
     Federation.install(spark)
     val alpha = executor(spark, dir, "alpha")
     val beta = executor(spark, dir, "beta")
@@ -55,6 +66,7 @@ object FederationHarness {
       Federation.registerRemoteTable(spark, s"fed_$t", t, alpha)
       Federation.registerRemoteTable(spark, s"fedb_$t", t, beta)
     }
+    registeredDir.put(id, dir)
   }
 
   /** Run a SQL query against the federated views. */

@@ -178,23 +178,36 @@ object JdbcHarness {
     case other => throw new UnsupportedOperationException(s"derby type for $other")
   }
 
+  // last dir registered per session — registerViews runs on every gate
+  // build, and each call re-listed Derby's catalog (a DatabaseMetaData
+  // round-trip) plus re-registered every view (same churn as
+  // FederationHarness.setup, r15 FedProbe); skip when unchanged
+  private val registeredA = TrieMap.empty[Int, String]
+  private val registeredB = TrieMap.empty[Int, String]
+
   /** Register `jdbc_<table>` remote views over the Derby database
-    * (idempotent). */
+    * (idempotent; no-op when this session already has this dir's views). */
   def registerViews(spark: SparkSession, dir: String): Unit = {
+    val id = graft.SessionKeys.id(spark)
+    if (registeredA.get(id).contains(dir)) return
     Federation.install(spark)
     val ex = executor(spark, dir)
     ex.tableNames.foreach { t =>
       Federation.registerRemoteTable(spark, s"jdbc_$t", t, ex)
     }
+    registeredA.put(id, dir)
   }
 
   /** Register `jdbc2_<table>` views over the SECOND Derby instance. */
   def registerViewsB(spark: SparkSession, dir: String): Unit = {
+    val id = graft.SessionKeys.id(spark)
+    if (registeredB.get(id).contains(dir)) return
     Federation.install(spark)
     val ex = executorB(spark, dir)
     ex.tableNames.foreach { t =>
       Federation.registerRemoteTable(spark, s"jdbc2_$t", t, ex)
     }
+    registeredB.put(id, dir)
   }
 
   /** Register `jdbc_<table>` remote views over the Derby database and run

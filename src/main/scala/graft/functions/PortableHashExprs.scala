@@ -370,6 +370,67 @@ object PortableHashExprs {
     new GenericArrayData(sh.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
   }
 
+  /** First 7 md5 digest bytes as an unsigned 56-bit long — equals both
+    * DuckDB's `CAST('0x' || substr(md5(s), 1, 14) AS BIGINT)` and Spark's
+    * `conv(substring(md5(s), 1, 14), 16, 10) :: long` (no mod, unlike
+    * [[baseHash]]). */
+  def hash56(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (b(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** DISTINCT 56-bit shingle hashes of a text, computed in-row — the
+    * fused form of `explode(portable_shingles(text, w))` → filter
+    * non-empty → `conv(substring(md5(shg),1,14),16,10)::long` →
+    * `distinct()`: a (doc_id, h) distinct is entirely WITHIN the doc, so
+    * deduplicating in the kernel makes the global distinct exchange
+    * redundant, and the explode emits 8-byte longs instead of 30-50-byte
+    * shingle strings (r15 measured the containment staging spending most
+    * of its time in exactly that exchange + string explode). */
+  def distinctShingleHash56Kernel(text: UTF8String,
+      shingleWidth: Int): ArrayData = {
+    val sh = shingles(tokenize(text), shingleWidth)
+    val seen = new java.util.HashSet[java.lang.Long](sh.length * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](sh.length)
+    var i = 0
+    while (i < sh.length) {
+      val s = sh(i)
+      if (s.nonEmpty) {
+        val h = hash56(s)
+        if (seen.add(h)) out += h
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Distinct 56-bit shingle hashes — see [[distinctShingleHash56Kernel]]. */
+  case class DistinctShingleHash56(child: Expression, shingleWidth: Int)
+      extends UnaryExpression {
+    // deterministic in fact; declared nondeterministic so the optimizer
+    // cannot clone the kernel into the generator's inferred size(...)>0
+    // pre-filter (one evaluation per row, not two — guide §4.4, same as
+    // SpanWindowHashes)
+    override lazy val deterministic: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "distinct_shingle_hash56"
+
+    override def nullSafeEval(input: Any): Any =
+      distinctShingleHash56Kernel(input.asInstanceOf[UTF8String], shingleWidth)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.PortableHashExprs.distinctShingleHash56Kernel(" +
+          s"$c, $shingleWidth);")
+    override protected def withNewChildInternal(c: Expression): DistinctShingleHash56 =
+      copy(child = c)
+  }
+
   /** Count of positions where two equal-length long arrays agree — the
     * MinHash signature-agreement kernel (estimated Jaccard = agreement /
     * numHashes). Replaces an interpreted zip_with+filter+size chain with
@@ -551,6 +612,9 @@ object PortableHashExprs {
 
   def portable_shingles(c: Column, shingleWidth: Int = 3): Column =
     column(PortableShingles(expression(c), shingleWidth))
+
+  def distinct_shingle_hash56(c: Column, shingleWidth: Int = 3): Column =
+    column(DistinctShingleHash56(expression(c), shingleWidth))
 
   def winnow_fingerprints(c: Column, k: Int = 5, w: Int = 4): Column =
     column(WinnowFingerprints(expression(c), k, w))

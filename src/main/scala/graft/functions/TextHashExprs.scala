@@ -91,6 +91,304 @@ object TextHashExprs {
     XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, seed)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5 digests (16-byte binary) of every `width`-token window of the
+    * whitespace-tokenized text — value-identical to
+    * `transform(sequence(1, n-width+1),
+    *    i => unhex(md5(array_join(slice(toks, i, width), " "))))`
+    * over `toks = filter(split(text, "\\s+"), _ != "")`, but one compiled
+    * pass per row: the HOF formulation is CodegenFallback, so every
+    * window paid an interpreted lambda walk plus a slice copy, a join
+    * allocation and a hex/unhex round-trip (r15 measured the span gate
+    * spending most of its kernel time there). md5 is fed the window's
+    * UTF-8 bytes directly (tokens + single spaces — bytewise equal to the
+    * joined string), so the digest, and with it the DuckDB oracle
+    * identity, is unchanged. Docs with fewer than `width` tokens yield an
+    * empty array (the caller's `size(toks) >= width` filter). */
+  def spanWindowKernel(text: UTF8String, width: Int): GenericArrayData = {
+    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length - width + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val tb = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      tb(i) = toks(i).getBytes(StandardCharsets.UTF_8)
+      i += 1
+    }
+    val d = md5Local.get()
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      d.reset()
+      var j = 0
+      while (j < width) {
+        if (j > 0) d.update(' '.toByte)
+        d.update(tb(i + j))
+        j += 1
+      }
+      out(i) = d.digest()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One-pass C4 page screen (the [[graft.operators.TextOps.c4FiltersFrame]]
+    * signals computed in-row): line split keeping trailing empties
+    * (Spark `split(text, "\n")` keeps them), per-line keep =
+    * space-rtrimmed line ends in `[.!?"]` AND has ≥ minLineWords
+    * `\s+`-separated words AND no "javascript" (lowered), sentence count
+    * = `[.!?]` occurrences across kept lines, plus the page-level
+    * lorem-ipsum / brace / blocklist screens. The DataFrame formulation
+    * evaluated an interpreted filter lambda per LINE (rlike + split +
+    * HOF inside); this kernel is the same integer/boolean arithmetic in
+    * one compiled pass, so every signal — and the DuckDB oracle hash —
+    * is unchanged. */
+  def c4ScreenKernel(text: UTF8String, minLineWords: Int,
+      badWords: Array[String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    // split('\n') KEEPING trailing empties — Java's split drops them,
+    // Spark's split(_, _, -1) keeps them; n_lines must match Spark's
+    var nLines = 1
+    var li = 0
+    while (li < s.length) { if (s.charAt(li) == '\n') nLines += 1; li += 1 }
+    var kept = 0
+    var sentences = 0
+    var start = 0
+    var idx = 0
+    while (idx <= s.length) {
+      if (idx == s.length || s.charAt(idx) == '\n') {
+        // line = s[start, idx)
+        if (c4LineKeepKernel(s, start, idx, minLineWords)) {
+          kept += 1
+          var j = start
+          while (j < idx) {
+            val c = s.charAt(j)
+            if (c == '.' || c == '!' || c == '?') sentences += 1
+            j += 1
+          }
+        }
+        start = idx + 1
+      }
+      idx += 1
+    }
+    val lowered = s.toLowerCase(java.util.Locale.ROOT)
+    val noLorem = !lowered.contains("lorem ipsum")
+    val noBrace = s.indexOf('{') < 0
+    val noBad = badWords.isEmpty || !hasBadWordRun(lowered, badWords)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nLines, kept, sentences, noLorem, noBrace, noBad))
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  /** rtrim(line) ends in [.!?"] && ≥ minWords \s+-words && no
+    * "javascript" in the lowered line — `c4LineKeep` on s[from, to). */
+  private def c4LineKeepKernel(s: String, from: Int, to: Int,
+      minWords: Int): Boolean = {
+    var end = to
+    while (end > from && s.charAt(end - 1) == ' ') end -= 1
+    if (end == from) return false
+    val last = s.charAt(end - 1)
+    if (last != '.' && last != '!' && last != '?' && last != '"') return false
+    var words = 0
+    var inWord = false
+    var j = from
+    while (j < to && words < minWords) {
+      val ws = isWs(s.charAt(j))
+      if (!ws && !inWord) { words += 1; inWord = true }
+      else if (ws) inWord = false
+      j += 1
+    }
+    if (words < minWords) return false
+    !s.substring(from, to).toLowerCase(java.util.Locale.ROOT)
+      .contains("javascript")
+  }
+
+  /** Does any maximal [a-z] run of the lowered text equal a blocklist
+    * word? (= array_intersect(distinct split(lower, "[^a-z]+"),
+    * badWords) non-empty, empty tokens never matching.) */
+  private def hasBadWordRun(lowered: String, badWords: Array[String]): Boolean = {
+    var i = 0
+    val n = lowered.length
+    while (i < n) {
+      if (lowered.charAt(i) >= 'a' && lowered.charAt(i) <= 'z') {
+        var j = i + 1
+        while (j < n && lowered.charAt(j) >= 'a' && lowered.charAt(j) <= 'z')
+          j += 1
+        var b = 0
+        while (b < badWords.length) {
+          val w = badWords(b)
+          if (w.length == j - i && lowered.regionMatches(i, w, 0, w.length))
+            return true
+          b += 1
+        }
+        i = j
+      } else i += 1
+    }
+    false
+  }
+
+  /** One-pass Gopher structural signals (the
+    * [[graft.operators.TextOps.gopherRulesFrame]] counters computed
+    * in-row): `\s+` tokens of the text (no lowering; empties dropped),
+    * newline lines kept with trailing empties, `#|\.\.\.` regex-match
+    * count via the same leftmost-non-overlapping scan, bullet/ellipsis
+    * line tests, ASCII-letter word count, and the count of distinct
+    * required words present. The DataFrame form ran five interpreted
+    * filter/aggregate lambdas per doc; same integers, one compiled
+    * pass. */
+  def gopherScreenKernel(text: UTF8String,
+      required: Array[String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    // ---- token signals
+    var nWords = 0
+    var sumLen = 0L
+    var nAlpha = 0
+    val matched = new java.util.HashSet[String](required.length * 2)
+    val reqSet = new java.util.HashSet[String](required.length * 2)
+    var r = 0
+    while (r < required.length) { reqSet.add(required(r)); r += 1 }
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (!isWs(s.charAt(i))) {
+        var j = i + 1
+        while (j < n && !isWs(s.charAt(j))) j += 1
+        nWords += 1
+        sumLen += s.codePointCount(i, j)
+        var hasAlpha = false
+        var k = i
+        while (k < j && !hasAlpha) {
+          val c = s.charAt(k)
+          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
+            hasAlpha = true
+          k += 1
+        }
+        if (hasAlpha) nAlpha += 1
+        if (!reqSet.isEmpty) {
+          val w = s.substring(i, j)
+          if (reqSet.contains(w)) matched.add(w)
+        }
+        i = j
+      } else i += 1
+    }
+    // ---- symbol matches: leftmost non-overlapping '#|\.\.\.'
+    var nSym = 0
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '#') { nSym += 1; i += 1 }
+      else if (c == '.' && i + 2 < n && s.charAt(i + 1) == '.' &&
+        s.charAt(i + 2) == '.') { nSym += 1; i += 3 }
+      else i += 1
+    }
+    // ---- line signals (split('\n') keeping trailing empties)
+    var nLines = 0
+    var nBullet = 0
+    var nEll = 0
+    var start = 0
+    var idx = 0
+    while (idx <= n) {
+      if (idx == n || s.charAt(idx) == '\n') {
+        nLines += 1
+        if (idx > start) {
+          val f = s.charAt(start)
+          if (f == '-' || f == '*' || f == '•') nBullet += 1
+          if (idx - start >= 3 && s.charAt(idx - 1) == '.' &&
+            s.charAt(idx - 2) == '.' && s.charAt(idx - 3) == '.') nEll += 1
+        }
+        start = idx + 1
+      }
+      idx += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, sumLen, nSym, nLines, nBullet, nEll, nAlpha,
+        matched.size))
+  }
+
+  /** struct of the eight Gopher signals — see [[gopherScreenKernel]]. */
+  case class GopherScreen(child: Expression, required: Array[String])
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_words", IntegerType, nullable = false),
+      StructField("sum_len", LongType, nullable = false),
+      StructField("n_symbols", IntegerType, nullable = false),
+      StructField("n_lines", IntegerType, nullable = false),
+      StructField("n_bullet", IntegerType, nullable = false),
+      StructField("n_ellipsis", IntegerType, nullable = false),
+      StructField("n_alpha_words", IntegerType, nullable = false),
+      StructField("n_required", IntegerType, nullable = false)))
+    override def prettyName: String = "gopher_screen"
+
+    override def nullSafeEval(input: Any): Any =
+      gopherScreenKernel(input.asInstanceOf[UTF8String], required)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val reqRef = ctx.addReferenceObj("gopherReq", required, "java.lang.String[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashExprs.gopherScreenKernel(" +
+          s"$c, $reqRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): GopherScreen =
+      copy(child = c)
+  }
+
+  /** struct of the six C4 page signals — see [[c4ScreenKernel]]. */
+  case class C4Screen(child: Expression, minLineWords: Int,
+      badWords: Array[String])
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_lines", IntegerType, nullable = false),
+      StructField("n_kept_lines", IntegerType, nullable = false),
+      StructField("n_sentences", IntegerType, nullable = false),
+      StructField("r_no_lorem", BooleanType, nullable = false),
+      StructField("r_no_brace", BooleanType, nullable = false),
+      StructField("r_no_badwords", BooleanType, nullable = false)))
+    override def prettyName: String = "c4_screen"
+
+    override def nullSafeEval(input: Any): Any =
+      c4ScreenKernel(input.asInstanceOf[UTF8String], minLineWords, badWords)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bwRef = ctx.addReferenceObj("c4BadWords", badWords, "java.lang.String[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashExprs.c4ScreenKernel(" +
+          s"$c, $minLineWords, $bwRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): C4Screen =
+      copy(child = c)
+  }
+
+  /** Binary md5 of every width-token window — see [[spanWindowKernel]]. */
+  case class SpanWindowHashes(child: Expression, width: Int)
+      extends UnaryExpression {
+    // The kernel IS deterministic; declaring otherwise stops
+    // InferFiltersFromGenerate substituting it into the pre-explode
+    // size(...)>0 filter, which evaluated the whole kernel TWICE per row
+    // (r15 plan audit: the Filter and the Project both carried the call).
+    // The trade (no filter/project reordering through this expression) is
+    // the guide's §4.4 pattern for expensive kernels.
+    override lazy val deterministic: Boolean = false
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def prettyName: String = "span_window_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      spanWindowKernel(input.asInstanceOf[UTF8String], width)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashExprs.spanWindowKernel(" +
+          s"$c, $width);")
+    override protected def withNewChildInternal(c: Expression): SpanWindowHashes =
+      copy(child = c)
+  }
+
   /** One-pass token/bigram repetition statistics (the Gopher-style
     * repetition quality signals): token count, distinct-token count, and
     * the highest single-token and adjacent-bigram frequencies. Row-local —
@@ -373,6 +671,16 @@ object TextHashExprs {
 
   def bpe_segment_count(c: Column, codec: graft.functions.BpeCodec): Column =
     column(BpeSegmentCount(expression(c), codec))
+
+  def span_window_hashes(c: Column, width: Int): Column =
+    column(SpanWindowHashes(expression(c), width))
+
+  def c4_screen(c: Column, minLineWords: Int,
+      badWords: Seq[String]): Column =
+    column(C4Screen(expression(c), minLineWords, badWords.toArray))
+
+  def gopher_screen(c: Column, required: Seq[String]): Column =
+    column(GopherScreen(expression(c), required.toArray))
 
   /** Register the kernels for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

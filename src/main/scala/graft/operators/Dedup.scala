@@ -81,7 +81,7 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   private def signatures(s: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate((System.identityHashCode(s), dir),
+    sigCache.getOrElseUpdate((graft.SessionKeys.id(s), dir),
       documents(s, dir)
         .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -93,7 +93,7 @@ object Dedup {
     * accumulates storage across every dir it ever deduped. The next call
     * over the same dir transparently rebuilds. */
   def releaseSignatures(s: SparkSession, dir: String): Unit =
-    sigCache.remove((System.identityHashCode(s), dir))
+    sigCache.remove((graft.SessionKeys.id(s), dir))
       .foreach(_.unpersist(blocking = false))
 
   /** Release every cached signature table (end-of-run cleanup). */
@@ -414,7 +414,7 @@ object Dedup {
   def components(s: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame =
     componentCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir, threshold),
+      (graft.SessionKeys.id(s), dir, threshold),
       componentsOf(
         documents(s, dir).select(col("doc_id")),
         minhashCandidates(s, dir, threshold)
@@ -428,7 +428,7 @@ object Dedup {
     * unpersisted every intermediate round. */
   def releaseComponents(s: SparkSession, dir: String,
       threshold: Double = 0.7): Unit =
-    componentCache.remove((System.identityHashCode(s), dir, threshold))
+    componentCache.remove((graft.SessionKeys.id(s), dir, threshold))
       .foreach(_.unpersist(blocking = false))
 
   /** Instrumentation: fixpoint rounds of the most recent [[componentsOf]]
@@ -439,7 +439,8 @@ object Dedup {
 
   /** The propagation core over an explicit node/edge set (edges are
     * undirected pairs with a_id < b_id; symmetrized here). */
-  def componentsOf(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+  def componentsOf(nodes: DataFrame, pairs: DataFrame,
+      nNodesHint: Long = -1L): DataFrame = {
     // Scale-adaptive parallelism for the fixpoint: every round shuffles
     // label tables of |nodes| rows (two longs each), and the loop runs
     // O(log diameter) blocking rounds — at the configured session
@@ -448,25 +449,32 @@ object Dedup {
     // of KB-sized 32-partition shuffles). Partitions derive from the
     // label-table size (≈500k rows per partition, floor 4) and are capped
     // at the session setting, so cluster-scale graphs keep cluster-scale
-    // parallelism; the conf is restored even on failure.
+    // parallelism. r14 imposed the count by mutating the session-global
+    // spark.sql.shuffle.partitions for the whole fixpoint, which silently
+    // throttled any CONCURRENT query on the same session (ADVICE r14);
+    // now every per-round frame is explicitly repartitioned instead, so
+    // the loop's parallelism is plan-local and the session conf is never
+    // written. Callers that already know |nodes| pass it as `nNodesHint`
+    // to skip the sizing count job.
     val spark = nodes.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val nNodes = nodes.count()
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(4L, math.min(prevParts.toLong, nNodes / 500000L + 4L))
-        .toString)
-    try componentsOfAt(nodes, pairs)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val sessionParts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
+    val nNodes = if (nNodesHint >= 0) nNodesHint else nodes.count()
+    val parts = math.max(4L,
+      math.min(sessionParts, nNodes / 500000L + 4L)).toInt
+    componentsOfAt(nodes, pairs, parts)
   }
 
   private def componentsOfAt(nodes: DataFrame,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame, parts: Int): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .repartition(parts, col("dst"))
       .persist()
     var labels = nodes
-      .select(col("doc_id"), col("doc_id").as("component")).persist()
+      .select(col("doc_id"), col("doc_id").as("component"))
+      .repartition(parts, col("doc_id")).persist()
     var cached = labels // the persisted DataFrame backing `labels`
     var changed = 1L
     var rounds = 0
@@ -483,19 +491,29 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), col("component"))
+      // explicit repartition BEFORE each keyed operation: the aggregation
+      // and joins then reuse that partitioning, so every reduce stage of
+      // the round runs at `parts` partitions without touching the
+      // session-global shuffle-partitions conf (persisted round tables
+      // can't rely on AQE coalescing — cached plans keep their planned
+      // partitioning)
       val next = labels.select(col("doc_id"), col("component"))
         .union(viaNeighbor)
+        .repartition(parts, col("doc_id"))
         .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
         .persist()
       val reps = next
         .select(col("doc_id").as("c_id"), col("component").as("c_comp"))
       val jumped = next
-        .join(reps, next("component") === reps("c_id"), "left")
-        .select(next("doc_id"),
-          coalesce(col("c_comp"), next("component")).as("component"))
+        .repartition(parts, col("component"))
+        .join(reps, col("component") === reps("c_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("c_comp"), col("component")).as("component"))
         .persist()
       changed = jumped
-        .join(labels.withColumnRenamed("component", "prev"), "doc_id")
+        .repartition(parts, col("doc_id"))
+        .join(labels.withColumnRenamed("component", "prev")
+          .repartition(parts, col("doc_id")), "doc_id")
         .filter(col("component") < col("prev")).count() // materializes jumped
       // Lineage truncation — load-bearing: the jump self-join DOUBLES the
       // logical plan per round, so without cutting it planning and plan
@@ -885,16 +903,17 @@ object Dedup {
     // 32-char md5 text: at 5M docs the md5-keyed version shuffled 64 GB
     // (measured) — the long key carries the same information in a
     // quarter of the bytes, and the DuckDB oracle derives the identical
-    // integer with the established '0x'||substr spelling
+    // integer with the established '0x'||substr spelling.
+    // The per-doc shingle set is hashed AND deduplicated in one compiled
+    // kernel pass (DistinctShingleHash56): a (doc_id, h) distinct is
+    // entirely within the doc, so the r14 global distinct() exchange was
+    // redundant — the explode now emits 8-byte longs already unique per
+    // doc (r15 ContainProbe: staging fell from ~1.5-2.0 s to the window
+    // pass alone)
     val sh = documents(s, dir)
       .select(col("doc_id"),
-        explode(PortableHashExprs.portable_shingles(col("text"), n))
-          .as("shg"))
-      .filter(col("shg") =!= "")
-      .select(col("doc_id"),
-        conv(substring(md5(col("shg")), 1, 14), 16, 10).cast("long")
+        explode(PortableHashExprs.distinct_shingle_hash56(col("text"), n))
           .as("h"))
-      .distinct()
     // document frequency folded into ONE window pass over the distinct
     // (doc_id, h) set instead of a groupBy + join back: the r14 plan audit
     // showed the shingle kernel + distinct subtree evaluated SIX times

@@ -431,7 +431,10 @@ object Pipeline {
       .localCheckpoint()
     val candidates = base.filter(col("sc.n_candidates") > 0L)
       .select(col("doc_id"), col("sc.n_shingles").as("n_shingles"))
-    val contaminated = docs
+    // the re-read keeps the corpus-side filter so the overlap count never
+    // depends on doc_id being unique ACROSS sources (a bench/corpus id
+    // collision would otherwise pull bench text into n_overlap)
+    val contaminated = docs.filter(col("source") =!= benchSource)
       .join(broadcast(candidates), Seq("doc_id"))
       .select(col("doc_id"), col("n_shingles"),
         explode(array_distinct(Dedup.shingles(col("text"), 3)))

@@ -1383,29 +1383,23 @@ object TextOps {
   /** The span core over an explicit (doc_id, text) frame. */
   def spanDedupOf(docs: DataFrame, width: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
-    // size >= width is ALSO enforced by the filter below, but the window
-    // expression must be total on its own: Catalyst merges that filter
-    // with the generator's implicit size(hs) > 0 pre-filter, and codegen's
-    // subexpression elimination evaluates the merged predicate's common
-    // subexpression EAGERLY, before the short-circuit — an unguarded
-    // sequence(1, size-width+1) then DESCENDS through 0 on short docs and
-    // slice(toks, 0, …) throws (found by the width=50 5M-doc ScaleStress;
-    // latent for every width)
-    val starts = when(size(col("toks")) >= width,
-      sequence(lit(1), size(col("toks")) - (width - 1)))
-      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.IntegerType)))
-    // the hash is a SHUFFLE KEY on len-width+1 rows per doc — binary md5
-    // (16 bytes) instead of its 32-char hex text: same exactness, and the
-    // 5M-doc ScaleStress measured the hex form paying 51 B/window-row of
-    // shuffle (10.1 GB at 207M windows), most of it the key itself
-    val hashes = transform(starts,
-      i => unhex(md5(array_join(slice(col("toks"), i, lit(width)), " "))))
+    // Window hashing is ONE compiled kernel pass per row
+    // (TextHashExprs.SpanWindowHashes): the previous
+    // transform(starts, i => unhex(md5(array_join(slice(…))))) HOF chain
+    // is CodegenFallback, so every window paid an interpreted lambda walk
+    // plus a slice copy and a hex/unhex round-trip (r15 kernel profile:
+    // that was most of the gate's 4.4 s). The kernel feeds md5 the same
+    // bytes (tokens joined by single spaces), so every digest — and the
+    // DuckDB oracle identity — is unchanged; short docs yield an empty
+    // array (≡ the old size(toks) >= width filter).
+    //
+    // The hash stays a 16-byte BINARY shuffle key — the 5M-doc
+    // ScaleStress measured the 32-char hex form paying 51 B/window-row
+    // of shuffle (10.1 GB at 207M windows), most of it the key itself.
     val w = docs
-      .select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= width)
-      .select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"),
+        graft.functions.TextHashExprs
+          .span_window_hashes(col("text"), width).as("hs"))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("i", "h")))
       .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"), col("h"))
     val byHash = Window.partitionBy(col("h"))
@@ -1624,23 +1618,23 @@ object TextOps {
   def gopherRulesFrame(docs: DataFrame,
       minWords: Int = 30, maxWords: Int = 90,
       requiredWords: Seq[String] = gopherRequiredWords): DataFrame = {
-    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
-    val m = docs.select(
-      col("doc_id"), col("source"), col("text"), toks.as("t"),
-      split(col("text"), "\n").as("ls"))
+    // all eight signals from ONE compiled kernel pass
+    // (TextHashExprs.GopherScreen): the HOF formulation ran five
+    // interpreted filter/aggregate lambdas per doc (r15 profile); the
+    // kernel computes the identical integers, oracle-verified
+    val g = graft.functions.TextHashExprs.gopher_screen(col("text"),
+      requiredWords)
+    val m = docs.select(col("doc_id"), col("source"), g.as("gs"))
     m.select(
       col("doc_id"), col("source"),
-      size(col("t")).as("n_words"),
-      aggregate(col("t"), lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
-      size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
-        .as("n_symbols"),
-      size(col("ls")).as("n_lines"),
-      size(filter(col("ls"), l => l.startsWith("-") || l.startsWith("*") ||
-        l.startsWith("•"))).as("n_bullet"),
-      size(filter(col("ls"), l => l.endsWith("..."))).as("n_ellipsis"),
-      size(filter(col("t"), w => w.rlike("[A-Za-z]"))).as("n_alpha_words"),
-      size(array_intersect(array_distinct(col("t")),
-        lit(requiredWords.toArray))).as("n_required"))
+      col("gs.n_words").as("n_words"),
+      col("gs.sum_len").as("sum_len"),
+      col("gs.n_symbols").as("n_symbols"),
+      col("gs.n_lines").as("n_lines"),
+      col("gs.n_bullet").as("n_bullet"),
+      col("gs.n_ellipsis").as("n_ellipsis"),
+      col("gs.n_alpha_words").as("n_alpha_words"),
+      col("gs.n_required").as("n_required"))
       .select(
         col("doc_id"), col("source"), col("n_words"),
         (col("n_words") >= minWords && col("n_words") <= maxWords)
@@ -1665,26 +1659,17 @@ object TextOps {
     * Spec-pinned equal to [[gopherRulesFrame]]'s `keep`. */
   def gopherKeepOf(text: Column, minWords: Int = 30, maxWords: Int = 90,
       requiredWords: Seq[String] = gopherRequiredWords): Column = {
-    val t = filter(split(trim(text), "\\s+"), x => x =!= "")
-    val ls = split(text, "\n")
-    val nWords = size(t).cast("long")
-    val sumLen = aggregate(t, lit(0L), (a, w) => a + length(w))
-    val nSym = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
-      .cast("long")
-    val nLines = size(ls).cast("long")
-    val nBullet = size(filter(ls, l => l.startsWith("-") ||
-      l.startsWith("*") || l.startsWith("•"))).cast("long")
-    val nEll = size(filter(ls, l => l.endsWith("..."))).cast("long")
-    val nAlpha = size(filter(t, w => w.rlike("[A-Za-z]"))).cast("long")
-    val nReq = size(array_intersect(array_distinct(t),
-      lit(requiredWords.toArray))).cast("long")
+    val g = graft.functions.TextHashExprs.gopher_screen(text, requiredWords)
+    val nWords = g.getField("n_words").cast("long")
+    val nLines = g.getField("n_lines").cast("long")
     (nWords >= minWords && nWords <= maxWords) &&
-      (sumLen >= nWords * 3 && sumLen <= nWords * 10) &&
-      (nSym * 10 <= nWords) &&
-      (nBullet * 10 <= nLines) &&
-      (nEll * 10 <= nLines * 3) &&
-      (nAlpha * 10 >= nWords * 8) &&
-      (nReq >= 2)
+      (g.getField("sum_len") >= nWords * 3 &&
+        g.getField("sum_len") <= nWords * 10) &&
+      (g.getField("n_symbols").cast("long") * 10 <= nWords) &&
+      (g.getField("n_bullet").cast("long") * 10 <= nLines) &&
+      (g.getField("n_ellipsis").cast("long") * 10 <= nLines * 3) &&
+      (g.getField("n_alpha_words").cast("long") * 10 >= nWords * 8) &&
+      (g.getField("n_required") >= 2)
   }
 
   /** Mirror of [[gopherRules]] with the gate's corpus-adapted required list
@@ -2251,11 +2236,6 @@ object TextOps {
   /** Deployments pass the published blocklist; empty disables the screen. */
   val c4BadWords: Seq[String] = Seq.empty
 
-  private def c4LineKeep(l: Column, minLineWords: Int): Column =
-    rtrim(l).rlike("[.!?\"]$") &&
-      size(filter(split(trim(l), "\\s+"), w => w =!= "")) >= minLineWords &&
-      !lower(l).contains("javascript")
-
   def c4Filters(s: SparkSession, dir: String, minLineWords: Int = 5,
       minSentences: Int = 3, badWords: Seq[String] = c4BadWords): DataFrame =
     c4FiltersOf(documents(s, dir), minLineWords, minSentences, badWords)
@@ -2274,21 +2254,23 @@ object TextOps {
     * output sort. */
   def c4FiltersFrame(docs: DataFrame, minLineWords: Int = 5,
       minSentences: Int = 3, badWords: Seq[String] = c4BadWords): DataFrame = {
-    val kept = filter(split(col("text"), "\n"),
-      l => c4LineKeep(l, minLineWords))
-    val pageWords =
-      filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "")
+    // all six page signals from ONE compiled kernel pass
+    // (TextHashExprs.C4Screen) — the per-line filter lambda (rlike +
+    // word-count HOF) was CodegenFallback, walking an interpreted tree
+    // per LINE (r15 StreamProbe: the streaming C4 gate spent ~1 s of its
+    // addBatch there); the kernel computes the identical integers and
+    // booleans, oracle-verified
     docs.select(
       col("doc_id"), col("source"),
-      size(split(col("text"), "\n")).as("n_lines"),
-      size(kept).as("n_kept_lines"),
-      size(regexp_extract_all(array_join(kept, "\n"), lit("[.!?]"), lit(0)))
-        .as("n_sentences"),
-      (!lower(col("text")).contains("lorem ipsum")).as("r_no_lorem"),
-      (!col("text").contains("{")).as("r_no_brace"),
-      (if (badWords.isEmpty) lit(true)
-       else size(array_intersect(array_distinct(pageWords),
-         lit(badWords.toArray))) === 0).as("r_no_badwords"))
+      graft.functions.TextHashExprs
+        .c4_screen(col("text"), minLineWords, badWords).as("c4"))
+      .select(col("doc_id"), col("source"),
+        col("c4.n_lines").as("n_lines"),
+        col("c4.n_kept_lines").as("n_kept_lines"),
+        col("c4.n_sentences").as("n_sentences"),
+        col("c4.r_no_lorem").as("r_no_lorem"),
+        col("c4.r_no_brace").as("r_no_brace"),
+        col("c4.r_no_badwords").as("r_no_badwords"))
       .withColumn("r_min_sentences", col("n_sentences") >= minSentences)
       .withColumn("keep",
         col("r_min_sentences") && col("r_no_lorem") && col("r_no_brace") &&
@@ -2301,16 +2283,11 @@ object TextOps {
     * [[c4FiltersFrame]]'s `keep`. */
   def c4KeepOf(text: Column, minLineWords: Int = 5, minSentences: Int = 3,
       badWords: Seq[String] = c4BadWords): Column = {
-    val kept = filter(split(text, "\n"), l => c4LineKeep(l, minLineWords))
-    val nSent = size(regexp_extract_all(array_join(kept, "\n"),
-      lit("[.!?]"), lit(0)))
-    val pageWords = filter(split(lower(text), "[^a-z]+"), w => w =!= "")
-    (nSent >= minSentences) &&
-      !lower(text).contains("lorem ipsum") &&
-      !text.contains("{") &&
-      (if (badWords.isEmpty) lit(true)
-       else size(array_intersect(array_distinct(pageWords),
-         lit(badWords.toArray))) === 0)
+    val c4 = graft.functions.TextHashExprs
+      .c4_screen(text, minLineWords, badWords)
+    (c4.getField("n_sentences") >= minSentences) &&
+      c4.getField("r_no_lorem") && c4.getField("r_no_brace") &&
+      c4.getField("r_no_badwords")
   }
 
   /** The `text_c4_filters` gate corpus: the synthetic fixture is a

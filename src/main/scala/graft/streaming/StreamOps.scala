@@ -290,27 +290,25 @@ object StreamOps {
     val cents = graft.operators.Similarity.ivfIndexCentroids(spark, dir)
       .collect()
       .map(r => (r.getLong(0),
-        r.getSeq[Double](1).toSeq))
+        r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
-    val centsLit = typedlit(cents)
     val schema = Tables.embeddings(spark, dir).schema
     val stream = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(dir)
-    val best = aggregate(
-      centsLit,
-      struct(lit(Double.NegativeInfinity).as("best"),
-        lit(-1L).as("cell")),
-      (acc, c) => {
-        val cs = graft.operators.Similarity
-          .cosine(col("embedding"), c.getField("_2"))
-        when(cs > acc.getField("best"),
-          struct(cs.as("best"), c.getField("_1").as("cell")))
-          .otherwise(acc)
-      })
+    // One compiled kernel pass per row (VectorExprs.BestIvfCell) instead
+    // of the aggregate/zip_with HOF fold over the centroid literal: the
+    // HOF chain is CodegenFallback and walked an interpreted tree of
+    // k·3·dim nodes per vector (StreamProbe r15: ~1.5 s of the 2 s warm
+    // addBatch). The kernel performs the identical double-precision fold
+    // in the identical order, so every cosine and the argmax cell are
+    // bit-equal — same declared result, the oracle re-verifies.
+    val best = graft.functions.VectorExprs.best_ivf_cell(
+      col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)), cents)
     stream
-      .select(col("vec_id"), best.getField("cell").as("cell"))
+      .select(col("vec_id"), best.as("cell"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"),
         min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
@@ -923,17 +921,47 @@ object StreamOps {
         m
       })
 
+  /** The LM model flattened for the scoring kernel — the md5-bucketed
+    * array-of-maps layout exists to make the HOF's `element_at` lookups
+    * cheap; the kernel does direct key lookups, which give the SAME value
+    * for every key (bucket + inner lookup ≡ flat lookup). Collected once
+    * per corpus snapshot from the same persisted model row every other
+    * consumer reads; the oracle recomputes the model from parquet. */
+  private val lmModelDataCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String),
+      (java.util.HashMap[String, Long], java.util.HashMap[String, Long], Long)]
+
+  private def lmModelData(spark: SparkSession, dir: String,
+      trainSource: String): (java.util.HashMap[String, Long],
+      java.util.HashMap[String, Long], Long) =
+    lmModelDataCache.getOrElseUpdate(
+      (graft.SessionKeys.id(spark), dir, trainSource), {
+        val row = lmModel(spark, dir, trainSource).head()
+        def flat(i: Int): java.util.HashMap[String, Long] = {
+          val m = new java.util.HashMap[String, Long]()
+          row.getSeq[scala.collection.Map[String, Long]](i).foreach { bm =>
+            if (bm != null) bm.foreach { case (k, c) => m.put(k, c) }
+          }
+          m
+        }
+        (flat(0), flat(1), row.getLong(2))
+      })
+
   /** Evict one corpus' cached LM model row (next call rebuilds). */
   def releaseLmModel(spark: SparkSession, dir: String,
-      trainSource: String = "src0"): Unit =
+      trainSource: String = "src0"): Unit = {
     lmModelCache.remove(
       (graft.SessionKeys.id(spark), dir, trainSource))
       .foreach(_.unpersist(blocking = false))
+    lmModelDataCache.remove((graft.SessionKeys.id(spark), dir, trainSource))
+  }
 
   /** Release every cached LM model (end-of-run cleanup). */
-  def releaseAllLmModels(): Unit =
+  def releaseAllLmModels(): Unit = {
     lmModelCache.keys.toSeq.foreach(k =>
       lmModelCache.remove(k).foreach(_.unpersist(blocking = false)))
+    lmModelDataCache.keys.toSeq.foreach(lmModelDataCache.remove)
+  }
 
   private val dsirModelCache = scala.collection.concurrent.TrieMap
     .empty[(Int, String, String, Int), DataFrame]
@@ -984,27 +1012,33 @@ object StreamOps {
     * per-source aggregation (OperatorsSpec proves it field by field). */
   def dsirStream(spark: SparkSession, dir: String,
       targetSource: String = "src0", buckets: Int = 256): DataFrame = {
+    // One compiled kernel pass per doc (LmScoreExprs.DsirDocScore): the
+    // transform/zip_with HOF walked an interpreted tree per bigram. The
+    // model is KEYED by md5 bucket, so the kernel keeps the exact
+    // hash56(g) % buckets identity (PortableHashExprs.hash56 IS
+    // conv(substring(md5(g),1,14),16,10)); deltas and the fallback term
+    // are the same longs, so the declared result is unchanged.
+    val mrow = dsirModelRow(spark, dir, targetSource, buckets).head()
+    val dm: Array[java.lang.Long] = {
+      val s = mrow.getSeq[Any](0)
+      s.map {
+        case null => null
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue())
+      }.toArray
+    }
+    val fallback = graft.functions.LmScoreExprs.floorLog2(
+      mrow.getLong(1) + buckets) -
+      graft.functions.LmScoreExprs.floorLog2(mrow.getLong(2) + buckets) + 64L
     val schema = Tables.documents(spark, dir).schema
     spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .select(col("source"),
-        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
-      .crossJoin(broadcast(dsirModelRow(spark, dir, targetSource, buckets)))
-      .select(col("source"), expr(
-        s"""transform(
-           |  zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
-           |           slice(t, 2, greatest(size(t) - 1, 0)),
-           |           (a, b) -> concat(a, ' ', b)),
-           |  g -> coalesce(
-           |    element_at(dm, CAST(CAST(conv(substring(md5(g), 1, 14), 16, 10)
-           |      AS BIGINT) % $buckets AS INT) + 1),
-           |    (length(bin((tr + $buckets) DIV 1)) - 1)
-           |      - (length(bin((tt + $buckets) DIV 1)) - 1) + 64L))
-           |""".stripMargin).as("deltas"))
-      .select(col("source"), size(col("deltas")).as("n"),
-        expr("aggregate(deltas, 0L, (acc, x) -> acc + x)").as("dsum"))
+        graft.functions.LmScoreExprs.dsir_doc_score(col("text"), dm,
+          fallback).as("s"))
+      .select(col("source"), col("s.n").as("n"), col("s.dsum").as("dsum"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_scored"),
@@ -1214,30 +1248,24 @@ object StreamOps {
 
   def lmQualityStream(spark: SparkSession, dir: String,
       trainSource: String = "src0"): DataFrame = {
-    def toks(c: org.apache.spark.sql.Column) =
-      filter(split(lower(c), "\\s+"), t => t =!= "")
-    val model = lmModel(spark, dir, trainSource)
+    // One compiled kernel pass per doc (LmScoreExprs.LmDocBits) over the
+    // flattened model instead of the zip_with HOF chain: the HOF walked
+    // an interpreted tree per bigram and paid two md5 calls per bigram
+    // purely to select the model BUCKET — a direct key lookup returns the
+    // identical count, so every bits value (and the oracle hash) is
+    // unchanged. r15 StreamProbe: warm addBatch 1.34 s -> see
+    // OPTIMIZATION_r15.md.
+    val (uni, bg, v) = lmModelData(spark, dir, trainSource)
     val schema = Tables.documents(spark, dir).schema
     spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-      .select(col("source"), toks(col("text")).as("t"))
-      .crossJoin(broadcast(model))
       .select(col("source"),
-        expr(s"""zip_with(
-          |  slice(t, 1, greatest(size(t) - 1, 0)),
-          |  zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
-          |           slice(t, 2, greatest(size(t) - 1, 0)),
-          |           (a, b) -> concat(a, ' ', b)),
-          |  (w1, k) -> length(bin(
-          |    (coalesce(element_at(element_at(um,
-          |       CAST(conv(substring(md5(w1), 1, 3), 16, 10) AS INT) + 1), w1), 0L) + v)
-          |      DIV (coalesce(element_at(element_at(bm,
-          |       CAST(conv(substring(md5(k), 1, 3), 16, 10) AS INT) + 1), k), 0L) + 1))) - 1)
-          |""".stripMargin).as("bits"))
-      .select(col("source"), size(col("bits")).as("nb"),
-        expr("aggregate(bits, 0L, (acc, x) -> acc + x)").as("bits_sum"))
+        graft.functions.LmScoreExprs.lm_doc_bits(col("text"), uni, bg, v)
+          .as("s"))
+      .select(col("source"), col("s.nb").as("nb"),
+        col("s.bits_sum").as("bits_sum"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("nb") > 0, 1L).otherwise(0L)).as("n_scored"),

@@ -121,6 +121,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"probing $worstProbe of $n rows — IVF must prune the search")
   }
 
+  test("best_ivf_cell kernel is bit-equal to the aggregate/cosine HOF fold " +
+      "on every corpus vector") {
+    import org.apache.spark.sql.functions._
+    val cents = operators.Similarity.ivfIndexCentroids(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val centsLit = typedlit(cents.map { case (id, a) => (id, a.toSeq) })
+    val hof = aggregate(
+      centsLit,
+      struct(lit(Double.NegativeInfinity).as("best"), lit(-1L).as("cell")),
+      (acc, c) => {
+        val cs = operators.Similarity.cosine(col("embedding"),
+          c.getField("_2"))
+        when(cs > acc.getField("best"),
+          struct(cs.as("best"), c.getField("_1").as("cell"))).otherwise(acc)
+      }).getField("cell")
+    val kern = graft.functions.VectorExprs.best_ivf_cell(
+      col("embedding").cast("array<double>"), cents)
+    val diff = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), hof.as("h"), kern.as("k"))
+      .filter(col("h") =!= col("k") ||
+        col("h").isNull =!= col("k").isNull)
+      .count()
+    assert(diff == 0, s"$diff vectors assigned differently")
+  }
+
   test("LSH bucket cap refines oversized buckets (candidates shrink, never grow)") {
     val uncapped = operators.Similarity.lshPairs(spark, dir, bucketCap = Int.MaxValue)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -35,6 +35,29 @@ class PortableHashSpec extends AnyFunSuite {
     assert(PortableHashExprs.hash32("hello") == 1564557354L)
   }
 
+  test("hash56 matches DuckDB CAST('0x'||substr(md5,1,14)) (no mod)") {
+    assert(PortableHashExprs.hash56("hello world") == 26659015482154734L)
+  }
+
+  test("distinct shingle hash56 kernel: dedup in-row, empty filtered, " +
+      "short-text degenerate shingle — Python/DuckDB goldens") {
+    def k(t: String): Seq[Long] =
+      PortableHashExprs.distinctShingleHash56Kernel(
+        UTF8String.fromString(t), 3).toLongArray().toSeq
+    // goldens from python hashlib over the oracle construction
+    assert(k(text) == Seq(52914156111112028L, 40188373019688373L,
+      11037667111580380L, 38472492068882772L, 39385049515381711L,
+      35391222496737456L, 22849134202579917L))
+    // repeated shingles deduplicate inside the row
+    assert(k("a b A b a B a b") ==
+      Seq(71225330023062827L, 56597491375258805L))
+    // fewer tokens than the width degrade to one whole-text shingle
+    assert(k("one two") == Seq(48100074161461971L))
+    // empty / all-whitespace texts produce the empty set (the "" shingle
+    // is filtered, matching the gate's shg <> '' filter)
+    assert(k("") == Seq.empty && k("   ") == Seq.empty)
+  }
+
   test("affine constants match the SQL formulas") {
     assert(Seq(0, 1, 2, 3).map(PortableHashExprs.affineA) ==
       Seq(208426299L, 238199721L, 267973143L, 297746565L))
