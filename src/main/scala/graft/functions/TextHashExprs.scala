@@ -136,6 +136,110 @@ object TextHashExprs {
     new GenericArrayData(out)
   }
 
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def hexString(b: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      out(2 * i) = HEX((b(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HEX(b(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Content-defined chunks of a text, computed in one compiled pass —
+    * the fused form of [[graft.operators.TextOps.cdcChunksOf]]'s HOF
+    * chain (boundary positions via a per-gram interpreted lambda, chunk
+    * slices + md5 per chunk): boundaries fall where the trailing k-gram's
+    * first-7-md5-byte integer lands in residue 0 mod d, chunk ids are
+    * POSITIONAL including the degenerate trailing chunk the e >= s filter
+    * drops, and each chunk hash is the 32-char lowercase md5 hex of the
+    * chunk's space-joined tokens — all bit-identical to the DataFrame
+    * formulation (and the DuckDB oracle). Docs with zero tokens yield an
+    * empty array (the caller's size >= 1 filter). */
+  def cdcChunksKernel(text: UTF8String, k: Int,
+      d: Int): GenericArrayData = {
+    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { tb(i) = toks(i).getBytes(StandardCharsets.UTF_8); i += 1 }
+    val dig = md5Local.get()
+    def hash56Of(from: Int, until: Int): Long = {
+      dig.reset()
+      var j = from
+      while (j < until) {
+        if (j > from) dig.update(' '.toByte)
+        dig.update(tb(j))
+        j += 1
+      }
+      val b = dig.digest()
+      var h = 0L
+      var m = 0
+      while (m < 7) { h = (h << 8) | (b(m) & 0xffL); m += 1 }
+      h
+    }
+    // boundary positions (1-based, i in [k..n]) where the trailing k-gram
+    // toks[i-k+1..i] hashes to residue 0
+    val bpos = new scala.collection.mutable.ArrayBuffer[Int]()
+    if (n >= k) {
+      var p = k
+      while (p <= n) {
+        if (hash56Of(p - k, p) % d == 0) bpos += p
+        p += 1
+      }
+    }
+    // chunks: ss = 1 +: bpos.map(_+1), es = bpos :+ n; POSITIONAL ids,
+    // degenerate trailing chunk (e < s) skipped after numbering
+    val out = new scala.collection.mutable.ArrayBuffer[Any](bpos.length + 1)
+    var j = 0
+    while (j <= bpos.length) {
+      val s0 = if (j == 0) 1 else bpos(j - 1) + 1
+      val e0 = if (j < bpos.length) bpos(j) else n
+      if (e0 >= s0) {
+        dig.reset()
+        var t = s0 - 1
+        while (t < e0) {
+          if (t > s0 - 1) dig.update(' '.toByte)
+          dig.update(tb(t))
+          t += 1
+        }
+        out += new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any]((j + 1).toLong,
+            (e0 - s0 + 1).toLong, hexString(dig.digest())))
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** array<struct<chunk_id, n_tokens, h>> — see [[cdcChunksKernel]]. */
+  case class CdcChunks(child: Expression, k: Int, d: Int)
+      extends UnaryExpression {
+    // deterministic in fact; declared nondeterministic so the optimizer
+    // cannot clone the kernel into the generator's inferred pre-filter
+    // (guide §4.4, same as SpanWindowHashes)
+    override lazy val deterministic: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("chunk_id", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("h", StringType, nullable = false))), containsNull = false)
+    override def prettyName: String = "cdc_chunks"
+
+    override def nullSafeEval(input: Any): Any =
+      cdcChunksKernel(input.asInstanceOf[UTF8String], k, d)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashExprs.cdcChunksKernel(" +
+          s"$c, $k, $d);")
+    override protected def withNewChildInternal(c: Expression): CdcChunks =
+      copy(child = c)
+  }
+
   /** One-pass C4 page screen (the [[graft.operators.TextOps.c4FiltersFrame]]
     * signals computed in-row): line split keeping trailing empties
     * (Spark `split(text, "\n")` keeps them), per-line keep =
@@ -681,6 +785,9 @@ object TextHashExprs {
 
   def gopher_screen(c: Column, required: Seq[String]): Column =
     column(GopherScreen(expression(c), required.toArray))
+
+  def cdc_chunks(c: Column, k: Int, d: Int): Column =
+    column(CdcChunks(expression(c), k, d))
 
   /** Register the kernels for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

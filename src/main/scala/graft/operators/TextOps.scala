@@ -1466,34 +1466,19 @@ object TextOps {
   }
 
   /** The in-row CDC chunk table over an explicit (doc_id, text) frame:
-    * (doc_id, chunk_id, chunk token count, chunk md5). */
-  def cdcChunksOf(docs: DataFrame, k: Int = 3, d: Int = 8): DataFrame = {
-    val toksC = filter(split(col("text"), "\\s+"), t => t =!= "")
-    val gramHash = (i: Column) =>
-      conv(substring(md5(array_join(
-        slice(col("toks"), i - (k - 1), lit(k)), " ")), 1, 14), 16, 10)
-        .cast("long") % d
-    val bpos = when(size(col("toks")) >= k,
-      filter(sequence(lit(k), size(col("toks"))), i => gramHash(i) === 0))
-      .otherwise(array().cast("array<int>"))
-    val withB = docs
-      .select(col("doc_id"), toksC.as("toks"))
-      .filter(size(col("toks")) >= 1)
-      .select(col("doc_id"), col("toks"), bpos.as("bpos"))
-      .select(col("doc_id"), col("toks"),
-        concat(array(lit(1)), transform(col("bpos"), p => p + 1)).as("ss"),
-        concat(col("bpos"), array(size(col("toks")))).as("es"))
-    withB
-      .select(col("doc_id"), col("toks"),
-        posexplode(zip_with(col("ss"), col("es"),
-          (a, b) => struct(a.as("s"), b.as("e")))).as(Seq("j", "se")))
-      .filter(col("se.e") >= col("se.s"))
-      .select(col("doc_id"), (col("j") + 1).cast("long").as("chunk_id"),
-        (col("se.e") - col("se.s") + 1).cast("long").as("n_tokens"),
-        md5(array_join(
-          slice(col("toks"), col("se.s"), col("se.e") - col("se.s") + 1),
-          " ")).as("h"))
-  }
+    * (doc_id, chunk_id, chunk token count, chunk md5). One compiled
+    * kernel pass per doc (TextHashExprs.CdcChunks) — the previous
+    * boundary-filter + zip_with + per-chunk slice/join/md5 HOF chain ran
+    * interpreted per gram AND per chunk; the kernel emits the identical
+    * positional chunk ids, token counts and 32-char md5 hex (the DuckDB
+    * oracle re-verifies). */
+  def cdcChunksOf(docs: DataFrame, k: Int = 3, d: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextHashExprs.cdc_chunks(col("text"), k, d))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.n_tokens").as("n_tokens"), col("c.h").as("h"))
 
   val cdcDedupOracle: String =
     """WITH dd AS (
